@@ -1,0 +1,206 @@
+package graft.jexl
+
+import scala.collection.mutable.ListBuffer
+
+/** LUCENE front-end → the same JEXL AST (the reference compiles LUCENE to
+  * JEXL: LuceneToJexlQueryParser.java:26; translation cases asserted in
+  * TestLuceneToJexlQueryParser.java:53-159,305-312).
+  *
+  * Supported surface:
+  *   FIELD:value                →  FIELD == 'value'
+  *   FIELD:[a TO b] / {a TO b}  →  bounded range (inclusive/exclusive)
+  *   FIELD:val* / va?ue         →  FIELD =~ 'val.*' / 'va.ue'  (wildcards)
+  *   FIELD:"a b c"              →  content:phrase(FIELD, 'a','b','c')
+  *   a AND b, a OR b, NOT a, ( ) — implicit conjunction = AND
+  *   #ISNOTNULL(F) / #ISNULL(F) / #INCLUDE(F, rx) / #EXCLUDE(F, rx)
+  *   #JEXL("...")               →  escape hatch, parsed as JEXL
+  */
+object LuceneParser {
+  def parse(input: String): Node = new LuceneParser(input).parseQuery()
+
+  /** Lucene wildcard → Java regex (TestLuceneToJexlQueryParser:305-312). */
+  private[jexl] def wildcardToRegex(term: String): String = {
+    val sb = new StringBuilder
+    term.foreach {
+      case '*' => sb.append(".*")
+      case '?' => sb.append('.')
+      case c if "\\.[]{}()+-^$|".indexOf(c) >= 0 => sb.append('\\').append(c)
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+}
+
+private final class LuceneParser(input: String) {
+  private var pos = 0
+  private def eof = pos >= input.length
+  private def skipWs(): Unit = while (!eof && input(pos).isWhitespace) pos += 1
+  private def peekChar: Char = input(pos)
+
+  def parseQuery(): Node = {
+    val n = parseOr()
+    skipWs()
+    if (!eof) throw new ParseException(
+      s"trailing LUCENE input at $pos: '${input.substring(pos).take(20)}'")
+    n
+  }
+
+  private def parseOr(): Node = {
+    val cs = ListBuffer(parseAnd())
+    while (acceptWord("OR")) cs += parseAnd()
+    if (cs.size == 1) cs.head else Node.Or(cs.toList)
+  }
+
+  private def parseAnd(): Node = {
+    val cs = ListBuffer(parseUnary())
+    var continue = true
+    while (continue) {
+      if (acceptWord("AND")) cs += parseUnary()
+      else {
+        // implicit conjunction: another clause follows without an operator
+        skipWs()
+        if (!eof && peekChar != ')' && !peeksWord("OR") && !peeksWord("AND"))
+          cs += parseUnary()
+        else continue = false
+      }
+    }
+    if (cs.size == 1) cs.head else Node.And(cs.toList)
+  }
+
+  private def parseUnary(): Node = {
+    skipWs()
+    if (acceptWord("NOT")) return Node.Not(parseUnary())
+    if (!eof && peekChar == '-') { pos += 1; return Node.Not(parseUnary()) }
+    if (!eof && peekChar == '(') {
+      pos += 1
+      val n = parseOr()
+      skipWs()
+      if (eof || peekChar != ')') throw new ParseException(s"expected ')' at $pos")
+      pos += 1
+      return n
+    }
+    parseClause()
+  }
+
+  private def peeksWord(w: String): Boolean = {
+    skipWs()
+    input.startsWith(w, pos) &&
+      (pos + w.length == input.length || !input(pos + w.length).isLetterOrDigit)
+  }
+
+  private def acceptWord(w: String): Boolean =
+    if (peeksWord(w)) { pos += w.length; true } else false
+
+  private def parseClause(): Node = {
+    skipWs()
+    if (!eof && peekChar == '#') return parseHashFunction()
+    val field = parseTermText(stopAtColon = true)
+    skipWs()
+    if (!eof && peekChar == ':') {
+      pos += 1
+      parseValueFor(field)
+    } else {
+      // unfielded term — _ANYFIELD_ semantics (UnfieldedIndexExpansionVisitor)
+      Node.FieldOp("_ANYFIELD_", CompareOp.Eq, Literal.Str(field))
+    }
+  }
+
+  private def parseValueFor(field: String): Node = {
+    skipWs()
+    if (eof) throw new ParseException(s"expected value after '$field:'")
+    peekChar match {
+      case '[' | '{' =>
+        val loInc = peekChar == '['
+        pos += 1
+        val lo = parseTermText()
+        if (!acceptWord("TO")) throw new ParseException(s"expected TO in range at $pos")
+        val hi = parseTermText()
+        skipWs()
+        val hiInc = !eof && peekChar == ']'
+        if (eof || (peekChar != ']' && peekChar != '}'))
+          throw new ParseException(s"expected ] or }} at $pos")
+        pos += 1
+        Node.Bounded(field, termLit(lo), termLit(hi), loInc, hiInc)
+      case '"' =>
+        pos += 1
+        val start = pos
+        while (!eof && peekChar != '"') pos += 1
+        if (eof) throw new ParseException("unterminated phrase")
+        val phrase = input.substring(start, pos)
+        pos += 1
+        val terms = phrase.split("\\s+").filter(_.nonEmpty).toList
+        if (terms.size == 1) Node.FieldOp(field, CompareOp.Eq, Literal.Str(terms.head))
+        else Node.Func("content", "phrase",
+          Node.FieldArg(field) :: terms.map(t => Node.LitArg(Literal.Str(t))))
+      case _ =>
+        val term = parseTermText()
+        if (term.contains('*') || term.contains('?'))
+          Node.RegexOp(field, LuceneParser.wildcardToRegex(term), negated = false)
+        else Node.FieldOp(field, CompareOp.Eq, termLit(term))
+    }
+  }
+
+  /** `#FUNC(arg, ...)` pseudo-functions. */
+  private def parseHashFunction(): Node = {
+    pos += 1 // '#'
+    val name = parseTermText(stopAtColon = false, stopAtParen = true).toUpperCase
+    skipWs()
+    if (eof || peekChar != '(') throw new ParseException(s"expected ( after #$name")
+    pos += 1
+    val args = ListBuffer.empty[String]
+    val sb = new StringBuilder
+    var depth = 1
+    var inQuote = false
+    while (!eof && depth > 0) {
+      val c = peekChar
+      if (inQuote) {
+        if (c == '\'' || c == '"') inQuote = false
+        sb += c
+      } else c match {
+        case '\'' | '"' => inQuote = true; sb += c
+        case '(' => depth += 1; sb += c
+        case ')' =>
+          depth -= 1
+          if (depth > 0) sb += c
+        case ',' if depth == 1 => args += sb.toString.trim; sb.clear()
+        case other => sb += other
+      }
+      pos += 1
+    }
+    if (depth != 0) throw new ParseException(s"unterminated #$name(")
+    if (sb.toString.trim.nonEmpty) args += sb.toString.trim
+    def unq(s: String): String =
+      if (s.length >= 2 && (s.head == '\'' || s.head == '"') && s.last == s.head)
+        s.substring(1, s.length - 1) else s
+    name match {
+      case "ISNULL" => Node.NullCheck(args.head, isNull = true)
+      case "ISNOTNULL" => Node.NullCheck(args.head, isNull = false)
+      case "INCLUDE" => Node.Func("filter", "includeRegex",
+        List(Node.FieldArg(args.head), Node.LitArg(Literal.Str(unq(args(1))))))
+      case "EXCLUDE" => Node.Func("filter", "excludeRegex",
+        List(Node.FieldArg(args.head), Node.LitArg(Literal.Str(unq(args(1))))))
+      case "JEXL" => JexlParser.parse(unq(args.mkString(",")))
+      case other => Node.Func("f", other.toLowerCase,
+        args.toList.map(a => Node.LitArg(Literal.Str(unq(a)))))
+    }
+  }
+
+  private def termLit(s: String): Literal =
+    if (s.nonEmpty && s.forall(c => c.isDigit || c == '.' || c == '-') &&
+        s.exists(_.isDigit) && !s.startsWith("-") || // plain number
+        (s.startsWith("-") && s.length > 1 && s.drop(1).forall(c => c.isDigit || c == '.')))
+      scala.util.Try(Literal.Num(BigDecimal(s))).getOrElse(Literal.Str(s))
+    else if (s == "*") Literal.Str("*")
+    else Literal.Str(s)
+
+  private def parseTermText(stopAtColon: Boolean = false,
+                            stopAtParen: Boolean = false): String = {
+    skipWs()
+    val start = pos
+    while (!eof && !peekChar.isWhitespace && peekChar != ')' && peekChar != ']' &&
+           peekChar != '}' && (!stopAtColon || peekChar != ':') &&
+           (!stopAtParen || peekChar != '(')) pos += 1
+    if (pos == start) throw new ParseException(s"expected term at $pos")
+    input.substring(start, pos)
+  }
+}
