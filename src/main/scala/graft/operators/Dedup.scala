@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline:
+  *
+  *  - exact: content-hash groupBy (one shuffle on the hash).
+  *  - n-gram Jaccard: shared-shingle candidate generation (inverted-index
+  *    join — finds every pair with ≥1 common shingle, i.e. every pair with
+  *    Jaccard > 0) + exact set-overlap verify. No O(n²) cross join.
+  *  - MinHash + LSH: banded signature bucket-join for scale, exact verify.
+  *  - SimHash: 64-bit sign-of-projection fingerprint, hamming-ball
+  *    candidates, exact verify.
+  *
+  * All candidate paths verify with EXACT shingle-set intersection/union
+  * counts, so outputs are integer-deterministic (oracle-friendly) and the
+  * probabilistic stage only affects recall, not precision.
+  */
+object Dedup {
+
+  /** Word n-gram shingles of the normalized text ("a b c" word windows). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextOps.tokens(text)
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + lit(1), lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact dedup: one survivor (min id) per identical normalized text.
+    * groupBy on the 128-bit content hash — the only shuffle, keyed small. */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.groupBy(TextOps.fingerprint(col(textCol)).as("fingerprint"))
+      .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_copies"))
+
+  /** All pairs (idA < idB) with shingle-set Jaccard ≥ threshold, reported
+    * as exact integer (intersection, union) sizes.
+    *
+    * Candidate generation: explode shingles → self-join on shingle value
+    * (the classic inverted-index join). At 100 TB you'd first drop
+    * ultra-frequent shingles (stop-shingles) to bound bucket skew — here
+    * a bucket cap is applied for the same reason. */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
+                        maxBucket: Int = 1000): DataFrame = {
+    val withSh = docs.select(col("doc_id"), shingles(col("text"), n).as("sh"))
+    val inverted = withSh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    // stop-shingle removal: a shingle shared by huge numbers of docs
+    // contributes candidates quadratically but can only exist between
+    // near-dups if rarer shingles also collide.
+    val rare = inverted.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxBucket)
+    val pruned = inverted.join(rare.select("shingle"), "shingle")
+    val cand = pruned.as("x").join(pruned.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    verifyJaccard(cand, withSh, threshold)
+  }
+
+  /** Exact verify of candidate pairs against shingle sets. */
+  private def verifyJaccard(cand: DataFrame, withSh: DataFrame,
+                            threshold: Double): DataFrame = {
+    val shA = withSh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val shB = withSh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    cand.join(shA, "id_a").join(shB, "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .filter(col("uni") > 0 &&
+        col("inter").cast("double") >= col("uni").cast("double") * threshold)
+      .select("id_a", "id_b", "inter", "uni")
+  }
+
+  /** MinHash signature: `numHashes` seeded xxhash64-min values over the
+    * shingle set. Deterministic (seeded), no RNG. */
+  def minhashSignature(sh: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      seed => aggregate(sh, lit(Long.MaxValue),
+        (acc, s) => least(acc, xxhash64(seed, s))))
+
+  /** MinHash-LSH near-dup pairs: banded bucket join for candidates, exact
+    * Jaccard verify (same output contract as [[ngramJaccardPairs]]).
+    * bands × rowsPerBand = numHashes; P(candidate | j) = 1-(1-j^rows)^bands.
+    * Defaults catch j ≥ 0.8 pairs with ~1-1e-13 probability. */
+  def minhashLshPairs(docs: DataFrame, n: Int, threshold: Double,
+                      numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    val rows = numHashes / bands
+    val withSh = docs.select(col("doc_id"), shingles(col("text"), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sig = withSh.withColumn("mh", minhashSignature(col("sh"), numHashes))
+    val banded = sig.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("mh"), b * rows + lit(1), lit(rows))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    verifyJaccard(cand, withSh, threshold)
+  }
+
+  /** Per-bit ±1 accumulation vector for one token hash (64 ints). */
+  private def bitVotes(h: Column): Column =
+    array((0 until 64).map { i =>
+      when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)
+    }: _*)
+
+  /** 64-bit SimHash over tokens: per-bit weighted sign accumulation,
+    * computed per-row with higher-order aggregates (no shuffle, no UDF).
+    * Packs sign bits of the accumulated vote vector into a BIGINT. */
+  def simhash(text: Column): Column = {
+    val counts = aggregate(
+      TextOps.tokens(text),
+      array((0 until 64).map(_ => lit(0)): _*),
+      (acc, t) => zip_with(acc, bitVotes(xxhash64(t)), (a, b) => a + b))
+    // fold the 64 sign bits into one long: acc = acc | (cnt>0 ? 1L<<i : 0)
+    // (call_function: the SQL shiftleft takes a Column shift amount,
+    // unlike the Scala wrapper)
+    aggregate(
+      zip_with(counts, sequence(lit(0), lit(63)),
+        (cnt, i) => when(cnt > 0,
+          call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (acc, b) => acc.bitwiseOR(b))
+  }
+
+  /** SimHash near-dup pairs: hamming-distance ≤ `maxHamming` candidates
+    * via band blocks (8×8-bit bands — any pair within hamming 7 shares a
+    * band by pigeonhole), exact Jaccard verify so precision is 1.0.
+    *
+    * NOTE on recall: simhash over unigram tokens is noisy for short
+    * documents (bits whose vote count is near zero flip under single-token
+    * edits — a 0.99-Jaccard pair can sit at hamming >20), so unlike
+    * [[minhashLshPairs]] this operator does NOT promise the exact-Jaccard
+    * result set; it is the cheap-fingerprint tradeoff point. */
+  def simhashPairs(docs: DataFrame, n: Int, threshold: Double,
+                   maxHamming: Int = 7): DataFrame = {
+    val withSh = docs.select(col("doc_id"), shingles(col("text"), n).as("sh"))
+    val sig = docs.select(col("doc_id"), simhash(col("text")).as("sim"))
+    // 8 bands of 8 bits: hamming ≤ 7 ⇒ at least one band identical
+    val banded = sig.select(col("doc_id"), col("sim"),
+      posexplode(array((0 until 8).map(b =>
+        shiftright(col("sim"), b * 8).bitwiseAND(lit(0xFFL))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        col("x.sim").as("sim_a"), col("y.sim").as("sim_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b")
+    verifyJaccard(cand, withSh, threshold)
+  }
+}

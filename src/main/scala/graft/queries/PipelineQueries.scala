@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.{Dedup, TextOps, VectorOps}
+
+/** LLM-training-data pipeline operators over `documents` / `embeddings`
+  * (BASELINE.json north star: dedup, similarity search, text analysis as
+  * first-class engine components).
+  *
+  * Oracle notes: every float in an output is either a single IEEE
+  * division of identical integer operands (bit-stable across engines) or
+  * avoided entirely (set sizes as integers, similarity as rank).
+  */
+object PipelineQueries {
+
+  /** Exact dedup via content fingerprint (hash-groupBy — one shuffle). */
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    Dedup.exact(Tables.documents(s, d))
+
+  /** Word-3-gram Jaccard near-dup pairs (inverted-index candidates +
+    * exact verify). Integer (inter, union) output. */
+  def dedupNgram(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(s, d), n = 3, threshold = 0.8)
+
+  /** MinHash+LSH near-dup pairs — same contract, bucket-join scale path.
+    * 128 hashes / 32 bands: recall ≥ 1-1e-13 at j=0.8, then exact verify,
+    * so the output matches the exact oracle. */
+  def dedupMinhash(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashLshPairs(Tables.documents(s, d), n = 3, threshold = 0.8)
+
+  /** SimHash near-dup pairs — hamming-band candidates + exact verify.
+    * Approximate recall (see Dedup.simhashPairs doc) → rows-only check;
+    * precision vs the exact pair set is asserted in DedupSpec. */
+  def dedupSimhash(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(s, d), n = 3, threshold = 0.8,
+      maxHamming = 7)
+
+  /** Per-document text analysis: quality + language-ID + fingerprint. */
+  def textAnalyze(s: SparkSession, d: String): DataFrame =
+    TextOps.analyze(Tables.documents(s, d))
+
+  /** Token counting (whitespace/punct tokenizer). */
+  def textTokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      TextOps.tokenCount(col("text")).as("n_tokens"))
+
+  /** Brute-force cosine top-10 for probe vec_id=0 → (vec_id, rank). */
+  def annTopk(s: SparkSession, d: String): DataFrame =
+    VectorOps.bruteForceTopK(Tables.embeddings(s, d), probeId = 0L, k = 10)
+      .select(col("vec_id"), col("rank").cast("long").as("rank"))
+
+  /** Embedding cosine near-dup pairs at θ ≥ 0.45 (exact all-pairs). */
+  def embNearDup(s: SparkSession, d: String): DataFrame =
+    VectorOps.cosineNearDupPairs(Tables.embeddings(s, d), threshold = 0.45)
+
+  /** LSH-bucketed ANN (approximate — recall asserted in tests, rows-only
+    * check here). */
+  def annLsh(s: SparkSession, d: String): DataFrame =
+    VectorOps.lshTopK(Tables.embeddings(s, d), probeId = 0L, k = 10)
+      .select("vec_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> dedupExact _,
+    "dedup_ngram_jaccard" -> dedupNgram _,
+    "dedup_minhash_lsh" -> dedupMinhash _,
+    "dedup_simhash" -> dedupSimhash _,
+    "text_analyze" -> textAnalyze _,
+    "text_tokens" -> textTokens _,
+    "ann_topk" -> annTopk _,
+    "emb_neardup" -> embNearDup _,
+    "ann_lsh" -> annLsh _,
+  )
+
+  private val toksSql =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+  private val fpSql =
+    "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+  private val shinglesSql =
+    s"""(SELECT doc_id,
+       |   list_distinct(list_transform(range(1, len(toks) - 1),
+       |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+       | FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+       | WHERE len(toks) >= 3)""".stripMargin
+  private val jaccardPairsSql =
+    s"""SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |   len(list_intersect(a.sh, b.sh)) AS inter,
+       |   len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
+       | FROM $shinglesSql a JOIN $shinglesSql b ON a.doc_id < b.doc_id
+       | WHERE len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) > 0
+       |   AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) >=
+       |       CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) * 0.8""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      s"""SELECT $fpSql AS fingerprint, min(doc_id) AS survivor_id,
+         |   count(*) AS n_copies
+         | FROM documents GROUP BY 1""".stripMargin,
+    "dedup_ngram_jaccard" -> jaccardPairsSql,
+    "dedup_minhash_lsh" -> jaccardPairsSql,
+    // dedup_simhash: approximate recall — rows-only (precision asserted
+    // in DedupSpec: output ⊆ exact pair set, each pair verified exactly).
+    "text_tokens" ->
+      s"SELECT doc_id, len($toksSql) AS n_tokens FROM documents",
+    "text_analyze" -> {
+      val stops = TextOps.EnStopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+      def langList(lang: String) = TextOps.LangStopwords.toMap.apply(lang)
+        .map(s => s"'$s'").mkString("[", ", ", "]")
+      s"""WITH t AS (
+         |  SELECT doc_id, text, $toksSql AS toks,
+         |    list_distinct($toksSql) AS dtoks,
+         |    length(text) AS n_chars
+         |  FROM documents),
+         |sc AS (
+         |  SELECT *,
+         |    len(toks) AS n_tokens,
+         |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS alpha,
+         |    len(list_intersect(dtoks, ${langList("en")})) AS s_en,
+         |    len(list_intersect(dtoks, ${langList("de")})) AS s_de,
+         |    len(list_intersect(dtoks, ${langList("es")})) AS s_es,
+         |    len(list_intersect(dtoks, ${langList("fr")})) AS s_fr
+         |  FROM t)
+         |SELECT doc_id, n_chars, n_tokens,
+         |  CASE WHEN n_chars > 0 THEN alpha / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS alpha_ratio,
+         |  CASE WHEN n_tokens > 0 THEN
+         |    CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+         |    ELSE 0.0 END AS mean_token_len,
+         |  CASE WHEN n_tokens > 0 THEN
+         |    CAST(len(list_filter(toks, x -> list_contains($stops, x))) AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+         |    ELSE 0.0 END AS stopword_ratio,
+         |  (n_tokens >= 5 AND n_tokens <= 100000 AND
+         |   (CASE WHEN n_chars > 0 THEN alpha / CAST(n_chars AS DOUBLE) ELSE 0.0 END) > 0.6) AS quality_keep,
+         |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+         |       WHEN s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+         |       WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+         |       WHEN s_fr > 0 THEN 'fr'
+         |       ELSE 'und' END AS lang_pred,
+         |  $fpSql AS fingerprint
+         |FROM sc""".stripMargin
+    },
+    "ann_topk" ->
+      """WITH probe AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, row_number() OVER (
+        |    ORDER BY list_cosine_similarity(embedding, (SELECT e FROM probe)) DESC,
+        |             vec_id ASC) AS rank
+        | FROM embeddings WHERE vec_id <> 0
+        | ORDER BY rank LIMIT 10""".stripMargin,
+    "emb_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        | WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45""".stripMargin,
+    // ann_lsh: approximate — rows-only check (recall vs brute force is
+    // asserted in DedupVectorSpec).
+  )
+}

@@ -1,0 +1,142 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens, counts, fingerprint") {
+    val df = Seq((1, "Hello,  World! hello"), (2, ""), (3, "  a  b  "))
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+      TextOps.tokenCount(col("text")).as("n"),
+      TextOps.fingerprint(col("text")).as("fp")).collect()
+      .map(r => r.getInt(0) -> (r.getInt(1), r.getString(2))).toMap
+    assert(out(1)._1 == 3)
+    assert(out(2)._1 == 0)
+    assert(out(3)._1 == 2)
+    // fingerprint invariant under whitespace + case
+    val fp = df.select(TextOps.fingerprint(lit("A  b\tC")).as("f"),
+      TextOps.fingerprint(lit("a b c")).as("g")).head()
+    assert(fp.getString(0) == fp.getString(1))
+  }
+
+  test("langId is deterministic and prefers en on ties") {
+    val df = Seq(
+      (1, "the cat and the dog of the house"),      // en
+      (2, "der hund und die katze ist nicht da"),   // de
+      (3, "xyzzy qwerty 12345"))                    // none
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), TextOps.langId(col("text")).as("l"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(out(1) == "en"); assert(out(2) == "de"); assert(out(3) == "und")
+  }
+
+  test("quality columns") {
+    val df = Seq((1, "The quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    val r = df.select(TextOps.qualityColumns(col("text")): _*).head()
+    assert(r.getAs[Int]("n_tokens") == 10)
+    assert(r.getAs[Boolean]("quality_keep"))
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "THE QUICK  brown fox jumps over the lazy dog"), // exact dup of 1 (normalized)
+    (4L, "completely different words here entirely unrelated text"),
+    (5L, "ab"))                                           // too short for shingles
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups normalized duplicates") {
+    val out = Dedup.exact(docs).collect()
+    assert(out.length == 4) // 1&3 merge
+    val merged = out.find(_.getAs[Long]("n_copies") == 2).get
+    assert(merged.getAs[Long]("survivor_id") == 1L)
+  }
+
+  test("ngram jaccard finds near-dup pair") {
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L))) // exact dup has jaccard 1.0
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash LSH finds the same pairs as exact on the fixture") {
+    val exact = Dedup.ngramJaccardPairs(docs, 3, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, 3, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact)
+  }
+
+  test("simhash of identical token streams is equal; near-dups are close") {
+    val sims = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sims(1L) == sims(3L)) // same normalized tokens
+    val hamming12 = java.lang.Long.bitCount(sims(1L) ^ sims(2L))
+    val hamming14 = java.lang.Long.bitCount(sims(1L) ^ sims(4L))
+    assert(hamming12 < hamming14)
+  }
+
+  test("sf0.001 documents: minhash matches exact; simhash is high-precision") {
+    val d = Tables.documents(spark, sf001)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(Dedup.ngramJaccardPairs(d, 3, 0.8))
+    assert(exact.nonEmpty, "fixture should contain near-dups")
+    assert(pairSet(Dedup.minhashLshPairs(d, 3, 0.8)) == exact)
+    val sh = pairSet(Dedup.simhashPairs(d, 3, 0.8, maxHamming = 7))
+    assert(sh.subsetOf(exact), "exact verify guarantees precision 1.0")
+    val recall = sh.size.toDouble / exact.size
+    info(s"simhash recall on fixture = $recall")
+    assert(recall >= 0.8, s"simhash recall too low: $recall")
+  }
+}
+
+class VectorOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine basics") {
+    val df = Seq((1, Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)),
+      (2, Seq(1.0f, 1.0f), Seq(1.0f, 1.0f)))
+      .toDF("id", "a", "b")
+    val out = df.select(col("id"), VectorOps.cosine(col("a"), col("b")).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out(1)) < 1e-12)
+    assert(math.abs(out(2) - 1.0) < 1e-12)
+  }
+
+  test("brute-force top-k is exact and ordered") {
+    val emb = Tables.embeddings(spark, sf001)
+    val out = VectorOps.bruteForceTopK(emb, 0L, 5).collect()
+    assert(out.length == 5)
+    assert(out.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3, 4, 5))
+  }
+
+  test("LSH top-k recall vs brute force on sf0.001") {
+    val emb = Tables.embeddings(spark, sf001)
+    val exact = VectorOps.bruteForceTopK(emb, 0L, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val approx = VectorOps.lshTopK(emb, 0L, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"LSH recall@10 = $recall")
+    assert(recall >= 0.5, s"LSH recall too low: $recall")
+  }
+
+  test("IVF cell assignment is deterministic and balanced-ish") {
+    val emb = Tables.embeddings(spark, sf001)
+    val cells = emb.withColumn("cell", VectorOps.ivfCellId(col("embedding"), 8))
+      .groupBy("cell").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(cells.keys.toSet.subsetOf((0 until 8).toSet))
+    assert(cells.size >= 4, s"cells too concentrated: $cells")
+  }
+}
