@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Edge (graph) construction and query — the Spark re-expression of the
+  * reference's edge table (ProtobufEdgeDataTypeHandler.java:82,
+  * EdgeKey.java:21-43,496-566): pairwise relationships extracted from
+  * event field pairs, with per-day activity counts and STATS rows.
+  *
+  * Layout: `edges(source, sink, edge_type, relationship, day, cnt,
+  * weight)`; at 100 TB partition by day + bucket by source so
+  * source-keyed queries prune and edge→event drillbacks co-locate.
+  */
+object Edges {
+
+  final case class EdgeDefinition(
+      sourceField: String, sinkField: String,
+      edgeType: String, relationship: String)
+
+  /** Build daily-aggregated edges from an event table per definitions —
+    * `groupBy(source, sink, type, rel, day).count()` exactly as SURVEY
+    * §2.1 maps the handler. Multiple definitions union before the single
+    * aggregation so one shuffle covers all edge types. */
+  def build(events: DataFrame, defs: Seq[EdgeDefinition],
+            tsCol: String = "ts", weightCol: Option[String] = None): DataFrame = {
+    val perDef = defs.map { d =>
+      events.select(
+        col(d.sourceField).cast("string").as("source"),
+        col(d.sinkField).cast("string").as("sink"),
+        lit(d.edgeType).as("edge_type"),
+        lit(d.relationship).as("relationship"),
+        date_format(col(tsCol), "yyyy-MM-dd").as("day"),
+        weightCol.map(c => col(c)).getOrElse(lit(1.0)).as("w"))
+    }
+    perDef.reduce(_ unionAll _)
+      .groupBy("source", "sink", "edge_type", "relationship", "day")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("w").cast("decimal(18,2)")).cast("double").as("weight"))
+  }
+
+  /** STATS/ACTIVITY rows (EdgeKey.java:496-507): per-source daily activity
+    * rollups that interleave with edges in the reference's table. */
+  def activityStats(edges: DataFrame): DataFrame =
+    edges.groupBy("source", "day")
+      .agg(sum(col("cnt")).as("activity"),
+        countDistinct(col("sink")).as("distinct_sinks"))
+
+  /** Edge query (EdgeQueryLogic analog): JEXL over
+    * EDGE_SOURCE/SINK/TYPE/RELATIONSHIP via the standard compiler with a
+    * fixed model — source equality prunes first like the row-range build
+    * (EdgeTableRangeBuildingVisitor). */
+  def query(edges: DataFrame, jexl: String): DataFrame = {
+    val model = graft.jexl.QueryModel(Map(
+      "EDGE_SOURCE" -> Seq("source"),
+      "EDGE_SINK" -> Seq("sink"),
+      "EDGE_TYPE" -> Seq("edge_type"),
+      "EDGE_RELATIONSHIP" -> Seq("relationship")))
+    graft.jexl.Compiler.filter(edges, jexl, model)
+  }
+
+  /** Edge→event drill-back (DefaultEdgeEventQueryLogic): map selected
+    * edges back to the events that produced them. */
+  def drillback(edges: DataFrame, events: DataFrame,
+                d: EdgeDefinition, tsCol: String = "ts"): DataFrame =
+    events.join(
+      edges.filter(col("edge_type") === d.edgeType)
+        .select(col("source"), col("sink"), col("day")),
+      events(d.sourceField).cast("string") === col("source") &&
+        events(d.sinkField).cast("string") === col("sink") &&
+        date_format(events(tsCol), "yyyy-MM-dd") === col("day"))
+}

@@ -1,0 +1,175 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.content.Content
+import graft.operators.{Edges, Grouping}
+import graft.vis.Visibility
+
+/** Event-model operators: visibility enforcement, edge graph, TF/content
+  * positions, grouping-context co-occurrence — the DataWave-specific
+  * surface (SURVEY.md §2.1-§2.3, §3.2).
+  */
+object EventQueries {
+
+  /** Deterministic synthetic visibility per event_type (the driver tables
+    * carry no markings; policy labels are derived so the real parser/
+    * evaluator path is exercised end-to-end). */
+  private def withVisibility(events: DataFrame): DataFrame =
+    events.withColumn("visibility",
+      when(col("event_type") === "click", "A")
+        .when(col("event_type") === "view", "A|B")
+        .when(col("event_type") === "purchase", "A&B")
+        .when(col("event_type") === "signup", "C")
+        .otherwise("(A&B)|C"))
+
+  /** Visibility-filtered scan under auths {A}: Accumulo-style boolean
+    * expressions evaluated once per DISTINCT marking, broadcast back —
+    * scan stays codegen'd (SURVEY §1.1 ColumnVisibility mapping). */
+  def visibilityFilter(s: SparkSession, d: String): DataFrame =
+    Visibility.enforce(withVisibility(Tables.events(s, d)),
+        "visibility", Set("A"))
+      .select("event_id", "event_type", "visibility")
+
+  private val userEvent = Edges.EdgeDefinition(
+    "user_id", "event_type", "USER_EVENT", "generated")
+
+  /** Edge construction from event field pairs. */
+  def edgeBuild(s: SparkSession, d: String): DataFrame =
+    Edges.build(Tables.events(s, d), Seq(userEvent), weightCol = Some("value"))
+
+  /** Edge query via JEXL over EDGE_* fields. */
+  def edgeQuery(s: SparkSession, d: String): DataFrame =
+    Edges.query(edgeBuild(s, d),
+      "EDGE_SOURCE == '42' && EDGE_TYPE == 'USER_EVENT'")
+
+  /** STATS/ACTIVITY rollups. */
+  def edgeStats(s: SparkSession, d: String): DataFrame =
+    Edges.activityStats(edgeBuild(s, d))
+
+  /** Edge→event drill-back for busy edges (cnt ≥ 4). */
+  def edgeDrillback(s: SparkSession, d: String): DataFrame =
+    Edges.drillback(edgeBuild(s, d).filter(col("cnt") >= 4),
+        Tables.events(s, d), userEvent)
+      .select("event_id", "user_id", "event_type")
+
+  /** content:phrase over the tf position table (exact ordered offsets). */
+  def tfPhrase(s: SparkSession, d: String): DataFrame =
+    Content.phrase(Content.buildTf(Tables.documents(s, d)),
+      Seq("fast", "scan"))
+
+  /** content:within — two terms within 3 positions, unordered. */
+  def tfWithin(s: SparkSession, d: String): DataFrame =
+    Content.within(Content.buildTf(Tables.documents(s, d)), 3,
+      Seq("join", "merge"))
+
+  /** content:adjacent — terms in adjacent positions (window = k−1). */
+  def tfAdjacent(s: SparkSession, d: String): DataFrame =
+    Content.adjacent(Content.buildTf(Tables.documents(s, d)),
+      Seq("group", "by"))
+
+  /** grouping:matchesInGroup over a long-format view: lineitem line
+    * numbers as group instances of the order document (RETURNFLAG.n /
+    * QUANTITY.n) — all conditions must hit within the SAME group. */
+  def groupingMatches(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val long = li.select(col("l_orderkey").as("uid"),
+        col("l_linenumber").cast("string").as("group"),
+        lit("RETURNFLAG").as("field"), col("l_returnflag").as("value"))
+      .unionAll(li.select(col("l_orderkey").as("uid"),
+        col("l_linenumber").cast("string").as("group"),
+        lit("QUANTITY").as("field"), col("l_quantity").cast("string").as("value")))
+    Grouping.matchesInGroup(long, Seq(
+      Grouping.FieldMatch.eq("RETURNFLAG", "R"),
+      Grouping.FieldMatch("QUANTITY", _.cast("double") > 45)))
+  }
+
+  /** #GROUPBY with grouping-context pairing: group by same-line
+    * RETURNFLAG, aggregate same-line QUANTITY. */
+  def groupingPairedAgg(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val long = li.select(col("l_orderkey").as("uid"),
+        col("l_linenumber").cast("string").as("group"),
+        lit("RETURNFLAG").as("field"), col("l_returnflag").as("value"))
+      .unionAll(li.select(col("l_orderkey").as("uid"),
+        col("l_linenumber").cast("string").as("group"),
+        lit("QUANTITY").as("field"), col("l_quantity").cast("string").as("value")))
+    Grouping.groupByPaired(long, "RETURNFLAG", "QUANTITY")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vis_filter" -> visibilityFilter _,
+    "edge_build" -> edgeBuild _,
+    "edge_query" -> edgeQuery _,
+    "edge_stats" -> edgeStats _,
+    "edge_drillback" -> edgeDrillback _,
+    "tf_phrase" -> tfPhrase _,
+    "tf_within" -> tfWithin _,
+    "tf_adjacent" -> tfAdjacent _,
+    "grouping_matches" -> groupingMatches _,
+    "grouping_paired_agg" -> groupingPairedAgg _,
+  )
+
+  private val edgeSql =
+    """SELECT CAST(user_id AS VARCHAR) AS source, event_type AS sink,
+      |   'USER_EVENT' AS edge_type, 'generated' AS relationship,
+      |   strftime(ts, '%Y-%m-%d') AS day, count(*) AS cnt,
+      |   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS weight
+      | FROM events GROUP BY 1, 2, 3, 4, 5""".stripMargin
+
+  private val toksSql =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+  private val posSql =
+    s"""(SELECT doc_id, unnest(toks) AS term, unnest(range(0, len(toks))) AS pos
+       | FROM (SELECT doc_id, $toksSql AS toks FROM documents))""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "vis_filter" ->
+      """SELECT event_id, event_type,
+        |   CASE event_type WHEN 'click' THEN 'A' WHEN 'view' THEN 'A|B'
+        |     WHEN 'purchase' THEN 'A&B' WHEN 'signup' THEN 'C'
+        |     ELSE '(A&B)|C' END AS visibility
+        | FROM events WHERE event_type IN ('click', 'view')""".stripMargin,
+    "edge_build" -> edgeSql,
+    "edge_query" ->
+      s"SELECT * FROM ($edgeSql) WHERE source = '42' AND edge_type = 'USER_EVENT'",
+    "edge_stats" ->
+      s"""SELECT source, day, SUM(cnt) AS activity,
+         |   COUNT(DISTINCT sink) AS distinct_sinks
+         | FROM ($edgeSql) GROUP BY source, day""".stripMargin,
+    "edge_drillback" ->
+      s"""SELECT event_id, user_id, event_type FROM events e
+         | JOIN (SELECT * FROM ($edgeSql) WHERE cnt >= 4) g
+         |   ON CAST(e.user_id AS VARCHAR) = g.source
+         |  AND e.event_type = g.sink
+         |  AND strftime(e.ts, '%Y-%m-%d') = g.day""".stripMargin,
+    "tf_phrase" ->
+      s"""SELECT DISTINCT a.doc_id FROM $posSql a JOIN $posSql b
+         |   ON a.doc_id = b.doc_id
+         | WHERE a.term = 'fast' AND b.term = 'scan' AND b.pos = a.pos + 1""".stripMargin,
+    "tf_within" ->
+      s"""SELECT DISTINCT a.doc_id FROM $posSql a JOIN $posSql b
+         |   ON a.doc_id = b.doc_id
+         | WHERE a.term = 'join' AND b.term = 'merge' AND abs(a.pos - b.pos) <= 3""".stripMargin,
+    "tf_adjacent" ->
+      s"""SELECT DISTINCT a.doc_id FROM $posSql a JOIN $posSql b
+         |   ON a.doc_id = b.doc_id
+         | WHERE a.term = 'group' AND b.term = 'by' AND abs(a.pos - b.pos) <= 1""".stripMargin,
+    // group semantics, not row semantics: a group (order line number) can
+    // hold several field instances, so conditions may be satisfied by
+    // different rows of the SAME group — hence the self-join oracle.
+    "grouping_matches" ->
+      """SELECT DISTINCT a.l_orderkey AS uid FROM lineitem a JOIN lineitem b
+        |   ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = b.l_linenumber
+        | WHERE a.l_returnflag = 'R' AND b.l_quantity > 45""".stripMargin,
+    "grouping_paired_agg" ->
+      """SELECT a.l_returnflag AS group_key, count(*) AS cnt,
+        |   CAST(SUM(CAST(CAST(b.l_quantity AS VARCHAR) AS DECIMAL(18,4))) AS DOUBLE) AS sum_val,
+        |   MIN(CAST(CAST(b.l_quantity AS VARCHAR) AS DOUBLE)) AS min_val,
+        |   MAX(CAST(CAST(b.l_quantity AS VARCHAR) AS DOUBLE)) AS max_val
+        | FROM lineitem a JOIN lineitem b
+        |   ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = b.l_linenumber
+        | GROUP BY 1""".stripMargin,
+  )
+}

@@ -1,0 +1,149 @@
+package graft.event
+
+import graft.SparkSpec
+import graft.content.Content
+import graft.operators.{Edges, Grouping}
+import graft.vis.{VisNode, Visibility, VisParseException}
+import org.apache.spark.sql.functions._
+
+class VisibilitySpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("parse and evaluate Accumulo-style expressions") {
+    assert(Visibility.isVisible("A", Set("A")))
+    assert(!Visibility.isVisible("A", Set("B")))
+    assert(Visibility.isVisible("A|B", Set("B")))
+    assert(!Visibility.isVisible("A&B", Set("B")))
+    assert(Visibility.isVisible("A&(B|C)", Set("A", "C")))
+    assert(!Visibility.isVisible("A&(B|C)", Set("A")))
+    assert(Visibility.isVisible("(A&B)|C", Set("C")))
+    assert(Visibility.isVisible("", Set.empty)) // empty = public
+    assert(Visibility.isVisible("\"a-b.c\"&D", Set("a-b.c", "D")))
+  }
+
+  test("mixing & and | without parens is rejected") {
+    intercept[VisParseException] { Visibility.parse("A&B|C") }
+  }
+
+  test("combine produces conjunction markings") {
+    assert(Visibility.combine("A", "") == "A")
+    assert(Visibility.combine("A", "A") == "A")
+    assert(Visibility.combine("A", "B|C") == "(A)&(B|C)")
+    assert(!Visibility.isVisible(Visibility.combine("A", "B"), Set("A")))
+    assert(Visibility.isVisible(Visibility.combine("A", "B"), Set("A", "B")))
+  }
+}
+
+class VisibilityEnforceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("enforce filters rows by session auths") {
+    val df = Seq((1, "A"), (2, "A&B"), (3, "A|B"), (4, "C"), (5, ""))
+      .toDF("id", "vis")
+    val ids = Visibility.enforce(df, "vis", Set("A"))
+      .select("id").collect().map(_.getInt(0)).toSet
+    assert(ids == Set(1, 3, 5))
+  }
+}
+
+class ContentSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "alas poor yorick i knew him well"),
+    (2L, "poor alas yorick knew i"),
+    (3L, "alas and then much later poor yorick"),
+    (4L, "nothing relevant here"))
+    .toDF("doc_id", "text")
+  private lazy val tf = Content.buildTf(docs)
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.collect().map(_.getLong(0)).toSet
+
+  test("tf table has sorted positions") {
+    val row = tf.filter(col("doc_id") === 1 && col("term") === "alas").head()
+    assert(row.getSeq[Int](row.fieldIndex("positions")).toList == List(0))
+  }
+
+  test("phrase requires exact consecutive order") {
+    assert(ids(Content.phrase(tf, Seq("alas", "poor", "yorick"))) == Set(1L))
+    assert(ids(Content.phrase(tf, Seq("poor", "yorick"))) == Set(1L, 3L))
+  }
+
+  test("within allows unordered proximity") {
+    assert(ids(Content.within(tf, 2, Seq("alas", "poor"))) == Set(1L, 2L))
+    assert(ids(Content.within(tf, 10, Seq("alas", "poor"))) == Set(1L, 2L, 3L))
+    // three terms, window must cover max-min
+    assert(ids(Content.within(tf, 2, Seq("alas", "poor", "yorick"))) == Set(1L, 2L))
+  }
+
+  test("adjacent = within window of k-1") {
+    assert(ids(Content.adjacent(tf, Seq("alas", "poor"))) == Set(1L, 2L))
+  }
+
+  test("excerpt slices tokens around the hit") {
+    val e = Content.excerpt(docs, tf, Seq("poor", "yorick"), window = 1)
+      .filter(col("doc_id") === 1).head()
+    assert(e.getAs[String]("excerpt") == "alas poor yorick i")
+  }
+}
+
+class EdgesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val events = Seq(
+    (1L, "2024-01-01 10:00:00", 7L, "click", 1.5),
+    (2L, "2024-01-01 11:00:00", 7L, "click", 2.5),
+    (3L, "2024-01-01 12:00:00", 7L, "view", 1.0),
+    (4L, "2024-01-02 09:00:00", 8L, "click", 3.0))
+    .toDF("event_id", "ts_s", "user_id", "event_type", "value")
+    .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+
+  private val d = Edges.EdgeDefinition("user_id", "event_type", "UE", "gen")
+
+  test("build aggregates per (source, sink, day)") {
+    val e = Edges.build(events, Seq(d), weightCol = Some("value")).collect()
+    assert(e.length == 3)
+    val c77 = e.find(r => r.getAs[String]("source") == "7" &&
+      r.getAs[String]("sink") == "click").get
+    assert(c77.getAs[Long]("cnt") == 2)
+    assert(c77.getAs[Double]("weight") == 4.0)
+  }
+
+  test("JEXL edge query and drillback") {
+    val edges = Edges.build(events, Seq(d))
+    val q = Edges.query(edges, "EDGE_SOURCE == '7' && EDGE_SINK == 'click'")
+    assert(q.count() == 1)
+    val back = Edges.drillback(q, events, d)
+    assert(back.select("event_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+}
+
+class GroupingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // WiseGuys-style grouped fields: NAME.n paired with AGE.n
+  private lazy val long = Seq(
+    ("u1", "0", "NAME", "santino"), ("u1", "0", "AGE", "30"),
+    ("u1", "1", "NAME", "fredo"), ("u1", "1", "AGE", "34"),
+    ("u2", "0", "NAME", "fredo"), ("u2", "0", "AGE", "12"),
+    ("u3", "0", "NAME", "santino"), ("u3", "1", "AGE", "34"))
+    .toDF("uid", "group", "field", "value")
+
+  test("matchesInGroup requires same-group co-occurrence") {
+    val hit = Grouping.matchesInGroup(long, Seq(
+      Grouping.FieldMatch.eq("NAME", "fredo"),
+      Grouping.FieldMatch("AGE", _.cast("int") > 20)))
+    assert(hit.collect().map(_.getString(0)).toSet == Set("u1"))
+    // u3 has santino in group 0 but age 34 in group 1 → no match
+    val miss = Grouping.matchesInGroup(long, Seq(
+      Grouping.FieldMatch.eq("NAME", "santino"),
+      Grouping.FieldMatch("AGE", _.cast("int") > 20)))
+    assert(miss.collect().map(_.getString(0)).toSet == Set("u1"))
+  }
+
+  test("groupByPaired pairs key and value from the same group") {
+    val out = Grouping.groupByPaired(long, "NAME", "AGE")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("sum_val")).toMap
+    assert(out("santino") == 30.0) // u3's AGE.1 is NOT paired with NAME.0
+    assert(out("fredo") == 46.0)   // 34 (u1.1) + 12 (u2.0)
+  }
+}
