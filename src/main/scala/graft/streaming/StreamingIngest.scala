@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured-Streaming ingest (SURVEY.md §2.7): the reference's streaming
+  * story is FlagMaker file micro-batching + "live" Mutation writes
+  * (FlagMaker.java:60, LiveContextWriter.java:23) — here the same shape is
+  * `readStream` file source → ingest transforms → `foreachBatch` append,
+  * with watermarked event-time aggregation as net-new capability the
+  * reference lacks entirely.
+  */
+object StreamingIngest {
+
+  /** File-source micro-batch ingest: the FlagMaker analog.
+    * `maxFilesPerTrigger` plays the role of the flag file-count threshold. */
+  def fileStream(spark: SparkSession, inputDir: String, schema: StructType,
+                 maxFilesPerTrigger: Int = 100): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(inputDir)
+
+  /** Long-format ingest transform applied per micro-batch, appended to a
+    * date-partitioned sink — the "live" low-latency write path. A real
+    * deployment points this at Delta/Iceberg MERGE in foreachBatch. */
+  def ingestTo(stream: DataFrame, outDir: String, checkpointDir: String,
+               toLong: DataFrame => DataFrame): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        toLong(batch).write.mode("append")
+          .partitionBy("shard_date")
+          .parquet(outDir)
+      }
+
+  /** Watermarked event-time windowed counts — net-new vs the reference
+    * (its late data just lands in old date partitions; the DISCARD_INTERVAL
+    * drop maps to the watermark horizon). */
+  def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
+                     window_ : String = "1 hour",
+                     watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_), col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col(keyCol), col("cnt"))
+
+  /** Session windows keyed by user — also net-new. */
+  def sessionCounts(events: DataFrame, tsCol: String, keyCol: String,
+                    gap: String = "30 minutes",
+                    watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("session_window.start").as("session_start"),
+        col(keyCol), col("cnt"))
+
+  /** Age-off maintenance (age-off filter analog,
+    * FieldAgeOffFilter.java:39): retention as a scheduled DELETE — in
+    * plain parquet terms, rewrite keeping young rows. Returns the surviving
+    * frame; a Delta deployment issues `DELETE WHERE` instead. */
+  def ageOff(df: DataFrame, tsCol: String, ttl: String): DataFrame =
+    df.filter(col(tsCol) >= current_timestamp() - expr(s"INTERVAL $ttl"))
+}

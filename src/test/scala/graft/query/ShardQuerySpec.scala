@@ -1,0 +1,159 @@
+package graft.query
+
+import graft.SparkSpec
+import graft.ingest.Ingest
+import graft.jexl.{QueryModel, QueryPolicy}
+import graft.functions.Normalizers
+import org.apache.spark.sql.functions._
+
+/** WiseGuys-style fixture (FIXTURES.md F1, WiseGuysIngest.java:36-300
+  * port): multi-valued grouped fields, model aliasing, visibility. */
+class ShardQuerySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val wiseguys = Seq(
+    ("CORLEONE", "test", "2013-01-01", "A",
+      Seq("SANTINO", "FREDO", "MICHAEL"), Seq(30, 34, 40), "NY"),
+    ("SOPRANO", "test", "2013-01-01", "A&B",
+      Seq("ANTHONY", "MEADOW"), Seq(16, 18), "NJ"),
+    ("CAPONE", "test2", "2013-01-02", "A|C",
+      Seq("ALPHONSE", "FRANK"), Seq(30, 34), "CHI"))
+    .toDF("UUID", "datatype", "shard_date", "visibility", "NAME", "AGE", "CITY")
+
+  private val logic = new ShardQueryLogic(
+    model = QueryModel(Map("ETA" -> Seq("AGE"), "NOME" -> Seq("NAME"))),
+    policy = QueryPolicy(fullTableScanEnabled = true))
+
+  private def uuids(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.select("UUID").collect().map(_.getString(0)).toSet
+
+  test("multi-valued equality with model alias") {
+    assert(uuids(logic.query(wiseguys, "NOME == 'SANTINO'")) == Set("CORLEONE"))
+    assert(uuids(logic.query(wiseguys, "ETA == 34")) == Set("CORLEONE", "CAPONE"))
+  }
+
+  test("datatype + date bounds prune") {
+    val p = QueryParams(datatypeFilter = Seq("test"),
+      beginDate = Some("2013-01-01"), endDate = Some("2013-01-01"))
+    assert(uuids(logic.query(wiseguys, "ETA == 34", p)) == Set("CORLEONE"))
+  }
+
+  test("visibility enforcement by auths") {
+    val pA = QueryParams(auths = Some(Set("A")))
+    assert(uuids(logic.query(wiseguys, "ETA >= 16 && ETA <= 40", pA)) ==
+      Set("CORLEONE", "CAPONE")) // SOPRANO needs A&B
+    val pAB = QueryParams(auths = Some(Set("A", "B")))
+    assert(uuids(logic.query(wiseguys, "ETA >= 16 && ETA <= 40", pAB)) ==
+      Set("CORLEONE", "SOPRANO", "CAPONE"))
+  }
+
+  test("HIT_TERM reports why each document matched") {
+    val out = logic.query(wiseguys, "NAME == 'FREDO' || AGE == 30",
+      QueryParams(hitList = true))
+    val byUuid = out.collect().map { r =>
+      r.getAs[String]("UUID") ->
+        r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("HIT_TERM"))
+          .map(h => (h.getString(0), h.getString(1))).toSet
+    }.toMap
+    assert(byUuid("CORLEONE") == Set(("NAME", "FREDO"), ("AGE", "30")))
+    assert(byUuid("CAPONE") == Set(("AGE", "30")))
+    assert(!byUuid.contains("SOPRANO"))
+  }
+
+  test("RETURN_FIELDS / LIMIT_FIELDS keep hits first") {
+    val out = logic.query(wiseguys, "NAME == 'MICHAEL'",
+      QueryParams(returnFields = Seq("UUID", "NAME"), hitList = true,
+        limitFieldValues = Map("NAME" -> 1)))
+    val r = out.head()
+    assert(r.schema.fieldNames.toSet == Set("UUID", "NAME", "HIT_TERM"))
+    assert(r.getSeq[String](r.fieldIndex("NAME")) == Seq("MICHAEL"))
+  }
+
+  test("rename fields") {
+    val out = logic.query(wiseguys, "UUID == 'CAPONE'",
+      QueryParams(renameFields = Map("CITY" -> "LOCATION")))
+    assert(out.columns.contains("LOCATION") && !out.columns.contains("CITY"))
+  }
+
+  test("LUCENE syntax through the same logic") {
+    assert(uuids(logic.query(wiseguys, "NAME:MEADOW",
+      QueryParams(syntax = "LUCENE"))) == Set("SOPRANO"))
+  }
+}
+
+class IngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val wide = Seq(
+    ("u1", "2024-01-01", "alice", "30", "a@x.com"),
+    ("u2", "2024-01-02", "bob", null, "b@y.org"))
+    .toDF("id", "event_date", "NAME.0", "AGE.0", "EMAIL")
+
+  test("toLong melts wide records with grouping context") {
+    val long = Ingest.toLong(wide, "id", "people", "event_date")
+    val rows = long.collect()
+    assert(rows.length == 5) // u2's null AGE dropped
+    val r = long.filter(col("uid") === "u1" && col("field") === "NAME").head()
+    assert(r.getAs[String]("group") == "0")
+    assert(r.getAs[String]("value") == "alice")
+    assert(long.filter(col("field") === "EMAIL").count() == 2)
+  }
+
+  test("metadata catalog aggregates field stats") {
+    val md = Ingest.metadata(Ingest.toLong(wide, "id", "people", "event_date"))
+      .collect().map(r => r.getAs[String]("field") -> r.getAs[Long]("cnt")).toMap
+    assert(md == Map("NAME" -> 2L, "AGE" -> 1L, "EMAIL" -> 2L))
+  }
+
+  test("globalIndex caps uid samples at 20 (Uid.List MAX)") {
+    val many = (1 to 50).map(i => (s"u$i", "2024-01-01", "x"))
+      .toDF("id", "event_date", "F")
+    val gi = Ingest.globalIndex(Ingest.toLong(many, "id", "t", "event_date"))
+    val r = gi.filter(col("value") === "x").head()
+    assert(r.getAs[Long]("cnt") == 50)
+    assert(r.getSeq[String](r.fieldIndex("uid_sample")).size == 20)
+  }
+
+  test("docView reassembles documents") {
+    val doc = Ingest.docView(Ingest.toLong(wide, "id", "people", "event_date"))
+      .filter(col("uid") === "u1").head()
+    val fields = doc.getMap[String, Seq[org.apache.spark.sql.Row]](
+      doc.fieldIndex("fields"))
+    assert(fields.keySet == Set("NAME", "AGE", "EMAIL"))
+  }
+
+  test("error channel splits invalid rows") {
+    val (good, bad) = Ingest.withErrorChannel(wide, col("`AGE.0`").isNotNull)
+    assert(good.count() == 1 && bad.count() == 1)
+  }
+}
+
+class NormalizersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("lcNoDiacritics") {
+    val r = Seq(Tuple1("CAFÉ Naïve Ärger")).toDF("s")
+      .select(Normalizers.lcNoDiacritics(col("s"))).head().getString(0)
+    assert(r == "cafe naive arger")
+  }
+
+  test("ipAddress strips leading zeros per octet") {
+    val cases = Seq("010.001.002.003" -> "10.1.2.3",
+      "192.168.000.001" -> "192.168.0.1", "0.0.0.0" -> "0.0.0.0")
+    cases.foreach { case (in, want) =>
+      val got = Seq(Tuple1(in)).toDF("s")
+        .select(Normalizers.ipAddress(col("s"))).head().getString(0)
+      assert(got == want, s"$in -> $got, want $want")
+    }
+  }
+
+  test("geoPointZ interleaves deterministically and preserves locality") {
+    val df = Seq((40.7, -74.0), (40.8, -74.1), (-33.9, 151.2))
+      .toDF("lat", "lon")
+    val zs = df.select(Normalizers.geoPointZ(col("lat"), col("lon"))).collect()
+      .map(_.getLong(0))
+    assert(zs.distinct.length == 3)
+    // nearby points share a long z-prefix: xor is small relative to far pair
+    assert((zs(0) ^ zs(1)) < (zs(0) ^ zs(2)))
+  }
+}

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("watermarked windowed counts over a memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "event_type")
+    val agg = StreamingIngest.windowedCounts(df, "ts", "event_type")
+    val q = agg.writeStream.format("memory").queryName("win_counts")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    mem.addData((t("2024-01-01 10:05:00"), "click"),
+      (t("2024-01-01 10:20:00"), "click"),
+      (t("2024-01-01 10:40:00"), "view"))
+    q.processAllAvailable()
+    // advance watermark past the 10:00 window
+    mem.addData((t("2024-01-01 12:00:00"), "click"))
+    q.processAllAvailable()
+    val rows = spark.table("win_counts").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("cnt"))).toSet
+    q.stop()
+    assert(rows.contains(("click", 2L)))
+    assert(rows.contains(("view", 1L)))
+  }
+
+  test("file-stream ingest writes date-partitioned long layout") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val in = s"$tmp/in"; val out = s"$tmp/out"; val ck = s"$tmp/ck"
+    new java.io.File(in).mkdirs()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/batch1.json"),
+      """{"id":"u1","event_date":"2024-01-01","NAME":"alice","AGE":"30"}
+        |{"id":"u2","event_date":"2024-01-02","NAME":"bob","AGE":"41"}""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id STRING, event_date STRING, NAME STRING, AGE STRING")
+    val stream = StreamingIngest.fileStream(spark, in, schema)
+    val q = StreamingIngest.ingestTo(stream, out, ck,
+      b => graft.ingest.Ingest.toLong(b, "id", "people", "event_date")).start()
+    q.awaitTermination(60000)
+    val written = spark.read.parquet(out)
+    assert(written.count() == 4) // 2 records × 2 fields
+    assert(written.select("shard_date").distinct().count() == 2)
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val media = Seq(
+    (1L, "image", "fake-jpeg-bytes-1".getBytes, "jpeg"),
+    (2L, "video", "fake-mp4-bytes-0002".getBytes, "mp4"),
+    (3L, "audio", "fake-wav".getBytes, "wav"))
+    .toDF("media_id", "modality", "content", "format")
+
+  test("probe adds deterministic metadata per byte content") {
+    val out = Multimodal.probeAll(media)
+    assert(out.columns.toSet.contains("width"))
+    val r1 = out.filter(col("media_id") === 1).head()
+    val r1b = Multimodal.probeAll(media).filter(col("media_id") === 1).head()
+    assert(r1.getAs[Int]("width") == r1b.getAs[Int]("width"))
+    assert(r1.getAs[Int]("width") >= 64)
+  }
+
+  test("feature extraction yields fixed-dim vectors usable by VectorOps") {
+    val feats = Multimodal.extractFeatures(media, dim = 16)
+    assert(feats.count() == 3)
+    val v = feats.head().getSeq[Float](1)
+    assert(v.length == 16)
+    assert(v.forall(f => f >= 0.0f && f < 1.0f))
+    // pipe into cosine — plumbing compatibility check
+    val sims = feats.as("a").join(feats.as("b"),
+        col("a.media_id") < col("b.media_id"))
+      .select(graft.operators.VectorOps.cosine(
+        col("a.embedding"), col("b.embedding")).as("c"))
+    assert(sims.collect().forall(r => !r.isNullAt(0)))
+  }
+
+  test("frame sampling plans indices from probed frame counts") {
+    val plan = Multimodal.frameSamplePlan(media, everyN = 10)
+    assert(plan.count() == 1) // only the video row
+    val idx = plan.head().getSeq[Int](1)
+    assert(idx.head == 0)
+  }
+}
