@@ -11,10 +11,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ JexlQueries.queries ++ PipelineQueries.queries ++ EventQueries.queries
+    Relational.queries ++ JexlQueries.queries ++ PipelineQueries.queries ++
+      EventQueries.queries ++ QueryStringQueries.queries ++ GeoQueries.queries ++
+      IngestQueries.queries ++ SSDeepQueries.queries ++ TreeQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracleSql ++ JexlQueries.oracleSql ++ PipelineQueries.oracleSql ++ EventQueries.oracleSql
+    Relational.oracleSql ++ JexlQueries.oracleSql ++ PipelineQueries.oracleSql ++
+      EventQueries.oracleSql ++ QueryStringQueries.oracleSql ++ GeoQueries.oracleSql ++
+      IngestQueries.oracleSql ++ SSDeepQueries.oracleSql ++ TreeQueries.oracleSql
 }

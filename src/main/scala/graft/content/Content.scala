@@ -24,6 +24,29 @@ object Content {
       .groupBy(col(idCol), col("term"))
       .agg(sort_array(collect_list(col("pos"))).as("positions"))
 
+  /** tf with a per-(doc, term) score — the TermWeight proto analog
+    * (TermWeight.proto:10-14). Real ingest would carry analyzer weights;
+    * here score = term frequency in the document: deterministic, and the
+    * natural "how strong is this term here" signal. */
+  def buildTfScored(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame =
+    buildTf(docs, idCol, textCol).withColumn("score", size(col("positions")))
+
+  /** content:scoredPhrase (ContentFunctions.java:214-245): the phrase
+    * must occur AND every term's score must reach minScore. */
+  def scoredPhrase(tf: DataFrame, minScore: Int, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty)
+    val withScores = terms.zipWithIndex.map { case (t, i) =>
+      tf.filter(col("term") === t)
+        .select(col("doc_id"), col("positions").as(s"p$i"), col("score").as(s"s$i"))
+    }.reduce((a, b) => a.join(b, "doc_id"))
+    val phraseCond = exists(col("p0"), p =>
+      terms.indices.drop(1).map(i => array_contains(col(s"p$i"), p + i))
+        .reduceOption(_ && _).getOrElse(lit(true)))
+    val scoreCond = terms.indices.map(i => col(s"s$i") >= minScore).reduce(_ && _)
+    withScores.filter(phraseCond && scoreCond).select("doc_id")
+  }
+
   /** termOffsetMap as a column: map<term, array<int>> per document. */
   def termOffsetMap(docs: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame =

@@ -16,6 +16,10 @@ object Node {
                            loInc: Boolean = true, hiInc: Boolean = true) extends Node
   /** `filter:` / `f:` / `content:` / `grouping:` / `geo:` function call. */
   final case class Func(namespace: String, name: String, args: List[Arg]) extends Node
+  /** Value-returning function compared to a literal:
+    * `filter:getMaxTime(F) >= 123` (EvaluationPhaseFilterFunctions
+    * getMinTime/getMaxTime/getMinValue/getMaxValue, :1447-1510). */
+  final case class FuncCmp(func: Func, op: CompareOp, value: Literal) extends Node
   /** Field-to-field comparison (forced eval-only in the reference,
     * DefaultQueryPlanner.java:1536 — native for us). */
   final case class FieldToField(left: String, op: CompareOp, right: String) extends Node

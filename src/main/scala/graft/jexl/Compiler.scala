@@ -70,6 +70,27 @@ object Compiler {
     case _ => (1, d)
   }
 
+  /** Typed literal for a comparison against a column of type `dt`.
+    * Numeric literals NEVER round-trip through Double — an int64 key above
+    * 2^53 must compare exactly. Exact literals plus Catalyst's
+    * UnwrapCastInBinaryComparison keep parquet filter pushdown intact even
+    * when the literal type is wider than the column's. */
+  def litFor(l: Literal, dt: DataType): Column = (l, dt) match {
+    case (Literal.Null, _) => lit(null)
+    case (Literal.Num(v), nt: NumericType) => nt match {
+      case DoubleType | FloatType => lit(v.toDouble).cast(nt)
+      case _: DecimalType => lit(v.underlying)
+      case _ if v.isValidLong => lit(v.toLongExact)
+      case _ => lit(v.underlying) // fractional literal vs integral column
+    }
+    case (Literal.Num(v), _) => lit(v.toString)
+    case (Literal.Str(s), TimestampType) => lit(s).cast(TimestampType)
+    case (Literal.Str(s), DateType) => lit(s).cast(DateType)
+    case (Literal.Str(s), nt: NumericType) => litFor(Literal.Num(BigDecimal(s)), nt)
+    case (Literal.Str(s), _) => lit(s)
+    case (Literal.Bool(b), _) => lit(b)
+  }
+
   /** True if at least one branch is index-driveable (positive predicate). */
   private def hasPositiveLeaf(n: Node): Boolean = n match {
     case Node.And(cs) => cs.exists(hasPositiveLeaf)
@@ -100,18 +121,69 @@ private final class CompileCtx(df: DataFrame, model: QueryModel) {
 
   private[jexl] def fullMatch(pat: String): String = "^(?:" + pat + ")$"
 
+  private def isPlainLiteral(s: String): Boolean =
+    s.nonEmpty && !s.exists(ch => "[]{}()*+?^$|\\.".contains(ch))
+
+  /** `.*literal` → Some(literal) — the leading-wildcard shape. */
+  private def suffixLiteral(pat: String): Option[String] =
+    if (pat.startsWith(".*") && isPlainLiteral(pat.drop(2))) Some(pat.drop(2))
+    else None
+
+  /** Full-match regex compiled to sargable string predicates where the
+    * pattern is a plain wildcard: contains/startsWith/endsWith are
+    * codegen'd (no regex engine) and prefix predicates reach parquet
+    * PushedFilters. General patterns fall back to anchored rlike. */
+  private[jexl] def stringPattern(c: Column, pat: String): Column =
+    if (pat.startsWith(".*") && pat.endsWith(".*") && pat.length > 4 &&
+        isPlainLiteral(pat.drop(2).dropRight(2)))
+      c.contains(pat.drop(2).dropRight(2))
+    else if (pat.endsWith(".*") && isPlainLiteral(pat.dropRight(2)))
+      c.startsWith(pat.dropRight(2))
+    else if (pat.startsWith(".*") && isPlainLiteral(pat.drop(2)))
+      c.endsWith(pat.drop(2))
+    else c.rlike(fullMatch(pat))
+
   def comp(n: Node): Column = n match {
     case Node.And(cs) => cs.map(comp).reduce(_ && _)
     case Node.Or(cs) => cs.map(comp).reduce(_ || _)
     case Node.Not(c) => !comp(c)
+
+    case Node.FieldOp(f, CompareOp.Ne, l) =>
+      // JEXL NE is the negation of any-member-equals (DatawaveArithmetic
+      // .equals over value sets): 'no element equals', with null/absent
+      // fields matching (null != 'x' is true). The negation sits OUTSIDE
+      // the exists — F != 'a' on F=['a','b'] is false, not 'some element
+      // differs'. Mirrors the RegexOp negated path below.
+      !coalesce(anyField(f)(leafCmp(_, _, CompareOp.Eq, l)), lit(false))
 
     case Node.FieldOp(f, op, lit) => anyField(f)(leafCmp(_, _, op, lit))
 
     case Node.RegexOp(f, pat, neg) =>
       // JEXL `=~` is a FULL-string match (JexlArithmetic.matches), while
       // Spark rlike is find-anywhere — anchor to preserve semantics.
-      val m = anyField(f)((c, _) => c.cast(StringType).rlike(fullMatch(pat)))
-      if (neg) !m else m
+      // Plan shapes: plain prefix/suffix/contains wildcards compile to
+      // sargable string predicates (parquet-pushable), and a leading
+      // wildcard routes through a `<FIELD>_REV` reversed-value column
+      // when the schema has one — the shardReverseIndex plan
+      // (ShardedDataTypeHandler.java:86-101): `*ing` becomes a prefix
+      // scan on the reversed value instead of an unanchored regex.
+      val fields = resolve(f)
+      val m =
+        if (fields.isEmpty) lit(false)
+        else fields.map { sf =>
+          val suffix = suffixLiteral(pat)
+          val revCol = suffix.flatMap(_ =>
+            bySimpleName.get(sf.name.toUpperCase + "_REV"))
+          (sf.dataType, revCol) match {
+            case (ArrayType(_, _), _) =>
+              exists(col(sf.name), x => stringPattern(x.cast(StringType), pat))
+            case (_, Some(rev)) =>
+              col(rev.name).startsWith(suffix.get.reverse)
+            case (_, None) =>
+              stringPattern(col(sf.name).cast(StringType), pat)
+          }
+        }.reduce(_ || _)
+      if (neg) !coalesce(m, lit(false)) else m
 
     case Node.NullCheck(f, isNull) =>
       val fields = resolve(f)
@@ -144,6 +216,10 @@ private final class CompileCtx(df: DataFrame, model: QueryModel) {
       }
 
     case Node.Func(ns, name, args) => Functions.compile(this, ns, name, args)
+
+    case Node.FuncCmp(f, op, l) =>
+      val (v, dt) = Functions.valueOf(this, f.namespace, f.name.toLowerCase, f.args)
+      leafCmp(v, dt, op, l)
   }
 
   /** Exists-any over model expansion and (for arrays) element values. */
@@ -182,16 +258,7 @@ private final class CompileCtx(df: DataFrame, model: QueryModel) {
   /** Literal normalization at translate time (the reference's
     * ExpandMultiNormalizedTerms analog, collapsed: our columns are typed
     * at ingest, so one cast per side suffices). */
-  def litFor(l: Literal, dt: DataType): Column = (l, dt) match {
-    case (Literal.Null, _) => lit(null)
-    case (Literal.Num(v), _: NumericType) => lit(v.toDouble).cast(dt)
-    case (Literal.Num(v), _) => lit(v.toString)
-    case (Literal.Str(s), TimestampType) => lit(s).cast(TimestampType)
-    case (Literal.Str(s), DateType) => lit(s).cast(DateType)
-    case (Literal.Str(s), _: NumericType) => lit(BigDecimal(s).toDouble).cast(dt)
-    case (Literal.Str(s), _) => lit(s)
-    case (Literal.Bool(b), _) => lit(b)
-  }
+  def litFor(l: Literal, dt: DataType): Column = Compiler.litFor(l, dt)
 }
 
 /** The `filter:` / `f:` / `normalize:` function namespaces
@@ -225,14 +292,43 @@ private object Functions {
         ctx.anyField(f)((c, _) => c.cast(StringType).rlike(ctx.fullMatch(rx.raw)))
       case ("filter" | "f", "includetext", FieldArg(f) :: LitArg(v) :: Nil) =>
         ctx.anyField(f)((c, _) => c.cast(StringType) === v.raw)
-      // filter:afterDate / beforeDate / betweenDates — :417-1287
-      case ("filter" | "f", "afterdate", FieldArg(f) :: LitArg(d) :: Nil) =>
+      // filter:afterDate / beforeDate / betweenDates (+ LoadDate aliases:
+      // our engine takes the load-date field explicitly) — :417-1287
+      case ("filter" | "f", "afterdate" | "afterloaddate", FieldArg(f) :: LitArg(d) :: Nil) =>
         ctx.anyField(f)((c, _) => c.cast(TimestampType) > lit(d.raw).cast(TimestampType))
-      case ("filter" | "f", "beforedate", FieldArg(f) :: LitArg(d) :: Nil) =>
+      case ("filter" | "f", "beforedate" | "beforeloaddate", FieldArg(f) :: LitArg(d) :: Nil) =>
         ctx.anyField(f)((c, _) => c.cast(TimestampType) < lit(d.raw).cast(TimestampType))
-      case ("filter" | "f", "betweendates", FieldArg(f) :: LitArg(a) :: LitArg(b) :: Nil) =>
+      case ("filter" | "f", "betweendates" | "betweenloaddates",
+          FieldArg(f) :: LitArg(a) :: LitArg(b) :: Nil) =>
         ctx.anyField(f)((c, _) => c.cast(TimestampType)
           .between(lit(a.raw).cast(TimestampType), lit(b.raw).cast(TimestampType)))
+      // custom date-format variants: the literal (and the value) are
+      // interpreted through the given pattern — :417-1287
+      // the pattern re-parses STRING field values; typed date/timestamp
+      // columns are already normalized (ingest-time typing) — only the
+      // literal goes through the pattern for them
+      case ("filter" | "f", "afterdate" | "afterloaddate",
+          FieldArg(f) :: LitArg(d) :: LitArg(fmt) :: Nil) =>
+        ctx.anyField(f)((c, dt) =>
+          tsWithFormat(c, dt, fmt.raw) > to_timestamp(lit(d.raw), fmt.raw))
+      case ("filter" | "f", "beforedate" | "beforeloaddate",
+          FieldArg(f) :: LitArg(d) :: LitArg(fmt) :: Nil) =>
+        ctx.anyField(f)((c, dt) =>
+          tsWithFormat(c, dt, fmt.raw) < to_timestamp(lit(d.raw), fmt.raw))
+      case ("filter" | "f", "betweendates" | "betweenloaddates",
+          FieldArg(f) :: LitArg(a) :: LitArg(b) :: LitArg(fmt) :: Nil) =>
+        ctx.anyField(f)((c, dt) => tsWithFormat(c, dt, fmt.raw)
+          .between(to_timestamp(lit(a.raw), fmt.raw),
+            to_timestamp(lit(b.raw), fmt.raw)))
+      // filter:getAllMatches(F, rx) — :343-415; in predicate position the
+      // truth value is 'any value matches'
+      case ("filter" | "f", "getallmatches", FieldArg(f) :: LitArg(rx) :: Nil) =>
+        ctx.anyField(f)((c, _) => c.cast(StringType).rlike(ctx.fullMatch(rx.raw)))
+      // filter:compare(F1, op, ANY|ALL, F2) — :1789
+      case ("filter" | "f", "compare",
+          FieldArg(f1) :: LitArg(Literal.Str(op)) :: LitArg(Literal.Str(mode))
+            :: FieldArg(f2) :: Nil) =>
+        compareFields(ctx, f1, op, mode.toUpperCase, f2)
       // filter:timeFunction(t1,t2,op,goal) — :1431 (|t1-t2| op goal millis)
       case ("filter" | "f", "timefunction",
           FieldArg(t1) :: FieldArg(t2) :: LitArg(Literal.Str(op)) :: LitArg(goal) :: Nil) =>
@@ -256,23 +352,270 @@ private object Functions {
           case _ => array(ctx.single(f).cast(StringType))
         }
         size(array_intersect(arr, array(values: _*))) >= n.raw.toInt
-      // filter:getMaxValue/getMinValue used as comparisons are eval-side
-      // helpers; exposed via array_min/array_max directly where needed.
-      // normalize:ipv4 — NormalizationFunctions.java:20-53: canonicalize
-      // dotted-quad (strip leading zeros per octet).
-      case ("normalize", "ipv4", FieldArg(f) :: Nil) =>
-        ctx.anyField(f)((c, _) => c.cast(StringType).isNotNull)
-      // content:phrase(F, t1..tn) scalar-column fallback: ordered tokens
-      // separated by non-word chars, case-normalized (ContentFunctions
-      // .java:184-213). The TF-positions implementation lives in
-      // graft.functions.Content and is used when a tf table is present.
-      case ("content", "phrase", FieldArg(f) :: terms) if terms.nonEmpty =>
-        val ts = terms.collect { case LitArg(l) =>
-          java.util.regex.Pattern.quote(l.raw.toLowerCase) }
-        val rx = "(^|.*\\W)" + ts.mkString("\\W+") + "(\\W.*|$)"
-        ctx.anyField(f)((c, _) => lower(c.cast(StringType)).rlike(rx))
+      // normalize:ipv4 — NormalizationFunctions.java:20-53 — is a
+      // LITERAL-side canonicalizer (`IP == normalize:ipv4('010.1.2.3')`),
+      // evaluated at parse time (JexlParser.evalLiteralFunc). In predicate
+      // position it has no boolean meaning: fail safe, don't match-all.
+
+      // content: namespace — token/position semantics evaluated INLINE on
+      // the text column (ContentFunctions.java:91-213): same results as
+      // the tf-table plans in graft.content.Content, no tf join and no
+      // backtracking regex. The reference's `termOffsetMap` pass-through
+      // variable is accepted and ignored.
+      case ("content", "phrase", args) =>
+        val (zone, rest) = zoneAndArgs(args)
+        ctx.anyField(zone)((c, _) => phrasePred(c, litTerms(rest, "content:phrase")))
+      case ("content", "adjacent", args) =>
+        val (zone, rest) = zoneAndArgs(args)
+        val terms = litTerms(rest, "content:adjacent")
+        ctx.anyField(zone)((c, _) => withinPred(c, terms.size - 1, terms))
+      case ("content", "within", args) =>
+        zoneAndArgs(args) match {
+          case (zone, LitArg(d) :: rest) =>
+            val terms = litTerms(rest, "content:within")
+            ctx.anyField(zone)((c, _) =>
+              withinPred(c, BigDecimal(d.raw).toInt, terms))
+          case _ =>
+            throw new ParseException("content:within(zone?, dist, terms...)")
+        }
+      // content:scoredPhrase(zone?, minScore, terms...) — phrase AND each
+      // term's score (term frequency here, TermWeight analog) ≥ minScore
+      case ("content", "scoredphrase", args) =>
+        zoneAndArgs(args) match {
+          case (zone, LitArg(ms) :: rest) =>
+            val terms = litTerms(rest, "content:scoredPhrase")
+            val minScore = BigDecimal(ms.raw).toInt
+            ctx.anyField(zone) { (c, _) =>
+              val toks = tokensOf(c)
+              val scoresOk = terms.map(t =>
+                size(filter(toks, x => x === lit(t.toLowerCase))) >= minScore)
+                .reduce(_ && _)
+              phrasePred(c, terms) && scoresOk
+            }
+          case _ =>
+            throw new ParseException("content:scoredPhrase(zone?, minScore, terms...)")
+        }
+
+      // grouping: namespace — co-occurrence within one grouping-context
+      // instance (GroupingRequiredFilterFunctions.java:45-371). Wide
+      // layout: repeated-field instances are arrays aligned by group index.
+      case ("grouping",
+          "matchesingroup" | "matchesingroupleft" | "getgroupsformatchesingroup",
+          args) =>
+        val pairs = args.grouped(2).map {
+          case List(FieldArg(f), LitArg(v)) => (f, v)
+          case _ => throw new ParseException(
+            "grouping:matchesInGroup expects (field, value) pairs")
+        }.toList
+        matchesInGroup(ctx, pairs)
+      case ("grouping", "atomvaluesmatch", FieldArg(f1) :: FieldArg(f2) :: Nil) =>
+        arrays_overlap(asStringArray(ctx, f1), asStringArray(ctx, f2))
+
+      // geo: numeric lat/lon predicates — GeoFunctions.java:69-149.
+      // 6-arg form is (lonField, latField, minLon, minLat, maxLon, maxLat).
+      case ("geo", "within_bounding_box",
+          FieldArg(lonF) :: FieldArg(latF) :: LitArg(minLon) :: LitArg(minLat)
+            :: LitArg(maxLon) :: LitArg(maxLat) :: Nil) =>
+        graft.functions.Geo.withinBoundingBox(
+          ctx.single(lonF).cast("double"), ctx.single(latF).cast("double"),
+          dbl(minLon), dbl(minLat), dbl(maxLon), dbl(maxLat))
+      // 3-arg form: combined 'lat_lon' values, lower-left + upper-right
+      case ("geo", "within_bounding_box",
+          FieldArg(f) :: LitArg(ll) :: LitArg(ur) :: Nil) =>
+        val c = ctx.single(f)
+        val (llLat, llLon) = latLonOf(ll.raw)
+        val (urLat, urLon) = latLonOf(ur.raw)
+        graft.functions.Geo.withinBoundingBox(
+          graft.functions.Geo.lonOf(c), graft.functions.Geo.latOf(c),
+          llLon, llLat, urLon, urLat)
+      case ("geo", "within_circle",
+          FieldArg(f) :: LitArg(center) :: LitArg(r) :: Nil) =>
+        val c = ctx.single(f)
+        val (cLat, cLon) = latLonOf(center.raw)
+        graft.functions.Geo.withinCircle(
+          graft.functions.Geo.lonOf(c), graft.functions.Geo.latOf(c),
+          cLat, cLon, dbl(r))
+
+      // geowave: JTS topological predicates on WKT values —
+      // GeoWaveFunctions.java:137-345
+      case ("geowave", op, FieldArg(f) :: LitArg(wkt) :: Nil)
+          if graft.functions.Geo.GeowaveOps.contains(op) =>
+        graft.functions.Geo.geowavePredicate(op, wkt.raw)(
+          ctx.single(f).cast(StringType))
+
       case _ =>
         throw new ParseException(s"unsupported function $ns:$name/${args.size}")
+    }
+
+  /** Value-returning eval-phase functions (getMinTime/getMaxTime/
+    * getMinValue/getMaxValue — EvaluationPhaseFilterFunctions:1447-1510),
+    * used by [[Node.FuncCmp]]. Returns the value column and the type the
+    * comparison literal should normalize to. */
+  def valueOf(ctx: CompileCtx, ns: String, name: String,
+              args: List[Arg]): (Column, DataType) = (ns, name, args) match {
+    case ("filter" | "f", "getmaxvalue", FieldArg(f) :: Nil) =>
+      ctx.fieldType(f) match {
+        case Some(ArrayType(et, _)) => (array_max(ctx.single(f)), et)
+        case Some(dt) => (ctx.single(f), dt)
+        case None => (lit(null), StringType)
+      }
+    case ("filter" | "f", "getminvalue", FieldArg(f) :: Nil) =>
+      ctx.fieldType(f) match {
+        case Some(ArrayType(et, _)) => (array_min(ctx.single(f)), et)
+        case Some(dt) => (ctx.single(f), dt)
+        case None => (lit(null), StringType)
+      }
+    case ("filter" | "f", "getmaxtime", FieldArg(f) :: Nil) =>
+      ctx.fieldType(f) match {
+        case Some(ArrayType(_, _)) => (array_max(transform(ctx.single(f),
+          x => unix_millis(x.cast(TimestampType)))), LongType)
+        case Some(_) => (unix_millis(ctx.single(f).cast(TimestampType)), LongType)
+        case None => (lit(null), LongType)
+      }
+    case ("filter" | "f", "getmintime", FieldArg(f) :: Nil) =>
+      ctx.fieldType(f) match {
+        case Some(ArrayType(_, _)) => (array_min(transform(ctx.single(f),
+          x => unix_millis(x.cast(TimestampType)))), LongType)
+        case Some(_) => (unix_millis(ctx.single(f).cast(TimestampType)), LongType)
+        case None => (lit(null), LongType)
+      }
+    case _ => throw new ParseException(s"unsupported value function $ns:$name")
+  }
+
+  /** filter:compare — every/any pair across the two fields' value sets. */
+  private def compareFields(ctx: CompileCtx, f1: String, op: String,
+                            mode: String, f2: String): Column = {
+    def asArray(f: String): Column = ctx.fieldType(f) match {
+      case Some(_: ArrayType) => ctx.single(f)
+      case _ => array(ctx.single(f))
+    }
+    val a1 = asArray(f1)
+    val a2 = asArray(f2)
+    mode match {
+      case "ANY" => exists(a1, x => exists(a2, y => cmp(x, op, y)))
+      case "ALL" => forall(a1, x => forall(a2, y => cmp(x, op, y)))
+      case other =>
+        throw new ParseException(s"filter:compare mode must be ANY or ALL, got $other")
+    }
+  }
+
+  private def tsWithFormat(c: Column, dt: DataType, fmt: String): Column = dt match {
+    case StringType => try_to_timestamp(c, lit(fmt))
+    case _ => c.cast(TimestampType)
+  }
+
+  private def dbl(l: Literal): Double = BigDecimal(l.raw).toDouble
+
+  /** GeoNormalizer 'lat_lon' literal. */
+  private def latLonOf(s: String): (Double, Double) = s.split("_") match {
+    case Array(lat, lon) => (lat.toDouble, lon.toDouble)
+    case _ => throw new ParseException(s"expected 'lat_lon' literal, got '$s'")
+  }
+
+  /** Strip the `termOffsetMap` pass-through; an optional leading FieldArg
+    * is the zone. No zone → `_ANYFIELD_` (every text-bearing column). */
+  private def zoneAndArgs(args: List[Arg]): (String, List[Arg]) = {
+    val cleaned = args.filterNot {
+      case FieldArg(f) => f.equalsIgnoreCase("termOffsetMap")
+      case _ => false
+    }
+    cleaned match {
+      case FieldArg(z) :: rest => (z, rest)
+      case rest => ("_ANYFIELD_", rest)
+    }
+  }
+
+  private def litTerms(args: List[Arg], fn: String): Seq[String] = {
+    val ts = args.collect { case LitArg(l) => l.raw }
+    if (ts.isEmpty) throw new ParseException(s"$fn needs at least one term")
+    ts
+  }
+
+  private def tokensOf(c: Column): Column =
+    graft.operators.TextOps.tokens(c.cast(StringType))
+
+  /** Ordered-consecutive phrase over the token stream — identical
+    * semantics to the tf-table plan (Content.phrase): tokenizer-based, so
+    * 'fast_scan' matches the phrase 'fast scan' exactly as the reference's
+    * offset evaluation would. */
+  private def phrasePred(c: Column, terms: Seq[String]): Column = {
+    val n = terms.size
+    val toks = tokensOf(c)
+    when(size(toks) >= n,
+      exists(sequence(lit(1), size(toks) - (n - 1)), i =>
+        terms.zipWithIndex.map { case (t, j) =>
+          element_at(toks, (i + lit(j)).cast("int")) === lit(t.toLowerCase)
+        }.reduce(_ && _)))
+      .otherwise(lit(false))
+  }
+
+  /** ∃ one position per term with max−min ≤ dist (content:within,
+    * unordered). Nested `exists` over per-term position lists — bounded by
+    * per-document term frequency. */
+  private def withinPred(c: Column, dist: Int, terms: Seq[String]): Column = {
+    val toks = tokensOf(c)
+    val indexed = zip_with(toks, sequence(lit(0), size(toks) - 1),
+      (t, i) => struct(t.as("t"), i.as("p")))
+    def posOf(t: String): Column =
+      transform(filter(indexed, e => e.getField("t") === lit(t.toLowerCase)),
+        e => e.getField("p"))
+    def nest(rem: List[String], chosen: List[Column]): Column = rem match {
+      case Nil =>
+        val hi = chosen.reduce(greatest(_, _))
+        val lo = chosen.reduce(least(_, _))
+        (hi - lo) <= dist
+      case t :: rest => exists(posOf(t), x => nest(rest, x :: chosen))
+    }
+    when(size(toks) > 0, nest(terms.toList, Nil)).otherwise(lit(false))
+  }
+
+  /** All (field, value) conditions within the SAME grouping-context
+    * instance. A group may hold SEVERAL instances of one field (NAME.3
+    * twice), so this is existential per group label, not per array slot:
+    * ∃ e₁ of F₁ matching v₁ such that every other Fₖ has a matching
+    * instance with the same group label.
+    *
+    * Field encodings accepted:
+    *  - `array<struct<group,value>>` — explicit grouping context;
+    *  - plain `array<…>` — positional groups (slot i = group "i");
+    *  - scalar — singleton group "0".
+    * Values match as anchored regex when the literal carries regex
+    * metacharacters, else as equality. */
+  private def matchesInGroup(ctx: CompileCtx, pairs: List[(String, Literal)]): Column = {
+    require(pairs.nonEmpty)
+    def entries(f: String): Column = ctx.fieldType(f) match {
+      case Some(ArrayType(st: StructType, _))
+          if st.fieldNames.contains("group") && st.fieldNames.contains("value") =>
+        transform(ctx.single(f), e => struct(
+          e.getField("group").cast(StringType).as("group"),
+          e.getField("value").cast(StringType).as("value")))
+      case Some(ArrayType(_, _)) =>
+        zip_with(ctx.single(f), sequence(lit(0), size(ctx.single(f)) - 1),
+          (v, i) => struct(i.cast(StringType).as("group"),
+            v.cast(StringType).as("value")))
+      case _ =>
+        array(struct(lit("0").as("group"), ctx.single(f).cast(StringType).as("value")))
+    }
+    val es = pairs.map { case (f, v) => (entries(f), v) }
+    val (e1, v1) = es.head
+    exists(e1, x =>
+      es.tail.foldLeft(valueMatch(x.getField("value"), v1)) { case (acc, (ek, vk)) =>
+        acc && exists(ek, y => valueMatch(y.getField("value"), vk) &&
+          y.getField("group") === x.getField("group"))
+      })
+  }
+
+  private val RegexMeta = "[\\\\.\\[\\]{}()*+?^$|]".r
+  private def valueMatch(s: Column, v: Literal): Column = v match {
+    case Literal.Str(x) if RegexMeta.findFirstIn(x).isDefined =>
+      s.rlike("^(?:" + x + ")$")
+    case other => s === lit(other.raw)
+  }
+
+  private def asStringArray(ctx: CompileCtx, f: String): Column =
+    ctx.fieldType(f) match {
+      case Some(_: ArrayType) => transform(ctx.single(f), _.cast(StringType))
+      case _ => array(ctx.single(f).cast(StringType))
     }
 
   private def cmp(c: Column, op: String, v: Column): Column = op match {

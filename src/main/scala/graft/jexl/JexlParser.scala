@@ -159,7 +159,46 @@ private final class JexlParser(input: String) {
     }
   }
 
+  /** Literal-returning functions evaluated at parse time — the reference's
+    * NormalizationFunctions (`IP == normalize:ipv4('010.001.002.003')`):
+    * the function canonicalizes the query literal, not the data. */
+  private def evalLiteralFunc(ns: String, name: String, l: Literal): Literal =
+    (ns.toLowerCase, name.toLowerCase) match {
+      case ("normalize", "ipv4") =>
+        val parts = l.raw.split("\\.", -1)
+        if (parts.length != 4 || parts.exists(p =>
+            p.isEmpty || p.length > 3 || !p.forall(_.isDigit) || p.toInt > 255))
+          throw new ParseException(s"invalid ipv4 literal '${l.raw}'")
+        Literal.Str(parts.map(_.toInt.toString).mkString("."))
+      case _ => throw new ParseException(s"unsupported literal function $ns:$name")
+    }
+
+  private def startsLiteral: Boolean = {
+    skipWs()
+    !eof && (input(pos) == '\'' || input(pos) == '"' || input(pos).isDigit ||
+      ((input(pos) == '-' || input(pos) == '+') &&
+        pos + 1 < input.length && input(pos + 1).isDigit))
+  }
+
+  private def parseCmpOp(): CompareOp =
+    if (accept("==")) CompareOp.Eq
+    else if (accept("!=")) CompareOp.Ne
+    else if (accept("<=")) CompareOp.Le
+    else if (accept(">=")) CompareOp.Ge
+    else if (accept("<")) CompareOp.Lt
+    else if (accept(">")) CompareOp.Gt
+    else if (accept("=")) CompareOp.Eq
+    else throw new ParseException(s"expected operator at $pos: '${rest.take(20)}'")
+
   private def parseLeaf(): Node = {
+    // literal-first canonicalization: `'v' == FIELD` → `FIELD == 'v'`
+    // (InvertNodeVisitor, DefaultQueryPlanner.java:1264)
+    if (startsLiteral) {
+      val l = parseLiteral()
+      val op = parseCmpOp()
+      val f = parseIdent()
+      return Node.FieldOp(f, op.flip, l)
+    }
     val ident = parseIdent()
     skipWs()
     // function call: ns:name(args)
@@ -173,7 +212,18 @@ private final class JexlParser(input: String) {
         while (accept(",")) args += parseArg()
       }
       expect(")")
-      return Node.Func(ident.toLowerCase, fname, args.toList)
+      val fn = Node.Func(ident.toLowerCase, fname, args.toList)
+      // value-returning function in a comparison:
+      // `filter:getMaxTime(F) >= 123`
+      skipWs()
+      val cmpAhead = !eof && (peek("==") || peek("!=") || peek("<=") ||
+        peek(">=") || (peek("<") && !peek("<=")) || (peek(">") && !peek(">=")) ||
+        (peek("=") && !peek("==") && !peek("=~")))
+      if (cmpAhead) {
+        val op = parseCmpOp()
+        return Node.FuncCmp(fn, op, parseLiteral())
+      }
+      return fn
     }
     val op =
       if (accept("==")) CompareOp.Eq
@@ -194,7 +244,16 @@ private final class JexlParser(input: String) {
         case "null" => return Node.NullCheck(ident, isNull = op == CompareOp.Eq)
         case "true" => return Node.FieldOp(ident, op, Literal.Bool(true))
         case "false" => return Node.FieldOp(ident, op, Literal.Bool(false))
-        case _ => return Node.FieldToField(ident, op, rid)
+        case _ =>
+          // literal-side function: `F == normalize:ipv4('010.1.2.3')`
+          if (accept(":")) {
+            val fname = parseIdent()
+            expect("(")
+            val l = parseLiteral()
+            expect(")")
+            return Node.FieldOp(ident, op, evalLiteralFunc(rid, fname, l))
+          }
+          return Node.FieldToField(ident, op, rid)
       }
     }
     Node.FieldOp(ident, op, parseLiteral())

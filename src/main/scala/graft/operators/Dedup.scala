@@ -44,13 +44,14 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
                         maxBucket: Int = 1000): DataFrame = {
     val withSh = docs.select(col("doc_id"), shingles(col("text"), n).as("sh"))
+      .persist()
     val inverted = withSh.select(col("doc_id"), explode(col("sh")).as("shingle"))
     // stop-shingle removal: a shingle shared by huge numbers of docs
     // contributes candidates quadratically but can only exist between
     // near-dups if rarer shingles also collide.
     val rare = inverted.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxBucket)
-    val pruned = inverted.join(rare.select("shingle"), "shingle")
+    val pruned = inverted.join(rare.select("shingle"), "shingle").persist()
     val cand = pruned.as("x").join(pruned.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
@@ -71,12 +72,30 @@ object Dedup {
       .select("id_a", "id_b", "inter", "uni")
   }
 
-  /** MinHash signature: `numHashes` seeded xxhash64-min values over the
-    * shingle set. Deterministic (seeded), no RNG. */
-  def minhashSignature(sh: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      seed => aggregate(sh, lit(Long.MaxValue),
-        (acc, s) => least(acc, xxhash64(seed, s))))
+  /** MinHash prime modulus (2^31 − 1, Mersenne): products h·aᵢ stay below
+    * 2^63 for 32-bit h, so ANSI-mode long arithmetic never overflows. */
+  private val MinhashP = 2147483647L
+
+  /** MinHash signature in ONE pass over the shingle array: a single
+    * xxhash64 per shingle (vs `numHashes` string hashes in the naive
+    * form — the expensive part), then `numHashes` derived hashes
+    * hᵢ(s) = (aᵢ·h + bᵢ) mod p with per-i constants from a seeded PRNG.
+    * The (aᵢ, bᵢ) family is pairwise independent ACROSS i — an affine
+    * h1 + i·h2 shortcut is measurably correlated within an LSH band and
+    * loses recall. Constants ride along as one array literal; the fold is
+    * cheap long arithmetic inside a single `aggregate`. */
+  def minhashSignature(sh: Column, numHashes: Int): Column = {
+    val rnd = new scala.util.Random(42)
+    val ab: Seq[(Long, Long)] = Seq.fill(numHashes)(
+      (1L + rnd.nextLong(MinhashP - 1), rnd.nextLong(MinhashP)))
+    val abLit = typedLit(ab.map { case (a, b) => (a, b) })
+    val hashes = transform(sh, s => xxhash64(s).bitwiseAND(lit(0xFFFFFFFFL)))
+    aggregate(hashes,
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, h) => zip_with(acc, abLit, (m, c) =>
+        least(m, pmod(pmod(h * c.getField("_1"), lit(MinhashP)) +
+          c.getField("_2"), lit(MinhashP)))))
+  }
 
   /** MinHash-LSH near-dup pairs: banded bucket join for candidates, exact
     * Jaccard verify (same output contract as [[ngramJaccardPairs]]).
@@ -85,13 +104,20 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, n: Int, threshold: Double,
                       numHashes: Int = 128, bands: Int = 32): DataFrame = {
     val rows = numHashes / bands
+    // Persist shingles + banded signatures: higher-order aggregates are
+    // interpreted (non-codegen), so each must be evaluated exactly once —
+    // not once per side of the self-join plus twice more in the verify
+    // join. At lake scale the analog is a checkpointed signatures table
+    // maintained incrementally at ingest.
     val withSh = docs.select(col("doc_id"), shingles(col("text"), n).as("sh"))
       .filter(size(col("sh")) > 0)
+      .persist()
     val sig = withSh.withColumn("mh", minhashSignature(col("sh"), numHashes))
     val banded = sig.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => hash(slice(col("mh"), b * rows + lit(1), lit(rows))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .persist()
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -136,12 +162,15 @@ object Dedup {
   def simhashPairs(docs: DataFrame, n: Int, threshold: Double,
                    maxHamming: Int = 7): DataFrame = {
     val withSh = docs.select(col("doc_id"), shingles(col("text"), n).as("sh"))
+      .persist()
     val sig = docs.select(col("doc_id"), simhash(col("text")).as("sim"))
-    // 8 bands of 8 bits: hamming ≤ 7 ⇒ at least one band identical
+    // 8 bands of 8 bits: hamming ≤ 7 ⇒ at least one band identical.
+    // Persisted for the same one-evaluation reason as minhashLshPairs.
     val banded = sig.select(col("doc_id"), col("sim"),
       posexplode(array((0 until 8).map(b =>
         shiftright(col("sim"), b * 8).bitwiseAND(lit(0xFFL))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .persist()
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** TLD (top-level document) / Ancestor query logics — parent/child
+  * document trees (TLDQueryIterator.java:54, AncestorQueryLogic.java).
+  *
+  * The reference encodes the tree in the uid: a child document's uid is
+  * `parentUid.childIndex[.grandchildIndex…]`. A TLD query matches any
+  * document in the tree and returns the whole tree (rooted at the
+  * top-level document); an Ancestor query evaluates against a document
+  * plus all its ancestors up to the root.
+  *
+  * Spark shape: derive `tld_uid` (the dotted-uid root) once — a codegen'd
+  * string op — then tree retrieval is a semi-join on tld_uid
+  * (co-partitioned by uid at scale, no shuffle beyond the join key).
+  */
+object DocumentTree {
+
+  /** Root uid of a dotted child uid: everything before the first '.'
+    * (uids themselves contain no dots in the reference encoding). */
+  def tldUid(uid: Column): Column =
+    when(instr(uid, ".") > 0, substring_index(uid, ".", 1)).otherwise(uid)
+
+  /** Direct parent uid: drop the last dotted segment; the root's parent
+    * is null. */
+  def parentUid(uid: Column): Column =
+    when(instr(uid, ".") > 0,
+      uid.substr(lit(1),
+        length(uid) - length(substring_index(uid, ".", -1)) - 1))
+      .otherwise(lit(null))
+
+  /** TLD query: docs matching `pred` select their trees; return EVERY
+    * document belonging to a selected tree (TLDQueryIterator semantics:
+    * evaluate against the whole tree, return tree members). */
+  def tldQuery(docs: DataFrame, pred: Column, uidCol: String = "uid"): DataFrame = {
+    val roots = docs.filter(pred)
+      .select(tldUid(col(uidCol)).as("__tld")).distinct()
+    docs.join(roots, tldUid(docs(uidCol)) === col("__tld"), "left_semi")
+  }
+
+  /** Ancestor query: return matching documents plus every ANCESTOR on
+    * their root path (AncestorQueryLogic: the evaluation context is the
+    * document and its ancestors). Ancestor membership = prefix-of along
+    * the dotted path, same tree. */
+  def ancestorsOfMatches(docs: DataFrame, pred: Column,
+                         uidCol: String = "uid"): DataFrame = {
+    val matches = docs.filter(pred).select(col(uidCol).as("__m")).distinct()
+    // ancestor test: __m == uid or __m starts with uid + '.'
+    docs.join(matches,
+        col("__m") === docs(uidCol) ||
+          col("__m").startsWith(concat(docs(uidCol), lit("."))),
+        "left_semi")
+  }
+}

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SSDeep (fuzzy-hash) similarity — the Spark re-expression of
+  * SSDeepSimilarityQueryLogic.java:34 + NGramGenerator.java:16 +
+  * SSDeepHashEditDistanceScorer.java:
+  *
+  *  1. parse `chunkSize:chunk:doubleChunk`, collapse >3-char runs
+  *     (SSDeepHash.normalizeSSDeepChunk — runs carry no information);
+  *  2. candidate pairs via shared 7-gram (chunkSize, gram) tuples — the
+  *     bucketed ngram index join ("Optimizing ssDeep for use at Scale"),
+  *     never all-pairs;
+  *  3. exact integer score 0-100 via the reference's edit-distance
+  *     arithmetic (Levenshtein is a Spark built-in), comparing
+  *     equal-chunk-size chunks or the chunk↔doubleChunk cross when one
+  *     size is twice the other.
+  *
+  * All integer arithmetic reproduces Java int division exactly (operands
+  * are small non-negatives, so floor(double-div) is identical).
+  */
+object SSDeep {
+
+  val ChunkLength = 64
+  val MinChunkSize = 3
+  val NGramSize = 7
+
+  /** Collapse runs of more than 3 repeated characters to exactly 3. */
+  def normalizeChunk(c: Column): Column =
+    regexp_replace(c, "(.)\\1{3,}", "$1$1$1")
+
+  /** (chunkSize, 7-gram) tuples of one chunk string. */
+  def ngramTuples(cs: Column, chunk: Column, n: Int = NGramSize): Column =
+    when(length(chunk) >= n,
+      transform(sequence(lit(1), length(chunk) - (n - 1)),
+        i => struct(cs.as("cs"), chunk.substr(i, lit(n)).as("gram"))))
+      .otherwise(array().cast("array<struct<cs:int,gram:string>>"))
+
+  /** SSDeepHashEditDistanceScorer.scoreChunks — exact integer replica. */
+  def scoreChunks(s1: Column, s2: Column, cs: Column): Column = {
+    val len1 = length(s1)
+    val len2 = length(s2)
+    val ed = levenshtein(s1, s2)
+    val base = floor((ed * ChunkLength).cast("double") / (len1 + len2)).cast("int")
+    val scaled = floor((base * 100).cast("double") / ChunkLength).cast("int")
+    val threshold =
+      floor(cs.cast("double") / MinChunkSize).cast("int") * least(len1, len2)
+    when(len1 > ChunkLength || len2 > ChunkLength, 0)
+      .when(scaled >= 100, 0)
+      .otherwise(least(lit(100) - scaled, threshold))
+  }
+
+  /** Pair score: equal chunk sizes compare chunk↔chunk and double↔double
+    * (max); a 2× size difference compares across; otherwise incomparable
+    * (score 0). */
+  def pairScore(cs1: Column, c1: Column, d1: Column,
+                cs2: Column, c2: Column, d2: Column): Column =
+    when(cs1 === cs2,
+      greatest(scoreChunks(c1, c2, cs1), scoreChunks(d1, d2, cs1 * 2)))
+      .when(cs1 === cs2 * 2, scoreChunks(c1, d2, cs1))
+      .when(cs2 === cs1 * 2, scoreChunks(d1, c2, cs2))
+      .otherwise(0)
+
+  /** All pairs (idA < idB) scoring ≥ minScore. Candidates come from the
+    * shared-ngram bucket join; parsed hashes are persisted so chunks are
+    * normalized once, not once per join side. */
+  def similarityPairs(hashes: DataFrame, idCol: String = "doc_id",
+                      hashCol: String = "ssdeep", minScore: Int = 60): DataFrame = {
+    val parts = split(col(hashCol), ":")
+    val parsed = hashes.select(col(idCol).as("id"),
+        parts.getItem(0).cast("int").as("cs"),
+        normalizeChunk(parts.getItem(1)).as("chunk"),
+        normalizeChunk(parts.getItem(2)).as("dchunk"))
+      .persist()
+    val grams = parsed.select(col("id"), explode(concat(
+        ngramTuples(col("cs"), col("chunk")),
+        ngramTuples(col("cs") * 2, col("dchunk")))).as("g"))
+      .select(col("id"), col("g.cs").as("cs"), col("g.gram").as("gram"))
+    val cand = grams.as("x").join(grams.as("y"),
+        col("x.cs") === col("y.cs") && col("x.gram") === col("y.gram") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    val a = parsed.select(col("id").as("id_a"), col("cs").as("cs_a"),
+      col("chunk").as("c_a"), col("dchunk").as("d_a"))
+    val b = parsed.select(col("id").as("id_b"), col("cs").as("cs_b"),
+      col("chunk").as("c_b"), col("dchunk").as("d_b"))
+    cand.join(a, "id_a").join(b, "id_b")
+      .withColumn("score", pairScore(col("cs_a"), col("c_a"), col("d_a"),
+        col("cs_b"), col("c_b"), col("d_b")))
+      .filter(col("score") >= minScore)
+      .select("id_a", "id_b", "score")
+  }
+}

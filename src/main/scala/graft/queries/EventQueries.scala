@@ -69,6 +69,19 @@ object EventQueries {
     Content.adjacent(Content.buildTf(Tables.documents(s, d)),
       Seq("group", "by"))
 
+  /** content:scoredPhrase — phrase + per-term score (tf) ≥ 2. */
+  def tfScoredPhrase(s: SparkSession, d: String): DataFrame =
+    Content.scoredPhrase(Content.buildTfScored(Tables.documents(s, d)),
+      minScore = 2, Seq("fast", "scan"))
+
+  /** Excerpt around the first phrase hit (ExcerptTransform analog). */
+  def tfExcerpt(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Content.excerpt(docs, Content.buildTf(docs), Seq("fast", "scan"), window = 3)
+      .select(col("doc_id"), col("hit_pos").cast("long").as("hit_pos"),
+        col("excerpt"))
+  }
+
   /** grouping:matchesInGroup over a long-format view: lineitem line
     * numbers as group instances of the order document (RETURNFLAG.n /
     * QUANTITY.n) — all conditions must hit within the SAME group. */
@@ -107,6 +120,8 @@ object EventQueries {
     "tf_phrase" -> tfPhrase _,
     "tf_within" -> tfWithin _,
     "tf_adjacent" -> tfAdjacent _,
+    "tf_scored_phrase" -> tfScoredPhrase _,
+    "tf_excerpt" -> tfExcerpt _,
     "grouping_matches" -> groupingMatches _,
     "grouping_paired_agg" -> groupingPairedAgg _,
   )
@@ -135,7 +150,7 @@ object EventQueries {
     "edge_query" ->
       s"SELECT * FROM ($edgeSql) WHERE source = '42' AND edge_type = 'USER_EVENT'",
     "edge_stats" ->
-      s"""SELECT source, day, SUM(cnt) AS activity,
+      s"""SELECT source, day, CAST(SUM(cnt) AS BIGINT) AS activity,
          |   COUNT(DISTINCT sink) AS distinct_sinks
          | FROM ($edgeSql) GROUP BY source, day""".stripMargin,
     "edge_drillback" ->
@@ -156,6 +171,26 @@ object EventQueries {
       s"""SELECT DISTINCT a.doc_id FROM $posSql a JOIN $posSql b
          |   ON a.doc_id = b.doc_id
          | WHERE a.term = 'group' AND b.term = 'by' AND abs(a.pos - b.pos) <= 1""".stripMargin,
+    "tf_scored_phrase" ->
+      s"""WITH pos AS (SELECT * FROM $posSql),
+         |tfc AS (SELECT doc_id, term, count(*) AS c FROM pos GROUP BY 1, 2)
+         |SELECT DISTINCT a.doc_id FROM pos a
+         | JOIN pos b ON a.doc_id = b.doc_id
+         | JOIN tfc fa ON fa.doc_id = a.doc_id AND fa.term = 'fast'
+         | JOIN tfc fb ON fb.doc_id = a.doc_id AND fb.term = 'scan'
+         | WHERE a.term = 'fast' AND b.term = 'scan' AND b.pos = a.pos + 1
+         |   AND fa.c >= 2 AND fb.c >= 2""".stripMargin,
+    "tf_excerpt" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |hits AS (
+         |  SELECT a.doc_id, MIN(a.pos) AS hit_pos FROM $posSql a JOIN $posSql b
+         |     ON a.doc_id = b.doc_id
+         |   WHERE a.term = 'fast' AND b.term = 'scan' AND b.pos = a.pos + 1
+         |   GROUP BY a.doc_id)
+         |SELECT h.doc_id, h.hit_pos,
+         |  array_to_string(t.toks[greatest(CAST(h.hit_pos AS INT) - 2, 1) :
+         |    greatest(CAST(h.hit_pos AS INT) - 2, 1) + 7], ' ') AS excerpt
+         | FROM hits h JOIN toks t ON t.doc_id = h.doc_id""".stripMargin,
     // group semantics, not row semantics: a group (order line number) can
     // hold several field instances, so conditions may be satisfied by
     // different rows of the SAME group — hence the self-join oracle.

@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.jexl.QueryPolicy
+import graft.query.{QueryParams, ShardQueryLogic}
+
+/** Geo gate queries — `geo:`/`geowave:` predicates driven by query strings
+  * (GeoFunctions.java:69-149, GeoWaveFunctions.java:137-345).
+  *
+  * The driver tables carry no coordinates, so deterministic synthetic
+  * lat/lon are derived per customer with pure integer arithmetic (mirrored
+  * exactly in the DuckDB oracles): lat = (key·7919 mod 18000)/100 − 90,
+  * lon = (key·104729 mod 36000)/100 − 180.
+  */
+object GeoQueries {
+
+  private val logic =
+    new ShardQueryLogic(policy = QueryPolicy(fullTableScanEnabled = true))
+
+  private def withGeo(c: DataFrame): DataFrame =
+    c.withColumn("lat",
+        (pmod(col("c_custkey") * 7919, lit(18000)).cast("double") / 100.0) - 90.0)
+      .withColumn("lon",
+        (pmod(col("c_custkey") * 104729, lit(36000)).cast("double") / 100.0) - 180.0)
+
+  private val geoSql =
+    """(SELECT c_custkey,
+      |   CAST((c_custkey * 7919) % 18000 AS DOUBLE) / 100.0 - 90.0 AS lat,
+      |   CAST((c_custkey * 104729) % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon
+      | FROM customer)""".stripMargin
+
+  /** geo:within_bounding_box 6-arg (lonField, latField, bounds) form. */
+  def geoBbox(s: SparkSession, d: String): DataFrame =
+    logic.query(withGeo(Tables.customer(s, d)),
+        "geo:within_bounding_box(LON, LAT, -30, 10, 40, 60)",
+        QueryParams(returnFields = Seq("c_custkey", "lat", "lon")))
+      .select("c_custkey", "lat", "lon")
+
+  /** geo:within_circle on a combined 'lat_lon' value (Euclidean degrees,
+    * exactly the reference's arithmetic). */
+  def geoCircle(s: SparkSession, d: String): DataFrame =
+    logic.query(
+        withGeo(Tables.customer(s, d)).withColumn("latlon",
+          concat(col("lat").cast("string"), lit("_"), col("lon").cast("string"))),
+        "geo:within_circle(LATLON, '20.0_-50.0', 25)",
+        QueryParams(returnFields = Seq("c_custkey")))
+      .select("c_custkey")
+
+  /** geowave:intersects of per-row POINT WKT against a box polygon (JTS);
+    * the axis-aligned box makes the oracle plain range arithmetic. */
+  def geowaveIntersects(s: SparkSession, d: String): DataFrame =
+    logic.query(
+        withGeo(Tables.customer(s, d)).withColumn("geom",
+          concat(lit("POINT ("), col("lon").cast("string"), lit(" "),
+            col("lat").cast("string"), lit(")"))),
+        "geowave:intersects(GEOM, 'POLYGON ((-30 10, 40 10, 40 60, -30 60, -30 10))')",
+        QueryParams(returnFields = Seq("c_custkey")))
+      .select("c_custkey")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "geo_bbox" -> geoBbox _,
+    "geo_circle" -> geoCircle _,
+    "geowave_intersects" -> geowaveIntersects _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "geo_bbox" ->
+      s"""SELECT c_custkey, lat, lon FROM $geoSql
+         | WHERE lat >= 10 AND lat <= 60 AND lon >= -30 AND lon <= 40""".stripMargin,
+    "geo_circle" ->
+      s"""SELECT c_custkey FROM $geoSql
+         | WHERE (lon - (-50.0)) * (lon - (-50.0)) +
+         |       (lat - 20.0) * (lat - 20.0) <= 25.0 * 25.0""".stripMargin,
+    "geowave_intersects" ->
+      s"""SELECT c_custkey FROM $geoSql
+         | WHERE lat >= 10 AND lat <= 60 AND lon >= -30 AND lon <= 40""".stripMargin,
+  )
+}

@@ -73,7 +73,37 @@ object JexlQueries {
       .select("doc_id")
   }
 
+  /** Eval-phase filter functions: compare(ANY), value-function comparison
+    * (getMaxTime), getAllMatches — EvaluationPhaseFilterFunctions
+    * :343-415, :1447-1510, :1789. */
+  def fltEvalFunctions(s: SparkSession, d: String): DataFrame =
+    Compiler.filter(Tables.lineitem(s, d),
+      "L_RETURNFLAG == 'R' && filter:compare(L_DISCOUNT, '>', 'ANY', L_TAX) && " +
+        "filter:getMaxTime(L_SHIPDATE) >= 893980800000")
+      .select("l_orderkey", "l_linenumber", "l_discount", "l_tax")
+
+  /** getAllMatches in predicate position + custom-format date function. */
+  def fltGetAllMatches(s: SparkSession, d: String): DataFrame =
+    Compiler.filter(Tables.orders(s, d),
+      "filter:getAllMatches(O_ORDERPRIORITY, '[12]-.*') && " +
+        "filter:afterDate(O_ORDERDATE, '19980301', 'yyyyMMdd')")
+      .select("o_orderkey", "o_orderpriority")
+
+  /** Leading wildcard via a reversed-value column: `P_NAME =~ '.*mint'`
+    * compiles to a PREFIX predicate on P_NAME_REV — the shardReverseIndex
+    * plan shape (ShardedDataTypeHandler.java:86-101) — instead of an
+    * unanchored regex scan. */
+  def revWildcard(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, reverse}
+    val p = Tables.part(s, d).withColumn("p_name_rev", reverse(col("p_name")))
+    Compiler.filter(p, "P_NAME =~ '.*mint'")
+      .select("p_partkey", "p_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rev_wildcard" -> revWildcard _,
+    "flt_eval_functions" -> fltEvalFunctions _,
+    "flt_getallmatches" -> fltGetAllMatches _,
     "jexl_eq_range" -> jexlEqRange _,
     "jexl_regex_bool" -> jexlRegexBool _,
     "jexl_functions" -> jexlFunctions _,
@@ -85,6 +115,16 @@ object JexlQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "rev_wildcard" ->
+      "SELECT p_partkey, p_name FROM part WHERE p_name LIKE '%mint'",
+    "flt_eval_functions" ->
+      """SELECT l_orderkey, l_linenumber, l_discount, l_tax FROM lineitem
+        | WHERE l_returnflag = 'R' AND l_discount > l_tax
+        |   AND epoch_ms(l_shipdate) >= 893980800000""".stripMargin,
+    "flt_getallmatches" ->
+      """SELECT o_orderkey, o_orderpriority FROM orders
+        | WHERE regexp_full_match(o_orderpriority, '[12]-.*')
+        |   AND o_orderdate > strptime('19980301', '%Y%m%d')""".stripMargin,
     "jexl_eq_range" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         | WHERE l_returnflag = 'R' AND l_quantity >= 30 AND l_quantity <= 40""".stripMargin,
@@ -110,8 +150,20 @@ object JexlQueries {
     "jexl_anyfield" ->
       """SELECT o_orderkey, o_orderpriority FROM orders
         | WHERE o_orderstatus = '1-URGENT' OR o_orderpriority = '1-URGENT'""".stripMargin,
+    // token-position phrase semantics (same tokenizer as the tf table —
+    // the compiler evaluates content:phrase inline on the token stream,
+    // not via a backtracking regex)
     "lucene_phrase" ->
-      """SELECT doc_id FROM documents
-        | WHERE regexp_matches(lower(text), '(^|.*[^a-zA-Z0-9_])fast[^a-zA-Z0-9_]+scan([^a-zA-Z0-9_].*|$)')""".stripMargin,
+      """SELECT doc_id FROM documents WHERE doc_id IN (
+        | SELECT a.doc_id FROM
+        |  (SELECT doc_id, unnest(toks) AS term, unnest(range(0, len(toks))) AS pos
+        |   FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        |         FROM documents)) a
+        |  JOIN
+        |  (SELECT doc_id, unnest(toks) AS term, unnest(range(0, len(toks))) AS pos
+        |   FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        |         FROM documents)) b
+        |   ON a.doc_id = b.doc_id
+        | WHERE a.term = 'fast' AND b.term = 'scan' AND b.pos = a.pos + 1)""".stripMargin,
   )
 }

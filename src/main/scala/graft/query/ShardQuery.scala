@@ -19,7 +19,13 @@ final case class QueryParams(
     dateCol: String = "shard_date",
     datatypeFilter: Seq[String] = Nil,
     datatypeCol: String = "datatype",
-    syntax: String = "JEXL")                 // or LUCENE
+    syntax: String = "JEXL",                 // or LUCENE
+    // Masked-field pairs (QueryParameters.java:61, MaskedFieldHelper):
+    // unmasked column → masked sibling column. Unauthorized viewers see
+    // the masked value; authorized viewers see the unmasked one (falling
+    // back to masked where unmasked is absent).
+    maskedFields: Map[String, String] = Map.empty,
+    unmaskAuthorized: Boolean = false)
 
 /** The event-query entry point — ShardQueryLogic re-expressed
   * (SURVEY.md §3.1 "Spark shape"): parse → translate → filter with
@@ -33,9 +39,19 @@ final class ShardQueryLogic(
 
   def query(events: DataFrame, q: String,
             params: QueryParams = QueryParams()): DataFrame = {
-    val ast = if (params.syntax.equalsIgnoreCase("LUCENE")) LuceneParser.parse(q)
-              else JexlParser.parse(q)
-    Compiler.enforce(ast, policy)
+    val parsed = if (params.syntax.equalsIgnoreCase("LUCENE")) LuceneParser.parse(q)
+                 else JexlParser.parse(q)
+    // #GROUPBY/#UNIQUE/#SUM/f:options… pseudo-functions are stripped into
+    // a QueryOptions struct (QueryOptionsFromQueryVisitor analog) and
+    // applied as post-evaluation transforms at the end.
+    val (remaining, opts) = QueryOptions.extract(parsed)
+    val ast = remaining.getOrElse {
+      if (!policy.fullTableScanEnabled)
+        throw new PolicyException(
+          "query contains only options (full table scan); set fullTableScanEnabled")
+      null
+    }
+    if (ast != null) Compiler.enforce(ast, policy)
 
     // date + datatype bounds first: these are the partition-pruning
     // predicates (RangeStream analog — at scale they select partitions,
@@ -43,17 +59,44 @@ final class ShardQueryLogic(
     var df = events
     params.beginDate.foreach(b => df = df.filter(col(params.dateCol) >= lit(b)))
     params.endDate.foreach(e => df = df.filter(col(params.dateCol) <= lit(e)))
-    if (params.datatypeFilter.nonEmpty && df.columns.contains(params.datatypeCol))
+    // Fail CLOSED: a requested security/datatype filter whose column is
+    // absent must refuse the query, not silently return everything — the
+    // reference's Accumulo model can never skip visibility filtering.
+    if (params.datatypeFilter.nonEmpty) {
+      if (!df.columns.contains(params.datatypeCol))
+        throw new PolicyException(
+          s"datatype filter requested but column '${params.datatypeCol}' is absent")
       df = df.filter(col(params.datatypeCol).isin(params.datatypeFilter: _*))
+    }
     params.auths.foreach { a =>
-      if (df.columns.contains(params.visibilityCol))
-        df = graft.vis.Visibility.enforce(df, params.visibilityCol, a)
+      if (!df.columns.contains(params.visibilityCol))
+        throw new PolicyException(
+          s"auths set but visibility column '${params.visibilityCol}' is absent — " +
+            "refusing fail-open scan")
+      df = graft.vis.Visibility.enforce(df, params.visibilityCol, a)
     }
 
-    df = df.filter(Compiler.compile(ast, df, model))
+    // masking happens BEFORE evaluation: predicates run on what the
+    // viewer is allowed to see
+    for ((field, maskedField) <- params.maskedFields) {
+      val f = df.columns.find(_.equalsIgnoreCase(field))
+      val m = df.columns.find(_.equalsIgnoreCase(maskedField))
+      (f, m) match {
+        case (Some(fc), Some(mc)) =>
+          df =
+            (if (params.unmaskAuthorized)
+               df.withColumn(fc, coalesce(col(fc), col(mc)))
+             else df.withColumn(fc, col(mc)))
+            .drop(mc)
+        case _ => ()
+      }
+    }
 
-    if (params.hitList)
-      df = df.withColumn("HIT_TERM", HitTerms.column(ast, df, model))
+    if (ast != null) {
+      df = df.filter(Compiler.compile(ast, df, model))
+      if (params.hitList)
+        df = df.withColumn("HIT_TERM", HitTerms.column(ast, df, model))
+    }
 
     // LIMIT_FIELDS: cap values per multi-valued field, hits kept first
     // (LimitFields.java semantics: matched values must survive the cap)
@@ -90,6 +133,81 @@ final class ShardQueryLogic(
     for ((from, to) <- params.renameFields)
       df = df.withColumnRenamed(
         df.columns.find(_.equalsIgnoreCase(from)).getOrElse(from), to)
+
+    applyOptions(df, opts)
+  }
+
+  private def resolveCol(df: DataFrame, f: String): Column =
+    df.columns.find(_.equalsIgnoreCase(f)) match {
+      case Some(c) => col(c)
+      case None => throw new ParseException(s"option field $f not in result schema")
+    }
+
+  /** #UNIQUE granularity truncation (UniqueGranularity.java). */
+  private def granTrunc(c: Column, g: String): Column = g match {
+    case "ALL" => c.cast("string")
+    case "YEAR" => date_format(c.cast("timestamp"), "yyyy")
+    case "MONTH" => date_format(c.cast("timestamp"), "yyyy-MM")
+    case "DAY" => date_format(c.cast("timestamp"), "yyyy-MM-dd")
+    case "HOUR" => date_format(c.cast("timestamp"), "yyyy-MM-dd'T'HH")
+    case "TENTH_OF_HOUR" =>
+      concat(date_format(c.cast("timestamp"), "yyyy-MM-dd'T'HH:"),
+        floor(minute(c.cast("timestamp")) / 10).cast("string"))
+    case "MINUTE" => date_format(c.cast("timestamp"), "yyyy-MM-dd'T'HH:mm")
+    case "SECOND" => date_format(c.cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss")
+    case other => throw new ParseException(s"unknown unique granularity $other")
+  }
+
+  /** Post-evaluation application of the option struct:
+    *  - #UNIQUE → one deterministic survivor per truncated key combination
+    *    (window row_number over all sortable columns — exact, no bloom
+    *    false-negatives; most-recent variant flips the ordering);
+    *  - #GROUPBY + #SUM/#MIN/#MAX/#COUNT/#AVERAGE → hash aggregation
+    *    (partial+final, the reference's batch+merge). SUM/AVERAGE
+    *    accumulate in decimal so results are bit-stable under any
+    *    partitioning, then surface as double;
+    *  - f:rename / f:limit_fields on the final frame. */
+  private def applyOptions(df0: DataFrame, opts: QueryOptions): DataFrame = {
+    var df = df0
+    if (opts.unique.nonEmpty) {
+      val keys = opts.unique.map(u => granTrunc(resolveCol(df, u.field), u.granularity))
+      val sortable = df.schema.fields.filter(f => f.dataType match {
+        case _: ArrayType | _: MapType | _: StructType => false
+        case _ => true
+      }).map(f => col(f.name))
+      val ordering = if (opts.mostRecentUnique) sortable.map(_.desc)
+                     else sortable.map(_.asc)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys: _*).orderBy(ordering.toSeq: _*)
+      df = df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
+    if (opts.groupBy.nonEmpty) {
+      val keys = opts.groupBy.map(resolveCol(df, _))
+      val aggs: Seq[Column] =
+        Seq(count(lit(1)).as("COUNT")) ++
+        opts.sum.map(f => sum(resolveCol(df, f).cast("decimal(28,8)"))
+          .cast("double").as(s"SUM_${f.toUpperCase}")) ++
+        opts.min.map(f => min(resolveCol(df, f)).as(s"MIN_${f.toUpperCase}")) ++
+        opts.max.map(f => max(resolveCol(df, f)).as(s"MAX_${f.toUpperCase}")) ++
+        opts.count.map(f => count(resolveCol(df, f)).as(s"COUNT_${f.toUpperCase}")) ++
+        // average = double division of the exact decimal sum — decimal
+        // division scale rules differ across engines; double÷double of
+        // identical operands is bit-stable everywhere
+        opts.average.map(f => (sum(resolveCol(df, f).cast("decimal(28,8)")).cast("double") /
+          count(resolveCol(df, f)).cast("double")).as(s"AVERAGE_${f.toUpperCase}"))
+      df = df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+    }
+    for ((from, to) <- opts.rename)
+      df = df.withColumnRenamed(
+        df.columns.find(_.equalsIgnoreCase(from)).getOrElse(from), to)
+    for ((f, n) <- opts.limitFields)
+      df.schema.fields.find(_.name.equalsIgnoreCase(f)).foreach { sf =>
+        sf.dataType match {
+          case _: ArrayType => df = df.withColumn(sf.name, slice(col(sf.name), 1, n))
+          case _ => ()
+        }
+      }
     df
   }
 }
@@ -137,6 +255,9 @@ object HitTerms {
       concat(cs.map(hits(_, df, model)): _*)
     case Node.Not(_) =>
       array().cast("array<struct<field:string,value:string>>")
+    case Node.FieldOp(_, CompareOp.Ne, _) =>
+      // negated leaves contribute no hits (HitListArithmetic)
+      array().cast("array<struct<field:string,value:string>>")
     case Node.FieldOp(f, op, l) =>
       leafHits(df, model, f, (c, dt) => cmp(c, dt, op, l))
     case Node.RegexOp(f, pat, neg) =>
@@ -144,24 +265,20 @@ object HitTerms {
       else leafHits(df, model, f,
         (c, _) => c.cast(StringType).rlike("^(?:" + pat + ")$"))
     case Node.Bounded(f, lo, hi, loInc, hiInc) =>
-      leafHits(df, model, f, { (c, _) =>
-        val cd = c.cast("double")
-        val loC = lit(BigDecimal(lo.raw).toDouble)
-        val hiC = lit(BigDecimal(hi.raw).toDouble)
-        (if (loInc) cd >= loC else cd > loC) &&
-          (if (hiInc) cd <= hiC else cd < hiC)
+      // type-aware like the Compiler's own bounded compile — a string or
+      // date bounded range must NOT be forced through double (that yields
+      // null casts and empty hits while the filter itself matches)
+      leafHits(df, model, f, { (c, dt) =>
+        val loC = Compiler.litFor(lo, dt)
+        val hiC = Compiler.litFor(hi, dt)
+        (if (loInc) c >= loC else c > loC) &&
+          (if (hiInc) c <= hiC else c < hiC)
       })
     case _ => array().cast("array<struct<field:string,value:string>>")
   }
 
   private def cmp(c: Column, dt: DataType, op: CompareOp, l: Literal): Column = {
-    val v: Column = l match {
-      case Literal.Num(n) => dt match {
-        case nt: NumericType => lit(n.toDouble).cast(nt)
-        case _ => lit(n.toString)
-      }
-      case other => lit(other.raw)
-    }
+    val v = Compiler.litFor(l, dt)
     op match {
       case CompareOp.Eq => c === v
       case CompareOp.Ne => c =!= v

@@ -59,14 +59,21 @@ object Visibility {
     *
     * Scale path: visibility strings are low-cardinality (they're policy
     * labels, not data), so evaluate each DISTINCT expression once and
-    * broadcast-join the verdicts — the scan stays codegen'd and no
-    * per-row parsing happens, at any data size. */
-  def enforce(df: DataFrame, visCol: String, auths: Set[String]): DataFrame = {
-    val distinctVis = df.select(col(visCol)).distinct().collect()
+    * broadcast the verdicts — the scan stays codegen'd and no per-row
+    * parsing happens, at any data size.
+    *
+    * Guarded: the distinct-probe fetches at most `maxDistinct + 1` values.
+    * If a tenant wrote per-value markings (cardinality above the guard),
+    * fall back to the executor-memoized UDF instead of OOMing the driver. */
+  def enforce(df: DataFrame, visCol: String, auths: Set[String],
+              maxDistinct: Int = 10000): DataFrame = {
+    val probe = df.select(col(visCol)).distinct().limit(maxDistinct + 1).collect()
       .map(_.getString(0))
-    val allowed = distinctVis.filter(v => v != null && isVisible(v, auths))
+    if (probe.length > maxDistinct)
+      return df.filter(isVisibleUdf(auths)(col(visCol)))
+    val allowed = probe.filter(v => v != null && isVisible(v, auths))
     df.filter(col(visCol).isin(allowed.toSeq: _*) ||
-      (if (distinctVis.contains(null) && isVisible("", auths)) col(visCol).isNull
+      (if (probe.contains(null) && isVisible("", auths)) col(visCol).isNull
        else lit(false)))
   }
 

@@ -53,6 +53,21 @@ class JexlParserSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(JexlParser.parse("F1 == F2") == FieldToField("F1", CompareOp.Eq, "F2"))
   }
 
+  test("literal-first is canonicalized (InvertNodeVisitor)") {
+    assert(JexlParser.parse("'alice' == NAME") ==
+      FieldOp("NAME", CompareOp.Eq, Literal.Str("alice")))
+    assert(JexlParser.parse("30 < AGE") ==
+      FieldOp("AGE", CompareOp.Gt, Literal.Num(30)))
+  }
+
+  test("normalize:ipv4 canonicalizes the literal at parse time") {
+    assert(JexlParser.parse("IP == normalize:ipv4('010.001.002.003')") ==
+      FieldOp("IP", CompareOp.Eq, Literal.Str("10.1.2.3")))
+    intercept[ParseException] {
+      JexlParser.parse("IP == normalize:ipv4('300.1.2.3')")
+    }
+  }
+
   test("policy gates refuse purely-negated queries") {
     val ast = JexlParser.parse("A != 'x'")
     intercept[PolicyException] { Compiler.enforce(ast, QueryPolicy()) }
@@ -143,6 +158,35 @@ class CompilerSpec extends SparkSpec {
     assert(names("HOBBIES == null") == Set("carol"))
   }
 
+  test("!= is the negation of any-member-equals (DatawaveArithmetic)") {
+    // multi-valued: 'no element equals', NOT 'some element differs'
+    assert(names("HOBBIES != 'chess'") == Set("carol"))
+    assert(names("HOBBIES != 'go'") == Set("alice", "bob", "carol"))
+    // scalar null: null != 'x' is true
+    val df = Seq(("a", Some("x")), ("b", None: Option[String])).toDF("id", "v")
+    val out = Compiler.filter(df, "V != 'x'",
+        policy = QueryPolicy(fullTableScanEnabled = true))
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(out == Set("b"))
+    // negated regex over null is likewise true
+    val out2 = Compiler.filter(df, "V !~ 'x.*'",
+        policy = QueryPolicy(fullTableScanEnabled = true))
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(out2 == Set("b"))
+  }
+
+  test("normalize:ipv4 literal reaches the comparison; predicate form throws") {
+    val ips = Seq(("h1", "10.1.2.3"), ("h2", "10.1.2.4")).toDF("host", "ip")
+    val out = Compiler.filter(ips, "IP == normalize:ipv4('010.001.002.003')",
+        policy = QueryPolicy(fullTableScanEnabled = true))
+      .select("host").collect().map(_.getString(0)).toSet
+    assert(out == Set("h1"))
+    intercept[ParseException] {
+      Compiler.filter(ips, "normalize:ipv4(IP)",
+        policy = QueryPolicy(fullTableScanEnabled = true))
+    }
+  }
+
   test("model aliasing with 1→N expansion") {
     val m = QueryModel(Map("YEARS" -> Seq("AGE"), "ANY_NAME" -> Seq("NAME", "HOBBIES")))
     assert(names("YEARS == 28", m) == Set("bob"))
@@ -170,6 +214,42 @@ class CompilerSpec extends SparkSpec {
     assert(out.count() == 2)
   }
 
+  test("filter:compare ANY/ALL over multi-valued fields") {
+    val df = Seq(
+      ("anyhit", Seq(1, 9), Seq(5, 6)),   // 9 > 5 → ANY; not ALL (1 < 5)
+      ("allhit", Seq(7, 9), Seq(5, 6)),   // every pair > → ALL
+      ("miss", Seq(1, 2), Seq(5, 6)))
+      .toDF("name", "xs", "ys")
+    def go(q: String): Set[String] =
+      Compiler.filter(df, q, policy = QueryPolicy(fullTableScanEnabled = true))
+        .select("name").collect().map(_.getString(0)).toSet
+    assert(go("filter:compare(XS, '>', 'ANY', YS)") == Set("anyhit", "allhit"))
+    assert(go("filter:compare(XS, '>', 'ALL', YS)") == Set("allhit"))
+  }
+
+  test("value functions compare: getMaxValue / getMinTime") {
+    val df = Seq(
+      ("a", Seq(3, 12), "2024-02-01 00:00:00"),
+      ("b", Seq(3, 5), "2020-01-01 00:00:00"))
+      .toDF("name", "vals", "when0")
+      .withColumn("when0", col("when0").cast("timestamp"))
+    def go(q: String): Set[String] =
+      Compiler.filter(df, q, policy = QueryPolicy(fullTableScanEnabled = true))
+        .select("name").collect().map(_.getString(0)).toSet
+    assert(go("filter:getMaxValue(VALS) > 10") == Set("a"))
+    assert(go("filter:getMinValue(VALS) == 3") == Set("a", "b"))
+    // 2021-01-01T00:00:00Z = 1609459200000 ms
+    assert(go("filter:getMinTime(WHEN0) >= 1609459200000") == Set("a"))
+  }
+
+  test("custom-format date functions on string fields") {
+    val df = Seq(("x", "20240105"), ("y", "20200101")).toDF("name", "d")
+    val out = Compiler.filter(df, "filter:afterDate(D, '20230101', 'yyyyMMdd')",
+        policy = QueryPolicy(fullTableScanEnabled = true))
+      .select("name").collect().map(_.getString(0)).toSet
+    assert(out == Set("x"))
+  }
+
   test("_ANYFIELD_ expands over string columns") {
     assert(names("_ANYFIELD_ == 'chess'") == Set("alice", "bob", "dave"))
   }
@@ -178,6 +258,24 @@ class CompilerSpec extends SparkSpec {
     val ast = LuceneParser.parse("NAME:alice OR (AGE:[40 TO 50] NOT NAME:dave)")
     val out = people.filter(Compiler.compile(ast, people, QueryModel()))
     assert(out.select("name").collect().map(_.getString(0)).toSet == Set("alice", "carol"))
+  }
+
+  test("wildcard regexes compile to sargable string predicates") {
+    val df = Seq("spearmint", "mint chocolate", "basil").toDF("p_name")
+      .withColumn("p_name_rev", reverse(col("p_name")))
+    def go(q: String): Set[String] =
+      Compiler.filter(df, q, policy = QueryPolicy(fullTableScanEnabled = true))
+        .select("p_name").collect().map(_.getString(0)).toSet
+    val suffix = Compiler.filter(df, "P_NAME =~ '.*mint'")
+    assert(suffix.select("p_name").collect().map(_.getString(0)).toSet ==
+      Set("spearmint"))
+    // plan uses the reversed column prefix, no regex (analyzed plan —
+    // the optimizer folds a literal LocalRelation entirely)
+    val plan = suffix.queryExecution.analyzed.toString
+    assert(plan.contains("startswith") || plan.contains("StartsWith"), plan)
+    assert(!plan.toLowerCase.contains("rlike"), plan)
+    assert(go("P_NAME =~ 'mint.*'") == Set("mint chocolate"))
+    assert(go("P_NAME =~ '.*mint.*'") == Set("spearmint", "mint chocolate"))
   }
 
   test("content:phrase scalar fallback") {

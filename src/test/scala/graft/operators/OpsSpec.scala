@@ -114,6 +114,16 @@ class VectorOpsSpec extends SparkSpec {
     assert(math.abs(out(2) - 1.0) < 1e-12)
   }
 
+  test("dotN matches the fold dot bit-for-bit") {
+    val emb = Tables.embeddings(spark, sf001)
+    val dim = VectorOps.embDim(emb)
+    val bad = emb.select(
+        VectorOps.dot(col("embedding"), col("embedding")).as("a"),
+        VectorOps.dotN(col("embedding"), col("embedding"), dim).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(bad == 0L)
+  }
+
   test("brute-force top-k is exact and ordered") {
     val emb = Tables.embeddings(spark, sf001)
     val out = VectorOps.bruteForceTopK(emb, 0L, 5).collect()
@@ -134,7 +144,8 @@ class VectorOpsSpec extends SparkSpec {
 
   test("IVF cell assignment is deterministic and balanced-ish") {
     val emb = Tables.embeddings(spark, sf001)
-    val cells = emb.withColumn("cell", VectorOps.ivfCellId(col("embedding"), 8))
+    val cells = emb.withColumn("cell",
+        VectorOps.ivfCellId(col("embedding"), 8, VectorOps.embDim(emb)))
       .groupBy("cell").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(cells.keys.toSet.subsetOf((0 until 8).toSet))
     assert(cells.size >= 4, s"cells too concentrated: $cells")

@@ -1,0 +1,86 @@
+package graft.query
+
+import graft.SparkSpec
+import graft.jexl._
+import org.apache.spark.sql.functions._
+
+class QueryOptionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("option pseudo-functions are stripped and collected") {
+    val (rest, o) = QueryOptions.extract(JexlParser.parse(
+      "A == 'x' && f:groupby('F1','F2') && f:sum('V') && f:unique('U[DAY]')"))
+    assert(rest == Some(Node.FieldOp("A", CompareOp.Eq, Literal.Str("x"))))
+    assert(o.groupBy == Seq("F1", "F2"))
+    assert(o.sum == Seq("V"))
+    assert(o.unique == Seq(UniqueField("U", "DAY")))
+  }
+
+  test("LUCENE #GROUPBY/#SUM/#UNIQUE_BY_DAY land in the same options") {
+    val (rest, o) = QueryOptions.extract(LuceneParser.parse(
+      "F:v #GROUPBY(G) #SUM(S) #UNIQUE_BY_DAY(TS)"))
+    assert(rest.isDefined)
+    assert(o.groupBy == Seq("G") && o.sum == Seq("S"))
+    assert(o.unique == Seq(UniqueField("TS", "DAY")))
+  }
+
+  test("options-only query leaves no predicate") {
+    val (rest, o) = QueryOptions.extract(JexlParser.parse("f:groupby('A')"))
+    assert(rest.isEmpty && o.groupBy == Seq("A"))
+  }
+
+  test("options inside a disjunction are stripped from the branch") {
+    val (rest, o) = QueryOptions.extract(JexlParser.parse(
+      "A == 'x' || (B == 'y' && f:groupby('G'))"))
+    assert(rest == Some(Node.Or(List(
+      Node.FieldOp("A", CompareOp.Eq, Literal.Str("x")),
+      Node.FieldOp("B", CompareOp.Eq, Literal.Str("y"))))))
+    assert(o.groupBy == Seq("G"))
+  }
+
+  test("ShardQueryLogic applies #GROUPBY aggregation from a LUCENE string") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 5.0)).toDF("k", "v")
+    val out = new ShardQueryLogic(policy = QueryPolicy(fullTableScanEnabled = true))
+      .query(df, "K:a OR K:b #GROUPBY(K) #SUM(V) #AVERAGE(V)",
+        QueryParams(syntax = "LUCENE"))
+      .collect().map(r => r.getAs[String]("k") ->
+        (r.getAs[Long]("COUNT"), r.getAs[Double]("SUM_V"), r.getAs[Double]("AVERAGE_V")))
+      .toMap
+    assert(out("a") == ((2L, 3.0, 1.5)))
+    assert(out("b") == ((1L, 5.0, 5.0)))
+  }
+
+  test("ShardQueryLogic applies #UNIQUE with DAY granularity deterministically") {
+    val df = Seq(
+      (3L, "u1", "2024-01-01 10:00:00"),
+      (1L, "u1", "2024-01-01 18:00:00"),  // same user+day → one survivor (min id)
+      (2L, "u1", "2024-01-02 09:00:00"),
+      (4L, "u2", "2024-01-01 09:00:00"))
+      .toDF("id", "user", "ts")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val out = new ShardQueryLogic(policy = QueryPolicy(fullTableScanEnabled = true))
+      .query(df, "f:unique('USER', 'TS[DAY]')", QueryParams())
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 2L, 4L))
+  }
+
+  test("content:within / grouping:matchesInGroup compile from JEXL strings") {
+    val docs = Seq((1, "merge then join quickly"), (2, "join words then later merge"))
+      .toDF("doc_id", "text")
+    val hits = Compiler.filter(docs, "content:within(TEXT, 3, 'join', 'merge')",
+        QueryModel(), QueryPolicy(fullTableScanEnabled = true))
+      .select("doc_id").collect().map(_.getInt(0)).toSet
+    assert(hits == Set(1))
+
+    val wide = Seq(
+      (10L, Seq("R", "N"), Seq("48.0", "10.0")),   // R paired with 48.0 → hit
+      (20L, Seq("N", "R"), Seq("48.0", "10.0")),   // R paired with 10.0 → miss
+      (30L, Seq("R"), Seq("7.0")))
+      .toDF("uid", "RETURNFLAG", "QUANTITY")
+    val g = Compiler.filter(wide,
+        "grouping:matchesInGroup(RETURNFLAG, 'R', QUANTITY, '4[89].*')",
+        QueryModel(), QueryPolicy(fullTableScanEnabled = true))
+      .select("uid").collect().map(_.getLong(0)).toSet
+    assert(g == Set(10L))
+  }
+}
