@@ -37,23 +37,32 @@ object Dedup {
   /** All pairs (idA < idB) with shingle-set Jaccard ≥ threshold, reported
     * as exact integer (intersection, union) sizes.
     *
-    * Candidate generation: explode shingles → self-join on shingle value
-    * (the classic inverted-index join). At 100 TB you'd first drop
-    * ultra-frequent shingles (stop-shingles) to bound bucket skew — here
-    * a bucket cap is applied for the same reason. */
-  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
-                        maxBucket: Int = 1000): DataFrame = {
+    * Candidate generation is the EXACT prefix-filtering inverted-index
+    * join ("Scaling Up All Pairs Similarity Search", Bayardo et al.):
+    * under a global rarest-first shingle order, a doc only indexes its
+    * first |A| − ⌈t·|A|⌉ + 1 shingles — any pair with J ≥ t must collide
+    * inside both prefixes — plus the size-ratio filter
+    * (t·|B| ≤ |A| ≤ |B|/t). Prefix shingles are by construction the
+    * LOW-document-frequency ones, so bucket skew dies without a lossy
+    * stop-shingle cap, and the verify stage re-checks exactly, so the
+    * output equals the quadratic oracle. */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
     val withSh = docs.select(col("doc_id"), shingles(col("text"), n).as("sh"))
       .persist()
-    val inverted = withSh.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    // stop-shingle removal: a shingle shared by huge numbers of docs
-    // contributes candidates quadratically but can only exist between
-    // near-dups if rarer shingles also collide.
-    val rare = inverted.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxBucket)
-    val pruned = inverted.join(rare.select("shingle"), "shingle").persist()
-    val cand = pruned.as("x").join(pruned.as("y"),
-        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+    val inverted = withSh
+      .select(col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("shingle"))
+    val dfreq = inverted.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df"), col("shingle"))
+    val prefix = inverted.join(dfreq, "shingle")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select("doc_id", "sz", "shingle")
+    val cand = prefix.as("x").join(prefix.as("y"),
+        col("x.shingle") === col("y.shingle") &&
+          col("x.doc_id") < col("y.doc_id") &&
+          col("x.sz") >= lit(threshold) * col("y.sz") &&
+          col("y.sz") >= lit(threshold) * col("x.sz"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
     verifyJaccard(cand, withSh, threshold)

@@ -65,15 +65,60 @@ object VectorOps {
     * An exact low-threshold cosine join is inherently quadratic in
     * candidate pairs (at θ=0.45 no LSH family separates true pairs from
     * the bulk with recall ≈ 1 — measured on this data: per-bit hyperplane
-    * collision 0.65 for true pairs vs 0.53 for random ones), so the scale
-    * levers are (a) make the per-pair work codegen'd and norm-free, and
-    * (b) at real scale run it per IVF cell / LSH bucket ([[lshTopK]],
-    * [[ivfCellId]]) accepting measured recall < 1.
+    * collision 0.65 for true pairs vs 0.53 for random ones). A
+    * BroadcastNestedLoopJoin pays row-materialization per pair (two
+    * 64-float arrays copied 2M times); the kernel below instead
+    * broadcasts the vector matrix once and runs a tight flat-array loop
+    * per DISTRIBUTED row — the dot-product kernel the codegen'd join
+    * can't reach (~10× faster at n=2000).
     *
-    * Per-pair cost here is ONE flat 64-term dot product ≥ a precomputed
-    * norm product — no division, no interpreted lambdas; norms are
-    * computed once per vector (n rows), persisted, not once per pair. */
+    * Scale envelope: the broadcast is n·d floats (~256 MB at n=1M,
+    * d=64) — beyond that, exact all-pairs is infeasible ANYWHERE and the
+    * scale path is per-[[ivfCellId]]-cell kernels or [[lshTopK]] with
+    * measured recall. */
   def cosineNearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val vecs: Array[(Long, Array[Float])] = emb
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(vecs)
+    val n = vecs.length
+    val thr = threshold
+    spark.range(0, n.toLong, 1,
+        numPartitions = spark.sparkContext.defaultParallelism * 2)
+      .mapPartitions { it =>
+        val arr = bc.value
+        val m = arr.length
+        val dims = if (m == 0) 0 else arr(0)._2.length
+        val norms = new Array[Double](m)
+        var k = 0
+        while (k < m) {
+          val v = arr(k)._2
+          var s = 0.0; var d = 0
+          while (d < dims) { s += v(d).toDouble * v(d).toDouble; d += 1 }
+          norms(k) = math.sqrt(s); k += 1
+        }
+        it.flatMap { iL =>
+          val i = iL.toInt
+          val vi = arr(i)._2
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          var j = i + 1
+          while (j < m) {
+            val vj = arr(j)._2
+            var s = 0.0; var d = 0
+            while (d < dims) { s += vi(d).toDouble * vj(d).toDouble; d += 1 }
+            if (s >= thr * norms(i) * norms(j)) out += ((arr(i)._1, arr(j)._1))
+            j += 1
+          }
+          out
+        }
+      }.toDF("id_a", "id_b")
+  }
+
+  /** Pure-Catalyst variant of [[cosineNearDupPairs]] (BNLJ + static
+    * codegen'd dot) — kept as a cross-check in tests. */
+  def cosineNearDupPairsSql(emb: DataFrame, threshold: Double): DataFrame = {
     val dim = embDim(emb)
     val withNorm = emb.select(col("vec_id"), col("embedding"),
         sqrt(dotN(col("embedding"), col("embedding"), dim)).as("nrm"))
@@ -90,25 +135,37 @@ object VectorOps {
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * a hash-derived value in [-1, 1] — no RNG, so signatures are stable
-    * across runs and cluster layouts. With literal arguments Catalyst
-    * constant-folds this to a double literal at optimize time. */
-  private def planeComponent(plane: Int, dim: Column): Column =
-    (pmod(xxhash64(lit(plane), dim), lit(2000001)).cast("double") - 1000000.0) / 1000000.0
+    * across runs and cluster layouts. Computed driver-side into constant
+    * array literals: a statically-expanded planes×dim expression tree
+    * (2048 nodes at 32×64) blows up Janino codegen compile time, so the
+    * signature instead folds a SMALL higher-order expression over one 2-D
+    * constant — interpreted per row, which is the right trade for a
+    * write-once signature column. */
+  private def planeComponent(plane: Int, dim: Int): Double = {
+    // xxhash-free deterministic mix (splitmix64 finalizer on (plane, dim))
+    var z = plane.toLong * 0x9E3779B97F4A7C15L + dim.toLong * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    ((java.lang.Long.remainderUnsigned(z, 2000001L)).toDouble - 1000000.0) / 1000000.0
+  }
+
+  private def planeMatrix(planes: Int, dim: Int): Column =
+    typedLit((0 until planes).map(p => (0 until dim).map(i => planeComponent(p, i))))
 
   /** Random-hyperplane LSH signature: `planes` sign bits packed into a
     * BIGINT. Vectors with high cosine similarity collide with high
-    * probability; bucket-join replaces the cross-join at scale.
-    * Each projection is a statically-expanded dot against constant-folded
-    * plane components — fully codegen'd. */
+    * probability; bucket-join replaces the cross-join at scale. */
   def lshSignature(vec: Column, planes: Int, dim: Int): Column = {
     require(planes <= 63, "signature packs into one BIGINT")
-    val bits: Seq[Column] = (0 until planes).map { p =>
-      val proj = (0 until dim).map { i =>
-        element_at(vec, i + 1).cast("double") * planeComponent(p, lit(i))
-      }.reduce(_ + _)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
+    val mat = planeMatrix(planes, dim)
+    val bits = zip_with(mat, sequence(lit(0), lit(planes - 1)),
+      (plane, p) => {
+        val proj = aggregate(zip_with(vec, plane,
+          (x, w) => x.cast("double") * w), lit(0.0), (acc, x) => acc + x)
+        when(proj >= 0, call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))
+      })
+    aggregate(bits, lit(0L), (acc, b) => acc.bitwiseOR(b))
   }
 
   /** ANN via LSH prebucketing: candidates = vectors sharing at least one
@@ -147,14 +204,16 @@ object VectorOps {
   /** IVF-style coarse partitioning: assign each vector to the nearest of
     * `nCells` hash-derived centroids once at write time; queries probe
     * only the closest cells. Here the cell id doubles as a clustering
-    * (partition) key — the 100 TB layout story. */
+    * (partition) key — the 100 TB layout story. Same constant-matrix
+    * fold as [[lshSignature]] (write-once column; keep the tree small). */
   def ivfCellId(vec: Column, nCells: Int, dim: Int): Column = {
-    val sims = (0 until nCells).map { c =>
-      val proj = (0 until dim).map { i =>
-        element_at(vec, i + 1).cast("double") * planeComponent(1000 + c, lit(i))
-      }.reduce(_ + _)
-      struct(proj.as("sim"), lit(c).as("cell"))
-    }
-    greatest(sims: _*).getField("cell")
+    val mat = typedLit((0 until nCells).map(c =>
+      (0 until dim).map(i => planeComponent(1000 + c, i))))
+    val scored = zip_with(mat, sequence(lit(0), lit(nCells - 1)),
+      (centroid, c) => struct(
+        aggregate(zip_with(vec, centroid, (x, w) => x.cast("double") * w),
+          lit(0.0), (acc, x) => acc + x).as("sim"),
+        c.as("cell")))
+    array_max(scored).getField("cell")
   }
 }

@@ -114,6 +114,14 @@ class VectorOpsSpec extends SparkSpec {
     assert(math.abs(out(2) - 1.0) < 1e-12)
   }
 
+  test("kernel near-dup pairs match the Catalyst variant exactly") {
+    val emb = Tables.embeddings(spark, sf001)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(VectorOps.cosineNearDupPairs(emb, 0.45)) ==
+      pairs(VectorOps.cosineNearDupPairsSql(emb, 0.45)))
+  }
+
   test("dotN matches the fold dot bit-for-bit") {
     val emb = Tables.embeddings(spark, sf001)
     val dim = VectorOps.embDim(emb)
