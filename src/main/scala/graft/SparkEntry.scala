@@ -13,12 +13,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ JexlQueries.queries ++ PipelineQueries.queries ++
       EventQueries.queries ++ QueryStringQueries.queries ++ GeoQueries.queries ++
-      IngestQueries.queries ++ SSDeepQueries.queries ++ TreeQueries.queries
+      IngestQueries.queries ++ SSDeepQueries.queries ++ TreeQueries.queries ++
+      StatsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ JexlQueries.oracleSql ++ PipelineQueries.oracleSql ++
       EventQueries.oracleSql ++ QueryStringQueries.oracleSql ++ GeoQueries.oracleSql ++
-      IngestQueries.oracleSql ++ SSDeepQueries.oracleSql ++ TreeQueries.oracleSql
+      IngestQueries.oracleSql ++ SSDeepQueries.oracleSql ++ TreeQueries.oracleSql ++
+      StatsQueries.oracleSql
 }

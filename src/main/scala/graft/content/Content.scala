@@ -124,10 +124,11 @@ object Content {
               window: Int): DataFrame = {
     val hits = phrase(tf, terms)
     val firstPos = joinTerms(tf, terms)
-      .withColumn("hit_pos", element_at(
+      .withColumn("hit_pos", try_element_at(
         filter(col("p0"), p => terms.indices.drop(1).map(i =>
           array_contains(col(s"p$i"), p + i)).reduceOption(_ && _)
-          .getOrElse(lit(true))), 1))
+          .getOrElse(lit(true))), lit(1)))
+      .filter(col("hit_pos").isNotNull)
       .select(col("doc_id"), col("hit_pos"))
     docs.join(hits, "doc_id").join(firstPos, "doc_id")
       .select(col("doc_id"), col("hit_pos"),

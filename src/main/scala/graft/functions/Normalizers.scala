@@ -49,6 +49,20 @@ object Normalizers {
       to_timestamp(c, "yyyyMMdd"),
       to_timestamp(c))
 
+  /** Normalizer lookup by reference type name (AttributeFactory.java:
+    * 26-33 consumers; names accept short + `datawave.data.type` forms). */
+  def byName(name: String): Column => Column = name.toLowerCase match {
+    case "lc" | "lctype" => lc
+    case "lcnodiacritics" | "lcnd" | "lcnodiacriticstype" => lcNoDiacritics
+    case "number" | "numbertype" => number
+    case "ip" | "ipaddress" | "ipaddresstype" => ipAddress
+    case "trimleadingzeros" | "trimleadingzerostype" => trimLeadingZeros
+    case "hex" | "hexstring" | "hexstringtype" => hexString
+    case "noop" | "nooptype" | "none" => identity
+    case "date" | "datetype" => date(_)
+    case other => throw new IllegalArgumentException(s"unknown normalizer $other")
+  }
+
   /** Reverse-index value (shardReverseIndex analog): store reversed
     * normalized values so leading-wildcard queries become prefix scans. */
   def reversed(c: Column): Column = reverse(c)

@@ -5,13 +5,21 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Query model: user-facing field aliases → internal fields, 1→N expansion
-  * (QueryModelVisitor.java:58 semantics). Keys and values are
-  * case-insensitive on the user side; resolution against the actual
-  * DataFrame schema happens in [[Compiler]]. */
-final case class QueryModel(forward: Map[String, Seq[String]] = Map.empty) {
+  * (QueryModelVisitor.java:58 semantics), plus per-field normalizer names
+  * (the DatawaveMetadata `t`/`n` codes: one field may carry SEVERAL
+  * normalizers — ExpandMultiNormalizedTerms.java:66; a comparison matches
+  * if it matches under ANY of them). Keys and values are case-insensitive
+  * on the user side; resolution against the actual DataFrame schema
+  * happens in [[Compiler]]. */
+final case class QueryModel(
+    forward: Map[String, Seq[String]] = Map.empty,
+    normalizers: Map[String, Seq[String]] = Map.empty) {
   private val norm = forward.map { case (k, v) => k.toUpperCase -> v }
+  private val normTypes = normalizers.map { case (k, v) => k.toUpperCase -> v }
   def expand(field: String): Seq[String] =
     norm.getOrElse(field.toUpperCase, Seq(field))
+  def normalizersFor(field: String): Seq[String] =
+    normTypes.getOrElse(field.toUpperCase, Nil)
 }
 
 /** Policy gates ported from the reference's operating envelope
@@ -19,7 +27,9 @@ final case class QueryModel(forward: Map[String, Seq[String]] = Map.empty) {
 final case class QueryPolicy(
     maxTerms: Int = 2000,
     maxDepth: Int = 2000,
-    fullTableScanEnabled: Boolean = false)
+    fullTableScanEnabled: Boolean = false,
+    // result-volume caps (query.max.page.size / event.query.max.results)
+    maxResults: Option[Long] = None)
 
 final class PolicyException(msg: String) extends RuntimeException(msg)
 
@@ -154,9 +164,9 @@ private final class CompileCtx(df: DataFrame, model: QueryModel) {
       // fields matching (null != 'x' is true). The negation sits OUTSIDE
       // the exists — F != 'a' on F=['a','b'] is false, not 'some element
       // differs'. Mirrors the RegexOp negated path below.
-      !coalesce(anyField(f)(leafCmp(_, _, CompareOp.Eq, l)), lit(false))
+      !coalesce(anyField(f)(fieldCmp(f, _, _, CompareOp.Eq, l)), lit(false))
 
-    case Node.FieldOp(f, op, lit) => anyField(f)(leafCmp(_, _, op, lit))
+    case Node.FieldOp(f, op, lit) => anyField(f)(fieldCmp(f, _, _, op, lit))
 
     case Node.RegexOp(f, pat, neg) =>
       // JEXL `=~` is a FULL-string match (JexlArithmetic.matches), while
@@ -242,6 +252,30 @@ private final class CompileCtx(df: DataFrame, model: QueryModel) {
   }
 
   def fieldType(field: String): Option[DataType] = resolve(field).headOption.map(_.dataType)
+
+  /** Comparison for a named field: multi-normalizer semantics when the
+    * model declares normalizers for it (ExpandMultiNormalizedTerms — the
+    * term matches under ANY declared normalizer, literal normalized the
+    * same way), plain typed comparison otherwise. */
+  private def fieldCmp(f: String, c: Column, dt: DataType,
+                       op: CompareOp, l: Literal): Column = {
+    val norms = model.normalizersFor(f)
+    if (norms.isEmpty || dt != StringType || l == Literal.Null)
+      leafCmp(c, dt, op, l)
+    else norms.map { nm =>
+      val fn = graft.functions.Normalizers.byName(nm)
+      val lc0 = fn(c)
+      val ll = fn(lit(l.raw))
+      op match {
+        case CompareOp.Eq => lc0 === ll
+        case CompareOp.Ne => lc0 =!= ll
+        case CompareOp.Lt => lc0 < ll
+        case CompareOp.Le => lc0 <= ll
+        case CompareOp.Gt => lc0 > ll
+        case CompareOp.Ge => lc0 >= ll
+      }
+    }.reduce(_ || _)
+  }
 
   private def leafCmp(c: Column, dt: DataType, op: CompareOp, l: Literal): Column = {
     val v = litFor(l, dt)

@@ -43,16 +43,16 @@ object TreeQueries {
     DocumentTree.ancestorsOfMatches(treeDocs(s, d), col("quantity") > 49)
       .select("uid", "kind")
 
-  /** Masked-field projection: unauthorized viewers get the masked phone. */
+  /** Masked-field projection: unauthorized viewers get the masked name. */
   def maskedFields(s: SparkSession, d: String): DataFrame = {
     val c = Tables.customer(s, d)
-      .withColumn("c_phone_masked",
-        concat(lit("XXX-"), substring(col("c_phone"), -4, 4)))
+      .withColumn("c_name_masked",
+        concat(lit("XXX-"), substring(col("c_name"), -4, 4)))
     logic.query(c, "C_MKTSEGMENT == 'BUILDING'",
-        QueryParams(maskedFields = Map("c_phone" -> "c_phone_masked"),
+        QueryParams(maskedFields = Map("c_name" -> "c_name_masked"),
           unmaskAuthorized = false,
-          returnFields = Seq("c_custkey", "c_phone")))
-      .select("c_custkey", "c_phone")
+          returnFields = Seq("c_custkey", "c_name")))
+      .select("c_custkey", "c_name")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -86,7 +86,7 @@ object TreeQueries {
         |SELECT CAST(o_orderkey AS VARCHAR), 'order'
         | FROM orders WHERE CAST(o_orderkey AS VARCHAR) IN (SELECT root FROM m)""".stripMargin,
     "masked_fields" ->
-      """SELECT c_custkey, 'XXX-' || right(c_phone, 4) AS c_phone
+      """SELECT c_custkey, 'XXX-' || right(c_name, 4) AS c_name
         | FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin,
   )
 }

@@ -134,7 +134,10 @@ final class ShardQueryLogic(
       df = df.withColumnRenamed(
         df.columns.find(_.equalsIgnoreCase(from)).getOrElse(from), to)
 
-    applyOptions(df, opts)
+    df = applyOptions(df, opts)
+    // max-results policy cap (event.query.max.results analog)
+    policy.maxResults.foreach(m => df = df.limit(m.toInt))
+    df
   }
 
   private def resolveCol(df: DataFrame, f: String): Column =

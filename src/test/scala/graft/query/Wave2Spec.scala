@@ -1,0 +1,126 @@
+package graft.query
+
+import graft.SparkSpec
+import graft.content.{Analyzer, AnalyzedContent, ContentStore}
+import graft.ingest.{Feeds, Ingest}
+import graft.jexl.QueryPolicy
+import graft.operators.DocumentTree
+import org.apache.spark.sql.functions._
+
+class QueryCursorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("paged cursor is deterministic, durable, resumable") {
+    val df = (1 to 10).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    val dir = java.nio.file.Files.createTempDirectory("cursor").toString
+    val cur = new QueryCursor(dir)
+    val p1 = cur.next("q1", df, Seq("id"), 4).select("id").collect().map(_.getLong(0))
+    assert(p1.toSeq == Seq(1L, 2L, 3L, 4L))
+    // a NEW cursor instance over the same state dir resumes at page 2
+    val cur2 = new QueryCursor(dir)
+    val p2 = cur2.next("q1", df, Seq("id"), 4).select("id").collect().map(_.getLong(0))
+    assert(p2.toSeq == Seq(5L, 6L, 7L, 8L))
+    val p3 = cur2.next("q1", df, Seq("id"), 4).select("id").collect().map(_.getLong(0))
+    assert(p3.toSeq == Seq(9L, 10L))
+    cur2.close("q1")
+    assert(cur2.currentOffset("q1") == 0L)
+  }
+}
+
+class FeedsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val long = Ingest.toLong(
+    Seq((1L, "2024-01-02 00:00:00", "a", 1.0),
+        (2L, "2024-01-03 00:00:00", "a", 2.0),
+        (3L, "2024-01-01 00:00:00", "b", 3.0))
+      .toDF("id", "ts", "cat", "num")
+      .withColumn("ts", col("ts").cast("timestamp")),
+    uidCol = "id", datatype = "t", dateCol = "ts")
+
+  test("atom feed keeps latest date per (category, value)") {
+    val atom = Feeds.atom(long).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDate(2).toString, r.getLong(3))).toMap
+    assert(atom(("cat", "a")) == ("2024-01-03", 2L))
+    assert(atom(("cat", "b")) == ("2024-01-01", 1L))
+  }
+
+  test("summary rollup counts per datatype/field/day") {
+    val sum = Feeds.summary(long).filter(col("field") === "cat").collect()
+    assert(sum.map(_.getAs[Long]("cnt")).sum == 3L)
+  }
+}
+
+class QueryMetricsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("instrumented queries are captured and queryable") {
+    QueryMetrics.clear()
+    val df = Seq(("a", 1), ("b", 2)).toDF("k", "v")
+    val logic = new ShardQueryLogic(policy = QueryPolicy(fullTableScanEnabled = true))
+    QueryMetrics.instrumented(logic, "q-1", df, "K == 'a'")
+    val m = QueryMetrics.toDF(spark).collect()
+    assert(m.length == 1)
+    assert(m.head.getAs[String]("queryId") == "q-1")
+    assert(m.head.getAs[Long]("resultRows") == 1L)
+  }
+}
+
+class AnalyzerSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("synonym tokens share positions; truncation applies") {
+    val docs = Seq((1L, "the quick fox")).toDF("doc_id", "text")
+    val tf = AnalyzedContent.buildTfWith(docs,
+      Analyzer(synonyms = Map("quick" -> Seq("fast"))))
+    val byTerm = tf.collect().map(r =>
+      r.getString(1) -> r.getSeq[Int](2)).toMap
+    assert(byTerm("quick") == Seq(1))
+    assert(byTerm("fast") == Seq(1)) // same position as source token
+    val trunc = AnalyzedContent.buildTfWith(docs, Analyzer(maxTokenLength = 3))
+    val terms = trunc.select("term").collect().map(_.getString(0)).toSet
+    assert(terms == Set("the", "qui", "fox"))
+  }
+}
+
+class ContentStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("content table round-trips document bytes by uid") {
+    val docs = Seq((7L, "hello world"), (8L, "bye")).toDF("doc_id", "text")
+    val table = ContentStore.contentTable(docs)
+    val got = ContentStore.decoded(ContentStore.fetch(table, Seq("7")))
+      .select("uid", "text").collect()
+    assert(got.length == 1)
+    assert(got.head.getString(1) == "hello world")
+  }
+}
+
+class DocumentTreeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("uid tree derivations") {
+    val df = Seq("r1", "r1.1", "r1.1.2", "r2").toDF("uid")
+      .select(col("uid"), DocumentTree.tldUid(col("uid")).as("tld"),
+        DocumentTree.parentUid(col("uid")).as("parent"))
+    val m = df.collect().map(r => r.getString(0) ->
+      (r.getString(1), Option(r.getString(2)))).toMap
+    assert(m("r1") == ("r1", None))
+    assert(m("r1.1") == ("r1", Some("r1")))
+    assert(m("r1.1.2") == ("r1", Some("r1.1")))
+  }
+
+  test("tld query returns whole trees; ancestor query returns root paths") {
+    val docs = Seq(
+      ("r1", 0), ("r1.1", 5), ("r1.2", 0),
+      ("r2", 0), ("r2.1", 0))
+      .toDF("uid", "score")
+    val tld = DocumentTree.tldQuery(docs, col("score") > 3)
+      .select("uid").collect().map(_.getString(0)).toSet
+    assert(tld == Set("r1", "r1.1", "r1.2"))
+    val anc = DocumentTree.ancestorsOfMatches(docs, col("score") > 3)
+      .select("uid").collect().map(_.getString(0)).toSet
+    assert(anc == Set("r1", "r1.1"))
+  }
+}
