@@ -71,6 +71,24 @@ object Ingest {
         collect_set(col("uid")).as("uid_sample"))
       .withColumn("uid_sample", slice(col("uid_sample"), 1, 20)) // Uid.List MAX=20 cap
 
+  /** Date-index analog (DateIndexDataTypeHandler.java:43-72): secondary
+    * mapping from an alternate date semantic (ACTIVITY vs EVENT vs LOAD
+    * time) to the shard dates holding matching events. A query with
+    * date-type X resolves its begin/end bounds through this table into a
+    * shard_date set — partition pruning under non-storage date semantics. */
+  def dateIndex(df: DataFrame, dateType: String, dateCol: String,
+                shardDateCol: String = "shard_date"): DataFrame =
+    df.groupBy(lit(dateType).as("date_type"), to_date(col(dateCol)).as("date"))
+      .agg(collect_set(col(shardDateCol)).as("shard_dates"),
+        count(lit(1)).as("cnt"))
+
+  /** Shard dates for a date-type-bounded query (RangeStream date step). */
+  def shardDatesFor(dateIdx: DataFrame, dateType: String,
+                    begin: String, end: String): DataFrame =
+    dateIdx.filter(col("date_type") === dateType &&
+        col("date").between(lit(begin), lit(end)))
+      .select(explode(col("shard_dates")).as("shard_date")).distinct()
+
   /** Document view: reassemble events into documents —
     * `uid → map<field, array<struct<value, group>>>` (attributes/Document
     * .java analog). Two-level aggregation keeps the shuffle keyed on uid

@@ -40,17 +40,28 @@ object DocumentTree {
     docs.join(roots, tldUid(docs(uidCol)) === col("__tld"), "left_semi")
   }
 
+  /** All dotted prefixes of a uid including itself:
+    * "a.b.c" → ["a", "a.b", "a.b.c"]. */
+  def prefixesOf(uid: Column): Column = {
+    val segs = split(uid, "\\.")
+    transform(sequence(lit(1), size(segs)),
+      k => array_join(slice(segs, lit(1), k), "."))
+  }
+
   /** Ancestor query: return matching documents plus every ANCESTOR on
     * their root path (AncestorQueryLogic: the evaluation context is the
-    * document and its ancestors). Ancestor membership = prefix-of along
-    * the dotted path, same tree. */
+    * document and its ancestors).
+    *
+    * Plan shape matters: a `startsWith` OR-condition join degenerates to
+    * a nested-loop (matches × corpus predicate evaluations). Instead the
+    * match uids EXPLODE into their dotted prefixes (tree depth is small
+    * and bounded) and membership becomes an equi semi-join — hash join,
+    * broadcastable, exact. */
   def ancestorsOfMatches(docs: DataFrame, pred: Column,
                          uidCol: String = "uid"): DataFrame = {
-    val matches = docs.filter(pred).select(col(uidCol).as("__m")).distinct()
-    // ancestor test: __m == uid or __m starts with uid + '.'
-    docs.join(matches,
-        col("__m") === docs(uidCol) ||
-          col("__m").startsWith(concat(docs(uidCol), lit("."))),
-        "left_semi")
+    val prefixes = docs.filter(pred)
+      .select(explode(prefixesOf(col(uidCol))).as("__p"))
+      .distinct()
+    docs.join(prefixes, docs(uidCol) === col("__p"), "left_semi")
   }
 }

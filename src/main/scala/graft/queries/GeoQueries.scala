@@ -59,13 +59,41 @@ object GeoQueries {
         QueryParams(returnFields = Seq("c_custkey")))
       .select("c_custkey")
 
+  /** Scala replica of Normalizers.geoPointZ for driver-side bound
+    * computation (same quantization + interleave). */
+  private def zOf(lat: Double, lon: Double): Long = {
+    val latQ = ((lat + 90.0) / 180.0 * ((1 << 20) - 1)).toLong
+    val lonQ = ((lon + 180.0) / 360.0 * ((1 << 20) - 1)).toLong
+    (0 until 20).map { i =>
+      (((latQ >> i) & 1L) << (2 * i + 1)) | (((lonQ >> i) & 1L) << (2 * i))
+    }.reduce(_ | _)
+  }
+
+  /** Same bbox THROUGH the z-order composite key: Morton codes are
+    * monotone per coordinate, so the box is contained in
+    * [z(ll), z(ur)] — a coarse sargable range prefilter (the
+    * CompositeSeekingIterator / GeoWave SFC pruning story; at scale zkey
+    * is the sort/partition column so this range prunes files), then the
+    * exact predicate refines. Output equals geo_bbox. */
+  def geoBboxZ(s: SparkSession, d: String): DataFrame = {
+    val g = withGeo(Tables.customer(s, d))
+      .withColumn("zkey", graft.functions.Normalizers.geoPointZ(col("lat"), col("lon")))
+    g.filter(col("zkey").between(zOf(10, -30), zOf(60, 40)))
+      .filter(col("lat").between(10, 60) && col("lon").between(-30, 40))
+      .select("c_custkey", "lat", "lon")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "geo_bbox" -> geoBbox _,
+    "geo_bbox_z" -> geoBboxZ _,
     "geo_circle" -> geoCircle _,
     "geowave_intersects" -> geowaveIntersects _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "geo_bbox_z" ->
+      s"""SELECT c_custkey, lat, lon FROM $geoSql
+         | WHERE lat >= 10 AND lat <= 60 AND lon >= -30 AND lon <= 40""".stripMargin,
     "geo_bbox" ->
       s"""SELECT c_custkey, lat, lon FROM $geoSql
          | WHERE lat >= 10 AND lat <= 60 AND lon >= -30 AND lon <= 40""".stripMargin,

@@ -1,0 +1,43 @@
+package graft
+
+import graft.queries._
+
+/** Plan-shape assertions: the point of compiling to declarative Catalyst
+  * is that the RIGHT physical plan falls out — filters reach the parquet
+  * scan, prefix predicates push down, small dimensions broadcast, top-k
+  * never globally sorts. These guard against regressions that stay
+  * correct but lose the 100×-scale plan.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def executed(name: String): String =
+    SparkEntry.queries(name)(spark, sf001).queryExecution.executedPlan.toString
+
+  test("JEXL comparison filters reach the parquet scan") {
+    val plan = executed("jexl_eq_range")
+    assert(plan.contains("PushedFilters"), plan.take(2000))
+    assert(plan.contains("EqualTo(l_returnflag,R)"), plan.take(2000))
+    assert(plan.contains("GreaterThanOrEqual(l_qu"), plan.take(2000))
+  }
+
+  test("LUCENE prefix wildcard pushes StringStartsWith to parquet") {
+    val plan = executed("lucene_wildcard")
+    assert(plan.contains("StringStartsWith(p_name,sma"), plan.take(2000))
+  }
+
+  test("small dimension join broadcasts") {
+    val plan = executed("rel_join_broadcast")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("top-k plans TakeOrderedAndProject, not a global sort") {
+    val plan = executed("rel_topk")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
+  test("needle semi-join broadcasts the index-derived dates") {
+    val plan = executed("ing_needle_semijoin")
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftSemi"), plan.take(3000))
+  }
+}

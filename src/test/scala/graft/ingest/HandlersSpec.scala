@@ -36,6 +36,34 @@ class HandlersSpec extends SparkSpec {
     assert(md.select("field").collect().map(_.getString(0)).toSet == Set("cat", "num"))
   }
 
+  test("date index resolves alternate date semantics to shard dates") {
+    // event stored under its EVENT date, but carries a different
+    // ACTIVITY date — the ACTIVITY-bounded query must reach the EVENT
+    // shard via the index
+    val df = Seq(
+      ("e1", "2024-01-10", "2024-01-03"),  // stored Jan 10, activity Jan 3
+      ("e2", "2024-01-11", "2024-01-20"))
+      .toDF("uid", "shard_date", "activity_date")
+      .withColumn("shard_date", col("shard_date").cast("date"))
+    val idx = Ingest.dateIndex(df, "ACTIVITY", "activity_date")
+    val shards = Ingest.shardDatesFor(idx, "ACTIVITY", "2024-01-01", "2024-01-05")
+      .collect().map(_.getDate(0).toString)
+    assert(shards.toSeq == Seq("2024-01-10"))
+  }
+
+  test("whindex swaps value-specific fields and drops the marker") {
+    import graft.jexl._
+    val ast = JexlParser.parse("geowave:intersects(GEO, 'POINT (1 1)') && PLANET == 'MARS'")
+    val out = Whindex.rewrite(ast,
+      Seq(Whindex.Mapping("PLANET", "MARS", "GEO", "MARS_GEO")))
+    assert(out == Node.Func("geowave", "intersects",
+      List(Node.FieldArg("MARS_GEO"), Node.LitArg(Literal.Str("POINT (1 1)")))))
+    // unrelated marker values leave the tree untouched
+    val ast2 = JexlParser.parse("geowave:intersects(GEO, 'POINT (1 1)') && PLANET == 'VENUS'")
+    assert(Whindex.rewrite(ast2,
+      Seq(Whindex.Mapping("PLANET", "MARS", "GEO", "MARS_GEO"))) == ast2)
+  }
+
   test("document transform chain composes in order") {
     val df = Seq(("a", 1), ("a", 1), ("b", 2)).toDF("k", "v")
     val out = Transforms.chain(Seq(
