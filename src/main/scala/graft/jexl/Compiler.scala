@@ -113,7 +113,8 @@ object Compiler {
   }
 }
 
-private final class CompileCtx(df: DataFrame, model: QueryModel) {
+private final class CompileCtx(df: DataFrame, model: QueryModel)
+    extends FunctionRegistry.FunctionContext {
   private val bySimpleName: Map[String, StructField] =
     df.schema.fields.map(f => f.name.toUpperCase -> f).toMap
 
@@ -478,7 +479,12 @@ private object Functions {
           ctx.single(f).cast(StringType))
 
       case _ =>
-        throw new ParseException(s"unsupported function $ns:$name/${args.size}")
+        // pluggable namespace SPI fallback (JexlFunctionNamespaceRegistry)
+        FunctionRegistry.lookup(ns, name) match {
+          case Some(h) => h(ctx, args)
+          case None =>
+            throw new ParseException(s"unsupported function $ns:$name/${args.size}")
+        }
     }
 
   /** Value-returning eval-phase functions (getMinTime/getMaxTime/

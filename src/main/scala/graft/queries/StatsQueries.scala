@@ -28,9 +28,22 @@ object StatsQueries {
       .select("p_partkey", "p_type")
   }
 
+  /** CachedResults analog (CachedRunningQuery.java:399,486-495): a query
+    * result registered as a temp view, then arbitrary Spark SQL over it —
+    * what the reference ships pages to MySQL for, native here. */
+  def cachedResultsSql(s: SparkSession, d: String): DataFrame = {
+    val logic = new graft.query.ShardQueryLogic()
+    logic.query(Tables.orders(s, d), "O_ORDERPRIORITY == '1-URGENT'")
+      .createOrReplaceTempView("cached_q")
+    s.sql("""SELECT o_orderstatus, count(*) AS cnt,
+            |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+            |FROM cached_q GROUP BY o_orderstatus""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "card_cube" -> cardCube _,
     "jexl_multinorm" -> jexlMultinorm _,
+    "cached_results_sql" -> cachedResultsSql _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -41,5 +54,10 @@ object StatsQueries {
     "jexl_multinorm" ->
       """SELECT p_partkey, p_type FROM part
         | WHERE lower(p_type) = 'promo burnished copper'""".stripMargin,
+    "cached_results_sql" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        | FROM orders WHERE o_orderpriority = '1-URGENT'
+        | GROUP BY o_orderstatus""".stripMargin,
   )
 }

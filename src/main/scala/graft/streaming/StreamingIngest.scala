@@ -5,6 +5,11 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 import org.apache.spark.sql.types.StructType
 
+/** Custom state for the live uid-index combiner: exact count + capped
+  * uid sample (the Uid.List proto: COUNT/UID[] with IGNORE above the
+  * cap — Uid.proto:9-13). */
+final case class UidState(count: Long, uids: Seq[String])
+
 /** Structured-Streaming ingest (SURVEY.md §2.7): the reference's streaming
   * story is FlagMaker file micro-batching + "live" Mutation writes
   * (FlagMaker.java:60, LiveContextWriter.java:23) — here the same shape is
@@ -59,6 +64,33 @@ object StreamingIngest {
       .agg(count(lit(1)).as("cnt"))
       .select(col("session_window.start").as("session_start"),
         col(keyCol), col("cnt"))
+
+  /** Live global-index maintenance with CUSTOM streaming state — the
+    * GlobalIndexUidAggregator combiner (GlobalIndexUidAggregator.java:
+    * 21-25) that the reference runs at Accumulo compaction, expressed as
+    * `flatMapGroupsWithState`: per (field, value) key the state holds the
+    * exact observation count plus a capped uid list, updated every
+    * micro-batch. Output mode Update emits the refreshed index row. */
+  def liveUidIndex(long: DataFrame, maxUids: Int = 20): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = long.sparkSession
+    import spark.implicits._
+    long.select(col("field").cast("string"), col("value").cast("string"),
+        col("uid").cast("string"))
+      .as[(String, String, String)]
+      .groupByKey { case (f, v, _) => (f, v) }
+      .flatMapGroupsWithState[UidState, (String, String, Long, Seq[String])](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case ((f, v), rows, state: GroupState[UidState]) =>
+          val prev = state.getOption.getOrElse(UidState(0L, Nil))
+          val incoming = rows.map(_._3).toSeq
+          val merged = UidState(prev.count + incoming.size,
+            (prev.uids ++ incoming).distinct.take(maxUids))
+          state.update(merged)
+          Iterator((f, v, merged.count, merged.uids))
+      }
+      .toDF("field", "value", "cnt", "uid_sample")
+  }
 
   /** Age-off maintenance (age-off filter analog,
     * FieldAgeOffFilter.java:39): retention as a scheduled DELETE — in

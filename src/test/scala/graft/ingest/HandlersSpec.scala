@@ -64,6 +64,36 @@ class HandlersSpec extends SparkSpec {
       Seq(Whindex.Mapping("PLANET", "MARS", "GEO", "MARS_GEO"))) == ast2)
   }
 
+  test("modification service: field insert/delete via anti-join + union") {
+    import Modifications._
+    val out = applyEdits(long, Seq(
+      DeleteField("1", "t", "cat"),                       // all instances
+      DeleteField("2", "t", "num", value = Some("20.0")), // specific value
+      PutField("1", "t", "cat", "z",
+        shardDate = java.sql.Date.valueOf("2024-01-02"))))
+    val rows = out.select("uid", "field", "value").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(!rows.contains(("1", "cat", "a")))
+    assert(rows.contains(("1", "cat", "z")))
+    assert(!rows.exists(r => r._1 == "2" && r._2 == "num"))
+    assert(rows.exists(r => r._1 == "2" && r._2 == "cat")) // untouched
+  }
+
+  test("age-off sweep expires by rule specificity") {
+    import Modifications._
+    val out = ageOff(long, Seq(
+        AgeOffRule(datatype = Some("t"), field = Some("num"), ttlDays = 30),
+        AgeOffRule(ttlDays = 365)),
+      asOf = java.sql.Date.valueOf("2024-01-31"))
+    val kept = out.select("uid", "field").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // uid 2 (2023-06-01) is older than 30d for num and within 365d for
+    // the catch-all → its num rows expire, cat rows stay
+    assert(!kept.contains(("2", "num")))
+    assert(kept.contains(("2", "cat")))
+    assert(kept.contains(("1", "num"))) // fresh rows stay
+  }
+
   test("document transform chain composes in order") {
     val df = Seq(("a", 1), ("a", 1), ("b", 2)).toDF("k", "v")
     val out = Transforms.chain(Seq(

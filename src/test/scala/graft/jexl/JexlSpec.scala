@@ -278,6 +278,22 @@ class CompilerSpec extends SparkSpec {
     assert(go("P_NAME =~ '.*mint.*'") == Set("spearmint", "mint chocolate"))
   }
 
+  test("custom namespaces plug in through the function registry") {
+    FunctionRegistry.register("custom", "isEven", { (ctx, args) =>
+      args match {
+        case Node.FieldArg(f) :: Nil =>
+          ctx.anyField(f)((c, _) => pmod(c.cast("long"), lit(2L)) === 0L)
+        case _ => throw new ParseException("custom:isEven(F)")
+      }
+    })
+    try {
+      assert(names("custom:isEven(AGE)") == Set("alice", "bob", "dave"))
+    } finally FunctionRegistry.unregister("custom", "isEven")
+    intercept[ParseException] {
+      names("custom:isEven(AGE)") // unregistered again → safe failure
+    }
+  }
+
   test("content:phrase scalar fallback") {
     val docs = Seq((1, "Alas poor Yorick I knew him"), (2, "poor alas yorick"))
       .toDF("id", "quote")

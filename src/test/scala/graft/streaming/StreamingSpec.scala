@@ -30,6 +30,28 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(("view", 1L)))
   }
 
+  test("live uid index maintains count + capped uid list as custom state") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String, String)]
+    val long = mem.toDF().toDF("field", "value", "uid")
+    val out = StreamingIngest.liveUidIndex(long, maxUids = 2)
+    val q = out.writeStream.format("memory").queryName("uidx")
+      .outputMode("update").start()
+    mem.addData(("F", "a", "u1"), ("F", "a", "u2"), ("F", "b", "u9"))
+    q.processAllAvailable()
+    mem.addData(("F", "a", "u3"))
+    q.processAllAvailable()
+    val rows = spark.table("uidx").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("cnt"), r.getSeq[String](3)))
+    q.stop()
+    // last update for (F, a): exact count 3, uid list capped at 2
+    val last = rows.reverse.find(_._1 == ("F", "a")).get._2
+    assert(last._1 == 3L)
+    assert(last._2.size == 2)
+    assert(rows.exists(r => r._1 == ("F", "b") && r._2._1 == 1L))
+  }
+
   test("file-stream ingest writes date-partitioned long layout") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
     val in = s"$tmp/in"; val out = s"$tmp/out"; val ck = s"$tmp/ck"
