@@ -40,10 +40,25 @@ object StatsQueries {
             |FROM cached_q GROUP BY o_orderstatus""".stripMargin)
   }
 
+  /** HIT_TERM end-to-end: the evaluator reports WHY each document
+    * matched — exploded to (uid, field, value) rows so the hit terms are
+    * fully oracle-able, including the TYPED bounded-range leaf (a double
+    * range must produce string hit values without null casts). */
+  def hitTerms(s: SparkSession, d: String): DataFrame = {
+    val logic = new graft.query.ShardQueryLogic()
+    logic.query(Tables.orders(s, d),
+        "O_ORDERPRIORITY == '1-URGENT' && O_TOTALPRICE >= 300000 && O_TOTALPRICE <= 400000",
+        graft.query.QueryParams(hitList = true))
+      .select(col("o_orderkey"), explode(col("HIT_TERM")).as("hit"))
+      .select(col("o_orderkey"), col("hit.field").as("hit_field"),
+        col("hit.value").as("hit_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "card_cube" -> cardCube _,
     "jexl_multinorm" -> jexlMultinorm _,
     "cached_results_sql" -> cachedResultsSql _,
+    "hit_terms" -> hitTerms _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -59,5 +74,14 @@ object StatsQueries {
         |   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         | FROM orders WHERE o_orderpriority = '1-URGENT'
         | GROUP BY o_orderstatus""".stripMargin,
+    "hit_terms" ->
+      """WITH m AS (SELECT * FROM orders
+        |  WHERE o_orderpriority = '1-URGENT'
+        |    AND o_totalprice >= 300000 AND o_totalprice <= 400000)
+        |SELECT o_orderkey, 'O_ORDERPRIORITY' AS hit_field,
+        |       o_orderpriority AS hit_value FROM m
+        |UNION ALL
+        |SELECT o_orderkey, 'O_TOTALPRICE',
+        |       CAST(o_totalprice AS VARCHAR) FROM m""".stripMargin,
   )
 }
