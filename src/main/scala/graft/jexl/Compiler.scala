@@ -577,21 +577,29 @@ private object Functions {
   /** Ordered-consecutive phrase over the token stream — identical
     * semantics to the tf-table plan (Content.phrase): tokenizer-based, so
     * 'fast_scan' matches the phrase 'fast scan' exactly as the reference's
-    * offset evaluation would. */
+    * offset evaluation would.
+    *
+    * The token array is BOUND once per row through a 1-element `exists`
+    * (a lambda-let): interpreted higher-order lambdas re-evaluate every
+    * subtree they close over, so an unbound form re-tokenizes the whole
+    * document per window index. */
   private def phrasePred(c: Column, terms: Seq[String]): Column = {
     val n = terms.size
-    val toks = tokensOf(c)
-    when(size(toks) >= n,
-      exists(sequence(lit(1), size(toks) - (n - 1)), i =>
-        terms.zipWithIndex.map { case (t, j) =>
-          element_at(toks, (i + lit(j)).cast("int")) === lit(t.toLowerCase)
-        }.reduce(_ && _)))
-      .otherwise(lit(false))
+    exists(array(tokensOf(c)), toks =>
+      when(size(toks) >= n,
+        exists(sequence(lit(1), size(toks) - (n - 1)), i =>
+          terms.zipWithIndex.map { case (t, j) =>
+            element_at(toks, (i + lit(j)).cast("int")) === lit(t.toLowerCase)
+          }.reduce(_ && _)))
+        .otherwise(lit(false)))
   }
 
   /** ∃ one position per term with max−min ≤ dist (content:within,
     * unordered). Nested `exists` over per-term position lists — bounded by
-    * per-document term frequency. */
+    * per-document term frequency. The per-term position arrays are bound
+    * ONCE per row (same lambda-let trick as [[phrasePred]]); otherwise
+    * each inner exists re-derives its position list for every outer
+    * candidate position. */
   private def withinPred(c: Column, dist: Int, terms: Seq[String]): Column = {
     val toks = tokensOf(c)
     val indexed = zip_with(toks, sequence(lit(0), size(toks) - 1),
@@ -599,14 +607,17 @@ private object Functions {
     def posOf(t: String): Column =
       transform(filter(indexed, e => e.getField("t") === lit(t.toLowerCase)),
         e => e.getField("p"))
-    def nest(rem: List[String], chosen: List[Column]): Column = rem match {
-      case Nil =>
+    val bound = struct(terms.zipWithIndex.map { case (t, i) =>
+      posOf(t).as(s"p$i") }: _*)
+    def nest(b: Column, i: Int, chosen: List[Column]): Column =
+      if (i == terms.size) {
         val hi = chosen.reduce(greatest(_, _))
         val lo = chosen.reduce(least(_, _))
         (hi - lo) <= dist
-      case t :: rest => exists(posOf(t), x => nest(rest, x :: chosen))
-    }
-    when(size(toks) > 0, nest(terms.toList, Nil)).otherwise(lit(false))
+      } else exists(b.getField(s"p$i"), x => nest(b, i + 1, x :: chosen))
+    when(size(toks) > 0,
+      exists(array(bound), b => nest(b, 0, Nil)))
+      .otherwise(lit(false))
   }
 
   /** All (field, value) conditions within the SAME grouping-context

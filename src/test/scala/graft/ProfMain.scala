@@ -39,6 +39,8 @@ object ProfMain {
     t("ssdeep")(graft.queries.SSDeepQueries.ssdeepSimilarity(spark, sf).count())
     t("ngram_jaccard")(Dedup.ngramJaccardPairs(docs, 3, 0.8).count())
     t("simhash")(Dedup.simhashPairs(docs, 3, 0.8, 7).count())
+    t("qs_content_within")(graft.queries.QueryStringQueries.qsContentWithin(spark, sf).count())
+    t("lucene_phrase")(graft.queries.JexlQueries.lucenePhrase(spark, sf).count())
     spark.stop()
   }
 }
