@@ -214,6 +214,22 @@ class CompilerSpec extends SparkSpec {
     assert(out.count() == 2)
   }
 
+  test("filter:timeFunction, f:matchRegex, f:includeText") {
+    val df = Seq(
+      ("near", "2024-01-01 00:00:00", "2024-01-01 02:00:00", "alpha"),
+      ("far", "2024-01-01 00:00:00", "2024-03-01 00:00:00", "beta"))
+      .toDF("name", "t1", "t2", "tag")
+      .withColumn("t1", col("t1").cast("timestamp"))
+      .withColumn("t2", col("t2").cast("timestamp"))
+    def go(q: String): Set[String] =
+      Compiler.filter(df, q, policy = QueryPolicy(fullTableScanEnabled = true))
+        .select("name").collect().map(_.getString(0)).toSet
+    // |t1−t2| <= 1 day in millis
+    assert(go("filter:timeFunction(T1, T2, '<=', 86400000)") == Set("near"))
+    assert(go("f:matchRegex(TAG, 'al.*')") == Set("near"))
+    assert(go("f:includeText(TAG, 'beta')") == Set("far"))
+  }
+
   test("filter:compare ANY/ALL over multi-valued fields") {
     val df = Seq(
       ("anyhit", Seq(1, 9), Seq(5, 6)),   // 9 > 5 → ANY; not ALL (1 < 5)

@@ -1,6 +1,7 @@
 package graft.query
 
 import graft.SparkSpec
+import graft.core.Tables
 import graft.content.{Analyzer, AnalyzedContent, ContentStore}
 import graft.ingest.{Feeds, Ingest}
 import graft.jexl.QueryPolicy
@@ -94,6 +95,32 @@ class ContentStoreSpec extends SparkSpec {
       .select("uid", "text").collect()
     assert(got.length == 1)
     assert(got.head.getString(1) == "hello world")
+  }
+}
+
+class FacetSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sketch-backed facet view: HLL cardinality + count-min counts") {
+    // the FacetHandler's HLL+/CMS pre-aggregation (FacetValue.java:16-25)
+    // maps to approx_count_distinct + count_min_sketch built-ins
+    val events = Tables.events(spark, sf001)
+    val facet = events.groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"),
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        count_min_sketch(col("user_id"), lit(0.01), lit(0.99), lit(42))
+          .as("cms"))
+    val exact = events.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("users"))
+    val joined = facet.join(exact, "event_type").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val approx = r.getAs[Long]("approx_users").toDouble
+      val exactN = r.getAs[Long]("users").toDouble
+      assert(math.abs(approx - exactN) / exactN < 0.15,
+        s"HLL too far off: $approx vs $exactN")
+      assert(r.getAs[Array[Byte]]("cms").nonEmpty) // mergeable sketch bytes
+    }
   }
 }
 
