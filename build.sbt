@@ -26,5 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Heap sizing is PERF-CRITICAL, measured both ways: above ~32g the JVM
+  // loses compressed oops and the interpreted expression paths (pointer
+  // chasing) run up to 100x slower (48g: content predicates 1.1s -> 104s);
+  // at 8g GC pressure produced 10x outliers under cache accumulation.
+  // 16g + Xms=Xmx (no growth stalls) + per-query cache clearing is the
+  // stable point.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

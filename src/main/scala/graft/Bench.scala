@@ -7,13 +7,23 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // collect_set/collect_list aggregations (global index, doc view,
+      // grouping-context reassembly) have far more than 128 groups; the
+      // default ObjectHashAggregate fallback would sort-spill every one
+      // of them. They fit comfortably in the pinned 16g heap.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // drop per-query persisted frames: honest isolated timings, no
+      // cache accumulation across ~80 queries
+      spark.catalog.clearCache()
+      System.err.println(f"[bench] $name%-24s $dt%8.2f s")
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

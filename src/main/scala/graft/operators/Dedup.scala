@@ -19,14 +19,19 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word n-gram shingles of the normalized text ("a b c" word windows). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = TextOps.tokens(text)
-    when(size(toks) >= n,
-      array_distinct(transform(sequence(lit(0), size(toks) - n),
-        i => array_join(slice(toks, i + lit(1), lit(n)), " "))))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Word n-gram shingles of the normalized text ("a b c" word windows).
+    *
+    * The tokenization is bound ONCE per row via a 1-element `transform`
+    * lambda-let: a subtree closed over by a HOF lambda is re-evaluated per
+    * element, so referencing `tokens(text)` directly inside the window
+    * transform would re-split the whole text for every window — O(|text|²)
+    * per document (measured as a 500+ s single stage at sf0.1). */
+  def shingles(text: Column, n: Int): Column =
+    element_at(transform(array(TextOps.tokens(text)), toks =>
+      when(size(toks) >= n,
+        array_distinct(transform(sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + lit(1), lit(n)), " "))))
+        .otherwise(array().cast("array<string>"))), 1)
 
   /** Exact dedup: one survivor (min id) per identical normalized text.
     * groupBy on the 128-bit content hash — the only shuffle, keyed small. */
@@ -46,8 +51,16 @@ object Dedup {
     * LOW-document-frequency ones, so bucket skew dies without a lossy
     * stop-shingle cap, and the verify stage re-checks exactly, so the
     * output equals the quadratic oracle. */
+  /** Spread the docs across the cluster BEFORE the interpreted
+    * shingle/signature derivation — see [[graft.core.Spread]] for why a
+    * bare repartition is not enough (projection/filter pushdown moves the
+    * expensive expressions back below the shuffle). */
+  private def spread(docs: DataFrame): DataFrame =
+    graft.core.Spread(docs.select(col("doc_id"), col("text")))
+
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
-    val withSh = docs.select(col("doc_id"), shingles(col("text"), n).as("sh"))
+    val withSh = spread(docs)
+      .select(col("doc_id"), shingles(col("text"), n).as("sh"))
       .persist()
     val inverted = withSh
       .select(col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("shingle"))
@@ -118,7 +131,8 @@ object Dedup {
     // not once per side of the self-join plus twice more in the verify
     // join. At lake scale the analog is a checkpointed signatures table
     // maintained incrementally at ingest.
-    val withSh = docs.select(col("doc_id"), shingles(col("text"), n).as("sh"))
+    val withSh = spread(docs)
+      .select(col("doc_id"), shingles(col("text"), n).as("sh"))
       .filter(size(col("sh")) > 0)
       .persist()
     val sig = withSh.withColumn("mh", minhashSignature(col("sh"), numHashes))
@@ -170,9 +184,10 @@ object Dedup {
     * result set; it is the cheap-fingerprint tradeoff point. */
   def simhashPairs(docs: DataFrame, n: Int, threshold: Double,
                    maxHamming: Int = 7): DataFrame = {
-    val withSh = docs.select(col("doc_id"), shingles(col("text"), n).as("sh"))
+    val withSh = spread(docs)
+      .select(col("doc_id"), shingles(col("text"), n).as("sh"))
       .persist()
-    val sig = docs.select(col("doc_id"), simhash(col("text")).as("sim"))
+    val sig = spread(docs).select(col("doc_id"), simhash(col("text")).as("sim"))
     // 8 bands of 8 bits: hamming ≤ 7 ⇒ at least one band identical.
     // Persisted for the same one-evaluation reason as minhashLshPairs.
     val banded = sig.select(col("doc_id"), col("sim"),

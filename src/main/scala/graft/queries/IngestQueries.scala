@@ -14,7 +14,7 @@ import graft.ingest.Ingest
 object IngestQueries {
 
   private def longEvents(s: SparkSession, d: String): DataFrame =
-    Ingest.toLong(Tables.events(s, d), uidCol = "event_id",
+    Ingest.toLong(graft.core.Spread(Tables.events(s, d)), uidCol = "event_id",
       datatype = "event", dateCol = "ts")
 
   /** Discovery (DiscoveryLogic.java:71): per-term counts by day/datatype

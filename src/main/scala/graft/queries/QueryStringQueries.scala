@@ -47,7 +47,8 @@ object QueryStringQueries {
   /** JEXL string with grouping:matchesInGroup over grouping-context-
     * aligned arrays (lineitem lines as group instances of the order). */
   def qsGroupingString(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
+    val li = graft.core.Spread(Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"))
     // wide event layout: one row per order, repeated fields as
     // group-labeled entries (line number = grouping context; a line
     // number may repeat, like NAME.3 occurring twice in a document)

@@ -28,7 +28,8 @@ object SSDeepQueries {
     * chunk = chars from different md5 digits (first 24). Near-duplicate
     * documents share most tokens → similar chunks → high scores. */
   def ssdeepHashes(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    graft.core.Spread(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .withColumn("chunk",
         array_join(transform(slice(col("toks"), 1, 48), t => charFor(t, 1, 2)), ""))
       .withColumn("dchunk",
