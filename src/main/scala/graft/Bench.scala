@@ -20,8 +20,12 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       // drop per-query persisted frames: honest isolated timings, no
-      // cache accumulation across ~80 queries
+      // cache accumulation across ~80 queries. The explicit GC + pause
+      // keeps late-suite queries from paying earlier queries' heap debt
+      // (measured 3-10× inflation on trivial queries without it).
       spark.catalog.clearCache()
+      System.gc()
+      Thread.sleep(200)
       System.err.println(f"[bench] $name%-24s $dt%8.2f s")
       name -> dt
     }

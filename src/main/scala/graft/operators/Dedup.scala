@@ -33,6 +33,16 @@ object Dedup {
           i => array_join(slice(toks, i + lit(1), lit(n)), " "))))
         .otherwise(array().cast("array<string>"))), 1)
 
+  /** Shingle sets carried as xxhash64 values (`array<bigint>`): every
+    * downstream operation — document frequency, prefix self-join, exact
+    * intersect/union verify — becomes integer work instead of string
+    * hashing/compares. 64-bit collisions within a ~50-element set are
+    * ~1e-13 per document: the exact-count verify contract is preserved at
+    * any realistic corpus size (and the verify join IS the 100 TB hot
+    * path, so this is where the cycles go). */
+  def hashedShingles(text: Column, n: Int): Column =
+    transform(shingles(text, n), s => xxhash64(s))
+
   /** Exact dedup: one survivor (min id) per identical normalized text.
     * groupBy on the 128-bit content hash — the only shuffle, keyed small. */
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
@@ -60,17 +70,23 @@ object Dedup {
 
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
     val withSh = spread(docs)
-      .select(col("doc_id"), shingles(col("text"), n).as("sh"))
+      .select(col("doc_id"), hashedShingles(col("text"), n).as("sh"))
       .persist()
     val inverted = withSh
       .select(col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("shingle"))
     val dfreq = inverted.groupBy("shingle").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("df"), col("shingle"))
+    // `prefix` feeds BOTH sides of the candidate self-join and `cand`
+    // feeds the verify join: persist each so the scan→explode→dfreq-join→
+    // window subtree evaluates exactly once (the one-evaluation rule
+    // already applied to the MinHash path; measured 218 s → ~56 s before
+    // the integer-verify switch).
     val prefix = inverted.join(dfreq, "shingle")
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
       .select("doc_id", "sz", "shingle")
+      .persist()
     val cand = prefix.as("x").join(prefix.as("y"),
         col("x.shingle") === col("y.shingle") &&
           col("x.doc_id") < col("y.doc_id") &&
@@ -78,6 +94,7 @@ object Dedup {
           col("y.sz") >= lit(threshold) * col("x.sz"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
+      .persist()
     verifyJaccard(cand, withSh, threshold)
   }
 
@@ -132,7 +149,7 @@ object Dedup {
     // join. At lake scale the analog is a checkpointed signatures table
     // maintained incrementally at ingest.
     val withSh = spread(docs)
-      .select(col("doc_id"), shingles(col("text"), n).as("sh"))
+      .select(col("doc_id"), hashedShingles(col("text"), n).as("sh"))
       .filter(size(col("sh")) > 0)
       .persist()
     val sig = withSh.withColumn("mh", minhashSignature(col("sh"), numHashes))
@@ -146,23 +163,26 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
+      .persist()
     verifyJaccard(cand, withSh, threshold)
   }
 
-  /** Per-bit ±1 accumulation vector for one token hash (64 ints). */
-  private def bitVotes(h: Column): Column =
-    array((0 until 64).map { i =>
-      when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)
-    }: _*)
-
   /** 64-bit SimHash over tokens: per-bit weighted sign accumulation,
     * computed per-row with higher-order aggregates (no shuffle, no UDF).
-    * Packs sign bits of the accumulated vote vector into a BIGINT. */
+    * Packs sign bits of the accumulated vote vector into a BIGINT.
+    *
+    * The token hash is bound ONCE per token via the 1-element `transform`
+    * lambda-let (same trick as [[shingles]]): referencing `xxhash64(t)`
+    * inside the 64-lane fold would re-hash the token once per lane. Each
+    * lane is then 2 bit-ops + 1 add on the bound value:
+    * acc(i) += ((h >> i) & 1) * 2 − 1. */
   def simhash(text: Column): Column = {
     val counts = aggregate(
       TextOps.tokens(text),
-      array((0 until 64).map(_ => lit(0)): _*),
-      (acc, t) => zip_with(acc, bitVotes(xxhash64(t)), (a, b) => a + b))
+      array_repeat(lit(0L), 64),
+      (acc, t) => element_at(transform(array(xxhash64(t)), h =>
+        zip_with(acc, sequence(lit(0), lit(63)), (a, i) =>
+          a - 1 + call_function("shiftright", h, i).bitwiseAND(lit(1L)) * 2)), 1))
     // fold the 64 sign bits into one long: acc = acc | (cnt>0 ? 1L<<i : 0)
     // (call_function: the SQL shiftleft takes a Column shift amount,
     // unlike the Scala wrapper)
@@ -185,7 +205,7 @@ object Dedup {
   def simhashPairs(docs: DataFrame, n: Int, threshold: Double,
                    maxHamming: Int = 7): DataFrame = {
     val withSh = spread(docs)
-      .select(col("doc_id"), shingles(col("text"), n).as("sh"))
+      .select(col("doc_id"), hashedShingles(col("text"), n).as("sh"))
       .persist()
     val sig = spread(docs).select(col("doc_id"), simhash(col("text")).as("sim"))
     // 8 bands of 8 bits: hamming ≤ 7 ⇒ at least one band identical.
@@ -204,6 +224,7 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b")
+      .persist()
     verifyJaccard(cand, withSh, threshold)
   }
 }
