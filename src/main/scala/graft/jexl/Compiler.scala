@@ -101,6 +101,17 @@ object Compiler {
     case (Literal.Bool(b), _) => lit(b)
   }
 
+  /** Match rule for grouping-function literals (GroupingRequiredFilter
+    * semantics): regex metacharacters → anchored full-match regex, else
+    * plain equality. Shared by the wide-array evaluator below and the
+    * long-layout join route in ShardQueryLogic. */
+  private val RegexMeta = "[\\\\.\\[\\]{}()*+?^$|]".r
+  def literalPredicate(v: Literal): Column => Column = v match {
+    case Literal.Str(x) if RegexMeta.findFirstIn(x).isDefined =>
+      s => s.rlike("^(?:" + x + ")$")
+    case other => s => s === lit(other.raw)
+  }
+
   /** True if at least one branch is index-driveable (positive predicate). */
   private def hasPositiveLeaf(n: Node): Boolean = n match {
     case Node.And(cs) => cs.exists(hasPositiveLeaf)
@@ -656,12 +667,8 @@ private object Functions {
       })
   }
 
-  private val RegexMeta = "[\\\\.\\[\\]{}()*+?^$|]".r
-  private def valueMatch(s: Column, v: Literal): Column = v match {
-    case Literal.Str(x) if RegexMeta.findFirstIn(x).isDefined =>
-      s.rlike("^(?:" + x + ")$")
-    case other => s === lit(other.raw)
-  }
+  private def valueMatch(s: Column, v: Literal): Column =
+    Compiler.literalPredicate(v)(s)
 
   private def asStringArray(ctx: CompileCtx, f: String): Column =
     ctx.fieldType(f) match {

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.jexl.QueryPolicy
@@ -44,24 +44,26 @@ object QueryStringQueries {
         QueryParams(returnFields = Seq("doc_id")))
       .select("doc_id")
 
-  /** JEXL string with grouping:matchesInGroup over grouping-context-
-    * aligned arrays (lineitem lines as group instances of the order). */
+  /** JEXL string with grouping:matchesInGroup over the LONG grouping-
+    * context layout (lineitem lines as group instances of the order):
+    * ShardQueryLogic recognizes the (uid, field, group, value) layout and
+    * routes the function onto Grouping.matchesInGroup's equi-join plan —
+    * no collect_list document reassembly, no interpreted wide-array
+    * evaluation. Same result set as the wide path (JexlSpec pins the
+    * wide evaluator's semantics). */
   def qsGroupingString(s: SparkSession, d: String): DataFrame = {
-    val li = graft.core.Spread(Tables.lineitem(s, d)
-      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"))
-    // wide event layout: one row per order, repeated fields as
-    // group-labeled entries (line number = grouping context; a line
-    // number may repeat, like NAME.3 occurring twice in a document)
-    val wide = li.groupBy(col("l_orderkey").as("uid"))
-      .agg(
-        collect_list(struct(col("l_linenumber").cast("string").as("group"),
-          col("l_returnflag").cast("string").as("value"))).as("RETURNFLAG"),
-        collect_list(struct(col("l_linenumber").cast("string").as("group"),
-          col("l_quantity").cast("string").as("value"))).as("QUANTITY"))
-    permissiveLogic.query(wide,
+    val li = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+    def leg(field: String, value: Column): DataFrame =
+      li.select(col("l_orderkey").as("uid"), lit(field).as("field"),
+        col("l_linenumber").cast("string").as("group"),
+        value.cast("string").as("value"))
+    val long = leg("RETURNFLAG", col("l_returnflag"))
+      .unionByName(leg("QUANTITY", col("l_quantity")))
+    permissiveLogic.query(long,
         "grouping:matchesInGroup(RETURNFLAG, 'R', QUANTITY, '4[89].*')",
         QueryParams(returnFields = Seq("uid")))
-      .select("uid")
+      .select("uid").distinct()
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

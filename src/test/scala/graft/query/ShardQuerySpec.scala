@@ -47,6 +47,17 @@ class ShardQuerySpec extends SparkSpec {
       Set("CORLEONE", "SOPRANO", "CAPONE"))
   }
 
+  test("auths with a missing visibility column fail CLOSED") {
+    val noVis = wiseguys.drop("visibility")
+    intercept[graft.jexl.PolicyException] {
+      logic.query(noVis, "ETA == 34", QueryParams(auths = Some(Set("A"))))
+    }
+    intercept[graft.jexl.PolicyException] {
+      logic.query(wiseguys.drop("datatype"), "ETA == 34",
+        QueryParams(datatypeFilter = Seq("test")))
+    }
+  }
+
   test("HIT_TERM reports why each document matched") {
     val out = logic.query(wiseguys, "NAME == 'FREDO' || AGE == 30",
       QueryParams(hitList = true))
