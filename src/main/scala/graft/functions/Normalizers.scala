@@ -63,6 +63,25 @@ object Normalizers {
     case other => throw new IllegalArgumentException(s"unknown normalizer $other")
   }
 
+  /** Driver-side check: does a query LITERAL normalize under the named
+    * normalizer? (the per-term failure test ExpandMultiNormalizedTerms
+    * makes before keeping/dropping a normalization). String transforms
+    * always succeed; typed parses succeed iff the literal parses. */
+  def literalNormalizes(name: String, raw: String): Boolean = name.toLowerCase match {
+    case "number" | "numbertype" =>
+      scala.util.Try(BigDecimal(raw)).isSuccess
+    case "ip" | "ipaddress" | "ipaddresstype" =>
+      val parts = raw.split("\\.", -1)
+      parts.length == 4 && parts.forall(p =>
+        p.nonEmpty && p.length <= 3 && p.forall(_.isDigit) && p.toInt <= 255)
+    case "date" | "datetype" =>
+      Seq("yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd", "yyyyMMdd").exists { f =>
+        scala.util.Try(java.time.LocalDate.parse(raw.take(10),
+          java.time.format.DateTimeFormatter.ofPattern(f.take(10)))).isSuccess
+      } || scala.util.Try(java.time.Instant.parse(raw)).isSuccess
+    case _ => true
+  }
+
   /** Reverse-index value (shardReverseIndex analog): store reversed
     * normalized values so leading-wildcard queries become prefix scans. */
   def reversed(c: Column): Column = reverse(c)

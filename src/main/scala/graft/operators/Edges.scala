@@ -14,24 +14,43 @@ import org.apache.spark.sql.functions._
   */
 object Edges {
 
+  /** One configured edge extraction (EdgeDefinition.java:24,309-318 +
+    * EdgeDataBundle): beyond the positive field pair, a definition may
+    * carry a JEXL `precondition` evaluated against the source EVENT
+    * (EdgePreconditionJexlEvaluation — the edge is emitted only for rows
+    * where it holds) and a `denylist` of vertex values that must never
+    * become a source or sink. */
   final case class EdgeDefinition(
       sourceField: String, sinkField: String,
-      edgeType: String, relationship: String)
+      edgeType: String, relationship: String,
+      precondition: Option[String] = None,
+      denylist: Set[String] = Set.empty)
 
   /** Build daily-aggregated edges from an event table per definitions —
     * `groupBy(source, sink, type, rel, day).count()` exactly as SURVEY
     * §2.1 maps the handler. Multiple definitions union before the single
-    * aggregation so one shuffle covers all edge types. */
+    * aggregation so one shuffle covers all edge types. Preconditions and
+    * denylists are per-definition row filters BELOW the union, so they
+    * push to the shared scan and never reach the shuffle. */
   def build(events: DataFrame, defs: Seq[EdgeDefinition],
             tsCol: String = "ts", weightCol: Option[String] = None): DataFrame = {
     val perDef = defs.map { d =>
-      events.select(
+      val pre = d.precondition.fold(events) { p =>
+        events.filter(graft.jexl.Compiler.compile(
+          graft.jexl.JexlParser.parse(p), events, graft.jexl.QueryModel()))
+      }
+      val sel = pre.select(
         col(d.sourceField).cast("string").as("source"),
         col(d.sinkField).cast("string").as("sink"),
         lit(d.edgeType).as("edge_type"),
         lit(d.relationship).as("relationship"),
         date_format(col(tsCol), "yyyy-MM-dd").as("day"),
         weightCol.map(c => col(c)).getOrElse(lit(1.0)).as("w"))
+      if (d.denylist.isEmpty) sel
+      else {
+        val dl = d.denylist.toSeq
+        sel.filter(!col("source").isin(dl: _*) && !col("sink").isin(dl: _*))
+      }
     }
     perDef.reduce(_ unionAll _)
       .groupBy("source", "sink", "edge_type", "relationship", "day")

@@ -62,17 +62,57 @@ object SSDeep {
       .when(cs2 === cs1 * 2, scoreChunks(d1, c2, cs2))
       .otherwise(0)
 
+  /** Chained discovery (SSDeepChainedDiscoveryQueryLogic.java): query 1
+    * explodes the PROBE hash into its ngrams and discovers which corpus
+    * hashes share them (with distinct-gram match counts); query 2 scores
+    * the probe against each discovered hash. The probe row is a 1-row
+    * driver lookup (the chain's query-1 output parameterizes query 2 —
+    * same pattern as the reference's chained logic), and the probe's ≤60
+    * grams ride into the scan filter as an IN list: the discovery is a
+    * filtered index scan, never a join against all corpus grams. */
+  def chainedDiscovery(hashes: DataFrame, probeId: Long,
+                       idCol: String = "doc_id", hashCol: String = "ssdeep",
+                       minScore: Int = 0): DataFrame = {
+    val parsed = parseHashes(hashes, idCol, hashCol).persist()
+    val p = parsed.filter(col("id") === probeId)
+      .select("cs", "chunk", "dchunk").head()
+    val (pcs, pchunk, pdchunk) = (p.getInt(0), p.getString(1), p.getString(2))
+    def gramsOf(cs: Int, chunk: String): Seq[String] =
+      if (chunk.length < NGramSize) Nil
+      else (0 to chunk.length - NGramSize).map(i =>
+        s"$cs:${chunk.substring(i, i + NGramSize)}")
+    val probeGrams = (gramsOf(pcs, pchunk) ++ gramsOf(pcs * 2, pdchunk)).distinct
+    val corpusGrams = parsed.select(col("id"), explode(concat(
+        ngramTuples(col("cs"), col("chunk")),
+        ngramTuples(col("cs") * 2, col("dchunk")))).as("g"))
+      .select(col("id"),
+        concat(col("g.cs").cast("string"), lit(":"), col("g.gram")).as("key"))
+    val discovered = corpusGrams
+      .filter(col("id") =!= probeId && col("key").isin(probeGrams: _*))
+      .groupBy(col("id"))
+      .agg(countDistinct(col("key")).as("matches"))
+    discovered.join(parsed, "id")
+      .withColumn("score", pairScore(lit(pcs), lit(pchunk), lit(pdchunk),
+        col("cs"), col("chunk"), col("dchunk")))
+      .filter(col("score") >= minScore)
+      .select(col("id").as("doc_id"), col("matches"), col("score"))
+  }
+
+  private def parseHashes(hashes: DataFrame, idCol: String,
+                          hashCol: String): DataFrame = {
+    val parts = split(col(hashCol), ":")
+    hashes.select(col(idCol).as("id"),
+      parts.getItem(0).cast("int").as("cs"),
+      normalizeChunk(parts.getItem(1)).as("chunk"),
+      normalizeChunk(parts.getItem(2)).as("dchunk"))
+  }
+
   /** All pairs (idA < idB) scoring ≥ minScore. Candidates come from the
     * shared-ngram bucket join; parsed hashes are persisted so chunks are
     * normalized once, not once per join side. */
   def similarityPairs(hashes: DataFrame, idCol: String = "doc_id",
                       hashCol: String = "ssdeep", minScore: Int = 60): DataFrame = {
-    val parts = split(col(hashCol), ":")
-    val parsed = hashes.select(col(idCol).as("id"),
-        parts.getItem(0).cast("int").as("cs"),
-        normalizeChunk(parts.getItem(1)).as("chunk"),
-        normalizeChunk(parts.getItem(2)).as("dchunk"))
-      .persist()
+    val parsed = parseHashes(hashes, idCol, hashCol).persist()
     val grams = parsed.select(col("id"), explode(concat(
         ngramTuples(col("cs"), col("chunk")),
         ngramTuples(col("cs") * 2, col("dchunk")))).as("g"))

@@ -216,4 +216,61 @@ object VectorOps {
         c.as("cell")))
     array_max(scored).getField("cell")
   }
+
+  /** Data-sampled IVF centroids: every (n/nCells)-th vector by id,
+    * L2-normalized — the deterministic zero-iteration coarse quantizer
+    * (real deployments k-means these; sampling keeps the oracle exact and
+    * already tracks the data distribution, unlike hash-derived
+    * directions). Driver-side: nCells · dim doubles. */
+  def ivfCentroids(emb: DataFrame, nCells: Int): Seq[Seq[Double]] = {
+    val n = emb.count()
+    val stride = math.max(1L, n / nCells)
+    emb.filter(pmod(col("vec_id"), lit(stride)) === 0)
+      .orderBy("vec_id").limit(nCells)
+      .select(col("embedding").cast("array<double>")).collect()
+      .map { r =>
+        val v = r.getSeq[Double](0)
+        val nrm = math.sqrt(v.map(x => x * x).sum)
+        if (nrm == 0) v else v.map(_ / nrm)
+      }.toSeq
+  }
+
+  /** Cell assignment against explicit centroids (argmax cosine — the
+    * centroids are unit vectors, so max dot suffices). */
+  def ivfAssign(vec: Column, centroids: Seq[Seq[Double]]): Column = {
+    val mat = typedLit(centroids)
+    val scored = zip_with(mat, sequence(lit(0), lit(centroids.size - 1)),
+      (centroid, c) => struct(
+        aggregate(zip_with(vec, centroid, (x, w) => x.cast("double") * w),
+          lit(0.0), (acc, x) => acc + x).as("sim"),
+        c.as("cell")))
+    array_max(scored).getField("cell")
+  }
+
+  /** The probe's `nProbe` best cells — driver-side on the one probe
+    * vector (the query-time half of the IVF protocol). */
+  def ivfProbeCells(vec: Seq[Double], centroids: Seq[Seq[Double]],
+                    nProbe: Int): Seq[Int] =
+    centroids.zipWithIndex.map { case (cen, c) =>
+      (vec.indices.map(i => vec(i) * cen(i)).sum, c)
+    }.sortBy { case (s, c) => (-s, c) }.take(nProbe).map(_._2)
+
+  /** ANN via IVF cells: scan ONLY the probe's `nProbe` nearest cells
+    * (partition pruning at the lake layout level — cell id is the
+    * clustering key), exact cosine re-rank within them. Approximate:
+    * recall depends on how many true neighbours land outside the probed
+    * cells; gated as a recall row vs [[bruteForceTopK]]. */
+  def ivfTopK(emb: DataFrame, probeId: Long, k: Int,
+              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val centroids = ivfCentroids(emb, nCells)
+    val probe: Seq[Double] = emb.filter(col("vec_id") === probeId)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val cells = ivfProbeCells(probe, centroids, nProbe)
+    emb.withColumn("cell", ivfAssign(col("embedding"), centroids))
+      .filter(col("cell").isin(cells: _*) && col("vec_id") =!= probeId)
+      .withColumn("sim", cosine(col("embedding"), typedLit(probe)))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+      .select("vec_id", "sim")
+  }
 }

@@ -39,6 +39,16 @@ object EventQueries {
   def edgeBuild(s: SparkSession, d: String): DataFrame =
     Edges.build(Tables.events(s, d), Seq(userEvent), weightCol = Some("value"))
 
+  /** Edge build under a JEXL precondition + vertex denylist
+    * (EdgePreconditionJexlEvaluation + per-definition denylisted values):
+    * only purchase/click events generate edges, and user '42' never
+    * becomes a vertex. */
+  def edgeBuildFiltered(s: SparkSession, d: String): DataFrame =
+    Edges.build(Tables.events(s, d), Seq(userEvent.copy(
+        precondition = Some("EVENT_TYPE == 'purchase' || EVENT_TYPE == 'click'"),
+        denylist = Set("42"))),
+      weightCol = Some("value"))
+
   /** Edge query via JEXL over EDGE_* fields. */
   def edgeQuery(s: SparkSession, d: String): DataFrame =
     Edges.query(edgeBuild(s, d),
@@ -114,6 +124,7 @@ object EventQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vis_filter" -> visibilityFilter _,
     "edge_build" -> edgeBuild _,
+    "edge_build_filtered" -> edgeBuildFiltered _,
     "edge_query" -> edgeQuery _,
     "edge_stats" -> edgeStats _,
     "edge_drillback" -> edgeDrillback _,
@@ -147,6 +158,15 @@ object EventQueries {
         |     ELSE '(A&B)|C' END AS visibility
         | FROM events WHERE event_type IN ('click', 'view')""".stripMargin,
     "edge_build" -> edgeSql,
+    "edge_build_filtered" ->
+      """SELECT CAST(user_id AS VARCHAR) AS source, event_type AS sink,
+        |   'USER_EVENT' AS edge_type, 'generated' AS relationship,
+        |   strftime(ts, '%Y-%m-%d') AS day, count(*) AS cnt,
+        |   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS weight
+        | FROM events
+        | WHERE event_type IN ('purchase', 'click')
+        |   AND CAST(user_id AS VARCHAR) <> '42' AND event_type <> '42'
+        | GROUP BY 1, 2, 3, 4, 5""".stripMargin,
     "edge_query" ->
       s"SELECT * FROM ($edgeSql) WHERE source = '42' AND edge_type = 'USER_EVENT'",
     "edge_stats" ->

@@ -57,11 +57,24 @@ object IngestQueries {
         date_format(col("first_date"), "yyyy-MM-dd").as("first_date"),
         date_format(col("last_date"), "yyyy-MM-dd").as("last_date"))
 
+  /** Unfielded expansion through the global index
+    * (UnfieldedIndexExpansionVisitor.java:40): `_ANYFIELD_ == 'click'`
+    * asks the index which fields contain 'click' — only event_type does —
+    * so the compiled filter is a single pushed-down equality, not an OR
+    * over every string column (PlanSpec pins the pruned shape). */
+  def ingUnfieldedExpand(s: SparkSession, d: String): DataFrame = {
+    val logic = new graft.query.ShardQueryLogic(
+      index = Some(Ingest.globalIndex(longEvents(s, d))))
+    logic.query(Tables.events(s, d), "_ANYFIELD_ == 'click'")
+      .select("event_id", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ing_discovery" -> ingDiscovery _,
     "ing_index_lookup" -> ingIndexLookup _,
     "ing_needle_semijoin" -> ingNeedleSemiJoin _,
     "ing_metadata" -> ingMetadata _,
+    "ing_unfielded_expand" -> ingUnfieldedExpand _,
   )
 
   /** The long layout melts (user_id, event_type, value, props); oracles
@@ -93,5 +106,9 @@ object IngestQueries {
          |   strftime(MIN(shard_date), '%Y-%m-%d') AS first_date,
          |   strftime(MAX(shard_date), '%Y-%m-%d') AS last_date
          | FROM $longSql GROUP BY 1, 2""".stripMargin,
+    // the index proves 'click' lives only in event_type, so the oracle is
+    // the single-field equality the expansion compiles to
+    "ing_unfielded_expand" ->
+      "SELECT event_id, event_type FROM events WHERE event_type = 'click'",
   )
 }

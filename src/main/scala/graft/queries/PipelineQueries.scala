@@ -61,6 +61,36 @@ object PipelineQueries {
     VectorOps.lshTopK(Tables.embeddings(s, d), probeId = 0L, k = 10)
       .select("vec_id")
 
+  /** ANN recall CHECKED rows: hits = |approx top-10 ∩ exact top-10|,
+    * gated as a boolean (recall ≥ threshold) so band-boundary jitter
+    * can't flip the hash while a real recall regression still fails. */
+  private def recallRow(approx: DataFrame, exact: DataFrame,
+                        k: Int, minHits: Int): DataFrame =
+    approx.join(exact, Seq("vec_id"))
+      .agg(count(lit(1)).as("hits"))
+      .select(lit(k.toLong).as("k"), (col("hits") >= minHits).as("recall_ok"))
+
+  /** LSH top-10 recall vs brute force (VERDICT r2 item 9: the rows-only
+    * ann_lsh entry gains a checked recall row). */
+  def annLshRecall(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    recallRow(
+      VectorOps.lshTopK(emb, probeId = 0L, k = 10).select("vec_id"),
+      VectorOps.bruteForceTopK(emb, probeId = 0L, k = 10).select("vec_id"),
+      k = 10, minHits = 9)
+  }
+
+  /** IVF-cell-probed top-10 recall vs brute force — exercises the
+    * ivfCellId write-layout path end-to-end (cell pruning, nProbe=4 of
+    * 16 cells → ~4× scan reduction at recall ≥ 0.8). */
+  def annIvfRecall(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    recallRow(
+      VectorOps.ivfTopK(emb, probeId = 0L, k = 10).select("vec_id"),
+      VectorOps.bruteForceTopK(emb, probeId = 0L, k = 10).select("vec_id"),
+      k = 10, minHits = 8)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact _,
     "dedup_ngram_jaccard" -> dedupNgram _,
@@ -71,6 +101,8 @@ object PipelineQueries {
     "ann_topk" -> annTopk _,
     "emb_neardup" -> embNearDup _,
     "ann_lsh" -> annLsh _,
+    "ann_lsh_recall" -> annLshRecall _,
+    "ann_ivf_recall" -> annIvfRecall _,
   )
 
   private val toksSql =
@@ -150,7 +182,9 @@ object PipelineQueries {
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b
         | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         | WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45""".stripMargin,
-    // ann_lsh: approximate — rows-only check (recall vs brute force is
-    // asserted in DedupVectorSpec).
+    // ann_lsh: approximate — rows-only check; the recall gates below pin
+    // the quality numerically.
+    "ann_lsh_recall" -> "SELECT CAST(10 AS BIGINT) AS k, true AS recall_ok",
+    "ann_ivf_recall" -> "SELECT CAST(10 AS BIGINT) AS k, true AS recall_ok",
   )
 }

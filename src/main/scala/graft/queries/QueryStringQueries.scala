@@ -66,11 +66,26 @@ object QueryStringQueries {
       .select("uid").distinct()
   }
 
+  /** `#LENIENT` normalization semantics from a query string: the model
+    * declares a NumberType normalizer on O_ORDERPRIORITY, so the literal
+    * 'high' normalizes under none of the field's normalizers — lenient
+    * drops that term and the rest of the conjunction evaluates (strict
+    * would refuse; NormalizationGuard unit tests pin that side). */
+  def qsLenient(s: SparkSession, d: String): DataFrame = {
+    val logic = new ShardQueryLogic(
+      model = graft.jexl.QueryModel(
+        normalizers = Map("O_ORDERPRIORITY" -> Seq("number"))))
+    logic.query(Tables.orders(s, d),
+        "O_ORDERSTATUS == 'F' && O_ORDERPRIORITY == 'high' && f:lenient()")
+      .select("o_orderkey", "o_orderstatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qs_groupby_sum" -> qsGroupbySum _,
     "qs_unique_day" -> qsUniqueDay _,
     "qs_content_within" -> qsContentWithin _,
     "qs_grouping_string" -> qsGroupingString _,
+    "qs_lenient" -> qsLenient _,
   )
 
   private val toksSql =
@@ -104,5 +119,8 @@ object QueryStringQueries {
         |   ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = b.l_linenumber
         | WHERE a.l_returnflag = 'R'
         |   AND regexp_full_match(CAST(b.l_quantity AS VARCHAR), '4[89].*')""".stripMargin,
+    // lenient dropped the un-normalizable O_ORDERPRIORITY term
+    "qs_lenient" ->
+      "SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'",
   )
 }

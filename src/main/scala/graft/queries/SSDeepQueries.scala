@@ -41,8 +41,15 @@ object SSDeepQueries {
   def ssdeepSimilarity(s: SparkSession, d: String): DataFrame =
     SSDeep.similarityPairs(ssdeepHashes(Tables.documents(s, d)), minScore = 60)
 
+  /** Chained discovery: doc 72's hash is the probe — its ngrams discover
+    * gram-sharing corpus hashes (with distinct-gram match counts), which
+    * the second stage scores (SSDeepChainedDiscoveryQueryLogic chain). */
+  def ssdeepChained(s: SparkSession, d: String): DataFrame =
+    SSDeep.chainedDiscovery(ssdeepHashes(Tables.documents(s, d)), probeId = 72L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ssdeep_similarity" -> ssdeepSimilarity _,
+    "ssdeep_chained" -> ssdeepChained _,
   )
 
   private val toksSql =
@@ -94,5 +101,47 @@ object SSDeepQueries {
          |             (192 // 3) * least(len(ha.dchunk), len(hb.dchunk))) END) AS score
          |  FROM cand JOIN h ha ON ha.doc_id = id_a JOIN h hb ON hb.doc_id = id_b)
          |SELECT id_a, id_b, score FROM scored WHERE score >= 60""".stripMargin,
+    "ssdeep_chained" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents),
+         |raw AS (
+         |  SELECT doc_id,
+         |    list_transform(toks[1:48], t -> ${charSql(1, 2)}) AS cl,
+         |    list_transform(toks[1:24], t -> ${charSql(3, 4)}) AS dl
+         |  FROM toks),
+         |h AS (
+         |  SELECT doc_id,
+         |    ${collapseSql("cl")} AS chunk,
+         |    ${collapseSql("dl")} AS dchunk
+         |  FROM raw WHERE len(cl) >= 7),
+         |g AS (
+         |  SELECT doc_id, 96 AS cs,
+         |    unnest(list_transform(range(1, len(chunk) - 5), i -> substr(chunk, i, 7))) AS gram
+         |  FROM h WHERE len(chunk) >= 7
+         |  UNION ALL
+         |  SELECT doc_id, 192,
+         |    unnest(list_transform(range(1, len(dchunk) - 5), i -> substr(dchunk, i, 7)))
+         |  FROM h WHERE len(dchunk) >= 7),
+         |pg AS (SELECT DISTINCT cs, gram FROM g WHERE doc_id = 72),
+         |disc AS (
+         |  SELECT g.doc_id,
+         |    count(DISTINCT (CAST(g.cs AS VARCHAR) || ':' || g.gram)) AS matches
+         |  FROM g JOIN pg ON g.cs = pg.cs AND g.gram = pg.gram
+         |  WHERE g.doc_id <> 72 GROUP BY 1)
+         |SELECT d.doc_id, d.matches,
+         |  greatest(
+         |    CASE WHEN len(ha.chunk) > 64 OR len(hb.chunk) > 64 THEN 0
+         |         WHEN (100 * ((levenshtein(ha.chunk, hb.chunk) * 64) // (len(ha.chunk) + len(hb.chunk)))) // 64 >= 100 THEN 0
+         |         ELSE least(
+         |           100 - (100 * ((levenshtein(ha.chunk, hb.chunk) * 64) // (len(ha.chunk) + len(hb.chunk)))) // 64,
+         |           (96 // 3) * least(len(ha.chunk), len(hb.chunk))) END,
+         |    CASE WHEN len(ha.dchunk) > 64 OR len(hb.dchunk) > 64 THEN 0
+         |         WHEN (100 * ((levenshtein(ha.dchunk, hb.dchunk) * 64) // (len(ha.dchunk) + len(hb.dchunk)))) // 64 >= 100 THEN 0
+         |         ELSE least(
+         |           100 - (100 * ((levenshtein(ha.dchunk, hb.dchunk) * 64) // (len(ha.dchunk) + len(hb.dchunk)))) // 64,
+         |           (192 // 3) * least(len(ha.dchunk), len(hb.dchunk))) END) AS score
+         |FROM disc d
+         |JOIN h hb ON hb.doc_id = d.doc_id
+         |CROSS JOIN (SELECT * FROM h WHERE doc_id = 72) ha""".stripMargin,
   )
 }

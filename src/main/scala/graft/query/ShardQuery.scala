@@ -35,7 +35,11 @@ final case class QueryParams(
   */
 final class ShardQueryLogic(
     model: QueryModel = QueryModel(),
-    policy: QueryPolicy = QueryPolicy()) {
+    policy: QueryPolicy = QueryPolicy(),
+    // global-index frame for unfielded-term expansion
+    // (UnfieldedIndexExpansionVisitor): absent → schema-wide fallback
+    index: Option[DataFrame] = None,
+    unfieldedThreshold: Int = 50) {
 
   def query(events: DataFrame, q: String,
             params: QueryParams = QueryParams()): DataFrame = {
@@ -45,12 +49,23 @@ final class ShardQueryLogic(
     // a QueryOptions struct (QueryOptionsFromQueryVisitor analog) and
     // applied as post-evaluation transforms at the end.
     val (remaining, opts) = QueryOptions.extract(parsed)
-    val ast = remaining.getOrElse {
+    val ast0 = remaining.getOrElse {
       if (!policy.fullTableScanEnabled)
         throw new PolicyException(
           "query contains only options (full table scan); set fullTableScanEnabled")
       null
     }
+    // unfielded `_ANYFIELD_` terms consult the global index for which
+    // fields actually contain the value BEFORE compiling the OR
+    val ast1 = (ast0, index) match {
+      case (a, Some(gi)) if a != null => UnfieldedExpansion.rewrite(a,
+        UnfieldedExpansion.indexLookup(gi, unfieldedThreshold), unfieldedThreshold)
+      case (a, _) => a
+    }
+    // #LENIENT/#STRICT normalization-failure semantics (drop vs refuse)
+    val ast = if (ast1 != null)
+      NormalizationGuard.rewrite(ast1, model, opts.lenient, opts.strict)
+    else ast1
     if (ast != null) Compiler.enforce(ast, policy)
 
     // date + datatype bounds first: these are the partition-pruning

@@ -40,4 +40,11 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") &&
       plan.contains("LeftSemi"), plan.take(3000))
   }
+
+  test("index-driven unfielded expansion prunes to one pushed equality") {
+    val plan = executed("ing_unfielded_expand")
+    assert(plan.contains("EqualTo(event_type,click)"), plan.take(3000))
+    // the index pruned the OR: no other string column is probed
+    assert(!plan.contains("EqualTo(props,click)"), plan.take(3000))
+  }
 }

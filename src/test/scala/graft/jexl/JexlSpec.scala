@@ -187,6 +187,34 @@ class CompilerSpec extends SparkSpec {
     }
   }
 
+  test("unfielded expansion consults the index, caps at threshold") {
+    val lookup: (String, Boolean) => Seq[String] = {
+      case ("chess", false) => Seq("HOBBIES")
+      case ("ali.*", true) => Seq("NAME")
+      case ("everywhere", false) => Seq("A", "B", "C")
+      case _ => Nil
+    }
+    def rw(q: String, threshold: Int = 50): Node =
+      UnfieldedExpansion.rewrite(JexlParser.parse(q), lookup, threshold)
+    assert(rw("_ANYFIELD_ == 'chess'") ==
+      Node.FieldOp("HOBBIES", CompareOp.Eq, Literal.Str("chess")))
+    assert(rw("_ANYFIELD_ =~ 'ali.*'") ==
+      Node.RegexOp("NAME", "ali.*", negated = false))
+    // no indexed field → the never-matching marker (false / true-under-NE)
+    assert(rw("_ANYFIELD_ == 'absent'") ==
+      Node.FieldOp(UnfieldedExpansion.NoIndexedField, CompareOp.Eq,
+        Literal.Str("absent")))
+    assert(rw("_ANYFIELD_ == 'everywhere'") ==
+      Node.Or(List("A", "B", "C").map(f =>
+        Node.FieldOp(f, CompareOp.Eq, Literal.Str("everywhere")))))
+    intercept[PolicyException] { rw("_ANYFIELD_ == 'everywhere'", threshold = 2) }
+    // fielded terms pass through untouched
+    assert(rw("NAME == 'bob' && _ANYFIELD_ == 'chess'") ==
+      Node.And(List(
+        Node.FieldOp("NAME", CompareOp.Eq, Literal.Str("bob")),
+        Node.FieldOp("HOBBIES", CompareOp.Eq, Literal.Str("chess")))))
+  }
+
   test("model aliasing with 1→N expansion") {
     val m = QueryModel(Map("YEARS" -> Seq("AGE"), "ANY_NAME" -> Seq("NAME", "HOBBIES")))
     assert(names("YEARS == 28", m) == Set("bob"))

@@ -47,6 +47,29 @@ class ShardQuerySpec extends SparkSpec {
       Set("CORLEONE", "SOPRANO", "CAPONE"))
   }
 
+  test("lenient drops un-normalizable terms; strict refuses the query") {
+    val numCity = new ShardQueryLogic(
+      model = QueryModel(
+        forward = Map("ETA" -> Seq("AGE")),
+        normalizers = Map("CITY" -> Seq("number"))),
+      policy = QueryPolicy(fullTableScanEnabled = true))
+    // 'NY' fails the declared NumberType normalizer → lenient drops the
+    // term; the rest of the conjunction evaluates
+    assert(uuids(numCity.query(wiseguys,
+      "UUID == 'CORLEONE' && CITY == 'NY' && f:lenient()")) == Set("CORLEONE"))
+    // strict refuses
+    intercept[graft.jexl.PolicyException] {
+      numCity.query(wiseguys, "UUID == 'CORLEONE' && CITY == 'NY' && f:strict()")
+    }
+    // numeric literals normalize fine under strict
+    assert(uuids(numCity.query(wiseguys,
+      "ETA == 34 && f:strict()")) == Set("CORLEONE", "CAPONE"))
+    // every term dropped → refuse rather than match-all
+    intercept[graft.jexl.PolicyException] {
+      numCity.query(wiseguys, "CITY == 'NY' && f:lenient()")
+    }
+  }
+
   test("auths with a missing visibility column fail CLOSED") {
     val noVis = wiseguys.drop("visibility")
     intercept[graft.jexl.PolicyException] {
