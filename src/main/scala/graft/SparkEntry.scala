@@ -14,7 +14,7 @@ object SparkEntry {
     Relational.queries ++ JexlQueries.queries ++ PipelineQueries.queries ++
       EventQueries.queries ++ QueryStringQueries.queries ++ GeoQueries.queries ++
       IngestQueries.queries ++ SSDeepQueries.queries ++ TreeQueries.queries ++
-      StatsQueries.queries
+      StatsQueries.queries ++ ServiceQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -22,5 +22,5 @@ object SparkEntry {
     Relational.oracleSql ++ JexlQueries.oracleSql ++ PipelineQueries.oracleSql ++
       EventQueries.oracleSql ++ QueryStringQueries.oracleSql ++ GeoQueries.oracleSql ++
       IngestQueries.oracleSql ++ SSDeepQueries.oracleSql ++ TreeQueries.oracleSql ++
-      StatsQueries.oracleSql
+      StatsQueries.oracleSql ++ ServiceQueries.oracleSql
 }

@@ -71,6 +71,16 @@ object Ingest {
         collect_set(col("uid")).as("uid_sample"))
       .withColumn("uid_sample", slice(col("uid_sample"), 1, 20)) // Uid.List MAX=20 cap
 
+  /** Per-date field frequency — the metadata "f" column-family rows
+    * (EventMetadata.java:96-110, MetadataHelper frequency counts): which
+    * fields appear in events on which dates, ALWAYS complete regardless
+    * of indexing config. Compared against the global index's (field,
+    * date) coverage it yields the FieldIndexHole set ([[graft.query
+    * .IndexHoles]]). */
+  def fieldFrequency(long: DataFrame): DataFrame =
+    long.groupBy("field", "datatype", "shard_date")
+      .agg(count(lit(1)).as("cnt"))
+
   /** Date-index analog (DateIndexDataTypeHandler.java:43-72): secondary
     * mapping from an alternate date semantic (ACTIVITY vs EVENT vs LOAD
     * time) to the shard dates holding matching events. A query with

@@ -69,12 +69,86 @@ object IngestQueries {
       .select("event_id", "event_type")
   }
 
+  /** Field-index-hole fallback (FieldIndexHole / PushdownMissingIndex
+    * RangeNodesVisitor): the global index is built only from the FIRST
+    * half of the month — user_id is "indexed late". The query over the
+    * whole month must still find every match: indexed dates prune via the
+    * index's value hits, hole dates (where field frequency shows user_id
+    * present but the index has nothing) fall back to the event scan. */
+  def ingIndexHole(s: SparkSession, d: String): DataFrame = {
+    val events = Tables.events(s, d)
+    // one evaluation: freq, the partial index, and both date sets all
+    // derive from the same melt — without the persist the melt+groupBy
+    // subtree re-executes once per consumer (4×)
+    val long = longEvents(s, d).filter(col("field") === "user_id").persist()
+    val freq = Ingest.fieldFrequency(long)
+    val partialIndex = Ingest.globalIndex(
+      long.filter(col("shard_date") < lit("2024-01-16")))
+    val out = graft.query.IndexHoles.prunedScan(events, to_date(col("ts")),
+        freq, partialIndex, field = "user_id", value = "7")
+      .filter(col("user_id") === 7)
+      .select("event_id", "user_id")
+    out
+  }
+
+  /** Date-index resolution (DateIndexDataTypeHandler.java:43-72): a query
+    * bounded on ORDER date resolves through the date index into the SHIP
+    * shard dates that hold matching lineitems — partition pruning under a
+    * non-storage date semantic. */
+  def ingDateIndex(s: SparkSession, d: String): DataFrame = {
+    val li = s.read.parquet(s"$d/lineitem.parquet")
+    val ord = s.read.parquet(s"$d/orders.parquet")
+    val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderdate"), to_date(col("l_shipdate")).as("shard_date"))
+    val idx = Ingest.dateIndex(joined, "ORDER", "o_orderdate")
+    Ingest.shardDatesFor(idx, "ORDER", "1996-03-01", "1996-03-31")
+      .select(date_format(col("shard_date"), "yyyy-MM-dd").as("shard_date"))
+  }
+
+  /** Dead-letter channel (ErrorShardedDataTypeHandler): records whose
+    * props payload fails validation (k > 90) route to the error frame. */
+  def ingErrorChannel(s: SparkSession, d: String): DataFrame = {
+    val events = Tables.events(s, d)
+    val k = regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int")
+    val (_, errors) = Ingest.withErrorChannel(events, k <= 90)
+    errors.select("event_id", "event_type", "props")
+  }
+
+  /** Uid.List 20-cap (CreateUidsIterator, Uid.List MAX=20): the global
+    * index keeps at most 20 sample uids per term — the count column stays
+    * exact while the uid list saturates. */
+  def ingUidList(s: SparkSession, d: String): DataFrame =
+    Ingest.globalIndex(longEvents(s, d))
+      .filter(col("field") === "event_type")
+      .select(col("value"),
+        date_format(col("shard_date"), "yyyy-MM-dd").as("day"),
+        col("cnt"), size(col("uid_sample")).as("uid_sample_size"))
+
+  /** Atom feed sink (AtomDataTypeHandler.java:35-40). */
+  def feedsAtom(s: SparkSession, d: String): DataFrame =
+    graft.ingest.Feeds.atom(longEvents(s, d))
+      .filter(col("category") === "event_type")
+      .select(col("category"), col("value"),
+        date_format(col("latest_date"), "yyyy-MM-dd").as("latest_date"),
+        col("occurrences"))
+
+  /** Metrics-summary sink (MetricsSummaryDataTypeHandler). */
+  def feedsSummary(s: SparkSession, d: String): DataFrame =
+    graft.ingest.Feeds.summary(longEvents(s, d))
+      .filter(col("field").isin("user_id", "event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ing_discovery" -> ingDiscovery _,
     "ing_index_lookup" -> ingIndexLookup _,
     "ing_needle_semijoin" -> ingNeedleSemiJoin _,
     "ing_metadata" -> ingMetadata _,
     "ing_unfielded_expand" -> ingUnfieldedExpand _,
+    "ing_index_hole" -> ingIndexHole _,
+    "ing_date_index" -> ingDateIndex _,
+    "ing_error_channel" -> ingErrorChannel _,
+    "ing_uid_list" -> ingUidList _,
+    "feeds_atom" -> feedsAtom _,
+    "feeds_summary" -> feedsSummary _,
   )
 
   /** The long layout melts (user_id, event_type, value, props); oracles
@@ -110,5 +184,38 @@ object IngestQueries {
     // the single-field equality the expansion compiles to
     "ing_unfielded_expand" ->
       "SELECT event_id, event_type FROM events WHERE event_type = 'click'",
+    // hole fallback must find every match, including dates the partial
+    // index never saw — the oracle is the full unpruned filter
+    "ing_index_hole" ->
+      "SELECT event_id, user_id FROM events WHERE user_id = 7",
+    "ing_date_index" ->
+      """SELECT DISTINCT strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS shard_date
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | WHERE CAST(o_orderdate AS DATE)
+        |   BETWEEN DATE '1996-03-01' AND DATE '1996-03-31'""".stripMargin,
+    "ing_error_channel" ->
+      """SELECT event_id, event_type, props FROM events
+        | WHERE CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) > 90""".stripMargin,
+    "ing_uid_list" ->
+      """SELECT event_type AS value, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |   count(*) AS cnt, LEAST(count(DISTINCT event_id), 20) AS uid_sample_size
+        | FROM events GROUP BY 1, 2""".stripMargin,
+    "feeds_atom" ->
+      """SELECT 'event_type' AS category, event_type AS value,
+        |   strftime(MAX(CAST(ts AS DATE)), '%Y-%m-%d') AS latest_date,
+        |   count(*) AS occurrences
+        | FROM events GROUP BY 2""".stripMargin,
+    "feeds_summary" ->
+      """SELECT 'event' AS datatype, field, day, count(*) AS cnt,
+        |   count(DISTINCT uid) AS distinct_events
+        | FROM (
+        |   SELECT 'user_id' AS field, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |       CAST(event_id AS VARCHAR) AS uid
+        |     FROM events WHERE user_id IS NOT NULL
+        |   UNION ALL
+        |   SELECT 'event_type', strftime(CAST(ts AS DATE), '%Y-%m-%d'),
+        |       CAST(event_id AS VARCHAR)
+        |     FROM events WHERE event_type IS NOT NULL
+        | ) GROUP BY 2, 3""".stripMargin,
   )
 }

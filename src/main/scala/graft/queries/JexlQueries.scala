@@ -100,7 +100,45 @@ object JexlQueries {
       .select("p_partkey", "p_name")
   }
 
+  /** filter:matchesAtLeastCountOf over a multi-valued field
+    * (EvaluationPhaseFilterFunctions:223): at least 2 of the listed
+    * words appear among the part-name words. */
+  def fltMatchesCount(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, split}
+    val p = Tables.part(s, d).withColumn("name_words", split(col("p_name"), " "))
+    Compiler.filter(p,
+      "filter:matchesAtLeastCountOf(2, NAME_WORDS, 'red', 'widget', 'bolt')")
+      .select("p_partkey", "p_name")
+  }
+
+  /** filter:timeFunction (:1431): |ship - order| within 7 days, evaluated
+    * on the joined frame. */
+  def fltTimeFunction(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val j = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+    Compiler.filter(j,
+      "L_RETURNFLAG == 'R' && " +
+        "filter:timeFunction(L_SHIPDATE, O_ORDERDATE, '<', 604800000)")
+      .select("l_orderkey", "l_linenumber", "l_shipdate")
+  }
+
+  /** filter:compare ALL mode (:1789): every discount in the order below
+    * every tax — forall × forall across the two value sets. */
+  def fltCompareAll(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, collect_list}
+    val byOrder = Tables.lineitem(s, d).groupBy("l_orderkey")
+      .agg(collect_list(col("l_discount")).as("discounts"),
+        collect_list(col("l_tax")).as("taxes"))
+    Compiler.filter(byOrder,
+      "filter:compare(DISCOUNTS, '<', 'ALL', TAXES)")
+      .select("l_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "flt_matches_count" -> fltMatchesCount _,
+    "flt_time_function" -> fltTimeFunction _,
+    "flt_compare_all" -> fltCompareAll _,
     "rev_wildcard" -> revWildcard _,
     "flt_eval_functions" -> fltEvalFunctions _,
     "flt_getallmatches" -> fltGetAllMatches _,
@@ -115,6 +153,19 @@ object JexlQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "flt_matches_count" ->
+      """SELECT p_partkey, p_name FROM part
+        | WHERE (CASE WHEN list_contains(string_split(p_name, ' '), 'red') THEN 1 ELSE 0 END
+        |      + CASE WHEN list_contains(string_split(p_name, ' '), 'widget') THEN 1 ELSE 0 END
+        |      + CASE WHEN list_contains(string_split(p_name, ' '), 'bolt') THEN 1 ELSE 0 END) >= 2""".stripMargin,
+    "flt_time_function" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | WHERE l_returnflag = 'R'
+        |   AND ABS(epoch_ms(l_shipdate) - epoch_ms(o_orderdate)) < 604800000""".stripMargin,
+    "flt_compare_all" ->
+      """SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        | HAVING max(l_discount) < min(l_tax)""".stripMargin,
     "rev_wildcard" ->
       "SELECT p_partkey, p_name FROM part WHERE p_name LIKE '%mint'",
     "flt_eval_functions" ->

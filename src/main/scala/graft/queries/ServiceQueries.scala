@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.query._
+
+/** Gates for the query-service machinery: resumable cursor pages,
+  * per-page metrics (RunningQuery), the instrumented query-metrics logic,
+  * the DocumentTransform chain, and the analyzer SPI — each against a
+  * plain-SQL oracle so the service layer is hash-checked, not just
+  * unit-tested.
+  */
+object ServiceQueries {
+
+  private def tempStateDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-cursor").toString
+
+  /** Resumable paged cursor (CheckpointableQueryLogic `next(queryId)`):
+    * two next() calls land on the SECOND page — the offset survived in
+    * durable state, not driver memory. */
+  def cursorPage(s: SparkSession, d: String): DataFrame = {
+    val cursor = new QueryCursor(tempStateDir())
+    val df = Tables.customer(s, d).select("c_custkey", "c_name")
+    cursor.next("cp1", df, Seq("c_custkey"), pageSize = 10)
+    cursor.next("cp1", df, Seq("c_custkey"), pageSize = 10)
+  }
+
+  /** Per-page metrics (RunningQuery / QueryMetric.PageMetric:331): drive
+    * a paged query to completion; the metric rows (page sizes + statuses)
+    * are the result. */
+  def queryPages(s: SparkSession, d: String): DataFrame = {
+    QueryMetrics.clear()
+    // paging re-plans the frame once per page — persist it so 50 pages
+    // hit cached partitions, the pattern real callers use (QueryCursor
+    // scaladoc); at scale the page offsets stream from the persisted sort
+    val df = Tables.orders(s, d)
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey").persist()
+    df.count()
+    new RunningQuery(new QueryCursor(tempStateDir()), "pq1", df,
+      Seq("o_orderkey"), pageSize = 1000).run()
+    df.unpersist()
+    QueryMetrics.pagesDF(s)
+      .select(col("queryId"), col("pageNum"), col("rows"), col("status"))
+  }
+
+  /** Query-metrics logic (QueryMetricQueryLogic): run an instrumented
+    * query, then query the metrics store itself. */
+  def queryMetrics(s: SparkSession, d: String): DataFrame = {
+    QueryMetrics.clear()
+    val logic = new ShardQueryLogic()
+    QueryMetrics.instrumented(logic, "qm1", Tables.events(s, d),
+      "EVENT_TYPE == 'click'")
+    QueryMetrics.toDF(s)
+      .select(col("queryId"), col("query"), col("syntax"), col("resultRows"))
+  }
+
+  /** DocumentTransform chain (transformer/DocumentTransform.java):
+    * enrich → filter → project → rename → dedup as one composed stage
+    * pipeline. */
+  def transformsChain(s: SparkSession, d: String): DataFrame =
+    Transforms.chain(Seq(
+      Transforms.enrich(Map("BAL_TIER" -> floor(col("c_acctbal") / 1000))),
+      Transforms.where(col("c_mktsegment") === "BUILDING"),
+      Transforms.project(Seq("c_custkey", "c_name", "BAL_TIER")),
+      Transforms.rename(Map("c_name" -> "customer_name")),
+      Transforms.dedup(Seq("c_custkey"))
+    ))(Tables.customer(s, d))
+
+  /** Analyzer SPI (StandardAnalyzer + TokenSearchSynonymFilter + ngram
+    * truncation): tf build where 'fast' also emits synonym 'quick' at the
+    * same position and tokens truncate to 8 chars. */
+  def analyzerTokens(s: SparkSession, d: String): DataFrame = {
+    val an = graft.content.Analyzer(
+      synonyms = Map("fast" -> Seq("quick")), maxTokenLength = 8)
+    // single-row-group parquet → one split; the tokenize+explode must not
+    // run in a lone task (see graft.core.Spread)
+    val docs = graft.core.Spread(Tables.documents(s, d).select("doc_id", "text"))
+    graft.content.AnalyzedContent.buildTfWith(docs, an)
+      .select(col("doc_id"), col("term"),
+        size(col("positions")).cast("long").as("occurrences"),
+        element_at(col("positions"), 1).cast("long").as("first_pos"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cursor_page" -> cursorPage _,
+    "query_pages" -> queryPages _,
+    "query_metrics" -> queryMetrics _,
+    "transforms_chain" -> transformsChain _,
+    "analyzer_tokens" -> analyzerTokens _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "cursor_page" ->
+      """SELECT c_custkey, c_name FROM customer
+        | ORDER BY c_custkey OFFSET 10 LIMIT 10""".stripMargin,
+    // page ledger derived from the filtered count: full pages COMPLETE,
+    // the short tail page PARTIAL
+    "query_pages" ->
+      """WITH n AS (SELECT count(*) AS c FROM orders WHERE o_orderstatus = 'F')
+        |SELECT 'pq1' AS "queryId", CAST(p AS BIGINT) AS "pageNum",
+        |   CAST(LEAST(1000, c - (p - 1) * 1000) AS BIGINT) AS "rows",
+        |   CASE WHEN c - (p - 1) * 1000 < 1000 THEN 'PARTIAL' ELSE 'COMPLETE' END AS status
+        | FROM n, unnest(range(1, CAST(CEIL(c / 1000.0) AS INT) + 1)) AS t(p)""".stripMargin,
+    "query_metrics" ->
+      """SELECT 'qm1' AS "queryId", 'EVENT_TYPE == ''click''' AS query,
+        |   'JEXL' AS syntax, CAST(count(*) AS BIGINT) AS "resultRows"
+        | FROM events WHERE event_type = 'click'""".stripMargin,
+    "transforms_chain" ->
+      """SELECT c_custkey, c_name AS customer_name,
+        |   CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS "BAL_TIER"
+        | FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+    "analyzer_tokens" ->
+      """WITH toks AS (
+        | SELECT doc_id, unnest(l) AS tok, unnest(range(0, len(l))) AS pos
+        | FROM (SELECT doc_id,
+        |         list_transform(
+        |           list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                       x -> x <> ''),
+        |           x -> x[1:8]) AS l
+        |       FROM documents)
+        |), with_syn AS (
+        | SELECT doc_id, tok AS term, pos FROM toks
+        | UNION ALL
+        | SELECT doc_id, 'quick', pos FROM toks WHERE tok = 'fast'
+        |)
+        |SELECT doc_id, term, count(*) AS occurrences,
+        |   CAST(min(pos) AS BIGINT) AS first_pos
+        | FROM with_syn GROUP BY 1, 2""".stripMargin,
+  )
+}

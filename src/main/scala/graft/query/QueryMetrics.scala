@@ -17,15 +17,31 @@ final case class QueryMetric(
     elapsedMillis: Long,
     resultRows: Long)
 
+/** Per-page metric (QueryMetric.PageMetric analog — the reference emits
+  * one per `next()` call with pagesize/returnTime, RunningQuery:331). */
+final case class PageMetric(
+    queryId: String,
+    pageNum: Long,
+    rows: Long,
+    elapsedMillis: Long,
+    status: String) // COMPLETE | PARTIAL | TIMEOUT
+
 object QueryMetrics {
   private val buf = ArrayBuffer.empty[QueryMetric]
+  private val pageBuf = ArrayBuffer.empty[PageMetric]
 
   def record(m: QueryMetric): Unit = synchronized { buf += m }
-  def clear(): Unit = synchronized { buf.clear() }
+  def recordPage(m: PageMetric): Unit = synchronized { pageBuf += m }
+  def clear(): Unit = synchronized { buf.clear(); pageBuf.clear() }
 
   def toDF(spark: SparkSession): DataFrame = {
     import spark.implicits._
     synchronized { buf.toList }.toDF()
+  }
+
+  def pagesDF(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    synchronized { pageBuf.toList }.toDF()
   }
 
   /** Run a query through a logic while capturing a metric event (the
@@ -39,5 +55,58 @@ object QueryMetrics {
     record(QueryMetric(queryId, q, params.syntax, t0,
       System.currentTimeMillis() - t0, n))
     out
+  }
+}
+
+/** Paged query execution with per-page metrics and the long-running-query
+  * short-circuit (RunningQuery + query.execution.page.timeout,
+  * default.properties:250-258): each `nextPage()` emits a PageMetric; a
+  * page slower than `pageTimeoutMillis` marks the run TIMEOUT and stops
+  * issuing further pages (the reference returns the partial page it
+  * assembled by the deadline — page granularity is the unit of progress
+  * in both).
+  */
+final class RunningQuery(
+    cursor: QueryCursor,
+    queryId: String,
+    df: DataFrame,
+    orderCols: Seq[String],
+    pageSize: Int,
+    pageTimeoutMillis: Long = Long.MaxValue) {
+
+  private var pageNum = 0L
+  private var timedOut = false
+
+  def isTimedOut: Boolean = timedOut
+
+  /** Next page, or None when exhausted or short-circuited. */
+  def nextPage(): Option[DataFrame] = {
+    if (timedOut) return None
+    val t0 = System.currentTimeMillis()
+    val page = cursor.next(queryId, df, orderCols, pageSize)
+    val rows = page.count()
+    val dt = System.currentTimeMillis() - t0
+    pageNum += 1
+    val status =
+      if (dt > pageTimeoutMillis) { timedOut = true; "TIMEOUT" }
+      else if (rows < pageSize) "PARTIAL"
+      else "COMPLETE"
+    // the exhaustion probe (zero rows) is not a served page — no metric
+    if (rows > 0)
+      QueryMetrics.recordPage(PageMetric(queryId, pageNum, rows, dt, status))
+    if (rows == 0) None else Some(page)
+  }
+
+  /** Drive to completion (or short-circuit), returning pages served. */
+  def run(maxPages: Int = Int.MaxValue): Long = {
+    var served = 0L
+    var continue = true
+    while (continue && served < maxPages) {
+      nextPage() match {
+        case Some(_) => served += 1
+        case None => continue = false
+      }
+    }
+    served
   }
 }

@@ -41,6 +41,14 @@ class PlanSpec extends SparkSpec {
       plan.contains("LeftSemi"), plan.take(3000))
   }
 
+  test("index-hole fallback still prunes via a broadcast semi-join") {
+    val plan = executed("ing_index_hole")
+    // the (hit ∪ hole) date set broadcasts into a LeftSemi against the
+    // event scan — partition pruning survives the hole fallback
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftSemi"), plan.take(3000))
+  }
+
   test("index-driven unfielded expansion prunes to one pushed equality") {
     val plan = executed("ing_unfielded_expand")
     assert(plan.contains("EqualTo(event_type,click)"), plan.take(3000))
