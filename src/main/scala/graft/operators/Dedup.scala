@@ -152,7 +152,11 @@ object Dedup {
       .select(col("doc_id"), hashedShingles(col("text"), n).as("sh"))
       .filter(size(col("sh")) > 0)
       .persist()
-    val sig = withSh.withColumn("mh", minhashSignature(col("sh"), numHashes))
+    // native codegen'd signature (MinHashSig) — bit-identical to the
+    // declarative minhashSignature (asserted in MinHashSigSpec) but two
+    // tight Java loops instead of the interpreted HOF path
+    val sig = withSh.withColumn("mh",
+      graft.functions.MinHashSig.signature(col("sh"), numHashes))
     val banded = sig.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => hash(slice(col("mh"), b * rows + lit(1), lit(rows))))))
@@ -171,18 +175,27 @@ object Dedup {
     * computed per-row with higher-order aggregates (no shuffle, no UDF).
     * Packs sign bits of the accumulated vote vector into a BIGINT.
     *
-    * The token hash is bound ONCE per token via the 1-element `transform`
-    * lambda-let (same trick as [[shingles]]): referencing `xxhash64(t)`
-    * inside the 64-lane fold would re-hash the token once per lane. Each
-    * lane is then 2 bit-ops + 1 add on the bound value:
-    * acc(i) += ((h >> i) & 1) * 2 − 1. */
+    * The per-token 64 vote bits derive from the token's md5 — two 60-bit
+    * halves of the hex digest (lanes 0-31 from the first, 32-63 from the
+    * second) — instead of xxhash64: md5 is bit-identical across engines,
+    * which makes the ENTIRE pipeline (signature → banding → hamming →
+    * verify) replicable in the DuckDB oracle, upgrading dedup_simhash
+    * from a rows-only check to a full hash match. Cost: one md5 per
+    * token, bound ONCE via the 1-element `transform` lambda-let (same
+    * trick as [[shingles]] — referencing it inside the 64-lane fold would
+    * re-hash per lane). */
   def simhash(text: Column): Column = {
     val counts = aggregate(
       TextOps.tokens(text),
       array_repeat(lit(0L), 64),
-      (acc, t) => element_at(transform(array(xxhash64(t)), h =>
+      (acc, t) => element_at(transform(array(struct(
+          conv(substring(md5(t), 1, 15), 16, 10).cast("long").as("h1"),
+          conv(substring(md5(t), 16, 15), 16, 10).cast("long").as("h2"))), h =>
         zip_with(acc, sequence(lit(0), lit(63)), (a, i) =>
-          a - 1 + call_function("shiftright", h, i).bitwiseAND(lit(1L)) * 2)), 1))
+          a - 1 + when(i < 32,
+              call_function("shiftright", h.getField("h1"), i))
+            .otherwise(call_function("shiftright", h.getField("h2"), i - 32))
+            .bitwiseAND(lit(1L)) * 2)), 1))
     // fold the 64 sign bits into one long: acc = acc | (cnt>0 ? 1L<<i : 0)
     // (call_function: the SQL shiftleft takes a Column shift amount,
     // unlike the Scala wrapper)

@@ -31,8 +31,9 @@ object PipelineQueries {
     Dedup.minhashLshPairs(Tables.documents(s, d), n = 3, threshold = 0.8)
 
   /** SimHash near-dup pairs — hamming-band candidates + exact verify.
-    * Approximate recall (see Dedup.simhashPairs doc) → rows-only check;
-    * precision vs the exact pair set is asserted in DedupSpec. */
+    * Recall is approximate (see Dedup.simhashPairs doc) but the md5-based
+    * signature is engine-deterministic, so the oracle replicates the full
+    * approximate pipeline and the gate is a complete hash match. */
   def dedupSimhash(s: SparkSession, d: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(s, d), n = 3, threshold = 0.8,
       maxHamming = 7)
@@ -131,8 +132,48 @@ object PipelineQueries {
          | FROM documents GROUP BY 1""".stripMargin,
     "dedup_ngram_jaccard" -> jaccardPairsSql,
     "dedup_minhash_lsh" -> jaccardPairsSql,
-    // dedup_simhash: approximate recall — rows-only (precision asserted
-    // in DedupSpec: output ⊆ exact pair set, each pair verified exactly).
+    // dedup_simhash: the md5-derived signature makes the whole pipeline
+    // deterministic across engines — the oracle replicates signature →
+    // 8×8-bit banding → hamming ≤ 7 → exact jaccard verify bit-for-bit.
+    "dedup_simhash" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($toksSql) AS t FROM documents
+         |), th AS (
+         |  SELECT doc_id,
+         |    CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h1,
+         |    CAST(concat('0x', substr(md5(t), 16, 15)) AS BIGINT) AS h2
+         |  FROM tok
+         |), lanes AS (
+         |  SELECT doc_id, i,
+         |    SUM(2 * (CASE WHEN i < 32 THEN (h1 >> i) ELSE (h2 >> (i - 32)) END & 1) - 1) AS cnt
+         |  FROM th, range(0, 64) r(i)
+         |  GROUP BY doc_id, i
+         |), sig AS (
+         |  SELECT doc_id,
+         |    bit_or(CASE WHEN cnt > 0 THEN
+         |      CASE WHEN i = 63 THEN (-9223372036854775807 - 1)::BIGINT
+         |           ELSE (1::BIGINT << CAST(i AS INT)) END
+         |      ELSE 0::BIGINT END) AS sim
+         |  FROM lanes GROUP BY doc_id
+         |), banded AS (
+         |  SELECT doc_id, sim, b, (sim >> CAST(b * 8 AS INT)) & 255 AS bucket
+         |  FROM sig, range(0, 8) r(b)
+         |), cand AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+         |    x.sim AS sim_a, y.sim AS sim_b
+         |  FROM banded x JOIN banded y
+         |    ON x.b = y.b AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+         |), ham AS (
+         |  SELECT id_a, id_b FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 7
+         |)
+         |SELECT h.id_a, h.id_b,
+         |  len(list_intersect(a.sh, b.sh)) AS inter,
+         |  len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
+         |FROM ham h JOIN $shinglesSql a ON h.id_a = a.doc_id
+         |          JOIN $shinglesSql b ON h.id_b = b.doc_id
+         |WHERE len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) > 0
+         |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) >=
+         |      CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) * 0.8""".stripMargin,
     "text_tokens" ->
       s"SELECT doc_id, len($toksSql) AS n_tokens FROM documents",
     "text_analyze" -> {
