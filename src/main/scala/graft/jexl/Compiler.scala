@@ -20,6 +20,14 @@ final case class QueryModel(
     norm.getOrElse(field.toUpperCase, Seq(field))
   def normalizersFor(field: String): Seq[String] =
     normTypes.getOrElse(field.toUpperCase, Nil)
+
+  /** `#NO_EXPANSION(F...)` (QueryModelVisitor.applyModel:100-105,
+    * NoExpansionTests): the listed fields keep their literal name — the
+    * model must NOT expand them into aliases. */
+  def withoutExpansion(fields: Seq[String]): QueryModel =
+    if (fields.isEmpty) this
+    else copy(forward = forward -- forward.keys.filter(k =>
+      fields.exists(_.equalsIgnoreCase(k))))
 }
 
 /** Policy gates ported from the reference's operating envelope
@@ -112,6 +120,22 @@ object Compiler {
     case other => s => s === lit(other.raw)
   }
 
+  /** All field names a query references (FieldMissingFromSchemaVisitor
+    * analog) — input to the nonexistent-field planner test. */
+  def referencedFields(n: Node): Set[String] = n match {
+    case Node.And(cs) => cs.flatMap(referencedFields).toSet
+    case Node.Or(cs) => cs.flatMap(referencedFields).toSet
+    case Node.Not(c) => referencedFields(c)
+    case Node.FieldOp(f, _, _) => Set(f)
+    case Node.RegexOp(f, _, _) => Set(f)
+    case Node.NullCheck(f, _) => Set(f)
+    case Node.Bounded(f, _, _, _, _) => Set(f)
+    case Node.FieldToField(a, _, b) => Set(a, b)
+    case Node.Func(_, _, args) =>
+      args.collect { case Node.FieldArg(f) => f }.toSet
+    case Node.FuncCmp(func, _, _) => referencedFields(func)
+  }
+
   /** True if at least one branch is index-driveable (positive predicate). */
   private def hasPositiveLeaf(n: Node): Boolean = n match {
     case Node.And(cs) => cs.exists(hasPositiveLeaf)
@@ -167,7 +191,32 @@ private final class CompileCtx(df: DataFrame, model: QueryModel)
 
   def comp(n: Node): Column = n match {
     case Node.And(cs) => cs.map(comp).reduce(_ && _)
-    case Node.Or(cs) => cs.map(comp).reduce(_ || _)
+    case Node.Or(cs) =>
+      // Large-OR collapse — the ivarator/FST analog (beq.orExpansion
+      // Threshold=500, PushdownLargeFieldedListsVisitor.java:62): an OR
+      // of N same-field equalities evaluates N expression nodes per row
+      // and defeats pushdown; runs of ≥10 (on fields without declared
+      // normalizers — the normalizer path must keep its per-literal
+      // rewrite) compile to ONE `isin`, which Catalyst plans as an
+      // InSet hash probe and pushes to parquet as a single In filter.
+      // At the reference's 2000-term envelope that is the difference
+      // between a scan-dominated plan and a 2000-branch interpreter.
+      val (eqs, rest) = cs.partitionMap {
+        case Node.FieldOp(f, CompareOp.Eq, l)
+            if l != Literal.Null && model.normalizersFor(f).isEmpty =>
+          Left((f, l))
+        case other => Right(other)
+      }
+      val (big, small) = eqs.groupBy(_._1.toUpperCase).values.toSeq
+        .partition(_.size >= 10)
+      val inCols = big.sortBy(_.head._1).map { grp =>
+        anyField(grp.head._1)((c, dt) =>
+          c.isin(grp.map(x => litFor(x._2, dt)): _*))
+      }
+      val restCols = small.flatten
+        .map { case (f, l) => comp(Node.FieldOp(f, CompareOp.Eq, l)) } ++
+        rest.map(comp)
+      (inCols ++ restCols).reduce(_ || _)
     case Node.Not(c) => !comp(c)
 
     case Node.FieldOp(f, CompareOp.Ne, l) =>

@@ -135,7 +135,18 @@ object JexlQueries {
       .select("l_orderkey")
   }
 
+  /** 600-branch OR of equalities — the reference's ivarator/FST envelope
+    * (orExpansionThreshold; queries of this shape are routine there).
+    * Compiles to ONE InSet probe + a single pushed In filter, not a
+    * 600-node boolean tree (PlanSpec pins the shape). */
+  def jexlLargeOr(s: SparkSession, d: String): DataFrame = {
+    val q = (1 to 1199 by 2).map(k => s"O_CUSTKEY == $k").mkString(" || ")
+    Compiler.filter(Tables.orders(s, d), q, QueryModel(), permissive)
+      .select("o_orderkey", "o_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "jexl_large_or" -> jexlLargeOr _,
     "flt_matches_count" -> fltMatchesCount _,
     "flt_time_function" -> fltTimeFunction _,
     "flt_compare_all" -> fltCompareAll _,
@@ -153,6 +164,9 @@ object JexlQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "jexl_large_or" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        | WHERE o_custkey % 2 = 1 AND o_custkey BETWEEN 1 AND 1199""".stripMargin,
     "flt_matches_count" ->
       """SELECT p_partkey, p_name FROM part
         | WHERE (CASE WHEN list_contains(string_split(p_name, ' '), 'red') THEN 1 ELSE 0 END

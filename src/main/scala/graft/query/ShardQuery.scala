@@ -19,7 +19,11 @@ final case class QueryParams(
     dateCol: String = "shard_date",
     datatypeFilter: Seq[String] = Nil,
     datatypeCol: String = "datatype",
-    syntax: String = "JEXL",                 // or LUCENE
+    syntax: String = "JEXL",
+    // IGNORE_NONEXISTENT_FIELDS (QueryParameters.java:202): by default a
+    // query naming a field the schema has never seen is refused
+    // (DefaultQueryPlanner.timedTestForNonExistentFields:884,1434)
+    ignoreNonexistentFields: Boolean = false,                 // or LUCENE
     // Masked-field pairs (QueryParameters.java:61, MaskedFieldHelper):
     // unmasked column → masked sibling column. Unauthorized viewers see
     // the masked value; authorized viewers see the unmasked one (falling
@@ -62,9 +66,12 @@ final class ShardQueryLogic(
         UnfieldedExpansion.indexLookup(gi, unfieldedThreshold), unfieldedThreshold)
       case (a, _) => a
     }
+    // #NO_EXPANSION: listed fields are exempt from model alias expansion
+    // (QueryModelVisitor.applyModel, NoExpansionTests)
+    val effModel = model.withoutExpansion(opts.noExpansion)
     // #LENIENT/#STRICT normalization-failure semantics (drop vs refuse)
     val ast = if (ast1 != null)
-      NormalizationGuard.rewrite(ast1, model, opts.lenient, opts.strict)
+      NormalizationGuard.rewrite(ast1, effModel, opts.lenient, opts.strict)
     else ast1
     if (ast != null) Compiler.enforce(ast, policy)
 
@@ -111,9 +118,26 @@ final class ShardQueryLogic(
       longGroupingRoute(ast, df, params) match {
         case Some(routed) => df = routed
         case None =>
-          df = df.filter(Compiler.compile(ast, df, model))
+          // nonexistent-field planner test (timedTestForNonExistentFields):
+          // a field absent from the schema after model expansion refuses
+          // the query unless IGNORE_NONEXISTENT_FIELDS. (The long-layout
+          // grouping route above is exempt — its function fields are
+          // VALUES of the `field` column, not columns.)
+          if (!params.ignoreNonexistentFields) {
+            val special = Set("_ANYFIELD_", "_NOFIELD_", "HIT_TERM", "TERMOFFSETMAP")
+            val cols = df.columns.map(_.toUpperCase).toSet
+            val missing = Compiler.referencedFields(ast)
+              .filterNot(f => special.contains(f.toUpperCase))
+              .filterNot(f => effModel.expand(f)
+                .exists(e => cols.contains(e.toUpperCase)))
+            if (missing.nonEmpty)
+              throw new PolicyException(
+                s"query references nonexistent field(s) ${missing.mkString(", ")}; " +
+                  "set ignoreNonexistentFields to run anyway")
+          }
+          df = df.filter(Compiler.compile(ast, df, effModel))
           if (params.hitList)
-            df = df.withColumn("HIT_TERM", HitTerms.column(ast, df, model))
+            df = df.withColumn("HIT_TERM", HitTerms.column(ast, df, effModel))
       }
     }
 

@@ -41,6 +41,14 @@ class PlanSpec extends SparkSpec {
       plan.contains("LeftSemi"), plan.take(3000))
   }
 
+  test("600-branch OR collapses to one pushed In filter") {
+    val plan = executed("jexl_large_or")
+    assert(plan.contains("In(o_custkey"), plan.take(3000))
+    // a 600-node boolean tree would overflow any single line; the
+    // collapsed form keeps one predicate (InSet above 10 values)
+    assert(!plan.contains("|| (o_custkey"), plan.take(3000))
+  }
+
   test("index-hole fallback still prunes via a broadcast semi-join") {
     val plan = executed("ing_index_hole")
     // the (hit ∪ hole) date set broadcasts into a LeftSemi against the

@@ -32,6 +32,31 @@ class ShardQuerySpec extends SparkSpec {
     assert(uuids(logic.query(wiseguys, "ETA == 34")) == Set("CORLEONE", "CAPONE"))
   }
 
+  test("#NO_EXPANSION exempts a field from model alias expansion") {
+    // With NOME in NO_EXPANSION the alias must stay literal — and a
+    // literal NOME doesn't exist in the schema, so the default
+    // nonexistent-field planner test refuses the query
+    // (QueryModelVisitor.applyModel + timedTestForNonExistentFields)
+    intercept[graft.jexl.PolicyException] {
+      logic.query(wiseguys, "f:noExpansion(NOME) && NOME == 'SANTINO'").collect()
+    }
+    // with IGNORE_NONEXISTENT_FIELDS the unexpanded alias just matches
+    // nothing
+    assert(uuids(logic.query(wiseguys, "f:noExpansion(NOME) && NOME == 'SANTINO'",
+      QueryParams(ignoreNonexistentFields = true))).isEmpty)
+    // the un-exempted alias still expands
+    assert(uuids(logic.query(wiseguys,
+      "f:noExpansion(ETA) && NOME == 'SANTINO'")) == Set("CORLEONE"))
+  }
+
+  test("nonexistent fields refuse the query by default") {
+    intercept[graft.jexl.PolicyException] {
+      logic.query(wiseguys, "NO_SUCH_FIELD == 'x'").collect()
+    }
+    assert(uuids(logic.query(wiseguys, "NO_SUCH_FIELD == 'x'",
+      QueryParams(ignoreNonexistentFields = true))).isEmpty)
+  }
+
   test("datatype + date bounds prune") {
     val p = QueryParams(datatypeFilter = Seq("test"),
       beginDate = Some("2013-01-01"), endDate = Some("2013-01-01"))
