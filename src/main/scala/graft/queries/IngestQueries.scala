@@ -137,7 +137,65 @@ object IngestQueries {
     graft.ingest.Feeds.summary(longEvents(s, d))
       .filter(col("field").isin("user_id", "event_type"))
 
+  /** Datatype filter + mandatory date bounds (QueryParameters
+    * DATATYPE_FILTER_SET + begin/end; row 43): the partition-pruning
+    * predicates of every event query, driven through ShardQueryLogic. */
+  def shardBounds(s: SparkSession, d: String): DataFrame = {
+    val events = Tables.events(s, d)
+      .withColumn("shard_date", to_date(col("ts")))
+      .withColumn("datatype",
+        when(col("user_id") % 2 === 0, "even").otherwise("odd"))
+    val logic = new graft.query.ShardQueryLogic()
+    logic.query(events, "EVENT_TYPE == 'click'",
+        graft.query.QueryParams(datatypeFilter = Seq("even"),
+          beginDate = Some("2024-01-10"), endDate = Some("2024-01-20")))
+      .select("event_id", "user_id", "datatype")
+  }
+
+  /** JSON ingest (format readers, row 2): the props payload parses
+    * through from_json with an explicit schema — the semi-structured
+    * branch of the reader surface. */
+  def ingJsonReader(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k"))
+      .filter(col("k") > 80)
+
+  /** EventMapper dispatch through the handler registry (rows 1/78): two
+    * datatypes route to different handler chains in one pass; the gate
+    * returns per-(datatype, handler) output counts. */
+  def handlersDispatch(s: SparkSession, d: String): DataFrame = {
+    import graft.ingest.Handlers
+    val wide = Tables.events(s, d)
+      .withColumn("datatype",
+        when(col("user_id") % 2 === 0, "even").otherwise("odd"))
+    val long = Ingest.toLong(
+        graft.core.Spread(wide.select(col("event_id"), col("ts"),
+          col("event_type"), col("value"))),
+        uidCol = "event_id", datatype = "ignored", dateCol = "ts")
+      // toLong stamps a constant datatype; the real per-record datatype
+      // joins back in from the wide frame below
+      .drop("datatype")
+    val dtByUid = wide.select(col("event_id").cast("string").as("uid"),
+      col("datatype"))
+    val typed = long.join(dtByUid, "uid")
+    val registry = Handlers.Registry()
+      .register("even", df => df.filter(col("field") === "event_type"))
+      .register("even", df => df.filter(col("field") === "value"))
+      .register("odd", df => df.filter(col("field") === "event_type"))
+    val outs = Handlers.dispatch(typed, registry)
+    outs.map { case (dt, seq, df) =>
+        df.groupBy(lit(dt).as("datatype"), lit(seq).as("handler_seq"))
+          .agg(count(lit(1)).as("cnt"))
+      }.reduce(_ unionAll _)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "shard_bounds" -> shardBounds _,
+    "ing_json_reader" -> ingJsonReader _,
+    "handlers_dispatch" -> handlersDispatch _,
     "ing_discovery" -> ingDiscovery _,
     "ing_index_lookup" -> ingIndexLookup _,
     "ing_needle_semijoin" -> ingNeedleSemiJoin _,
@@ -184,6 +242,26 @@ object IngestQueries {
     // the single-field equality the expansion compiles to
     "ing_unfielded_expand" ->
       "SELECT event_id, event_type FROM events WHERE event_type = 'click'",
+    "shard_bounds" ->
+      """SELECT event_id, user_id,
+        |   CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS datatype
+        | FROM events
+        | WHERE event_type = 'click' AND user_id % 2 = 0
+        |   AND CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-20'""".stripMargin,
+    "ing_json_reader" ->
+      """SELECT event_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k
+        | FROM events
+        | WHERE CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) > 80""".stripMargin,
+    "handlers_dispatch" ->
+      """WITH t AS (SELECT event_id,
+        |   CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS dt,
+        |   event_type, value FROM events)
+        |SELECT 'even' AS datatype, 0 AS handler_seq, count(*) AS cnt
+        |  FROM t WHERE dt = 'even' AND event_type IS NOT NULL
+        |UNION ALL SELECT 'even', 1, count(*)
+        |  FROM t WHERE dt = 'even' AND value IS NOT NULL
+        |UNION ALL SELECT 'odd', 0, count(*)
+        |  FROM t WHERE dt = 'odd' AND event_type IS NOT NULL""".stripMargin,
     // hole fallback must find every match, including dates the partial
     // index never saw — the oracle is the full unpruned filter
     "ing_index_hole" ->

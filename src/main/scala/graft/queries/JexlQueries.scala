@@ -145,7 +145,41 @@ object JexlQueries {
       .select("o_orderkey", "o_custkey")
   }
 
+  /** Function-namespace SPI (JexlFunctionNamespaceRegistry): a deployment
+    * registers `ql:priceband(F, lo, hi)` and uses it in a query without
+    * touching the compiler. */
+  def spiFunction(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    import graft.jexl.{FunctionRegistry, Node}
+    FunctionRegistry.register("ql", "priceband", (ctx, args) => args match {
+      case Node.FieldArg(f) :: Node.LitArg(lo) :: Node.LitArg(hi) :: Nil =>
+        ctx.anyField(f)((c, _) =>
+          c >= lit(lo.raw.toDouble) && c < lit(hi.raw.toDouble))
+      case other => throw new graft.jexl.ParseException(s"bad args $other")
+    })
+    Compiler.filter(Tables.orders(s, d),
+      "ql:priceband(O_TOTALPRICE, 200000, 250000) && O_ORDERSTATUS == 'F'")
+      .select("o_orderkey", "o_totalprice")
+  }
+
+  /** LIMIT_FIELDS + HIT_LIST interplay (LimitFields.java: matched values
+    * must survive the cap): quantities arrays capped to ONE value — the
+    * hit (30.0) must be the survivor wherever the predicate matched. */
+  def qsLimitHits(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, collect_list, element_at}
+    val byOrder = Tables.lineitem(s, d).groupBy("l_orderkey")
+      .agg(collect_list(col("l_quantity")).as("quantities"))
+    val logic = new graft.query.ShardQueryLogic()
+    logic.query(byOrder, "QUANTITIES == 30",
+        graft.query.QueryParams(hitList = true,
+          limitFieldValues = Map("QUANTITIES" -> 1)))
+      .select(col("l_orderkey"),
+        element_at(col("quantities"), 1).as("kept_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "spi_function" -> spiFunction _,
+    "qs_limit_hits" -> qsLimitHits _,
     "jexl_large_or" -> jexlLargeOr _,
     "flt_matches_count" -> fltMatchesCount _,
     "flt_time_function" -> fltTimeFunction _,
@@ -164,6 +198,15 @@ object JexlQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "spi_function" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        | WHERE o_totalprice >= 200000 AND o_totalprice < 250000
+        |   AND o_orderstatus = 'F'""".stripMargin,
+    // the matched value (30.0) must survive the 1-value cap on every
+    // matched order — hits are kept first (LimitFields.java)
+    "qs_limit_hits" ->
+      """SELECT l_orderkey, 30.0 AS kept_value FROM lineitem
+        | GROUP BY l_orderkey HAVING bool_or(l_quantity = 30)""".stripMargin,
     "jexl_large_or" ->
       """SELECT o_orderkey, o_custkey FROM orders
         | WHERE o_custkey % 2 = 1 AND o_custkey BETWEEN 1 AND 1199""".stripMargin,
