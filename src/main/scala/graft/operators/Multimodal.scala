@@ -7,9 +7,12 @@ import org.apache.spark.sql.types._
 /** Multimodal columns: image/audio/video as opaque `BINARY` with typed
   * metadata (BASELINE.json north star). The Spark-side plumbing — schema,
   * batched per-partition processing, feature shapes, partitioning — is
-  * real; the actual codec call is stubbed behind [[MediaDecoder]] because
-  * no image/audio libraries ship in this container. Swapping in a real
-  * decoder (JavaCV, TwelveMonkeys, ffmpeg pipe) changes ONE method.
+  * real, and so is the default codec: [[JdkDecoder]] decodes PNG/BMP/GIF/
+  * JPEG via `javax.imageio` and WAV/AIFF/AU via `javax.sound.sampled`
+  * (both ship in every JDK — no external libraries). Only video container
+  * formats, which have no JDK codec, fall back to the clearly-marked
+  * [[FakeDecoder]] stand-in; swapping in a real video decoder (JavaCV,
+  * ffmpeg pipe) changes ONE method.
   */
 object Multimodal {
 
@@ -29,9 +32,128 @@ object Multimodal {
     def features(bytes: Array[Byte], format: String, dim: Int): Array[Float]
   }
 
+  /** REAL decoder over the JDK's own codecs — no external libraries:
+    * `javax.imageio` reads PNG/BMP/GIF/JPEG (GIF with true frame count),
+    * `javax.sound.sampled` reads WAV/AIFF/AU. Probe semantics:
+    *  - image: (width, height, n_frames) — n_frames > 1 for animated GIF;
+    *  - audio: (sample_rate, channels, sample_frames).
+    * Features are real content features:
+    *  - image: `dim`-bucket luminance histogram of the decoded pixels
+    *    (first frame), L1-normalized — deterministic per byte content;
+    *  - audio: `dim`-window RMS energy envelope of the PCM samples,
+    *    peak-normalized.
+    * Video container formats have no JDK codec; those fall back to
+    * [[FakeDecoder]] (the one remaining stub, clearly marked). */
+  object JdkDecoder extends MediaDecoder {
+    import javax.imageio.ImageIO
+    import javax.sound.sampled.AudioSystem
+    import java.io.ByteArrayInputStream
+
+    private def isAudio(fmt: String): Boolean =
+      Set("wav", "wave", "aiff", "au").contains(fmt.toLowerCase)
+    private def isVideo(fmt: String): Boolean =
+      Set("mp4", "mkv", "avi", "mov", "webm", "mpeg", "mpg").contains(fmt.toLowerCase)
+
+    /** Total function: video → FakeDecoder (the documented stub — no JDK
+      * codec exists); corrupt/undecodable image or audio → (0, 0, 0), the
+      * explicit could-not-decode signal (callers route those to the
+      * dead-letter channel, never crash the job). */
+    def probe(bytes: Array[Byte], format: String): (Int, Int, Int) = {
+      if (bytes.isEmpty) return (0, 0, 0)
+      if (isVideo(format)) return FakeDecoder.probe(bytes, format)
+      try {
+        if (isAudio(format)) {
+          val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+          try {
+            val f = in.getFormat
+            (f.getSampleRate.toInt, f.getChannels, in.getFrameLength.toInt)
+          } finally in.close()
+        } else {
+          val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+          try {
+            val readers = ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) return (0, 0, 0)
+            val r = readers.next()
+            r.setInput(iis)
+            try (r.getWidth(0), r.getHeight(0),
+              math.max(1, r.getNumImages(true)))
+            finally r.dispose()
+          } finally iis.close()
+        }
+      } catch { case _: Exception => (0, 0, 0) }
+    }
+
+    def features(bytes: Array[Byte], format: String, dim: Int): Array[Float] = {
+      if (bytes.isEmpty) return Array.fill(dim)(0f)
+      if (isVideo(format)) return FakeDecoder.features(bytes, format, dim)
+      try {
+        if (isAudio(format)) audioEnvelope(bytes, dim)
+        else imageHistogram(bytes, dim)
+      } catch { case _: Exception => Array.fill(dim)(0f) }
+    }
+
+    /** L1-normalized luminance histogram of the decoded pixels. */
+    private def imageHistogram(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) Array.fill(dim)(0f)
+      else {
+        val hist = new Array[Float](dim)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xff) * 299 +
+              ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+            hist(lum * dim / 256) += 1f
+            x += 1
+          }
+          y += 1
+        }
+        val n = (img.getWidth * img.getHeight).toFloat
+        hist.map(_ / n)
+      }
+    }
+
+    /** RMS energy per window over the signed PCM samples. */
+    private def audioEnvelope(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val f = in.getFormat
+        val frameBytes = f.getFrameSize
+        val data = in.readAllBytes()
+        val nFrames = data.length / math.max(1, frameBytes)
+        if (nFrames == 0) return Array.fill(dim)(0f)
+        val sampleBytes = frameBytes / math.max(1, f.getChannels)
+        val env = new Array[Double](dim)
+        val cnt = new Array[Int](dim)
+        var i = 0
+        while (i < nFrames) {
+          // first channel, first sampleBytes of the frame (little-endian
+          // signed PCM — the WAV norm; 8-bit WAV is unsigned)
+          val off = i * frameBytes
+          val s: Double = sampleBytes match {
+            case 1 => ((data(off) & 0xff) - 128) / 128.0
+            case 2 => ((data(off) & 0xff) | (data(off + 1) << 8)) / 32768.0
+            case _ => (((data(off) & 0xff) | ((data(off + 1) & 0xff) << 8) |
+              (data(off + 2) << 16))) / 8388608.0
+          }
+          val w = i * dim / nFrames
+          env(w) += s * s
+          cnt(w) += 1
+          i += 1
+        }
+        val rms = env.indices.map(w =>
+          if (cnt(w) == 0) 0.0 else math.sqrt(env(w) / cnt(w))).toArray
+        val peak = rms.max
+        rms.map(v => if (peak == 0) 0f else (v / peak).toFloat)
+      } finally in.close()
+    }
+  }
+
   /** Deterministic stand-in: derives pseudo-metadata and features from a
-    * rolling hash of the payload. NOT a real codec — the plumbing target
-    * for environments without media libraries. */
+    * rolling hash of the payload. NOT a real codec — retained ONLY as the
+    * fallback for container formats the JDK cannot decode (video). */
   object FakeDecoder extends MediaDecoder {
     private def mix(h: Long, b: Byte): Long = (h ^ (b & 0xffL)) * 0x100000001b3L
     private def hash(bytes: Array[Byte]): Long =
@@ -53,7 +175,7 @@ object Multimodal {
   /** Decode/probe pass: per-partition batched iteration (the
     * `mapInPandas` batch-shape analog in Scala — one decoder instance per
     * partition, rows streamed, never materialized wholesale). */
-  def probeAll(media: DataFrame, decoder: MediaDecoder = FakeDecoder): DataFrame = {
+  def probeAll(media: DataFrame, decoder: MediaDecoder = JdkDecoder): DataFrame = {
     val outSchema = media.schema
       .add("width", IntegerType).add("height", IntegerType)
       .add("n_frames", IntegerType)
@@ -70,7 +192,7 @@ object Multimodal {
 
   /** Feature-extraction pass → embedding column ready for VectorOps. */
   def extractFeatures(media: DataFrame, dim: Int = 64,
-                      decoder: MediaDecoder = FakeDecoder): DataFrame = {
+                      decoder: MediaDecoder = JdkDecoder): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType),
       StructField("embedding", ArrayType(FloatType))))
@@ -87,7 +209,7 @@ object Multimodal {
   /** Frame-sampling plan stub for video: positions of frames to decode —
     * pure metadata arithmetic, no codec needed. */
   def frameSamplePlan(media: DataFrame, everyN: Int,
-                      decoder: MediaDecoder = FakeDecoder): DataFrame =
+                      decoder: MediaDecoder = JdkDecoder): DataFrame =
     probeAll(media, decoder)
       .filter(col("modality") === "video")
       .select(col("media_id"),

@@ -74,19 +74,46 @@ class StreamingSpec extends SparkSpec {
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
+  private def realPng(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, (x * 3) << 16)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def realWav(nSamples: Int): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](nSamples * 2)
+    for (i <- 0 until nSamples) {
+      val v = (math.sin(i * 0.2) * 10000).toInt
+      pcm(i * 2) = (v & 0xff).toByte
+      pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   private lazy val media = Seq(
-    (1L, "image", "fake-jpeg-bytes-1".getBytes, "jpeg"),
-    (2L, "video", "fake-mp4-bytes-0002".getBytes, "mp4"),
-    (3L, "audio", "fake-wav".getBytes, "wav"))
+    (1L, "image", realPng(64, 32), "png"),
+    (2L, "video", "fake-mp4-bytes-0002".getBytes, "mp4"), // video: stub path
+    (3L, "audio", realWav(2000), "wav"))
     .toDF("media_id", "modality", "content", "format")
 
-  test("probe adds deterministic metadata per byte content") {
+  test("probe decodes real metadata per byte content") {
     val out = Multimodal.probeAll(media)
     assert(out.columns.toSet.contains("width"))
     val r1 = out.filter(col("media_id") === 1).head()
     val r1b = Multimodal.probeAll(media).filter(col("media_id") === 1).head()
     assert(r1.getAs[Int]("width") == r1b.getAs[Int]("width"))
-    assert(r1.getAs[Int]("width") >= 64)
+    assert(r1.getAs[Int]("width") == 64 && r1.getAs[Int]("height") == 32)
+    val r3 = out.filter(col("media_id") === 3).head()
+    assert(r3.getAs[Int]("width") == 8000) // audio: (rate, channels, frames)
   }
 
   test("feature extraction yields fixed-dim vectors usable by VectorOps") {
@@ -94,7 +121,7 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.count() == 3)
     val v = feats.head().getSeq[Float](1)
     assert(v.length == 16)
-    assert(v.forall(f => f >= 0.0f && f < 1.0f))
+    assert(v.forall(f => f >= 0.0f && f <= 1.0f))
     // pipe into cosine — plumbing compatibility check
     val sims = feats.as("a").join(feats.as("b"),
         col("a.media_id") < col("b.media_id"))
