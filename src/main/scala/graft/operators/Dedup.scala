@@ -184,7 +184,13 @@ object Dedup {
     * token, bound ONCE via the 1-element `transform` lambda-let (same
     * trick as [[shingles]] — referencing it inside the 64-lane fold would
     * re-hash per lane). */
-  def simhash(text: Column): Column = {
+  def simhash(text: Column): Column =
+    graft.functions.SimHashSig.signature(TextOps.tokens(text))
+
+  /** Declarative HOF form of [[simhash]] — retained as the reference
+    * implementation the native kernel is spec-checked against
+    * (SimHashSigSpec); same math, interpreted evaluation. */
+  def simhashDeclarative(text: Column): Column = {
     val counts = aggregate(
       TextOps.tokens(text),
       array_repeat(lit(0L), 64),

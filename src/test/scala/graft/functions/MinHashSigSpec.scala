@@ -29,6 +29,19 @@ class MinHashSigSpec extends SparkSpec {
     }
   }
 
+  test("native simhash equals the declarative md5 form") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "spark catalyst plans are declarative"),
+      (3L, ""))
+      .toDF("doc_id", "text")
+    val rows = docs.select(
+        Dedup.simhash(col("text")).as("native"),
+        Dedup.simhashDeclarative(col("text")).as("declarative"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+  }
+
   test("null and empty shingle arrays are handled") {
     val df = Seq(Tuple1(Seq.empty[Long]), Tuple1(null.asInstanceOf[Seq[Long]]))
       .toDF("sh")
