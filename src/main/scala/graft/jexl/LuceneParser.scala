@@ -11,6 +11,7 @@ import scala.collection.mutable.ListBuffer
   *   FIELD:[a TO b] / {a TO b}  →  bounded range (inclusive/exclusive)
   *   FIELD:val* / va?ue         →  FIELD =~ 'val.*' / 'va.ue'  (wildcards)
   *   FIELD:"a b c"              →  content:phrase(FIELD, 'a','b','c')
+  *   FIELD:"a b"~N              →  content:within(FIELD, N, 'a','b')  (slop)
   *   a AND b, a OR b, NOT a, ( ) — implicit conjunction = AND
   *   #ISNOTNULL(F) / #ISNULL(F) / #INCLUDE(F, rx) / #EXCLUDE(F, rx)
   *   #JEXL("...")               →  escape hatch, parsed as JEXL
@@ -129,9 +130,25 @@ private final class LuceneParser(input: String) {
         val phrase = input.substring(start, pos)
         pos += 1
         val terms = phrase.split("\\s+").filter(_.nonEmpty).toList
+        // phrase slop `FIELD:"a b"~N` → content:within(FIELD, N, terms)
+        // (SlopQueryNodeBuilder.java:44-47: JexlPhraseNode + slop →
+        // JexlWithinNode; a 1-term phrase ignores the slop)
+        val slop: Option[Int] =
+          if (!eof && peekChar == '~') {
+            pos += 1
+            val s = pos
+            while (!eof && peekChar.isDigit) pos += 1
+            if (pos == s) throw new ParseException(s"expected slop number at $pos")
+            Some(input.substring(s, pos).toInt)
+          } else None
         if (terms.size == 1) Node.FieldOp(field, CompareOp.Eq, Literal.Str(terms.head))
-        else Node.Func("content", "phrase",
-          Node.FieldArg(field) :: terms.map(t => Node.LitArg(Literal.Str(t))))
+        else slop match {
+          case Some(n) => Node.Func("content", "within",
+            Node.FieldArg(field) :: Node.LitArg(Literal.Num(BigDecimal(n))) ::
+              terms.map(t => Node.LitArg(Literal.Str(t))))
+          case None => Node.Func("content", "phrase",
+            Node.FieldArg(field) :: terms.map(t => Node.LitArg(Literal.Str(t))))
+        }
       case _ =>
         val term = parseTermText()
         if (term.contains('*') || term.contains('?'))

@@ -145,6 +145,15 @@ object JexlQueries {
       .select("o_orderkey", "o_custkey")
   }
 
+  /** LUCENE phrase slop `"a b"~N` → content:within(N)
+    * (SlopQueryNodeBuilder.java:44-47). */
+  def luceneSlop(s: SparkSession, d: String): DataFrame = {
+    val ast = LuceneParser.parse("TEXT:\"join merge\"~3")
+    val docs = Tables.documents(s, d)
+    docs.filter(Compiler.compile(ast, docs, QueryModel()))
+      .select("doc_id")
+  }
+
   /** Function-namespace SPI (JexlFunctionNamespaceRegistry): a deployment
     * registers `ql:priceband(F, lo, hi)` and uses it in a query without
     * touching the compiler. */
@@ -178,6 +187,7 @@ object JexlQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lucene_slop" -> luceneSlop _,
     "spi_function" -> spiFunction _,
     "qs_limit_hits" -> qsLimitHits _,
     "jexl_large_or" -> jexlLargeOr _,
@@ -198,6 +208,16 @@ object JexlQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "lucene_slop" -> {
+      val pos =
+        """(SELECT doc_id, unnest(toks) AS term, unnest(range(0, len(toks))) AS pos
+          | FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+          |       FROM documents))""".stripMargin
+      s"""SELECT DISTINCT a.doc_id FROM $pos a JOIN $pos b
+         |   ON a.doc_id = b.doc_id
+         | WHERE a.term = 'join' AND b.term = 'merge'
+         |   AND abs(a.pos - b.pos) <= 3""".stripMargin
+    },
     "spi_function" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         | WHERE o_totalprice >= 200000 AND o_totalprice < 250000

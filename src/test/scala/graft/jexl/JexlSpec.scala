@@ -92,6 +92,15 @@ class LuceneParserSpec extends org.scalatest.funsuite.AnyFunSuite {
       Bounded("AGE", Literal.Num(30), Literal.Num(40), loInc = false, hiInc = false))
   }
 
+  test("phrase slop compiles to content:within (SlopQueryNodeBuilder:44-47)") {
+    assert(LuceneParser.parse("TEXT:\"a b\"~2") ==
+      Func("content", "within", List(FieldArg("TEXT"),
+        LitArg(Literal.Num(2)), LitArg(Literal.Str("a")), LitArg(Literal.Str("b")))))
+    // a 1-term phrase ignores the slop (JexlSelectorNode branch)
+    assert(LuceneParser.parse("TEXT:\"a\"~2") ==
+      FieldOp("TEXT", CompareOp.Eq, Literal.Str("a")))
+  }
+
   test("wildcards become regexes (:305-312)") {
     assert(LuceneParser.parse("NAME:al*") == RegexOp("NAME", "al.*", negated = false))
     assert(LuceneParser.parse("NAME:a?ice") == RegexOp("NAME", "a.ice", negated = false))
