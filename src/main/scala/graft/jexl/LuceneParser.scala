@@ -189,13 +189,28 @@ private final class LuceneParser(input: String) {
     def unq(s: String): String =
       if (s.length >= 2 && (s.head == '\'' || s.head == '"') && s.last == s.head)
         s.substring(1, s.length - 1) else s
+    // #INCLUDE/#EXCLUDE multi-field form: `#INCLUDE(AND|OR, F1, rx1, F2,
+    // rx2, ...)` → boolean combination of per-field includeRegex
+    // (TestLuceneToJexlQueryParser:99-103)
+    def regexCombo(fn: String): Node = {
+      val (op, pairs) =
+        if (args.head.equalsIgnoreCase("AND") || args.head.equalsIgnoreCase("OR"))
+          (args.head.toUpperCase, args.tail.toList)
+        else ("AND", args.toList)
+      if (pairs.size % 2 != 0)
+        throw new ParseException(s"#$name needs (field, regex) pairs")
+      val leaves = pairs.grouped(2).map { case List(f, rx) =>
+        Node.Func("filter", fn,
+          List(Node.FieldArg(f), Node.LitArg(Literal.Str(unq(rx))))): Node
+      }.toList
+      if (leaves.size == 1) leaves.head
+      else if (op == "AND") Node.And(leaves) else Node.Or(leaves)
+    }
     name match {
       case "ISNULL" => Node.NullCheck(args.head, isNull = true)
       case "ISNOTNULL" => Node.NullCheck(args.head, isNull = false)
-      case "INCLUDE" => Node.Func("filter", "includeRegex",
-        List(Node.FieldArg(args.head), Node.LitArg(Literal.Str(unq(args(1))))))
-      case "EXCLUDE" => Node.Func("filter", "excludeRegex",
-        List(Node.FieldArg(args.head), Node.LitArg(Literal.Str(unq(args(1))))))
+      case "INCLUDE" => regexCombo("includeRegex")
+      case "EXCLUDE" => regexCombo("excludeRegex")
       case "JEXL" => JexlParser.parse(unq(args.mkString(",")))
       case other => Node.Func("f", other.toLowerCase,
         args.toList.map(a => Node.LitArg(Literal.Str(unq(a)))))

@@ -92,6 +92,20 @@ class LuceneParserSpec extends org.scalatest.funsuite.AnyFunSuite {
       Bounded("AGE", Literal.Num(30), Literal.Num(40), loInc = false, hiInc = false))
   }
 
+  test("#INCLUDE multi-field boolean form (TestLuceneToJexlQueryParser:99-103)") {
+    assert(LuceneParser.parse("#INCLUDE(OR, F1, 'a.*', F2, 'b.*')") ==
+      Or(List(
+        Func("filter", "includeRegex", List(FieldArg("F1"), LitArg(Literal.Str("a.*")))),
+        Func("filter", "includeRegex", List(FieldArg("F2"), LitArg(Literal.Str("b.*")))))))
+    assert(LuceneParser.parse("#INCLUDE(AND, F1, 'a.*', F2, 'b.*')") ==
+      And(List(
+        Func("filter", "includeRegex", List(FieldArg("F1"), LitArg(Literal.Str("a.*")))),
+        Func("filter", "includeRegex", List(FieldArg("F2"), LitArg(Literal.Str("b.*")))))))
+    // the 2-arg form is unchanged
+    assert(LuceneParser.parse("#INCLUDE(F, 'rx')") ==
+      Func("filter", "includeRegex", List(FieldArg("F"), LitArg(Literal.Str("rx")))))
+  }
+
   test("phrase slop compiles to content:within (SlopQueryNodeBuilder:44-47)") {
     assert(LuceneParser.parse("TEXT:\"a b\"~2") ==
       Func("content", "within", List(FieldArg("TEXT"),
