@@ -54,12 +54,16 @@ object Multimodal {
     private def isVideo(fmt: String): Boolean =
       Set("mp4", "mkv", "avi", "mov", "webm", "mpeg", "mpg").contains(fmt.toLowerCase)
 
-    /** Total function: video → FakeDecoder (the documented stub — no JDK
-      * codec exists); corrupt/undecodable image or audio → (0, 0, 0), the
-      * explicit could-not-decode signal (callers route those to the
-      * dead-letter channel, never crash the job). */
+    /** Total function: MP4/MOV video → real ISO-BMFF box parse
+      * ([[Mp4Probe]] — container metadata needs no codec); other video
+      * containers → FakeDecoder (the documented stub); corrupt or
+      * undecodable image/audio → (0, 0, 0), the explicit could-not-decode
+      * signal (callers route those to the dead-letter channel, never
+      * crash the job). */
     def probe(bytes: Array[Byte], format: String): (Int, Int, Int) = {
       if (bytes.isEmpty) return (0, 0, 0)
+      if (Set("mp4", "mov", "m4v").contains(format.toLowerCase))
+        return Mp4Probe.probe(bytes).getOrElse((0, 0, 0))
       if (isVideo(format)) return FakeDecoder.probe(bytes, format)
       try {
         if (isAudio(format)) {
@@ -151,9 +155,76 @@ object Multimodal {
     }
   }
 
+  /** Real MP4/MOV (ISO base media file format) container probe — pure
+    * byte-structure parsing, no codec: walks the box tree
+    * (`moov → trak → mdia → minf → stbl`), reads the video track's
+    * `tkhd` 16.16 fixed-point width/height and sums the `stts`
+    * sample-count entries for the frame count. Frame PIXELS still need a
+    * codec (the features path keeps the documented stand-in); the
+    * metadata probe is exact. */
+  object Mp4Probe {
+    private def i32(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+        ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+    private def boxType(b: Array[Byte], o: Int): String =
+      new String(b, o + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    private val Containers = Set("moov", "trak", "mdia", "minf", "stbl")
+
+    /** → Some((width, height, n_samples)) when a moov/trak parse
+      * succeeds. */
+    def probe(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+      var w = 0; var h = 0; var frames = 0
+      def walk(from: Int, to: Int): Unit = {
+        var o = from
+        while (o + 8 <= to) {
+          val size0 = i32(bytes, o)
+          val tpe = boxType(bytes, o)
+          // size 1 → 64-bit largesize; size 0 → box extends to EOF
+          val (size, hdr) =
+            if (size0 == 1 && o + 16 <= to) {
+              val big = (i32(bytes, o + 8).toLong << 32) |
+                (i32(bytes, o + 12).toLong & 0xffffffffL)
+              (big, 16)
+            } else if (size0 == 0) ((to - o).toLong, 8)
+            else (size0.toLong, 8)
+          if (size < hdr || o + size > to) return // malformed — stop
+          val end = o + size.toInt
+          if (Containers.contains(tpe)) walk(o + hdr, end)
+          else if (tpe == "tkhd" && w == 0) {
+            val p = o + hdr
+            val version = bytes(p) & 0xff
+            // v0: ctime..duration are 32-bit (20 bytes); v1: 8+8+4+4+8 (32)
+            val fixed = p + 4 + (if (version == 1) 32 else 20) +
+              8 + 2 + 2 + 2 + 2 + 36 // reserved, layer, altgroup, volume, reserved, matrix
+            if (fixed + 8 <= end) {
+              val tw = i32(bytes, fixed) >>> 16     // 16.16 fixed point
+              val th = i32(bytes, fixed + 4) >>> 16
+              if (tw > 0 && th > 0) { w = tw; h = th }
+            }
+          } else if (tpe == "stts" && frames == 0) {
+            val p = o + hdr
+            if (p + 8 <= end) {
+              val entries = i32(bytes, p + 4)
+              var e = 0; var total = 0; var q = p + 8
+              while (e < entries && q + 8 <= end) {
+                total += i32(bytes, q) // sample_count
+                e += 1; q += 8
+              }
+              frames = total
+            }
+          }
+          o = end
+        }
+      }
+      walk(0, bytes.length)
+      if (w > 0 || frames > 0) Some((w, h, frames)) else None
+    }
+  }
+
   /** Deterministic stand-in: derives pseudo-metadata and features from a
     * rolling hash of the payload. NOT a real codec — retained ONLY as the
-    * fallback for container formats the JDK cannot decode (video). */
+    * fallback for container formats the JDK cannot decode (video
+    * features, and non-BMFF containers). */
   object FakeDecoder extends MediaDecoder {
     private def mix(h: Long, b: Byte): Long = (h ^ (b & 0xffL)) * 0x100000001b3L
     private def hash(bytes: Array[Byte]): Long =

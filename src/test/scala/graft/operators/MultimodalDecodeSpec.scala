@@ -48,6 +48,13 @@ class MultimodalDecodeSpec extends SparkSpec {
     bos.toByteArray
   }
 
+  test("MP4 probe parses real container metadata — no codec needed") {
+    val bytes = graft.TestMedia.mp4(640, 360, Seq(100, 50))
+    assert(Multimodal.JdkDecoder.probe(bytes, "mp4") == (640, 360, 150))
+    // garbage routed as mp4 → explicit could-not-decode, not pseudo-data
+    assert(Multimodal.JdkDecoder.probe("not-an-mp4".getBytes, "mp4") == (0, 0, 0))
+  }
+
   test("probe recovers true image dimensions and audio format") {
     assert(Multimodal.JdkDecoder.probe(png(37, 21, 0xFFFFFF), "png") == (37, 21, 1))
     assert(Multimodal.JdkDecoder.probe(bmp(64, 48), "bmp") == (64, 48, 1))

@@ -101,7 +101,7 @@ class MultimodalSpec extends SparkSpec {
 
   private lazy val media = Seq(
     (1L, "image", realPng(64, 32), "png"),
-    (2L, "video", "fake-mp4-bytes-0002".getBytes, "mp4"), // video: stub path
+    (2L, "video", graft.TestMedia.mp4(320, 240, Seq(95)), "mp4"),
     (3L, "audio", realWav(2000), "wav"))
     .toDF("media_id", "modality", "content", "format")
 
