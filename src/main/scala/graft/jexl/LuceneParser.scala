@@ -189,29 +189,76 @@ private final class LuceneParser(input: String) {
     def unq(s: String): String =
       if (s.length >= 2 && (s.head == '\'' || s.head == '"') && s.last == s.head)
         s.substring(1, s.length - 1) else s
-    // #INCLUDE/#EXCLUDE multi-field form: `#INCLUDE(AND|OR, F1, rx1, F2,
-    // rx2, ...)` → boolean combination of per-field includeRegex
-    // (TestLuceneToJexlQueryParser:99-103)
-    def regexCombo(fn: String): Node = {
+    // #INCLUDE/#EXCLUDE/#TEXT multi-field form: `#INCLUDE(AND|OR, F1, v1,
+    // F2, v2, ...)` → boolean combination of per-field calls
+    // (TestLuceneToJexlQueryParser:99-103, AbstractEvaluationPhaseFunction)
+    def pairCombo(fn: String): Node = {
       val (op, pairs) =
         if (args.head.equalsIgnoreCase("AND") || args.head.equalsIgnoreCase("OR"))
           (args.head.toUpperCase, args.tail.toList)
         else ("AND", args.toList)
       if (pairs.size % 2 != 0)
-        throw new ParseException(s"#$name needs (field, regex) pairs")
-      val leaves = pairs.grouped(2).map { case List(f, rx) =>
+        throw new ParseException(s"#$name needs (field, value) pairs")
+      val leaves = pairs.grouped(2).map { case List(f, v) =>
         Node.Func("filter", fn,
-          List(Node.FieldArg(f), Node.LitArg(Literal.Str(unq(rx))))): Node
+          List(Node.FieldArg(f), Node.LitArg(Literal.Str(unq(v))))): Node
       }.toList
       if (leaves.size == 1) leaves.head
       else if (op == "AND") Node.And(leaves) else Node.Or(leaves)
     }
+    def lits(xs: Seq[String]): List[Node.Arg] =
+      xs.toList.map(a => Node.LitArg(Literal.Str(unq(a))))
     name match {
       case "ISNULL" => Node.NullCheck(args.head, isNull = true)
       case "ISNOTNULL" => Node.NullCheck(args.head, isNull = false)
-      case "INCLUDE" => regexCombo("includeRegex")
-      case "EXCLUDE" => regexCombo("excludeRegex")
+      case "INCLUDE" => pairCombo("includeRegex")
+      case "EXCLUDE" => pairCombo("excludeRegex")
+      // #TEXT → f:includeText with the same AND/OR pair form (Text.java)
+      case "TEXT" => pairCombo("includeText")
       case "JEXL" => JexlParser.parse(unq(args.mkString(",")))
+      // #EVALUATION_ONLY marks its subtree "evaluate, don't index-drive"
+      // (EvaluationOnly.java) — every predicate here is evaluation, so
+      // the marker reduces to parsing the embedded JEXL
+      case "EVALUATION_ONLY" => JexlParser.parse(unq(args.mkString(",")))
+      // eval-phase functions whose signatures carry FIELD arguments — the
+      // generic all-literals fallback would fail to compile them
+      // (functions/jexl/*.java toString() translations):
+      case "GET_ALL_MATCHES" => Node.Func("filter", "getAllMatches",
+        Node.FieldArg(args.head) :: lits(args.tail.toSeq))
+      case "OCCURRENCE" => Node.Func("filter", "occurrence",
+        Node.FieldArg(args.head) :: lits(args.tail.toSeq))
+      case "COMPARE" => Node.Func("filter", "compare",
+        List(Node.FieldArg(args.head), Node.LitArg(Literal.Str(unq(args(1)))),
+          Node.LitArg(Literal.Str(unq(args(2)))), Node.FieldArg(args(3))))
+      case "TIME_FUNCTION" => Node.Func("filter", "timeFunction",
+        List(Node.FieldArg(args.head), Node.FieldArg(args(1)),
+          Node.LitArg(Literal.Str(unq(args(2)))),
+          Node.LitArg(Literal.Str(unq(args(3))))))
+      case "MATCHES_AT_LEAST_COUNT_OF" => Node.Func("filter", "matchesAtLeastCountOf",
+        Node.LitArg(Literal.Str(unq(args.head))) :: Node.FieldArg(args(1)) ::
+          lits(args.drop(2).toSeq))
+      case "MATCHES_IN_GROUP" | "MATCHES_IN_GROUP_LEFT" =>
+        val fn = if (name == "MATCHES_IN_GROUP") "matchesInGroup"
+                 else "matchesInGroupLeft"
+        Node.Func("grouping", fn, args.toList.zipWithIndex.map {
+          case (a, i) if i % 2 == 0 => Node.FieldArg(a): Node.Arg
+          case (a, _) => Node.LitArg(Literal.Str(unq(a))): Node.Arg
+        })
+      case "ATOM_VALUES_MATCH" => Node.Func("grouping", "atomValuesMatch",
+        args.toList.map(a => Node.FieldArg(a): Node.Arg))
+      // #DATE(F, after|before|between, dates..[, fmt]) → filter:*Date[s];
+      // an unrecognized type token is a custom FORMAT and defaults to
+      // betweenDates (DateFunction.java:52-71). The reference emits the
+      // format right after the field; our compiler signature takes it
+      // last — same semantics, reordered here.
+      case "DATE" =>
+        val tpe = unq(args(1)).toLowerCase
+        val known = Set("after", "before", "between").contains(tpe)
+        val fn = (if (known) tpe else "between") +
+          "Date" + (if (!known || tpe == "between") "s" else "")
+        val rest = if (known) args.drop(2).toSeq
+                   else args.drop(2).toSeq :+ args(1)
+        Node.Func("filter", fn, Node.FieldArg(args.head) :: lits(rest))
       case other => Node.Func("f", other.toLowerCase,
         args.toList.map(a => Node.LitArg(Literal.Str(unq(a)))))
     }

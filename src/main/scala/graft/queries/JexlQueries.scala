@@ -154,6 +154,17 @@ object JexlQueries {
       .select("doc_id")
   }
 
+  /** Eval-phase # functions from a LUCENE string end-to-end: #COMPARE
+    * carries FIELD args through the translation (functions/jexl/
+    * Compare.java), composed with a fielded term. */
+  def luceneEvalFuncs(s: SparkSession, d: String): DataFrame = {
+    val ast = LuceneParser.parse(
+      "L_RETURNFLAG:R AND #COMPARE(L_DISCOUNT, '>', 'ANY', L_TAX)")
+    val li = Tables.lineitem(s, d)
+    li.filter(Compiler.compile(ast, li, QueryModel()))
+      .select("l_orderkey", "l_linenumber", "l_discount", "l_tax")
+  }
+
   /** Function-namespace SPI (JexlFunctionNamespaceRegistry): a deployment
     * registers `ql:priceband(F, lo, hi)` and uses it in a query without
     * touching the compiler. */
@@ -187,6 +198,7 @@ object JexlQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lucene_eval_funcs" -> luceneEvalFuncs _,
     "lucene_slop" -> luceneSlop _,
     "spi_function" -> spiFunction _,
     "qs_limit_hits" -> qsLimitHits _,
@@ -208,6 +220,9 @@ object JexlQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "lucene_eval_funcs" ->
+      """SELECT l_orderkey, l_linenumber, l_discount, l_tax FROM lineitem
+        | WHERE l_returnflag = 'R' AND l_discount > l_tax""".stripMargin,
     "lucene_slop" -> {
       val pos =
         """(SELECT doc_id, unnest(toks) AS term, unnest(range(0, len(toks))) AS pos

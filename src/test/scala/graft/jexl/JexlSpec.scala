@@ -92,6 +92,33 @@ class LuceneParserSpec extends org.scalatest.funsuite.AnyFunSuite {
       Bounded("AGE", Literal.Num(30), Literal.Num(40), loInc = false, hiInc = false))
   }
 
+  test("eval-phase # functions carry FIELD arguments (functions/jexl translations)") {
+    assert(LuceneParser.parse("#COMPARE(F1, '<', 'ANY', F2)") ==
+      Func("filter", "compare", List(FieldArg("F1"), LitArg(Literal.Str("<")),
+        LitArg(Literal.Str("ANY")), FieldArg("F2"))))
+    assert(LuceneParser.parse("#OCCURRENCE(F, '>', 2)") ==
+      Func("filter", "occurrence", List(FieldArg("F"),
+        LitArg(Literal.Str(">")), LitArg(Literal.Str("2")))))
+    assert(LuceneParser.parse("#MATCHES_IN_GROUP(NAME, 'anna', AGE, '30')") ==
+      Func("grouping", "matchesInGroup", List(FieldArg("NAME"),
+        LitArg(Literal.Str("anna")), FieldArg("AGE"), LitArg(Literal.Str("30")))))
+    assert(LuceneParser.parse("#TEXT(OR, F1, 'a', F2, 'b')") ==
+      Or(List(
+        Func("filter", "includeText", List(FieldArg("F1"), LitArg(Literal.Str("a")))),
+        Func("filter", "includeText", List(FieldArg("F2"), LitArg(Literal.Str("b")))))))
+    assert(LuceneParser.parse("#DATE(TS, 'after', '20240101', 'yyyyMMdd')") ==
+      Func("filter", "afterDate", List(FieldArg("TS"),
+        LitArg(Literal.Str("20240101")), LitArg(Literal.Str("yyyyMMdd")))))
+    // unknown type token = custom format → betweenDates with fmt last
+    assert(LuceneParser.parse("#DATE(TS, 'yyyyMMdd', '20240101', '20240131')") ==
+      Func("filter", "betweenDates", List(FieldArg("TS"),
+        LitArg(Literal.Str("20240101")), LitArg(Literal.Str("20240131")),
+        LitArg(Literal.Str("yyyyMMdd")))))
+    // the eval-only marker is a planner hint — reduces to the inner JEXL
+    assert(LuceneParser.parse("#EVALUATION_ONLY('AGE > 30')") ==
+      FieldOp("AGE", CompareOp.Gt, Literal.Num(30)))
+  }
+
   test("#INCLUDE multi-field boolean form (TestLuceneToJexlQueryParser:99-103)") {
     assert(LuceneParser.parse("#INCLUDE(OR, F1, 'a.*', F2, 'b.*')") ==
       Or(List(
