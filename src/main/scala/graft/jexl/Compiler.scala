@@ -383,7 +383,7 @@ private object Functions {
         ctx.anyField(f)((c, _) =>
           length(c.cast(StringType)).between(lo.raw.toInt, hi.raw.toInt))
       // f:matchRegex / f:includeText — QueryFunctions.java:199-265
-      case ("filter" | "f", "matchregex", FieldArg(f) :: LitArg(rx) :: Nil) =>
+      case ("filter" | "f", "matchregex" | "matchesregex", FieldArg(f) :: LitArg(rx) :: Nil) =>
         ctx.anyField(f)((c, _) => c.cast(StringType).rlike(ctx.fullMatch(rx.raw)))
       case ("filter" | "f", "includetext", FieldArg(f) :: LitArg(v) :: Nil) =>
         ctx.anyField(f)((c, _) => c.cast(StringType) === v.raw)

@@ -259,6 +259,36 @@ private final class LuceneParser(input: String) {
         val rest = if (known) args.drop(2).toSeq
                    else args.drop(2).toSeq :+ args(1)
         Node.Func("filter", fn, Node.FieldArg(args.head) :: lits(rest))
+      // #MATCHES → f:matchesRegex with the AND/OR pair form (Matches.java)
+      case "MATCHES" => pairCombo("matchesRegex")
+      // #LOADED(after|before|between, dates..) → filter:*LoadDate[s] on
+      // the LOAD_DATE field (Loaded.java:55-73; custom format reorders
+      // to the compiler's trailing-format signature)
+      case "LOADED" =>
+        val tpe = unq(args.head).toLowerCase
+        val known = Set("after", "before", "between").contains(tpe)
+        val fn = (if (known) tpe else "between") +
+          "LoadDate" + (if (!known || tpe == "between") "s" else "")
+        val rest = if (known) args.tail.toSeq else args.tail.toSeq :+ args.head
+        Node.Func("filter", fn, Node.FieldArg("LOAD_DATE") :: lits(rest))
+      // #GEO(bounding_box|circle, FIELD.., lits..) → geo:within_*
+      // (GeoFunction.java:27-47: the 7-param bounding box carries TWO
+      // field args, every other form one)
+      case "GEO" =>
+        val op = unq(args.head).toLowerCase
+        val rest = args.tail.toList
+        val mapped: List[Node.Arg] = (op, rest.size) match {
+          case ("bounding_box", 6) =>
+            Node.FieldArg(rest.head) :: Node.FieldArg(rest(1)) ::
+              lits(rest.drop(2))
+          case _ => Node.FieldArg(rest.head) :: lits(rest.tail)
+        }
+        Node.Func("geo", "within_" + op, mapped)
+      // geowave topological predicates (Geowave.java:58-99)
+      case "CONTAINS" | "COVERED_BY" | "COVERS" | "CROSSES" | "INTERSECTS" |
+           "OVERLAPS" | "WITHIN" =>
+        Node.Func("geowave", name.toLowerCase,
+          Node.FieldArg(args.head) :: lits(args.tail.toSeq))
       case other => Node.Func("f", other.toLowerCase,
         args.toList.map(a => Node.LitArg(Literal.Str(unq(a)))))
     }

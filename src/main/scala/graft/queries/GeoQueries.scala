@@ -83,7 +83,17 @@ object GeoQueries {
       .select("c_custkey", "lat", "lon")
   }
 
+  /** The same bounding box from a LUCENE `#GEO` string — the
+    * GeoFunction.java translation path end-to-end. */
+  def luceneGeo(s: SparkSession, d: String): DataFrame =
+    logic.query(withGeo(Tables.customer(s, d)),
+        "#GEO(bounding_box, LON, LAT, '-30', '10', '40', '60')",
+        QueryParams(returnFields = Seq("c_custkey", "lat", "lon"),
+          syntax = "LUCENE"))
+      .select("c_custkey", "lat", "lon")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lucene_geo" -> luceneGeo _,
     "geo_bbox" -> geoBbox _,
     "geo_bbox_z" -> geoBboxZ _,
     "geo_circle" -> geoCircle _,
@@ -91,6 +101,9 @@ object GeoQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "lucene_geo" ->
+      s"""SELECT c_custkey, lat, lon FROM $geoSql
+         | WHERE lat >= 10 AND lat <= 60 AND lon >= -30 AND lon <= 40""".stripMargin,
     "geo_bbox_z" ->
       s"""SELECT c_custkey, lat, lon FROM $geoSql
          | WHERE lat >= 10 AND lat <= 60 AND lon >= -30 AND lon <= 40""".stripMargin,

@@ -119,6 +119,27 @@ class LuceneParserSpec extends org.scalatest.funsuite.AnyFunSuite {
       FieldOp("AGE", CompareOp.Gt, Literal.Num(30)))
   }
 
+  test("geo/geowave/loaded # functions (GeoFunction, Geowave, Loaded translations)") {
+    assert(LuceneParser.parse("#GEO(bounding_box, POS, '40_-90', '50_-80')") ==
+      Func("geo", "within_bounding_box", List(FieldArg("POS"),
+        LitArg(Literal.Str("40_-90")), LitArg(Literal.Str("50_-80")))))
+    assert(LuceneParser.parse("#GEO(bounding_box, LON, LAT, '-90', '40', '-80', '50')") ==
+      Func("geo", "within_bounding_box", List(FieldArg("LON"), FieldArg("LAT"),
+        LitArg(Literal.Str("-90")), LitArg(Literal.Str("40")),
+        LitArg(Literal.Str("-80")), LitArg(Literal.Str("50")))))
+    assert(LuceneParser.parse("#GEO(circle, POS, '45_-85', 2.5)") ==
+      Func("geo", "within_circle", List(FieldArg("POS"),
+        LitArg(Literal.Str("45_-85")), LitArg(Literal.Str("2.5")))))
+    assert(LuceneParser.parse("#INTERSECTS(GEOM, 'POLYGON((0 0, 1 0, 1 1, 0 0))')") ==
+      Func("geowave", "intersects", List(FieldArg("GEOM"),
+        LitArg(Literal.Str("POLYGON((0 0, 1 0, 1 1, 0 0))")))))
+    assert(LuceneParser.parse("#LOADED(after, '20240101')") ==
+      Func("filter", "afterLoadDate", List(FieldArg("LOAD_DATE"),
+        LitArg(Literal.Str("20240101")))))
+    assert(LuceneParser.parse("#MATCHES(F, 'a.*')") ==
+      Func("filter", "matchesRegex", List(FieldArg("F"), LitArg(Literal.Str("a.*")))))
+  }
+
   test("#INCLUDE multi-field boolean form (TestLuceneToJexlQueryParser:99-103)") {
     assert(LuceneParser.parse("#INCLUDE(OR, F1, 'a.*', F2, 'b.*')") ==
       Or(List(
