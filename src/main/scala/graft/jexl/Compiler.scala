@@ -397,6 +397,14 @@ private object Functions {
           FieldArg(f) :: LitArg(a) :: LitArg(b) :: Nil) =>
         ctx.anyField(f)((c, _) => c.cast(TimestampType)
           .between(lit(a.raw).cast(TimestampType), lit(b.raw).cast(TimestampType)))
+      // single-date between (#LOADED('20240101') — Loaded.validate
+      // admits the 1-date form): the date's whole day [d, d+1d)
+      case ("filter" | "f", "betweendates" | "betweenloaddates",
+          FieldArg(f) :: LitArg(d) :: Nil) =>
+        val lo = lit(d.raw).cast(TimestampType)
+        ctx.anyField(f)((c, _) =>
+          c.cast(TimestampType) >= lo &&
+            c.cast(TimestampType) < lo + expr("INTERVAL 1 DAY"))
       // custom date-format variants: the literal (and the value) are
       // interpreted through the given pattern — :417-1287
       // the pattern re-parses STRING field values; typed date/timestamp
@@ -415,6 +423,14 @@ private object Functions {
         ctx.anyField(f)((c, dt) => tsWithFormat(c, dt, fmt.raw)
           .between(to_timestamp(lit(a.raw), fmt.raw),
             to_timestamp(lit(b.raw), fmt.raw)))
+      // 5-arg reference overload (EvaluationPhaseFilterFunctions:1255):
+      // (F, valuePattern, start, end, rangePattern) — the field value is
+      // parsed with valuePattern, the bounds with rangePattern
+      case ("filter" | "f", "betweendates" | "betweenloaddates",
+          FieldArg(f) :: LitArg(p) :: LitArg(a) :: LitArg(b) :: LitArg(rp) :: Nil) =>
+        ctx.anyField(f)((c, dt) => tsWithFormat(c, dt, p.raw)
+          .between(to_timestamp(lit(a.raw), rp.raw),
+            to_timestamp(lit(b.raw), rp.raw)))
       // filter:getAllMatches(F, rx) — :343-415; in predicate position the
       // truth value is 'any value matches'
       case ("filter" | "f", "getallmatches", FieldArg(f) :: LitArg(rx) :: Nil) =>

@@ -247,29 +247,31 @@ private final class LuceneParser(input: String) {
       case "ATOM_VALUES_MATCH" => Node.Func("grouping", "atomValuesMatch",
         args.toList.map(a => Node.FieldArg(a): Node.Arg))
       // #DATE(F, after|before|between, dates..[, fmt]) → filter:*Date[s];
-      // an unrecognized type token is a custom FORMAT and defaults to
-      // betweenDates (DateFunction.java:52-71). The reference emits the
-      // format right after the field; our compiler signature takes it
-      // last — same semantics, reordered here.
+      // an unrecognized type token defaults the op to betweenDates and is
+      // PREPENDED as the first positional argument — i.e. the first DATE
+      // (DateFunction.java:52-71 toString appends it before the rest);
+      // downstream arity then decides whether a trailing token is a
+      // format, matching the reference's overload resolution.
       case "DATE" =>
         val tpe = unq(args(1)).toLowerCase
         val known = Set("after", "before", "between").contains(tpe)
         val fn = (if (known) tpe else "between") +
           "Date" + (if (!known || tpe == "between") "s" else "")
-        val rest = if (known) args.drop(2).toSeq
-                   else args.drop(2).toSeq :+ args(1)
+        val rest = if (known) args.drop(2).toSeq else args.tail.toSeq
         Node.Func("filter", fn, Node.FieldArg(args.head) :: lits(rest))
       // #MATCHES → f:matchesRegex with the AND/OR pair form (Matches.java)
       case "MATCHES" => pairCombo("matchesRegex")
       // #LOADED(after|before|between, dates..) → filter:*LoadDate[s] on
-      // the LOAD_DATE field (Loaded.java:55-73; custom format reorders
-      // to the compiler's trailing-format signature)
+      // the LOAD_DATE field (Loaded.java:55-73). An unknown first token
+      // is the FIRST DATE of an implicit between (Loaded.toString
+      // prepends it), so #LOADED(d1, d2) → betweenLoadDates(LOAD_DATE,
+      // d1, d2) and the 1-arg #LOADED(d) → the single-date between form.
       case "LOADED" =>
         val tpe = unq(args.head).toLowerCase
         val known = Set("after", "before", "between").contains(tpe)
         val fn = (if (known) tpe else "between") +
           "LoadDate" + (if (!known || tpe == "between") "s" else "")
-        val rest = if (known) args.tail.toSeq else args.tail.toSeq :+ args.head
+        val rest = if (known) args.tail.toSeq else args.toSeq
         Node.Func("filter", fn, Node.FieldArg("LOAD_DATE") :: lits(rest))
       // #GEO(bounding_box|circle, FIELD.., lits..) → geo:within_*
       // (GeoFunction.java:27-47: the 7-param bounding box carries TWO

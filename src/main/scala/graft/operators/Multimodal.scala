@@ -7,12 +7,16 @@ import org.apache.spark.sql.types._
 /** Multimodal columns: image/audio/video as opaque `BINARY` with typed
   * metadata (BASELINE.json north star). The Spark-side plumbing — schema,
   * batched per-partition processing, feature shapes, partitioning — is
-  * real, and so is the default codec: [[JdkDecoder]] decodes PNG/BMP/GIF/
-  * JPEG via `javax.imageio` and WAV/AIFF/AU via `javax.sound.sampled`
-  * (both ship in every JDK — no external libraries). Only video container
-  * formats, which have no JDK codec, fall back to the clearly-marked
-  * [[FakeDecoder]] stand-in; swapping in a real video decoder (JavaCV,
-  * ffmpeg pipe) changes ONE method.
+  * real, and so is the codec: [[JdkDecoder]] decodes PNG/BMP/GIF/JPEG via
+  * `javax.imageio`, WAV/AIFF/AU via `javax.sound.sampled` (both ship in
+  * every JDK), and derives video metadata AND features from pure
+  * container-structure parsing — ISO-BMFF box walking for MP4/MOV/M4V
+  * ([[Mp4Probe]]) and an EBML walk for MKV/WebM ([[EbmlProbe]]). Video
+  * FEATURES are the per-window encoded-sample-size (bitrate) envelope —
+  * a real motion/complexity proxy derived from the `stsz` table /
+  * Matroska block sizes, no codec required. Containers we cannot parse
+  * return the explicit could-not-decode signal `(0, 0, 0)` / zero
+  * vector — never pseudo-data.
   */
 object Multimodal {
 
@@ -32,45 +36,63 @@ object Multimodal {
     def features(bytes: Array[Byte], format: String, dim: Int): Array[Float]
   }
 
-  /** REAL decoder over the JDK's own codecs — no external libraries:
-    * `javax.imageio` reads PNG/BMP/GIF/JPEG (GIF with true frame count),
-    * `javax.sound.sampled` reads WAV/AIFF/AU. Probe semantics:
+  /** Container-parsed video track: dimensions plus the per-sample encoded
+    * byte sizes (the `stsz` table / Matroska block sizes) — the basis of
+    * the codec-free bitrate/motion envelope. */
+  private[operators] final case class VideoTrack(
+    width: Int, height: Int, frames: Int, sampleSizes: Array[Int])
+
+  /** REAL decoder over the JDK's own codecs and hand-rolled container
+    * parsers — no external libraries. Probe semantics:
     *  - image: (width, height, n_frames) — n_frames > 1 for animated GIF;
-    *  - audio: (sample_rate, channels, sample_frames).
+    *  - audio: (sample_rate, channels, sample_frames);
+    *  - video: (width, height, n_samples) from the container metadata.
     * Features are real content features:
     *  - image: `dim`-bucket luminance histogram of the decoded pixels
-    *    (first frame), L1-normalized — deterministic per byte content;
-    *  - audio: `dim`-window RMS energy envelope of the PCM samples,
-    *    peak-normalized.
-    * Video container formats have no JDK codec; those fall back to
-    * [[FakeDecoder]] (the one remaining stub, clearly marked). */
+    *    (first frame), L1-normalized;
+    *  - audio: `dim`-window RMS energy envelope of the PCM samples
+    *    (canonicalized to signed 16-bit little-endian first, so AIFF/AU
+    *    big-endian and mu-law inputs decode correctly), peak-normalized;
+    *  - video: `dim`-window mean encoded-sample-size envelope from the
+    *    container's sample-size table, peak-normalized — a bitrate /
+    *    motion-complexity proxy needing no codec.
+    * Anything undecodable → (0, 0, 0) / zero vector, the explicit
+    * could-not-decode signal (callers route those to the dead-letter
+    * channel, never crash the job). */
   object JdkDecoder extends MediaDecoder {
     import javax.imageio.ImageIO
-    import javax.sound.sampled.AudioSystem
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
     import java.io.ByteArrayInputStream
 
     private def isAudio(fmt: String): Boolean =
       Set("wav", "wave", "aiff", "au").contains(fmt.toLowerCase)
     private def isVideo(fmt: String): Boolean =
-      Set("mp4", "mkv", "avi", "mov", "webm", "mpeg", "mpg").contains(fmt.toLowerCase)
+      Set("mp4", "mkv", "avi", "mov", "m4v", "webm", "mpeg", "mpg")
+        .contains(fmt.toLowerCase)
 
-    /** Total function: MP4/MOV video → real ISO-BMFF box parse
-      * ([[Mp4Probe]] — container metadata needs no codec); other video
-      * containers → FakeDecoder (the documented stub); corrupt or
-      * undecodable image/audio → (0, 0, 0), the explicit could-not-decode
-      * signal (callers route those to the dead-letter channel, never
-      * crash the job). */
+    /** Container-structure parse for the formats we can walk; None for
+      * the rest (no JDK codec, no pure-parse structure we support). */
+    private def videoTrack(bytes: Array[Byte], fmt: String): Option[VideoTrack] =
+      fmt.toLowerCase match {
+        case "mp4" | "mov" | "m4v" => Mp4Probe.parse(bytes)
+        case "mkv" | "webm" => EbmlProbe.parse(bytes)
+        case _ => None
+      }
+
     def probe(bytes: Array[Byte], format: String): (Int, Int, Int) = {
       if (bytes.isEmpty) return (0, 0, 0)
-      if (Set("mp4", "mov", "m4v").contains(format.toLowerCase))
-        return Mp4Probe.probe(bytes).getOrElse((0, 0, 0))
-      if (isVideo(format)) return FakeDecoder.probe(bytes, format)
+      if (isVideo(format))
+        return videoTrack(bytes, format)
+          .map(t => (t.width, t.height, t.frames)).getOrElse((0, 0, 0))
       try {
         if (isAudio(format)) {
           val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
           try {
             val f = in.getFormat
-            (f.getSampleRate.toInt, f.getChannels, in.getFrameLength.toInt)
+            // getFrameLength may be NOT_SPECIFIED (-1) — clamp, don't
+            // emit a negative count
+            (f.getSampleRate.toInt, f.getChannels,
+              math.max(0L, in.getFrameLength).toInt)
           } finally in.close()
         } else {
           val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
@@ -89,7 +111,10 @@ object Multimodal {
 
     def features(bytes: Array[Byte], format: String, dim: Int): Array[Float] = {
       if (bytes.isEmpty) return Array.fill(dim)(0f)
-      if (isVideo(format)) return FakeDecoder.features(bytes, format, dim)
+      if (isVideo(format))
+        return videoTrack(bytes, format)
+          .map(t => sizeEnvelope(t.sampleSizes, dim))
+          .getOrElse(Array.fill(dim)(0f))
       try {
         if (isAudio(format)) audioEnvelope(bytes, dim)
         else imageHistogram(bytes, dim)
@@ -119,62 +144,99 @@ object Multimodal {
       }
     }
 
-    /** RMS energy per window over the signed PCM samples. */
+    /** RMS energy per window over the PCM samples. The source stream is
+      * first converted to canonical signed 16-bit little-endian PCM —
+      * AIFF is big-endian, AU is commonly mu-law, 8-bit WAV is unsigned;
+      * sampling the raw bytes as little-endian signed would compute
+      * envelopes of byte-swapped / mis-encoded garbage. */
     private def audioEnvelope(bytes: Array[Byte], dim: Int): Array[Float] = {
-      val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      val raw = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
       try {
-        val f = in.getFormat
-        val frameBytes = f.getFrameSize
-        val data = in.readAllBytes()
-        val nFrames = data.length / math.max(1, frameBytes)
-        if (nFrames == 0) return Array.fill(dim)(0f)
-        val sampleBytes = frameBytes / math.max(1, f.getChannels)
-        val env = new Array[Double](dim)
-        val cnt = new Array[Int](dim)
-        var i = 0
-        while (i < nFrames) {
-          // first channel, first sampleBytes of the frame (little-endian
-          // signed PCM — the WAV norm; 8-bit WAV is unsigned)
-          val off = i * frameBytes
-          val s: Double = sampleBytes match {
-            case 1 => ((data(off) & 0xff) - 128) / 128.0
-            case 2 => ((data(off) & 0xff) | (data(off + 1) << 8)) / 32768.0
-            case _ => (((data(off) & 0xff) | ((data(off + 1) & 0xff) << 8) |
-              (data(off + 2) << 16))) / 8388608.0
+        val src = raw.getFormat
+        val canonical = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          src.getSampleRate, 16, src.getChannels, src.getChannels * 2,
+          src.getSampleRate, false) // false = little-endian
+        val in = AudioSystem.getAudioInputStream(canonical, raw)
+        try {
+          val frameBytes = canonical.getFrameSize
+          val data = in.readAllBytes()
+          val nFrames = data.length / math.max(1, frameBytes)
+          if (nFrames == 0) return Array.fill(dim)(0f)
+          val env = new Array[Double](dim)
+          val cnt = new Array[Int](dim)
+          var i = 0
+          while (i < nFrames) {
+            // first channel: 16-bit little-endian signed by construction
+            val off = i * frameBytes
+            val s = ((data(off) & 0xff) | (data(off + 1) << 8)) / 32768.0
+            val w = i * dim / nFrames
+            env(w) += s * s
+            cnt(w) += 1
+            i += 1
           }
-          val w = i * dim / nFrames
-          env(w) += s * s
-          cnt(w) += 1
-          i += 1
-        }
-        val rms = env.indices.map(w =>
-          if (cnt(w) == 0) 0.0 else math.sqrt(env(w) / cnt(w))).toArray
-        val peak = rms.max
-        rms.map(v => if (peak == 0) 0f else (v / peak).toFloat)
-      } finally in.close()
+          val rms = env.indices.map(w =>
+            if (cnt(w) == 0) 0.0 else math.sqrt(env(w) / cnt(w))).toArray
+          val peak = rms.max
+          rms.map(v => if (peak == 0) 0f else (v / peak).toFloat)
+        } finally in.close()
+      } finally raw.close()
+    }
+
+    /** Peak-normalized mean encoded-sample-size per window — the video
+      * feature vector. Large windows = high-bitrate (complex / fast-
+      * motion) spans; I-frame spikes and static spans show directly. */
+    private def sizeEnvelope(sizes: Array[Int], dim: Int): Array[Float] = {
+      if (sizes.isEmpty) return Array.fill(dim)(0f)
+      val env = new Array[Double](dim)
+      val cnt = new Array[Int](dim)
+      var i = 0
+      while (i < sizes.length) {
+        val w = i * dim / sizes.length
+        env(w) += sizes(i)
+        cnt(w) += 1
+        i += 1
+      }
+      val mean = env.indices.map(w =>
+        if (cnt(w) == 0) 0.0 else env(w) / cnt(w)).toArray
+      val peak = mean.max
+      mean.map(v => if (peak == 0) 0f else (v / peak).toFloat)
     }
   }
 
   /** Real MP4/MOV (ISO base media file format) container probe — pure
     * byte-structure parsing, no codec: walks the box tree
-    * (`moov → trak → mdia → minf → stbl`), reads the video track's
-    * `tkhd` 16.16 fixed-point width/height and sums the `stts`
-    * sample-count entries for the frame count. Frame PIXELS still need a
-    * codec (the features path keeps the documented stand-in); the
-    * metadata probe is exact. */
+    * (`moov → trak → mdia → minf → stbl`) PER TRACK, accepting only the
+    * video track (mdia `hdlr` type `vide`, or nonzero tkhd dimensions
+    * when no hdlr is present) so a leading audio track cannot donate its
+    * sample count. Reads tkhd 16.16 fixed-point width/height, sums the
+    * `stts` sample counts for the frame count, and extracts the `stsz`
+    * per-sample byte sizes — the basis of the codec-free bitrate
+    * envelope. */
   object Mp4Probe {
     private def i32(b: Array[Byte], o: Int): Int =
       ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
         ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
     private def boxType(b: Array[Byte], o: Int): String =
       new String(b, o + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
-    private val Containers = Set("moov", "trak", "mdia", "minf", "stbl")
+    private val Containers = Set("moov", "mdia", "minf", "stbl")
+    /** stsz entry-count ceiling: 1M samples ≈ 9h of 30fps video; above
+      * that, keep the count but stop materializing sizes. */
+    private val MaxSizes = 1 << 20
 
-    /** → Some((width, height, n_samples)) when a moov/trak parse
+    private final class TrakState {
+      var w = 0; var h = 0; var handler = ""; var frames = 0
+      var sizes: Array[Int] = Array.empty
+      def isVideo: Boolean = handler == "vide" || (handler.isEmpty && w > 0)
+    }
+
+    def probe(bytes: Array[Byte]): Option[(Int, Int, Int)] =
+      parse(bytes).map(t => (t.width, t.height, t.frames))
+
+    /** → the video track's parsed metadata when a moov/trak walk
       * succeeds. */
-    def probe(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
-      var w = 0; var h = 0; var frames = 0
-      def walk(from: Int, to: Int): Unit = {
+    def parse(bytes: Array[Byte]): Option[VideoTrack] = {
+      var video: Option[VideoTrack] = None
+      def walk(from: Int, to: Int, trak: TrakState): Unit = {
         var o = from
         while (o + 8 <= to) {
           val size0 = i32(bytes, o)
@@ -189,57 +251,226 @@ object Multimodal {
             else (size0.toLong, 8)
           if (size < hdr || o + size > to) return // malformed — stop
           val end = o + size.toInt
-          if (Containers.contains(tpe)) walk(o + hdr, end)
-          else if (tpe == "tkhd" && w == 0) {
-            val p = o + hdr
-            val version = bytes(p) & 0xff
-            // v0: ctime..duration are 32-bit (20 bytes); v1: 8+8+4+4+8 (32)
-            val fixed = p + 4 + (if (version == 1) 32 else 20) +
-              8 + 2 + 2 + 2 + 2 + 36 // reserved, layer, altgroup, volume, reserved, matrix
-            if (fixed + 8 <= end) {
-              val tw = i32(bytes, fixed) >>> 16     // 16.16 fixed point
-              val th = i32(bytes, fixed + 4) >>> 16
-              if (tw > 0 && th > 0) { w = tw; h = th }
-            }
-          } else if (tpe == "stts" && frames == 0) {
-            val p = o + hdr
-            if (p + 8 <= end) {
-              val entries = i32(bytes, p + 4)
-              var e = 0; var total = 0; var q = p + 8
-              while (e < entries && q + 8 <= end) {
-                total += i32(bytes, q) // sample_count
-                e += 1; q += 8
+          tpe match {
+            case "trak" =>
+              // per-track state: only a video track's stts/stsz count
+              val t = new TrakState
+              walk(o + hdr, end, t)
+              if (video.isEmpty && t.isVideo && (t.w > 0 || t.frames > 0))
+                video = Some(VideoTrack(t.w, t.h, t.frames, t.sizes))
+            case c if Containers.contains(c) => walk(o + hdr, end, trak)
+            case "hdlr" if trak != null =>
+              // FullBox: version/flags(4) pre_defined(4) handler_type(4)
+              val p = o + hdr
+              if (p + 12 <= end)
+                trak.handler = new String(bytes, p + 8, 4,
+                  java.nio.charset.StandardCharsets.US_ASCII)
+            case "tkhd" if trak != null && trak.w == 0 =>
+              val p = o + hdr
+              val version = bytes(p) & 0xff
+              // v0: ctime..duration are 32-bit (20 bytes); v1: 8+8+4+4+8 (32)
+              val fixed = p + 4 + (if (version == 1) 32 else 20) +
+                8 + 2 + 2 + 2 + 2 + 36 // reserved, layer, altgroup, volume, reserved, matrix
+              if (fixed + 8 <= end) {
+                val tw = i32(bytes, fixed) >>> 16     // 16.16 fixed point
+                val th = i32(bytes, fixed + 4) >>> 16
+                if (tw > 0 && th > 0) { trak.w = tw; trak.h = th }
               }
-              frames = total
-            }
+            case "stts" if trak != null && trak.frames == 0 =>
+              val p = o + hdr
+              if (p + 8 <= end) {
+                val entries = i32(bytes, p + 4)
+                var e = 0; var total = 0; var q = p + 8
+                while (e < entries && q + 8 <= end) {
+                  total += i32(bytes, q) // sample_count
+                  e += 1; q += 8
+                }
+                trak.frames = total
+              }
+            case "stsz" if trak != null && trak.sizes.isEmpty =>
+              // FullBox: version/flags(4) sample_size(4) sample_count(4)
+              val p = o + hdr
+              if (p + 12 <= end) {
+                val uniform = i32(bytes, p + 4)
+                val count = i32(bytes, p + 8)
+                if (count > 0) {
+                  val n = math.min(count, MaxSizes)
+                  if (uniform != 0) trak.sizes = Array.fill(n)(uniform)
+                  else {
+                    val out = new Array[Int](n)
+                    var e = 0; var q = p + 12
+                    while (e < n && q + 4 <= end) {
+                      out(e) = i32(bytes, q); e += 1; q += 4
+                    }
+                    trak.sizes = if (e == n) out else out.take(e)
+                  }
+                }
+              }
+            case _ => ()
           }
           o = end
         }
       }
-      walk(0, bytes.length)
-      if (w > 0 || frames > 0) Some((w, h, frames)) else None
+      walk(0, bytes.length, null)
+      video
     }
   }
 
-  /** Deterministic stand-in: derives pseudo-metadata and features from a
-    * rolling hash of the payload. NOT a real codec — retained ONLY as the
-    * fallback for container formats the JDK cannot decode (video
-    * features, and non-BMFF containers). */
-  object FakeDecoder extends MediaDecoder {
-    private def mix(h: Long, b: Byte): Long = (h ^ (b & 0xffL)) * 0x100000001b3L
-    private def hash(bytes: Array[Byte]): Long =
-      bytes.foldLeft(0xcbf29ce484222325L)(mix)
-    def probe(bytes: Array[Byte], format: String): (Int, Int, Int) = {
-      val h = hash(bytes)
-      (64 + (h & 0x3ff).toInt, 64 + ((h >>> 10) & 0x3ff).toInt,
-        1 + ((h >>> 20) & 0xff).toInt)
+  /** Real Matroska/WebM (EBML) container probe — pure parse of the EBML
+    * element tree: `Segment → Tracks → TrackEntry` for the video track's
+    * TrackNumber + PixelWidth/PixelHeight, then `Segment → Cluster →
+    * SimpleBlock/BlockGroup` counting the video track's blocks (frame
+    * count) and collecting their byte sizes (the bitrate-envelope
+    * source, the `stsz` analog). Matroska spec element IDs; variable-
+    * length integers per RFC 8794. */
+  object EbmlProbe {
+    // element IDs (with marker bits, as they appear on the wire)
+    private val Segment = 0x18538067L
+    private val Tracks = 0x1654AE6BL
+    private val TrackEntry = 0xAEL
+    private val TrackNumber = 0xD7L
+    private val TrackType = 0x83L
+    private val VideoEl = 0xE0L
+    private val PixelWidth = 0xB0L
+    private val PixelHeight = 0xBAL
+    private val Cluster = 0x1F43B675L
+    private val SimpleBlock = 0xA3L
+    private val BlockGroup = 0xA0L
+    private val Block = 0xA1L
+    private val MaxSizes = 1 << 20
+
+    /** (value-with-marker, byteLen) or (−1, 0) on malformed input. */
+    private def readId(b: Array[Byte], o: Int, to: Int): (Long, Int) = {
+      if (o >= to) return (-1L, 0)
+      val first = b(o) & 0xff
+      if (first == 0) return (-1L, 0)
+      val len = Integer.numberOfLeadingZeros(first) - 23 // 1..8
+      if (len > 4 || o + len > to) return (-1L, 0)
+      var v = first.toLong; var i = 1
+      while (i < len) { v = (v << 8) | (b(o + i) & 0xff); i += 1 }
+      (v, len)
     }
-    def features(bytes: Array[Byte], format: String, dim: Int): Array[Float] = {
-      var h = hash(bytes)
-      Array.fill(dim) {
-        h = h * 6364136223846793005L + 1442695040888963407L
-        ((h >>> 11).toDouble / (1L << 53).toDouble).toFloat
+
+    /** (size, byteLen); size −2 = "unknown" (extends to parent end). */
+    private def readSize(b: Array[Byte], o: Int, to: Int): (Long, Int) = {
+      if (o >= to) return (-1L, 0)
+      val first = b(o) & 0xff
+      if (first == 0) return (-1L, 0)
+      val len = Integer.numberOfLeadingZeros(first) - 23
+      if (len > 8 || o + len > to) return (-1L, 0)
+      var v = (first & (0xff >>> len)).toLong; var i = 1
+      while (i < len) { v = (v << 8) | (b(o + i) & 0xff); i += 1 }
+      val allOnes = (1L << (7 * len)) - 1
+      (if (v == allOnes) -2L else v, len)
+    }
+
+    private def readUInt(b: Array[Byte], o: Int, n: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < n) { v = (v << 8) | (b(o + i) & 0xff); i += 1 }
+      v
+    }
+
+    def probe(bytes: Array[Byte]): Option[(Int, Int, Int)] =
+      parse(bytes).map(t => (t.width, t.height, t.frames))
+
+    def parse(bytes: Array[Byte]): Option[VideoTrack] = {
+      var w = 0; var h = 0
+      var videoTrackNum = -1L
+      var frames = 0
+      val sizes = scala.collection.mutable.ArrayBuffer.empty[Int]
+
+      // one TrackEntry: is it the video track? capture number + dims
+      def trackEntry(from: Int, to: Int): Unit = {
+        var num = -1L; var tpe = -1L; var tw = 0; var th = 0
+        var o = from
+        while (o < to) {
+          val (id, il) = readId(bytes, o, to)
+          if (il == 0) return
+          val (sz, sl) = readSize(bytes, o + il, to)
+          if (sl == 0) return
+          val p = o + il + sl
+          val end = if (sz == -2L) to else p + sz.toInt
+          if (sz != -2L && (sz < 0 || end > to)) return
+          id match {
+            case TrackNumber => num = readUInt(bytes, p, (end - p).min(8))
+            case TrackType => tpe = readUInt(bytes, p, (end - p).min(8))
+            case VideoEl =>
+              var q = p
+              while (q < end) {
+                val (vid, vl) = readId(bytes, q, end)
+                if (vl == 0) return
+                val (vsz, vsl) = readSize(bytes, q + vl, end)
+                if (vsl == 0) return
+                val vp = q + vl + vsl
+                val vend = if (vsz == -2L) end else vp + vsz.toInt
+                if (vsz != -2L && (vsz < 0 || vend > end)) return
+                vid match {
+                  case PixelWidth => tw = readUInt(bytes, vp, (vend - vp).min(8)).toInt
+                  case PixelHeight => th = readUInt(bytes, vp, (vend - vp).min(8)).toInt
+                  case _ => ()
+                }
+                q = vend
+              }
+            case _ => ()
+          }
+          o = end
+        }
+        if (tpe == 1 && videoTrackNum < 0) { // 1 = video
+          videoTrackNum = num; w = tw; h = th
+        }
       }
+
+      // a Block/SimpleBlock: leading vint is the track number
+      def block(from: Int, to: Int): Unit = {
+        val (tn, tl) = readSize(bytes, from, to) // track num is a plain vint
+        if (tl == 0) return
+        if (tn == videoTrackNum) {
+          frames += 1
+          if (sizes.length < MaxSizes) sizes += (to - from)
+        }
+      }
+
+      def walk(from: Int, to: Int, inCluster: Boolean, inGroup: Boolean): Unit = {
+        var o = from
+        while (o < to) {
+          val (id, il) = readId(bytes, o, to)
+          if (il == 0) return
+          val (sz, sl) = readSize(bytes, o + il, to)
+          if (sl == 0) return
+          val p = o + il + sl
+          val end = if (sz == -2L) to else p + sz.toInt
+          if (sz != -2L && (sz < 0 || end > to)) return
+          id match {
+            case Segment => walk(p, end, inCluster = false, inGroup = false)
+            case Tracks => walkTracks(p, end)
+            case Cluster => walk(p, end, inCluster = true, inGroup = false)
+            case BlockGroup if inCluster => walk(p, end, inCluster, inGroup = true)
+            case SimpleBlock if inCluster => block(p, end)
+            case Block if inGroup => block(p, end)
+            case _ => ()
+          }
+          o = end
+        }
+      }
+      def walkTracks(from: Int, to: Int): Unit = {
+        var o = from
+        while (o < to) {
+          val (id, il) = readId(bytes, o, to)
+          if (il == 0) return
+          val (sz, sl) = readSize(bytes, o + il, to)
+          if (sl == 0) return
+          val p = o + il + sl
+          val end = if (sz == -2L) to else p + sz.toInt
+          if (sz != -2L && (sz < 0 || end > to)) return
+          if (id == TrackEntry) trackEntry(p, end)
+          o = end
+        }
+      }
+
+      walk(0, bytes.length, inCluster = false, inGroup = false)
+      if (videoTrackNum >= 0 && (w > 0 || frames > 0))
+        Some(VideoTrack(w, h, frames, sizes.toArray))
+      else None
     }
   }
 
@@ -277,7 +508,7 @@ object Multimodal {
     }(enc)
   }
 
-  /** Frame-sampling plan stub for video: positions of frames to decode —
+  /** Frame-sampling plan for video: positions of frames to decode —
     * pure metadata arithmetic, no codec needed. */
   def frameSamplePlan(media: DataFrame, everyN: Int,
                       decoder: MediaDecoder = JdkDecoder): DataFrame =

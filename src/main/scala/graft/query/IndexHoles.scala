@@ -33,9 +33,12 @@ object IndexHoles {
         Seq("field", "shard_date"), "left_anti")
 
   /** Index-driven event scan with hole fallback for `field == value`:
-    * keep the dates where the index proves the value exists, plus every
-    * hole date (unprunable), and apply the residual predicate everywhere.
-    * `dateExpr` maps the event frame's time column to a shard date. */
+    * keeps the dates where the index proves the value exists, plus every
+    * hole date (unprunable). This is PRUNING ONLY — the returned frame
+    * still contains every event on those dates; the CALLER owns applying
+    * the residual `field == value` predicate on top (both in-repo
+    * callers do). `dateExpr` maps the event frame's time column to a
+    * shard date. */
   def prunedScan(events: DataFrame, dateExpr: org.apache.spark.sql.Column,
                  fieldFrequency: DataFrame, index: DataFrame,
                  field: String, value: String): DataFrame = {

@@ -2,9 +2,11 @@ package graft
 
 import java.io.ByteArrayOutputStream
 
-/** Test-fixture builders for real media payloads: a minimal valid
-  * ISO-BMFF (MP4) box tree assembled by hand from the public spec —
-  * moov → trak → [tkhd, mdia → minf → stbl → stts]. */
+/** Test-fixture builders for real media payloads, assembled by hand from
+  * the public specs: a minimal valid ISO-BMFF (MP4) box tree
+  * (moov → trak → [tkhd, mdia → [hdlr, minf → stbl → [stts, stsz]]])
+  * and a minimal Matroska/WebM EBML tree
+  * (Segment → [Tracks → TrackEntry, Cluster → SimpleBlock*]). */
 object TestMedia {
 
   private def be32(v: Int): Array[Byte] =
@@ -19,33 +21,119 @@ object TestMedia {
     bos.toByteArray
   }
 
+  private def tkhdBox(width: Int, height: Int): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    bos.write(be32(0))                   // version 0 + flags
+    (1 to 5).foreach(_ => bos.write(be32(0))) // ctime mtime trackid rsvd duration
+    bos.write(new Array[Byte](8))        // reserved
+    bos.write(new Array[Byte](2 + 2 + 2 + 2)) // layer altgroup volume rsvd
+    bos.write(new Array[Byte](36))       // matrix
+    bos.write(be32(width << 16))         // 16.16 width
+    bos.write(be32(height << 16))        // 16.16 height
+    box("tkhd", bos.toByteArray)
+  }
+
+  private def hdlrBox(handlerType: String): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    bos.write(be32(0))                   // version + flags
+    bos.write(be32(0))                   // pre_defined
+    bos.write(handlerType.getBytes("US-ASCII")) // 'vide' | 'soun'
+    bos.write(new Array[Byte](12))       // reserved
+    bos.write(0)                         // empty name
+    box("hdlr", bos.toByteArray)
+  }
+
+  private def sttsBox(frameCounts: Seq[Int]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    bos.write(be32(0))                   // version + flags
+    bos.write(be32(frameCounts.size))    // entry_count
+    frameCounts.foreach { c => bos.write(be32(c)); bos.write(be32(1000)) }
+    box("stts", bos.toByteArray)
+  }
+
+  private def stszBox(sampleSizes: Seq[Int]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    bos.write(be32(0))                   // version + flags
+    bos.write(be32(0))                   // sample_size 0 → per-sample table
+    bos.write(be32(sampleSizes.size))    // sample_count
+    sampleSizes.foreach(s => bos.write(be32(s)))
+    box("stsz", bos.toByteArray)
+  }
+
+  private def trak(handlerType: String, width: Int, height: Int,
+                   frameCounts: Seq[Int], sampleSizes: Seq[Int]): Array[Byte] = {
+    val stbl = box("stbl", sttsBox(frameCounts) ++ stszBox(sampleSizes))
+    val mdia = box("mdia", hdlrBox(handlerType) ++ box("minf", stbl))
+    box("trak", tkhdBox(width, height) ++ mdia)
+  }
+
+  /** Deterministic varied per-frame encoded sizes (I-frame-ish spikes). */
+  def videoSizes(n: Int): Seq[Int] =
+    Seq.tabulate(n)(i => if (i % 10 == 0) 4000 else 600 + 150 * (i % 5))
+
   /** Minimal MP4 with one video track: tkhd v0 carrying 16.16 fixed-point
-    * dimensions, stts carrying the sample (frame) counts. */
-  def mp4(width: Int, height: Int, frameCounts: Seq[Int]): Array[Byte] = {
-    val tkhd = {
-      val bos = new ByteArrayOutputStream()
-      bos.write(be32(0))                   // version 0 + flags
-      (1 to 5).foreach(_ => bos.write(be32(0))) // ctime mtime trackid rsvd duration
-      bos.write(new Array[Byte](8))        // reserved
-      bos.write(new Array[Byte](2 + 2 + 2 + 2)) // layer altgroup volume rsvd
-      bos.write(new Array[Byte](36))       // matrix
-      bos.write(be32(width << 16))         // 16.16 width
-      bos.write(be32(height << 16))        // 16.16 height
-      box("tkhd", bos.toByteArray)
-    }
-    val stts = {
-      val bos = new ByteArrayOutputStream()
-      bos.write(be32(0))                   // version + flags
-      bos.write(be32(frameCounts.size))    // entry_count
-      frameCounts.foreach { c => bos.write(be32(c)); bos.write(be32(1000)) }
-      box("stts", bos.toByteArray)
-    }
-    val stbl = box("stbl", stts)
-    val minf = box("minf", stbl)
-    val mdia = box("mdia", minf)
-    val trak = box("trak", tkhd ++ mdia)
-    val moov = box("moov", trak)
+    * dimensions, hdlr 'vide', stts sample counts, stsz sample sizes. */
+  def mp4(width: Int, height: Int, frameCounts: Seq[Int],
+          sampleSizes: Seq[Int] = null): Array[Byte] = {
+    val sizes = Option(sampleSizes).getOrElse(videoSizes(frameCounts.sum))
+    val moov = box("moov", trak("vide", width, height, frameCounts, sizes))
     val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0))
     ftyp ++ moov
+  }
+
+  /** MP4 whose FIRST trak is audio ('soun', its own stts/stsz) and whose
+    * second is the video track — exercises the track-type guard: a naive
+    * first-stts walk reports the audio sample count. */
+  def mp4AudioFirst(width: Int, height: Int, videoFrames: Int,
+                    audioSamples: Int): Array[Byte] = {
+    val audio = trak("soun", 0, 0, Seq(audioSamples),
+      Seq.fill(audioSamples)(128))
+    val video = trak("vide", width, height, Seq(videoFrames),
+      videoSizes(videoFrames))
+    val moov = box("moov", audio ++ video)
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0))
+    ftyp ++ moov
+  }
+
+  // ---- Matroska/WebM (EBML, RFC 8794) ----
+
+  /** Size vint: 1 byte below 127 (127 itself would be the reserved
+    * all-ones "unknown" form), else 2 bytes (< 16383). */
+  private def vintSize(n: Int): Array[Byte] = {
+    require(n < 16383, s"test fixture size too large: $n")
+    if (n < 127) Array((0x80 | n).toByte)
+    else Array((0x40 | (n >> 8)).toByte, (n & 0xff).toByte)
+  }
+
+  private def ebml(idBytes: Array[Byte], payload: Array[Byte]): Array[Byte] =
+    idBytes ++ vintSize(payload.length) ++ payload
+
+  private def id(bs: Int*): Array[Byte] = bs.map(_.toByte).toArray
+
+  /** Minimal Matroska with one video track (TrackNumber 1, TrackType 1,
+    * PixelWidth/PixelHeight) and one Cluster of SimpleBlocks whose
+    * payload lengths are `blockSizes` (each ≥ 4: track vint + timecode +
+    * flags). */
+  def mkv(width: Int, height: Int, blockSizes: Seq[Int]): Array[Byte] = {
+    val header = ebml(id(0x1A, 0x45, 0xDF, 0xA3), Array.empty)
+    val video = ebml(id(0xE0),
+      ebml(id(0xB0), Array((width >> 8).toByte, (width & 0xff).toByte)) ++
+      ebml(id(0xBA), Array((height >> 8).toByte, (height & 0xff).toByte)))
+    val entry = ebml(id(0xAE),
+      ebml(id(0xD7), Array(1.toByte)) ++     // TrackNumber 1
+      ebml(id(0x83), Array(1.toByte)) ++     // TrackType video
+      video)
+    val tracks = ebml(id(0x16, 0x54, 0xAE, 0x6B), entry)
+    val blocks = blockSizes.flatMap { n =>
+      require(n >= 4, "SimpleBlock needs track+timecode+flags")
+      // track 1 vint, int16 timecode, flags, then frame filler bytes
+      val payload = Array(0x81.toByte, 0.toByte, 0.toByte, 0.toByte) ++
+        Array.fill(n - 4)(0x55.toByte)
+      ebml(id(0xA3), payload).toSeq
+    }.toArray
+    val cluster = ebml(id(0x1F, 0x43, 0xB6, 0x75),
+      ebml(id(0xE7), Array(0.toByte)) ++ blocks) // Timecode 0 + blocks
+    val segment = ebml(id(0x18, 0x53, 0x80, 0x67), tracks ++ cluster)
+    header ++ segment
   }
 }

@@ -109,11 +109,23 @@ class LuceneParserSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(LuceneParser.parse("#DATE(TS, 'after', '20240101', 'yyyyMMdd')") ==
       Func("filter", "afterDate", List(FieldArg("TS"),
         LitArg(Literal.Str("20240101")), LitArg(Literal.Str("yyyyMMdd")))))
-    // unknown type token = custom format → betweenDates with fmt last
-    assert(LuceneParser.parse("#DATE(TS, 'yyyyMMdd', '20240101', '20240131')") ==
+    // unknown type token = the FIRST DATE of an implicit between
+    // (DateFunction.java toString prepends it; arity picks the overload)
+    assert(LuceneParser.parse("#DATE(TS, '20240101', '20240131')") ==
+      Func("filter", "betweenDates", List(FieldArg("TS"),
+        LitArg(Literal.Str("20240101")), LitArg(Literal.Str("20240131")))))
+    // 4 positional args → (start, end, rangePattern), reference 4-arg form
+    assert(LuceneParser.parse("#DATE(TS, '20240101', '20240131', 'yyyyMMdd')") ==
       Func("filter", "betweenDates", List(FieldArg("TS"),
         LitArg(Literal.Str("20240101")), LitArg(Literal.Str("20240131")),
         LitArg(Literal.Str("yyyyMMdd")))))
+    // single-date form admitted by Loaded.validate (1-3 params)
+    assert(LuceneParser.parse("#LOADED('20240101')") ==
+      Func("filter", "betweenLoadDates", List(FieldArg("LOAD_DATE"),
+        LitArg(Literal.Str("20240101")))))
+    assert(LuceneParser.parse("#LOADED('20240101', '20240102')") ==
+      Func("filter", "betweenLoadDates", List(FieldArg("LOAD_DATE"),
+        LitArg(Literal.Str("20240101")), LitArg(Literal.Str("20240102")))))
     // the eval-only marker is a planner hint — reduces to the inner JEXL
     assert(LuceneParser.parse("#EVALUATION_ONLY('AGE > 30')") ==
       FieldOp("AGE", CompareOp.Gt, Literal.Num(30)))

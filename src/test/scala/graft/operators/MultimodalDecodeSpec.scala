@@ -29,24 +29,33 @@ class MultimodalDecodeSpec extends SparkSpec {
     bos.toByteArray
   }
 
-  private def wav(sampleRate: Int, nSamples: Int): Array[Byte] = {
-    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+  /** Same loud-then-silent signal written as little-endian WAV or
+    * big-endian AIFF — the canonicalizing decoder must produce the same
+    * envelope from both. */
+  private def pcmFile(sampleRate: Int, nSamples: Int,
+                      tpe: AudioFileFormat.Type): Array[Byte] = {
+    val bigEndian = tpe == AudioFileFormat.Type.AIFF
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, bigEndian)
     val pcm = new Array[Byte](nSamples * 2)
     var i = 0
     while (i < nSamples) {
       // loud first half, silent second half — the envelope must see it
       val v = if (i < nSamples / 2)
         (math.sin(i * 0.1) * 20000).toInt else 0
-      pcm(i * 2) = (v & 0xff).toByte
-      pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+      val (lo, hi) = ((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+      pcm(i * 2) = if (bigEndian) hi else lo
+      pcm(i * 2 + 1) = if (bigEndian) lo else hi
       i += 1
     }
     val ais = new AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, nSamples)
     val bos = new ByteArrayOutputStream()
-    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    AudioSystem.write(ais, tpe, bos)
     bos.toByteArray
   }
+
+  private def wav(sampleRate: Int, nSamples: Int): Array[Byte] =
+    pcmFile(sampleRate, nSamples, AudioFileFormat.Type.WAVE)
 
   test("MP4 probe parses real container metadata — no codec needed") {
     val bytes = graft.TestMedia.mp4(640, 360, Seq(100, 50))
@@ -77,6 +86,44 @@ class MultimodalDecodeSpec extends SparkSpec {
     // loud first half, silent second half
     assert(f(0) > 0.5f && f(1) > 0.5f)
     assert(f(2) == 0f && f(3) == 0f)
+  }
+
+  test("big-endian AIFF canonicalizes: same envelope as the WAV twin") {
+    val w = Multimodal.JdkDecoder.features(wav(8000, 4000), "wav", 4)
+    val a = Multimodal.JdkDecoder.features(
+      pcmFile(8000, 4000, AudioFileFormat.Type.AIFF), "aiff", 4)
+    // byte-swapped sampling would light up the silent half with noise
+    (w zip a).foreach { case (x, y) => assert(math.abs(x - y) < 1e-3f) }
+    assert(a(2) == 0f && a(3) == 0f)
+  }
+
+  test("MP4 probe reads the VIDEO track when an audio trak comes first") {
+    val bytes = graft.TestMedia.mp4AudioFirst(320, 240,
+      videoFrames = 90, audioSamples = 44100)
+    assert(Multimodal.JdkDecoder.probe(bytes, "mp4") == (320, 240, 90))
+  }
+
+  test("video features are the real stsz bitrate envelope — no pseudo-data") {
+    // 40 frames: constant 500 bytes, then constant 2000 bytes — the
+    // envelope must be low-then-high after peak normalization
+    val sizes = Seq.fill(20)(500) ++ Seq.fill(20)(2000)
+    val bytes = graft.TestMedia.mp4(640, 360, Seq(40), sizes)
+    val f = Multimodal.JdkDecoder.features(bytes, "mp4", 4)
+    assert(f(0) == 0.25f && f(1) == 0.25f) // 500/2000
+    assert(f(2) == 1.0f && f(3) == 1.0f)
+    // unparseable container → explicit zero vector, not hash noise
+    val g = Multimodal.JdkDecoder.features("not-a-video".getBytes, "avi", 4)
+    assert(g.forall(_ == 0f))
+    assert(Multimodal.JdkDecoder.probe("not-a-video".getBytes, "avi") == (0, 0, 0))
+  }
+
+  test("Matroska probe walks the real EBML tree: dims + block count") {
+    val sizes = Seq.fill(10)(100) ++ Seq.fill(10)(400)
+    val bytes = graft.TestMedia.mkv(1280, 720, sizes)
+    assert(Multimodal.JdkDecoder.probe(bytes, "mkv") == (1280, 720, 20))
+    val f = Multimodal.JdkDecoder.features(bytes, "webm", 2)
+    assert(f(0) == 0.25f && f(1) == 1.0f) // 100/400 block-size envelope
+    assert(Multimodal.JdkDecoder.probe("garbage".getBytes, "mkv") == (0, 0, 0))
   }
 
   test("probeAll runs the real decoder distributed over a media frame") {
