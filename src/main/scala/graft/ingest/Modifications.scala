@@ -53,6 +53,76 @@ object Modifications {
     }
   }
 
+  /** Incrementally patch the GLOBAL INDEX for a batch of edits — the
+    * REMOVEDUID path (MutableMetadataHandler.java:188 writes removal
+    * entries on delete; GlobalIndexUidAggregator.java:21-25 nets them
+    * against adds at compaction): deletes decrement the term count and
+    * drop the uid from the Uid.List, puts increment and append, keys
+    * netting to zero disappear, brand-new keys from puts materialize.
+    * `long` is the PRE-edit long frame (a value-less DeleteField removes
+    * every value of the (uid, field) — the values come from the data,
+    * exactly like the reference's mutation service reading the event
+    * before writing removal entries).
+    *
+    * Scale shape: the edit batch is small (a mutation request), so the
+    * index is touched by two BROADCAST joins (anti + semi on the affected
+    * keys); only the affected slice (tiny) runs the full-outer patch
+    * merge. Like the reference, a saturated Uid.List (past the 20-cap)
+    * stays exact in COUNT while the uid list is best-effort. */
+  def patchIndex(index: DataFrame, long: DataFrame,
+                 edits: Seq[FieldEdit]): DataFrame = {
+    val spark = long.sparkSession
+    import spark.implicits._
+    val dels = edits.collect { case d: DeleteField => d }
+    val puts = edits.collect { case p: PutField => p }
+    if (dels.isEmpty && puts.isEmpty) return index
+    val keys = Seq("value", "field", "shard_date", "datatype")
+    val removed =
+      if (dels.isEmpty) None
+      else {
+        val delDf = dels.map(d => (d.uid, d.datatype, d.field, d.value.orNull))
+          .toDF("d_uid", "d_datatype", "d_field", "d_value")
+        Some(long.join(broadcast(delDf),
+            col("uid") === col("d_uid") && col("datatype") === col("d_datatype") &&
+              col("field") === col("d_field") &&
+              (col("d_value").isNull || col("d_value") === col("value")), "inner")
+          .select(col("value"), col("field"), col("shard_date"), col("datatype"),
+            col("uid"), lit(-1L).as("delta")))
+      }
+    val added =
+      if (puts.isEmpty) None
+      else Some(puts.map(p => (p.value, p.field,
+          Option(p.shardDate).map(_.toString).orNull, p.datatype, p.uid))
+        .toDF("value", "field", "shard_date", "datatype", "uid")
+        .withColumn("shard_date", col("shard_date").cast("date"))
+        .withColumn("delta", lit(1L)))
+    val delta = (removed ++ added).reduce(_ unionByName _)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("delta")).as("cnt_delta"),
+        collect_set(when(col("delta") === 1, col("uid"))).as("added_uids"),
+        collect_set(when(col("delta") === -1, col("uid"))).as("removed_uids"))
+    val deltaKeys = delta.select(keys.map(col): _*)
+    // untouched keys pass through without a rewrite
+    val unaffected = index.join(broadcast(deltaKeys), keys, "left_anti")
+    // the affected slice is as small as the edit batch — full-outer merge
+    // runs on it only (new keys from puts materialize here)
+    val affected = index.join(broadcast(deltaKeys), keys, "left_semi")
+      .join(delta, keys, "full_outer")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)) +
+        coalesce(col("cnt_delta"), lit(0L)))
+      .withColumn("uid_sample", slice(concat(
+          array_except(
+            coalesce(col("uid_sample"), array().cast("array<string>")),
+            coalesce(col("removed_uids"), array().cast("array<string>"))),
+          array_except(
+            coalesce(col("added_uids"), array().cast("array<string>")),
+            coalesce(col("uid_sample"), array().cast("array<string>")))),
+        1, 20))
+      .filter(col("cnt") > 0)
+      .select(index.columns.map(col): _*)
+    unaffected.unionByName(affected)
+  }
+
   /** Age-off rule: rows of (datatype?, field?) expire after ttlDays
     * (None = applies to all). */
   final case class AgeOffRule(datatype: Option[String] = None,

@@ -124,6 +124,48 @@ object IngestQueries {
         date_format(col("shard_date"), "yyyy-MM-dd").as("day"),
         col("cnt"), size(col("uid_sample")).as("uid_sample_size"))
 
+  /** Modification service end-to-end (MutableMetadataHandler.java:188):
+    * delete a field wholesale for some events, a specific value for
+    * another, insert a corrected value — then query the post-modification
+    * state. The oracle replays the same edits in SQL. */
+  def modsApplied(s: SparkSession, d: String): DataFrame = {
+    import graft.ingest.Modifications._
+    val long = longEvents(s, d)
+    val edits: Seq[FieldEdit] = Seq(
+      DeleteField("12", "event", "event_type"),               // whole field
+      DeleteField("17", "event", "event_type", Some("view")), // one value
+      PutField("12", "event", "event_type", "corrected_click",
+        shardDate = java.sql.Date.valueOf("2024-01-05")))
+    applyEdits(long, edits)
+      .filter(col("field") === "event_type")
+      .groupBy(col("value"))
+      .agg(count(lit(1)).as("cnt"), countDistinct(col("uid")).as("n_uids"))
+  }
+
+  /** Uid.List REMOVEDUID patch (GlobalIndexUidAggregator.java:21-25):
+    * deletes net against the index — counts decrement, uids leave the
+    * list, zeroed keys vanish, puts materialize new keys. Keys stay under
+    * the 20-cap so the patched sample is exactly the surviving uid set
+    * (saturated lists keep exact counts, best-effort uids — the
+    * reference's IGNORE regime, pinned in ModificationsSpec). */
+  def ingUidListRemoved(s: SparkSession, d: String): DataFrame = {
+    import graft.ingest.Modifications._
+    val long = longEvents(s, d).filter(col("field") === "user_id").persist()
+    val index = Ingest.globalIndex(long)
+    val edits: Seq[FieldEdit] =
+      (1 to 50).map(i => DeleteField(i.toString, "event", "user_id"): FieldEdit) ++
+      Seq(
+        PutField("9000001", "event", "user_id", "42",
+          shardDate = java.sql.Date.valueOf("2024-01-05")),
+        PutField("9000002", "event", "user_id", "42",
+          shardDate = java.sql.Date.valueOf("2024-01-05")))
+    patchIndex(index, long, edits)
+      .filter(col("value").isin("42", "7"))
+      .select(col("value"),
+        date_format(col("shard_date"), "yyyy-MM-dd").as("day"),
+        col("cnt"), size(col("uid_sample")).as("uid_sample_size"))
+  }
+
   /** Atom feed sink (AtomDataTypeHandler.java:35-40). */
   def feedsAtom(s: SparkSession, d: String): DataFrame =
     graft.ingest.Feeds.atom(longEvents(s, d))
@@ -205,6 +247,8 @@ object IngestQueries {
     "ing_date_index" -> ingDateIndex _,
     "ing_error_channel" -> ingErrorChannel _,
     "ing_uid_list" -> ingUidList _,
+    "mods_applied" -> modsApplied _,
+    "ing_uid_list_removed" -> ingUidListRemoved _,
     "feeds_atom" -> feedsAtom _,
     "feeds_summary" -> feedsSummary _,
   )
@@ -278,6 +322,33 @@ object IngestQueries {
       """SELECT event_type AS value, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
         |   count(*) AS cnt, LEAST(count(DISTINCT event_id), 20) AS uid_sample_size
         | FROM events GROUP BY 1, 2""".stripMargin,
+    // the oracle replays the edits relationally: delete uid 12's
+    // event_type wholesale, uid 17's 'view' value, insert the correction
+    "mods_applied" ->
+      """WITH melt AS (
+        |  SELECT CAST(event_id AS VARCHAR) AS uid, event_type AS value
+        |    FROM events WHERE event_type IS NOT NULL),
+        |edited AS (
+        |  SELECT uid, value FROM melt
+        |   WHERE uid <> '12' AND NOT (uid = '17' AND value = 'view')
+        |  UNION ALL SELECT '12', 'corrected_click')
+        |SELECT value, count(*) AS cnt, count(DISTINCT uid) AS n_uids
+        |  FROM edited GROUP BY 1""".stripMargin,
+    // REMOVEDUID netting: recompute the index from the edited event set —
+    // the incremental patch must land on the same counts and uid sets
+    "ing_uid_list_removed" ->
+      """WITH melt AS (
+        |  SELECT CAST(event_id AS VARCHAR) AS uid,
+        |         CAST(user_id AS VARCHAR) AS value,
+        |         CAST(ts AS DATE) AS shard_date
+        |    FROM events WHERE user_id IS NOT NULL),
+        |edited AS (
+        |  SELECT * FROM melt WHERE CAST(uid AS BIGINT) NOT BETWEEN 1 AND 50
+        |  UNION ALL SELECT '9000001', '42', DATE '2024-01-05'
+        |  UNION ALL SELECT '9000002', '42', DATE '2024-01-05')
+        |SELECT value, strftime(shard_date, '%Y-%m-%d') AS day,
+        |       count(*) AS cnt, LEAST(count(DISTINCT uid), 20) AS uid_sample_size
+        |  FROM edited WHERE value IN ('42', '7') GROUP BY 1, 2""".stripMargin,
     "feeds_atom" ->
       """SELECT 'event_type' AS category, event_type AS value,
         |   strftime(MAX(CAST(ts AS DATE)), '%Y-%m-%d') AS latest_date,

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.core.Tables
-import graft.jexl.{Compiler, LuceneParser, QueryModel, QueryPolicy}
+import graft.jexl.{Compiler, LuceneParser, QueryModel, QueryModelLoader, QueryPolicy}
 
 /** Queries driven through the JEXL/LUCENE front-end (SURVEY.md §3.1
   * "Spark shape": parse → translate to Column → Catalyst plans it).
@@ -40,6 +40,34 @@ object JexlQueries {
     Compiler.filter(Tables.customer(s, d),
       "SEGMENT == 'BUILDING' && BALANCE > 5000", model)
       .select("c_custkey", "c_name", "c_acctbal")
+  }
+
+  /** Model loaded from TABLE ROWS at query time (QueryModelLoader.java:
+    * 107-133, ModelKeyParser rows → QueryModel; ShardQueryLogic
+    * .initialize): forward alias→field resolution (incl. 1→N), db-field
+    * normalizers from the type catalog (multi-normalizer ANY matching),
+    * and REVERSE rows renaming result fields — the model is data, not
+    * code. */
+  def modelTableQuery(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val modelRows = Seq(
+      ("TPCH", "SEGMENT", "C_MKTSEGMENT", "FORWARD"),
+      ("TPCH", "KEY", "C_CUSTKEY", "FORWARD"),   // 1→N: KEY expands to
+      ("TPCH", "KEY", "C_NATIONKEY", "FORWARD"), //   custkey OR nationkey
+      ("TPCH", "balance", "C_ACCTBAL", "REVERSE"), // result display name
+      // another model's rows must NOT leak into TPCH resolution
+      ("OTHER", "SEGMENT", "C_NAME", "FORWARD"))
+      .toDF("model_name", "alias", "field", "direction")
+    val typeRows = Seq( // catalog `t` rows: C_MKTSEGMENT matches under ANY
+      ("C_MKTSEGMENT", "lcNoDiacritics"), ("C_MKTSEGMENT", "noop"))
+      .toDF("field", "norm")
+    val model = QueryModelLoader.load(modelRows, "tpch", Some(typeRows))
+    val logic = new graft.query.ShardQueryLogic(model)
+    logic.query(Tables.customer(s, d),
+        "SEGMENT == 'building' && KEY == 13",
+        graft.query.QueryParams(
+          renameFields = QueryModelLoader.reverseRename(modelRows, "tpch")))
+      .select("c_custkey", "c_name", "balance")
   }
 
   /** LUCENE front-end: ranges + boolean ops compile through the same AST. */
@@ -213,6 +241,7 @@ object JexlQueries {
     "jexl_regex_bool" -> jexlRegexBool _,
     "jexl_functions" -> jexlFunctions _,
     "jexl_model" -> jexlModel _,
+    "model_table" -> modelTableQuery _,
     "lucene_query" -> luceneQuery _,
     "lucene_wildcard" -> luceneWildcard _,
     "jexl_anyfield" -> jexlAnyfield _,
@@ -283,6 +312,13 @@ object JexlQueries {
     "jexl_model" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         | WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 5000""".stripMargin,
+    // model from table rows: SEGMENT→C_MKTSEGMENT with (lcNoDiacritics,
+    // noop) multi-normalizer ANY; KEY→(C_CUSTKEY|C_NATIONKEY) 1→N;
+    // REVERSE row renames c_acctbal → balance
+    "model_table" ->
+      """SELECT c_custkey, c_name, c_acctbal AS balance FROM customer
+        | WHERE (lower(c_mktsegment) = 'building' OR c_mktsegment = 'building')
+        |   AND (c_custkey = 13 OR c_nationkey = 13)""".stripMargin,
     "lucene_query" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
         | WHERE l_returnflag = 'A' AND l_quantity >= 45 AND l_quantity <= 50

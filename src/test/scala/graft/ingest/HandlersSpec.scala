@@ -79,6 +79,34 @@ class HandlersSpec extends SparkSpec {
     assert(rows.exists(r => r._1 == "2" && r._2 == "cat")) // untouched
   }
 
+  test("patchIndex nets REMOVEDUID deltas against the Uid.List") {
+    import Modifications._
+    // 25 events of value 'x' on one day (saturates the 20-cap), 3 of 'y'
+    val wide = ((1 to 25).map(i => (i.toLong, "2024-01-02 00:00:00", "x")) ++
+        (26 to 28).map(i => (i.toLong, "2024-01-02 00:00:00", "y")))
+      .toDF("id", "ts", "cat")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val lg = Ingest.toLong(wide, uidCol = "id", datatype = "t", dateCol = "ts")
+      .filter(col("field") === "cat")
+    val idx = Ingest.globalIndex(lg)
+    val patched = patchIndex(idx, lg,
+      (1 to 3).map(i => DeleteField(i.toString, "t", "cat"): FieldEdit) ++ Seq(
+        DeleteField("26", "t", "cat"),
+        DeleteField("27", "t", "cat"),
+        DeleteField("28", "t", "cat"), // 'y' nets to zero → key vanishes
+        PutField("90", "t", "cat", "z", // brand-new key materializes
+          shardDate = java.sql.Date.valueOf("2024-01-03"))))
+    val byValue = patched.collect()
+      .map(r => r.getAs[String]("value") ->
+        (r.getAs[Long]("cnt"), r.getAs[Seq[String]]("uid_sample")))
+      .toMap
+    // saturated key: COUNT is exact (25−3), uid list best-effort ≤ 20
+    assert(byValue("x")._1 == 22 && byValue("x")._2.size <= 20)
+    assert(!byValue("x")._2.exists(Set("1", "2", "3"))) // removed uids gone
+    assert(!byValue.contains("y"))                      // zeroed key vanished
+    assert(byValue("z") == (1L, Seq("90")))             // new key from put
+  }
+
   test("age-off sweep expires by rule specificity") {
     import Modifications._
     val out = ageOff(long, Seq(
