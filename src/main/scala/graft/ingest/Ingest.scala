@@ -71,6 +71,14 @@ object Ingest {
         collect_set(col("uid")).as("uid_sample"))
       .withColumn("uid_sample", slice(col("uid_sample"), 1, 20)) // Uid.List MAX=20 cap
 
+  /** Reverse global index (shardReverseIndex, ShardedDataTypeHandler
+    * .java:86-101): the same aggregate keyed on the REVERSED value, so a
+    * leading-wildcard discovery/query becomes a sargable prefix scan —
+    * at scale this is its own sorted/partitioned table, like the
+    * reference's. */
+  def reverseGlobalIndex(long: DataFrame): DataFrame =
+    globalIndex(long.withColumn("value", reverse(col("value"))))
+
   /** Per-date field frequency — the metadata "f" column-family rows
     * (EventMetadata.java:96-110, MetadataHelper frequency counts): which
     * fields appear in events on which dates, ALWAYS complete regardless

@@ -140,14 +140,17 @@ object VectorOps {
     * (2048 nodes at 32×64) blows up Janino codegen compile time, so the
     * signature instead folds a SMALL higher-order expression over one 2-D
     * constant — interpreted per row, which is the right trade for a
-    * write-once signature column. */
-  private def planeComponent(plane: Int, dim: Int): Double = {
-    // xxhash-free deterministic mix (splitmix64 finalizer on (plane, dim))
-    var z = plane.toLong * 0x9E3779B97F4A7C15L + dim.toLong * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z = z ^ (z >>> 31)
-    ((java.lang.Long.remainderUnsigned(z, 2000001L)).toDouble - 1000000.0) / 1000000.0
+    * write-once signature column.
+    *
+    * md5-derived (first 60 bits of md5("plane:dim")) so any engine can
+    * replicate the matrix exactly — the ann_lsh oracle rebuilds it in
+    * DuckDB SQL, the same move that made dedup_simhash hash-matchable. */
+  private[operators] def planeComponent(plane: Int, dim: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$plane:$dim".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val v = java.lang.Long.parseLong(hex.take(15), 16) // 60 bits, positive
+    ((v % 2000001L).toDouble - 1000000.0) / 1000000.0
   }
 
   private def planeMatrix(planes: Int, dim: Int): Column =

@@ -92,8 +92,36 @@ object GeoQueries {
           syntax = "LUCENE"))
       .select("c_custkey", "lat", "lon")
 
+  /** Whindex value-trigger remap (WhindexVisitor.java:58-71): the frame
+    * has NO generic GEOM column at all — only the value-specific
+    * MARS_GEOM (populated where planet = MARS, the pre-filtered index
+    * the whindex exists to exploit). The query names GEOM && the marker;
+    * the mapping swaps the field and consumes the marker term, and the
+    * query can only succeed through the remap (compiling GEOM would
+    * refuse: nonexistent field). */
+  def whindexRemap(s: SparkSession, d: String): DataFrame = {
+    val g = withGeo(Tables.customer(s, d))
+      .withColumn("planet",
+        when(col("c_custkey") % 3 === 0, "MARS").otherwise("VENUS"))
+      // derived from custkey, not planet: after the remap consumes the
+      // marker, NOTHING references planet — Catalyst prunes the column
+      // out of the scan entirely (PlanSpec pins that)
+      .withColumn("mars_geom",
+        when(col("c_custkey") % 3 === 0,
+          concat(lit("POINT ("), col("lon").cast("string"), lit(" "),
+            col("lat").cast("string"), lit(")"))))
+    val wl = new ShardQueryLogic(
+      policy = QueryPolicy(fullTableScanEnabled = true),
+      whindex = Seq(graft.jexl.Whindex.Mapping("PLANET", "MARS", "GEOM", "MARS_GEOM")))
+    wl.query(g,
+        "geowave:intersects(GEOM, 'POLYGON ((-30 10, 40 10, 40 60, -30 60, -30 10))') && PLANET == 'MARS'",
+        QueryParams(returnFields = Seq("c_custkey")))
+      .select("c_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lucene_geo" -> luceneGeo _,
+    "whindex_remap" -> whindexRemap _,
     "geo_bbox" -> geoBbox _,
     "geo_bbox_z" -> geoBboxZ _,
     "geo_circle" -> geoCircle _,
@@ -101,6 +129,12 @@ object GeoQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the remapped query is the value-specific slice: planet-MARS rows
+    // (custkey ≡ 0 mod 3) whose point intersects the box
+    "whindex_remap" ->
+      s"""SELECT c_custkey FROM $geoSql
+         | WHERE c_custkey % 3 = 0
+         |   AND lat >= 10 AND lat <= 60 AND lon >= -30 AND lon <= 40""".stripMargin,
     "lucene_geo" ->
       s"""SELECT c_custkey, lat, lon FROM $geoSql
          | WHERE lat >= 10 AND lat <= 60 AND lon >= -30 AND lon <= 40""".stripMargin,

@@ -26,6 +26,32 @@ object IngestQueries {
         date_format(col("shard_date"), "yyyy-MM-dd").as("day"),
         col("datatype"), col("cnt"))
 
+  /** Leading-wildcard discovery through the REVERSE index
+    * (DiscoveryLogic.java:71 reversed-pattern branch): `*ick` probes the
+    * reversed-value aggregate with a sargable prefix — PlanSpec pins
+    * StartsWith, no regex over the forward values. */
+  def ingDiscoveryRev(s: SparkSession, d: String): DataFrame = {
+    val long = longEvents(s, d)
+    graft.query.Discovery.terms(
+        Ingest.globalIndex(long), Ingest.reverseGlobalIndex(long),
+        graft.query.Discovery.Pattern("*ick"), field = Some("event_type"))
+      .select(col("value"), col("field"),
+        date_format(col("shard_date"), "yyyy-MM-dd").as("day"),
+        col("datatype"), col("cnt"))
+  }
+
+  /** Range discovery (DiscoveryLogic ranges): per-term counts for index
+    * values inside a bounded range, straight off the forward index. */
+  def ingDiscoveryRange(s: SparkSession, d: String): DataFrame = {
+    val long = longEvents(s, d)
+    graft.query.Discovery.terms(
+        Ingest.globalIndex(long), Ingest.reverseGlobalIndex(long),
+        graft.query.Discovery.Bounds("click", "purchase"),
+        field = Some("event_type"))
+      .groupBy("value", "field", "datatype")
+      .agg(sum(col("cnt")).as("total"))
+  }
+
   /** Index-only lookup (ShardIndexQueryTable.java:88): regex against the
     * global index, aggregated across dates. */
   def ingIndexLookup(s: SparkSession, d: String): DataFrame =
@@ -239,6 +265,8 @@ object IngestQueries {
     "ing_json_reader" -> ingJsonReader _,
     "handlers_dispatch" -> handlersDispatch _,
     "ing_discovery" -> ingDiscovery _,
+    "ing_discovery_rev" -> ingDiscoveryRev _,
+    "ing_discovery_range" -> ingDiscoveryRange _,
     "ing_index_lookup" -> ingIndexLookup _,
     "ing_needle_semijoin" -> ingNeedleSemiJoin _,
     "ing_metadata" -> ingMetadata _,
@@ -274,6 +302,17 @@ object IngestQueries {
       s"""SELECT value, field, count(*) AS total FROM $longSql
          | WHERE field = 'event_type' AND value IN ('click', 'view')
          | GROUP BY 1, 2""".stripMargin,
+    "ing_discovery_rev" ->
+      s"""SELECT value, field, strftime(shard_date, '%Y-%m-%d') AS day,
+         |   datatype, count(*) AS cnt
+         | FROM $longSql
+         | WHERE field = 'event_type' AND value LIKE '%ick'
+         | GROUP BY 1, 2, 3, 4""".stripMargin,
+    "ing_discovery_range" ->
+      s"""SELECT value, field, datatype, count(*) AS total FROM $longSql
+         | WHERE field = 'event_type'
+         |   AND value BETWEEN 'click' AND 'purchase'
+         | GROUP BY 1, 2, 3""".stripMargin,
     "ing_needle_semijoin" ->
       "SELECT event_id, user_id FROM events WHERE user_id = 42",
     "ing_metadata" ->

@@ -124,7 +124,9 @@ object JexlQueries {
   def revWildcard(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, reverse}
     val p = Tables.part(s, d).withColumn("p_name_rev", reverse(col("p_name")))
-    Compiler.filter(p, "P_NAME =~ '.*mint'")
+    // '.*gear' matches hundreds of rows at every SF — the reverse-index
+    // route must prove inclusion, not just exclude everything
+    Compiler.filter(p, "P_NAME =~ '.*gear'")
       .select("p_partkey", "p_name")
   }
 
@@ -288,7 +290,7 @@ object JexlQueries {
       """SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
         | HAVING max(l_discount) < min(l_tax)""".stripMargin,
     "rev_wildcard" ->
-      "SELECT p_partkey, p_name FROM part WHERE p_name LIKE '%mint'",
+      "SELECT p_partkey, p_name FROM part WHERE p_name LIKE '%gear'",
     "flt_eval_functions" ->
       """SELECT l_orderkey, l_linenumber, l_discount, l_tax FROM lineitem
         | WHERE l_returnflag = 'R' AND l_discount > l_tax

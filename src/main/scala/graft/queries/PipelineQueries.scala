@@ -223,8 +223,35 @@ object PipelineQueries {
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b
         | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         | WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45""".stripMargin,
-    // ann_lsh: approximate — rows-only check; the recall gates below pin
-    // the quality numerically.
+    // ann_lsh: the md5-derived hyperplane matrix is engine-replicable, so
+    // the oracle rebuilds the WHOLE approximate pipeline — signature →
+    // 16×2-bit banding → probe-bucket candidates → exact cosine rerank —
+    // and must land on the identical top-10 (projection folds run in the
+    // same left-to-right order on both sides).
+    "ann_lsh" -> {
+      val w = "((CAST(concat('0x', substr(md5(p || ':' || i), 1, 15)) AS BIGINT)" +
+        " % 2000001 - 1000000) / 1000000.0)"
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |sig AS (
+         |  SELECT vec_id,
+         |    list_sum(list_transform(range(0, 32), p ->
+         |      CASE WHEN list_sum(list_transform(range(0, 64), i ->
+         |          v[i + 1] * $w)) >= 0
+         |        THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END)) AS sig
+         |  FROM e),
+         |bands AS (
+         |  SELECT vec_id, b, (sig >> (b * 2)) & 3 AS key
+         |  FROM sig, range(0, 16) t(b)),
+         |probe AS (SELECT b, key FROM bands WHERE vec_id = 0),
+         |cand AS (
+         |  SELECT DISTINCT bands.vec_id FROM bands JOIN probe USING (b, key)
+         |  WHERE bands.vec_id <> 0)
+         |SELECT c.vec_id FROM cand c JOIN embeddings x ON c.vec_id = x.vec_id
+         | ORDER BY list_cosine_similarity(x.embedding,
+         |     (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC,
+         |   c.vec_id ASC
+         | LIMIT 10""".stripMargin
+    },
     "ann_lsh_recall" -> "SELECT CAST(10 AS BIGINT) AS k, true AS recall_ok",
     "ann_ivf_recall" -> "SELECT CAST(10 AS BIGINT) AS k, true AS recall_ok",
   )

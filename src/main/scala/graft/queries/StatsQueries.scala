@@ -24,7 +24,10 @@ object StatsQueries {
     * a lowercase query literal matches the uppercase stored values. */
   def jexlMultinorm(s: SparkSession, d: String): DataFrame = {
     val model = QueryModel(normalizers = Map("P_TYPE" -> Seq("lcNoDiacritics")))
-    Compiler.filter(Tables.part(s, d), "P_TYPE == 'promo burnished copper'", model)
+    // lowercase literal vs uppercase stored 'MEDIUM' — matches ONLY
+    // through the normalizer (hundreds of rows at every SF, so the gate
+    // proves inclusion, not just exclusion)
+    Compiler.filter(Tables.part(s, d), "P_TYPE == 'medium'", model)
       .select("p_partkey", "p_type")
   }
 
@@ -68,7 +71,7 @@ object StatsQueries {
         | FROM customer GROUP BY CUBE (c_mktsegment, c_nationkey)""".stripMargin,
     "jexl_multinorm" ->
       """SELECT p_partkey, p_type FROM part
-        | WHERE lower(p_type) = 'promo burnished copper'""".stripMargin,
+        | WHERE lower(p_type) = 'medium'""".stripMargin,
     "cached_results_sql" ->
       """SELECT o_orderstatus, count(*) AS cnt,
         |   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

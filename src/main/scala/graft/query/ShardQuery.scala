@@ -43,7 +43,11 @@ final class ShardQueryLogic(
     // global-index frame for unfielded-term expansion
     // (UnfieldedIndexExpansionVisitor): absent → schema-wide fallback
     index: Option[DataFrame] = None,
-    unfieldedThreshold: Int = 50) {
+    unfieldedThreshold: Int = 50,
+    // value-specific field remappings (WhindexVisitor.java:58-71):
+    // applied to the parsed tree before compilation — the marker term is
+    // consumed and the generic field swaps for the value-specific one
+    whindex: Seq[Whindex.Mapping] = Nil) {
 
   def query(events: DataFrame, q: String,
             params: QueryParams = QueryParams()): DataFrame = {
@@ -59,9 +63,15 @@ final class ShardQueryLogic(
           "query contains only options (full table scan); set fullTableScanEnabled")
       null
     }
+    // whindex value-trigger remap first: the marker equality is consumed
+    // and the generic field swaps to the value-specific one, so every
+    // later stage (expansion, normalization, compile) sees the remapped
+    // tree (WhindexVisitor runs in the reference's planner pipeline)
+    val astW = if (whindex.isEmpty || ast0 == null) ast0
+               else Whindex.rewrite(ast0, whindex)
     // unfielded `_ANYFIELD_` terms consult the global index for which
     // fields actually contain the value BEFORE compiling the OR
-    val ast1 = (ast0, index) match {
+    val ast1 = (astW, index) match {
       case (a, Some(gi)) if a != null => UnfieldedExpansion.rewrite(a,
         UnfieldedExpansion.indexLookup(gi, unfieldedThreshold), unfieldedThreshold)
       case (a, _) => a

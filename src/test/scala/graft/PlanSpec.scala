@@ -57,6 +57,24 @@ class PlanSpec extends SparkSpec {
       plan.contains("LeftSemi"), plan.take(3000))
   }
 
+  test("whindex remap consumes the marker term completely") {
+    val plan = executed("whindex_remap")
+    // the PLANET == 'MARS' marker was dropped with the field swap, so no
+    // filter tests planet — Catalyst prunes the column out of the plan
+    assert(!plan.toLowerCase.contains("planet"), plan.take(3000))
+    // and the predicate runs on the value-specific field's (inlined)
+    // defining expression: the JTS UDF over the custkey-gated point
+    assert(plan.contains("UDF(CASE WHEN ((c_custkey"), plan.take(3000))
+  }
+
+  test("leading-wildcard discovery prefix-probes the reverse index") {
+    val plan = executed("ing_discovery_rev")
+    // `*ick` = sargable StartsWith on the reversed value — never an
+    // unanchored regex over the forward values
+    assert(plan.contains("StartsWith"), plan.take(3000))
+    assert(!plan.contains("RLike"), plan.take(3000))
+  }
+
   test("index-driven unfielded expansion prunes to one pushed equality") {
     val plan = executed("ing_unfielded_expand")
     assert(plan.contains("EqualTo(event_type,click)"), plan.take(3000))
