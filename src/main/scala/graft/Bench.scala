@@ -15,22 +15,41 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JMH-style untimed warm-up: run every query once at the smallest SF
-    // first. The interpreter/JIT of higher-order expression trees costs
-    // 30-110s ONE TIME per expression shape (measured; independent of
-    // data size and of whole-stage codegen), and without a warm-up that
-    // tax lands on whichever timed query first touches each shape —
-    // r2/r3 raw runs showed arbitrary lines inflated 5-10× by it. The
-    // timed pass below then measures steady-state per-query cost.
+    // JMH-style untimed warm-up at the smallest SF. The interpreter/JIT
+    // of higher-order expression trees costs 30-110s ONE TIME per
+    // expression shape (measured; independent of data size and of
+    // whole-stage codegen), and without a warm-up that tax lands on
+    // whichever timed query first touches each shape — r2/r3 raw runs
+    // showed arbitrary lines inflated 5-10× by it. Only plans that CARRY
+    // the taxed shapes (HOF lambdas, generators, UDFs) are executed;
+    // everything else is planned for inspection and skipped, so warm-up
+    // cost stays flat as the gate grows (r3 verdict item 8).
+    // Only the TAGGED representatives run (one per distinct taxed
+    // expression combo — SparkEntry.warmupQueries, rot-guarded by
+    // WarmupSpec): queries sharing a combo share the classload/JIT
+    // bill, and constructing+planning the other ~100 queries purely for
+    // detection cost more than the warming itself.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
     if (warmDir.nonEmpty) {
       val t0 = System.nanoTime()
-      SparkEntry.queries.foreach { case (name, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      val warmDebug = sys.env.contains("SPARK_GRAFT_WARM_DEBUG")
+      // tiny warm jobs at 32 shuffle partitions pay 4× task overhead for
+      // nothing — shrink partitions for the warm pass only (JIT warming
+      // is shape-, not partition-count-, dependent)
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      SparkEntry.warmupQueries.foreach { name =>
+        try {
+          val tq = System.nanoTime()
+          SparkEntry.queries(name)(spark, warmDir).count()
+          if (warmDebug)
+            System.err.println(f"[warm] $name%-24s ${(System.nanoTime() - tq) / 1e9}%6.2f s")
+        } catch { case _: Throwable => () }
       }
+      spark.conf.set("spark.sql.shuffle.partitions", cpus)
       spark.catalog.clearCache()
       System.gc()
-      System.err.println(f"[bench] (warmup pass ${(System.nanoTime() - t0) / 1e9}%.1f s)")
+      System.err.println(f"[bench] (warmup pass ${(System.nanoTime() - t0) / 1e9}%.1f s," +
+        s" ${SparkEntry.warmupQueries.size} tagged shape representatives)")
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -16,6 +16,28 @@ object SparkEntry {
       IngestQueries.queries ++ SSDeepQueries.queries ++ TreeQueries.queries ++
       StatsQueries.queries ++ ServiceQueries.queries
 
+  /** Warm-up representatives: one query per distinct taxed-expression
+    * combination (HOF lambdas / generators / UDFs — the shapes whose
+    * first execution pays a 30-110s one-time classload/JIT bill in a
+    * fresh JVM). Bench executes ONLY these untimed before the timed
+    * pass; constructing+planning all ~117 queries just to detect shapes
+    * cost more than the warming itself. WarmupSpec re-derives the combo
+    * set from the actual plans and fails if a combo loses coverage, so
+    * the tag list cannot silently rot. */
+  val warmupQueries: Seq[String] = Seq(
+    "analyzer_tokens", "ancestor_query", "ann_ivf_recall", "ann_lsh",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "edge_query",
+    "flt_compare_all", "flt_eval_functions", "ing_date_index",
+    "ing_needle_uidlist", "lucene_phrase", "mods_applied",
+    "qs_content_within", "qs_limit_hits", "ssdeep_chained",
+    "text_analyze", "text_tokens", "tf_adjacent", "whindex_remap")
+
+  /** Taxed-shape detection shared by Bench (debug) and WarmupSpec. */
+  val taxedMarkers: Seq[String] = Seq("lambdafunction", "explode", "generate", "udf(")
+  val shapeFeatures: Seq[String] = Seq("transform(", "aggregate(", "zip_with(",
+    "exists(", "filter(", "explode", "posexplode", "inline", "generate",
+    "udf(", "map_from_entries", "collect_")
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

@@ -76,6 +76,7 @@ object Multimodal {
       fmt.toLowerCase match {
         case "mp4" | "mov" | "m4v" => Mp4Probe.parse(bytes)
         case "mkv" | "webm" => EbmlProbe.parse(bytes)
+        case "avi" => AviProbe.parse(bytes)
         case _ => None
       }
 
@@ -470,6 +471,55 @@ object Multimodal {
       walk(0, bytes.length, inCluster = false, inGroup = false)
       if (videoTrackNum >= 0 && (w > 0 || frames > 0))
         Some(VideoTrack(w, h, frames, sizes.toArray))
+      else None
+    }
+  }
+
+  /** Real AVI (RIFF) container probe — pure chunk-structure parsing:
+    * `RIFF('AVI ' LIST('hdrl' avih …) LIST('movi' ##dc/##db …))`. The
+    * `avih` main header carries dwTotalFrames + dwWidth/dwHeight
+    * (little-endian), and the `movi` list's compressed/uncompressed
+    * video frame chunks (`##dc`/`##db`) supply the per-frame byte sizes
+    * for the bitrate envelope — the stsz analog. */
+  object AviProbe {
+    private def le32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    private def fourcc(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    private val MaxSizes = 1 << 20
+
+    def probe(bytes: Array[Byte]): Option[(Int, Int, Int)] =
+      parse(bytes).map(t => (t.width, t.height, t.frames))
+
+    def parse(bytes: Array[Byte]): Option[VideoTrack] = {
+      if (bytes.length < 12 || fourcc(bytes, 0) != "RIFF" ||
+          fourcc(bytes, 8) != "AVI ") return None
+      var w = 0; var h = 0; var headerFrames = 0
+      val sizes = scala.collection.mutable.ArrayBuffer.empty[Int]
+      def walk(from: Int, to: Int): Unit = {
+        var o = from
+        while (o + 8 <= to) {
+          val id = fourcc(bytes, o)
+          val sz = le32(bytes, o + 4)
+          val data = o + 8
+          val end = data + sz
+          if (sz < 0 || end > to) return // malformed — stop
+          if (id == "LIST" && sz >= 4) walk(data + 4, end)
+          else if (id == "avih" && sz >= 40) {
+            headerFrames = le32(bytes, data + 16) // dwTotalFrames
+            w = le32(bytes, data + 32)            // dwWidth
+            h = le32(bytes, data + 36)            // dwHeight
+          } else if (id.length == 4 && id(0).isDigit && id(1).isDigit &&
+              id(2) == 'd' && (id(3) == 'c' || id(3) == 'b')) {
+            if (sizes.length < MaxSizes) sizes += sz // a video frame chunk
+          }
+          o = end + (sz & 1) // RIFF chunks pad to even offsets
+        }
+      }
+      walk(12, bytes.length)
+      val frames = if (headerFrames > 0) headerFrames else sizes.length
+      if (w > 0 || frames > 0) Some(VideoTrack(w, h, frames, sizes.toArray))
       else None
     }
   }

@@ -75,6 +75,25 @@ object IngestQueries {
       .select("event_id", "user_id")
   }
 
+  /** Uid.List-granular needle scan (CreateUidsIterator.java:68): one term
+    * whose per-date lists stay complete (user_id=42, ≤20/day → DOCUMENT
+    * ranges, a uid semi-join) and one that saturates the cap everywhere
+    * (event_type=signup → IGNORE regime, shard-date fallback) — both
+    * regimes green against the plain-filter oracle. */
+  def ingNeedleUidList(s: SparkSession, d: String): DataFrame = {
+    val events = Tables.events(s, d)
+    val idx = Ingest.globalIndex(longEvents(s, d))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uidRegime = graft.query.NeedleScan.scan(events,
+      col("event_id").cast("string"), to_date(col("ts")), idx,
+      "user_id", "42", col("user_id") === 42)
+    val dateRegime = graft.query.NeedleScan.scan(events,
+      col("event_id").cast("string"), to_date(col("ts")), idx,
+      "event_type", "signup", col("event_type") === "signup")
+    uidRegime.select(col("event_id"), lit("uid").as("regime"))
+      .unionAll(dateRegime.select(col("event_id"), lit("date").as("regime")))
+  }
+
   /** Metadata catalog (EventMetadata.java:96-110): field inventory with
     * counts, cardinality, and date bounds. */
   def ingMetadata(s: SparkSession, d: String): DataFrame =
@@ -269,6 +288,7 @@ object IngestQueries {
     "ing_discovery_range" -> ingDiscoveryRange _,
     "ing_index_lookup" -> ingIndexLookup _,
     "ing_needle_semijoin" -> ingNeedleSemiJoin _,
+    "ing_needle_uidlist" -> ingNeedleUidList _,
     "ing_metadata" -> ingMetadata _,
     "ing_unfielded_expand" -> ingUnfieldedExpand _,
     "ing_index_hole" -> ingIndexHole _,
@@ -315,6 +335,11 @@ object IngestQueries {
          | GROUP BY 1, 2, 3""".stripMargin,
     "ing_needle_semijoin" ->
       "SELECT event_id, user_id FROM events WHERE user_id = 42",
+    // both granularities must land on the plain filter result
+    "ing_needle_uidlist" ->
+      """SELECT event_id, 'uid' AS regime FROM events WHERE user_id = 42
+        | UNION ALL
+        | SELECT event_id, 'date' FROM events WHERE event_type = 'signup'""".stripMargin,
     "ing_metadata" ->
       s"""SELECT field, datatype, count(*) AS cnt,
          |   count(DISTINCT value) AS cardinality,

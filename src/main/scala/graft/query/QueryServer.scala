@@ -1,0 +1,144 @@
+package graft.query
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import org.apache.spark.sql.DataFrame
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.ConcurrentHashMap
+
+/** Thin HTTP façade over the query lifecycle — the REST tier of the
+  * reference (QueryExecutorBean.java:616-1383 create/next/close/plan)
+  * re-expressed over the library: [[ShardQueryLogic]] plans,
+  * [[QueryCursor]]+[[RunningQuery]] page, [[QueryMetrics]] records.
+  * `com.sun.net.httpserver` only — no framework dependency; the server
+  * is deliberately NOT part of the driver gate (SURVEY §7.1: "library +
+  * thin server", the library is the product).
+  *
+  * Endpoints (query-string parameters, JSON responses):
+  *  - `POST /query/create?table=T&query=Q[&syntax=JEXL|LUCENE]
+  *    [&pageSize=N][&orderBy=c1,c2]` → `{"queryId": "..."}`; the query
+  *    plans eagerly so a bad query fails at create (the reference's
+  *    createQuery semantics), and the frame is persisted so pages read
+  *    cached partitions, not re-planned scans.
+  *  - `GET /query/next?id=...` → `{"rows": [...], "page": N}`, or HTTP
+  *    204 when exhausted (the reference's NO_CONTENT page).
+  *  - `GET /query/plan?id=...` → the executed physical plan text.
+  *  - `POST /query/close?id=...` → drops cursor state + unpersists.
+  */
+final class QueryServer(
+    tables: Map[String, DataFrame],
+    logic: ShardQueryLogic = new ShardQueryLogic(),
+    stateDir: String =
+      java.nio.file.Files.createTempDirectory("graft-cursor").toString,
+    defaultPageSize: Int = 100) {
+
+  private final case class Session(df: DataFrame, orderCols: Seq[String],
+                                   running: RunningQuery)
+  private val sessions = new ConcurrentHashMap[String, Session]()
+  private val cursor = new QueryCursor(stateDir)
+  private var server: HttpServer = _
+
+  /** Start on `port` (0 = ephemeral); returns the bound port. */
+  def start(port: Int = 0): Int = {
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    server.createContext("/query/create", handler(create))
+    server.createContext("/query/next", handler(next))
+    server.createContext("/query/plan", handler(plan))
+    server.createContext("/query/close", handler(close))
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = if (server != null) server.stop(0)
+
+  // ---- endpoint implementations -------------------------------------
+
+  private def create(params: Map[String, String]): (Int, String) = {
+    val table = params.getOrElse("table",
+      return (400, err("missing 'table'")))
+    val q = params.getOrElse("query", return (400, err("missing 'query'")))
+    val df0 = tables.getOrElse(table,
+      return (404, err(s"unknown table '$table'")))
+    val qp = QueryParams(syntax = params.getOrElse("syntax", "JEXL"))
+    val pageSize = params.get("pageSize").map(_.toInt)
+      .getOrElse(defaultPageSize)
+    val queryId = java.util.UUID.randomUUID().toString.replace("-", "")
+    try {
+      // plan eagerly (bad queries fail the create call, like the
+      // reference) and persist so each page reads cached partitions
+      val result = logic.query(df0, q, qp).persist()
+      val orderCols = params.get("orderBy")
+        .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+        .getOrElse(Seq(result.columns.head))
+      val running = new RunningQuery(cursor, queryId, result, orderCols,
+        pageSize)
+      sessions.put(queryId, Session(result, orderCols, running))
+      (200, s"""{"queryId": "$queryId"}""")
+    } catch {
+      case e: Exception => (400, err(e.getMessage))
+    }
+  }
+
+  private def next(params: Map[String, String]): (Int, String) = {
+    val s = session(params).getOrElse(return (404, err("unknown queryId")))
+    s.running.nextPage() match {
+      case Some(page) =>
+        val rows = page.toJSON.collect() // bounded by pageSize
+        (200, s"""{"page": ${cursor.currentOffset(qid(params))},""" +
+          s""" "rows": [${rows.mkString(",")}]}""")
+      case None => (204, "")
+    }
+  }
+
+  private def plan(params: Map[String, String]): (Int, String) = {
+    val s = session(params).getOrElse(return (404, err("unknown queryId")))
+    (200, s.df.queryExecution.executedPlan.toString)
+  }
+
+  private def close(params: Map[String, String]): (Int, String) = {
+    val id = qid(params)
+    Option(sessions.remove(id)) match {
+      case Some(s) => s.df.unpersist(); cursor.close(id); (200, """{"closed": true}""")
+      case None => (404, err("unknown queryId"))
+    }
+  }
+
+  // ---- plumbing ------------------------------------------------------
+
+  private def qid(params: Map[String, String]): String =
+    params.getOrElse("id", "")
+  private def session(params: Map[String, String]): Option[Session] =
+    Option(sessions.get(qid(params)))
+  private def err(msg: String): String =
+    s"""{"error": ${quote(msg)}}"""
+  private def quote(s: String): String =
+    "\"" + Option(s).getOrElse("").flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def handler(f: Map[String, String] => (Int, String)): HttpHandler =
+    new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val (status, body) =
+          try f(parseQuery(ex.getRequestURI.getRawQuery))
+          catch { case e: Exception => (500, err(e.getMessage)) }
+        val bytes = body.getBytes(StandardCharsets.UTF_8)
+        ex.getResponseHeaders.set("Content-Type", "application/json")
+        // 204 must not carry a body
+        ex.sendResponseHeaders(status, if (status == 204) -1 else bytes.length)
+        if (status != 204) ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    }
+
+  private def parseQuery(raw: String): Map[String, String] =
+    Option(raw).getOrElse("").split('&').filter(_.contains("="))
+      .map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        java.net.URLDecoder.decode(k, "UTF-8") ->
+          java.net.URLDecoder.decode(v, "UTF-8")
+      }.toMap
+}

@@ -67,6 +67,16 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("UDF(CASE WHEN ((c_custkey"), plan.take(3000))
   }
 
+  test("uid-list needle scan broadcasts both granularities") {
+    val plan = executed("ing_needle_uidlist")
+    // document ranges (uid semi-join) AND shard ranges (date semi-join)
+    // both plan as broadcast LeftSemi probes — never a full scan
+    assert(plan.contains("__needle_uid"), plan.take(3000))
+    assert(plan.contains("__needle_date"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      plan.take(3000))
+  }
+
   test("leading-wildcard discovery prefix-probes the reverse index") {
     val plan = executed("ing_discovery_rev")
     // `*ick` = sargable StartsWith on the reversed value — never an

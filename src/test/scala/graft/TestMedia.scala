@@ -95,6 +95,44 @@ object TestMedia {
     ftyp ++ moov
   }
 
+  // ---- AVI (RIFF) ----
+
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  private def riffChunk(id: String, payload: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    bos.write(id.getBytes("US-ASCII"))
+    bos.write(le32(payload.length))
+    bos.write(payload)
+    if (payload.length % 2 == 1) bos.write(0) // even padding
+    bos.toByteArray
+  }
+
+  private def riffList(listType: String, payload: Array[Byte]): Array[Byte] =
+    riffChunk("LIST", listType.getBytes("US-ASCII") ++ payload)
+
+  /** Minimal AVI: RIFF('AVI ' LIST('hdrl' avih) LIST('movi' 00dc…)) with
+    * the given dimensions and per-frame chunk sizes. */
+  def avi(width: Int, height: Int, frameSizes: Seq[Int]): Array[Byte] = {
+    val avih = {
+      val bos = new ByteArrayOutputStream()
+      bos.write(le32(33367))            // dwMicroSecPerFrame (~30 fps)
+      bos.write(le32(0)); bos.write(le32(0)); bos.write(le32(0)) // bps, pad, flags
+      bos.write(le32(frameSizes.size))  // dwTotalFrames
+      bos.write(le32(0)); bos.write(le32(1)); bos.write(le32(0)) // init, streams, bufsize
+      bos.write(le32(width)); bos.write(le32(height))
+      bos.write(new Array[Byte](16))    // reserved
+      riffChunk("avih", bos.toByteArray)
+    }
+    val hdrl = riffList("hdrl", avih)
+    val movi = riffList("movi",
+      frameSizes.flatMap(n => riffChunk("00dc", Array.fill(n)(0x42.toByte)).toSeq).toArray)
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    riffChunk("RIFF", body)
+  }
+
   // ---- Matroska/WebM (EBML, RFC 8794) ----
 
   /** Size vint: 1 byte below 127 (127 itself would be the reserved

@@ -117,6 +117,14 @@ class MultimodalDecodeSpec extends SparkSpec {
     assert(Multimodal.JdkDecoder.probe("not-a-video".getBytes, "avi") == (0, 0, 0))
   }
 
+  test("AVI probe parses the real RIFF chunk tree: avih dims + movi sizes") {
+    val sizes = Seq.fill(10)(250) ++ Seq.fill(10)(1000)
+    val bytes = graft.TestMedia.avi(720, 480, sizes)
+    assert(Multimodal.JdkDecoder.probe(bytes, "avi") == (720, 480, 20))
+    val f = Multimodal.JdkDecoder.features(bytes, "avi", 2)
+    assert(f(0) == 0.25f && f(1) == 1.0f) // 250/1000 frame-size envelope
+  }
+
   test("Matroska probe walks the real EBML tree: dims + block count") {
     val sizes = Seq.fill(10)(100) ++ Seq.fill(10)(400)
     val bytes = graft.TestMedia.mkv(1280, 720, sizes)

@@ -1,0 +1,67 @@
+package graft.query
+
+import graft.SparkSpec
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+/** Integration test: a paged query driven END-TO-END over HTTP —
+  * create → plan → next…next (204) → close, the QueryExecutorBean
+  * lifecycle against a real in-process server + Spark session. */
+class QueryServerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val client = HttpClient.newHttpClient()
+
+  private def get(url: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(url)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+  private def post(url: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(url))
+        .POST(HttpRequest.BodyPublishers.noBody()).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("query lifecycle over HTTP: create, plan, page to 204, close") {
+    val df = (1 to 25).map(i => (i.toLong, s"name_$i", if (i % 2 == 0) "A" else "B"))
+      .toDF("id", "name", "grp")
+    val srv = new QueryServer(tables = Map("people" -> df))
+    val port = srv.start()
+    try {
+      val base = s"http://127.0.0.1:$port/query"
+
+      // create: eager planning, pageSize 10, ordered by id
+      val created = post(s"$base/create?table=people&query=" +
+        java.net.URLEncoder.encode("GRP == 'A'", "UTF-8") +
+        "&pageSize=10&orderBy=id")
+      assert(created.statusCode() == 200, created.body())
+      val queryId = "\"queryId\": \"([0-9a-f]+)\"".r
+        .findFirstMatchIn(created.body()).get.group(1)
+
+      // plan: the executed physical plan text is exposed
+      val plan = get(s"$base/plan?id=$queryId")
+      assert(plan.statusCode() == 200)
+      assert(plan.body().contains("InMemory") || plan.body().contains("Scan"),
+        plan.body().take(500))
+
+      // page 1: 10 rows, page 2: the remaining 2 (12 even ids ≤ 25),
+      // page 3: 204 exhausted
+      val p1 = get(s"$base/next?id=$queryId")
+      assert(p1.statusCode() == 200)
+      assert("\"id\":".r.findAllIn(p1.body()).size == 10, p1.body().take(500))
+      assert(p1.body().contains(""""id":2,"""), p1.body().take(300))
+      val p2 = get(s"$base/next?id=$queryId")
+      assert("\"id\":".r.findAllIn(p2.body()).size == 2, p2.body().take(500))
+      val p3 = get(s"$base/next?id=$queryId")
+      assert(p3.statusCode() == 204)
+
+      // close drops the session; further nexts are 404
+      assert(post(s"$base/close?id=$queryId").statusCode() == 200)
+      assert(get(s"$base/next?id=$queryId").statusCode() == 404)
+
+      // bad query fails at CREATE (the reference's createQuery contract)
+      val bad = post(s"$base/create?table=people&query=" +
+        java.net.URLEncoder.encode("NO_SUCH_FIELD == 'x'", "UTF-8"))
+      assert(bad.statusCode() == 400, bad.body())
+      assert(post(s"$base/create?table=nope&query=x").statusCode() == 404)
+    } finally srv.stop()
+  }
+}
