@@ -82,10 +82,13 @@ object Modifications {
       else {
         val delDf = dels.map(d => (d.uid, d.datatype, d.field, d.value.orNull))
           .toDF("d_uid", "d_datatype", "d_field", "d_value")
+        // left_semi, not inner: overlapping delete patterns (whole-field
+        // AND value-specific for the same uid) must remove each long row
+        // ONCE, not once per matching pattern
         Some(long.join(broadcast(delDf),
             col("uid") === col("d_uid") && col("datatype") === col("d_datatype") &&
               col("field") === col("d_field") &&
-              (col("d_value").isNull || col("d_value") === col("value")), "inner")
+              (col("d_value").isNull || col("d_value") === col("value")), "left_semi")
           .select(col("value"), col("field"), col("shard_date"), col("datatype"),
             col("uid"), lit(-1L).as("delta")))
       }

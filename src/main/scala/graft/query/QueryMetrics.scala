@@ -44,6 +44,10 @@ object QueryMetrics {
     synchronized { pageBuf.toList }.toDF()
   }
 
+  /** Driver-side page metrics for one query (the HTTP metrics surface). */
+  def pages(queryId: String): Seq[PageMetric] =
+    synchronized { pageBuf.filter(_.queryId == queryId).toList }
+
   /** Run a query through a logic while capturing a metric event (the
     * QueryMetricsBean per-page emission collapsed to per-query). */
   def instrumented(logic: ShardQueryLogic, queryId: String,

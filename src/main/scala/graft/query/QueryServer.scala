@@ -23,6 +23,8 @@ import java.util.concurrent.ConcurrentHashMap
   *  - `GET /query/next?id=...` → `{"rows": [...], "page": N}`, or HTTP
   *    204 when exhausted (the reference's NO_CONTENT page).
   *  - `GET /query/plan?id=...` → the executed physical plan text.
+  *  - `GET /query/metrics?id=...` → the per-page metrics recorded for
+  *    the query (QueryMetricsBean surface: rows/elapsed/status per page).
   *  - `POST /query/close?id=...` → drops cursor state + unpersists.
   */
 final class QueryServer(
@@ -44,6 +46,7 @@ final class QueryServer(
     server.createContext("/query/create", handler(create))
     server.createContext("/query/next", handler(next))
     server.createContext("/query/plan", handler(plan))
+    server.createContext("/query/metrics", handler(metrics))
     server.createContext("/query/close", handler(close))
     server.start()
     server.getAddress.getPort
@@ -93,6 +96,15 @@ final class QueryServer(
   private def plan(params: Map[String, String]): (Int, String) = {
     val s = session(params).getOrElse(return (404, err("unknown queryId")))
     (200, s.df.queryExecution.executedPlan.toString)
+  }
+
+  private def metrics(params: Map[String, String]): (Int, String) = {
+    val id = qid(params)
+    if (!sessions.containsKey(id)) return (404, err("unknown queryId"))
+    val pages = QueryMetrics.pages(id).map(p =>
+      s"""{"page": ${p.pageNum}, "rows": ${p.rows},""" +
+        s""" "elapsedMillis": ${p.elapsedMillis}, "status": ${quote(p.status)}}""")
+    (200, s"""{"queryId": ${quote(id)}, "pages": [${pages.mkString(",")}]}""")
   }
 
   private def close(params: Map[String, String]): (Int, String) = {

@@ -102,6 +102,13 @@ class HandlersSpec extends SparkSpec {
       .toMap
     // saturated key: COUNT is exact (25−3), uid list best-effort ≤ 20
     assert(byValue("x")._1 == 22 && byValue("x")._2.size <= 20)
+    // overlapping whole-field + value-specific deletes for uid 1 must
+    // not double-decrement (each long row removes once)
+    val overlapped = patchIndex(idx, lg, Seq(
+      DeleteField("1", "t", "cat"),
+      DeleteField("1", "t", "cat", Some("x"))))
+    assert(overlapped.filter(col("value") === "x")
+      .head().getAs[Long]("cnt") == 24)
     assert(!byValue("x")._2.exists(Set("1", "2", "3"))) // removed uids gone
     assert(!byValue.contains("y"))                      // zeroed key vanished
     assert(byValue("z") == (1L, Seq("90")))             // new key from put

@@ -53,6 +53,12 @@ class QueryServerSpec extends SparkSpec {
       val p3 = get(s"$base/next?id=$queryId")
       assert(p3.statusCode() == 204)
 
+      // metrics: both served pages are visible with row counts
+      val m = get(s"$base/metrics?id=$queryId")
+      assert(m.statusCode() == 200)
+      assert(m.body().contains(""""rows": 10""") &&
+        m.body().contains(""""rows": 2"""), m.body().take(500))
+
       // close drops the session; further nexts are 404
       assert(post(s"$base/close?id=$queryId").statusCode() == 200)
       assert(get(s"$base/next?id=$queryId").statusCode() == 404)
