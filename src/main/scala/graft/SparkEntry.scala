@@ -29,7 +29,7 @@ object SparkEntry {
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "edge_query",
     "flt_compare_all", "flt_eval_functions", "ing_date_index",
     "ing_needle_uidlist", "lucene_phrase", "mods_applied",
-    "qs_content_within", "qs_limit_hits", "ssdeep_chained",
+    "qs_content_within", "qs_excerpt", "qs_limit_hits", "ssdeep_chained",
     "text_analyze", "text_tokens", "tf_adjacent", "whindex_remap")
 
   /** Taxed-shape detection shared by Bench (debug) and WarmupSpec. */

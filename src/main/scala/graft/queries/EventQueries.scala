@@ -74,10 +74,12 @@ object EventQueries {
     Content.within(Content.buildTf(Tables.documents(s, d)), 3,
       Seq("join", "merge"))
 
-  /** content:adjacent — terms in adjacent positions (window = k−1). */
+  /** content:adjacent — terms in adjacent positions (window = k−1).
+    * ('part','filter' co-occurs adjacently at every SF, so the gate
+    * proves inclusion, not just exclusion.) */
   def tfAdjacent(s: SparkSession, d: String): DataFrame =
     Content.adjacent(Content.buildTf(Tables.documents(s, d)),
-      Seq("group", "by"))
+      Seq("part", "filter"))
 
   /** content:scoredPhrase — phrase + per-term score (tf) ≥ 2. */
   def tfScoredPhrase(s: SparkSession, d: String): DataFrame =
@@ -190,7 +192,7 @@ object EventQueries {
     "tf_adjacent" ->
       s"""SELECT DISTINCT a.doc_id FROM $posSql a JOIN $posSql b
          |   ON a.doc_id = b.doc_id
-         | WHERE a.term = 'group' AND b.term = 'by' AND abs(a.pos - b.pos) <= 1""".stripMargin,
+         | WHERE a.term = 'part' AND b.term = 'filter' AND abs(a.pos - b.pos) <= 1""".stripMargin,
     "tf_scored_phrase" ->
       s"""WITH pos AS (SELECT * FROM $posSql),
          |tfc AS (SELECT doc_id, term, count(*) AS c FROM pos GROUP BY 1, 2)

@@ -66,6 +66,17 @@ object QueryStringQueries {
       .select("uid").distinct()
   }
 
+  /** `#EXCERPT_FIELDS` from a query string (ExcerptTransform.java:53):
+    * the phrase predicate drives the match and HIT_EXCERPT carries the
+    * ±2-token window around the first 'fast scan' occurrence, computed
+    * inline on the TEXT column — no tf join. */
+  def qsExcerpt(s: SparkSession, d: String): DataFrame =
+    permissiveLogic.query(Tables.documents(s, d),
+        "content:phrase(TEXT, termOffsetMap, 'fast', 'scan') && " +
+          "f:excerpt_fields('TEXT/2')",
+        QueryParams(returnFields = Seq("doc_id")))
+      .select("doc_id", "HIT_EXCERPT")
+
   /** `#LENIENT` normalization semantics from a query string: the model
     * declares a NumberType normalizer on O_ORDERPRIORITY, so the literal
     * 'high' normalizes under none of the field's normalizers — lenient
@@ -85,6 +96,7 @@ object QueryStringQueries {
     "qs_unique_day" -> qsUniqueDay _,
     "qs_content_within" -> qsContentWithin _,
     "qs_grouping_string" -> qsGroupingString _,
+    "qs_excerpt" -> qsExcerpt _,
     "qs_lenient" -> qsLenient _,
   )
 
@@ -119,6 +131,18 @@ object QueryStringQueries {
         |   ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = b.l_linenumber
         | WHERE a.l_returnflag = 'R'
         |   AND regexp_full_match(CAST(b.l_quantity AS VARCHAR), '4[89].*')""".stripMargin,
+    // 1-based token positions; BOTH direction = fixed 6-token window
+    // (2 terms + 2·offset) clamped at the document start
+    "qs_excerpt" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |h AS (SELECT doc_id, toks,
+         |    list_filter(range(1, len(toks)),
+         |      i -> toks[i] = 'fast' AND toks[i+1] = 'scan')[1] AS hit
+         |  FROM t)
+         |SELECT doc_id, array_to_string(
+         |    toks[greatest(hit - 2, 1) : greatest(hit - 2, 1) + 5],
+         |    ' ') AS HIT_EXCERPT
+         | FROM h WHERE hit IS NOT NULL""".stripMargin,
     // lenient dropped the un-normalizable O_ORDERPRIORITY term
     "qs_lenient" ->
       "SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'",

@@ -151,6 +151,21 @@ final class ShardQueryLogic(
       }
     }
 
+    // #EXCERPT_FIELDS → HIT_EXCERPT (ExcerptTransform.java:53): slice the
+    // phrase window out of each named text field. Runs after evaluation —
+    // the reference's transform stage — and survives RETURN_FIELDS like
+    // HIT_TERM does.
+    if (opts.excerptFields.nonEmpty && ast != null)
+      Excerpts.phraseTerms(ast).foreach { terms =>
+        val cols = Excerpts.parse(opts.excerptFields).flatMap { spec =>
+          df.columns.find(_.equalsIgnoreCase(spec.field))
+            .map(c => Excerpts.excerptCol(col(c), terms, spec))
+        }
+        if (cols.nonEmpty)
+          df = df.withColumn("HIT_EXCERPT",
+            if (cols.size == 1) cols.head else array(cols: _*))
+      }
+
     // LIMIT_FIELDS: cap values per multi-valued field, hits kept first
     // (LimitFields.java semantics: matched values must survive the cap)
     for ((f, n) <- params.limitFieldValues) {
@@ -175,7 +190,8 @@ final class ShardQueryLogic(
     // projection / disallowlist / rename (DocumentProjection analog)
     if (params.returnFields.nonEmpty) {
       val keep = params.returnFields.map(_.toUpperCase).toSet ++
-        (if (params.hitList) Set("HIT_TERM") else Set.empty)
+        (if (params.hitList) Set("HIT_TERM") else Set.empty) ++
+        (if (opts.excerptFields.nonEmpty) Set("HIT_EXCERPT") else Set.empty)
       df = df.select(df.columns.filter(c => keep.contains(c.toUpperCase))
         .map(col): _*)
     }

@@ -206,6 +206,41 @@ class NormalizersSpec extends SparkSpec {
     }
   }
 
+  test("#EXCERPT_FIELDS attaches the phrase window as HIT_EXCERPT") {
+    val docs = Seq(
+      ("d1", "one two fast scan three four five"),
+      ("d2", "fast scan starts the document"),
+      ("d3", "no phrase here at all"),
+      ("d4", "padding fast alone scan apart fast scan tail"))
+      .toDF("doc_id", "TEXT")
+    val logic = new ShardQueryLogic(
+      policy = QueryPolicy(fullTableScanEnabled = true))
+    val out = logic.query(docs,
+        "content:phrase(TEXT, termOffsetMap, 'fast', 'scan') && " +
+          "f:excerpt_fields('TEXT/2')",
+        QueryParams(returnFields = Seq("doc_id")))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // d1: hit at token 3 → window [1..6]; d2: clamped at start, fixed
+    // 6-token length; d3 filtered out; d4: FIRST phrase occurrence wins
+    assert(out == Map(
+      "d1" -> "one two fast scan three four",
+      "d2" -> "fast scan starts the document",
+      "d4" -> "scan apart fast scan tail"))
+    // before/after directions
+    val before = logic.query(docs,
+        "content:phrase(TEXT, termOffsetMap, 'fast', 'scan') && " +
+          "f:excerpt_fields('TEXT/2/before')",
+        QueryParams(returnFields = Seq("doc_id")))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(before("d1") == "one two fast scan")
+    val after = logic.query(docs,
+        "content:phrase(TEXT, termOffsetMap, 'fast', 'scan') && " +
+          "f:excerpt_fields('TEXT/2/after')",
+        QueryParams(returnFields = Seq("doc_id")))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(after("d1") == "fast scan three four")
+  }
+
   test("geoPointZ interleaves deterministically and preserves locality") {
     val df = Seq((40.7, -74.0), (40.8, -74.1), (-33.9, 151.2))
       .toDF("lat", "lon")
