@@ -91,4 +91,12 @@ class PlanSpec extends SparkSpec {
     // the index pruned the OR: no other string column is probed
     assert(!plan.contains("EqualTo(props,click)"), plan.take(3000))
   }
+
+  test("excerpt attachment stays a shuffle-free scan+filter+project") {
+    // HIT_EXCERPT is per-row token arithmetic — a map-side projection.
+    // Any Exchange here would mean the excerpt path grew a join/agg and
+    // lost its trivially-scalable shape.
+    val plan = executed("qs_excerpt")
+    assert(!plan.contains("Exchange"), plan.take(3000))
+  }
 }
