@@ -113,14 +113,18 @@ object Modifications {
       .join(delta, keys, "full_outer")
       .withColumn("cnt", coalesce(col("cnt"), lit(0L)) +
         coalesce(col("cnt_delta"), lit(0L)))
-      .withColumn("uid_sample", slice(concat(
-          array_except(
-            coalesce(col("uid_sample"), array().cast("array<string>")),
-            coalesce(col("removed_uids"), array().cast("array<string>"))),
-          array_except(
-            coalesce(col("added_uids"), array().cast("array<string>")),
-            coalesce(col("uid_sample"), array().cast("array<string>")))),
-        1, 20))
+      .withColumn("uid_sample", {
+        val sample = coalesce(col("uid_sample"), array().cast("array<string>"))
+        val removedU = coalesce(col("removed_uids"), array().cast("array<string>"))
+        val addedU = coalesce(col("added_uids"), array().cast("array<string>"))
+        val survivors = array_except(sample, removedU)
+        // added uids dedup against the SURVIVOR list, not the pre-removal
+        // sample: a delete+put of the same uid in one batch (re-assert an
+        // entry) must rejoin the list, and a sub-cap Uid.List is
+        // contractually COMPLETE — silently dropping the uid would make
+        // the needle scan's uid regime omit its events
+        slice(concat(survivors, array_except(addedU, survivors)), 1, 20)
+      })
       .filter(col("cnt") > 0)
       .select(index.columns.map(col): _*)
     unaffected.unionByName(affected)

@@ -21,14 +21,20 @@ object Whindex {
       }.toSet
       val applicable = mappings.filter(m =>
         markers.contains((m.markerField.toUpperCase, m.markerValue)))
-      if (applicable.isEmpty) Node.And(children.map(rewrite(_, mappings)))
+      // a mapping only FIRES when a sibling term actually references its
+      // generic field (WhindexVisitor rewrites the intersection of marker
+      // and mappable term) — otherwise the marker is an ordinary
+      // predicate the user wrote and MUST survive
+      val effective = applicable.filter(m =>
+        children.exists(references(_, m.genericField)))
+      if (effective.isEmpty) Node.And(children.map(rewrite(_, mappings)))
       else {
         val rewritten = children.flatMap {
-          case fo @ Node.FieldOp(f, CompareOp.Eq, l)
-              if applicable.exists(m =>
+          case Node.FieldOp(f, CompareOp.Eq, l)
+              if effective.exists(m =>
                 m.markerField.equalsIgnoreCase(f) && m.markerValue == l.raw) =>
             None // drop the consumed marker term
-          case other => Some(swapFields(rewrite(other, mappings), applicable))
+          case other => Some(swapFields(rewrite(other, mappings), effective))
         }
         rewritten match {
           case one :: Nil => one
@@ -40,13 +46,39 @@ object Whindex {
     case leaf => leaf
   }
 
+  /** Does any leaf under `n` reference `field`? */
+  private def references(n: Node, field: String): Boolean = n match {
+    case Node.And(cs) => cs.exists(references(_, field))
+    case Node.Or(cs) => cs.exists(references(_, field))
+    case Node.Not(c) => references(c, field)
+    case Node.FieldOp(f, _, _) => f.equalsIgnoreCase(field)
+    case Node.RegexOp(f, _, _) => f.equalsIgnoreCase(field)
+    case Node.NullCheck(f, _) => f.equalsIgnoreCase(field)
+    case Node.Bounded(f, _, _, _, _) => f.equalsIgnoreCase(field)
+    case Node.Func(_, _, args) => args.exists {
+      case Node.FieldArg(f) => f.equalsIgnoreCase(field)
+      case _ => false
+    }
+    case Node.FuncCmp(fn, _, _) => references(fn, field)
+    case Node.FieldToField(l, _, r) =>
+      l.equalsIgnoreCase(field) || r.equalsIgnoreCase(field)
+  }
+
   private def swapFields(n: Node, ms: Seq[Mapping]): Node = {
     def swap(f: String): String =
       ms.find(_.genericField.equalsIgnoreCase(f)).map(_.replacement).getOrElse(f)
     n match {
+      // the swap must reach terms nested under boolean structure — the
+      // marker is already consumed, so a missed leaf would query the
+      // generic field the deployment no longer indexes for this value
+      case Node.And(cs) => Node.And(cs.map(swapFields(_, ms)))
+      case Node.Or(cs) => Node.Or(cs.map(swapFields(_, ms)))
+      case Node.Not(c) => Node.Not(swapFields(c, ms))
       case Node.FieldOp(f, op, l) => Node.FieldOp(swap(f), op, l)
       case Node.RegexOp(f, p, neg) => Node.RegexOp(swap(f), p, neg)
+      case Node.NullCheck(f, isNull) => Node.NullCheck(swap(f), isNull)
       case Node.Bounded(f, lo, hi, li, hi2) => Node.Bounded(swap(f), lo, hi, li, hi2)
+      case Node.FieldToField(l, op, r) => Node.FieldToField(swap(l), op, swap(r))
       case Node.Func(ns, name, args) =>
         Node.Func(ns, name, args.map {
           case Node.FieldArg(f) => Node.FieldArg(swap(f))
@@ -57,7 +89,6 @@ object Whindex {
           case f: Node.Func => Node.FuncCmp(f, op, v)
           case _ => n
         }
-      case other => other
     }
   }
 }

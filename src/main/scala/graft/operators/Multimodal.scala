@@ -83,8 +83,12 @@ object Multimodal {
     def probe(bytes: Array[Byte], format: String): (Int, Int, Int) = {
       if (bytes.isEmpty) return (0, 0, 0)
       if (isVideo(format))
-        return videoTrack(bytes, format)
+        // same catch-all as the image/audio branches: corrupt container
+        // bytes must yield the could-not-decode signal, never a thrown
+        // error that kills the task (callers dead-letter these rows)
+        return try videoTrack(bytes, format)
           .map(t => (t.width, t.height, t.frames)).getOrElse((0, 0, 0))
+        catch { case _: Exception => (0, 0, 0) }
       try {
         if (isAudio(format)) {
           val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
@@ -113,9 +117,10 @@ object Multimodal {
     def features(bytes: Array[Byte], format: String, dim: Int): Array[Float] = {
       if (bytes.isEmpty) return Array.fill(dim)(0f)
       if (isVideo(format))
-        return videoTrack(bytes, format)
+        return try videoTrack(bytes, format)
           .map(t => sizeEnvelope(t.sampleSizes, dim))
           .getOrElse(Array.fill(dim)(0f))
+        catch { case _: Exception => Array.fill(dim)(0f) }
       try {
         if (isAudio(format)) audioEnvelope(bytes, dim)
         else imageHistogram(bytes, dim)
@@ -266,7 +271,7 @@ object Multimodal {
               if (p + 12 <= end)
                 trak.handler = new String(bytes, p + 8, 4,
                   java.nio.charset.StandardCharsets.US_ASCII)
-            case "tkhd" if trak != null && trak.w == 0 =>
+            case "tkhd" if trak != null && trak.w == 0 && o + hdr < end =>
               val p = o + hdr
               val version = bytes(p) & 0xff
               // v0: ctime..duration are 32-bit (20 bytes); v1: 8+8+4+4+8 (32)
@@ -390,8 +395,11 @@ object Multimodal {
           val (sz, sl) = readSize(bytes, o + il, to)
           if (sl == 0) return
           val p = o + il + sl
-          val end = if (sz == -2L) to else p + sz.toInt
-          if (sz != -2L && (sz < 0 || end > to)) return
+          // size arithmetic in Long: a declared size ≥ 2^31 must fail the
+          // bound check, not wrap negative and walk out of the buffer
+          val endL = if (sz == -2L) to.toLong else p.toLong + sz
+          if (sz != -2L && (sz < 0 || endL > to)) return
+          val end = endL.toInt
           id match {
             case TrackNumber => num = readUInt(bytes, p, (end - p).min(8))
             case TrackType => tpe = readUInt(bytes, p, (end - p).min(8))
@@ -403,8 +411,9 @@ object Multimodal {
                 val (vsz, vsl) = readSize(bytes, q + vl, end)
                 if (vsl == 0) return
                 val vp = q + vl + vsl
-                val vend = if (vsz == -2L) end else vp + vsz.toInt
-                if (vsz != -2L && (vsz < 0 || vend > end)) return
+                val vendL = if (vsz == -2L) end.toLong else vp.toLong + vsz
+                if (vsz != -2L && (vsz < 0 || vendL > end)) return
+                val vend = vendL.toInt
                 vid match {
                   case PixelWidth => tw = readUInt(bytes, vp, (vend - vp).min(8)).toInt
                   case PixelHeight => th = readUInt(bytes, vp, (vend - vp).min(8)).toInt
@@ -439,8 +448,9 @@ object Multimodal {
           val (sz, sl) = readSize(bytes, o + il, to)
           if (sl == 0) return
           val p = o + il + sl
-          val end = if (sz == -2L) to else p + sz.toInt
-          if (sz != -2L && (sz < 0 || end > to)) return
+          val endL = if (sz == -2L) to.toLong else p.toLong + sz
+          if (sz != -2L && (sz < 0 || endL > to)) return
+          val end = endL.toInt
           id match {
             case Segment => walk(p, end, inCluster = false, inGroup = false)
             case Tracks => walkTracks(p, end)
@@ -461,8 +471,9 @@ object Multimodal {
           val (sz, sl) = readSize(bytes, o + il, to)
           if (sl == 0) return
           val p = o + il + sl
-          val end = if (sz == -2L) to else p + sz.toInt
-          if (sz != -2L && (sz < 0 || end > to)) return
+          val endL = if (sz == -2L) to.toLong else p.toLong + sz
+          if (sz != -2L && (sz < 0 || endL > to)) return
+          val end = endL.toInt
           if (id == TrackEntry) trackEntry(p, end)
           o = end
         }

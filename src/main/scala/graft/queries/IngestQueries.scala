@@ -90,6 +90,9 @@ object IngestQueries {
     val dateRegime = graft.query.NeedleScan.scan(events,
       col("event_id").cast("string"), to_date(col("ts")), idx,
       "event_type", "signup", col("event_type") === "signup")
+    // both scans collected their ranges eagerly — the returned frames no
+    // longer reference idx, so the cache entry can go now
+    idx.unpersist()
     uidRegime.select(col("event_id"), lit("uid").as("regime"))
       .unionAll(dateRegime.select(col("event_id"), lit("date").as("regime")))
   }

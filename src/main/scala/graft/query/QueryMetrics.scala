@@ -89,6 +89,23 @@ final class RunningQuery(
     val t0 = System.currentTimeMillis()
     val page = cursor.next(queryId, df, orderCols, pageSize)
     val rows = page.count()
+    if (record(rows, t0) == 0) None else Some(page)
+  }
+
+  /** Next page COLLECTED to the driver as JSON rows, with the 1-based
+    * page number — the serving path (QueryServer /query/next). One job
+    * per page: returning the DataFrame would make the caller's collect
+    * re-run the sorted offset/limit query a second time. */
+  def nextPageJson(): Option[(Array[String], Long)] = {
+    if (timedOut) return None
+    val t0 = System.currentTimeMillis()
+    val rows = cursor.next(queryId, df, orderCols, pageSize)
+      .toJSON.collect() // bounded by pageSize
+    if (record(rows.length, t0) == 0) None else Some((rows, pageNum))
+  }
+
+  /** Shared page bookkeeping: metric + timeout latch; returns `rows`. */
+  private def record(rows: Long, t0: Long): Long = {
     val dt = System.currentTimeMillis() - t0
     pageNum += 1
     val status =
@@ -98,7 +115,7 @@ final class RunningQuery(
     // the exhaustion probe (zero rows) is not a served page — no metric
     if (rows > 0)
       QueryMetrics.recordPage(PageMetric(queryId, pageNum, rows, dt, status))
-    if (rows == 0) None else Some(page)
+    rows
   }
 
   /** Drive to completion (or short-circuit), returning pages served. */

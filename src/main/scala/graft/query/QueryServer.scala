@@ -63,16 +63,26 @@ final class QueryServer(
     val df0 = tables.getOrElse(table,
       return (404, err(s"unknown table '$table'")))
     val qp = QueryParams(syntax = params.getOrElse("syntax", "JEXL"))
-    val pageSize = params.get("pageSize").map(_.toInt)
-      .getOrElse(defaultPageSize)
     val queryId = java.util.UUID.randomUUID().toString.replace("-", "")
     try {
+      // ALL client-input validation inside the try: a malformed pageSize
+      // or unknown orderBy column is a 400 at create, not a 500 (or a
+      // deferred failure on the first /query/next)
+      val pageSize = params.get("pageSize").map(_.toInt)
+        .getOrElse(defaultPageSize)
+      require(pageSize > 0, s"pageSize must be positive, got $pageSize")
       // plan eagerly (bad queries fail the create call, like the
       // reference) and persist so each page reads cached partitions
       val result = logic.query(df0, q, qp).persist()
       val orderCols = params.get("orderBy")
         .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
         .getOrElse(Seq(result.columns.head))
+      val missing = orderCols.filterNot(c =>
+        result.columns.exists(_.equalsIgnoreCase(c)))
+      if (missing.nonEmpty) {
+        result.unpersist()
+        return (400, err(s"unknown orderBy column(s): ${missing.mkString(", ")}"))
+      }
       val running = new RunningQuery(cursor, queryId, result, orderCols,
         pageSize)
       sessions.put(queryId, Session(result, orderCols, running))
@@ -84,11 +94,11 @@ final class QueryServer(
 
   private def next(params: Map[String, String]): (Int, String) = {
     val s = session(params).getOrElse(return (404, err("unknown queryId")))
-    s.running.nextPage() match {
-      case Some(page) =>
-        val rows = page.toJSON.collect() // bounded by pageSize
-        (200, s"""{"page": ${cursor.currentOffset(qid(params))},""" +
-          s""" "rows": [${rows.mkString(",")}]}""")
+    // one job per page; "page" is the 1-based page NUMBER, matching the
+    // pageNum the /query/metrics endpoint reports for the same page
+    s.running.nextPageJson() match {
+      case Some((rows, pageNum)) =>
+        (200, s"""{"page": $pageNum, "rows": [${rows.mkString(",")}]}""")
       case None => (204, "")
     }
   }

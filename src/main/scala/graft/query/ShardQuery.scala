@@ -156,10 +156,10 @@ final class ShardQueryLogic(
     // the reference's transform stage — and survives RETURN_FIELDS like
     // HIT_TERM does.
     if (opts.excerptFields.nonEmpty && ast != null)
-      Excerpts.phraseTerms(ast).foreach { terms =>
+      Excerpts.phraseTerms(ast).foreach { phrase =>
         val cols = Excerpts.parse(opts.excerptFields).flatMap { spec =>
           df.columns.find(_.equalsIgnoreCase(spec.field))
-            .map(c => Excerpts.excerptCol(col(c), terms, spec))
+            .map(c => Excerpts.excerptCol(col(c), phrase, spec))
         }
         if (cols.nonEmpty)
           df = df.withColumn("HIT_EXCERPT",

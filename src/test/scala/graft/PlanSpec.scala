@@ -67,14 +67,14 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("UDF(CASE WHEN ((c_custkey"), plan.take(3000))
   }
 
-  test("uid-list needle scan broadcasts both granularities") {
+  test("uid-list needle scan filters both granularities in one pass") {
     val plan = executed("ing_needle_uidlist")
-    // document ranges (uid semi-join) AND shard ranges (date semi-join)
-    // both plan as broadcast LeftSemi probes — never a full scan
-    assert(plan.contains("__needle_uid"), plan.take(3000))
-    assert(plan.contains("__needle_date"), plan.take(3000))
-    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
-      plan.take(3000))
+    // the planner-side range materialization turns both regimes into
+    // In-list predicates on a single event scan — no join, no shuffle
+    // (the only acceptable Exchange-free shape; the broadcast-semi-join
+    // fallback appears only past the maxDriverRanges policy bound)
+    assert(!plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("Exchange"), plan.take(3000))
   }
 
   test("leading-wildcard discovery prefix-probes the reverse index") {

@@ -64,6 +64,27 @@ class HandlersSpec extends SparkSpec {
       Seq(Whindex.Mapping("PLANET", "MARS", "GEO", "MARS_GEO"))) == ast2)
   }
 
+  test("whindex keeps the marker when no sibling references the generic field") {
+    import graft.jexl._
+    val ms = Seq(Whindex.Mapping("PLANET", "MARS", "GEO", "MARS_GEO"))
+    // PLANET == 'MARS' here is an ordinary predicate the user wrote —
+    // nothing to remap, so dropping it would silently widen the result
+    val ast = JexlParser.parse("AGE > 30 && PLANET == 'MARS'")
+    assert(Whindex.rewrite(ast, ms) == ast)
+  }
+
+  test("whindex swap reaches fields nested under boolean structure") {
+    import graft.jexl._
+    val ms = Seq(Whindex.Mapping("PLANET", "MARS", "GEO", "MARS_GEO"))
+    val ast = JexlParser.parse(
+      "(geowave:intersects(GEO, 'POINT (1 1)') || AGE > 99) && PLANET == 'MARS'")
+    val out = Whindex.rewrite(ast, ms)
+    assert(out == Node.Or(List(
+      Node.Func("geowave", "intersects",
+        List(Node.FieldArg("MARS_GEO"), Node.LitArg(Literal.Str("POINT (1 1)")))),
+      Node.FieldOp("AGE", CompareOp.Gt, Literal.Num(BigDecimal(99))))))
+  }
+
   test("modification service: field insert/delete via anti-join + union") {
     import Modifications._
     val out = applyEdits(long, Seq(
@@ -112,6 +133,16 @@ class HandlersSpec extends SparkSpec {
     assert(!byValue("x")._2.exists(Set("1", "2", "3"))) // removed uids gone
     assert(!byValue.contains("y"))                      // zeroed key vanished
     assert(byValue("z") == (1L, Seq("90")))             // new key from put
+    // delete+put of the SAME uid in one batch (re-assert an entry): the
+    // uid must survive in the sample — a sub-cap Uid.List is complete,
+    // and a silently dropped uid would make the needle scan omit events
+    val reasserted = patchIndex(idx, lg, Seq(
+      DeleteField("26", "t", "cat", Some("y")),
+      PutField("26", "t", "cat", "y",
+        shardDate = java.sql.Date.valueOf("2024-01-02"))))
+    val y = reasserted.filter(col("value") === "y").head()
+    assert(y.getAs[Long]("cnt") == 3)
+    assert(y.getAs[scala.collection.Seq[String]]("uid_sample").contains("26"))
   }
 
   test("age-off sweep expires by rule specificity") {

@@ -134,6 +134,24 @@ class MultimodalDecodeSpec extends SparkSpec {
     assert(Multimodal.JdkDecoder.probe("garbage".getBytes, "mkv") == (0, 0, 0))
   }
 
+  test("corrupt video containers yield could-not-decode, never a crash") {
+    def be32(v: Int) = Array[Byte](((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    // a bare tkhd (empty payload) as the LAST box of the buffer: the
+    // version byte would be read one past the end without the guard
+    val tkhd = be32(8) ++ "tkhd".getBytes
+    val trak = be32(16) ++ "trak".getBytes ++ tkhd
+    val moov = be32(24) ++ "moov".getBytes ++ trak
+    assert(Multimodal.JdkDecoder.probe(moov, "mp4") == (0, 0, 0))
+    assert(Multimodal.JdkDecoder.features(moov, "mp4", 4).forall(_ == 0f))
+    // an EBML element declaring a 2^31 size: Int math would wrap the end
+    // offset negative and walk out of the buffer
+    val ebml = Array[Byte](0x18, 0x53, 0x80.toByte, 0x67,
+      0x01, 0x00, 0x00, 0x00, 0x80.toByte, 0x00, 0x00, 0x00)
+    assert(Multimodal.JdkDecoder.probe(ebml, "webm") == (0, 0, 0))
+    assert(Multimodal.JdkDecoder.features(ebml, "webm", 4).forall(_ == 0f))
+  }
+
   test("probeAll runs the real decoder distributed over a media frame") {
     val rows = Seq(
       (1L, "image", png(20, 10, 0xFF0000), "png"),

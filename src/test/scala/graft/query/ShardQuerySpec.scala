@@ -241,6 +241,27 @@ class NormalizersSpec extends SparkSpec {
     assert(after("d1") == "fast scan three four")
   }
 
+  test("#EXCERPT_FIELDS honors content:within's unordered-window hits") {
+    // 'fast quick scan' matches within(2) but NOT the ordered phrase —
+    // the excerpt must anchor on the window hit, not return null
+    val docs = Seq(
+      ("w1", "alpha beta fast quick scan gamma delta"),
+      ("w2", "alpha scan then fast beta gamma"), // reversed order, span 2
+      ("w3", "fast alpha beta gamma delta scan")) // span 5 > dist: no match
+      .toDF("doc_id", "TEXT")
+    val logic = new ShardQueryLogic(
+      policy = QueryPolicy(fullTableScanEnabled = true))
+    val out = logic.query(docs,
+        "content:within(TEXT, 2, termOffsetMap, 'fast', 'scan') && " +
+          "f:excerpt_fields('TEXT/1')",
+        QueryParams(returnFields = Seq("doc_id")))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // w1: span [3..5] ±1 → tokens 2..6; w2: span [2..4] ±1 → tokens 1..5
+    assert(out == Map(
+      "w1" -> "beta fast quick scan gamma",
+      "w2" -> "alpha scan then fast beta"))
+  }
+
   test("geoPointZ interleaves deterministically and preserves locality") {
     val df = Seq((40.7, -74.0), (40.8, -74.1), (-33.9, 151.2))
       .toDF("lat", "lon")
