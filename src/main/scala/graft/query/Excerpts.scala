@@ -102,11 +102,15 @@ object Excerpts {
           })
           val x = try_element_at(anchors, lit(1))
           val hiB = least(x + lit(dist), size(toks))
-          // per-term first occurrence ≥ x: the tightest qualifying tuple
+          // per-term first occurrence ≥ x: the tightest qualifying tuple.
+          // lo is least(qs), NOT x — the first qualifying anchor can sit
+          // before the span's first term (x need not be an occurrence),
+          // and the excerpt must hug the actual hit
           val qs = lowered.map(t => try_element_at(
             filter(sequence(x, hiB), q =>
               element_at(toks, q.cast("int")) === lit(t)), lit(1)))
-          (x, if (qs.size == 1) qs.head else greatest(qs: _*))
+          (if (qs.size == 1) qs.head else least(qs: _*),
+            if (qs.size == 1) qs.head else greatest(qs: _*))
       }
       val start = spec.direction match {
         case "AFTER" => lo

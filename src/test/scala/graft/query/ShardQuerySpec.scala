@@ -239,6 +239,11 @@ class NormalizersSpec extends SparkSpec {
         QueryParams(returnFields = Seq("doc_id")))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(after("d1") == "fast scan three four")
+    // LUCENE spelling: fielded phrase + trailing #EXCERPT_FIELDS
+    val lucene = logic.query(docs, """TEXT:"fast scan" #EXCERPT_FIELDS(TEXT/2)""",
+        QueryParams(syntax = "LUCENE", returnFields = Seq("doc_id")))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(lucene("d1") == "one two fast scan three four")
   }
 
   test("#EXCERPT_FIELDS honors content:within's unordered-window hits") {
@@ -260,6 +265,16 @@ class NormalizersSpec extends SparkSpec {
     assert(out == Map(
       "w1" -> "beta fast quick scan gamma",
       "w2" -> "alpha scan then fast beta"))
+    // the excerpt hugs the actual span even when an earlier anchor
+    // position qualifies without being a term occurrence
+    val tail = Seq(("t1", "pad pad pad pad fast scan"))
+      .toDF("doc_id", "TEXT")
+    val tOut = logic.query(tail,
+        "content:within(TEXT, 2, termOffsetMap, 'fast', 'scan') && " +
+          "f:excerpt_fields('TEXT/1')",
+        QueryParams(returnFields = Seq("doc_id")))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(tOut("t1") == "pad fast scan") // span [5..6] ±1, not [4..7]±1
   }
 
   test("geoPointZ interleaves deterministically and preserves locality") {
