@@ -30,7 +30,8 @@ object SparkEntry {
     "flt_compare_all", "flt_eval_functions", "ing_date_index",
     "ing_needle_uidlist", "lucene_phrase", "mods_applied",
     "qs_content_within", "qs_excerpt", "qs_limit_hits", "ssdeep_chained",
-    "text_analyze", "text_tokens", "tf_adjacent", "whindex_remap")
+    "text_analyze", "text_tokens", "tf_adjacent", "tf_lookup",
+    "whindex_remap")
 
   /** Taxed-shape detection shared by Bench (debug) and WarmupSpec. */
   val taxedMarkers: Seq[String] = Seq("lambdafunction", "explode", "generate", "udf(")

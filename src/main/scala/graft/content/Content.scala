@@ -47,6 +47,24 @@ object Content {
     withScores.filter(phraseCond && scoreCond).select("doc_id")
   }
 
+  /** Direct term-frequency lookup — TermFrequencyQueryTable analog
+    * (TermFrequencyQueryTable.java:9-70: seek straight to the requested
+    * documents' tf section; `termfrequency.match.term` optionally narrows
+    * to one term). One row per (doc, term, position).
+    *
+    * Scale shape: the uid filter lands BEFORE tokenization, so only the
+    * requested documents are ever tokenized — a partition-pruned needle
+    * read, not a corpus-wide tf build. */
+  def tfLookup(docs: DataFrame, uids: Seq[Long],
+               matchTerm: Option[String] = None,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val hit = docs.filter(col(idCol).isin(uids: _*))
+    val exploded = hit.select(col(idCol),
+      posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "term")))
+    matchTerm.fold(exploded)(t => exploded.filter(col("term") === t))
+      .select(col(idCol), col("term"), col("pos"))
+  }
+
   /** termOffsetMap as a column: map<term, array<int>> per document. */
   def termOffsetMap(docs: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame =

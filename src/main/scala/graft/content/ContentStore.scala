@@ -36,6 +36,53 @@ object ContentStore {
     view.fold(base)(v => base.filter(col("view_name") === v))
   }
 
+  /** One `DOCUMENT:shardId/datatype/uid` term of a content query
+    * (ContentQueryLogic.java:14-20 query syntax). Shard/datatype are
+    * optional pruning hints when the term carries fewer segments. */
+  final case class DocRef(shard: Option[String], datatype: Option[String],
+                          uid: String)
+
+  /** Parse the ContentQueryLogic query string: whitespace-separated
+    * `DOCUMENT:shardId/datatype/uid` terms (ContentQueryLogic.java:14-20;
+    * the last segment is the uid, earlier segments narrow the seek). */
+  def parseDocumentQuery(query: String): Seq[DocRef] =
+    query.trim.split("\\s+").toSeq.filter(_.nonEmpty).map { term =>
+      val body = if (term.toUpperCase.startsWith("DOCUMENT:"))
+        term.substring("DOCUMENT:".length) else term
+      body.split("/").toSeq match {
+        case Seq(uid)           => DocRef(None, None, uid)
+        case Seq(dt, uid)       => DocRef(None, Some(dt), uid)
+        case shard +: rest      =>
+          DocRef(Some(shard), Some(rest.head), rest.last)
+      }
+    }
+
+  /** Fetch by parsed refs; `viewAll` additionally returns every CHILD
+    * document of each requested uid (`content.view.all` — the reference
+    * widens the per-document seek range from PARENT_ONLY to ALL,
+    * ContentQueryLogic.java:26-27: dotted-uid descendants). */
+  def fetchByRefs(content: DataFrame, refs: Seq[DocRef],
+                  view: Option[String] = None,
+                  viewAll: Boolean = false): DataFrame = {
+    val uids = refs.map(_.uid)
+    val base =
+      if (viewAll) {
+        // descendants share the uid as a dotted prefix; the needle set
+        // is tiny, so the OR of codegen'd prefix tests stays a scan
+        // predicate (partition-prunable on the uid-bucketed layout)
+        val cond = uids.map(u =>
+            col("uid") === u || col("uid").startsWith(u + "."))
+          .reduce(_ || _)
+        content.filter(cond)
+      } else content.filter(col("uid").isin(uids: _*))
+    val dts = refs.flatMap(_.datatype).distinct
+    val dtPruned =
+      if (dts.nonEmpty && refs.forall(_.datatype.isDefined))
+        base.filter(col("datatype").isin(dts: _*))
+      else base
+    view.fold(dtPruned)(v => dtPruned.filter(col("view_name") === v))
+  }
+
   /** Decode fetched content back to text (the response-side transform). */
   def decoded(fetched: DataFrame): DataFrame =
     fetched.withColumn("text", col("content").cast("string"))

@@ -48,6 +48,24 @@ object DocumentTree {
       k => array_join(slice(segs, lit(1), k), "."))
   }
 
+  /** Parent query: each matching document resolves to its DIRECT parent
+    * (ParentQueryLogic.java:19-45 — ParentDocumentTransformer rewrites
+    * the result id via TLD.parseParentPointerFromId, which drops the
+    * last dotted segment for children and returns the id unchanged for
+    * top-level documents; DedupeColumnFamilies collapses repeats).
+    *
+    * Spark shape: map match uids → parent pointers (codegen'd string
+    * op), distinct, then an equi semi-join retrieves the parent
+    * documents — broadcastable needle set, never a scan of the corpus
+    * per match. */
+  def parentsOfMatches(docs: DataFrame, pred: Column,
+                       uidCol: String = "uid"): DataFrame = {
+    val parents = docs.filter(pred)
+      .select(coalesce(parentUid(col(uidCol)), col(uidCol)).as("__parent"))
+      .distinct()
+    docs.join(parents, docs(uidCol) === col("__parent"), "left_semi")
+  }
+
   /** Ancestor query: return matching documents plus every ANCESTOR on
     * their root path (AncestorQueryLogic: the evaluation context is the
     * document and its ancestors).

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.content.Content
+import graft.content.{Content, ContentStore}
 import graft.operators.{Edges, Grouping}
 import graft.vis.Visibility
 
@@ -123,7 +123,26 @@ object EventQueries {
     Grouping.groupByPaired(long, "RETURNFLAG", "QUANTITY")
   }
 
+  /** ContentQueryLogic fetch: `DOCUMENT:shardId/datatype/uid` terms seek
+    * straight to the stored documents; response decodes the bytes. */
+  def contentFetch(s: SparkSession, d: String): DataFrame = {
+    val ct = ContentStore.contentTable(Tables.documents(s, d))
+    val refs = ContentStore.parseDocumentQuery(
+      "DOCUMENT:s01/document/3 DOCUMENT:s01/document/7 DOCUMENT:s02/document/11")
+    ContentStore.decoded(ContentStore.fetchByRefs(ct, refs))
+      .select(col("uid"), col("view_name"), col("text"),
+        col("content_length").cast("long").as("content_length"))
+  }
+
+  /** TermFrequencyQueryTable: direct tf section lookup for a document
+    * set — one row per (doc, term, position), no corpus tf build. */
+  def tfLookup(s: SparkSession, d: String): DataFrame =
+    Content.tfLookup(Tables.documents(s, d), Seq(0L, 2L, 4L))
+      .withColumn("pos", col("pos").cast("long"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "content_fetch" -> contentFetch _,
+    "tf_lookup" -> tfLookup _,
     "vis_filter" -> visibilityFilter _,
     "edge_build" -> edgeBuild _,
     "edge_build_filtered" -> edgeBuildFiltered _,
@@ -153,6 +172,12 @@ object EventQueries {
        | FROM (SELECT doc_id, $toksSql AS toks FROM documents))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "content_fetch" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS uid, 'RAW' AS view_name, text,
+        |   CAST(length(text) AS BIGINT) AS content_length
+        | FROM documents WHERE doc_id IN (3, 7, 11)""".stripMargin,
+    "tf_lookup" ->
+      s"SELECT doc_id, term, pos FROM $posSql WHERE doc_id IN (0, 2, 4)",
     "vis_filter" ->
       """SELECT event_id, event_type,
         |   CASE event_type WHEN 'click' THEN 'A' WHEN 'view' THEN 'A|B'

@@ -43,6 +43,17 @@ object TreeQueries {
     DocumentTree.ancestorsOfMatches(treeDocs(s, d), col("quantity") > 49)
       .select("uid", "kind")
 
+  /** Parent query: child matches resolve to their parent document;
+    * top-level matches resolve to themselves (ParentQueryLogic /
+    * ParentDocumentTransformer id rewrite). The predicate hits both
+    * levels so the gate separates parent semantics from TLD (no
+    * children returned) and Ancestor (matching children returned). */
+  def parentQuery(s: SparkSession, d: String): DataFrame =
+    DocumentTree.parentsOfMatches(treeDocs(s, d),
+        (col("kind") === "line" && col("quantity") > 49) ||
+          (col("kind") === "order" && col("priority") === "1-URGENT"))
+      .select("uid", "kind")
+
   /** Masked-field projection: unauthorized viewers get the masked name. */
   def maskedFields(s: SparkSession, d: String): DataFrame = {
     val c = Tables.customer(s, d)
@@ -58,6 +69,7 @@ object TreeQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tld_query" -> tldQuery _,
     "ancestor_query" -> ancestorQuery _,
+    "parent_query" -> parentQuery _,
     "masked_fields" -> maskedFields _,
   )
 
@@ -85,6 +97,11 @@ object TreeQueries {
         |UNION ALL
         |SELECT CAST(o_orderkey AS VARCHAR), 'order'
         | FROM orders WHERE CAST(o_orderkey AS VARCHAR) IN (SELECT root FROM m)""".stripMargin,
+    "parent_query" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS uid, 'order' AS kind
+        | FROM orders
+        | WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 49)
+        |    OR o_orderpriority = '1-URGENT'""".stripMargin,
     "masked_fields" ->
       """SELECT c_custkey, 'XXX-' || right(c_name, 4) AS c_name
         | FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin,

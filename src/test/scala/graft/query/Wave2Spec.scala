@@ -2,7 +2,7 @@ package graft.query
 
 import graft.SparkSpec
 import graft.core.Tables
-import graft.content.{Analyzer, AnalyzedContent, ContentStore}
+import graft.content.{Analyzer, AnalyzedContent, Content, ContentStore}
 import graft.ingest.{Feeds, Ingest}
 import graft.jexl.QueryPolicy
 import graft.operators.DocumentTree
@@ -96,6 +96,42 @@ class ContentStoreSpec extends SparkSpec {
     assert(got.length == 1)
     assert(got.head.getString(1) == "hello world")
   }
+
+  test("DOCUMENT: query terms parse shard/datatype/uid shapes") {
+    val refs = ContentStore.parseDocumentQuery(
+      "DOCUMENT:s01/document/42 DOCUMENT:document/43 DOCUMENT:44")
+    assert(refs == Seq(
+      ContentStore.DocRef(Some("s01"), Some("document"), "42"),
+      ContentStore.DocRef(None, Some("document"), "43"),
+      ContentStore.DocRef(None, None, "44")))
+  }
+
+  test("fetchByRefs: viewAll widens a uid to its dotted descendants") {
+    val docs = Seq(("9", "root"), ("9.1", "child"), ("9.1.2", "grand"),
+      ("90", "other")).toDF("doc_id", "text")
+    val table = ContentStore.contentTable(docs)
+    val refs = ContentStore.parseDocumentQuery("DOCUMENT:s01/document/9")
+    val parentOnly = ContentStore.fetchByRefs(table, refs)
+      .select("uid").collect().map(_.getString(0)).toSet
+    assert(parentOnly == Set("9"))
+    val all = ContentStore.fetchByRefs(table, refs, viewAll = true)
+      .select("uid").collect().map(_.getString(0)).toSet
+    assert(all == Set("9", "9.1", "9.1.2")) // '90' must NOT leak in
+  }
+}
+
+class TfLookupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tf lookup returns per-position rows for the requested docs only") {
+    val docs = Seq((1L, "alpha beta alpha"), (2L, "gamma")).toDF("doc_id", "text")
+    val got = Content.tfLookup(docs, Seq(1L))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == Set((1L, "alpha", 0), (1L, "beta", 1), (1L, "alpha", 2)))
+    val filtered = Content.tfLookup(docs, Seq(1L), matchTerm = Some("beta"))
+      .collect().map(r => (r.getString(1), r.getInt(2))).toSet
+    assert(filtered == Set(("beta", 1)))
+  }
 }
 
 class FacetSketchSpec extends SparkSpec {
@@ -149,5 +185,18 @@ class DocumentTreeSpec extends SparkSpec {
     val anc = DocumentTree.ancestorsOfMatches(docs, col("score") > 3)
       .select("uid").collect().map(_.getString(0)).toSet
     assert(anc == Set("r1", "r1.1"))
+  }
+
+  test("parent query maps child matches to parents, roots to themselves") {
+    val docs = Seq(
+      ("r1", 0), ("r1.1", 5), ("r1.2", 0),
+      ("r2", 9), ("r2.1", 0), ("r3", 0), ("r3.1.2", 7))
+      .toDF("uid", "score")
+    val parents = DocumentTree.parentsOfMatches(docs, col("score") > 3)
+      .select("uid").collect().map(_.getString(0)).toSet
+    // r1.1 → r1; r2 (root match) → r2; r3.1.2 → r3.1 (absent from the
+    // corpus, so nothing returned for it — same as a reference fetch of
+    // a parent pointer whose document is gone)
+    assert(parents == Set("r1", "r2"))
   }
 }
