@@ -45,6 +45,38 @@ object ServiceQueries {
       .select(col("queryId"), col("pageNum"), col("rows"), col("status"))
   }
 
+  /** CompositeQueryLogic parallel mode: one entity question fanned out
+    * to two delegate logics over different tables, responses merged
+    * (name-sorted delegates, shared response shape). */
+  def compositeQuery(s: SparkSession, d: String): DataFrame = {
+    val logic = new ShardQueryLogic()
+    val events = logic.query(Tables.events(s, d),
+        "USER_ID == 42 && EVENT_TYPE == 'purchase'",
+        QueryParams(returnFields = Seq("event_id")))
+      .select(col("event_id").cast("string").as("id"),
+        lit("events").as("logic_name"))
+    val orders = logic.query(Tables.orders(s, d), "O_CUSTKEY == 42",
+        QueryParams(returnFields = Seq("o_orderkey")))
+      .select(col("o_orderkey").cast("string").as("id"),
+        lit("orders").as("logic_name"))
+    Composite.union(Seq("orders" -> orders, "events" -> events))
+  }
+
+  /** UUID lookup: registered types resolve fields + logic; a batched
+    * two-term lookup compiles to a LUCENE disjunction on the events
+    * logic (LookupUUIDUtil.createUUIDQueryAndNext). */
+  def lookupUuid(s: SparkSession, d: String): DataFrame = {
+    val reg = LookupUUID.Registry(Seq(
+      LookupUUID.UuidType("EVENT_ID", logic = "events"),
+      LookupUUID.UuidType("USER_ID", logic = "events")))
+    LookupUUID.lookup(reg,
+        Seq("EVENT_ID" -> "5", "EVENT_ID" -> "6", "USER_ID" -> "42"),
+        Map("events" -> Tables.events(s, d)),
+        params = QueryParams(returnFields =
+          Seq("event_id", "user_id", "event_type")))
+      .select("event_id", "user_id", "event_type")
+  }
+
   /** Query-metrics logic (QueryMetricQueryLogic): run an instrumented
     * query, then query the metrics store itself. */
   def queryMetrics(s: SparkSession, d: String): DataFrame = {
@@ -87,6 +119,8 @@ object ServiceQueries {
     "cursor_page" -> cursorPage _,
     "query_pages" -> queryPages _,
     "query_metrics" -> queryMetrics _,
+    "composite_query" -> compositeQuery _,
+    "lookup_uuid" -> lookupUuid _,
     "transforms_chain" -> transformsChain _,
     "analyzer_tokens" -> analyzerTokens _,
   )
@@ -107,6 +141,15 @@ object ServiceQueries {
       """SELECT 'qm1' AS "queryId", 'EVENT_TYPE == ''click''' AS query,
         |   'JEXL' AS syntax, CAST(count(*) AS BIGINT) AS "resultRows"
         | FROM events WHERE event_type = 'click'""".stripMargin,
+    "composite_query" ->
+      """SELECT CAST(event_id AS VARCHAR) AS id, 'events' AS logic_name
+        | FROM events WHERE user_id = 42 AND event_type = 'purchase'
+        |UNION ALL
+        |SELECT CAST(o_orderkey AS VARCHAR), 'orders'
+        | FROM orders WHERE o_custkey = 42""".stripMargin,
+    "lookup_uuid" ->
+      """SELECT event_id, user_id, event_type FROM events
+        | WHERE event_id IN (5, 6) OR user_id = 42""".stripMargin,
     "transforms_chain" ->
       """SELECT c_custkey, c_name AS customer_name,
         |   CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS "BAL_TIER"

@@ -1,0 +1,86 @@
+package graft.query
+
+import org.apache.spark.sql.DataFrame
+import graft.content.ContentStore
+
+/** UUID lookup service — the reference's `/lookupUUID/{type}/{value}`
+  * surface (LookupUUIDUtil.java:343-430; UUIDType.java:8-32): registered
+  * UUID types map a field name to the query logic serving it; a lookup
+  * validates its terms against the registry, builds a LUCENE-UUID
+  * disjunction, and runs the resolved logic. `content.lookup` follows
+  * the hits into the stored-document fetch (ContentQueryLogic).
+  */
+object LookupUUID {
+
+  val DefaultLogic = "default"
+
+  /** A registered UUID type (UUIDType.java:8-32). `allowWildcardAfter`
+    * None forbids wildcards for the type; Some(n) allows them only
+    * after n literal characters. */
+  final case class UuidType(field: String,
+                            logic: String = DefaultLogic,
+                            allowWildcardAfter: Option[Int] = None)
+
+  /** The deployment's UUID-type registry plus the batch-lookup cap
+    * (LookupUUIDUtil batchLookupUpperLimit). */
+  final case class Registry(types: Seq[UuidType], batchLookupLimit: Int = 100) {
+    private val byField = types.map(t => t.field.toUpperCase -> t).toMap
+    def resolve(uuidType: String): Option[UuidType] =
+      byField.get(uuidType.toUpperCase)
+  }
+
+  /** Validate lookup terms and build the LUCENE-UUID query string
+    * (LookupUUIDUtil.validateLookupCriteria semantics: unregistered
+    * types are rejected, wildcards only past the type's allowed
+    * position, batches capped). */
+  def queryString(reg: Registry, terms: Seq[(String, String)]): String = {
+    require(terms.nonEmpty, "no lookup terms")
+    require(terms.size <= reg.batchLookupLimit,
+      s"too many lookup UUIDs: ${terms.size} > ${reg.batchLookupLimit}")
+    terms.map { case (uuidType, value) =>
+      val t = reg.resolve(uuidType).getOrElse(
+        throw new IllegalArgumentException(s"unregistered UUID type: $uuidType"))
+      val wc = value.indexWhere(c => c == '*' || c == '?')
+      if (wc >= 0) {
+        val minPos = t.allowWildcardAfter.getOrElse(
+          throw new IllegalArgumentException(
+            s"wildcards not allowed for UUID type $uuidType"))
+        require(wc >= minPos,
+          s"wildcard in '$value' before position $minPos for $uuidType")
+      }
+      s"${t.field}:$value"
+    }.mkString(" OR ")
+  }
+
+  /** Run a UUID lookup: build the disjunction, resolve the (single)
+    * logic for the batch, and execute it LUCENE-syntax against the
+    * logic's table. Delegate tables are supplied by name — the Spark
+    * analog of the executor's logic-name dispatch. */
+  def lookup(reg: Registry, terms: Seq[(String, String)],
+             tables: Map[String, DataFrame],
+             logic: ShardQueryLogic = new ShardQueryLogic(),
+             params: QueryParams = QueryParams()): DataFrame = {
+    val logics = terms.flatMap { case (t, _) => reg.resolve(t).map(_.logic) }.distinct
+    require(logics.size == 1,
+      s"batched lookup terms must share one query logic, got: $logics")
+    val table = tables.getOrElse(logics.head,
+      throw new IllegalArgumentException(s"no table for logic '${logics.head}'"))
+    logic.query(table, queryString(reg, terms),
+      params.copy(syntax = "LUCENE"))
+  }
+
+  /** `content.lookup=true` follow-up (LookupUUIDUtil.java:424-430 →
+    * ContentQueryLogic): fetch the stored documents for the hit uids.
+    * The driver-side collect is policy-bounded like the reference's
+    * paged response (`maxDocs`, default one page) — a UUID lookup's hit
+    * set is a needle set by construction. */
+  def contentLookup(content: DataFrame, hits: DataFrame,
+                    uidCol: String = "uid", maxDocs: Int = 1000): DataFrame = {
+    val uids = hits.select(uidCol).distinct().limit(maxDocs + 1).collect()
+    require(uids.length <= maxDocs,
+      s"content lookup exceeds $maxDocs documents; page the query instead")
+    val refs = uids.toSeq
+      .map(r => ContentStore.DocRef(None, None, String.valueOf(r.get(0))))
+    ContentStore.decoded(ContentStore.fetchByRefs(content, refs))
+  }
+}

@@ -26,13 +26,20 @@ import java.util.concurrent.ConcurrentHashMap
   *  - `GET /query/metrics?id=...` → the per-page metrics recorded for
   *    the query (QueryMetricsBean surface: rows/elapsed/status per page).
   *  - `POST /query/close?id=...` → drops cursor state + unpersists.
+  *  - `GET /lookupUUID?terms=TYPE:value[,TYPE:value…][&pageSize=N]` →
+  *    the reference's `/lookupUUID/{type}/{value}` + batch form
+  *    (LookupUUIDUtil.createUUIDQueryAndNext: create AND first page in
+  *    one call) — `{"queryId": …, "page": 1, "rows": [...]}`; follow
+  *    with `/query/next` for more pages. Types come from the server's
+  *    registered [[LookupUUID.UuidType]]s; `logic` names a table.
   */
 final class QueryServer(
     tables: Map[String, DataFrame],
     logic: ShardQueryLogic = new ShardQueryLogic(),
     stateDir: String =
       java.nio.file.Files.createTempDirectory("graft-cursor").toString,
-    defaultPageSize: Int = 100) {
+    defaultPageSize: Int = 100,
+    uuidTypes: Seq[LookupUUID.UuidType] = Seq.empty) {
 
   private final case class Session(df: DataFrame, orderCols: Seq[String],
                                    running: RunningQuery)
@@ -48,6 +55,7 @@ final class QueryServer(
     server.createContext("/query/plan", handler(plan))
     server.createContext("/query/metrics", handler(metrics))
     server.createContext("/query/close", handler(close))
+    server.createContext("/lookupUUID", handler(lookupUuid))
     server.start()
     server.getAddress.getPort
   }
@@ -87,6 +95,41 @@ final class QueryServer(
         pageSize)
       sessions.put(queryId, Session(result, orderCols, running))
       (200, s"""{"queryId": "$queryId"}""")
+    } catch {
+      case e: Exception => (400, err(e.getMessage))
+    }
+  }
+
+  private def lookupUuid(params: Map[String, String]): (Int, String) = {
+    if (uuidTypes.isEmpty)
+      return (404, err("no UUID types registered on this server"))
+    val raw = params.getOrElse("terms", return (400, err("missing 'terms'")))
+    try {
+      val terms = raw.split(',').toSeq.filter(_.nonEmpty).map { t =>
+        t.split(":", 2) match {
+          case Array(k, v) if v.nonEmpty => k -> v
+          case _ => throw new IllegalArgumentException(
+            s"malformed lookup term '$t' (want TYPE:value)")
+        }
+      }
+      val pageSize = params.get("pageSize").map(_.toInt)
+        .getOrElse(defaultPageSize)
+      require(pageSize > 0, s"pageSize must be positive, got $pageSize")
+      val result = LookupUUID.lookup(LookupUUID.Registry(uuidTypes), terms,
+        tables, logic).persist()
+      val queryId = java.util.UUID.randomUUID().toString.replace("-", "")
+      val orderCols = Seq(result.columns.head)
+      val running = new RunningQuery(cursor, queryId, result, orderCols,
+        pageSize)
+      sessions.put(queryId, Session(result, orderCols, running))
+      // createUUIDQueryAndNext: the first page rides the create response
+      running.nextPageJson() match {
+        case Some((rows, pageNum)) =>
+          (200, s"""{"queryId": "$queryId", "page": $pageNum,""" +
+            s""" "rows": [${rows.mkString(",")}]}""")
+        case None =>
+          (200, s"""{"queryId": "$queryId", "page": 1, "rows": []}""")
+      }
     } catch {
       case e: Exception => (400, err(e.getMessage))
     }

@@ -70,4 +70,31 @@ class QueryServerSpec extends SparkSpec {
       assert(post(s"$base/create?table=nope&query=x").statusCode() == 404)
     } finally srv.stop()
   }
+
+  test("lookupUUID over HTTP: first page rides the create, next continues") {
+    val df = (1 to 30).map(i => (i.toLong, s"u$i")).toDF("id", "uuid")
+    val srv = new QueryServer(tables = Map("people" -> df),
+      uuidTypes = Seq(LookupUUID.UuidType("UUID", logic = "people"),
+        LookupUUID.UuidType("ID", logic = "people")))
+    val port = srv.start()
+    try {
+      val base = s"http://127.0.0.1:$port"
+      // batched two-term lookup, page size 1 → first page inline,
+      // second page via the normal /query/next lifecycle
+      val r = get(s"$base/lookupUUID?terms=UUID:u7,ID:9&pageSize=1")
+      assert(r.statusCode() == 200, r.body())
+      assert("\"id\":".r.findAllIn(r.body()).size == 1, r.body())
+      val queryId = "\"queryId\": \"([0-9a-f]+)\"".r
+        .findFirstMatchIn(r.body()).get.group(1)
+      val p2 = get(s"$base/query/next?id=$queryId")
+      assert(p2.statusCode() == 200)
+      assert("\"id\":".r.findAllIn(p2.body()).size == 1, p2.body())
+      assert(get(s"$base/query/next?id=$queryId").statusCode() == 204)
+
+      // unregistered type and malformed terms are 400s
+      assert(get(s"$base/lookupUUID?terms=NOPE:1").statusCode() == 400)
+      assert(get(s"$base/lookupUUID?terms=UUIDu7").statusCode() == 400)
+      assert(get(s"$base/lookupUUID").statusCode() == 400)
+    } finally srv.stop()
+  }
 }

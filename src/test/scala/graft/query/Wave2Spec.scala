@@ -120,6 +120,81 @@ class ContentStoreSpec extends SparkSpec {
   }
 }
 
+class CompositeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("parallel mode merges name-sorted delegates; shape mismatch fails") {
+    val a = Seq(("1", "a")).toDF("id", "src")
+    val b = Seq(("2", "b")).toDF("id", "src")
+    val got = Composite.union(Seq("zeta" -> b, "alpha" -> a))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("1", "2")) // alpha's rows lead despite order given
+    val bad = Seq((3, "c")).toDF("n", "src")
+    intercept[IllegalArgumentException] {
+      Composite.union(Seq("alpha" -> a, "bad" -> bad))
+    }
+  }
+
+  test("sequential mode short-circuits at the first non-empty delegate") {
+    val empty = Seq.empty[(String, String)].toDF("id", "src")
+    val hit = Seq(("9", "h")).toDF("id", "src")
+    val later = Seq(("8", "l")).toDF("id", "src")
+    val got = Composite.firstNonEmpty(
+      Seq("c_later" -> later, "a_empty" -> empty, "b_hit" -> hit))
+    assert(got.collect().map(_.getString(0)).toSeq == Seq("9"))
+    // all empty → empty frame of the shared shape
+    assert(Composite.firstNonEmpty(Seq("a" -> empty)).isEmpty)
+  }
+}
+
+class LookupUUIDSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val reg = LookupUUID.Registry(Seq(
+    LookupUUID.UuidType("PAGE_ID", logic = "pages",
+      allowWildcardAfter = Some(3)),
+    LookupUUID.UuidType("DOC_ID", logic = "docs")),
+    batchLookupLimit = 3)
+
+  test("query string builds a validated LUCENE disjunction") {
+    assert(LookupUUID.queryString(reg,
+      Seq("PAGE_ID" -> "abc1", "doc_id" -> "7")) == "PAGE_ID:abc1 OR DOC_ID:7")
+    intercept[IllegalArgumentException] {
+      LookupUUID.queryString(reg, Seq("NOPE" -> "x")) // unregistered type
+    }
+    intercept[IllegalArgumentException] {
+      LookupUUID.queryString(reg, Seq("DOC_ID" -> "a*")) // wildcard forbidden
+    }
+    intercept[IllegalArgumentException] {
+      LookupUUID.queryString(reg, Seq("PAGE_ID" -> "ab*")) // too early
+    }
+    assert(LookupUUID.queryString(reg, Seq("PAGE_ID" -> "abc*"))
+      == "PAGE_ID:abc*")
+    intercept[IllegalArgumentException] { // batch cap
+      LookupUUID.queryString(reg,
+        (1 to 4).map(i => "DOC_ID" -> i.toString))
+    }
+  }
+
+  test("lookup executes the resolved logic; content.lookup follows hits") {
+    val docs = Seq((7L, "seven text"), (8L, "eight text")).toDF("doc_id", "text")
+    val hits = LookupUUID.lookup(reg, Seq("DOC_ID" -> "7"),
+      Map("docs" -> docs),
+      params = QueryParams(returnFields = Seq("doc_id")))
+    assert(hits.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(7L))
+    // mixed-logic batch refused (the reference dispatches ONE logic)
+    intercept[IllegalArgumentException] {
+      LookupUUID.lookup(reg, Seq("DOC_ID" -> "7", "PAGE_ID" -> "abc"),
+        Map("docs" -> docs))
+    }
+    val content = graft.content.ContentStore.contentTable(docs)
+    val fetched = LookupUUID.contentLookup(content,
+      hits.select(col("doc_id").cast("string").as("uid")))
+    assert(fetched.select("text").collect().map(_.getString(0)).toSeq
+      == Seq("seven text"))
+  }
+}
+
 class TfLookupSpec extends SparkSpec {
   import spark.implicits._
 
