@@ -62,6 +62,21 @@ object Ingest {
         min(col("shard_date")).as("first_date"),
         max(col("shard_date")).as("last_date"))
 
+  /** Data dictionary (DataDictionaryBean.java, data-dictionary-core):
+    * the per-field catalog a deployment serves over `/DataDictionary` —
+    * observation counts, cardinality, and date bounds from the metadata
+    * catalog, flagged with the ingest configuration's indexing decisions
+    * (what the reference's metadata `i`/`ri`/`tf` rows record). */
+  def dataDictionary(long: DataFrame, indexedFields: Seq[String] = Nil,
+                     reverseIndexedFields: Seq[String] = Nil,
+                     tokenizedFields: Seq[String] = Nil): DataFrame =
+    metadata(long).select(
+      col("field"), col("datatype"),
+      col("field").isin(indexedFields: _*).as("forward_indexed"),
+      col("field").isin(reverseIndexedFields: _*).as("reverse_indexed"),
+      col("field").isin(tokenizedFields: _*).as("tokenized"),
+      col("cnt"), col("cardinality"), col("first_date"), col("last_date"))
+
   /** Global-index aggregate (shardIndex analog): per (value, field, date,
     * datatype) counts — powers Discovery queries and needle-query
     * semi-joins without touching the event table. */

@@ -65,6 +65,23 @@ object Edges {
       .agg(sum(col("cnt")).as("activity"),
         countDistinct(col("sink")).as("distinct_sinks"))
 
+  /** Edge dictionary (EdgeDictionaryBean.java, edge-dictionary-core):
+    * the deployment's edge catalog served over `/EdgeDictionary` — each
+    * (type, relationship) with the field pair that generates it and the
+    * observed stats (edge count, date bounds). Definition rows are a
+    * tiny broadcast side; stats aggregate the already-built edge table. */
+  def dictionary(edges: DataFrame, defs: Seq[EdgeDefinition]): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val defRows = defs.map(d =>
+        (d.edgeType, d.relationship, d.sourceField, d.sinkField))
+      .toDF("edge_type", "relationship", "source_field", "sink_field")
+    val stats = edges.groupBy("edge_type", "relationship")
+      .agg(sum(col("cnt")).as("edge_count"),
+        min(col("day")).as("first_day"), max(col("day")).as("last_day"))
+    defRows.join(broadcast(stats), Seq("edge_type", "relationship"), "left")
+  }
+
   /** Edge query (EdgeQueryLogic analog): JEXL over
     * EDGE_SOURCE/SINK/TYPE/RELATIONSHIP via the standard compiler with a
     * fixed model — source equality prunes first like the row-range build

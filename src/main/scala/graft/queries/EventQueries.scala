@@ -58,6 +58,11 @@ object EventQueries {
   def edgeStats(s: SparkSession, d: String): DataFrame =
     Edges.activityStats(edgeBuild(s, d))
 
+  /** Edge dictionary (`/EdgeDictionary`): the deployment's edge catalog —
+    * definitions with generating field pair plus observed stats. */
+  def edgeDictionary(s: SparkSession, d: String): DataFrame =
+    Edges.dictionary(edgeBuild(s, d), Seq(userEvent))
+
   /** Edge→event drill-back for busy edges (cnt ≥ 4). */
   def edgeDrillback(s: SparkSession, d: String): DataFrame =
     Edges.drillback(edgeBuild(s, d).filter(col("cnt") >= 4),
@@ -148,6 +153,7 @@ object EventQueries {
     "edge_build_filtered" -> edgeBuildFiltered _,
     "edge_query" -> edgeQuery _,
     "edge_stats" -> edgeStats _,
+    "edge_dictionary" -> edgeDictionary _,
     "edge_drillback" -> edgeDrillback _,
     "tf_phrase" -> tfPhrase _,
     "tf_within" -> tfWithin _,
@@ -200,6 +206,12 @@ object EventQueries {
       s"""SELECT source, day, CAST(SUM(cnt) AS BIGINT) AS activity,
          |   COUNT(DISTINCT sink) AS distinct_sinks
          | FROM ($edgeSql) GROUP BY source, day""".stripMargin,
+    "edge_dictionary" ->
+      s"""SELECT 'USER_EVENT' AS edge_type, 'generated' AS relationship,
+         |   'user_id' AS source_field, 'event_type' AS sink_field,
+         |   CAST(SUM(cnt) AS BIGINT) AS edge_count,
+         |   MIN(day) AS first_day, MAX(day) AS last_day
+         | FROM ($edgeSql)""".stripMargin,
     "edge_drillback" ->
       s"""SELECT event_id, user_id, event_type FROM events e
          | JOIN (SELECT * FROM ($edgeSql) WHERE cnt >= 4) g

@@ -105,6 +105,19 @@ object IngestQueries {
         date_format(col("first_date"), "yyyy-MM-dd").as("first_date"),
         date_format(col("last_date"), "yyyy-MM-dd").as("last_date"))
 
+  /** Data dictionary (`/DataDictionary`): the metadata catalog flagged
+    * with the ingest configuration's indexing decisions. */
+  def ingDataDictionary(s: SparkSession, d: String): DataFrame =
+    Ingest.dataDictionary(longEvents(s, d),
+        indexedFields = Seq("user_id", "event_type", "value"),
+        reverseIndexedFields = Seq("event_type"),
+        tokenizedFields = Seq("props"))
+      .select(col("field"), col("datatype"), col("forward_indexed"),
+        col("reverse_indexed"), col("tokenized"), col("cnt"),
+        col("cardinality"),
+        date_format(col("first_date"), "yyyy-MM-dd").as("first_date"),
+        date_format(col("last_date"), "yyyy-MM-dd").as("last_date"))
+
   /** Unfielded expansion through the global index
     * (UnfieldedIndexExpansionVisitor.java:40): `_ANYFIELD_ == 'click'`
     * asks the index which fields contain 'click' — only event_type does —
@@ -293,6 +306,7 @@ object IngestQueries {
     "ing_needle_semijoin" -> ingNeedleSemiJoin _,
     "ing_needle_uidlist" -> ingNeedleUidList _,
     "ing_metadata" -> ingMetadata _,
+    "ing_data_dictionary" -> ingDataDictionary _,
     "ing_unfielded_expand" -> ingUnfieldedExpand _,
     "ing_index_hole" -> ingIndexHole _,
     "ing_date_index" -> ingDateIndex _,
@@ -346,6 +360,15 @@ object IngestQueries {
     "ing_metadata" ->
       s"""SELECT field, datatype, count(*) AS cnt,
          |   count(DISTINCT value) AS cardinality,
+         |   strftime(MIN(shard_date), '%Y-%m-%d') AS first_date,
+         |   strftime(MAX(shard_date), '%Y-%m-%d') AS last_date
+         | FROM $longSql GROUP BY 1, 2""".stripMargin,
+    "ing_data_dictionary" ->
+      s"""SELECT field, datatype,
+         |   field IN ('user_id', 'event_type', 'value') AS forward_indexed,
+         |   field = 'event_type' AS reverse_indexed,
+         |   field = 'props' AS tokenized,
+         |   count(*) AS cnt, count(DISTINCT value) AS cardinality,
          |   strftime(MIN(shard_date), '%Y-%m-%d') AS first_date,
          |   strftime(MAX(shard_date), '%Y-%m-%d') AS last_date
          | FROM $longSql GROUP BY 1, 2""".stripMargin,
