@@ -24,6 +24,17 @@ object Normalizers {
   /** LcType: plain lowercase. */
   def lc(c: Column): Column = lower(c)
 
+  /** Driver-side LcNoDiacritics for query literals (same char map as the
+    * column form, so a normalized literal matches a normalized column). */
+  def lcNoDiacriticsLiteral(s: String): String = {
+    val b = new java.lang.StringBuilder(s.length)
+    s.foreach { ch =>
+      val i = accented.indexOf(ch.toInt)
+      b.append(if (i >= 0) plain(i) else ch)
+    }
+    b.toString.toLowerCase
+  }
+
   /** NumberType: the reference lexically encodes decimals so strings sort
     * numerically; in Spark we keep real numerics — normalization is a
     * decimal cast (sorting/comparison is native). */

@@ -33,7 +33,8 @@ object QueryOptions {
 
   /** Option pseudo-function names in the `f:` namespace. */
   private val ByGranularity =
-    Set("day", "hour", "minute", "second", "month", "year", "tenth_of_hour")
+    Set("day", "hour", "minute", "second", "millisecond", "month", "year",
+      "tenth_of_hour")
   private def isOptionFn(name: String): Boolean =
     Set("options", "groupby", "group_by", "sum", "min", "max", "count",
       "average", "unique", "most_recent_unique", "rename", "excerpt_fields",

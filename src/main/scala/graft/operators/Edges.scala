@@ -95,6 +95,44 @@ object Edges {
     graft.jexl.Compiler.filter(edges, jexl, model)
   }
 
+  /** Extended edge query, LIST input syntax (DefaultExtendedEdgeQueryLogic
+    * .java:37-308): the "query" is a delimiter-separated list of source
+    * vertex VALUES with no field names (EdgeExtendedSummaryConfiguration
+    * LIST syntax), each optionally qualified `value<Qualifier>`
+    * (normalizeQualifiedSource :219-244 — qualifier lowercases and rides
+    * along). Values normalize through LcNoDiacritics (the reference's
+    * default data type) before matching; an optional edgeTypes parameter
+    * (EDGE_TYPES_PARAM :19) restricts the edge types returned; summary
+    * output collapses per-day rows to one row per edge with totals and
+    * the active-day span (the EdgeSummaryQueryMessage rollup).
+    *
+    * Spark shape: the source list is a pushed-down InSet on the layout's
+    * leading column — the same pruning the reference gets from one scan
+    * range per source; the summary is one groupBy over the pruned slice.
+    */
+  def listQuery(edges: DataFrame, query: String, delimiter: Char = ',',
+                edgeTypes: Seq[String] = Nil, summary: Boolean = false): DataFrame = {
+    val sources = query.split(delimiter).iterator.map(_.trim).filter(_.nonEmpty)
+      .map { q =>
+        val qi = q.lastIndexOf('<')
+        if (qi > 0)
+          graft.functions.Normalizers.lcNoDiacriticsLiteral(q.substring(0, qi)) +
+            q.substring(qi).toLowerCase
+        else graft.functions.Normalizers.lcNoDiacriticsLiteral(q)
+      }.toSeq.distinct
+    require(sources.nonEmpty, "LIST edge query needs at least one source value")
+    val bySource = edges.filter(
+      graft.functions.Normalizers.lcNoDiacritics(col("source")).isin(sources: _*))
+    val typed =
+      if (edgeTypes.isEmpty) bySource
+      else bySource.filter(col("edge_type").isin(edgeTypes: _*))
+    if (!summary) typed
+    else typed.groupBy("source", "sink", "edge_type", "relationship")
+      .agg(sum(col("cnt")).as("total"),
+        count(lit(1)).as("active_days"),
+        min(col("day")).as("first_day"), max(col("day")).as("last_day"))
+  }
+
   /** Edge→event drill-back (DefaultEdgeEventQueryLogic): map selected
     * edges back to the events that produced them. */
   def drillback(edges: DataFrame, events: DataFrame,

@@ -63,6 +63,13 @@ object EventQueries {
   def edgeDictionary(s: SparkSession, d: String): DataFrame =
     Edges.dictionary(edgeBuild(s, d), Seq(userEvent))
 
+  /** Extended edge query, LIST syntax + summary output
+    * (DefaultExtendedEdgeQueryLogic): two bare source values, no field
+    * names; per-day edges collapse to per-edge summaries. */
+  def edgeListSummary(s: SparkSession, d: String): DataFrame =
+    Edges.listQuery(edgeBuild(s, d), "42, 7",
+      edgeTypes = Seq("USER_EVENT"), summary = true)
+
   /** Edge→event drill-back for busy edges (cnt ≥ 4). */
   def edgeDrillback(s: SparkSession, d: String): DataFrame =
     Edges.drillback(edgeBuild(s, d).filter(col("cnt") >= 4),
@@ -154,6 +161,7 @@ object EventQueries {
     "edge_query" -> edgeQuery _,
     "edge_stats" -> edgeStats _,
     "edge_dictionary" -> edgeDictionary _,
+    "edge_list_summary" -> edgeListSummary _,
     "edge_drillback" -> edgeDrillback _,
     "tf_phrase" -> tfPhrase _,
     "tf_within" -> tfWithin _,
@@ -212,6 +220,14 @@ object EventQueries {
          |   CAST(SUM(cnt) AS BIGINT) AS edge_count,
          |   MIN(day) AS first_day, MAX(day) AS last_day
          | FROM ($edgeSql)""".stripMargin,
+    "edge_list_summary" ->
+      s"""SELECT source, sink, edge_type, relationship,
+         |   CAST(SUM(cnt) AS BIGINT) AS total,
+         |   COUNT(*) AS active_days,
+         |   MIN(day) AS first_day, MAX(day) AS last_day
+         | FROM ($edgeSql)
+         | WHERE source IN ('42', '7') AND edge_type = 'USER_EVENT'
+         | GROUP BY 1, 2, 3, 4""".stripMargin,
     "edge_drillback" ->
       s"""SELECT event_id, user_id, event_type FROM events e
          | JOIN (SELECT * FROM ($edgeSql) WHERE cnt >= 4) g

@@ -77,6 +77,32 @@ object ServiceQueries {
       .select("event_id", "user_id", "event_type")
   }
 
+  /** FilteredQueryLogic (logic/filtered/FilteredQueryLogic.java:23):
+    * composite of two filtered delegates — the events leg passes its
+    * opt-in parameter filter; the orders leg requires a SECRET auth the
+    * caller's chain lacks and is filtered out (returns no results, runs
+    * no job). Result = the passing leg only. */
+  def filteredQuery(s: SparkSession, d: String): DataFrame = {
+    val params = Map("include.events" -> "true")
+    val auths = Seq(Set("PUBLIC"), Set("PUBLIC", "OPS")) // user, then proxy
+    val logic = new ShardQueryLogic()
+    val events = Filtered.query(
+        Filtered.ByParameter("include.events"), params, auths) {
+      logic.query(Tables.events(s, d), "EVENT_TYPE == 'login'",
+          QueryParams(returnFields = Seq("event_id")))
+        .select(col("event_id").cast("string").as("id"),
+          lit("events").as("logic_name"))
+    }
+    val orders = Filtered.query(
+        Filtered.ByAuth("SECRET"), params, auths) {
+      logic.query(Tables.orders(s, d), "O_ORDERSTATUS == 'F'",
+          QueryParams(returnFields = Seq("o_orderkey")))
+        .select(col("o_orderkey").cast("string").as("id"),
+          lit("orders").as("logic_name"))
+    }
+    Composite.union(Seq("events" -> events, "orders" -> orders))
+  }
+
   /** Query-metrics logic (QueryMetricQueryLogic): run an instrumented
     * query, then query the metrics store itself. */
   def queryMetrics(s: SparkSession, d: String): DataFrame = {
@@ -120,6 +146,7 @@ object ServiceQueries {
     "query_pages" -> queryPages _,
     "query_metrics" -> queryMetrics _,
     "composite_query" -> compositeQuery _,
+    "filtered_query" -> filteredQuery _,
     "lookup_uuid" -> lookupUuid _,
     "transforms_chain" -> transformsChain _,
     "analyzer_tokens" -> analyzerTokens _,
@@ -147,6 +174,10 @@ object ServiceQueries {
         |UNION ALL
         |SELECT CAST(o_orderkey AS VARCHAR), 'orders'
         | FROM orders WHERE o_custkey = 42""".stripMargin,
+    // the orders leg is filtered out by auth → only the events leg's rows
+    "filtered_query" ->
+      """SELECT CAST(event_id AS VARCHAR) AS id, 'events' AS logic_name
+        | FROM events WHERE event_type = 'login'""".stripMargin,
     "lookup_uuid" ->
       """SELECT event_id, user_id, event_type FROM events
         | WHERE event_id IN (5, 6) OR user_id = 42""".stripMargin,

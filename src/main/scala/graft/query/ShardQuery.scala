@@ -257,6 +257,8 @@ final class ShardQueryLogic(
         floor(minute(c.cast("timestamp")) / 10).cast("string"))
     case "MINUTE" => date_format(c.cast("timestamp"), "yyyy-MM-dd'T'HH:mm")
     case "SECOND" => date_format(c.cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss")
+    case "MILLISECOND" =>
+      date_format(c.cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSS")
     case other => throw new ParseException(s"unknown unique granularity $other")
   }
 

@@ -115,6 +115,26 @@ class EdgesSpec extends SparkSpec {
     val back = Edges.drillback(q, events, d)
     assert(back.select("event_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
   }
+
+  test("LIST syntax: bare source values, normalized, qualifier preserved") {
+    val edges = Edges.build(events, Seq(d))
+    // '7' twice (deduped), a diacritic value that normalizes to nothing
+    // present, and a qualified form whose qualifier just rides along
+    val hit = Edges.listQuery(edges, "7; 7; Ñope", delimiter = ';')
+    assert(hit.select("sink").collect().map(_.getString(0)).toSet ==
+      Set("click", "view"))
+    assert(Edges.listQuery(edges, "É<qual>").count() == 0)
+  }
+
+  test("LIST summary collapses per-day rows and filters edge types") {
+    val edges = Edges.build(events, Seq(d)) // 7→click(2), 7→view(1), 8→click(1)
+    val sum7 = Edges.listQuery(edges, "7, 8", summary = true).collect()
+    assert(sum7.length == 3)
+    val r = sum7.find(x => x.getAs[String]("source") == "7" &&
+      x.getAs[String]("sink") == "click").get
+    assert(r.getAs[Long]("total") == 2 && r.getAs[Long]("active_days") == 1)
+    assert(Edges.listQuery(edges, "7", edgeTypes = Seq("NOPE")).count() == 0)
+  }
 }
 
 class GroupingSpec extends SparkSpec {

@@ -64,6 +64,25 @@ class QueryOptionsSpec extends SparkSpec {
     assert(out == Set(1L, 2L, 4L))
   }
 
+  test("#UNIQUE TENTH_OF_HOUR and MILLISECOND granularities truncate correctly") {
+    val df = Seq(
+      (1L, "u1", "2024-01-01 10:01:00.000"),
+      (2L, "u1", "2024-01-01 10:08:00.000"),  // same tenth (10:0x) → deduped
+      (3L, "u1", "2024-01-01 10:11:00.000"),  // next tenth survives
+      (4L, "u2", "2024-01-01 10:30:00.123"),
+      (5L, "u2", "2024-01-01 10:30:00.123"),  // same millisecond → deduped
+      (6L, "u2", "2024-01-01 10:30:00.124"))
+      .toDF("id", "user", "ts")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val logic = new ShardQueryLogic(policy = QueryPolicy(fullTableScanEnabled = true))
+    val tenth = logic.query(df, "f:unique('USER', 'TS[TENTH_OF_HOUR]')", QueryParams())
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(tenth == Set(1L, 3L, 4L))
+    val milli = logic.query(df, "f:unique('USER', 'TS[MILLISECOND]')", QueryParams())
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(milli == Set(1L, 2L, 3L, 4L, 6L))
+  }
+
   test("content:within / grouping:matchesInGroup compile from JEXL strings") {
     val docs = Seq((1, "merge then join quickly"), (2, "join words then later merge"))
       .toDF("doc_id", "text")
