@@ -109,9 +109,14 @@ object Edges {
     * Spark shape: the source list is a pushed-down InSet on the layout's
     * leading column — the same pruning the reference gets from one scan
     * range per source; the summary is one groupBy over the pruned slice.
-    */
+    * `storedNormalized` declares the reference's ingest invariant (edge
+    * vertices are normalized when written — EdgeKeyUtil escaped ranges
+    * assume it): the filter is then a bare-column InSet that reaches the
+    * scan. With raw stored vertices the column normalizes per row first —
+    * correct, but an expression filter the scan can't prune by. */
   def listQuery(edges: DataFrame, query: String, delimiter: Char = ',',
-                edgeTypes: Seq[String] = Nil, summary: Boolean = false): DataFrame = {
+                edgeTypes: Seq[String] = Nil, summary: Boolean = false,
+                storedNormalized: Boolean = true): DataFrame = {
     val sources = query.split(delimiter).iterator.map(_.trim).filter(_.nonEmpty)
       .map { q =>
         val qi = q.lastIndexOf('<')
@@ -121,8 +126,10 @@ object Edges {
         else graft.functions.Normalizers.lcNoDiacriticsLiteral(q)
       }.toSeq.distinct
     require(sources.nonEmpty, "LIST edge query needs at least one source value")
-    val bySource = edges.filter(
-      graft.functions.Normalizers.lcNoDiacritics(col("source")).isin(sources: _*))
+    val sourceCol =
+      if (storedNormalized) col("source")
+      else graft.functions.Normalizers.lcNoDiacritics(col("source"))
+    val bySource = edges.filter(sourceCol.isin(sources: _*))
     val typed =
       if (edgeTypes.isEmpty) bySource
       else bySource.filter(col("edge_type").isin(edgeTypes: _*))

@@ -92,6 +92,15 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("EqualTo(props,click)"), plan.take(3000))
   }
 
+  test("LIST edge query pushes the source InSet to the scan") {
+    val plan = executed("edge_list_summary")
+    // a normalized-vertex layout (the ingest invariant) keeps the source
+    // list a bare-column predicate — it must prune at the edge scan, the
+    // analog of the reference's one-range-per-source seek
+    assert(plan.contains("source#") && plan.contains("IN (42,7)") ||
+      plan.contains("In(source"), plan.take(3000))
+  }
+
   test("excerpt attachment stays a shuffle-free scan+filter+project") {
     // HIT_EXCERPT is per-row token arithmetic — a map-side projection.
     // Any Exchange here would mean the excerpt path grew a join/agg and

@@ -126,6 +126,14 @@ class EdgesSpec extends SparkSpec {
     assert(Edges.listQuery(edges, "É<qual>").count() == 0)
   }
 
+  test("raw stored vertices match through per-row normalization") {
+    val edges = Seq(("Ålice", "x", "T", "r", "2024-01-01", 1L, 1.0))
+      .toDF("source", "sink", "edge_type", "relationship", "day", "cnt", "weight")
+    assert(Edges.listQuery(edges, "ALICE", storedNormalized = false).count() == 1)
+    // a declared-normalized layout takes literals at face value
+    assert(Edges.listQuery(edges, "ALICE").count() == 0)
+  }
+
   test("LIST summary collapses per-day rows and filters edge types") {
     val edges = Edges.build(events, Seq(d)) // 7→click(2), 7→view(1), 8→click(1)
     val sum7 = Edges.listQuery(edges, "7, 8", summary = true).collect()
