@@ -114,6 +114,24 @@ object ServiceQueries {
       .select(col("queryId"), col("query"), col("syntax"), col("resultRows"))
   }
 
+  /** DashboardQueryLogic: three instrumented queries (one selector, two
+    * selectors, and a zero-result probe) roll up into one bucketed
+    * DashboardSummary row. Latency buckets are runtime-dependent and are
+    * unit-tested instead; the gate checks the deterministic counts. */
+  def dashboardQuery(s: SparkSession, d: String): DataFrame = {
+    QueryMetrics.clear()
+    val logic = new ShardQueryLogic()
+    val ev = Tables.events(s, d)
+    QueryMetrics.instrumented(logic, "dq1", ev, "EVENT_TYPE == 'click'")
+    QueryMetrics.instrumented(logic, "dq2", ev,
+      "EVENT_TYPE == 'click' || EVENT_TYPE == 'view'", selectors = 2)
+    QueryMetrics.instrumented(logic, "dq3", ev, "EVENT_TYPE == 'absent'")
+    QueryMetrics.dashboardSummary(s)
+      .select("queryCount", "errorCount", "resultCount", "selectorCount",
+        "zeroResults", "upTo10KResults", "upTo1MResults",
+        "oneTerm", "upTo16Terms")
+  }
+
   /** DocumentTransform chain (transformer/DocumentTransform.java):
     * enrich → filter → project → rename → dedup as one composed stage
     * pipeline. */
@@ -145,6 +163,7 @@ object ServiceQueries {
     "cursor_page" -> cursorPage _,
     "query_pages" -> queryPages _,
     "query_metrics" -> queryMetrics _,
+    "dashboard_query" -> dashboardQuery _,
     "composite_query" -> compositeQuery _,
     "filtered_query" -> filteredQuery _,
     "lookup_uuid" -> lookupUuid _,
@@ -168,6 +187,26 @@ object ServiceQueries {
       """SELECT 'qm1' AS "queryId", 'EVENT_TYPE == ''click''' AS query,
         |   'JEXL' AS syntax, CAST(count(*) AS BIGINT) AS "resultRows"
         | FROM events WHERE event_type = 'click'""".stripMargin,
+    // bucket arithmetic over the three probes' deterministic result counts
+    "dashboard_query" ->
+      """WITH c AS (
+        | SELECT (SELECT count(*) FROM events WHERE event_type = 'click') AS r1,
+        |        (SELECT count(*) FROM events
+        |          WHERE event_type IN ('click', 'view')) AS r2)
+        |SELECT CAST(3 AS BIGINT) AS "queryCount",
+        |   CAST(0 AS BIGINT) AS "errorCount",
+        |   CAST(r1 + r2 AS BIGINT) AS "resultCount",
+        |   CAST(4 AS BIGINT) AS "selectorCount",
+        |   CAST(1 AS BIGINT) AS "zeroResults",
+        |   CAST((CASE WHEN r1 > 0 AND r1 < 10000 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN r2 > 0 AND r2 < 10000 THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS "upTo10KResults",
+        |   CAST((CASE WHEN r1 >= 10000 AND r1 < 1000000 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN r2 >= 10000 AND r2 < 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS "upTo1MResults",
+        |   CAST(2 AS BIGINT) AS "oneTerm",
+        |   CAST(1 AS BIGINT) AS "upTo16Terms"
+        | FROM c""".stripMargin,
     "composite_query" ->
       """SELECT CAST(event_id AS VARCHAR) AS id, 'events' AS logic_name
         | FROM events WHERE user_id = 42 AND event_type = 'purchase'

@@ -15,7 +15,9 @@ final case class QueryMetric(
     syntax: String,
     beginMillis: Long,
     elapsedMillis: Long,
-    resultRows: Long)
+    resultRows: Long,
+    error: Boolean = false,
+    selectors: Long = 1)
 
 /** Per-page metric (QueryMetric.PageMetric analog — the reference emits
   * one per `next()` call with pagesize/returnTime, RunningQuery:331). */
@@ -49,16 +51,60 @@ object QueryMetrics {
     synchronized { pageBuf.filter(_.queryId == queryId).toList }
 
   /** Run a query through a logic while capturing a metric event (the
-    * QueryMetricsBean per-page emission collapsed to per-query). */
+    * QueryMetricsBean per-page emission collapsed to per-query). A
+    * failing query records an error metric before rethrowing. */
   def instrumented(logic: ShardQueryLogic, queryId: String,
                    events: DataFrame, q: String,
-                   params: QueryParams = QueryParams()): DataFrame = {
+                   params: QueryParams = QueryParams(),
+                   selectors: Long = 1): DataFrame = {
     val t0 = System.currentTimeMillis()
-    val out = logic.query(events, q, params)
-    val n = out.count()
-    record(QueryMetric(queryId, q, params.syntax, t0,
-      System.currentTimeMillis() - t0, n))
-    out
+    try {
+      val out = logic.query(events, q, params)
+      val n = out.count()
+      record(QueryMetric(queryId, q, params.syntax, t0,
+        System.currentTimeMillis() - t0, n, error = false, selectors))
+      out
+    } catch {
+      case e: Throwable =>
+        record(QueryMetric(queryId, q, params.syntax, t0,
+          System.currentTimeMillis() - t0, 0, error = true, selectors))
+        throw e
+    }
+  }
+
+  /** DashboardQueryLogic (core/query dashboard/DashboardSummary.java:15-80,
+    * DashboardQueryLogic.java:46-57): aggregate a range of query-metric
+    * events into ONE bucketed summary row — latency buckets (<3s, <10s,
+    * <60s, ≥60s) and result-count buckets (0, <10K, <1M, ≥1M) counted only
+    * for non-error queries (addQuery:43-67), selector-count buckets (≤1,
+    * <16, <100, <1000, ≥1000) counted for all, plus running totals. The
+    * metrics frame is driver-tiny; the agg is one pass, no shuffle. */
+  def dashboardSummary(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions._
+    def bucket(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))
+    val ok = !col("error")
+    val ms = col("elapsedMillis")
+    val rr = col("resultRows")
+    val sel = col("selectors")
+    toDF(spark).agg(
+      count(lit(1)).as("queryCount"),
+      coalesce(sum(rr), lit(0L)).as("resultCount"),
+      coalesce(sum(sel), lit(0L)).as("selectorCount"),
+      bucket(col("error")).as("errorCount"),
+      bucket(ok && ms < 3000).as("upTo3Sec"),
+      bucket(ok && ms >= 3000 && ms < 10000).as("upTo10Sec"),
+      bucket(ok && ms >= 10000 && ms < 60000).as("upTo60Sec"),
+      bucket(ok && ms >= 60000).as("moreThan60Sec"),
+      bucket(ok && rr === 0).as("zeroResults"),
+      bucket(ok && rr > 0 && rr < 10000).as("upTo10KResults"),
+      bucket(ok && rr >= 10000 && rr < 1000000).as("upTo1MResults"),
+      bucket(ok && rr >= 1000000).as("upToINFResults"),
+      bucket(sel <= 1).as("oneTerm"),
+      bucket(sel > 1 && sel < 16).as("upTo16Terms"),
+      bucket(sel >= 16 && sel < 100).as("upTo100Terms"),
+      bucket(sel >= 100 && sel < 1000).as("upTo1000Terms"),
+      bucket(sel >= 1000).as("upToInfTerms"))
   }
 }
 

@@ -41,6 +41,31 @@ class RunningQuerySpec extends SparkSpec {
     assert(statuses.toSeq == Seq("TIMEOUT"))
   }
 
+  test("dashboard summary buckets latency, results, selectors; errors excluded") {
+    QueryMetrics.clear()
+    // (elapsed, rows, error, selectors): one per latency bucket, an error
+    // that must leave latency/result buckets untouched, a zero-result hit
+    Seq(
+      QueryMetric("a", "q", "JEXL", 0, 100, 5, error = false, selectors = 1),
+      QueryMetric("b", "q", "JEXL", 0, 5000, 20000, error = false, selectors = 2),
+      QueryMetric("c", "q", "JEXL", 0, 30000, 2000000, error = false, selectors = 20),
+      QueryMetric("d", "q", "JEXL", 0, 90000, 0, error = false, selectors = 200),
+      QueryMetric("e", "q", "JEXL", 0, 50, 7, error = true, selectors = 2000))
+      .foreach(QueryMetrics.record)
+    val r = QueryMetrics.dashboardSummary(spark).collect()(0)
+    def g(n: String): Long = r.getAs[Long](n)
+    assert(g("queryCount") == 5 && g("errorCount") == 1)
+    assert(g("upTo3Sec") == 1 && g("upTo10Sec") == 1 &&
+      g("upTo60Sec") == 1 && g("moreThan60Sec") == 1)
+    assert(g("zeroResults") == 1 && g("upTo10KResults") == 1 &&
+      g("upTo1MResults") == 1 && g("upToINFResults") == 1)
+    // selector buckets count error rows too (addQuery tail)
+    assert(g("oneTerm") == 1 && g("upTo16Terms") == 1 && g("upTo100Terms") == 1 &&
+      g("upTo1000Terms") == 1 && g("upToInfTerms") == 1)
+    assert(g("resultCount") == 2020012 && g("selectorCount") == 2223)
+    QueryMetrics.clear()
+  }
+
   test("zero-row exhaustion probe emits no page metric") {
     QueryMetrics.clear()
     val df = (1 to 10).toDF("n")
