@@ -1,0 +1,54 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Rule-based age-off (warehouse/age-off ConfigurableAgeOffFilter
+  * .java:42-191): data survives if its age is younger than the TTL of the
+  * FIRST rule that claims it (AppliedRule.isFilterRuleApplied — rules are
+  * ordered, one winner); rows no rule claims fall to the default TTL
+  * (accept:186-188), and rows newer than the short-circuit horizon pass
+  * without consulting any rule (accept:170-172). The reference runs this
+  * as a scan/compaction iterator; here it is one chained `when` predicate
+  * — codegen'd, map-side, zero shuffle, so an age-off sweep over 100 TB
+  * is a pure scan+filter write.
+  *
+  * Rule vocabulary (DataTypeAgeOffFilter, FieldAgeOffFilter,
+  * ColumnVisibilityRegexFilter analogs) maps to `appliesTo` predicates
+  * over the event layout's columns.
+  */
+object AgeOff {
+
+  /** One ordered rule (AppliedRule): `appliesTo` decides whether the rule
+    * CLAIMS a row; a claimed row survives iff newer than scanStart − ttl. */
+  final case class Rule(appliesTo: Column, ttlMillis: Long)
+
+  /** DataTypeAgeOffFilter: claim rows of the listed datatypes. */
+  def dataTypeRule(dataTypes: Seq[String], ttlMillis: Long,
+                   typeCol: String = "datatype"): Rule =
+    Rule(col(typeCol).isin(dataTypes: _*), ttlMillis)
+
+  /** ColumnVisibilityRegexFilter: claim rows whose marking matches. */
+  def visibilityRule(pattern: String, ttlMillis: Long,
+                     visCol: String = "visibility"): Rule =
+    Rule(col(visCol).rlike(pattern), ttlMillis)
+
+  /** The accept predicate (ConfigurableAgeOffFilter.accept:163-191). */
+  def keepExpr(tsCol: String, scanStartMillis: Long, defaultTtlMillis: Long,
+               rules: Seq[Rule],
+               shortCircuitTtlMillis: Option[Long] = None): Column = {
+    def newerThan(ttl: Long): Column =
+      col(tsCol) > timestamp_millis(lit(scanStartMillis - ttl))
+    val decided = rules.foldRight(newerThan(defaultTtlMillis)) { (r, rest) =>
+      when(r.appliesTo, newerThan(r.ttlMillis)).otherwise(rest)
+    }
+    shortCircuitTtlMillis.fold(decided)(sc => newerThan(sc) || decided)
+  }
+
+  /** Surviving rows of an age-off sweep. */
+  def filter(df: DataFrame, tsCol: String, scanStartMillis: Long,
+             defaultTtlMillis: Long, rules: Seq[Rule],
+             shortCircuitTtlMillis: Option[Long] = None): DataFrame =
+    df.filter(keepExpr(tsCol, scanStartMillis, defaultTtlMillis, rules,
+      shortCircuitTtlMillis))
+}

@@ -295,7 +295,27 @@ object IngestQueries {
       }.reduce(_ unionAll _)
   }
 
+  /** Rule-based age-off sweep (ConfigurableAgeOffFilter): per-datatype
+    * TTLs with first-rule-wins order, a default TTL for unclaimed types,
+    * and a 5-day short-circuit that rescues recent rows from the
+    * aggressive error-channel rule. scanStart is pinned so the gate is
+    * deterministic. */
+  def ageOff(s: SparkSession, d: String): DataFrame = {
+    val day = 86400000L
+    val scanStart = java.time.Instant.parse("2024-01-31T00:00:00Z").toEpochMilli
+    graft.ingest.AgeOff.filter(Tables.events(s, d), "ts", scanStart,
+      defaultTtlMillis = 15 * day,
+      rules = Seq(
+        graft.ingest.AgeOff.dataTypeRule(Seq("click"), 10 * day, typeCol = "event_type"),
+        graft.ingest.AgeOff.dataTypeRule(Seq("view"), 25 * day, typeCol = "event_type"),
+        graft.ingest.AgeOff.dataTypeRule(Seq("error"), 2 * day, typeCol = "event_type")),
+      shortCircuitTtlMillis = Some(5 * day))
+      .select(col("event_id"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "age_off" -> ageOff _,
     "shard_bounds" -> shardBounds _,
     "ing_json_reader" -> ingJsonReader _,
     "handlers_dispatch" -> handlersDispatch _,
@@ -330,6 +350,15 @@ object IngestQueries {
       .map { case (f, e) => meltSql(f, e) }.mkString("(", " UNION ALL ", ")")
 
   val oracleSql: Map[String, String] = Map(
+    "age_off" ->
+      """SELECT event_id, event_type,
+        |   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+        | FROM events
+        | WHERE ts > TIMESTAMP '2024-01-26 00:00:00'
+        |    OR ts > CASE WHEN event_type = 'click' THEN TIMESTAMP '2024-01-21 00:00:00'
+        |                 WHEN event_type = 'view' THEN TIMESTAMP '2024-01-06 00:00:00'
+        |                 WHEN event_type = 'error' THEN TIMESTAMP '2024-01-29 00:00:00'
+        |                 ELSE TIMESTAMP '2024-01-16 00:00:00' END""".stripMargin,
     "ing_discovery" ->
       s"""SELECT value, field, strftime(shard_date, '%Y-%m-%d') AS day,
          |   datatype, count(*) AS cnt
