@@ -123,6 +123,30 @@ object Dedup {
     * h1 + i·h2 shortcut is measurably correlated within an LSH band and
     * loses recall. Constants ride along as one array literal; the fold is
     * cheap long arithmetic inside a single `aggregate`. */
+  /** Benchmark decontamination (training-data hygiene, net-new beyond
+    * the reference): report every corpus document sharing at least
+    * `minHits` n-gram shingles with a benchmark/eval corpus, so eval
+    * data can be scrubbed from training sets before a run.
+    *
+    * 100 TB shape: the benchmark side is small by nature (eval suites
+    * are thousands of documents, not billions), so its DISTINCT shingle
+    * hashes broadcast — the corpus is read ONCE, each document's
+    * shingles probe the broadcast set map-side, and only matching
+    * (doc, shingle) pairs reach the per-doc counting shuffle (the
+    * contaminated minority). Never a corpus×benchmark join. */
+  def contamination(docs: DataFrame, benchmark: DataFrame, n: Int = 3,
+      minHits: Int = 1, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val bench = benchmark
+      .select(explode(hashedShingles(col(textCol), n)).as("sh")).distinct()
+    spread(docs)
+      .select(col(idCol), explode(hashedShingles(col(textCol), n)).as("sh"))
+      .join(broadcast(bench), "sh")
+      // shingles() is array_distinct per doc → count = |intersection|
+      .groupBy(idCol).agg(count(lit(1)).as("hits"))
+      .filter(col("hits") >= minHits)
+  }
+
   def minhashSignature(sh: Column, numHashes: Int): Column = {
     val rnd = new scala.util.Random(42)
     val ab: Seq[(Long, Long)] = Seq.fill(numHashes)(

@@ -24,6 +24,15 @@ object PipelineQueries {
   def dedupNgram(s: SparkSession, d: String): DataFrame =
     Dedup.ngramJaccardPairs(Tables.documents(s, d), n = 3, threshold = 0.8)
 
+  /** Benchmark decontamination: every 50th document plays the eval set;
+    * corpus docs sharing ≥ 2 trigram shingles with it are flagged (the
+    * eval docs flag themselves — exactly what scrubbing wants). */
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Dedup.contamination(docs, docs.filter(col("doc_id") % 50 === 0),
+      n = 3, minHits = 2)
+  }
+
   /** MinHash+LSH near-dup pairs — same contract, bucket-join scale path.
     * 128 hashes / 32 bands: recall ≥ 1-1e-13 at j=0.8, then exact verify,
     * so the output matches the exact oracle. */
@@ -95,6 +104,7 @@ object PipelineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact _,
     "dedup_ngram_jaccard" -> dedupNgram _,
+    "decontaminate" -> decontaminate _,
     "dedup_minhash_lsh" -> dedupMinhash _,
     "dedup_simhash" -> dedupSimhash _,
     "text_analyze" -> textAnalyze _,
@@ -131,6 +141,15 @@ object PipelineQueries {
          |   count(*) AS n_copies
          | FROM documents GROUP BY 1""".stripMargin,
     "dedup_ngram_jaccard" -> jaccardPairsSql,
+    "decontaminate" ->
+      s"""WITH bench AS (
+         |  SELECT list(DISTINCT s) AS bs
+         |  FROM (SELECT unnest(sh) AS s FROM $shinglesSql
+         |        WHERE doc_id % 50 = 0)
+         |)
+         |SELECT a.doc_id, CAST(len(list_intersect(a.sh, b.bs)) AS BIGINT) AS hits
+         | FROM $shinglesSql a, bench b
+         | WHERE len(list_intersect(a.sh, b.bs)) >= 2""".stripMargin,
     "dedup_minhash_lsh" -> jaccardPairsSql,
     // dedup_simhash: the md5-derived signature makes the whole pipeline
     // deterministic across engines — the oracle replicates signature →

@@ -101,6 +101,14 @@ class PlanSpec extends SparkSpec {
       plan.contains("In(source"), plan.take(3000))
   }
 
+  test("decontamination broadcasts the benchmark shingle set") {
+    // the corpus side must never shuffle into a join — eval sets are
+    // small by nature, so their distinct shingles ride a broadcast
+    val plan = executed("decontaminate")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
   test("excerpt attachment stays a shuffle-free scan+filter+project") {
     // HIT_EXCERPT is per-row token arithmetic — a map-side projection.
     // Any Exchange here would mean the excerpt path grew a join/agg and

@@ -61,6 +61,16 @@ class DedupSpec extends SparkSpec {
     assert(merged.getAs[Long]("survivor_id") == 1L)
   }
 
+  test("contamination flags docs overlapping the benchmark by >= minHits shingles") {
+    // benchmark = doc 1; doc 3 is its normalized dup, doc 2 a near-dup
+    val bench = docs.filter($"doc_id" === 1L)
+    val hits = Dedup.contamination(docs, bench, n = 3, minHits = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("hits")).toMap
+    assert(hits.keySet == Set(1L, 2L, 3L)) // 4 shares nothing, 5 has no shingles
+    assert(hits(1L) == 7L && hits(3L) == 7L) // full self-intersection
+    assert(hits(2L) < 7L && hits(2L) >= 2L)
+  }
+
   test("ngram jaccard finds near-dup pair") {
     val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
