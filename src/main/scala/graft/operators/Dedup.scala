@@ -123,6 +123,50 @@ object Dedup {
     * h1 + i·h2 shortcut is measurably correlated within an LSH band and
     * loses recall. Constants ride along as one array literal; the fold is
     * cheap long arithmetic inside a single `aggregate`. */
+  /** Near-dup CLUSTERING: connected components over a near-dup pair
+    * graph (id_a, id_b), labeling every member with its component's
+    * minimum doc id — the survivor a dedup sweep keeps. Completes the
+    * dedup family: pairs (ngram/minhash/simhash) → components → one
+    * representative per component.
+    *
+    * Algorithm: iterative min-label propagation. Labels start as self;
+    * each round every node takes the minimum label among itself and its
+    * neighbors; converges in graph-diameter rounds. Near-dup components
+    * are small and shallow in practice (dup chains, not social graphs),
+    * so the round count stays single-digit at any corpus size; each
+    * round is one equi-join + groupBy on the EDGE list only — the corpus
+    * never re-enters the loop. The driver-side convergence probe is one
+    * `isEmpty` per round (bounded by maxIter, so a pathological graph
+    * degrades to a truncation warning, not a runaway). */
+  def clusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .unionAll(pairs
+        .select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).persist()
+    labels.count()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val next = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
+        .select(col("src").as("id"), col("nl").as("label"))
+        .unionAll(labels)
+        .groupBy("id").agg(min("label").as("label"))
+        .persist()
+      next.count()
+      converged = next.join(labels.withColumnRenamed("label", "prev"), "id")
+        .filter(col("label") < col("prev")).isEmpty
+      labels.unpersist()
+      labels = next
+      it += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Benchmark decontamination (training-data hygiene, net-new beyond
     * the reference): report every corpus document sharing at least
     * `minHits` n-gram shingles with a benchmark/eval corpus, so eval

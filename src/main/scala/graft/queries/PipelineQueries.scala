@@ -24,6 +24,12 @@ object PipelineQueries {
   def dedupNgram(s: SparkSession, d: String): DataFrame =
     Dedup.ngramJaccardPairs(Tables.documents(s, d), n = 3, threshold = 0.8)
 
+  /** Near-dup clustering: the jaccard pair graph collapses to connected
+    * components, each labeled with its min doc id (the dedup survivor). */
+  def dedupClusters(s: SparkSession, d: String): DataFrame =
+    Dedup.clusters(
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), n = 3, threshold = 0.8))
+
   /** Benchmark decontamination: every 50th document plays the eval set;
     * corpus docs sharing ≥ 2 trigram shingles with it are flagged (the
     * eval docs flag themselves — exactly what scrubbing wants). */
@@ -105,6 +111,7 @@ object PipelineQueries {
     "dedup_exact" -> dedupExact _,
     "dedup_ngram_jaccard" -> dedupNgram _,
     "decontaminate" -> decontaminate _,
+    "dedup_clusters" -> dedupClusters _,
     "dedup_minhash_lsh" -> dedupMinhash _,
     "dedup_simhash" -> dedupSimhash _,
     "text_analyze" -> textAnalyze _,
@@ -151,6 +158,19 @@ object PipelineQueries {
          | FROM $shinglesSql a, bench b
          | WHERE len(list_intersect(a.sh, b.bs)) >= 2""".stripMargin,
     "dedup_minhash_lsh" -> jaccardPairsSql,
+    // transitive closure over the (tiny) pair graph; min reachable id
+    // per node = the component label
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE p AS (SELECT id_a, id_b FROM ($jaccardPairsSql)),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM p
+         |      UNION SELECT id_b, id_a FROM p),
+         |reach AS (
+         |  SELECT src, dst FROM e
+         |  UNION
+         |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
+         |)
+         |SELECT src AS doc_id, CAST(LEAST(src, MIN(dst)) AS BIGINT) AS cluster_id
+         | FROM reach GROUP BY src""".stripMargin,
     // dedup_simhash: the md5-derived signature makes the whole pipeline
     // deterministic across engines — the oracle replicates signature →
     // 8×8-bit banding → hamming ≤ 7 → exact jaccard verify bit-for-bit.

@@ -61,6 +61,14 @@ class DedupSpec extends SparkSpec {
     assert(merged.getAs[Long]("survivor_id") == 1L)
   }
 
+  test("clusters labels transitive components with their min id") {
+    // 1-2-3 is a CHAIN (1 and 3 never pair directly) + a separate 5-6
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val out = Dedup.clusters(pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("contamination flags docs overlapping the benchmark by >= minHits shingles") {
     // benchmark = doc 1; doc 3 is its normalized dup, doc 2 a near-dup
     val bench = docs.filter($"doc_id" === 1L)
