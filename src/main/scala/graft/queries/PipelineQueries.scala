@@ -30,6 +30,14 @@ object PipelineQueries {
     Dedup.clusters(
       Dedup.ngramJaccardPairs(Tables.documents(s, d), n = 3, threshold = 0.8))
 
+  /** Deterministic stratified sampling: down-sample the over-represented
+    * en stratum to 50%, keep the rest at 90% — the corpus-mix rebalance
+    * every training pipeline runs, reproducible by construction. */
+  def sampleStratified(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling.sample(Tables.documents(s, d), "doc_id", "lang",
+        Map("en" -> 0.5), defaultRate = 0.9, salt = "s1")
+      .select("doc_id", "lang")
+
   /** Benchmark decontamination: every 50th document plays the eval set;
     * corpus docs sharing ≥ 2 trigram shingles with it are flagged (the
     * eval docs flag themselves — exactly what scrubbing wants). */
@@ -112,6 +120,7 @@ object PipelineQueries {
     "dedup_ngram_jaccard" -> dedupNgram _,
     "decontaminate" -> decontaminate _,
     "dedup_clusters" -> dedupClusters _,
+    "sample_stratified" -> sampleStratified _,
     "dedup_minhash_lsh" -> dedupMinhash _,
     "dedup_simhash" -> dedupSimhash _,
     "text_analyze" -> textAnalyze _,
@@ -158,6 +167,14 @@ object PipelineQueries {
          | FROM $shinglesSql a, bench b
          | WHERE len(list_intersect(a.sh, b.bs)) >= 2""".stripMargin,
     "dedup_minhash_lsh" -> jaccardPairsSql,
+    // same md5-derived bucket on both engines → identical keep decisions
+    "sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        | WHERE CAST(concat('0x',
+        |         substr(md5(concat(CAST(doc_id AS VARCHAR), ':s1')), 1, 8))
+        |       AS BIGINT) % 1000000
+        |   < CAST((CASE WHEN lang = 'en' THEN 0.5 ELSE 0.9 END) * 1000000
+        |       AS BIGINT)""".stripMargin,
     // transitive closure over the (tiny) pair graph; min reachable id
     // per node = the component label
     "dedup_clusters" ->

@@ -61,6 +61,24 @@ class DedupSpec extends SparkSpec {
     assert(merged.getAs[Long]("survivor_id") == 1L)
   }
 
+  test("stratified sampling is deterministic, rate-shaped, and monotone in rate") {
+    val rows = spark.range(0, 2000)
+      .select(col("id").as("doc_id"),
+        when(col("id") % 2 === 0, "en").otherwise("de").as("lang"))
+    def ids(rate: Double): Set[Long] =
+      graft.operators.Sampling.sample(rows, "doc_id", "lang",
+          Map("en" -> rate), defaultRate = 1.0, salt = "t")
+        .filter(col("lang") === "en")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val half = ids(0.5)
+    assert(half == ids(0.5))                   // deterministic
+    assert(math.abs(half.size - 500) < 80)     // ~50% of the 1000 en rows
+    assert(half.subsetOf(ids(0.8)))            // widening the rate = superset
+    // de stratum untouched at defaultRate 1.0
+    assert(graft.operators.Sampling.sample(rows, "doc_id", "lang",
+      Map("en" -> 0.5), 1.0, "t").filter(col("lang") === "de").count() == 1000)
+  }
+
   test("clusters labels transitive components with their min id") {
     // 1-2-3 is a CHAIN (1 and 3 never pair directly) + a separate 5-6
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
