@@ -42,7 +42,8 @@ final class QueryServer(
     uuidTypes: Seq[LookupUUID.UuidType] = Seq.empty) {
 
   private final case class Session(df: DataFrame, orderCols: Seq[String],
-                                   running: RunningQuery)
+                                   running: RunningQuery,
+                                   query: String = "", syntax: String = "JEXL")
   private val sessions = new ConcurrentHashMap[String, Session]()
   private val cursor = new QueryCursor(stateDir)
   private var server: HttpServer = _
@@ -93,7 +94,7 @@ final class QueryServer(
       }
       val running = new RunningQuery(cursor, queryId, result, orderCols,
         pageSize)
-      sessions.put(queryId, Session(result, orderCols, running))
+      sessions.put(queryId, Session(result, orderCols, running, q, qp.syntax))
       (200, s"""{"queryId": "$queryId"}""")
     } catch {
       case e: Exception => (400, err(e.getMessage))
@@ -146,9 +147,16 @@ final class QueryServer(
     }
   }
 
+  /** Like the reference's plan response, leads with the canonical JEXL
+    * rendering of the (translated) query, then the physical plan. */
   private def plan(params: Map[String, String]): (Int, String) = {
     val s = session(params).getOrElse(return (404, err("unknown queryId")))
-    (200, s.df.queryExecution.executedPlan.toString)
+    val jexl =
+      try graft.jexl.JexlRender.render(
+        if (s.syntax.equalsIgnoreCase("LUCENE")) graft.jexl.LuceneParser.parse(s.query)
+        else graft.jexl.JexlParser.parse(s.query))
+      catch { case _: Exception => s.query }
+    (200, s"JEXL: $jexl\n" + s.df.queryExecution.executedPlan.toString)
   }
 
   private def metrics(params: Map[String, String]): (Int, String) = {

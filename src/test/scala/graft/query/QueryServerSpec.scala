@@ -41,6 +41,8 @@ class QueryServerSpec extends SparkSpec {
       assert(plan.statusCode() == 200)
       assert(plan.body().contains("InMemory") || plan.body().contains("Scan"),
         plan.body().take(500))
+      // the canonical JEXL rendering of the query leads the response
+      assert(plan.body().startsWith("JEXL: "), plan.body().take(200))
 
       // page 1: 10 rows, page 2: the remaining 2 (12 even ids ≤ 25),
       // page 3: 204 exhausted
