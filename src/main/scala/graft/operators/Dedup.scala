@@ -129,42 +129,79 @@ object Dedup {
     * dedup family: pairs (ngram/minhash/simhash) → components → one
     * representative per component.
     *
-    * Algorithm: iterative min-label propagation. Labels start as self;
-    * each round every node takes the minimum label among itself and its
-    * neighbors; converges in graph-diameter rounds. Near-dup components
-    * are small and shallow in practice (dup chains, not social graphs),
-    * so the round count stays single-digit at any corpus size; each
-    * round is one equi-join + groupBy on the EDGE list only — the corpus
-    * never re-enters the loop. The driver-side convergence probe is one
-    * `isEmpty` per round (bounded by maxIter, so a pathological graph
-    * degrades to a truncation warning, not a runaway). */
-  def clusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs
+    * The pair graph is orders of magnitude smaller than the corpus it
+    * came from (it holds only near-duplicates), so the common case is a
+    * policy-bounded driver union-find — `driverBound` pairs ≈ 16 MB at
+    * the 1M default, the same planner-side materialization pattern as
+    * NeedleScan's range collect. Past the bound it falls back to
+    * distributed min-label propagation: labels start as self, each
+    * round every node takes the min label among itself and neighbors
+    * (one equi-join + groupBy over the EDGE list only — the corpus
+    * never enters the loop), converging in component-diameter rounds
+    * with a single driver action per round and a maxIter backstop. */
+  def clusters(pairs: DataFrame, maxIter: Int = 20,
+               driverBound: Long = 1000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    val edgesOnce = pairs
       .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
-      .unionAll(pairs
-        .select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
       .persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).persist()
-    labels.count()
-    var converged = false
-    var it = 0
-    while (!converged && it < maxIter) {
-      val next = edges
-        .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
-        .select(col("src").as("id"), col("nl").as("label"))
-        .unionAll(labels)
-        .groupBy("id").agg(min("label").as("label"))
+    val nPairs = edgesOnce.count()
+
+    if (nPairs <= driverBound) {
+      // Union-find keeping the min id as every root (union attaches the
+      // larger root under the smaller, so root == component minimum).
+      val edgeRows = edgesOnce.collect().map(r => (r.getLong(0), r.getLong(1)))
+      edgesOnce.unpersist()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edgeRows.foreach { case (x, y) =>
+        val (a, b) = (find(x), find(y))
+        if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
+      }
+      val nodes = edgeRows.flatMap(p => Seq(p._1, p._2)).distinct
+      val out = nodes.map(x => org.apache.spark.sql.Row(x, find(x)))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("cluster_id",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(out.toIndexedSeq, numSlices = 1), schema)
+    } else {
+      val edges = edgesOnce
+        .unionAll(edgesOnce.select(col("dst").as("src"), col("src").as("dst")))
         .persist()
-      next.count()
-      converged = next.join(labels.withColumnRenamed("label", "prev"), "id")
-        .filter(col("label") < col("prev")).isEmpty
-      labels.unpersist()
-      labels = next
-      it += 1
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")).persist()
+      labels.count()
+      var converged = false
+      var it = 0
+      while (!converged && it < maxIter) {
+        val next = edges
+          .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
+          .select(col("src").as("id"), col("nl").as("label"))
+          .unionAll(labels)
+          .groupBy("id").agg(min("label").as("label"))
+          .persist()
+        // one action per round: the change count both materializes
+        // `next` into its cache and decides convergence
+        val changed = next
+          .join(labels.select(col("id"), col("label").as("prev")), "id")
+          .filter(col("label") < col("prev")).count()
+        converged = changed == 0
+        labels.unpersist()
+        labels = next
+        it += 1
+      }
+      edges.unpersist(); edgesOnce.unpersist()
+      labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
     }
-    edges.unpersist()
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
   /** Benchmark decontamination (training-data hygiene, net-new beyond

@@ -79,12 +79,15 @@ class DedupSpec extends SparkSpec {
       Map("en" -> 0.5), 1.0, "t").filter(col("lang") === "de").count() == 1000)
   }
 
-  test("clusters labels transitive components with their min id") {
-    // 1-2-3 is a CHAIN (1 and 3 never pair directly) + a separate 5-6
-    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
-    val out = Dedup.clusters(pairs).collect()
+  test("clusters labels transitive components with their min id (both paths)") {
+    // 1-2-3 is a CHAIN (1 and 3 never pair directly) + a separate 5-6;
+    // reversed pair order (3,2) exercises min-root maintenance
+    val pairs = Seq((3L, 2L), (1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L)
+    def run(bound: Long) = Dedup.clusters(pairs, driverBound = bound).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
-    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+    assert(run(1000000L) == expect) // driver union-find fast path
+    assert(run(0L) == expect)       // distributed label propagation
   }
 
   test("contamination flags docs overlapping the benchmark by >= minHits shingles") {
