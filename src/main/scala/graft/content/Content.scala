@@ -40,11 +40,8 @@ object Content {
       tf.filter(col("term") === t)
         .select(col("doc_id"), col("positions").as(s"p$i"), col("score").as(s"s$i"))
     }.reduce((a, b) => a.join(b, "doc_id"))
-    val phraseCond = exists(col("p0"), p =>
-      terms.indices.drop(1).map(i => array_contains(col(s"p$i"), p + i))
-        .reduceOption(_ && _).getOrElse(lit(true)))
     val scoreCond = terms.indices.map(i => col(s"s$i") >= minScore).reduce(_ && _)
-    withScores.filter(phraseCond && scoreCond).select("doc_id")
+    withScores.filter(phraseChain(terms) && scoreCond).select("doc_id")
   }
 
   /** Direct term-frequency lookup — TermFrequencyQueryTable analog
@@ -87,16 +84,29 @@ object Content {
     tf.filter(col("term") === term)
       .select(col("doc_id"), col("positions").as(s"p$idx"))
 
-  /** Docs where the exact ordered phrase occurs (content:phrase,
-    * ContentFunctions.java:184-213): positions must be consecutive. */
+  /** Docs where the ordered phrase occurs (content:phrase,
+    * ContentFunctions.java:184-213). Successor rule per
+    * ContentOrderedEvaluator.isWithIn (:321-355): each next term's
+    * position must lie in [prev, prev + 1] — the SAME position is a
+    * legal step when the terms differ (synonym tokens share an offset;
+    * ContentFunctionsTest reverseAllSharedTokenIndex expects a phrase
+    * satisfied entirely at one position), while a repeated query term
+    * must advance (isSameTerm guard, :164). */
   def phrase(tf: DataFrame, terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty)
     val joined = joinTerms(tf, terms)
-    val cond = exists(col("p0"), p =>
-      terms.indices.drop(1).map(i =>
-        array_contains(col(s"p$i"), p + i)).reduceOption(_ && _)
-        .getOrElse(lit(true)))
-    joined.filter(cond).select("doc_id")
+    joined.filter(phraseChain(terms)).select("doc_id")
+  }
+
+  /** ∃ x₀∈p0, …, xₖ∈pk with xᵢ ∈ [xᵢ₋₁ (+1 if same term), xᵢ₋₁+1]. */
+  private def phraseChain(terms: Seq[String]): Column = {
+    def nest(i: Int, prev: Column): Column =
+      if (i == terms.size) lit(true)
+      else {
+        val lo = if (terms(i) == terms(i - 1)) prev + 1 else prev
+        exists(col(s"p$i"), x => x >= lo && x <= prev + 1 && nest(i + 1, x))
+      }
+    exists(col("p0"), x0 => nest(1, x0))
   }
 
   /** Docs where all terms occur within a window of `dist` positions

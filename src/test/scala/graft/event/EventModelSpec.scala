@@ -84,6 +84,36 @@ class ContentSpec extends SparkSpec {
       .filter(col("doc_id") === 1).head()
     assert(e.getAs[String]("excerpt") == "alas poor yorick i")
   }
+
+  // Shared-token-index cases ported from the reference evaluator suite
+  // (ContentFunctionsTest.java reverse/forward/reverseAll SharedTokenIndex:
+  // synonym tokens share an offset, and a phrase step may stay in place
+  // when the terms differ — ContentOrderedEvaluator.isWithIn :321-355).
+  private def tfOf(rows: (String, Seq[Int])*): org.apache.spark.sql.DataFrame =
+    rows.toSeq.map { case (t, ps) => (7L, t, ps) }.toDF("doc_id", "term", "positions")
+
+  test("phrase may share a token index between DIFFERENT terms") {
+    val shared = tfOf(
+      "a" -> Seq(234, 239, 252, 257, 265, 281, 286, 340, 363, 367),
+      "b" -> Seq(212, 229, 252, 272),
+      "c" -> Seq(1, 101, 202, 213, 253, 312, 336))
+    assert(ids(Content.phrase(shared, Seq("a", "b", "c"))) == Set(7L)) // a@252,b@252,c@253
+    val forward = tfOf(
+      "a" -> Seq(234, 239, 252, 257, 265, 281, 286, 340, 363, 367),
+      "b" -> Seq(212, 229, 252, 272),
+      "c" -> Seq(1, 101, 202, 213, 251, 312, 336))
+    assert(ids(Content.phrase(forward, Seq("c", "b", "a"))) == Set(7L)) // c@251,b@252,a@252
+    val allShared = tfOf(
+      "a" -> Seq(234, 239, 252, 257), "b" -> Seq(212, 252), "c" -> Seq(213, 252))
+    assert(ids(Content.phrase(allShared, Seq("a", "b", "c"))) == Set(7L)) // all @252
+  }
+
+  test("a repeated query term must advance — no double-counting one token") {
+    val once = tfOf("x" -> Seq(5))
+    assert(ids(Content.phrase(once, Seq("x", "x"))).isEmpty)
+    val twice = tfOf("x" -> Seq(5, 6))
+    assert(ids(Content.phrase(twice, Seq("x", "x"))) == Set(7L))
+  }
 }
 
 class EdgesSpec extends SparkSpec {
