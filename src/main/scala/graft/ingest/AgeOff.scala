@@ -33,6 +33,19 @@ object AgeOff {
                      visCol: String = "visibility"): Rule =
     Rule(col(visCol).rlike(pattern), ttlMillis)
 
+  /** ColumnVisibilityTokenizingFilter + TokenTtlTrie.scan(:40-84): the
+    * marking is scanned for configured tokens and the FIRST-configured
+    * token present decides the TTL (configuration order is priority).
+    * One ordered Rule per token — the first-claim-wins chain IS the
+    * trie's priority scan. Tokens match whole visibility atoms, not
+    * substrings. */
+  def visibilityTokenRules(specs: Seq[(String, Long)],
+                           visCol: String = "visibility"): Seq[Rule] =
+    specs.map { case (tok, ttl) =>
+      Rule(col(visCol).rlike(
+        "(^|[&|()])" + java.util.regex.Pattern.quote(tok) + "([&|()]|$)"), ttl)
+    }
+
   /** The accept predicate (ConfigurableAgeOffFilter.accept:163-191). */
   def keepExpr(tsCol: String, scanStartMillis: Long, defaultTtlMillis: Long,
                rules: Seq[Rule],

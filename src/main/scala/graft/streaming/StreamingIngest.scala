@@ -95,7 +95,10 @@ object StreamingIngest {
   /** Age-off maintenance (age-off filter analog,
     * FieldAgeOffFilter.java:39): retention as a scheduled DELETE — in
     * plain parquet terms, rewrite keeping young rows. Returns the surviving
-    * frame; a Delta deployment issues `DELETE WHERE` instead. */
+    * frame; a Delta deployment issues `DELETE WHERE` instead. For
+    * rule-ordered retention (per-datatype / visibility-token TTLs,
+    * short-circuit horizon) use [[graft.ingest.AgeOff]]; this helper is
+    * the single-TTL fast path. */
   def ageOff(df: DataFrame, tsCol: String, ttl: String): DataFrame =
     df.filter(col(tsCol) >= current_timestamp() - expr(s"INTERVAL $ttl"))
 }

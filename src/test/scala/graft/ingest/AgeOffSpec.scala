@@ -51,6 +51,24 @@ class AgeOffSpec extends SparkSpec {
       shortCircuitTtlMillis = Some(3 * day))) == Set(1L, 4L))
   }
 
+  test("visibility-token rules: first-configured token present wins") {
+    val vis = Seq(
+      (1L, "PII&OPS", "2024-01-22 12:00:00"),   // 10 days old
+      (2L, "OPS", "2024-01-22 12:00:00"),
+      (3L, "PUBLIC", "2024-01-22 12:00:00"))
+      .toDF("id", "visibility", "ts")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    // OPS configured first → its 30d TTL claims row 1 despite PII's 2d
+    val opsFirst = AgeOff.visibilityTokenRules(Seq("OPS" -> 30 * day, "PII" -> 2 * day))
+    assert(ids(AgeOff.filter(vis, "ts", scanStart, 5 * day, opsFirst)) == Set(1L, 2L))
+    // PII configured first → row 1 ages off under the 2d TTL
+    val piiFirst = AgeOff.visibilityTokenRules(Seq("PII" -> 2 * day, "OPS" -> 30 * day))
+    assert(ids(AgeOff.filter(vis, "ts", scanStart, 5 * day, piiFirst)) == Set(2L))
+    // token matching is atom-level: 'PI' must not claim 'PII'
+    val sub = AgeOff.visibilityTokenRules(Seq("PI" -> 30 * day))
+    assert(ids(AgeOff.filter(vis, "ts", scanStart, 5 * day, sub)).isEmpty)
+  }
+
   test("visibility-pattern rule claims by marking regex") {
     val vis = Seq((1L, "PII&OPS", "2024-01-20 12:00:00"),
       (2L, "PUBLIC", "2024-01-20 12:00:00"))
