@@ -511,14 +511,19 @@ private object Functions {
       // instance (GroupingRequiredFilterFunctions.java:45-371). Wide
       // layout: repeated-field instances are arrays aligned by group index.
       case ("grouping",
-          "matchesingroup" | "matchesingroupleft" | "getgroupsformatchesingroup",
+          gname @ ("matchesingroup" | "matchesingroupleft" |
+            "getgroupsformatchesingroup"),
           args) =>
-        val pairs = args.grouped(2).map {
-          case List(FieldArg(f), LitArg(v)) => (f, v)
-          case _ => throw new ParseException(
-            "grouping:matchesInGroup expects (field, value) pairs")
-        }.toList
-        matchesInGroup(ctx, pairs)
+        val (pairs, pos) = groupingPairs(args)
+        // matchesInGroup keys on the TRAILING segments of the grouping
+        // context; matchesInGroupLeft on the ancestor PREFIX
+        // (GroupingRequiredFilterFunctions.java:49,257: an odd trailing
+        // integer argument is the zero-based split position).
+        val ident: Column => Column =
+          if (gname == "matchesingroupleft")
+            graft.operators.Grouping.contextLeft(_, pos)
+          else graft.operators.Grouping.contextRight(_, pos)
+        matchesInGroup(ctx, pairs, ident)
       case ("grouping", "atomvaluesmatch", FieldArg(f1) :: FieldArg(f2) :: Nil) =>
         arrays_overlap(asStringArray(ctx, f1), asStringArray(ctx, f2))
 
@@ -708,7 +713,30 @@ private object Functions {
     *  - scalar — singleton group "0".
     * Values match as anchored regex when the literal carries regex
     * metacharacters, else as equality. */
-  private def matchesInGroup(ctx: CompileCtx, pairs: List[(String, Literal)]): Column = {
+  /** Split `grouping:` args into (field, value) pairs + the optional
+    * trailing position integer (odd arg count,
+    * GroupingRequiredFilterFunctions.java:49). */
+  private def groupingPairs(args: List[Arg]): (List[(String, Literal)], Int) = {
+    val (pairArgs, pos) =
+      if (args.length % 2 == 1) args.last match {
+        case LitArg(p) =>
+          (args.init,
+            try p.raw.trim.toInt
+            catch { case _: NumberFormatException => throw new ParseException(
+              s"grouping: trailing position argument must be an integer, got '${p.raw}'") })
+        case _ => throw new ParseException(
+          "grouping: odd trailing argument must be the position integer")
+      } else (args, 0)
+    val pairs = pairArgs.grouped(2).map {
+      case List(FieldArg(f), LitArg(v)) => (f, v)
+      case _ => throw new ParseException(
+        "grouping:matchesInGroup expects (field, value) pairs")
+    }.toList
+    (pairs, pos)
+  }
+
+  private def matchesInGroup(ctx: CompileCtx, pairs: List[(String, Literal)],
+                             ident: Column => Column): Column = {
     require(pairs.nonEmpty)
     def entries(f: String): Column = ctx.fieldType(f) match {
       case Some(ArrayType(st: StructType, _))
@@ -725,11 +753,14 @@ private object Functions {
     }
     val es = pairs.map { case (f, v) => (entries(f), v) }
     val (e1, v1) = es.head
-    exists(e1, x =>
-      es.tail.foldLeft(valueMatch(x.getField("value"), v1)) { case (acc, (ek, vk)) =>
-        acc && exists(ek, y => valueMatch(y.getField("value"), vk) &&
-          y.getField("group") === x.getField("group"))
-      })
+    exists(e1, x => {
+      val gx = ident(x.getField("group"))
+      es.tail.foldLeft(valueMatch(x.getField("value"), v1) && gx.isNotNull) {
+        case (acc, (ek, vk)) =>
+          acc && exists(ek, y => valueMatch(y.getField("value"), vk) &&
+            ident(y.getField("group")) === gx)
+      }
+    })
   }
 
   private def valueMatch(s: Column, v: Literal): Column =

@@ -40,6 +40,33 @@ object Grouping {
         .select(col("uid"), col("group")).distinct()
     }.reduce((a, b) => a.join(b, Seq("uid", "group")))
 
+  /** Group identity under matchesInGroup: the LAST `pos`+1 dot-segments of
+    * the grouping context (EvaluationPhaseFilterFunctions
+    * .getMatchToRightOfPeriod:1692 — the field-name prefix contributes one
+    * period, so the context alone needs ≥ pos+1 segments; null — never
+    * matching — otherwise). pos=0 on `g_0.p_0.c_1` → `c_1`; on a simple
+    * label `3` → `3` (identity). */
+  def contextRight(label: Column, pos: Int): Column = {
+    if (pos == 0) element_at(split(label, "\\."), -1)
+    else {
+      val parts = split(label, "\\.")
+      when(size(parts) >= pos + 1,
+        array_join(slice(parts, size(parts) - pos, lit(pos + 1)), "."))
+    }
+  }
+
+  /** Group identity under matchesInGroupLeft: the context with its last
+    * `pos`+1 segments removed (getMatchToLeftOfPeriod:1661) — siblings
+    * under the same ancestor share an identity. Null when the context has
+    * too few levels, so single-level groups (`NAME.0`) never co-occur
+    * under Left, as in the reference. pos=0 on `g_0.p_0.c_1` → `g_0.p_0`;
+    * pos=1 → `g_0`. */
+  def contextLeft(label: Column, pos: Int): Column = {
+    val parts = split(label, "\\.")
+    when(size(parts) - pos - 1 >= 1,
+      array_join(slice(parts, lit(1), size(parts) - pos - 1), "."))
+  }
+
   /** #GROUPBY with grouping-context pairing (DocumentGrouper.java:118):
     * group documents by the VALUES of `keyFields` paired per group
     * instance, aggregating `aggFields` — e.g. GROUPBY(NAME) SUM(AGE)

@@ -225,16 +225,38 @@ final class ShardQueryLogic(
           !params.hitList &&
           Seq("uid", "field", "group", "value").forall(c =>
             df.columns.exists(_.equalsIgnoreCase(c))) =>
-      val pairs = args.grouped(2).toList
-      val conds = pairs.collect {
-        case List(Node.FieldArg(f), Node.LitArg(v)) =>
-          graft.operators.Grouping.FieldMatch(f, Compiler.literalPredicate(v))
-      }
-      if (conds.size != pairs.size) None
-      else {
-        val uids = graft.operators.Grouping.matchesInGroup(df, conds)
-        val uidCol = df.columns.find(_.equalsIgnoreCase("uid")).get
-        Some(df.join(uids.withColumnRenamed("uid", uidCol), Seq(uidCol), "left_semi"))
+      // optional odd trailing integer = zero-based context split position
+      // (GroupingRequiredFilterFunctions.java:49,257)
+      val split: Option[(List[Node.Arg], Int)] =
+        if (args.length % 2 == 0) Some((args, 0))
+        else args.last match {
+          case Node.LitArg(p) =>
+            scala.util.Try(p.raw.trim.toInt).toOption.map(i => (args.init, i))
+          case _ => None
+        }
+      split.flatMap { case (pairArgs, pos) =>
+        val pairs = pairArgs.grouped(2).toList
+        val conds = pairs.collect {
+          case List(Node.FieldArg(f), Node.LitArg(v)) =>
+            graft.operators.Grouping.FieldMatch(f, Compiler.literalPredicate(v))
+        }
+        if (conds.size != pairs.size) None
+        else {
+          // Rekey the long layout's context column to the mode's group
+          // identity (trailing segments for matchesInGroup, ancestor
+          // prefix for Left) so the equi-join matches the wide-layout
+          // compiler's semantics on dotted contexts too.
+          val groupCol = df.columns.find(_.equalsIgnoreCase("group")).get
+          val ident =
+            if (name.equalsIgnoreCase("matchesingroupleft"))
+              graft.operators.Grouping.contextLeft(col(groupCol).cast("string"), pos)
+            else
+              graft.operators.Grouping.contextRight(col(groupCol).cast("string"), pos)
+          val keyed = df.withColumn(groupCol, ident).filter(col(groupCol).isNotNull)
+          val uids = graft.operators.Grouping.matchesInGroup(keyed, conds)
+          val uidCol = df.columns.find(_.equalsIgnoreCase("uid")).get
+          Some(df.join(uids.withColumnRenamed("uid", uidCol), Seq(uidCol), "left_semi"))
+        }
       }
     case _ => None
   }

@@ -102,4 +102,62 @@ class QueryOptionsSpec extends SparkSpec {
       .select("uid").collect().map(_.getLong(0)).toSet
     assert(g == Set(10L))
   }
+
+  test("matchesInGroupLeft keys on the ancestor prefix; Right on trailing segments") {
+    // WiseGuys-style nested contexts (GroupingRequiredFilterFunctionsTest):
+    // uid 1: SANTINO and FREDO under the same parent p_0, LUCA under p_1;
+    // uid 2: SANTINO and FREDO under different parents of one grandparent.
+    val wide = Seq(
+      (1L, Seq(("g_0.p_0.c_0", "SANTINO"), ("g_0.p_0.c_1", "FREDO"),
+               ("g_0.p_1.c_0", "LUCA"))),
+      (2L, Seq(("g_0.p_0.c_0", "SANTINO"), ("g_0.p_1.c_0", "FREDO"))))
+      .toDF("uid", "NAME")
+      .withColumn("NAME",
+        expr("transform(NAME, x -> named_struct('group', x._1, 'value', x._2))"))
+    def uids(q: String): Set[Long] =
+      Compiler.filter(wide, q, QueryModel(), QueryPolicy(fullTableScanEnabled = true))
+        .select("uid").collect().map(_.getLong(0)).toSet
+
+    // Left pos=0: same parent required
+    assert(uids("grouping:matchesInGroupLeft(NAME, 'SANTINO', NAME, 'FREDO')")
+      == Set(1L))
+    assert(uids("grouping:matchesInGroupLeft(NAME, 'SANTINO', NAME, 'LUCA')")
+      == Set.empty)
+    // Left pos=1: same grandparent suffices
+    assert(uids("grouping:matchesInGroupLeft(NAME, 'SANTINO', NAME, 'FREDO', 1)")
+      == Set(1L, 2L))
+    // Right pos=0 compares the trailing segment only: uid 2's pair share c_0
+    assert(uids("grouping:matchesInGroup(NAME, 'SANTINO', NAME, 'FREDO')")
+      == Set(2L))
+    // Right pos=1: parent.child must agree → nobody
+    assert(uids("grouping:matchesInGroup(NAME, 'SANTINO', NAME, 'FREDO', 1)")
+      == Set.empty)
+
+    // single-level groups never co-occur under Left (too few context levels)
+    val flat = Seq((9L, Seq("anna"), Seq("30"))).toDF("uid", "NAME", "AGE")
+    val left = Compiler.filter(flat,
+        "grouping:matchesInGroupLeft(NAME, 'anna', AGE, '30')",
+        QueryModel(), QueryPolicy(fullTableScanEnabled = true))
+      .select("uid").collect()
+    assert(left.isEmpty)
+  }
+
+  test("long-layout route honors Left/Right context identities") {
+    val long = Seq(
+      ("u1", "g_0.p_0.c_0", "NAME", "santino"),
+      ("u1", "g_0.p_0.c_1", "NAME", "fredo"),
+      ("u2", "g_0.p_0.c_0", "NAME", "santino"),
+      ("u2", "g_0.p_1.c_0", "NAME", "fredo"))
+      .toDF("uid", "group", "field", "value")
+    val logic = new ShardQueryLogic(policy = QueryPolicy(fullTableScanEnabled = true))
+    def uids(q: String): Set[String] =
+      logic.query(long, q, QueryParams())
+        .select("uid").distinct().collect().map(_.getString(0)).toSet
+    assert(uids("grouping:matchesInGroupLeft(NAME, 'santino', NAME, 'fredo')")
+      == Set("u1"))
+    assert(uids("grouping:matchesInGroup(NAME, 'santino', NAME, 'fredo')")
+      == Set("u2"))
+    assert(uids("grouping:matchesInGroupLeft(NAME, 'santino', NAME, 'fredo', 1)")
+      == Set("u1", "u2"))
+  }
 }
