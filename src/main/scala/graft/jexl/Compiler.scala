@@ -518,12 +518,19 @@ private object Functions {
         // matchesInGroup keys on the TRAILING segments of the grouping
         // context; matchesInGroupLeft on the ancestor PREFIX
         // (GroupingRequiredFilterFunctions.java:49,257: an odd trailing
-        // integer argument is the zero-based split position).
-        val ident: Column => Column =
-          if (gname == "matchesingroupleft")
-            graft.operators.Grouping.contextLeft(_, pos)
+        // integer argument is the zero-based split position). Left splits
+        // BOTH sides at pos; Right is asymmetric — only the FIRST field is
+        // split at pos, every later field compares its subgroup (last
+        // segment, getSubgroup:141) against it, so pos>0 can only match
+        // when the first field's split context is itself one segment.
+        val left = gname == "matchesingroupleft"
+        val identFirst: Column => Column =
+          if (left) graft.operators.Grouping.contextLeft(_, pos)
           else graft.operators.Grouping.contextRight(_, pos)
-        matchesInGroup(ctx, pairs, ident)
+        val identRest: Column => Column =
+          if (left) identFirst
+          else graft.operators.Grouping.contextRight(_, 0)
+        matchesInGroup(ctx, pairs, identFirst, identRest)
       case ("grouping", "atomvaluesmatch", FieldArg(f1) :: FieldArg(f2) :: Nil) =>
         arrays_overlap(asStringArray(ctx, f1), asStringArray(ctx, f2))
 
@@ -701,21 +708,12 @@ private object Functions {
       .otherwise(lit(false))
   }
 
-  /** All (field, value) conditions within the SAME grouping-context
-    * instance. A group may hold SEVERAL instances of one field (NAME.3
-    * twice), so this is existential per group label, not per array slot:
-    * ∃ e₁ of F₁ matching v₁ such that every other Fₖ has a matching
-    * instance with the same group label.
-    *
-    * Field encodings accepted:
-    *  - `array<struct<group,value>>` — explicit grouping context;
-    *  - plain `array<…>` — positional groups (slot i = group "i");
-    *  - scalar — singleton group "0".
-    * Values match as anchored regex when the literal carries regex
-    * metacharacters, else as equality. */
   /** Split `grouping:` args into (field, value) pairs + the optional
     * trailing position integer (odd arg count,
-    * GroupingRequiredFilterFunctions.java:49). */
+    * GroupingRequiredFilterFunctions.java:49). Negative positions are
+    * rejected loudly — the reference throws ArrayIndexOutOfBoundsException
+    * from getMatchToRightOfPeriod on them; silently treating them as
+    * "no context" would degrade the query to ungrouped co-occurrence. */
   private def groupingPairs(args: List[Arg]): (List[(String, Literal)], Int) = {
     val (pairArgs, pos) =
       if (args.length % 2 == 1) args.last match {
@@ -727,6 +725,8 @@ private object Functions {
         case _ => throw new ParseException(
           "grouping: odd trailing argument must be the position integer")
       } else (args, 0)
+    if (pos < 0) throw new ParseException(
+      s"grouping: position argument must be >= 0, got $pos")
     val pairs = pairArgs.grouped(2).map {
       case List(FieldArg(f), LitArg(v)) => (f, v)
       case _ => throw new ParseException(
@@ -735,8 +735,23 @@ private object Functions {
     (pairs, pos)
   }
 
+  /** All (field, value) conditions within the SAME grouping-context
+    * instance. A group may hold SEVERAL instances of one field (NAME.3
+    * twice), so this is existential per group label, not per array slot:
+    * ∃ e₁ of F₁ matching v₁ such that every other Fₖ has a matching
+    * instance with the same group label. `identFirst` keys the first
+    * field's context, `identRest` the remaining fields' (the reference is
+    * asymmetric under a position argument — see the dispatch site).
+    *
+    * Field encodings accepted:
+    *  - `array<struct<group,value>>` — explicit grouping context;
+    *  - plain `array<…>` — positional groups (slot i = group "i");
+    *  - scalar — singleton group "0".
+    * Values match as anchored regex when the literal carries regex
+    * metacharacters, else as equality. */
   private def matchesInGroup(ctx: CompileCtx, pairs: List[(String, Literal)],
-                             ident: Column => Column): Column = {
+                             identFirst: Column => Column,
+                             identRest: Column => Column): Column = {
     require(pairs.nonEmpty)
     def entries(f: String): Column = ctx.fieldType(f) match {
       case Some(ArrayType(st: StructType, _))
@@ -754,11 +769,11 @@ private object Functions {
     val es = pairs.map { case (f, v) => (entries(f), v) }
     val (e1, v1) = es.head
     exists(e1, x => {
-      val gx = ident(x.getField("group"))
+      val gx = identFirst(x.getField("group"))
       es.tail.foldLeft(valueMatch(x.getField("value"), v1) && gx.isNotNull) {
         case (acc, (ek, vk)) =>
           acc && exists(ek, y => valueMatch(y.getField("value"), vk) &&
-            ident(y.getField("group")) === gx)
+            identRest(y.getField("group")) === gx)
       }
     })
   }

@@ -24,11 +24,24 @@ object Grouping {
     * Plan: per-condition filtered scans of the long table, inner-joined on
     * (uid, group) — the reference's per-document merge join over `fi`
     * keys becomes a keyed join, co-partitioned on uid. */
-  def matchesInGroup(long: DataFrame, conditions: Seq[FieldMatch]): DataFrame = {
-    require(conditions.nonEmpty)
-    conditions.zipWithIndex.map { case (c, i) =>
+  def matchesInGroup(long: DataFrame, conditions: Seq[FieldMatch]): DataFrame =
+    matchesInGroupKeyed(long, conditions,
+      conditions.map(_ => (c: Column) => c))
+
+  /** [[matchesInGroup]] with a per-condition group-identity transform,
+    * applied AFTER each condition's filtered scan (so only matching rows
+    * pay the rekey, never the whole frame). Mirrors the reference's
+    * asymmetric position handling: the caller passes the first field's
+    * pos-split identity and the remaining fields' subgroup identity
+    * (GroupingRequiredFilterFunctions.manageMatchesInGroupRemainingArgs). */
+  def matchesInGroupKeyed(long: DataFrame, conditions: Seq[FieldMatch],
+                          idents: Seq[Column => Column]): DataFrame = {
+    require(conditions.nonEmpty && idents.size == conditions.size)
+    conditions.zip(idents).map { case (c, ident) =>
       long.filter(col("field") === c.field && c.predicate(col("value")))
-        .select(col("uid"), col("group")).distinct()
+        .select(col("uid"), ident(col("group").cast("string")).as("group"))
+        .filter(col("group").isNotNull)
+        .distinct()
     }.reduce((a, b) => a.join(b, Seq("uid", "group")))
       .select("uid").distinct()
   }
@@ -47,7 +60,9 @@ object Grouping {
     * matching — otherwise). pos=0 on `g_0.p_0.c_1` → `c_1`; on a simple
     * label `3` → `3` (identity). */
   def contextRight(label: Column, pos: Int): Column = {
-    if (pos == 0) element_at(split(label, "\\."), -1)
+    // pos=0 (the common case) is one codegen'd substring_index — no array
+    // materialization; returns the whole label when it has no periods.
+    if (pos == 0) substring_index(label, ".", -1)
     else {
       val parts = split(label, "\\.")
       when(size(parts) >= pos + 1,

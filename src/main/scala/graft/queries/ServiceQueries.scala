@@ -88,7 +88,7 @@ object ServiceQueries {
     val logic = new ShardQueryLogic()
     val events = Filtered.query(
         Filtered.ByParameter("include.events"), params, auths) {
-      logic.query(Tables.events(s, d), "EVENT_TYPE == 'login'",
+      logic.query(Tables.events(s, d), "EVENT_TYPE == 'click'",
           QueryParams(returnFields = Seq("event_id")))
         .select(col("event_id").cast("string").as("id"),
           lit("events").as("logic_name"))
@@ -216,7 +216,7 @@ object ServiceQueries {
     // the orders leg is filtered out by auth → only the events leg's rows
     "filtered_query" ->
       """SELECT CAST(event_id AS VARCHAR) AS id, 'events' AS logic_name
-        | FROM events WHERE event_type = 'login'""".stripMargin,
+        | FROM events WHERE event_type = 'click'""".stripMargin,
     "lookup_uuid" ->
       """SELECT event_id, user_id, event_type FROM events
         | WHERE event_id IN (5, 6) OR user_id = 42""".stripMargin,

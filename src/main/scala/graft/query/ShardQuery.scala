@@ -242,18 +242,21 @@ final class ShardQueryLogic(
         }
         if (conds.size != pairs.size) None
         else {
-          // Rekey the long layout's context column to the mode's group
-          // identity (trailing segments for matchesInGroup, ancestor
-          // prefix for Left) so the equi-join matches the wide-layout
-          // compiler's semantics on dotted contexts too.
-          val groupCol = df.columns.find(_.equalsIgnoreCase("group")).get
-          val ident =
-            if (name.equalsIgnoreCase("matchesingroupleft"))
-              graft.operators.Grouping.contextLeft(col(groupCol).cast("string"), pos)
-            else
-              graft.operators.Grouping.contextRight(col(groupCol).cast("string"), pos)
-          val keyed = df.withColumn(groupCol, ident).filter(col(groupCol).isNotNull)
-          val uids = graft.operators.Grouping.matchesInGroup(keyed, conds)
+          if (pos < 0) throw new ParseException(
+            s"grouping: position argument must be >= 0, got $pos")
+          // Per-condition group identities, applied inside each condition's
+          // filtered scan (never a whole-frame rekey): Left splits BOTH
+          // sides at pos; Right is asymmetric per the reference — first
+          // field at pos, later fields by subgroup (last segment).
+          val left = name.equalsIgnoreCase("matchesingroupleft")
+          val identFirst: Column => Column =
+            if (left) graft.operators.Grouping.contextLeft(_, pos)
+            else graft.operators.Grouping.contextRight(_, pos)
+          val identRest: Column => Column =
+            if (left) identFirst
+            else graft.operators.Grouping.contextRight(_, 0)
+          val idents = identFirst +: Seq.fill(conds.size - 1)(identRest)
+          val uids = graft.operators.Grouping.matchesInGroupKeyed(df, conds, idents)
           val uidCol = df.columns.find(_.equalsIgnoreCase("uid")).get
           Some(df.join(uids.withColumnRenamed("uid", uidCol), Seq(uidCol), "left_semi"))
         }

@@ -132,6 +132,27 @@ class QueryOptionsSpec extends SparkSpec {
     // Right pos=1: parent.child must agree → nobody
     assert(uids("grouping:matchesInGroup(NAME, 'SANTINO', NAME, 'FREDO', 1)")
       == Set.empty)
+    // Right pos>0 is ASYMMETRIC per the reference (manageMatchesInGroup-
+    // RemainingArgs compares later fields' SUBGROUP — last segment only —
+    // against the first field's pos-split context): even when two values
+    // share their trailing two segments, pos=1 must NOT match, because
+    // 'p_0.c_0' (first, split at 1) never equals 'c_0' (rest, subgroup).
+    val sharedTail = Seq(
+      (3L, Seq(("a.p_0.c_0", "SANTINO"), ("b.p_0.c_0", "FREDO"))))
+      .toDF("uid", "NAME")
+      .withColumn("NAME",
+        expr("transform(NAME, x -> named_struct('group', x._1, 'value', x._2))"))
+    assert(Compiler.filter(sharedTail,
+        "grouping:matchesInGroup(NAME, 'SANTINO', NAME, 'FREDO', 1)",
+        QueryModel(), QueryPolicy(fullTableScanEnabled = true))
+      .select("uid").collect().isEmpty)
+    // negative positions fail loudly (the reference throws AIOOBE)
+    intercept[ParseException] {
+      uids("grouping:matchesInGroup(NAME, 'SANTINO', NAME, 'FREDO', -1)")
+    }
+    intercept[ParseException] {
+      uids("grouping:matchesInGroupLeft(NAME, 'SANTINO', NAME, 'FREDO', -1)")
+    }
 
     // single-level groups never co-occur under Left (too few context levels)
     val flat = Seq((9L, Seq("anna"), Seq("30"))).toDF("uid", "NAME", "AGE")
@@ -159,5 +180,14 @@ class QueryOptionsSpec extends SparkSpec {
       == Set("u2"))
     assert(uids("grouping:matchesInGroupLeft(NAME, 'santino', NAME, 'fredo', 1)")
       == Set("u1", "u2"))
+    // Right pos>0 asymmetric on the long route too: u1's pair shares the
+    // trailing p_0.c_* parent but first-field split-at-1 ('p_0.c_0') can
+    // never equal a later field's subgroup ('c_1') → nobody.
+    assert(uids("grouping:matchesInGroup(NAME, 'santino', NAME, 'fredo', 1)")
+      == Set.empty)
+    // negative positions fail loudly on the long route as well
+    intercept[ParseException] {
+      uids("grouping:matchesInGroup(NAME, 'santino', NAME, 'fredo', -1)")
+    }
   }
 }
