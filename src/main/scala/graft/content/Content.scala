@@ -99,15 +99,19 @@ object Content {
   }
 
   /** ∃ x₀∈p0, …, xₖ∈pk with xᵢ ∈ [xᵢ₋₁ (+1 if same term), xᵢ₋₁+1]. */
-  private def phraseChain(terms: Seq[String]): Column = {
-    def nest(i: Int, prev: Column): Column =
-      if (i == terms.size) lit(true)
-      else {
-        val lo = if (terms(i) == terms(i - 1)) prev + 1 else prev
-        exists(col(s"p$i"), x => x >= lo && x <= prev + 1 && nest(i + 1, x))
-      }
-    exists(col("p0"), x0 => nest(1, x0))
-  }
+  private def phraseChain(terms: Seq[String]): Column =
+    exists(col("p0"), x0 => chainFrom(terms, 1, x0))
+
+  /** Chain continuation from term `i` given the previous term's position —
+    * the ONE successor rule (same-offset steps legal for differing terms,
+    * repeated terms must advance), shared by [[phrase]] and [[excerpt]] so
+    * a document phrase() matches is never dropped by excerpt(). */
+  private def chainFrom(terms: Seq[String], i: Int, prev: Column): Column =
+    if (i == terms.size) lit(true)
+    else {
+      val lo = if (terms(i) == terms(i - 1)) prev + 1 else prev
+      exists(col(s"p$i"), x => x >= lo && x <= prev + 1 && chainFrom(terms, i + 1, x))
+    }
 
   /** Docs where all terms occur within a window of `dist` positions
     * (content:within, ContentFunctions.java:91-137): ∃ tuple with
@@ -147,18 +151,19 @@ object Content {
 
   /** Excerpt around the first phrase hit (ExcerptTransform /
     * TermFrequencyExcerptIterator.java:36 analog): re-join the doc text
-    * and slice ±`window` tokens around the match position. */
+    * and slice ±`window` tokens around the match position. hit_pos is the
+    * first p0 position from which [[chainFrom]] — the same successor rule
+    * phrase() evaluates — succeeds, so every phrase-matched document gets
+    * an excerpt row (including matches stepping through same-offset
+    * synonym tokens), and the separate phrase() semi-join is unnecessary. */
   def excerpt(docs: DataFrame, tf: DataFrame, terms: Seq[String],
               window: Int): DataFrame = {
-    val hits = phrase(tf, terms)
     val firstPos = joinTerms(tf, terms)
       .withColumn("hit_pos", try_element_at(
-        filter(col("p0"), p => terms.indices.drop(1).map(i =>
-          array_contains(col(s"p$i"), p + i)).reduceOption(_ && _)
-          .getOrElse(lit(true))), lit(1)))
+        filter(col("p0"), x0 => chainFrom(terms, 1, x0)), lit(1)))
       .filter(col("hit_pos").isNotNull)
       .select(col("doc_id"), col("hit_pos"))
-    docs.join(hits, "doc_id").join(firstPos, "doc_id")
+    docs.join(firstPos, "doc_id")
       .select(col("doc_id"), col("hit_pos"),
         array_join(slice(TextOps.tokens(col("text")),
           greatest(col("hit_pos") - window + 1, lit(1)),

@@ -135,6 +135,22 @@ object EventQueries {
     Grouping.groupByPaired(long, "RETURNFLAG", "QUANTITY")
   }
 
+  /** #GROUPBY over a marked frame carries a recombined visibility column
+    * (GroupingUtils / MarkingFunctions.combine analog): the group's
+    * marking is the conjunction of its members' distinct markings —
+    * compound expressions parenthesized, sorted, '&'-joined — so a reader
+    * of the aggregate must satisfy every contributing row's marking. */
+  def groupingVis(s: SparkSession, d: String): DataFrame = {
+    val logic = new graft.query.ShardQueryLogic(
+      policy = graft.jexl.QueryPolicy(fullTableScanEnabled = true))
+    logic.query(withVisibility(Tables.events(s, d)),
+        "(EVENT_TYPE == 'click' || EVENT_TYPE == 'purchase' || EVENT_TYPE == 'signup')" +
+          " && VALUE > 90 && f:groupby('USER_ID')",
+        graft.query.QueryParams())
+      .select(col("user_id"), col("COUNT").as("cnt"),
+        col("VISIBILITY").as("visibility"))
+  }
+
   /** ContentQueryLogic fetch: `DOCUMENT:shardId/datatype/uid` terms seek
     * straight to the stored documents; response decodes the bytes. */
   def contentFetch(s: SparkSession, d: String): DataFrame = {
@@ -170,6 +186,7 @@ object EventQueries {
     "tf_excerpt" -> tfExcerpt _,
     "grouping_matches" -> groupingMatches _,
     "grouping_paired_agg" -> groupingPairedAgg _,
+    "grouping_vis" -> groupingVis _,
   )
 
   private val edgeSql =
@@ -198,6 +215,17 @@ object EventQueries {
         |     WHEN 'purchase' THEN 'A&B' WHEN 'signup' THEN 'C'
         |     ELSE '(A&B)|C' END AS visibility
         | FROM events WHERE event_type IN ('click', 'view')""".stripMargin,
+    "grouping_vis" ->
+      """SELECT user_id, count(*) AS cnt,
+        |   string_agg(DISTINCT vis_w, '&' ORDER BY vis_w) AS visibility
+        | FROM (SELECT user_id,
+        |         CASE event_type WHEN 'click' THEN 'A'
+        |           WHEN 'purchase' THEN '(A&B)' WHEN 'signup' THEN 'C'
+        |         END AS vis_w
+        |       FROM events
+        |       WHERE event_type IN ('click', 'purchase', 'signup')
+        |         AND value > 90)
+        | GROUP BY user_id""".stripMargin,
     "edge_build" -> edgeSql,
     "edge_build_filtered" ->
       """SELECT CAST(user_id AS VARCHAR) AS source, event_type AS sink,

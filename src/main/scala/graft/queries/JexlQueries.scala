@@ -227,7 +227,25 @@ object JexlQueries {
         element_at(col("quantities"), 1).as("kept_value"))
   }
 
+  /** normalize:ipv4 in PREDICATE position (NormalizationFunctions.java:
+    * 20-53): the function canonicalizes mixed-format query literals —
+    * leading-zero octets — at parse time; the data side carries already-
+    * canonical dotted quads (a deterministic derivation, since the driver
+    * tables have no IP column). Both disjuncts only match because the
+    * canonicalizer strips the zeros. */
+  def jexlNormalizeIpv4(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val withIp = Tables.events(s, d).withColumn("ip",
+      concat_ws(".", lit(10), col("user_id") % 4, col("event_id") % 256, lit(1)))
+    Compiler.filter(withIp,
+        "IP == normalize:ipv4('010.002.017.001') || " +
+          "IP == normalize:ipv4('10.003.200.1')",
+        QueryModel(), permissive)
+      .select("event_id", "user_id", "ip")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "jexl_normalize_ipv4" -> jexlNormalizeIpv4 _,
     "lucene_eval_funcs" -> luceneEvalFuncs _,
     "lucene_slop" -> luceneSlop _,
     "spi_function" -> spiFunction _,
@@ -251,6 +269,12 @@ object JexlQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "jexl_normalize_ipv4" ->
+      """SELECT event_id, user_id,
+        |   '10.' || (user_id % 4) || '.' || (event_id % 256) || '.1' AS ip
+        | FROM events
+        | WHERE '10.' || (user_id % 4) || '.' || (event_id % 256) || '.1'
+        |   IN ('10.2.17.1', '10.3.200.1')""".stripMargin,
     "lucene_eval_funcs" ->
       """SELECT l_orderkey, l_linenumber, l_discount, l_tax FROM lineitem
         | WHERE l_returnflag = 'R' AND l_discount > l_tax""".stripMargin,

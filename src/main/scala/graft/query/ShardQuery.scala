@@ -203,7 +203,7 @@ final class ShardQueryLogic(
       df = df.withColumnRenamed(
         df.columns.find(_.equalsIgnoreCase(from)).getOrElse(from), to)
 
-    df = applyOptions(df, opts)
+    df = applyOptions(df, opts, params.visibilityCol)
     // max-results policy cap (event.query.max.results analog)
     policy.maxResults.foreach(m => df = df.limit(m.toInt))
     df
@@ -296,7 +296,8 @@ final class ShardQueryLogic(
     *    accumulate in decimal so results are bit-stable under any
     *    partitioning, then surface as double;
     *  - f:rename / f:limit_fields on the final frame. */
-  private def applyOptions(df0: DataFrame, opts: QueryOptions): DataFrame = {
+  private def applyOptions(df0: DataFrame, opts: QueryOptions,
+                           visibilityCol: String = "visibility"): DataFrame = {
     var df = df0
     if (opts.unique.nonEmpty) {
       val keys = opts.unique.map(u => granTrunc(resolveCol(df, u.field), u.granularity))
@@ -325,7 +326,14 @@ final class ShardQueryLogic(
         // identical operands is bit-stable everywhere
         opts.average.map(f => (sum(resolveCol(df, f).cast("decimal(28,8)")).cast("double") /
           count(resolveCol(df, f)).cast("double")).as(s"AVERAGE_${f.toUpperCase}"))
-      df = df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+      // Visibility recombination on aggregation (GroupingUtils /
+      // MarkingFunctions analog): a marked frame's grouped output carries
+      // the lattice join of the member markings, never silently drops it.
+      val visAgg = df.columns
+        .find(c => c.equalsIgnoreCase(visibilityCol) &&
+          !opts.groupBy.exists(_.equalsIgnoreCase(c)))
+        .map(v => graft.vis.Visibility.combineAgg(col(v)).as("VISIBILITY")).toSeq
+      df = df.groupBy(keys: _*).agg(aggs.head, (aggs.tail ++ visAgg): _*)
     }
     for ((from, to) <- opts.rename)
       df = df.withColumnRenamed(

@@ -55,6 +55,21 @@ object Visibility {
     case (x, y) => s"($x)&($y)"
   }
 
+  /** Aggregate recombination of member markings for grouped results
+    * (MarkingFunctions.combine / GroupingUtils analog): a reader of an
+    * aggregated row must satisfy EVERY contributing row's marking, so the
+    * distinct expressions conjoin — the visibility lattice join. Rendered
+    * deterministically (compound expressions parenthesized, sorted,
+    * '&'-joined) so engines agree byte-for-byte; empty/null markings are
+    * the lattice identity (visible to everyone) and drop out. */
+  def combineAgg(visCol: Column): Column = {
+    val wrapped = when(visCol.rlike("[&|]"),
+        concat(lit("("), visCol, lit(")")))
+      .otherwise(visCol)
+    array_join(
+      array_sort(collect_set(when(length(trim(visCol)) > 0, wrapped))), "&")
+  }
+
   /** Visibility filter for a DataFrame.
     *
     * Scale path: visibility strings are low-cardinality (they're policy

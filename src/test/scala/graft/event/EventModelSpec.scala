@@ -1,7 +1,7 @@
 package graft.event
 
 import graft.SparkSpec
-import graft.content.Content
+import graft.content.{Analyzer, Content}
 import graft.operators.{Edges, Grouping}
 import graft.vis.{VisNode, Visibility, VisParseException}
 import org.apache.spark.sql.functions._
@@ -113,6 +113,22 @@ class ContentSpec extends SparkSpec {
     assert(ids(Content.phrase(once, Seq("x", "x"))).isEmpty)
     val twice = tfOf("x" -> Seq(5, 6))
     assert(ids(Content.phrase(twice, Seq("x", "x"))) == Set(7L))
+  }
+
+  test("excerpt honors the same successor rule as phrase on synonym tf") {
+    // Analyzer-built tf: 'fast' is a zero-position-increment synonym of
+    // 'quick', so the phrase quick→fast→fox matches only via a SAME-OFFSET
+    // step (quick@1, fast@1, fox@2). excerpt() must not silently drop the
+    // doc the way a strict p+i offset scan would.
+    val synDocs = Seq((11L, "the quick fox runs")).toDF("doc_id", "text")
+    val synTf = graft.content.AnalyzedContent.buildTfWith(synDocs,
+      Analyzer(synonyms = Map("quick" -> Seq("fast"))))
+    val terms = Seq("quick", "fast", "fox")
+    assert(ids(Content.phrase(synTf, terms)) == Set(11L))
+    val e = Content.excerpt(synDocs, synTf, terms, window = 1).collect()
+    assert(e.map(_.getLong(0)).toSet == Set(11L))
+    assert(e.head.getAs[Int]("hit_pos") == 1)
+    assert(e.head.getAs[String]("excerpt").contains("quick fox"))
   }
 }
 

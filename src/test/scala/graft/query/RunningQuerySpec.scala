@@ -25,6 +25,45 @@ class RunningQuerySpec extends SparkSpec {
       (3L, 5L, "PARTIAL")))
   }
 
+  test("kill-and-resume at every page boundary reproduces the uninterrupted run") {
+    // RebuildingScannerTestHelper analog for the one durable-state
+    // component: tear the cursor instance down at EVERY page boundary,
+    // resume from a brand-new instance over the same state dir, and the
+    // concatenated pages must be byte-identical to an uninterrupted run.
+    val df = (1 to 57).toDF("n").withColumn("v", col("n") * 2)
+    val refDir = java.nio.file.Files.createTempDirectory("rq-ref").toString
+    val ref = new QueryCursor(refDir)
+    val unbroken = (1 to 6).flatMap(_ =>
+      ref.next("q", df, Seq("n"), 10).collect().map(_.toSeq)).toList
+    val chaosDir = java.nio.file.Files.createTempDirectory("rq-chaos").toString
+    val resumed = (1 to 6).flatMap { _ =>
+      val cursor = new QueryCursor(chaosDir) // prior instance discarded
+      cursor.next("q", df, Seq("n"), 10).collect().map(_.toSeq)
+    }.toList
+    assert(resumed == unbroken)
+    assert(resumed.size == 57) // every row exactly once — no loss, no dup
+  }
+
+  test("RunningQuery killed mid-pagination resumes to the same page set") {
+    QueryMetrics.clear()
+    val df = (1 to 34).toDF("n")
+    val dir = java.nio.file.Files.createTempDirectory("rq-kill").toString
+    val pages = scala.collection.mutable.ListBuffer[Seq[Int]]()
+    def rows(p: Option[org.apache.spark.sql.DataFrame]): Seq[Int] =
+      p.map(_.collect().map(_.getInt(0)).toSeq).getOrElse(Seq.empty)
+    val first = new RunningQuery(new QueryCursor(dir), "rqk", df, Seq("n"),
+      pageSize = 10)
+    pages += rows(first.nextPage())
+    pages += rows(first.nextPage())
+    // "kill" the query: drop the RunningQuery AND its cursor instance;
+    // only the durable offset file survives
+    val second = new RunningQuery(new QueryCursor(dir), "rqk", df, Seq("n"),
+      pageSize = 10)
+    var page = second.nextPage()
+    while (page.nonEmpty) { pages += rows(page); page = second.nextPage() }
+    assert(pages.flatten.toList == (1 to 34).toList)
+  }
+
   test("page timeout short-circuits further pages") {
     QueryMetrics.clear()
     val df = (1 to 100).toDF("n")
