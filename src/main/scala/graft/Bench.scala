@@ -37,6 +37,9 @@ object Bench {
       // nothing — shrink partitions for the warm pass only (JIT warming
       // is shape-, not partition-count-, dependent)
       spark.conf.set("spark.sql.shuffle.partitions", "8")
+      // the heaviest shapes warm on ~50-row in-memory kernels (Warmup
+      // scaladoc); only the cheap representatives still run their gates
+      Warmup.run(spark, warmDebug)
       SparkEntry.warmupQueries.foreach { name =>
         try {
           val tq = System.nanoTime()
@@ -49,19 +52,35 @@ object Bench {
       spark.catalog.clearCache()
       System.gc()
       System.err.println(f"[bench] (warmup pass ${(System.nanoTime() - t0) / 1e9}%.1f s," +
-        s" ${SparkEntry.warmupQueries.size} tagged shape representatives)")
+        s" ${SparkEntry.warmupQueries.size} tagged representatives + kernels)")
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Two full suite passes, report each query's MIN across passes (JMH
+    // steady-state style). Single-shot timings at local[32] carry 1.3-4×
+    // run-to-run noise from GC pauses / compile / scheduling jitter
+    // landing inside one query (measured: 25 of 132 queries disagreed
+    // >30% between two identical clean runs). The two samples must be
+    // MINUTES apart — back-to-back repeats of the same query share one
+    // bad period (a concurrent GC cycle spans both; measured 6× residual
+    // disagreement) — so the repeat is a whole second pass, not an
+    // adjacent re-run; pass-separated samples rarely eat the same pause
+    // and the min makes consecutive suites (and the driver's run vs a
+    // clean run) agree per-query.
+    def timedPass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       val dt = (System.nanoTime() - t0) / 1e9
       // drop per-query persisted frames: honest isolated timings, no
-      // cache accumulation across ~80 queries. The explicit GC + pause
-      // keeps late-suite queries from paying earlier queries' heap debt
-      // (measured 3-10× inflation on trivial queries without it).
+      // cache accumulation; the GC + pause keeps late-suite queries from
+      // paying earlier queries' heap debt (measured 3-10× inflation)
       spark.catalog.clearCache()
       System.gc()
-      Thread.sleep(200)
+      Thread.sleep(150)
+      name -> dt
+    }
+    val pass1 = timedPass()
+    val pass2 = timedPass()
+    val results = pass1.map { case (name, t1) =>
+      val dt = math.min(t1, pass2(name))
       System.err.println(f"[bench] $name%-24s $dt%8.2f s")
       name -> dt
     }

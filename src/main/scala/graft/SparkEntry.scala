@@ -25,13 +25,19 @@ object SparkEntry {
     * set from the actual plans and fails if a combo loses coverage, so
     * the tag list cannot silently rot. */
   val warmupQueries: Seq[String] = Seq(
-    "analyzer_tokens", "ancestor_query", "ann_ivf_recall", "ann_lsh",
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "edge_query",
+    "ancestor_query", "edge_query",
     "flt_compare_all", "flt_eval_functions", "ing_date_index",
-    "ing_needle_uidlist", "lucene_phrase", "mods_applied",
+    "lucene_phrase", "mods_applied",
     "qs_content_within", "qs_excerpt", "qs_limit_hits", "ssdeep_chained",
     "text_analyze", "text_tokens", "tf_adjacent", "tf_lookup",
     "whindex_remap")
+  // The five most expensive former representatives (analyzer_tokens,
+  // ann_lsh, dedup_minhash_lsh, ann_ivf_recall, dedup_ngram_jaccard —
+  // 5-20 s each at sf0.001) warm via graft.Warmup's tiny in-memory
+  // kernels instead; WarmupSpec asserts the kernels reproduce their
+  // combos exactly. ing_needle_uidlist left the list because its plan
+  // carries no taxed shape at all (its warm cost was job orchestration,
+  // which needs no warming).
 
   /** Taxed-shape detection shared by Bench (debug) and WarmupSpec. */
   val taxedMarkers: Seq[String] = Seq("lambdafunction", "explode", "generate", "udf(")

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.content.{AnalyzedContent, Analyzer}
+import graft.operators.{Dedup, VectorOps}
+
+/** Kernel warm-up: tiny in-memory frames carrying the SAME taxed
+  * expression combos as the most expensive tagged warm-up gates. The
+  * one-time interpreter/JIT bill for higher-order expression trees is per
+  * expression SHAPE, not per data size, so paying it over ~50 rows
+  * replaces the 5-20 s sf0.001 runs of analyzer_tokens / ann_lsh /
+  * dedup_minhash_lsh / ann_ivf_recall / dedup_ngram_jaccard (r4 verdict
+  * item 6: those five dominated a 119 s warm-up pass).
+  *
+  * WarmupSpec verifies each kernel reproduces its gate's combo EXACTLY
+  * (same shape-feature subset in the optimized plan), so the rot-guard
+  * stays as strict as the gate-tag list: a gate whose combo no kernel and
+  * no tagged representative carries still fails the spec.
+  */
+object Warmup {
+
+  def kernelFrames(spark: SparkSession): Seq[(String, DataFrame)] = {
+    import spark.implicits._
+    val words = Seq("alpha", "beta", "gamma", "delta",
+      "epsilon", "zeta", "eta", "theta")
+    // repartition keeps Catalyst's ConvertToLocalRelation from evaluating
+    // a projection-only kernel at optimization time (which would erase
+    // the taxed shapes from the optimized plan AND skip executor-side
+    // warming)
+    val docs = (0L until 48L).map(i =>
+      (i, (0 until 24).map(j => words(((i + j) % 8).toInt)).mkString(" ")))
+      .toDF("doc_id", "text").repartition(2)
+    val emb = (0L until 64L).map(i =>
+      (i, Array.tabulate(16)(j => ((i * 31 + j * 7) % 13).toFloat / 13f)))
+      .toDF("vec_id", "embedding").repartition(2)
+    Seq(
+      // analyzer_tokens: transform(|filter(|explode|posexplode|generate|collect_
+      "analyzer" -> {
+        val an = Analyzer(synonyms = Map("alpha" -> Seq("alef")),
+          maxTokenLength = 8)
+        AnalyzedContent.buildTfWith(docs, an)
+          .select(col("doc_id"), col("term"),
+            size(col("positions")).cast("long").as("occurrences"),
+            element_at(col("positions"), 1).cast("long").as("first_pos"))
+      },
+      // dedup_ngram_jaccard: transform(|aggregate(|filter(|explode|generate
+      "ngram" -> Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.8),
+      // dedup_minhash_lsh: transform(|aggregate(|filter(|explode|posexplode|generate
+      "minhash" -> Dedup.minhashLshPairs(docs, n = 3, threshold = 0.8),
+      // ann_lsh: aggregate(|zip_with(|explode|generate
+      "ann_lsh" -> VectorOps.lshTopK(emb, probeId = 0L, k = 5).select("vec_id"),
+      // ann_ivf_recall: aggregate(|zip_with(
+      "ann_ivf" -> VectorOps.ivfTopK(emb, probeId = 0L, k = 5).select("vec_id"))
+  }
+
+  /** Execute every kernel once (untimed warm pass). */
+  def run(spark: SparkSession, debug: Boolean = false): Unit =
+    kernelFrames(spark).foreach { case (name, df) =>
+      try {
+        val t0 = System.nanoTime()
+        df.count()
+        if (debug) System.err.println(
+          f"[warm] kernel:$name%-17s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      } catch { case _: Throwable => () }
+    }
+}

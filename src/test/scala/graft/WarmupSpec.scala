@@ -8,7 +8,16 @@ package graft
   * plan-all-117-queries cost. */
 class WarmupSpec extends SparkSpec {
 
-  test("tagged warm-up queries cover every taxed shape combination") {
+  test("tagged warm-up queries + kernels cover every taxed shape combination") {
+    // kernels cover a combo only by reproducing it EXACTLY — same
+    // shape-feature subset — so swapping a gate for a kernel cannot
+    // silently lose a shape
+    val kernelCombos = Warmup.kernelFrames(spark).flatMap { case (_, df) =>
+      val shape = df.queryExecution.optimizedPlan.toString.toLowerCase
+      if (SparkEntry.taxedMarkers.exists(shape.contains))
+        Some(SparkEntry.shapeFeatures.filter(shape.contains).mkString("|"))
+      else None
+    }.toSet
     val combos = scala.collection.mutable.Map.empty[String, String]
     val covered = scala.collection.mutable.Set.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
@@ -23,10 +32,10 @@ class WarmupSpec extends SparkSpec {
         }
       } catch { case _: Throwable => () } // construction failures have their own specs
     }
-    val missing = combos.keySet -- covered
+    val missing = combos.keySet -- covered -- kernelCombos
     assert(missing.isEmpty,
-      s"taxed combos with no tagged warm-up representative (add one to " +
-        s"SparkEntry.warmupQueries): " +
+      s"taxed combos with no tagged warm-up representative or kernel (add " +
+        s"one to SparkEntry.warmupQueries or Warmup.kernelFrames): " +
         missing.map(c => s"'$c' (e.g. ${combos(c)})").mkString("; "))
     // and every tag must still name a real query
     val unknown = SparkEntry.warmupQueries.filterNot(SparkEntry.queries.contains)
