@@ -269,6 +269,22 @@ object Relational {
       .groupBy(col("event_type").as("facet_value"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Facet sketch interchange (FacetHandler.java:493-521): per-day ingest
+    * batches each write a serialized HLL sketch per facet key; the read
+    * side merges the batch sketches and estimates. The facet (event-type
+    * diversity per user, ≤ 5) keeps every key in the sketch's exact
+    * coupon regime at ANY scale, so the full serialize → union → estimate
+    * path hash-matches the exact oracle while the machinery is the real
+    * mergeable-sketch one. */
+  def facetsSketch(s: SparkSession, d: String): DataFrame = {
+    val batches = graft.ingest.Facets.sketchBatches(
+      Tables.events(s, d)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd")),
+      batchCol = "day", keyCol = "user_id", valCol = "event_type")
+    graft.ingest.Facets.merge(batches, "user_id")
+      .select(col("user_id"), col("cardinality"), col("cnt"))
+  }
+
   /** Paged results (RunningQuery.next()): deterministic ORDER BY + OFFSET +
     * LIMIT page. */
   def pagination(s: SparkSession, d: String): DataFrame =
@@ -313,6 +329,7 @@ object Relational {
     "rel_discovery" -> discovery _,
     "rel_index_stats" -> indexStats _,
     "rel_facets" -> facets _,
+    "rel_facets_sketch" -> facetsSketch _,
     "rel_pagination" -> pagination _,
     "rel_rollup" -> rollupAgg _,
   )
@@ -430,6 +447,10 @@ object Relational {
         |   UNION ALL
         |   SELECT 'USER_ID' AS field, CAST(user_id AS VARCHAR) AS value FROM events)
         | GROUP BY field""".stripMargin,
+    "rel_facets_sketch" ->
+      """SELECT user_id, count(DISTINCT event_type) AS cardinality,
+        |   count(*) AS cnt
+        | FROM events GROUP BY user_id""".stripMargin,
     "rel_facets" ->
       """SELECT event_type AS facet_value, count(*) AS cnt FROM events
         | WHERE value > 5 GROUP BY 1""".stripMargin,
