@@ -85,17 +85,29 @@ object Grouping {
   /** #GROUPBY with grouping-context pairing (DocumentGrouper.java:118):
     * group documents by the VALUES of `keyFields` paired per group
     * instance, aggregating `aggFields` — e.g. GROUPBY(NAME) SUM(AGE)
-    * sums each AGE.n against its same-group NAME.n. */
+    * sums each AGE.n against its same-group NAME.n. When the long frame
+    * carries a `visibility` column, the group's output carries the
+    * recombined marking of every contributing key AND value row
+    * (GroupingUtils / MarkingFunctions analog — a reader of the
+    * aggregate must satisfy each member's marking). */
   def groupByPaired(long: DataFrame, keyField: String, aggField: String): DataFrame = {
-    val keys = long.filter(col("field") === keyField)
-      .select(col("uid"), col("group"), col("value").as("group_key"))
-    val vals = long.filter(col("field") === aggField)
-      .select(col("uid"), col("group"), col("value").cast("double").as("agg_val"))
+    val visCol = long.columns.find(_.equalsIgnoreCase("visibility"))
+    def side(field: String, valueAs: Column => Column, v: String) =
+      long.filter(col("field") === field)
+        .select(Seq(col("uid"), col("group"), valueAs(col("value"))) ++
+          visCol.map(c => col(c).as(s"vis_$v")): _*)
+    val keys = side(keyField, _.as("group_key"), "k")
+    val vals = side(aggField, _.cast("double").as("agg_val"), "v")
+    val aggs = Seq(
+      count(lit(1)).as("cnt"),
+      sum(col("agg_val").cast("decimal(18,4)")).cast("double").as("sum_val"),
+      min(col("agg_val")).as("min_val"),
+      max(col("agg_val")).as("max_val")) ++
+      visCol.map(_ => graft.vis.Visibility.combineAgg(
+        graft.vis.Visibility.combineCols(col("vis_k"), col("vis_v")))
+        .as("visibility"))
     keys.join(vals, Seq("uid", "group"))
       .groupBy("group_key")
-      .agg(count(lit(1)).as("cnt"),
-        sum(col("agg_val").cast("decimal(18,4)")).cast("double").as("sum_val"),
-        min(col("agg_val")).as("min_val"),
-        max(col("agg_val")).as("max_val"))
+      .agg(aggs.head, aggs.tail: _*)
   }
 }

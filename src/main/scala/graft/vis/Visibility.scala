@@ -55,6 +55,19 @@ object Visibility {
     case (x, y) => s"($x)&($y)"
   }
 
+  /** Column-level [[combine]]: conjunction of two per-row markings (used
+    * when one logical result row is assembled from two marked rows, e.g.
+    * grouping-context pairing joins a key row to a value row). Same
+    * identity/idempotence rules as the String form. */
+  def combineCols(a: Column, b: Column): Column = {
+    val ta = trim(a)
+    val tb = trim(b)
+    when(ta.isNull || ta === "", tb)
+      .when(tb.isNull || tb === "", ta)
+      .when(ta === tb, ta)
+      .otherwise(concat(lit("("), ta, lit(")&("), tb, lit(")")))
+  }
+
   /** Aggregate recombination of member markings for grouped results
     * (MarkingFunctions.combine / GroupingUtils analog): a reader of an
     * aggregated row must satisfy EVERY contributing row's marking, so the

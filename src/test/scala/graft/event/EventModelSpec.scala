@@ -219,5 +219,21 @@ class GroupingSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getAs[Double]("sum_val")).toMap
     assert(out("santino") == 30.0) // u3's AGE.1 is NOT paired with NAME.0
     assert(out("fredo") == 46.0)   // 34 (u1.1) + 12 (u2.0)
+    // no visibility column → no visibility output
+    assert(!Grouping.groupByPaired(long, "NAME", "AGE")
+      .columns.contains("visibility"))
+  }
+
+  test("groupByPaired recombines member markings when the frame is marked") {
+    // fredo group: u1.1 rows marked A (name) / B (age), u2.0 rows both A
+    // → the group's marking must require A AND B AND the pair conjunction
+    val marked = Seq(
+      ("u1", "1", "NAME", "fredo", "A"), ("u1", "1", "AGE", "34", "B"),
+      ("u2", "0", "NAME", "fredo", "A"), ("u2", "0", "AGE", "12", "A"))
+      .toDF("uid", "group", "field", "value", "visibility")
+    val row = Grouping.groupByPaired(marked, "NAME", "AGE")
+      .filter(col("group_key") === "fredo").head()
+    // distinct pair markings: (A)&(B) from u1, A from u2 — sorted, joined
+    assert(row.getAs[String]("visibility") == "((A)&(B))&A")
   }
 }
