@@ -116,4 +116,36 @@ class PlanSpec extends SparkSpec {
     val plan = executed("qs_excerpt")
     assert(!plan.contains("Exchange"), plan.take(3000))
   }
+
+  test("normalize:ipv4 canonicalizes literals at parse time, in the plan") {
+    // the predicate compares against the CANONICAL forms only — the
+    // zero-padded query spellings must not survive into the plan
+    val plan = executed("jexl_normalize_ipv4")
+    assert(plan.contains("10.2.17.1") && plan.contains("10.3.200.1"),
+      plan.take(3000))
+    assert(!plan.contains("010.002.017.001") && !plan.contains("10.003.200.1"),
+      plan.take(3000))
+  }
+
+  test("visibility-recombined groupBy pushes its filters to the scan") {
+    val plan = executed("grouping_vis")
+    assert(plan.contains("PushedFilters"), plan.take(3000))
+    assert(plan.contains("In(event_type") || plan.contains("event_type,click"),
+      plan.take(3000))
+    // PushedFilters renders truncated; the data filter shows the rest
+    assert(plan.contains("> 90.0"), plan.take(3000))
+  }
+
+  test("facet sketch merge is a two-level sketch aggregation, no raw re-read") {
+    // write path: partial hll_sketch_agg per (batch, key); read path:
+    // hll_union_agg over sketch bytes only. Exactly one parquet scan of
+    // events may appear — a second would mean the merge re-reads raw data
+    val plan = executed("rel_facets_sketch")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected 1 raw scan, got $scans\n" + plan.take(3000))
+    assert(plan.toLowerCase.contains("hllsketchagg") ||
+      plan.toLowerCase.contains("hll_sketch_agg"), plan.take(3000))
+    assert(plan.toLowerCase.contains("hllunionagg") ||
+      plan.toLowerCase.contains("hll_union_agg"), plan.take(3000))
+  }
 }
