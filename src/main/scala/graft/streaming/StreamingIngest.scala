@@ -65,6 +65,25 @@ object StreamingIngest {
       .select(col("session_window.start").as("session_start"),
         col(keyCol), col("cnt"))
 
+  /** Incremental facet-sketch maintenance: every micro-batch APPENDS its
+    * per-(batch, key) serialized HLL sketches to the facet table
+    * (graft.ingest.Facets); readers merge with `Facets.merge` whenever
+    * they ask. The mergeable-sketch interchange is exactly what turns
+    * streaming facet upkeep into an append instead of a recompute —
+    * the FacetHandler-at-ingest shape (FacetHandler.java:493-521) on
+    * the live write path. */
+  def facetSketchStream(stream: DataFrame, outDir: String,
+                        checkpointDir: String, batchCol: String,
+                        keyCol: String, valCol: String)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ingest.Facets.sketchBatches(batch, batchCol, keyCol, valCol)
+          .write.mode("append").parquet(outDir)
+      }
+
   /** Live global-index maintenance with CUSTOM streaming state — the
     * GlobalIndexUidAggregator combiner (GlobalIndexUidAggregator.java:
     * 21-25) that the reference runs at Accumulo compaction, expressed as

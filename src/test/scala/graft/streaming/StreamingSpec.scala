@@ -69,6 +69,39 @@ class StreamingSpec extends SparkSpec {
     assert(written.count() == 4) // 2 records × 2 fields
     assert(written.select("shard_date").distinct().count() == 2)
   }
+
+  test("streaming facet sketches append per batch and merge exactly") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-facet").toString
+    val in = s"$tmp/in"; val out = s"$tmp/out"; val ck = s"$tmp/ck"
+    new java.io.File(in).mkdirs()
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "day STRING, user STRING, et STRING")
+    def runWave(): Unit = {
+      val q = StreamingIngest.facetSketchStream(
+        StreamingIngest.fileStream(spark, in, schema), out, ck,
+        "day", "user", "et").start()
+      q.awaitTermination(60000)
+    }
+    // wave 1: two days of activity for u1/u2
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/w1.json"),
+      """{"day":"d1","user":"u1","et":"click"}
+        |{"day":"d1","user":"u1","et":"view"}
+        |{"day":"d1","user":"u2","et":"click"}
+        |{"day":"d2","user":"u1","et":"click"}""".stripMargin)
+    runWave()
+    // wave 2 arrives later: new day, new event type for u1, first u3 row
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/w2.json"),
+      """{"day":"d3","user":"u1","et":"purchase"}
+        |{"day":"d3","user":"u2","et":"click"}
+        |{"day":"d3","user":"u3","et":"error"}""".stripMargin)
+    runWave()
+    // the facet table holds per-(day, user) sketch rows appended by both
+    // waves; merging yields exact event-type diversity per user
+    val merged = graft.ingest.Facets.merge(spark.read.parquet(out), "user")
+      .orderBy("user")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(merged.toSeq == Seq(("u1", 3L, 4L), ("u2", 1L, 2L), ("u3", 1L, 1L)))
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
