@@ -14,7 +14,7 @@ object SparkEntry {
     Relational.queries ++ JexlQueries.queries ++ PipelineQueries.queries ++
       EventQueries.queries ++ QueryStringQueries.queries ++ GeoQueries.queries ++
       IngestQueries.queries ++ SSDeepQueries.queries ++ TreeQueries.queries ++
-      StatsQueries.queries ++ ServiceQueries.queries
+      StatsQueries.queries ++ ServiceQueries.queries ++ StreamingQueries.queries
 
   /** Warm-up representatives: one query per distinct taxed-expression
     * combination (HOF lambdas / generators / UDFs — the shapes whose
@@ -51,5 +51,5 @@ object SparkEntry {
     Relational.oracleSql ++ JexlQueries.oracleSql ++ PipelineQueries.oracleSql ++
       EventQueries.oracleSql ++ QueryStringQueries.oracleSql ++ GeoQueries.oracleSql ++
       IngestQueries.oracleSql ++ SSDeepQueries.oracleSql ++ TreeQueries.oracleSql ++
-      StatsQueries.oracleSql ++ ServiceQueries.oracleSql
+      StatsQueries.oracleSql ++ ServiceQueries.oracleSql ++ StreamingQueries.oracleSql
 }

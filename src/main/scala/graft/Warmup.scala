@@ -51,7 +51,9 @@ object Warmup {
       // ann_lsh: aggregate(|zip_with(|explode|generate
       "ann_lsh" -> VectorOps.lshTopK(emb, probeId = 0L, k = 5).select("vec_id"),
       // ann_ivf_recall: aggregate(|zip_with(
-      "ann_ivf" -> VectorOps.ivfTopK(emb, probeId = 0L, k = 5).select("vec_id"))
+      "ann_ivf" -> VectorOps.ivfTopK(emb, probeId = 0L, k = 5).select("vec_id"),
+      // text_repetition: transform(|zip_with(|filter(|explode|generate
+      "repetition" -> graft.operators.TextOps.repetition(docs))
   }
 
   /** Execute every kernel once (untimed warm pass). */

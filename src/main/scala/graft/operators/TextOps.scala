@@ -98,6 +98,81 @@ object TextOps {
     }
   }
 
+  // --- PII redaction ----------------------------------------------------
+
+  /** PII patterns in RE2-compatible syntax (no backrefs/lookarounds), so
+    * the exact same pattern runs under Java regex here and RE2 in the
+    * oracle. Applied in a fixed order; the replacement tags cannot
+    * themselves match a later pattern. */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("card", "\\b\\d{16}\\b", "<CARD>"),
+    ("phone", "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b", "<PHONE>"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"))
+
+  /** Scrubbed text: every PII pattern replaced by its tag. Pure codegen'd
+    * `regexp_replace` chain — map-side, shuffle-free at any scale. */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (_, pat, tag)) =>
+      regexp_replace(c, pat, tag)
+    }
+
+  /** Per-kind PII match counts (for audit ledgers), computed on the same
+    * progressively-redacted view the replacement chain sees, so overlapping
+    * patterns (a card number is also 16 digits of phone-ish material) are
+    * attributed to exactly one kind, identically to [[redactPii]]. */
+  def piiCounts(text: Column): Seq[Column] = {
+    val staged = PiiPatterns.scanLeft(text) { case (c, (_, pat, tag)) =>
+      regexp_replace(c, pat, tag)
+    }
+    PiiPatterns.zip(staged).map { case ((kind, pat, _), pre) =>
+      size(regexp_extract_all(pre, lit(pat), lit(0))).cast("long").as(s"n_$kind")
+    }
+  }
+
+  // --- repetition (Gopher-style) ---------------------------------------
+
+  /** Word bigrams of the token array. */
+  def bigrams(text: Column): Column = {
+    val t = tokens(text)
+    zip_with(slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+      slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+      (a, b) => concat_ws(" ", a, b))
+  }
+
+  /** Repetition profile per document — the Gopher repetition-removal
+    * signals (top-token fraction, top-bigram fraction, distinct-token
+    * ratio). Implemented the 100 TB way: ONE scan, ONE explode of the
+    * token and (tag-prefixed) bigram grams together, then two map-side-
+    * combined shuffles — count per (doc, gram), fold per doc with
+    * conditional aggregates. Never a per-row nested loop over the
+    * vocabulary, never a second pass over the text. */
+  def repetition(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    // \u0001 can't appear in a token (tokenizer strips non-alphanumerics),
+    // so the tag separates arities inside one gram stream
+    val tagged = concat(tokens(col(textCol)),
+      transform(bigrams(col(textCol)), b => concat(lit("\u0001"), b)))
+    val counts = docs.select(col(idCol), explode(tagged).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+    val isBi = col("g").startsWith("\u0001")
+    val agg = counts.groupBy(col(idCol)).agg(
+      sum(when(!isBi, col("c")).otherwise(0L)).as("n_tok"),
+      max(when(!isBi, col("c"))).as("max_tok"),
+      count(when(!isBi, lit(1))).as("n_distinct"),
+      sum(when(isBi, col("c")).otherwise(0L)).as("n_bi"),
+      max(when(isBi, col("c"))).as("max_bi"))
+    docs.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tok"), lit(0L)).as("n_tokens"),
+        when(col("n_tok") > 0, col("n_distinct").cast("double")
+          / col("n_tok").cast("double")).otherwise(1.0).as("distinct_ratio"),
+        when(col("n_tok") > 0, col("max_tok").cast("double")
+          / col("n_tok").cast("double")).otherwise(0.0).as("top_token_frac"),
+        when(col("n_bi") > 0, col("max_bi").cast("double")
+          / col("n_bi").cast("double")).otherwise(0.0).as("top_bigram_frac"))
+  }
+
   // --- derived DataFrames ----------------------------------------------
 
   def analyze(docs: DataFrame): DataFrame =

@@ -115,7 +115,32 @@ object PipelineQueries {
       k = 10, minHits = 8)
   }
 
+  /** PII audit + scrub. The synthetic corpus is clean by construction, so
+    * the gate augments each document with deterministic PII derived from
+    * its id (email, IP, phone, card — same derivation in the oracle) and
+    * proves the scrub: per-kind counts plus the md5 of the redacted text.
+    * The operator itself (TextOps.redactPii) is a pure regexp_replace
+    * chain — map-side at any scale. */
+  def textRedactPii(s: SparkSession, d: String): DataFrame = {
+    val withPii = Tables.documents(s, d).select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com ip 10."), (col("doc_id") % 200).cast("string"),
+        lit(".0.1 call 555-123-4567 card 4111111111111111")).as("text"))
+    withPii.select(Seq(col("doc_id")) ++ TextOps.piiCounts(col("text")) :+
+      md5(TextOps.redactPii(col("text"))).as("redacted_md5"): _*)
+  }
+
+  /** Gopher-style repetition profile: top-token / top-bigram share and
+    * distinct-token ratio per document (the repetition-removal signals). */
+  def textRepetition(s: SparkSession, d: String): DataFrame =
+    // single-row-group parquet → one split; Spread distributes the
+    // tokenize+explode (same concern as analyzer_tokens)
+    TextOps.repetition(graft.core.Spread(Tables.documents(s, d)))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_redact_pii" -> textRedactPii _,
+    "text_repetition" -> textRepetition _,
     "dedup_exact" -> dedupExact _,
     "dedup_ngram_jaccard" -> dedupNgram _,
     "decontaminate" -> decontaminate _,
@@ -151,7 +176,59 @@ object PipelineQueries {
        |   AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) >=
        |       CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) * 0.8""".stripMargin
 
+  private val piiTextSql =
+    """text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+      |  '@example.com ip 10.' || CAST(doc_id % 200 AS VARCHAR) ||
+      |  '.0.1 call 555-123-4567 card 4111111111111111'""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    // progressive redaction, one kind at a time, counts taken on the view
+    // each stage sees — mirrors TextOps.PiiPatterns order exactly
+    "text_redact_pii" ->
+      s"""WITH p0 AS (SELECT doc_id, $piiTextSql AS t0 FROM documents),
+         |p1 AS (SELECT doc_id, t0,
+         |  regexp_replace(t0, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}',
+         |    '<EMAIL>', 'g') AS t1 FROM p0),
+         |p2 AS (SELECT *, regexp_replace(t1, '\\b\\d{16}\\b', '<CARD>', 'g') AS t2
+         |  FROM p1),
+         |p3 AS (SELECT *,
+         |  regexp_replace(t2, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g') AS t3
+         |  FROM p2),
+         |p4 AS (SELECT *,
+         |  regexp_replace(t3, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+         |    '<IP>', 'g') AS t4 FROM p3)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t0,
+         |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(t1, '\\b\\d{16}\\b')) AS BIGINT) AS n_card,
+         |  CAST(len(regexp_extract_all(t2,
+         |    '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS BIGINT) AS n_phone,
+         |  CAST(len(regexp_extract_all(t3,
+         |    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ip,
+         |  md5(t4) AS redacted_md5
+         | FROM p4""".stripMargin,
+    "text_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |tok AS (SELECT doc_id, unnest(toks) AS g FROM t),
+         |tc AS (SELECT doc_id, g, count(*) AS c FROM tok GROUP BY 1, 2),
+         |tt AS (SELECT doc_id,
+         |   CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_token_frac
+         | FROM tc GROUP BY 1),
+         |bg AS (SELECT doc_id,
+         |   unnest(list_transform(range(1, len(toks)),
+         |     i -> toks[i] || ' ' || toks[i+1])) AS g
+         | FROM t WHERE len(toks) >= 2),
+         |bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+         |bt AS (SELECT doc_id,
+         |   CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_bigram_frac
+         | FROM bc GROUP BY 1)
+         |SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CASE WHEN len(toks) > 0 THEN
+         |    CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+         |  ELSE 1.0 END AS distinct_ratio,
+         |  COALESCE(tt.top_token_frac, 0.0) AS top_token_frac,
+         |  COALESCE(bt.top_bigram_frac, 0.0) AS top_bigram_frac
+         | FROM t LEFT JOIN tt USING (doc_id) LEFT JOIN bt USING (doc_id)""".stripMargin,
     "dedup_exact" ->
       s"""SELECT $fpSql AS fingerprint, min(doc_id) AS survivor_id,
          |   count(*) AS n_copies

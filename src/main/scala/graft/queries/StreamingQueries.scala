@@ -1,0 +1,183 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.StreamingIngest
+
+/** Oracled gates for the Structured-Streaming surfaces (SURVEY.md §2.7) —
+  * the FlagMaker file micro-batching / live context-writer analogs that were
+  * previously unit-only. Each gate drives a REAL streaming query
+  * (`readStream` file source, `Trigger.AvailableNow`, memory or parquet
+  * sink, stateful operators where relevant) to completion inside the call
+  * and returns the final deterministic result, which a plain batch SQL
+  * oracle can reproduce. This is exactly the reference's correctness story
+  * for its live path: streamed ingest must converge to what a bulk job
+  * would have produced (LiveContextWriter vs BulkContextWriter,
+  * FlagMaker.java:60).
+  *
+  * Determinism notes per gate are inline; the common rules are
+  * (a) `AvailableNow` drains all input then stops, (b) results are
+  * order-insensitive aggregates, (c) memory-sink names are uniqued per
+  * invocation so repeated bench passes never collide.
+  */
+object StreamingQueries {
+
+  private val ctr = new java.util.concurrent.atomic.AtomicInteger()
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private val eventsDdl =
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, " +
+      "value DOUBLE, props STRING"
+
+  /** The file stream source requires a DIRECTORY (its real-world contract:
+    * a landing zone files arrive into — the FlagMaker input dir). The test
+    * tables are single parquet files, so stage a symlink into a fresh
+    * temp dir; zero-copy. */
+  private def stageDir(file: String): String = {
+    val dir = tmp("graft-stage")
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(dir, new java.io.File(file).getName),
+      java.nio.file.Paths.get(file))
+    dir
+  }
+
+  private def eventsStream(s: SparkSession, d: String): DataFrame =
+    s.readStream.schema(eventsDdl).parquet(stageDir(s"$d/events.parquet"))
+
+  /** Watermarked tumbling-window counts, streamed. Complete mode + a
+    * drained source ⇒ the final table equals the batch group-by (the
+    * watermark is plan-exercised but cannot drop rows in complete mode,
+    * so the oracle is exact). */
+  def streamWindowed(s: SparkSession, d: String): DataFrame = {
+    val qn = s"graft_win_${ctr.incrementAndGet()}"
+    val q = StreamingIngest.windowedCounts(eventsStream(s, d), "ts", "event_type")
+      .writeStream.format("memory").queryName(qn)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(qn).select(
+      date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+      col("event_type"), col("cnt"))
+  }
+
+  /** Live ingest end-to-end: file-source micro-batches → per-batch
+    * `Ingest.toLong` → append to a date-partitioned parquet sink (the
+    * LiveContextWriter shape), then summarize the sink. The summary is
+    * value-format-independent (counts + uid/date cardinalities only), so
+    * float-to-string rendering differences can't leak into the hash. */
+  def streamIngest(s: SparkSession, d: String): DataFrame = {
+    val base = tmp("graft-sing")
+    val stream = eventsStream(s, d)
+      .withColumn("event_date", to_date(col("ts"))).drop("ts")
+    val q = StreamingIngest.ingestTo(stream, s"$base/out", s"$base/ck",
+      b => graft.ingest.Ingest.toLong(b, "event_id", "events", "event_date")).start()
+    q.awaitTermination()
+    s.read.parquet(s"$base/out")
+      .groupBy("field")
+      .agg(count(lit(1)).as("n_values"),
+        countDistinct(col("uid")).as("n_uids"),
+        countDistinct(col("shard_date")).as("n_days"))
+  }
+
+  /** The live global-index combiner under REAL multi-batch state: the
+    * input is split into 4 files streamed one per trigger, so
+    * `flatMapGroupsWithState` must carry `UidState` across micro-batches.
+    * Final state is order-independent: exact count plus
+    * min(distinct uids, cap) sample size (the capped sample's CONTENT is
+    * arrival-ordered, so the gate pins its deterministic size, and
+    * StreamingSpec pins the content rules). Update-mode emits one row per
+    * touched key per batch; max() per key folds that ledger to the final
+    * state (both measures grow monotonically). */
+  def streamUidState(s: SparkSession, d: String): DataFrame = {
+    val base = tmp("graft-suid")
+    s.read.parquet(s"$d/events.parquet").select("event_id", "user_id")
+      .repartition(4).write.parquet(s"$base/in")
+    val stream = s.readStream.schema("event_id BIGINT, user_id BIGINT")
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+      .select(lit("USER_ID").as("field"),
+        col("user_id").cast("string").as("value"),
+        col("event_id").cast("string").as("uid"))
+    val qn = s"graft_uidx_${ctr.incrementAndGet()}"
+    val q = StreamingIngest.liveUidIndex(stream, maxUids = 20)
+      .writeStream.format("memory").queryName(qn)
+      .option("checkpointLocation", s"$base/ck")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(qn).groupBy("value")
+      .agg(max(col("cnt")).as("cnt"),
+        max(size(col("uid_sample"))).cast("long").as("sample_size"))
+  }
+
+  /** Session windows (gap-based), streamed to completion. A session breaks
+    * when the inter-event gap reaches the threshold (session ranges are
+    * half-open `[t, t+gap)`, so an event at exactly `prev+gap` starts a new
+    * session); the oracle reproduces that as a lag/cumsum islands query. */
+  def streamSessions(s: SparkSession, d: String): DataFrame = {
+    val qn = s"graft_sess_${ctr.incrementAndGet()}"
+    val q = StreamingIngest.sessionCounts(eventsStream(s, d), "ts", "user_id",
+        gap = "30 minutes")
+      .writeStream.format("memory").queryName(qn)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(qn).select(col("user_id"),
+      date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+      col("cnt"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_windowed" -> streamWindowed _,
+    "stream_ingest" -> streamIngest _,
+    "stream_uid_state" -> streamUidState _,
+    "stream_sessions" -> streamSessions _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "stream_windowed" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |   event_type, count(*) AS cnt
+        | FROM events GROUP BY 1, 2""".stripMargin,
+    // per-field ledger of the streamed long layout: every non-null value
+    // lands once, keyed by the event uid and its shard date
+    "stream_ingest" ->
+      """SELECT 'user_id' AS field, count(user_id) AS n_values,
+        |   count(DISTINCT CASE WHEN user_id IS NOT NULL THEN event_id END) AS n_uids,
+        |   count(DISTINCT CASE WHEN user_id IS NOT NULL THEN CAST(ts AS DATE) END) AS n_days
+        | FROM events
+        |UNION ALL
+        |SELECT 'event_type', count(event_type),
+        |   count(DISTINCT CASE WHEN event_type IS NOT NULL THEN event_id END),
+        |   count(DISTINCT CASE WHEN event_type IS NOT NULL THEN CAST(ts AS DATE) END)
+        | FROM events
+        |UNION ALL
+        |SELECT 'value', count(value),
+        |   count(DISTINCT CASE WHEN value IS NOT NULL THEN event_id END),
+        |   count(DISTINCT CASE WHEN value IS NOT NULL THEN CAST(ts AS DATE) END)
+        | FROM events
+        |UNION ALL
+        |SELECT 'props', count(props),
+        |   count(DISTINCT CASE WHEN props IS NOT NULL THEN event_id END),
+        |   count(DISTINCT CASE WHEN props IS NOT NULL THEN CAST(ts AS DATE) END)
+        | FROM events""".stripMargin,
+    "stream_uid_state" ->
+      """SELECT CAST(user_id AS VARCHAR) AS value,
+        |   count(*) AS cnt,
+        |   CAST(LEAST(count(DISTINCT event_id), 20) AS BIGINT) AS sample_size
+        | FROM events GROUP BY 1""".stripMargin,
+    "stream_sessions" ->
+      """WITH g AS (
+        | SELECT user_id, ts,
+        |   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |          >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        | FROM events
+        |), sess AS (
+        | SELECT user_id, ts,
+        |   sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                  ROWS UNBOUNDED PRECEDING) AS sid
+        | FROM g
+        |)
+        |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |   count(*) AS cnt
+        | FROM sess GROUP BY user_id, sid""".stripMargin,
+  )
+}

@@ -70,6 +70,40 @@ class StreamingSpec extends SparkSpec {
     assert(written.select("shard_date").distinct().count() == 2)
   }
 
+  test("crashed micro-batch replays from the checkpoint exactly once") {
+    // FlagMaker crash-recovery analog (and the streaming counterpart of
+    // RunningQuerySpec's kill-and-resume): three single-file micro-batches;
+    // the sink job is killed while batch 1 is in flight, a NEW query
+    // instance restarts over the same checkpoint, and the sink must hold
+    // every input row exactly once — committed batch 0 is not replayed,
+    // the failed batch is, the rest follow.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-chaos").toString
+    val in = s"$tmp/in"; val out = s"$tmp/out"; val ck = s"$tmp/ck"
+    new java.io.File(in).mkdirs()
+    for (i <- 1 to 3)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/f$i.json"),
+        s"""{"id":"a$i"}\n{"id":"b$i"}""")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id STRING")
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def start() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(in)
+      .writeStream.option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (id == 1 && crashed.compareAndSet(false, true))
+          throw new RuntimeException("chaos: killed mid-batch")
+        b.write.mode("append").parquet(out)
+      }.start()
+    val q1 = start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination()
+    }
+    val q2 = start() // fresh instance, same checkpoint
+    q2.awaitTermination(60000)
+    val ids = spark.read.parquet(out).collect().map(_.getString(0)).sorted.toSeq
+    assert(ids == Seq("a1", "a2", "a3", "b1", "b2", "b3"))
+  }
+
   test("streaming facet sketches append per batch and merge exactly") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-facet").toString
     val in = s"$tmp/in"; val out = s"$tmp/out"; val ck = s"$tmp/ck"
