@@ -103,6 +103,24 @@ object ServiceQueries {
     Composite.union(Seq("events" -> events, "orders" -> orders))
   }
 
+  /** RemoteEventQueryLogic (BaseRemoteQueryLogic.java:31): the query runs
+    * in a REMOTE deployment reached through its REST tier — here a real
+    * [[QueryServer]] on an ephemeral port — and the local logic is
+    * create → drain pages until 204 → close → re-parse rows. The gate
+    * proves the full HTTP round-trip reproduces the local result. */
+  def remoteQuery(s: SparkSession, d: String): DataFrame = {
+    val server = new QueryServer(Map("events" -> Tables.events(s, d)))
+    val port = server.start()
+    try {
+      val svc = new RemoteQueryService(s"http://127.0.0.1:$port")
+      RemoteQueryLogic.query(s, svc, "events",
+          "EVENT_TYPE == 'click' && USER_ID < 50",
+          pageSize = 500, orderBy = Seq("event_id"))
+        .select(col("event_id").cast("long").as("event_id"),
+          col("user_id").cast("long").as("user_id"), col("event_type"))
+    } finally server.stop()
+  }
+
   /** Query-metrics logic (QueryMetricQueryLogic): run an instrumented
     * query, then query the metrics store itself. */
   def queryMetrics(s: SparkSession, d: String): DataFrame = {
@@ -166,6 +184,7 @@ object ServiceQueries {
     "dashboard_query" -> dashboardQuery _,
     "composite_query" -> compositeQuery _,
     "filtered_query" -> filteredQuery _,
+    "remote_query" -> remoteQuery _,
     "lookup_uuid" -> lookupUuid _,
     "transforms_chain" -> transformsChain _,
     "analyzer_tokens" -> analyzerTokens _,
@@ -217,6 +236,9 @@ object ServiceQueries {
     "filtered_query" ->
       """SELECT CAST(event_id AS VARCHAR) AS id, 'events' AS logic_name
         | FROM events WHERE event_type = 'click'""".stripMargin,
+    "remote_query" ->
+      """SELECT event_id, user_id, event_type FROM events
+        | WHERE event_type = 'click' AND user_id < 50""".stripMargin,
     "lookup_uuid" ->
       """SELECT event_id, user_id, event_type FROM events
         | WHERE event_id IN (5, 6) OR user_id = 42""".stripMargin,

@@ -99,10 +99,19 @@ object StreamingQueries {
         col("user_id").cast("string").as("value"),
         col("event_id").cast("string").as("uid"))
     val qn = s"graft_uidx_${ctr.incrementAndGet()}"
-    val q = StreamingIngest.liveUidIndex(stream, maxUids = 20)
-      .writeStream.format("memory").queryName(qn)
-      .option("checkpointLocation", s"$base/ck")
-      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    // the state store allocates one partition per shuffle partition PER
+    // micro-batch; at ~10² distinct keys the session default (32) is pure
+    // task overhead × 4 batches — pin the stream's state partitioning
+    // low for the gate's key cardinality, restore after start (the value
+    // is captured at query start)
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = try {
+      StreamingIngest.liveUidIndex(stream, maxUids = 20)
+        .writeStream.format("memory").queryName(qn)
+        .option("checkpointLocation", s"$base/ck")
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     q.awaitTermination()
     s.table(qn).groupBy("value")
       .agg(max(col("cnt")).as("cnt"),

@@ -1,0 +1,142 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.net.{HttpURLConnection, URL}
+import java.nio.charset.StandardCharsets
+
+/** Remote query delegation — the reference's `RemoteQueryLogic` family
+  * (BaseRemoteQueryLogic.java:31, RemoteEventQueryLogic,
+  * RemoteEdgeQueryLogic; service contract RemoteQueryService.java):
+  * a query logic whose execution happens in ANOTHER deployment, reached
+  * through its REST tier. Locally it creates the remote query, drains
+  * `next` pages until the remote answers NO_CONTENT (204), and surfaces
+  * the rows as a DataFrame; `plan`/`close` delegate likewise.
+  *
+  * The transport is the reference's own lifecycle verbs against
+  * [[QueryServer]]'s endpoints, JDK `HttpURLConnection` only — no client
+  * library. Row payloads are the server's `toJSON` documents; they are
+  * re-parsed by `spark.read.json`, so the remote logic composes with
+  * every local transform (and with [[Composite]] — a remote leg can sit
+  * beside local legs exactly as in the reference).
+  */
+final class RemoteQueryService(baseUrl: String) {
+
+  private def http(method: String, pathAndQuery: String): (Int, String) = {
+    val conn = new URL(baseUrl + pathAndQuery)
+      .openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod(method)
+    try {
+      val status = conn.getResponseCode
+      val stream = if (status >= 400) conn.getErrorStream else conn.getInputStream
+      val body =
+        if (status == 204 || stream == null) ""
+        else new String(stream.readAllBytes(), StandardCharsets.UTF_8)
+      (status, body)
+    } finally conn.disconnect()
+  }
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+
+  private def extract(field: String, json: String): String = {
+    val m = ("\"" + field + "\"\\s*:\\s*\"([^\"]*)\"").r.findFirstMatchIn(json)
+    m.map(_.group(1)).getOrElse(
+      throw new IllegalStateException(s"no '$field' in remote response: $json"))
+  }
+
+  /** Split a JSON array body into its top-level elements (the page's row
+    * documents) without a JSON library: strip the array's own brackets,
+    * then depth-scan for the element objects, respecting strings and
+    * escapes. */
+  private[query] def splitTopLevel(arrayBody: String): Seq[String] = {
+    val s = arrayBody.trim
+    // the final ']' closes the array: element strings all precede it
+    val body = if (s.startsWith("[")) s.substring(1, s.lastIndexOf(']')) else s
+    val out = Seq.newBuilder[String]
+    var depth = 0; var start = -1; var inStr = false; var esc = false
+    var i = 0
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (inStr) {
+        if (esc) esc = false
+        else if (c == '\\') esc = true
+        else if (c == '"') inStr = false
+      } else c match {
+        case '"' => inStr = true
+        case '{' | '[' => if (depth == 0) start = i; depth += 1
+        case '}' | ']' =>
+          depth -= 1
+          if (depth == 0) { out += body.substring(start, i + 1); start = -1 }
+        case _ => ()
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  private def rowsOf(pageJson: String): Seq[String] = {
+    val ix = pageJson.indexOf("\"rows\"")
+    if (ix < 0) Seq.empty
+    else splitTopLevel(pageJson.substring(pageJson.indexOf('[', ix)))
+  }
+
+  /** `createQuery` (RemoteQueryService.createQuery) → remote query id. */
+  def createQuery(table: String, query: String, syntax: String = "JEXL",
+                  pageSize: Int = 100, orderBy: Seq[String] = Seq.empty): String = {
+    val order = if (orderBy.isEmpty) ""
+                else s"&orderBy=${enc(orderBy.mkString(","))}"
+    val (status, body) = http("POST",
+      s"/query/create?table=${enc(table)}&query=${enc(query)}" +
+        s"&syntax=${enc(syntax)}&pageSize=$pageSize$order")
+    if (status != 200)
+      throw new IllegalStateException(s"remote create failed ($status): $body")
+    extract("queryId", body)
+  }
+
+  /** One `next` call; None at the remote NO_CONTENT (exhausted). */
+  def nextPage(id: String): Option[Seq[String]] = {
+    val (status, body) = http("GET", s"/query/next?id=${enc(id)}")
+    if (status == 204) None
+    else if (status != 200)
+      throw new IllegalStateException(s"remote next failed ($status): $body")
+    else Some(rowsOf(body))
+  }
+
+  def plan(id: String): String = http("GET", s"/query/plan?id=${enc(id)}")._2
+
+  def close(id: String): Unit = http("POST", s"/query/close?id=${enc(id)}")
+}
+
+object RemoteQueryLogic {
+
+  /** Run `query` on the remote deployment and return the full result:
+    * create → drain pages (each page is one remote job; the page loop is
+    * the reference's iterator) → close → re-parse the row documents.
+    * The driver holds one page at a time plus the accumulated row
+    * strings — remote logics are for federating MODERATE result sets
+    * across deployments (the reference's use), not for bulk export;
+    * `maxRows` guards the accumulation like every other driver-side
+    * materialization in this library. */
+  def query(spark: SparkSession, service: RemoteQueryService, table: String,
+            q: String, syntax: String = "JEXL", pageSize: Int = 1000,
+            orderBy: Seq[String] = Seq.empty,
+            maxRows: Long = 1000000L): DataFrame = {
+    val id = service.createQuery(table, q, syntax, pageSize, orderBy)
+    val rows = Seq.newBuilder[String]
+    var n = 0L
+    try {
+      var page = service.nextPage(id)
+      while (page.nonEmpty) {
+        val batch = page.get
+        n += batch.size
+        if (n > maxRows) throw new IllegalStateException(
+          s"remote result exceeds maxRows=$maxRows; page through " +
+            "RemoteQueryService.nextPage instead of materializing")
+        rows ++= batch
+        page = service.nextPage(id)
+      }
+    } finally service.close(id)
+    import spark.implicits._
+    spark.read.json(spark.createDataset(rows.result()))
+  }
+}

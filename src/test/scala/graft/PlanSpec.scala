@@ -148,4 +148,23 @@ class PlanSpec extends SparkSpec {
     assert(plan.toLowerCase.contains("hllunionagg") ||
       plan.toLowerCase.contains("hll_union_agg"), plan.take(3000))
   }
+
+  test("PII redaction is a shuffle-free projection") {
+    // redact + per-kind counts are a regexp_replace/extract chain over
+    // each row — any Exchange means the scrub grew a join/agg and lost
+    // its map-side-only scale story
+    val plan = executed("text_redact_pii")
+    assert(!plan.contains("Exchange"), plan.take(3000))
+  }
+
+  test("repetition profiling reads the corpus once and aggregates twice") {
+    // ONE tagged explode feeds both arities — a second Generate would
+    // mean tokens and bigrams each re-tokenize the text (the two-pass
+    // shape this operator replaced)
+    val plan = executed("text_repetition")
+    val explodes = "Generate explode".r.findAllIn(plan).length
+    assert(explodes == 1, s"expected 1 explode, got $explodes\n" + plan.take(3000))
+    val aggs = "HashAggregate".r.findAllIn(plan).length
+    assert(aggs >= 4, plan.take(3000)) // 2 logical aggs × partial+final
+  }
 }

@@ -99,4 +99,49 @@ class QueryServerSpec extends SparkSpec {
       assert(get(s"$base/lookupUUID").statusCode() == 400)
     } finally srv.stop()
   }
+
+  test("remote query logic reproduces the direct result over HTTP") {
+    val df = (1 to 37).map(i => (i.toLong, s"n_$i", if (i % 3 == 0) "X" else "Y"))
+      .toDF("id", "name", "grp")
+    val srv = new QueryServer(tables = Map("people" -> df))
+    val port = srv.start()
+    try {
+      val svc = new RemoteQueryService(s"http://127.0.0.1:$port")
+      // pageSize 5 forces multiple remote pages (12 X rows → 3 pages)
+      val remote = RemoteQueryLogic.query(spark, svc, "people",
+          "GRP == 'X'", pageSize = 5, orderBy = Seq("id"))
+        .select("id", "name", "grp")
+      val direct = df.filter($"grp" === "X").select("id", "name", "grp")
+      assert(remote.exceptAll(direct).isEmpty && direct.exceptAll(remote).isEmpty)
+      // a remote leg composes with Composite like a local one; the JSON
+      // transport erases non-null guarantees, so the local leg aligns
+      // nullability (the reference's composite likewise requires
+      // delegates to agree on the response class)
+      val localLeg = spark.createDataFrame(
+        direct.select($"id").rdd, remote.select($"id").schema)
+      val merged = Composite.union(Seq(
+        "local" -> localLeg, "remote" -> remote.select($"id")))
+      assert(merged.count() == 24)
+    } finally srv.stop()
+  }
+
+  test("remote create failure surfaces as an exception, not an empty frame") {
+    val srv = new QueryServer(tables = Map.empty)
+    val port = srv.start()
+    try {
+      val svc = new RemoteQueryService(s"http://127.0.0.1:$port")
+      val e = intercept[IllegalStateException] {
+        RemoteQueryLogic.query(spark, svc, "nope", "A == 'b'")
+      }
+      assert(e.getMessage.contains("remote create failed"))
+    } finally srv.stop()
+  }
+
+  test("splitTopLevel respects nested structures and brackets inside strings") {
+    val svc = new RemoteQueryService("http://unused")
+    val parts = svc.splitTopLevel(
+      """[{"a": [1, 2], "b": {"c": "}]"}}, {"d": "\" , [", "e": 5}]""")
+    assert(parts == Seq("""{"a": [1, 2], "b": {"c": "}]"}}""",
+      """{"d": "\" , [", "e": 5}"""))
+  }
 }
