@@ -327,10 +327,7 @@ object Dedup {
     * [[minhashLshPairs]] this operator does NOT promise the exact-Jaccard
     * result set; it is the cheap-fingerprint tradeoff point. */
   def simhashPairs(docs: DataFrame, n: Int, threshold: Double,
-                   maxHamming: Int = 7): DataFrame = {
-    val withSh = spread(docs)
-      .select(col("doc_id"), hashedShingles(col("text"), n).as("sh"))
-      .persist()
+                   maxHamming: Int = 7, needleBound: Int = 100000): DataFrame = {
     val sig = spread(docs).select(col("doc_id"), simhash(col("text")).as("sim"))
     // 8 bands of 8 bits: hamming ≤ 7 ⇒ at least one band identical.
     // Persisted for the same one-evaluation reason as minhashLshPairs.
@@ -348,6 +345,21 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b")
+      .persist()
+    // Shingle only the CANDIDATE docs for the verify stage: candidates
+    // are a small minority by construction (the banding already
+    // collapsed the corpus), so their ids materialize on the driver and
+    // the shingle pass becomes a pushed-down needle scan — the corpus
+    // never pays the n-gram derivation twice. Past the policy bound the
+    // full-corpus frame returns (semi-join shape, still correct).
+    val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+      .distinct().limit(needleBound + 1).collect().map(_.getLong(0))
+    val needleDocs =
+      if (candIds.length <= needleBound)
+        docs.filter(col("doc_id").isin(candIds.toIndexedSeq: _*))
+      else docs
+    val withSh = spread(needleDocs)
+      .select(col("doc_id"), hashedShingles(col("text"), n).as("sh"))
       .persist()
     verifyJaccard(cand, withSh, threshold)
   }

@@ -31,6 +31,30 @@ object DocumentTree {
         length(uid) - length(substring_index(uid, ".", -1)) - 1))
       .otherwise(lit(null))
 
+  /** Hierarchy decorations (INCLUDE_HIERARCHY_FIELDS /
+    * INCLUDE_CHILD_COUNT / INCLUDE_PARENT — QueryParameters.java:59,
+    * 76-77): PARENT_UID (direct parent pointer, null for roots) and
+    * CHILD_COUNT (number of DIRECT children). Child counts are one
+    * map-side-combined groupBy over each doc's parent pointer, joined
+    * back on uid — one shuffle keyed by uid, childless docs get 0;
+    * never a per-document subtree walk. */
+  def withHierarchyFields(docs: DataFrame, uidCol: String = "uid",
+                          includeParent: Boolean = true,
+                          includeChildCount: Boolean = true): DataFrame = {
+    var df = docs
+    if (includeParent)
+      df = df.withColumn("PARENT_UID", parentUid(col(uidCol)))
+    if (includeChildCount) {
+      val counts = docs.select(parentUid(col(uidCol)).as("__p"))
+        .filter(col("__p").isNotNull)
+        .groupBy("__p").agg(count(lit(1)).as("CHILD_COUNT"))
+      df = df.join(counts, df(uidCol) === counts("__p"), "left")
+        .drop("__p")
+        .withColumn("CHILD_COUNT", coalesce(col("CHILD_COUNT"), lit(0L)))
+    }
+    df
+  }
+
   /** TLD query: docs matching `pred` select their trees; return EVERY
     * document belonging to a selected tree (TLDQueryIterator semantics:
     * evaluate against the whole tree, return tree members). */

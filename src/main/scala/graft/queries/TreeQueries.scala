@@ -54,6 +54,30 @@ object TreeQueries {
           (col("kind") === "order" && col("priority") === "1-URGENT"))
       .select("uid", "kind")
 
+  /** Hierarchy decorations (INCLUDE_HIERARCHY_FIELDS / INCLUDE_PARENT /
+    * INCLUDE_CHILD_COUNT, QueryParameters.java:59,76-77): every returned
+    * document carries PARENT_UID (null at roots) and its DIRECT child
+    * count. Filtered to urgent orders + their big lines so both tree
+    * levels appear. */
+  def hierarchyFields(s: SparkSession, d: String): DataFrame =
+    DocumentTree.withHierarchyFields(treeDocs(s, d))
+      .filter((col("kind") === "order" && col("priority") === "1-URGENT") ||
+        (col("kind") === "line" && col("quantity") > 49))
+      .select("uid", "kind", "PARENT_UID", "CHILD_COUNT")
+
+  /** INCLUDE_RECORD_ID / INCLUDE_DATATYPE_AS_FIELD over the shard-query
+    * path: the result rows carry the full event key
+    * (shardDate/datatype/uid) and the datatype as fields, surviving the
+    * RETURN_FIELDS projection like HIT_TERM does. */
+  def recordIdFields(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(
+      col("event_id").as("uid"), lit("events").as("datatype"),
+      to_date(col("ts")).as("shard_date"), col("event_type"), col("user_id"))
+    logic.query(ev, "EVENT_TYPE == 'error' && USER_ID < 30",
+      QueryParams(returnFields = Seq("uid", "user_id"),
+        includeDatatypeAsField = true, includeRecordId = true))
+  }
+
   /** Masked-field projection: unauthorized viewers get the masked name. */
   def maskedFields(s: SparkSession, d: String): DataFrame = {
     val c = Tables.customer(s, d)
@@ -71,9 +95,41 @@ object TreeQueries {
     "ancestor_query" -> ancestorQuery _,
     "parent_query" -> parentQuery _,
     "masked_fields" -> maskedFields _,
+    "qs_hierarchy" -> hierarchyFields _,
+    "qs_record_id" -> recordIdFields _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    // two-level tree: parent = uid with its last dotted segment dropped;
+    // child count = docs pointing at the uid
+    "qs_hierarchy" ->
+      """WITH tree AS (
+        |  SELECT CAST(o_orderkey AS VARCHAR) AS uid, 'order' AS kind,
+        |     o_orderpriority AS priority, CAST(NULL AS DOUBLE) AS quantity
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT CAST(l_orderkey AS VARCHAR) || '.' || CAST(l_linenumber AS VARCHAR),
+        |     'line', NULL, l_quantity FROM lineitem
+        |), dec AS (
+        |  SELECT uid, kind, priority, quantity,
+        |    CASE WHEN uid LIKE '%.%'
+        |         THEN regexp_replace(uid, '\.[^.]*$', '') END AS parent
+        |  FROM tree
+        |), cc AS (
+        |  SELECT parent AS p, count(*) AS c FROM dec
+        |  WHERE parent IS NOT NULL GROUP BY 1
+        |)
+        |SELECT d.uid, d.kind, d.parent AS "PARENT_UID",
+        |   CAST(COALESCE(cc.c, 0) AS BIGINT) AS "CHILD_COUNT"
+        | FROM dec d LEFT JOIN cc ON d.uid = cc.p
+        | WHERE (d.kind = 'order' AND d.priority = '1-URGENT')
+        |    OR (d.kind = 'line' AND d.quantity > 49)""".stripMargin,
+    "qs_record_id" ->
+      """SELECT event_id AS uid, user_id,
+        |   'events' AS "EVENT_DATATYPE",
+        |   strftime(CAST(ts AS DATE), '%Y%m%d') || '/events/' ||
+        |     CAST(event_id AS VARCHAR) AS "RECORD_ID"
+        | FROM events WHERE event_type = 'error' AND user_id < 30""".stripMargin,
     "tld_query" ->
       """WITH roots AS (
         |  SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS root

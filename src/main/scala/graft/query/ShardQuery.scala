@@ -29,7 +29,15 @@ final case class QueryParams(
     // the masked value; authorized viewers see the unmasked one (falling
     // back to masked where unmasked is absent).
     maskedFields: Map[String, String] = Map.empty,
-    unmaskAuthorized: Boolean = false)
+    unmaskAuthorized: Boolean = false,
+    // INCLUDE_DATATYPE_AS_FIELD / INCLUDE_RECORD_ID (QueryParameters
+    // .java:72-78): decorate each returned document with its datatype
+    // (EVENT_DATATYPE) and its full event key (RECORD_ID =
+    // shardDate/datatype/uid) — the DocumentTransformer metadata
+    // surfaced as fields. Both survive RETURN_FIELDS like HIT_TERM.
+    includeDatatypeAsField: Boolean = false,
+    includeRecordId: Boolean = false,
+    uidCol: String = "uid")
 
 /** The event-query entry point — ShardQueryLogic re-expressed
   * (SURVEY.md §3.1 "Spark shape"): parse → translate → filter with
@@ -151,6 +159,25 @@ final class ShardQueryLogic(
       }
     }
 
+    // Result decorations. Fail loudly when the frame lacks the key
+    // columns — silently-absent metadata would defer the failure to
+    // whatever consumes the record id downstream.
+    if (params.includeDatatypeAsField) {
+      val dt = df.columns.find(_.equalsIgnoreCase(params.datatypeCol)).getOrElse(
+        throw new PolicyException(
+          s"INCLUDE_DATATYPE_AS_FIELD requires column '${params.datatypeCol}'"))
+      df = df.withColumn("EVENT_DATATYPE", col(dt))
+    }
+    if (params.includeRecordId) {
+      def need(c: String): String = df.columns.find(_.equalsIgnoreCase(c))
+        .getOrElse(throw new PolicyException(
+          s"INCLUDE_RECORD_ID requires column '$c'"))
+      df = df.withColumn("RECORD_ID", concat_ws("/",
+        date_format(col(need(params.dateCol)).cast("date"), "yyyyMMdd"),
+        col(need(params.datatypeCol)),
+        col(need(params.uidCol)).cast("string")))
+    }
+
     // #EXCERPT_FIELDS → HIT_EXCERPT (ExcerptTransform.java:53): slice the
     // phrase window out of each named text field. Runs after evaluation —
     // the reference's transform stage — and survives RETURN_FIELDS like
@@ -191,7 +218,9 @@ final class ShardQueryLogic(
     if (params.returnFields.nonEmpty) {
       val keep = params.returnFields.map(_.toUpperCase).toSet ++
         (if (params.hitList) Set("HIT_TERM") else Set.empty) ++
-        (if (opts.excerptFields.nonEmpty) Set("HIT_EXCERPT") else Set.empty)
+        (if (opts.excerptFields.nonEmpty) Set("HIT_EXCERPT") else Set.empty) ++
+        (if (params.includeDatatypeAsField) Set("EVENT_DATATYPE") else Set.empty) ++
+        (if (params.includeRecordId) Set("RECORD_ID") else Set.empty)
       df = df.select(df.columns.filter(c => keep.contains(c.toUpperCase))
         .map(col): _*)
     }

@@ -28,18 +28,27 @@ object StreamingIngest {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(inputDir)
 
-  /** Long-format ingest transform applied per micro-batch, appended to a
+  /** Long-format ingest transform applied per micro-batch into a
     * date-partitioned sink — the "live" low-latency write path. A real
-    * deployment points this at Delta/Iceberg MERGE in foreachBatch. */
+    * deployment points this at Delta/Iceberg MERGE in foreachBatch.
+    *
+    * EXACTLY-ONCE without a transactional table format: each micro-batch
+    * writes its own `batch_id=N` partition directory with overwrite
+    * semantics, so a batch replayed after a crash — even a crash AFTER a
+    * partial or complete write but before the checkpoint commit —
+    * replaces its own output instead of appending a duplicate. A bare
+    * `mode("append")` here would be at-least-once; the checkpoint dedups
+    * *inputs*, never *outputs*. Readers treat `batch_id` as one more
+    * partition column on the same `spark.read.parquet(outDir)`. */
   def ingestTo(stream: DataFrame, outDir: String, checkpointDir: String,
                toLong: DataFrame => DataFrame): DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        toLong(batch).write.mode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        toLong(batch).write.mode("overwrite")
           .partitionBy("shard_date")
-          .parquet(outDir)
+          .parquet(s"$outDir/batch_id=$id")
       }
 
   /** Watermarked event-time windowed counts — net-new vs the reference
@@ -79,9 +88,11 @@ object StreamingIngest {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        // idempotent per-batch partition, same rationale as ingestTo —
+        // a replayed sketch batch must not double-count into the merge
         graft.ingest.Facets.sketchBatches(batch, batchCol, keyCol, valCol)
-          .write.mode("append").parquet(outDir)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
       }
 
   /** Live global-index maintenance with CUSTOM streaming state — the

@@ -50,6 +50,31 @@ class Wave5Spec extends SparkSpec {
       r3.getAs[Double]("top_token_frac") == 0.0)
   }
 
+  test("record-id decorations fail loudly when the key columns are absent") {
+    val df = Seq((1L, "x")).toDF("uid", "v")
+    val e = intercept[graft.jexl.PolicyException] {
+      new ShardQueryLogic().query(df, "V == 'x'",
+        QueryParams(includeRecordId = true))
+    }
+    assert(e.getMessage.contains("INCLUDE_RECORD_ID"))
+    val e2 = intercept[graft.jexl.PolicyException] {
+      new ShardQueryLogic().query(df, "V == 'x'",
+        QueryParams(includeDatatypeAsField = true))
+    }
+    assert(e2.getMessage.contains("INCLUDE_DATATYPE_AS_FIELD"))
+  }
+
+  test("hierarchy fields: direct children only, roots get null parent") {
+    val docs = Seq("1", "1.1", "1.2", "1.2.1", "2").toDF("uid")
+    val out = graft.operators.DocumentTree.withHierarchyFields(docs)
+      .collect().map(r => r.getString(0) ->
+        (Option(r.getString(1)), r.getAs[Long]("CHILD_COUNT"))).toMap
+    assert(out("1") == (None, 2L))     // 1.1 and 1.2 — NOT 1.2.1
+    assert(out("1.2") == (Some("1"), 1L))
+    assert(out("1.2.1") == (Some("1.2"), 0L))
+    assert(out("2") == (None, 0L))
+  }
+
   // --- streamed results must converge to their batch equivalents --------
 
   test("stream_windowed equals the batch hourly group-by") {

@@ -104,6 +104,41 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Seq("a1", "a2", "a3", "b1", "b2", "b3"))
   }
 
+  test("batch replayed AFTER its write does not duplicate output") {
+    // the crash window a plain append sink cannot survive: the batch's
+    // files are fully written but the checkpoint commit never lands, so
+    // the restart REPLAYS the batch. ingestTo's per-batch
+    // `batch_id=N` overwrite partition makes the replay replace its own
+    // output; this drives that exact write pattern with a crash injected
+    // after the write completes.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-idem").toString
+    val in = s"$tmp/in"; val out = s"$tmp/out"; val ck = s"$tmp/ck"
+    new java.io.File(in).mkdirs()
+    for (i <- 1 to 3)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/f$i.json"),
+        s"""{"id":"u$i","d":"2024-01-0$i","NAME":"n$i"}""")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id STRING, d STRING, NAME STRING")
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def start() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(in)
+      .writeStream.option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.ingest.Ingest.toLong(b, "id", "t", "d").write.mode("overwrite")
+          .partitionBy("shard_date").parquet(s"$out/batch_id=$id")
+        if (id == 1 && crashed.compareAndSet(false, true))
+          throw new RuntimeException("chaos: crashed after write, before commit")
+      }.start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      start().awaitTermination()
+    }
+    start().awaitTermination(60000)
+    val written = spark.read.parquet(out)
+    assert(written.count() == 3) // one NAME row per record, exactly once
+    assert(written.select("uid").distinct().count() == 3)
+  }
+
   test("streaming facet sketches append per batch and merge exactly") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-facet").toString
     val in = s"$tmp/in"; val out = s"$tmp/out"; val ck = s"$tmp/ck"
