@@ -53,7 +53,11 @@ object Warmup {
       // ann_ivf_recall: aggregate(|zip_with(
       "ann_ivf" -> VectorOps.ivfTopK(emb, probeId = 0L, k = 5).select("vec_id"),
       // text_repetition: transform(|zip_with(|filter(|explode|generate
-      "repetition" -> graft.operators.TextOps.repetition(docs))
+      "repetition" -> graft.operators.TextOps.repetition(docs),
+      // text_surprisal: filter(|explode|generate (the model-total collect
+      // inside surprisal() runs two tiny jobs at construction — part of
+      // the warming)
+      "surprisal" -> graft.operators.TextOps.surprisal(docs, 1.0, 2.0))
   }
 
   /** Execute every kernel once (untimed warm pass). */

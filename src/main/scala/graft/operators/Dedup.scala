@@ -111,6 +111,44 @@ object Dedup {
       .select("id_a", "id_b", "inter", "uni")
   }
 
+  /** Exact-substring duplication profile ("Deduplicating Training Data
+    * Makes Language Models Better", Lee et al. 2022 — ExactSubstr): a
+    * k-token span occurring verbatim in ≥2 documents marks both as
+    * carrying duplicated text. Reported per document as exact integer
+    * counts (n_spans, n_dup_spans) + one IEEE division, so the profile is
+    * engine-deterministic.
+    *
+    * The suffix-array of the paper collapses, in Spark terms, to an
+    * inverted index over k-token windows: distinct spans per doc →
+    * groupBy(span) document frequency → df ≥ 2 filter → doc-keyed count.
+    * Two map-side-combined shuffles keyed on the 128-bit span hash; the
+    * df filter keeps the join side to actually-shared spans. At 100 TB
+    * the one addition is a hot-span cap (boilerplate headers can put one
+    * span in millions of docs) — the df aggregate is where it would
+    * clip, exactly like the reference's Uid.List 20-cap. */
+  def spanProfile(docs: DataFrame, k: Int = 10): DataFrame = {
+    // the shingle derivation is the expensive interpreted subtree — one
+    // evaluation, everything downstream reads the persisted arrays
+    val withSp = spread(docs)
+      .select(col("doc_id"), shingles(col("text"), k).as("sp"))
+      .persist()
+    val spans = withSp
+      .select(col("doc_id"), explode(col("sp")).as("span"))
+      .select(col("doc_id"), md5(col("span")).as("h"))
+    val shared = spans.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+    val perDoc = spans.join(shared, "h")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_spans"))
+    withSp.select(col("doc_id"), size(col("sp")).cast("long").as("n_spans"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        when(col("n_spans") > 0,
+          coalesce(col("n_dup_spans"), lit(0L)).cast("double")
+            / col("n_spans").cast("double"))
+          .otherwise(lit(0.0)).as("dup_frac"))
+  }
+
   /** MinHash prime modulus (2^31 − 1, Mersenne): products h·aᵢ stay below
     * 2^63 for 32-bit h, so ANSI-mode long arithmetic never overflows. */
   private val MinhashP = 2147483647L

@@ -173,6 +173,68 @@ object TextOps {
           / col("n_bi").cast("double")).otherwise(0.0).as("top_bigram_frac"))
   }
 
+  // --- corpus-LM surprisal (CCNet-style quality bucketing) --------------
+
+  /** Quarter-bit quantized log: floor(4·log2(x)) for 1 ≤ x < 2^15,
+    * computed EXACTLY as the binary-string length of x⁴ — no floating
+    * log, so the same value falls out of any engine (`length(bin(x⁴))-1`
+    * in DuckDB too). Counts ≥ 2^15 saturate their fractional bits
+    * (4·floor(log2 x) + 3): still monotone and engine-exact, just
+    * whole-bit-coarse — high-frequency tokens contribute so little
+    * surprisal that quarter-bit resolution stops mattering there, and the
+    * exact branch's x⁴ stays far inside int64. */
+  def qlog4(x: Column): Column =
+    when(x < 32768, length(bin(x * x * x * x)) - 1)
+      .otherwise((length(bin(x)) - 1) * 4 + 3).cast("long")
+
+  /** [[qlog4]] for a driver-side scalar (the corpus token total). */
+  def qlog4Long(x: Long): Long =
+    if (x < 32768) BigInt(x).pow(4).bitLength - 1L
+    else 4L * (63 - java.lang.Long.numberOfLeadingZeros(x)) + 3
+
+  /** Per-document surprisal under a unigram LM trained on the corpus
+    * itself — the CCNet recipe (train an LM on the corpus, score each
+    * document, keep the low-perplexity "head") — with the LM's token
+    * log-probs quantized to quarter bits ([[qlog4]]) so every score is
+    * exact integer arithmetic and the head/middle/tail split reproduces
+    * bit-for-bit on any engine.
+    *
+    * token surprisal (¼-bits) = qlog4(total_tokens) − qlog4(count(t));
+    * doc surprisal = Σ over token instances; mean bits/token = ONE IEEE
+    * division surprisal_qbits / (4·n_tokens).
+    *
+    * 100 TB shape: the model is a vocabulary-sized aggregate (map-side
+    * combined shuffle on token); scoring is a shuffle join of the token
+    * stream against the model keyed on token, then a doc-keyed integer
+    * fold — shuffle volume tracks token count, never all-pairs anything.
+    * The bucket cutoffs are OPERATOR PARAMETERS (CCNet chooses its
+    * percentile cutoffs offline the same way), so bucketing is map-side —
+    * no global sort, no single-partition window. */
+  def surprisal(docs: DataFrame, headBits: Double, middleBits: Double,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val model = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    // the model total is ONE scalar — a bounded driver materialization
+    // (NeedleScan pattern), not a data-scale collect
+    val total = model.agg(sum("c")).collect()(0).getLong(0)
+    val totalQ = qlog4Long(total)
+    val scored = toks.join(model, Seq("tok"))
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_tokens"),
+        sum(lit(totalQ) - qlog4(col("c"))).as("surprisal_qbits"))
+    val mean = when(col("n_tokens") > 0,
+      col("surprisal_qbits").cast("double")
+        / (col("n_tokens") * 4L).cast("double"))
+      .otherwise(lit(0.0))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("surprisal_qbits"), lit(0L)).as("surprisal_qbits"),
+        mean.as("mean_surprisal"),
+        when(mean < headBits, "head").when(mean < middleBits, "middle")
+          .otherwise("tail").as("ppl_bucket"))
+  }
+
   // --- derived DataFrames ----------------------------------------------
 
   def analyze(docs: DataFrame): DataFrame =

@@ -138,9 +138,34 @@ object PipelineQueries {
     // tokenize+explode (same concern as analyzer_tokens)
     TextOps.repetition(graft.core.Spread(Tables.documents(s, d)))
 
+  /** CCNet-style LM quality bucketing: unigram LM trained on the corpus,
+    * quarter-bit-exact per-doc surprisal, head/middle/tail by fixed
+    * cutoffs (the offline-chosen constants of the CCNet pipeline). */
+  def textSurprisal(s: SparkSession, d: String): DataFrame =
+    TextOps.surprisal(graft.core.Spread(Tables.documents(s, d)),
+      headBits = 4.7625, middleBits = 4.775)
+
+  /** Exact-substring duplication (Lee et al. ExactSubstr analog): per-doc
+    * count of 10-token spans that appear verbatim in another document. */
+  def spanDedup(s: SparkSession, d: String): DataFrame =
+    Dedup.spanProfile(Tables.documents(s, d), k = 10)
+
+  /** Token-budget corpus mixing: per-language budgets hit exactly, in
+    * deterministic hash order (the "X tokens of each source" mix step). */
+  def corpusMix(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+      TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+    graft.operators.Sampling.tokenBudget(docs, "doc_id", "lang", "n_tokens",
+        budgets = Map("en" -> 6000L), defaultBudget = 2000L, salt = "mix1")
+      .select("doc_id", "lang", "n_tokens", "cum_tokens")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_redact_pii" -> textRedactPii _,
     "text_repetition" -> textRepetition _,
+    "text_surprisal" -> textSurprisal _,
+    "span_dedup" -> spanDedup _,
+    "corpus_mix" -> corpusMix _,
     "dedup_exact" -> dedupExact _,
     "dedup_ngram_jaccard" -> dedupNgram _,
     "decontaminate" -> decontaminate _,
@@ -309,6 +334,66 @@ object PipelineQueries {
          |      CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) * 0.8""".stripMargin,
     "text_tokens" ->
       s"SELECT doc_id, len($toksSql) AS n_tokens FROM documents",
+    // quarter-bit quantized unigram-LM surprisal: qlog4(x) =
+    // length(bin(x^4))-1 below 2^15, saturated whole-bit above — exact
+    // integer arithmetic end-to-end, one IEEE division for the mean
+    "text_surprisal" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         |m AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
+         |tot AS (SELECT CASE WHEN CAST(sum(c) AS BIGINT) < 32768
+         |    THEN length(bin(CAST(sum(c) AS BIGINT) * CAST(sum(c) AS BIGINT)
+         |         * CAST(sum(c) AS BIGINT) * CAST(sum(c) AS BIGINT))) - 1
+         |    ELSE 4 * (length(bin(CAST(sum(c) AS BIGINT))) - 1) + 3 END AS tq
+         |  FROM m),
+         |sc AS (SELECT doc_id, count(*) AS n,
+         |  sum((SELECT tq FROM tot)
+         |    - (CASE WHEN c < 32768 THEN length(bin(c*c*c*c)) - 1
+         |        ELSE 4 * (length(bin(c)) - 1) + 3 END)) AS qb
+         | FROM tok JOIN m USING (tok) GROUP BY 1),
+         |f AS (SELECT d.doc_id,
+         |  CAST(COALESCE(n, 0) AS BIGINT) AS n_tokens,
+         |  CAST(COALESCE(qb, 0) AS BIGINT) AS surprisal_qbits,
+         |  CASE WHEN COALESCE(n, 0) > 0
+         |    THEN CAST(qb AS DOUBLE) / CAST(n * 4 AS DOUBLE)
+         |    ELSE 0.0 END AS mean_surprisal
+         | FROM documents d LEFT JOIN sc USING (doc_id))
+         |SELECT doc_id, n_tokens, surprisal_qbits, mean_surprisal,
+         |  CASE WHEN mean_surprisal < 4.7625 THEN 'head'
+         |       WHEN mean_surprisal < 4.775 THEN 'middle'
+         |       ELSE 'tail' END AS ppl_bucket
+         | FROM f""".stripMargin,
+    // 10-token spans shared verbatim across documents (distinct per doc,
+    // inverted-index df >= 2) — grouping by the span string is
+    // equivalent to the engine's md5 narrowing
+    "span_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sp AS (SELECT doc_id,
+         |  CASE WHEN len(toks) >= 10 THEN
+         |    list_distinct(list_transform(range(1, len(toks) - 8),
+         |      i -> list_aggregate(toks[i:i+9], 'string_agg', ' ')))
+         |  ELSE [] END AS spans FROM t),
+         |e AS (SELECT doc_id, unnest(spans) AS s FROM sp),
+         |sh AS (SELECT s FROM e GROUP BY s HAVING count(*) >= 2),
+         |pd AS (SELECT doc_id, count(*) AS n_dup FROM e JOIN sh USING (s)
+         |       GROUP BY 1)
+         |SELECT sp.doc_id, CAST(len(spans) AS BIGINT) AS n_spans,
+         |  CAST(COALESCE(n_dup, 0) AS BIGINT) AS n_dup_spans,
+         |  CASE WHEN len(spans) > 0
+         |    THEN CAST(COALESCE(n_dup, 0) AS DOUBLE) / CAST(len(spans) AS DOUBLE)
+         |    ELSE 0.0 END AS dup_frac
+         | FROM sp LEFT JOIN pd USING (doc_id)""".stripMargin,
+    // same md5 bucket ordering + running token sum on both engines →
+    // identical budget cuts (doc_id breaks bucket ties)
+    "corpus_mix" ->
+      s"""WITH d AS (SELECT doc_id, lang, CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |w AS (SELECT doc_id, lang, n_tokens,
+         |  sum(n_tokens) OVER (PARTITION BY lang ORDER BY
+         |    CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':mix1')),
+         |      1, 8)) AS BIGINT) % 1000000, doc_id) AS cum_tokens FROM d)
+         |SELECT doc_id, lang, n_tokens, cum_tokens FROM w
+         | WHERE cum_tokens <= CASE WHEN lang = 'en' THEN 6000 ELSE 2000 END""".stripMargin,
     "text_analyze" -> {
       val stops = TextOps.EnStopwords.map(s => s"'$s'").mkString("[", ", ", "]")
       def langList(lang: String) = TextOps.LangStopwords.toMap.apply(lang)

@@ -157,6 +157,37 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan.take(3000))
   }
 
+  test("surprisal scoring joins the token stream against a vocabulary-sized model") {
+    // the LM model is a groupBy(token) aggregate and scoring is an
+    // equi-join on token — never a cross join, never a per-row probe of
+    // a collected vocabulary (the model can be billions of entries at
+    // corpus scale)
+    val plan = executed("text_surprisal")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      plan.take(3000))
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
+  test("span dedup derives shingles once and reuses the persisted arrays") {
+    // the k-token span arrays are the expensive interpreted subtree; both
+    // consumers (df aggregate + per-doc count) must read the InMemory
+    // relation, not re-shingle the text
+    val plan = executed("span_dedup")
+    val memScans = "InMemoryTableScan".r.findAllIn(plan).length
+    assert(memScans >= 2, s"expected >=2 cache reads, got $memScans\n" + plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("token-budget mixing is one stratum-keyed window, no extra exchange") {
+    // a budget cut is an order statistic per stratum: exactly one
+    // shuffle (hashpartitioning on the stratum) feeds the running sum
+    val plan = executed("corpus_mix")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges\n" + plan.take(3000))
+    assert(plan.contains("Window"), plan.take(3000))
+  }
+
   test("repetition profiling reads the corpus once and aggregates twice") {
     // ONE tagged explode feeds both arities — a second Generate would
     // mean tokens and bigrams each re-tokenize the text (the two-pass
