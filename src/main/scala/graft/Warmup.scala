@@ -50,6 +50,9 @@ object Warmup {
       "minhash" -> Dedup.minhashLshPairs(docs, n = 3, threshold = 0.8),
       // ann_lsh: aggregate(|zip_with(|explode|generate
       "ann_lsh" -> VectorOps.lshTopK(emb, probeId = 0L, k = 5).select("vec_id"),
+      // emb_neardup_cell: transform(|aggregate(|zip_with(|explode|generate
+      "cell_neardup" -> VectorOps.cellNearDupPairs(emb, threshold = 0.45,
+        nCells = 4),
       // ann_ivf_recall: aggregate(|zip_with(
       "ann_ivf" -> VectorOps.ivfTopK(emb, probeId = 0L, k = 5).select("vec_id"),
       // text_repetition: transform(|zip_with(|filter(|explode|generate

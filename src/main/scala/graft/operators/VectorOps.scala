@@ -258,6 +258,59 @@ object VectorOps {
       (vec.indices.map(i => vec(i) * cen(i)).sum, c)
     }.sortBy { case (s, c) => (-s, c) }.take(nProbe).map(_._2)
 
+  /** The `nAssign` nearest cells per vector (multi-probe assignment):
+    * sort the (sim, cell) structs descending — struct ordering makes
+    * ties resolve to the larger cell, identical to [[ivfAssign]]'s
+    * argmax — and keep the first `nAssign` cell ids. */
+  def ivfAssignTop(vec: Column, centroids: Seq[Seq[Double]],
+                   nAssign: Int): Column = {
+    val mat = typedLit(centroids)
+    val scored = zip_with(mat, sequence(lit(0), lit(centroids.size - 1)),
+      (centroid, c) => struct(
+        aggregate(zip_with(vec, centroid, (x, w) => x.cast("double") * w),
+          lit(0.0), (acc, x) => acc + x).as("sim"),
+        c.as("cell")))
+    transform(slice(reverse(array_sort(scored)), 1, nAssign),
+      s => s.getField("cell"))
+  }
+
+  /** Cluster-bucketed embedding near-dup — the 100 TB scale path for
+    * [[cosineNearDupPairs]] (SemDeDup's contract: semantic duplicates
+    * share a coarse cluster, so pair search runs only WITHIN cells and
+    * the quadratic term shrinks from n² to Σ|cell|²; nCells grows with
+    * the corpus). Each vector lands in its `nAssign` nearest cells
+    * (multi-probe — recovers boundary pairs the single-cell form loses;
+    * work bound becomes nAssign²·n²/nCells for balanced cells).
+    *
+    * Assignment is one interpreted pass against the deterministic
+    * [[ivfCentroids]] (persisted — both join sides read it); the
+    * within-cell pair join co-partitions on `cell` (each cell's pairs
+    * resolved inside one partition) and the cosine check is the
+    * codegen'd [[dotN]] chain. Pairs sharing no assigned cell are
+    * forfeited by contract — recall vs the exact operator is pinned in
+    * VectorOpsSpec, and the `emb_neardup_cell` gate replays the whole
+    * pipeline (centroid choice, top-2 assignment, threshold) in the
+    * oracle. Returns distinct (id_a, id_b). */
+  def cellNearDupPairs(emb: DataFrame, threshold: Double,
+                       nCells: Int = 16, nAssign: Int = 2): DataFrame = {
+    val dim = embDim(emb)
+    val centroids = ivfCentroids(emb, nCells)
+    val withCell = emb
+      .select(col("vec_id"), col("embedding"),
+        explode(ivfAssignTop(col("embedding"), centroids, nAssign)).as("cell"),
+        sqrt(dotN(col("embedding"), col("embedding"), dim)).as("nrm"))
+      .persist()
+    val a = withCell.select(col("cell"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = withCell.select(col("cell"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(dotN(col("emb_a"), col("emb_b"), dim) >=
+        lit(threshold) * col("nrm_a") * col("nrm_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
   /** ANN via IVF cells: scan ONLY the probe's `nProbe` nearest cells
     * (partition pruning at the lake layout level — cell id is the
     * clustering key), exact cosine re-rank within them. Approximate:

@@ -79,6 +79,13 @@ object PipelineQueries {
   def embNearDup(s: SparkSession, d: String): DataFrame =
     VectorOps.cosineNearDupPairs(Tables.embeddings(s, d), threshold = 0.45)
 
+  /** Cluster-bucketed near-dup (SemDeDup shape): within-cell exact
+    * pairs only — the scale path past [[embNearDup]]'s broadcast
+    * envelope. Full-hash oracle: the DuckDB side replays centroid
+    * sampling, argmax assignment, and the threshold join. */
+  def embNearDupCell(s: SparkSession, d: String): DataFrame =
+    VectorOps.cellNearDupPairs(Tables.embeddings(s, d), threshold = 0.45)
+
   /** LSH-bucketed ANN (approximate — recall asserted in tests, rows-only
     * check here). */
   def annLsh(s: SparkSession, d: String): DataFrame =
@@ -177,6 +184,7 @@ object PipelineQueries {
     "text_tokens" -> textTokens _,
     "ann_topk" -> annTopk _,
     "emb_neardup" -> embNearDup _,
+    "emb_neardup_cell" -> embNearDupCell _,
     "ann_lsh" -> annLsh _,
     "ann_lsh_recall" -> annLshRecall _,
     "ann_ivf_recall" -> annIvfRecall _,
@@ -441,6 +449,37 @@ object PipelineQueries {
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b
         | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         | WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45""".stripMargin,
+    // emb_neardup_cell: replay the WHOLE bucketed pipeline — stride-
+    // sampled centroids (vec_id % max(1, n/16) = 0, first 16 by id,
+    // L2-normalized), top-2 best-dot cell assignment (ties -> larger
+    // cell, matching Spark's struct sort), then the shared-cell
+    // cosine-threshold join, DISTINCT pairs. Dot products fold
+    // left-to-right on both sides (same recipe as ann_lsh), so
+    // assignment and threshold decisions are bit-identical.
+    "emb_neardup_cell" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cen0 AS (
+        |  SELECT vec_id, v FROM e
+        |  WHERE vec_id % greatest(1, (SELECT count(*) FROM e) // 16) = 0
+        |  ORDER BY vec_id LIMIT 16),
+        |cen AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+        |    list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS c
+        |  FROM cen0),
+        |assign AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT e.vec_id, cen.cell,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(range(0, 64), i -> e.v[i + 1] * cen.c[i + 1])) DESC,
+        |        cen.cell DESC) AS rn
+        |    FROM e CROSS JOIN cen) WHERE rn <= 2),
+        |nrm AS (SELECT vec_id, sqrt(list_sum(list_transform(v, y -> y * y))) AS nrm FROM e)
+        |SELECT DISTINCT aa.vec_id AS id_a, bb.vec_id AS id_b
+        | FROM assign aa JOIN assign bb ON aa.cell = bb.cell AND aa.vec_id < bb.vec_id
+        | JOIN e a ON a.vec_id = aa.vec_id JOIN e b ON b.vec_id = bb.vec_id
+        | JOIN nrm na ON na.vec_id = aa.vec_id JOIN nrm nb ON nb.vec_id = bb.vec_id
+        | WHERE list_sum(list_transform(range(0, 64), i -> a.v[i + 1] * b.v[i + 1]))
+        |       >= 0.45 * na.nrm * nb.nrm""".stripMargin,
     // ann_lsh: the md5-derived hyperplane matrix is engine-replicable, so
     // the oracle rebuilds the WHOLE approximate pipeline — signature →
     // 16×2-bit banding → probe-bucket candidates → exact cosine rerank —
