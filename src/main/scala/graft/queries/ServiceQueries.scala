@@ -162,6 +162,27 @@ object ServiceQueries {
       Transforms.dedup(Seq("c_custkey"))
     ))(Tables.customer(s, d))
 
+  /** Result decoration (EventQueryDataDecorator / its transformer):
+    * two decorator stages over the events long layout — `event_uri` is
+    * the APPEND leg (field absent, so every document gains a row built
+    * from the first matching pattern; the dead `missing_field` pattern
+    * proves ordered fallback), `props` is the OVERWRITE leg (existing
+    * rows rewritten in place from `user_id`). DecorateSpec pins the
+    * marking-inheritance and multi-value rules the oracle can't see. */
+  def decoratedFields(s: SparkSession, d: String): DataFrame = {
+    val long = graft.ingest.Ingest.toLong(
+      graft.core.Spread(Tables.events(s, d)),
+      uidCol = "event_id", datatype = "event", dateCol = "ts")
+    Transforms.chain(Seq(
+      Transforms.decorate("event_uri", Seq(
+        "missing_field" -> "m:@field_value@",
+        "event_type" -> "https://ex.org/t/@field_value@")),
+      Transforms.decorate("props", Seq("user_id" -> "u:@field_value@"))
+    ))(long)
+      .filter(col("field").isin("event_uri", "props"))
+      .select(col("uid"), col("field"), col("value"))
+  }
+
   /** Analyzer SPI (StandardAnalyzer + TokenSearchSynonymFilter + ngram
     * truncation): tf build where 'fast' also emits synonym 'quick' at the
     * same position and tokens truncate to 8 chars. */
@@ -187,10 +208,19 @@ object ServiceQueries {
     "remote_query" -> remoteQuery _,
     "lookup_uuid" -> lookupUuid _,
     "transforms_chain" -> transformsChain _,
+    "decorated_fields" -> decoratedFields _,
     "analyzer_tokens" -> analyzerTokens _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    // every event gains an appended event_uri row (first live pattern:
+    // event_type) and its props row is overwritten from user_id
+    "decorated_fields" ->
+      """SELECT CAST(event_id AS VARCHAR) AS uid, 'event_uri' AS field,
+        |   'https://ex.org/t/' || event_type AS value FROM events
+        |UNION ALL
+        |SELECT CAST(event_id AS VARCHAR), 'props',
+        |   'u:' || CAST(user_id AS VARCHAR) FROM events""".stripMargin,
     "cursor_page" ->
       """SELECT c_custkey, c_name FROM customer
         | ORDER BY c_custkey OFFSET 10 LIMIT 10""".stripMargin,

@@ -69,6 +69,32 @@ object LookupUUID {
       params.copy(syntax = "LUCENE"))
   }
 
+  /** UID lookup (lookup/uid/LookupUIDQueryLogic.java:12-38): terms
+    * keyed `event` carry result UIDs directly — each value is a
+    * space-separated UID list (UID_TERM_SEPARATOR) — and when EVERY
+    * term is an event term the event-query step is skipped entirely
+    * (isEventLookupRequired == false): the UIDs go straight to the
+    * stored-document fetch. Any other key means the event lookup runs
+    * first through the registered-UUID path and its hits feed
+    * [[contentLookup]]. */
+  def lookupUid(reg: Registry, terms: Seq[(String, String)],
+                tables: Map[String, DataFrame], content: DataFrame,
+                logic: ShardQueryLogic = new ShardQueryLogic(),
+                params: QueryParams = QueryParams(),
+                uidCol: String = "uid", maxDocs: Int = 1000): DataFrame = {
+    require(terms.nonEmpty, "no lookup terms")
+    val (eventTerms, rest) = terms.partition(_._1.equalsIgnoreCase("event"))
+    if (rest.isEmpty) {
+      val uids = eventTerms.flatMap(_._2.split(" ")).filter(_.nonEmpty)
+      require(uids.size <= reg.batchLookupLimit,
+        s"too many lookup UIDs: ${uids.size} > ${reg.batchLookupLimit}")
+      val refs = uids.map(u => ContentStore.DocRef(None, None, u))
+      ContentStore.decoded(ContentStore.fetchByRefs(content, refs))
+    } else
+      contentLookup(content, lookup(reg, terms, tables, logic, params),
+        uidCol = uidCol, maxDocs = maxDocs)
+  }
+
   /** `content.lookup=true` follow-up (LookupUUIDUtil.java:424-430 →
     * ContentQueryLogic): fetch the stored documents for the hit uids.
     * The driver-side collect is policy-bounded like the reference's

@@ -57,6 +57,7 @@ final class QueryServer(
     server.createContext("/query/metrics", handler(metrics))
     server.createContext("/query/close", handler(close))
     server.createContext("/lookupUUID", handler(lookupUuid))
+    server.createContext("/lookupUID", handler(lookupUid))
     server.start()
     server.getAddress.getPort
   }
@@ -124,6 +125,39 @@ final class QueryServer(
         pageSize)
       sessions.put(queryId, Session(result, orderCols, running))
       // createUUIDQueryAndNext: the first page rides the create response
+      running.nextPageJson() match {
+        case Some((rows, pageNum)) =>
+          (200, s"""{"queryId": "$queryId", "page": $pageNum,""" +
+            s""" "rows": [${rows.mkString(",")}]}""")
+        case None =>
+          (200, s"""{"queryId": "$queryId", "page": 1, "rows": []}""")
+      }
+    } catch {
+      case e: Exception => (400, err(e.getMessage))
+    }
+  }
+
+  /** `GET /lookupUID?uids=uid[,uid…][&pageSize=N]` — the reference's
+    * `/lookupUID/{uid}` + batch form (LookupUIDQueryLogic): all terms
+    * are event terms, so the event query is skipped and the stored
+    * documents for the UIDs page back directly. Requires a `content`
+    * table registered on the server. */
+  private def lookupUid(params: Map[String, String]): (Int, String) = {
+    val contentTable = tables.getOrElse("content",
+      return (404, err("no content table registered on this server")))
+    val raw = params.getOrElse("uids", return (400, err("missing 'uids'")))
+    try {
+      val pageSize = params.get("pageSize").map(_.toInt)
+        .getOrElse(defaultPageSize)
+      require(pageSize > 0, s"pageSize must be positive, got $pageSize")
+      val result = LookupUUID.lookupUid(LookupUUID.Registry(uuidTypes),
+        Seq("event" -> raw.replace(',', ' ')), tables, contentTable)
+        .persist()
+      val queryId = java.util.UUID.randomUUID().toString.replace("-", "")
+      val orderCols = Seq(result.columns.head)
+      val running = new RunningQuery(cursor, queryId, result, orderCols,
+        pageSize)
+      sessions.put(queryId, Session(result, orderCols, running))
       running.nextPageJson() match {
         case Some((rows, pageNum)) =>
           (200, s"""{"queryId": "$queryId", "page": $pageNum,""" +

@@ -42,4 +42,72 @@ object Transforms {
     * false-positives). */
   def dedup(keys: Seq[String]): DocumentTransform =
     df => df.dropDuplicates(keys)
+
+  /** Result decoration over the LONG (uid, field, value) layout
+    * (EventQueryDataDecorator.java:23-63 /
+    * EventQueryDataDecoratorTransformer): for each document, walk the
+    * ORDERED `patterns` list (sourceField → template) and let the FIRST
+    * entry whose source field is present win; its value substitutes
+    * every `@field_value@` occurrence in the template. If the document
+    * already has `destField` rows, ALL of them get the new value
+    * (markings untouched — the reference only setValue()s); otherwise
+    * one new row is appended inheriting the source value's visibility.
+    * The reference reads the source multimap's first value and logs
+    * when a source is multi-valued ("use the first"); iteration order
+    * there is ingest order, which the long layout doesn't preserve, so
+    * the deterministic stand-in is the minimum value (pinned in
+    * TransformsSpec).
+    *
+    * Plan shape: one priority-tagged scan of the source fields → a
+    * per-uid min-struct aggregate (map-side combined) → one uid-keyed
+    * join against the dest rows + an anti-join for the append leg. No
+    * per-pattern passes, no window. */
+  def decorate(destField: String, patterns: Seq[(String, String)],
+               placeholder: String = "@field_value@"): DocumentTransform = { df =>
+    val srcFields = patterns.map(_._1)
+    val prioOf = patterns.zipWithIndex
+      .map { case ((f, _), i) => (f, i) }.toMap
+    val prio = srcFields.foldLeft(lit(Int.MaxValue)) { (acc, f) =>
+      when(col("field") === f, lit(prioOf(f))).otherwise(acc)
+    }
+    // min struct = lowest-priority pattern first, then the minimum
+    // source value (the deterministic "first"), carrying that value's
+    // row context for the append leg
+    val chosen = df.filter(col("field").isin(srcFields: _*))
+      .groupBy("uid")
+      .agg(min(struct(prio.as("prio"), col("value").as("src_value"),
+        col("visibility").as("src_vis"), col("datatype").as("src_dt"),
+        col("shard_date").as("src_date"))).as("m"))
+      .select(col("uid"), col("m.prio").as("prio"),
+        col("m.src_value").as("src_value"), col("m.src_vis").as("src_vis"),
+        col("m.src_dt").as("src_dt"), col("m.src_date").as("src_date"))
+    // template substitution, driver-side split so ALL placeholder
+    // occurrences are replaced (String.replace semantics), codegen'd
+    def rendered(prioCol: Column, value: Column): Column =
+      patterns.zipWithIndex.foldLeft(lit(null).cast("string")) {
+        case (acc, ((_, template), i)) =>
+          val parts = template.split(java.util.regex.Pattern.quote(placeholder), -1)
+          val pieces = parts.zipWithIndex.flatMap { case (p, j) =>
+            if (j == 0) Seq(lit(p)) else Seq(value, lit(p))
+          }
+          when(prioCol === i, concat(pieces: _*)).otherwise(acc)
+      }
+    val withNew = chosen
+      .select(col("uid"), rendered(col("prio"), col("src_value")).as("new_value"),
+        col("src_vis"), col("src_dt"), col("src_date"))
+    val dest = df.filter(col("field") === destField)
+    val rest = df.filter(col("field") =!= destField)
+    val overwritten = dest.join(withNew.select("uid", "new_value"), Seq("uid"), "left")
+      .withColumn("value", coalesce(col("new_value"), col("value")))
+      .drop("new_value")
+      .select(df.columns.map(col): _*)
+    val appended = withNew
+      .join(dest.select("uid").distinct(), Seq("uid"), "left_anti")
+      .select(col("uid"), col("src_dt").as("datatype"),
+        col("src_date").as("shard_date"), col("src_vis").as("visibility"),
+        lit(destField).as("field"), lit("").as("group"),
+        col("new_value").as("value"))
+      .select(df.columns.map(col): _*)
+    rest.unionByName(overwritten).unionByName(appended)
+  }
 }

@@ -100,6 +100,27 @@ class QueryServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("lookupUID over HTTP fetches stored documents without an event query") {
+    val docs = Seq((7L, "seven text"), (8L, "eight text"), (9L, "nine text"))
+      .toDF("doc_id", "text")
+    val content = graft.content.ContentStore.contentTable(docs)
+    val srv = new QueryServer(tables = Map("content" -> content))
+    val port = srv.start()
+    try {
+      val base = s"http://127.0.0.1:$port"
+      val r = get(s"$base/lookupUID?uids=7,9&pageSize=10")
+      assert(r.statusCode() == 200, r.body())
+      assert("\"uid\":".r.findAllIn(r.body()).size == 2, r.body())
+      assert(r.body().contains("seven text") && r.body().contains("nine text"))
+      // missing uids param is a 400; no content table is a 404
+      assert(get(s"$base/lookupUID").statusCode() == 400)
+      val bare = new QueryServer(tables = Map.empty)
+      val p2 = bare.start()
+      try assert(get(s"http://127.0.0.1:$p2/lookupUID?uids=1").statusCode() == 404)
+      finally bare.stop()
+    } finally srv.stop()
+  }
+
   test("remote query logic reproduces the direct result over HTTP") {
     val df = (1 to 37).map(i => (i.toLong, s"n_$i", if (i % 3 == 0) "X" else "Y"))
       .toDF("id", "name", "grp")

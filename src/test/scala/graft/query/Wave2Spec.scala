@@ -193,6 +193,28 @@ class LookupUUIDSpec extends SparkSpec {
     assert(fetched.select("text").collect().map(_.getString(0)).toSeq
       == Seq("seven text"))
   }
+
+  test("UID lookup: all-event terms skip the event query entirely") {
+    val docs = Seq((7L, "seven text"), (8L, "eight text"), (9L, "nine text"))
+      .toDF("doc_id", "text")
+    val content = graft.content.ContentStore.contentTable(docs)
+    // space-separated UID list in one term (UID_TERM_SEPARATOR)
+    val out = LookupUUID.lookupUid(reg, Seq("event" -> "7 9"),
+      tables = Map.empty, content = content)
+    assert(out.select("uid").collect().map(_.getString(0)).sorted.toSeq
+      == Seq("7", "9"))
+    // non-event keys mean the event lookup IS required — and must
+    // resolve against the registry
+    intercept[IllegalArgumentException] {
+      LookupUUID.lookupUid(reg, Seq("NOPE" -> "x"),
+        tables = Map.empty, content = content).collect()
+    }
+    // batch cap applies to the flattened UID list
+    intercept[IllegalArgumentException] {
+      LookupUUID.lookupUid(reg, Seq("event" -> "1 2 3 4"),
+        tables = Map.empty, content = content)
+    }
+  }
 }
 
 class TfLookupSpec extends SparkSpec {
