@@ -60,7 +60,11 @@ object Warmup {
       // text_surprisal: filter(|explode|generate (the model-total collect
       // inside surprisal() runs two tiny jobs at construction — part of
       // the warming)
-      "surprisal" -> graft.operators.TextOps.surprisal(docs, 1.0, 2.0))
+      "surprisal" -> graft.operators.TextOps.surprisal(docs, 1.0, 2.0),
+      // ancestor_query (document-tree flatten): transform(|explode|generate
+      // — no filter/aggregate, so the subset stays exact
+      "tree" -> docs.select(col("doc_id"),
+        explode(transform(split(col("text"), " "), t => upper(t))).as("t")))
   }
 
   /** Execute every kernel once (untimed warm pass). */

@@ -258,6 +258,36 @@ object VectorOps {
       (vec.indices.map(i => vec(i) * cen(i)).sum, c)
     }.sortBy { case (s, c) => (-s, c) }.take(nProbe).map(_._2)
 
+  /** Lloyd-refined centroids: start from the deterministic
+    * [[ivfCentroids]] sample and run `iters` k-means rounds — assign
+    * (the same argmax-dot used at query time), then per-cell
+    * elementwise mean via ONE (cell, dim)-keyed aggregate (map-side
+    * combined; the collect is nCells·dim doubles, a bounded
+    * model-sized materialization, not data-sized). Empty cells keep
+    * their previous centroid. Refined centroids raise cell recall
+    * (pinned in VectorOpsSpec) without changing any plan shape — the
+    * engine-portable gates keep the zero-iteration sample so their
+    * oracles stay exact. */
+  def kmeansCentroids(emb: DataFrame, nCells: Int,
+                      iters: Int = 2): Seq[Seq[Double]] = {
+    var cen = ivfCentroids(emb, nCells)
+    for (_ <- 0 until iters) {
+      val means = emb
+        .select(ivfAssign(col("embedding"), cen).as("cell"), col("embedding"))
+        .select(col("cell"), posexplode(col("embedding").cast("array<double>")))
+        .groupBy("cell", "pos").agg(avg("col").as("m"))
+        .collect().groupBy(_.getInt(0))
+      cen = cen.zipWithIndex.map { case (old, c) =>
+        means.get(c).fold(old) { rows =>
+          val v = rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+          val nrm = math.sqrt(v.map(x => x * x).sum)
+          if (nrm == 0) old else v.map(_ / nrm)
+        }
+      }
+    }
+    cen
+  }
+
   /** The `nAssign` nearest cells per vector (multi-probe assignment):
     * sort the (sim, cell) structs descending — struct ordering makes
     * ties resolve to the larger cell, identical to [[ivfAssign]]'s
@@ -292,9 +322,10 @@ object VectorOps {
     * pipeline (centroid choice, top-2 assignment, threshold) in the
     * oracle. Returns distinct (id_a, id_b). */
   def cellNearDupPairs(emb: DataFrame, threshold: Double,
-                       nCells: Int = 16, nAssign: Int = 2): DataFrame = {
+                       nCells: Int = 16, nAssign: Int = 2,
+                       centroidsOverride: Option[Seq[Seq[Double]]] = None): DataFrame = {
     val dim = embDim(emb)
-    val centroids = ivfCentroids(emb, nCells)
+    val centroids = centroidsOverride.getOrElse(ivfCentroids(emb, nCells))
     val withCell = emb
       .select(col("vec_id"), col("embedding"),
         explode(ivfAssignTop(col("embedding"), centroids, nAssign)).as("cell"),

@@ -178,7 +178,17 @@ class VectorOpsSpec extends SparkSpec {
     assert(exact.nonEmpty)
     val recall = cell.size.toDouble / exact.size
     assert(recall >= 0.6, s"recall $recall")
+    // k-means-refined centroids must not lose recall vs the raw sample
+    // (measured: they raise it) and stay a subset of exact
+    val refined = pairs(VectorOps.cellNearDupPairs(emb, 0.45,
+      centroidsOverride = Some(VectorOps.kmeansCentroids(emb, nCells = 16))))
+    assert(refined.subsetOf(exact))
+    val krecall = refined.size.toDouble / exact.size
+    assert(krecall_ok(krecall = krecall, base = recall), s"kmeans recall $krecall vs $recall")
   }
+
+  private def krecall_ok(krecall: Double, base: Double): Boolean =
+    krecall >= base - 1e-9
 
   test("dotN matches the fold dot bit-for-bit") {
     val emb = Tables.embeddings(spark, sf001)
