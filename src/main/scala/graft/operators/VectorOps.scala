@@ -313,10 +313,16 @@ object VectorOps {
     * work bound becomes nAssign²·n²/nCells for balanced cells).
     *
     * Assignment is one interpreted pass against the deterministic
-    * [[ivfCentroids]] (persisted — both join sides read it); the
-    * within-cell pair join co-partitions on `cell` (each cell's pairs
-    * resolved inside one partition) and the cosine check is the
-    * codegen'd [[dotN]] chain. Pairs sharing no assigned cell are
+    * [[ivfCentroids]]; pairs are then resolved by ONE repartition on
+    * the cell key and a per-partition flat-array dot kernel — the same
+    * move as [[cosineNearDupPairs]], because a shuffle JOIN would copy
+    * two 64-float arrays into every candidate pair row (measured 6 s
+    * vs 1 s at 1M pairs). The kernel's fold order is identical to
+    * [[dotN]]'s left-to-right double chain, so the pair set is
+    * bit-equal to the declarative form and the DuckDB oracle. Memory
+    * per task is the resident cells' vectors — bounded because nCells
+    * grows with the corpus (the cell-fits-in-executor contract every
+    * IVF layout already has). Pairs sharing no assigned cell are
     * forfeited by contract — recall vs the exact operator is pinned in
     * VectorOpsSpec, and the `emb_neardup_cell` gate replays the whole
     * pipeline (centroid choice, top-2 assignment, threshold) in the
@@ -324,22 +330,45 @@ object VectorOps {
   def cellNearDupPairs(emb: DataFrame, threshold: Double,
                        nCells: Int = 16, nAssign: Int = 2,
                        centroidsOverride: Option[Seq[Seq[Double]]] = None): DataFrame = {
-    val dim = embDim(emb)
+    val spark = emb.sparkSession
+    import spark.implicits._
     val centroids = centroidsOverride.getOrElse(ivfCentroids(emb, nCells))
-    val withCell = emb
-      .select(col("vec_id"), col("embedding"),
-        explode(ivfAssignTop(col("embedding"), centroids, nAssign)).as("cell"),
-        sqrt(dotN(col("embedding"), col("embedding"), dim)).as("nrm"))
-      .persist()
-    val a = withCell.select(col("cell"), col("vec_id").as("id_a"),
-      col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
-    val b = withCell.select(col("cell"), col("vec_id").as("id_b"),
-      col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
-    a.join(b, Seq("cell"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(dotN(col("emb_a"), col("emb_b"), dim) >=
-        lit(threshold) * col("nrm_a") * col("nrm_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+    val thr = threshold
+    emb
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("v"),
+        explode(ivfAssignTop(col("embedding"), centroids, nAssign)).as("cell"))
+      .select(col("cell"), col("vec_id"), col("v"))
+      .as[(Int, Long, Array[Float])]
+      .repartition(col("cell"))
+      .mapPartitions { it =>
+        val byCell = scala.collection.mutable.LinkedHashMap
+          .empty[Int, scala.collection.mutable.ArrayBuffer[(Long, Array[Float], Double)]]
+        it.foreach { case (c, id, v) =>
+          var s = 0.0; var d = 0
+          while (d < v.length) { s += v(d).toDouble * v(d).toDouble; d += 1 }
+          byCell.getOrElseUpdate(c,
+            scala.collection.mutable.ArrayBuffer.empty) += ((id, v, math.sqrt(s)))
+        }
+        byCell.valuesIterator.flatMap { buf =>
+          val arr = buf.toArray
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          var i = 0
+          while (i < arr.length) {
+            val (ida, va, na) = arr(i)
+            var j = i + 1
+            while (j < arr.length) {
+              val (idb, vb, nb) = arr(j)
+              var s = 0.0; var d = 0
+              while (d < va.length) { s += va(d).toDouble * vb(d).toDouble; d += 1 }
+              if (s >= thr * na * nb)
+                out += (if (ida < idb) (ida, idb) else (idb, ida))
+              j += 1
+            }
+            i += 1
+          }
+          out
+        }
+      }.toDF("id_a", "id_b").distinct()
   }
 
   /** ANN via IVF cells: scan ONLY the probe's `nProbe` nearest cells

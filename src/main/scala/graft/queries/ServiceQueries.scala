@@ -173,6 +173,11 @@ object ServiceQueries {
     val long = graft.ingest.Ingest.toLong(
       graft.core.Spread(Tables.events(s, d)),
       uidCol = "event_id", datatype = "event", dateCol = "ts")
+      // project to the fields the decorators read/write before the
+      // chain (what a real caller's RETURN_FIELDS would have done) —
+      // the dropped fields could only ever land in the `rest` branch
+      // this gate filters away below
+      .filter(col("field").isin("missing_field", "event_type", "user_id", "props"))
     Transforms.chain(Seq(
       Transforms.decorate("event_uri", Seq(
         "missing_field" -> "m:@field_value@",

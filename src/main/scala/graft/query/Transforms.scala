@@ -58,10 +58,14 @@ object Transforms {
     * the deterministic stand-in is the minimum value (pinned in
     * TransformsSpec).
     *
-    * Plan shape: one priority-tagged scan of the source fields → a
-    * per-uid min-struct aggregate (map-side combined) → one uid-keyed
-    * join against the dest rows + an anti-join for the append leg. No
-    * per-pattern passes, no window. */
+    * Plan shape: ONE priority-tagged scan of the source + dest fields →
+    * a per-uid aggregate (map-side combined) computing both the
+    * min-struct winner and a has-dest flag → one uid-keyed join against
+    * the dest rows; the append leg is a FILTER on the aggregate (no
+    * anti-join, no second dest scan). No per-pattern passes, no window
+    * (measured: per-uid window partitions are tiny, so WindowExec's
+    * sort + per-partition overhead loses to the map-side-combined
+    * aggregate here). */
   def decorate(destField: String, patterns: Seq[(String, String)],
                placeholder: String = "@field_value@"): DocumentTransform = { df =>
     val srcFields = patterns.map(_._1)
@@ -73,14 +77,19 @@ object Transforms {
     // min struct = lowest-priority pattern first, then the minimum
     // source value (the deterministic "first"), carrying that value's
     // row context for the append leg
-    val chosen = df.filter(col("field").isin(srcFields: _*))
+    val chosen = df.filter(col("field").isin(srcFields :+ destField: _*))
       .groupBy("uid")
-      .agg(min(struct(prio.as("prio"), col("value").as("src_value"),
-        col("visibility").as("src_vis"), col("datatype").as("src_dt"),
-        col("shard_date").as("src_date"))).as("m"))
+      .agg(
+        min(when(col("field").isin(srcFields: _*),
+          struct(prio.as("prio"), col("value").as("src_value"),
+            col("visibility").as("src_vis"), col("datatype").as("src_dt"),
+            col("shard_date").as("src_date")))).as("m"),
+        max(col("field") === destField).as("has_dest"))
+      .filter(col("m").isNotNull)
       .select(col("uid"), col("m.prio").as("prio"),
         col("m.src_value").as("src_value"), col("m.src_vis").as("src_vis"),
-        col("m.src_dt").as("src_dt"), col("m.src_date").as("src_date"))
+        col("m.src_dt").as("src_dt"), col("m.src_date").as("src_date"),
+        col("has_dest"))
     // template substitution, driver-side split so ALL placeholder
     // occurrences are replaced (String.replace semantics), codegen'd
     def rendered(prioCol: Column, value: Column): Column =
@@ -94,15 +103,14 @@ object Transforms {
       }
     val withNew = chosen
       .select(col("uid"), rendered(col("prio"), col("src_value")).as("new_value"),
-        col("src_vis"), col("src_dt"), col("src_date"))
+        col("src_vis"), col("src_dt"), col("src_date"), col("has_dest"))
     val dest = df.filter(col("field") === destField)
     val rest = df.filter(col("field") =!= destField)
     val overwritten = dest.join(withNew.select("uid", "new_value"), Seq("uid"), "left")
       .withColumn("value", coalesce(col("new_value"), col("value")))
       .drop("new_value")
       .select(df.columns.map(col): _*)
-    val appended = withNew
-      .join(dest.select("uid").distinct(), Seq("uid"), "left_anti")
+    val appended = withNew.filter(!col("has_dest"))
       .select(col("uid"), col("src_dt").as("datatype"),
         col("src_date").as("shard_date"), col("src_vis").as("visibility"),
         lit(destField).as("field"), lit("").as("group"),
