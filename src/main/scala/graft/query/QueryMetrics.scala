@@ -125,6 +125,9 @@ final class RunningQuery(
     pageTimeoutMillis: Long = Long.MaxValue) {
 
   private var pageNum = 0L
+
+  /** Pages served so far (the `/query/list` position). */
+  def pagesServed: Long = pageNum
   private var timedOut = false
 
   def isTimedOut: Boolean = timedOut

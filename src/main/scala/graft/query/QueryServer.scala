@@ -26,6 +26,13 @@ import java.util.concurrent.ConcurrentHashMap
   *  - `GET /query/metrics?id=...` → the per-page metrics recorded for
   *    the query (QueryMetricsBean surface: rows/elapsed/status per page).
   *  - `POST /query/close?id=...` → drops cursor state + unpersists.
+  *  - `GET /query/list` / `GET /query/listQueryLogic` → active sessions
+  *    with paging position / dispatchable logic names.
+  *  - `POST /query/duplicate?id=...` → new id, same definition, page 1;
+  *    `POST /query/reset?id=...` → same id, paging restarted;
+  *    `POST /query/cancel?id=...` → abort + release (served pages stand).
+  *  - `GET /lookupContentUUID?terms=...[&uidField=c]` → UUID lookup whose
+  *    hits chase into the stored-document fetch (content.lookup=true).
   *  - `GET /lookupUUID?terms=TYPE:value[,TYPE:value…][&pageSize=N]` →
   *    the reference's `/lookupUUID/{type}/{value}` + batch form
   *    (LookupUUIDUtil.createUUIDQueryAndNext: create AND first page in
@@ -43,7 +50,8 @@ final class QueryServer(
 
   private final case class Session(df: DataFrame, orderCols: Seq[String],
                                    running: RunningQuery,
-                                   query: String = "", syntax: String = "JEXL")
+                                   query: String = "", syntax: String = "JEXL",
+                                   pageSize: Int = 0)
   private val sessions = new ConcurrentHashMap[String, Session]()
   private val cursor = new QueryCursor(stateDir)
   private var server: HttpServer = _
@@ -56,7 +64,13 @@ final class QueryServer(
     server.createContext("/query/plan", handler(plan))
     server.createContext("/query/metrics", handler(metrics))
     server.createContext("/query/close", handler(close))
+    server.createContext("/query/list", handler(list))
+    server.createContext("/query/listQueryLogic", handler(listQueryLogic))
+    server.createContext("/query/duplicate", handler(duplicate))
+    server.createContext("/query/reset", handler(reset))
+    server.createContext("/query/cancel", handler(cancel))
     server.createContext("/lookupUUID", handler(lookupUuid))
+    server.createContext("/lookupContentUUID", handler(lookupContentUuid))
     server.createContext("/lookupUID", handler(lookupUid))
     server.start()
     server.getAddress.getPort
@@ -95,7 +109,8 @@ final class QueryServer(
       }
       val running = new RunningQuery(cursor, queryId, result, orderCols,
         pageSize)
-      sessions.put(queryId, Session(result, orderCols, running, q, qp.syntax))
+      sessions.put(queryId,
+        Session(result, orderCols, running, q, qp.syntax, pageSize))
       (200, s"""{"queryId": "$queryId"}""")
     } catch {
       case e: Exception => (400, err(e.getMessage))
@@ -165,6 +180,98 @@ final class QueryServer(
         case None =>
           (200, s"""{"queryId": "$queryId", "page": 1, "rows": []}""")
       }
+    } catch {
+      case e: Exception => (400, err(e.getMessage))
+    }
+  }
+
+  /** `GET /query/list` — the caller's active queries (QueryExecutorBean
+    * `/list`): id, definition, and paging position per session. */
+  private def list(params: Map[String, String]): (Int, String) = {
+    import scala.jdk.CollectionConverters._
+    val rows = sessions.asScala.toSeq.sortBy(_._1).map { case (id, s) =>
+      s"""{"queryId": ${quote(id)}, "query": ${quote(s.query)},""" +
+        s""" "syntax": ${quote(s.syntax)}, "pagesServed": ${s.running.pagesServed}}"""
+    }
+    (200, rows.mkString("[", ",", "]"))
+  }
+
+  /** `GET /query/listQueryLogic` — the dispatchable logic/table names
+    * (QueryExecutorBean `/listQueryLogic`). */
+  private def listQueryLogic(params: Map[String, String]): (Int, String) =
+    (200, tables.keys.toSeq.sorted.map(quote).mkString("[", ",", "]"))
+
+  /** `POST /query/duplicate?id=…[&pageSize=N]` — a NEW query id over the
+    * same definition, paging restarted from page 1 (QueryExecutorBean
+    * `/{id}/duplicate`). The persisted frame is shared, not re-planned. */
+  private def duplicate(params: Map[String, String]): (Int, String) =
+    session(params) match {
+      case None => (404, err("unknown queryId"))
+      case Some(s) =>
+        try {
+          val pageSize = params.get("pageSize").map(_.toInt)
+            .getOrElse(if (s.pageSize > 0) s.pageSize else defaultPageSize)
+          require(pageSize > 0, s"pageSize must be positive, got $pageSize")
+          val newId = java.util.UUID.randomUUID().toString.replace("-", "")
+          val running = new RunningQuery(cursor, newId, s.df, s.orderCols,
+            pageSize)
+          sessions.put(newId, s.copy(running = running, pageSize = pageSize))
+          (200, s"""{"queryId": "$newId"}""")
+        } catch { case e: Exception => (400, err(e.getMessage)) }
+    }
+
+  /** `POST /query/reset?id=…` — same query id, paging restarted
+    * (QueryExecutorBean `/{id}/reset`: releases resources and re-runs;
+    * the persisted frame survives, the cursor state does not). */
+  private def reset(params: Map[String, String]): (Int, String) =
+    session(params) match {
+      case None => (404, err("unknown queryId"))
+      case Some(s) =>
+        val id = qid(params)
+        cursor.close(id)
+        val pageSize = if (s.pageSize > 0) s.pageSize else defaultPageSize
+        sessions.put(id, s.copy(
+          running = new RunningQuery(cursor, id, s.df, s.orderCols, pageSize)))
+        (200, """{"reset": true}""")
+    }
+
+  /** `POST /query/cancel?id=…` — abort + release (QueryExecutorBean
+    * `/{id}/cancel`; pages already served stay served). */
+  private def cancel(params: Map[String, String]): (Int, String) = {
+    val id = qid(params)
+    Option(sessions.remove(id)) match {
+      case Some(s) => s.df.unpersist(); cursor.close(id)
+        (200, """{"canceled": true}""")
+      case None => (404, err("unknown queryId"))
+    }
+  }
+
+  /** `GET /lookupContentUUID?terms=TYPE:value[,…][&uidField=c]` — the
+    * reference's content-returning UUID lookup (`/lookupContentUUID`,
+    * LookupUUIDUtil content.lookup=true): resolve the UUID terms, then
+    * fetch the stored documents for the hit uids from the server's
+    * `content` table. `uidField` names the hit column carrying the uid
+    * (default `uid`). */
+  private def lookupContentUuid(params: Map[String, String]): (Int, String) = {
+    if (uuidTypes.isEmpty)
+      return (404, err("no UUID types registered on this server"))
+    val contentTable = tables.getOrElse("content",
+      return (404, err("no content table registered on this server")))
+    val raw = params.getOrElse("terms", return (400, err("missing 'terms'")))
+    try {
+      val terms = raw.split(',').toSeq.filter(_.nonEmpty).map { t =>
+        t.split(":", 2) match {
+          case Array(k, v) if v.nonEmpty => k -> v
+          case _ => throw new IllegalArgumentException(
+            s"malformed lookup term '$t' (want TYPE:value)")
+        }
+      }
+      val hits = LookupUUID.lookup(LookupUUID.Registry(uuidTypes), terms,
+        tables, logic)
+      val docs = LookupUUID.contentLookup(contentTable, hits,
+        uidCol = params.getOrElse("uidField", "uid"))
+      val rows = docs.toJSON.collect() // bounded by contentLookup maxDocs
+      (200, s"""{"rows": [${rows.mkString(",")}]}""")
     } catch {
       case e: Exception => (400, err(e.getMessage))
     }

@@ -100,6 +100,63 @@ class QueryServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("lifecycle management: list, duplicate, reset, cancel, listQueryLogic") {
+    val df = (1 to 25).map(i => (i.toLong, if (i % 2 == 0) "A" else "B"))
+      .toDF("id", "grp")
+    val srv = new QueryServer(tables = Map("people" -> df))
+    val port = srv.start()
+    try {
+      val base = s"http://127.0.0.1:$port/query"
+      assert(get(s"$base/listQueryLogic").body() == "[\"people\"]")
+      val created = post(s"$base/create?table=people&query=" +
+        java.net.URLEncoder.encode("GRP == 'A'", "UTF-8") +
+        "&pageSize=5&orderBy=id")
+      val id = "\"queryId\": \"([0-9a-f]+)\"".r
+        .findFirstMatchIn(created.body()).get.group(1)
+      get(s"$base/next?id=$id") // serve one page
+      // list shows the session with its paging position
+      val listed = get(s"$base/list").body()
+      assert(listed.contains(id) && listed.contains("\"pagesServed\": 1"),
+        listed)
+      // duplicate: NEW id, page 1 equals the original's page 1
+      val dup = post(s"$base/duplicate?id=$id")
+      val dupId = "\"queryId\": \"([0-9a-f]+)\"".r
+        .findFirstMatchIn(dup.body()).get.group(1)
+      assert(dupId != id)
+      val origP1 = "\"id\":\\d+".r.findAllIn(
+        get(s"$base/next?id=$dupId").body()).toSeq
+      assert(origP1 == Seq("\"id\":2", "\"id\":4", "\"id\":6", "\"id\":8",
+        "\"id\":10"), origP1)
+      // reset: SAME id, next page is page 1 again
+      assert(post(s"$base/reset?id=$id").statusCode() == 200)
+      val resetP1 = "\"id\":\\d+".r.findAllIn(
+        get(s"$base/next?id=$id").body()).toSeq
+      assert(resetP1 == origP1, resetP1)
+      // cancel releases the session; duplicate of a canceled id is a 404
+      assert(post(s"$base/cancel?id=$id").statusCode() == 200)
+      assert(get(s"$base/next?id=$id").statusCode() == 404)
+      assert(post(s"$base/duplicate?id=$id").statusCode() == 404)
+      // the duplicate session is unaffected
+      assert(get(s"$base/next?id=$dupId").statusCode() == 200)
+    } finally srv.stop()
+  }
+
+  test("lookupContentUUID chases hits into the stored-document fetch") {
+    val docs = Seq((7L, "seven text"), (8L, "eight text")).toDF("doc_id", "text")
+    val content = graft.content.ContentStore.contentTable(docs)
+    val srv = new QueryServer(
+      tables = Map("docs" -> docs, "content" -> content),
+      uuidTypes = Seq(LookupUUID.UuidType("DOC_ID", logic = "docs")))
+    val port = srv.start()
+    try {
+      val base = s"http://127.0.0.1:$port"
+      val r = get(s"$base/lookupContentUUID?terms=DOC_ID:7&uidField=doc_id")
+      assert(r.statusCode() == 200, r.body())
+      assert(r.body().contains("seven text") && !r.body().contains("eight text"))
+      assert(get(s"$base/lookupContentUUID?terms=NOPE:1").statusCode() == 400)
+    } finally srv.stop()
+  }
+
   test("lookupUID over HTTP fetches stored documents without an event query") {
     val docs = Seq((7L, "seven text"), (8L, "eight text"), (9L, "nine text"))
       .toDF("doc_id", "text")
