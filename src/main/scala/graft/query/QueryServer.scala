@@ -46,7 +46,9 @@ final class QueryServer(
     stateDir: String =
       java.nio.file.Files.createTempDirectory("graft-cursor").toString,
     defaultPageSize: Int = 100,
-    uuidTypes: Seq[LookupUUID.UuidType] = Seq.empty) {
+    uuidTypes: Seq[LookupUUID.UuidType] = Seq.empty,
+    auditor: Audit.Auditor = new Audit.CollectingAuditor,
+    auditType: Audit.AuditType = Audit.None_) {
 
   private final case class Session(df: DataFrame, orderCols: Seq[String],
                                    running: RunningQuery,
@@ -95,9 +97,16 @@ final class QueryServer(
       val pageSize = params.get("pageSize").map(_.toInt)
         .getOrElse(defaultPageSize)
       require(pageSize > 0, s"pageSize must be positive, got $pageSize")
+      // audit BEFORE execution (QueryExecutorBean.java:704-740: an
+      // auditor failure fails the create — QUERY_AUDITING_ERROR); then
       // plan eagerly (bad queries fail the create call, like the
       // reference) and persist so each page reads cached partitions
-      val result = logic.query(df0, q, qp).persist()
+      val result = Audit.audited(auditor, auditType, queryId,
+        user = params.getOrElse("user", "anonymous"), query = q,
+        syntax = qp.syntax, logicName = table,
+        timeMillis = System.currentTimeMillis()) {
+        logic.query(df0, q, qp).persist()
+      }
       val orderCols = params.get("orderBy")
         .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
         .getOrElse(Seq(result.columns.head))
