@@ -390,8 +390,9 @@ object Dedup {
     // the shingle pass becomes a pushed-down needle scan — the corpus
     // never pays the n-gram derivation twice. Past the policy bound the
     // full-corpus frame returns (semi-join shape, still correct).
+    // id-type-agnostic collect (doc ids may be int/long/string)
     val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
-      .distinct().limit(needleBound + 1).collect().map(_.getLong(0))
+      .distinct().limit(needleBound + 1).collect().map(_.get(0))
     val needleDocs =
       if (candIds.length <= needleBound)
         docs.filter(col("doc_id").isin(candIds.toIndexedSeq: _*))

@@ -212,11 +212,17 @@ object TextOps {
     * no global sort, no single-partition window. */
   def surprisal(docs: DataFrame, headBits: Double, middleBits: Double,
                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // persist the interpreted tokenize+explode subtree: it feeds the
+    // model aggregate, the driver-side total, AND the scoring stream —
+    // the one-evaluation rule (see spanProfile/ngramJaccardPairs)
     val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .persist()
     val model = toks.groupBy("tok").agg(count(lit(1)).as("c"))
     // the model total is ONE scalar — a bounded driver materialization
-    // (NeedleScan pattern), not a data-scale collect
-    val total = model.agg(sum("c")).collect()(0).getLong(0)
+    // (NeedleScan pattern), not a data-scale collect; null on an empty
+    // corpus (SUM over zero rows) → zero tokens, empty profile
+    val totalRow = model.agg(sum("c")).collect()(0)
+    val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
     val totalQ = qlog4Long(total)
     val scored = toks.join(model, Seq("tok"))
       .groupBy(col(idCol)).agg(

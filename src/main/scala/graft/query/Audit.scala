@@ -18,10 +18,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Audit {
 
   /** Auditor.AuditType: NONE skips auditing entirely; PASSIVE audits
-    * without requiring success..., ACTIVE and LOCALONLY must succeed
-    * before the query runs (the transport differs in the reference;
-    * the library-level contract — audit-or-fail before execution — is
-    * the same, so they share [[audited]]'s behavior here). */
+    * best-effort (an auditor failure is swallowed and the query still
+    * runs); ACTIVE and LOCALONLY must succeed before the query runs
+    * (the transport differs in the reference; the library-level
+    * contract — audit-or-fail before execution — is the same, so they
+    * share [[audited]]'s fail-closed behavior here). */
   sealed abstract class AuditType(val name: String)
   case object None_ extends AuditType("NONE")
   case object Passive extends AuditType("PASSIVE")
@@ -82,14 +83,16 @@ object Audit {
 
   /** Audit-before-execute: for [[None_]] run the body directly; for
     * every other type build the record (auditId defaults to the query
-    * id), audit FIRST, and only then execute — an auditor exception
-    * propagates and the query never runs. */
+    * id) and audit FIRST. An auditor exception propagates — and the
+    * query never runs — for ACTIVE/LOCALONLY; PASSIVE is best-effort:
+    * the failure is swallowed and execution proceeds. */
   def audited[A](auditor: Auditor, auditType: AuditType, queryId: String,
                  user: String, query: String, syntax: String,
                  logicName: String, timeMillis: Long)(body: => A): A = {
     if (auditType != None_) {
-      auditor.audit(AuditRecord(queryId, user, query, syntax, logicName,
+      try auditor.audit(AuditRecord(queryId, user, query, syntax, logicName,
         auditType.name, extractSelectors(query, syntax), timeMillis))
+      catch { case _: Exception if auditType == Passive => () }
     }
     body
   }

@@ -74,9 +74,9 @@ object LookupUUID {
     * space-separated UID list (UID_TERM_SEPARATOR) — and when EVERY
     * term is an event term the event-query step is skipped entirely
     * (isEventLookupRequired == false): the UIDs go straight to the
-    * stored-document fetch. Any other key means the event lookup runs
-    * first through the registered-UUID path and its hits feed
-    * [[contentLookup]]. */
+    * stored-document fetch. Mixed batches run the event lookup for the
+    * REGISTERED terms (event terms are not a queryable field) and fetch
+    * the union of its hit uids and the direct event uids. */
   def lookupUid(reg: Registry, terms: Seq[(String, String)],
                 tables: Map[String, DataFrame], content: DataFrame,
                 logic: ShardQueryLogic = new ShardQueryLogic(),
@@ -84,15 +84,24 @@ object LookupUUID {
                 uidCol: String = "uid", maxDocs: Int = 1000): DataFrame = {
     require(terms.nonEmpty, "no lookup terms")
     val (eventTerms, rest) = terms.partition(_._1.equalsIgnoreCase("event"))
-    if (rest.isEmpty) {
-      val uids = eventTerms.flatMap(_._2.split(" ")).filter(_.nonEmpty)
-      require(uids.size <= reg.batchLookupLimit,
-        s"too many lookup UIDs: ${uids.size} > ${reg.batchLookupLimit}")
-      val refs = uids.map(u => ContentStore.DocRef(None, None, u))
-      ContentStore.decoded(ContentStore.fetchByRefs(content, refs))
-    } else
-      contentLookup(content, lookup(reg, terms, tables, logic, params),
-        uidCol = uidCol, maxDocs = maxDocs)
+    val uids = eventTerms.flatMap(_._2.split(" ")).filter(_.nonEmpty)
+    require(uids.size <= reg.batchLookupLimit,
+      s"too many lookup UIDs: ${uids.size} > ${reg.batchLookupLimit}")
+    val direct =
+      if (uids.isEmpty) None
+      else Some(ContentStore.decoded(ContentStore.fetchByRefs(content,
+        uids.map(u => ContentStore.DocRef(None, None, u)))))
+    val fromEvents =
+      if (rest.isEmpty) None
+      else Some(contentLookup(content, lookup(reg, rest, tables, logic, params),
+        uidCol = uidCol, maxDocs = maxDocs))
+    (direct, fromEvents) match {
+      case (Some(d), Some(e)) => d.unionByName(e).distinct()
+      case (Some(d), None) => d
+      case (None, Some(e)) => e
+      case (None, None) =>
+        throw new IllegalArgumentException("no lookup terms")
+    }
   }
 
   /** `content.lookup=true` follow-up (LookupUUIDUtil.java:424-430 →

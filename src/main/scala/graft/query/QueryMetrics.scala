@@ -153,17 +153,21 @@ final class RunningQuery(
     if (record(rows.length, t0) == 0) None else Some((rows, pageNum))
   }
 
-  /** Shared page bookkeeping: metric + timeout latch; returns `rows`. */
+  /** Shared page bookkeeping: metric + timeout latch; returns `rows`.
+    * The exhaustion probe (zero rows) is not a served page — it records
+    * no metric and does not advance the page counter (so `pagesServed`
+    * reports what was actually served), but it still arms the timeout
+    * latch. */
   private def record(rows: Long, t0: Long): Long = {
     val dt = System.currentTimeMillis() - t0
-    pageNum += 1
     val status =
       if (dt > pageTimeoutMillis) { timedOut = true; "TIMEOUT" }
       else if (rows < pageSize) "PARTIAL"
       else "COMPLETE"
-    // the exhaustion probe (zero rows) is not a served page — no metric
-    if (rows > 0)
+    if (rows > 0) {
+      pageNum += 1
       QueryMetrics.recordPage(PageMetric(queryId, pageNum, rows, dt, status))
+    }
     rows
   }
 

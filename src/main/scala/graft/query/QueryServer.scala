@@ -249,7 +249,7 @@ final class QueryServer(
   private def cancel(params: Map[String, String]): (Int, String) = {
     val id = qid(params)
     Option(sessions.remove(id)) match {
-      case Some(s) => s.df.unpersist(); cursor.close(id)
+      case Some(s) => release(s); cursor.close(id)
         (200, """{"canceled": true}""")
       case None => (404, err("unknown queryId"))
     }
@@ -321,9 +321,18 @@ final class QueryServer(
   private def close(params: Map[String, String]): (Int, String) = {
     val id = qid(params)
     Option(sessions.remove(id)) match {
-      case Some(s) => s.df.unpersist(); cursor.close(id); (200, """{"closed": true}""")
+      case Some(s) => release(s); cursor.close(id); (200, """{"closed": true}""")
       case None => (404, err("unknown queryId"))
     }
+  }
+
+  /** Unpersist a removed session's frame ONLY when no live session
+    * still shares it (`/query/duplicate` shares the persisted frame by
+    * reference — closing the original must not de-cache the sibling's
+    * pages). */
+  private def release(s: Session): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (!sessions.values.asScala.exists(_.df eq s.df)) s.df.unpersist()
   }
 
   // ---- plumbing ------------------------------------------------------

@@ -120,7 +120,8 @@ object RemoteQueryLogic {
   def query(spark: SparkSession, service: RemoteQueryService, table: String,
             q: String, syntax: String = "JEXL", pageSize: Int = 1000,
             orderBy: Seq[String] = Seq.empty,
-            maxRows: Long = 1000000L): DataFrame = {
+            maxRows: Long = 1000000L,
+            schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     val id = service.createQuery(table, q, syntax, pageSize, orderBy)
     val rows = Seq.newBuilder[String]
     var n = 0L
@@ -137,6 +138,10 @@ object RemoteQueryLogic {
       }
     } finally service.close(id)
     import spark.implicits._
-    spark.read.json(spark.createDataset(rows.result()))
+    // schema-less JSON inference on ZERO rows yields a zero-column
+    // frame any downstream column reference breaks on — callers that
+    // can see empty remotes pass the expected schema
+    val reader = schema.fold(spark.read)(s => spark.read.schema(s))
+    reader.json(spark.createDataset(rows.result()))
   }
 }

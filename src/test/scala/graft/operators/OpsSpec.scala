@@ -125,6 +125,17 @@ class DedupSpec extends SparkSpec {
     assert(hamming12 < hamming14)
   }
 
+  test("simhashPairs accepts non-long doc ids (int) in the needle collect") {
+    val d = Seq((1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),
+        (3, "totally different content here now ok"))
+      .toDF("doc_id", "text")
+    // id type must not matter: the candidate-id collect is type-agnostic
+    val pairs = Dedup.simhashPairs(d, 3, 0.8, maxHamming = 7)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(pairs == Set((1, 2)))
+  }
+
   test("sf0.001 documents: minhash matches exact; simhash is high-precision") {
     val d = Tables.documents(spark, sf001)
     def pairSet(df: org.apache.spark.sql.DataFrame) =

@@ -23,6 +23,16 @@ class Wave6Spec extends SparkSpec {
     }
   }
 
+  test("surprisal handles an empty / zero-token corpus without failing") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextOps.surprisal(empty, 1.0, 2.0).count() == 0)
+    // docs whose text tokenizes to nothing yield zero-token profiles
+    val blank = Seq((1L, "  --  ")).toDF("doc_id", "text")
+    val r = TextOps.surprisal(blank, 1.0, 2.0).collect()(0)
+    assert(r.getAs[Long]("n_tokens") == 0L &&
+      r.getAs[Double]("mean_surprisal") == 0.0)
+  }
+
   test("surprisal scores rare-token docs above common-token docs and buckets by cutoff") {
     // 'common' appears 12x, 'rare' once: the rare doc's mean surprisal
     // must exceed the common doc's

@@ -62,6 +62,12 @@ class AuditSpec extends SparkSpec {
         "JEXL", "events", 1000L) { ran2 = true }
     }
     assert(!ran2)
+    // PASSIVE is best-effort: the same failing auditor does NOT stop
+    // the query
+    var ran3 = false
+    Audit.audited(failing, Audit.Passive, "q4", "alice", "F == 'z'",
+      "JEXL", "events", 1000L) { ran3 = true }
+    assert(ran3)
   }
 
   test("server create audits with extracted selectors; audit failure is a 400") {

@@ -214,6 +214,15 @@ class LookupUUIDSpec extends SparkSpec {
       LookupUUID.lookupUid(reg, Seq("event" -> "1 2 3 4"),
         tables = Map.empty, content = content)
     }
+    // mixed batch: registered terms run the event lookup, event terms
+    // fetch directly, results union
+    val mixed = LookupUUID.lookupUid(reg,
+      Seq("DOC_ID" -> "8", "event" -> "7"),
+      tables = Map("docs" -> docs.withColumn("uid",
+        col("doc_id").cast("string"))),
+      content = content)
+    assert(mixed.select("uid").collect().map(_.getString(0)).sorted.toSeq
+      == Seq("7", "8"))
   }
 }
 
