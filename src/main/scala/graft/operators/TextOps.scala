@@ -212,12 +212,13 @@ object TextOps {
     * no global sort, no single-partition window. */
   def surprisal(docs: DataFrame, headBits: Double, middleBits: Double,
                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    // persist the interpreted tokenize+explode subtree: it feeds the
-    // model aggregate, the driver-side total, AND the scoring stream —
-    // the one-evaluation rule (see spanProfile/ngramJaccardPairs)
     val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
-      .persist()
-    val model = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    // persist the MODEL, not the token stream: the vocabulary-sized
+    // aggregate feeds both the driver-side total (which materializes
+    // the cache eagerly) and the scoring join, so the corpus tokenizes
+    // twice (model build + scoring stream) instead of three times while
+    // the resident cache stays model-sized, not token-sized
+    val model = toks.groupBy("tok").agg(count(lit(1)).as("c")).persist()
     // the model total is ONE scalar — a bounded driver materialization
     // (NeedleScan pattern), not a data-scale collect; null on an empty
     // corpus (SUM over zero rows) → zero tokens, empty profile

@@ -56,14 +56,16 @@ object Audit {
     * query order; unparseable queries yield no selectors (the reference
     * logs and returns an empty list rather than failing the audit). */
   def extractSelectors(query: String, syntax: String = "JEXL"): Seq[String] = {
-    val parsed: Option[Node] =
-      try Some(if (syntax.equalsIgnoreCase("LUCENE")) LuceneParser.parse(query)
+    // exactly the reference's order — JEXL first, LUCENE on parse
+    // failure — REGARDLESS of the declared syntax
+    // (DatawaveSelectorExtractor.java:28-35 ignores the syntax marker),
+    // so a LUCENE-marked query that is actually JEXL still yields its
+    // selectors
+    def tryParse(asLucene: Boolean): Option[Node] =
+      try Some(if (asLucene) LuceneParser.parse(query)
                else JexlParser.parse(query))
-      catch {
-        case _: Exception =>
-          // not JEXL — try LUCENE (DatawaveSelectorExtractor's fallback)
-          try Some(LuceneParser.parse(query)) catch { case _: Exception => None }
-      }
+      catch { case _: Exception => None }
+    val parsed = tryParse(asLucene = false).orElse(tryParse(asLucene = true))
     parsed.map(collectEq(_, negated = false)).getOrElse(Seq.empty)
   }
 
@@ -88,10 +90,12 @@ object Audit {
     * the failure is swallowed and execution proceeds. */
   def audited[A](auditor: Auditor, auditType: AuditType, queryId: String,
                  user: String, query: String, syntax: String,
-                 logicName: String, timeMillis: Long)(body: => A): A = {
+                 logicName: String, timeMillis: Long,
+                 selectors: Option[Seq[String]] = None)(body: => A): A = {
     if (auditType != None_) {
       try auditor.audit(AuditRecord(queryId, user, query, syntax, logicName,
-        auditType.name, extractSelectors(query, syntax), timeMillis))
+        auditType.name,
+        selectors.getOrElse(extractSelectors(query, syntax)), timeMillis))
       catch { case _: Exception if auditType == Passive => () }
     }
     body

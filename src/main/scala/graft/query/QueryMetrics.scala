@@ -36,6 +36,11 @@ object QueryMetrics {
   def recordPage(m: PageMetric): Unit = synchronized { pageBuf += m }
   def clear(): Unit = synchronized { buf.clear(); pageBuf.clear() }
 
+  /** Drop one query's page ledger (a `/query/reset` starts a fresh run —
+    * two runs' pages must not collide under the same page numbers). */
+  def clearPages(queryId: String): Unit =
+    synchronized { pageBuf.filterInPlace(_.queryId != queryId) }
+
   def toDF(spark: SparkSession): DataFrame = {
     import spark.implicits._
     synchronized { buf.toList }.toDF()

@@ -126,28 +126,42 @@ final class QueryServer(
     }
   }
 
+  /** `TYPE:value[,TYPE:value…]` terms — shared by every lookup
+    * endpoint so the parse rules cannot drift between them. */
+  private def parseTerms(raw: String): Seq[(String, String)] =
+    raw.split(',').toSeq.filter(_.nonEmpty).map { t =>
+      t.split(":", 2) match {
+        case Array(k, v) if v.nonEmpty => k -> v
+        case _ => throw new IllegalArgumentException(
+          s"malformed lookup term '$t' (want TYPE:value)")
+      }
+    }
+
   private def lookupUuid(params: Map[String, String]): (Int, String) = {
     if (uuidTypes.isEmpty)
       return (404, err("no UUID types registered on this server"))
     val raw = params.getOrElse("terms", return (400, err("missing 'terms'")))
     try {
-      val terms = raw.split(',').toSeq.filter(_.nonEmpty).map { t =>
-        t.split(":", 2) match {
-          case Array(k, v) if v.nonEmpty => k -> v
-          case _ => throw new IllegalArgumentException(
-            s"malformed lookup term '$t' (want TYPE:value)")
-        }
-      }
+      val terms = parseTerms(raw)
       val pageSize = params.get("pageSize").map(_.toInt)
         .getOrElse(defaultPageSize)
       require(pageSize > 0, s"pageSize must be positive, got $pageSize")
-      val result = LookupUUID.lookup(LookupUUID.Registry(uuidTypes), terms,
-        tables, logic).persist()
+      val reg = LookupUUID.Registry(uuidTypes)
+      // audit-before-execute applies to lookups too (they run full
+      // queries); the rendered LUCENE disjunction is the audited query
+      val rendered = LookupUUID.queryString(reg, terms)
       val queryId = java.util.UUID.randomUUID().toString.replace("-", "")
+      val result = Audit.audited(auditor, auditType, queryId,
+        user = params.getOrElse("user", "anonymous"), query = rendered,
+        syntax = "LUCENE", logicName = "lookupUUID",
+        timeMillis = System.currentTimeMillis()) {
+        LookupUUID.lookup(reg, terms, tables, logic).persist()
+      }
       val orderCols = Seq(result.columns.head)
       val running = new RunningQuery(cursor, queryId, result, orderCols,
         pageSize)
-      sessions.put(queryId, Session(result, orderCols, running))
+      sessions.put(queryId,
+        Session(result, orderCols, running, rendered, "LUCENE", pageSize))
       // createUUIDQueryAndNext: the first page rides the create response
       running.nextPageJson() match {
         case Some((rows, pageNum)) =>
@@ -174,14 +188,24 @@ final class QueryServer(
       val pageSize = params.get("pageSize").map(_.toInt)
         .getOrElse(defaultPageSize)
       require(pageSize > 0, s"pageSize must be positive, got $pageSize")
-      val result = LookupUUID.lookupUid(LookupUUID.Registry(uuidTypes),
-        Seq("event" -> raw.replace(',', ' ')), tables, contentTable)
-        .persist()
+      val uids = raw.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
       val queryId = java.util.UUID.randomUUID().toString.replace("-", "")
+      // the uids themselves are the audit selectors (the
+      // SplitSelectorExtractor shape — not parseable as a query)
+      val result = Audit.audited(auditor, auditType, queryId,
+        user = params.getOrElse("user", "anonymous"), query = raw,
+        syntax = "UID", logicName = "lookupUID",
+        timeMillis = System.currentTimeMillis(),
+        selectors = Some(uids)) {
+        LookupUUID.lookupUid(LookupUUID.Registry(uuidTypes),
+          Seq("event" -> uids.mkString(" ")), tables, contentTable)
+          .persist()
+      }
       val orderCols = Seq(result.columns.head)
       val running = new RunningQuery(cursor, queryId, result, orderCols,
         pageSize)
-      sessions.put(queryId, Session(result, orderCols, running))
+      sessions.put(queryId,
+        Session(result, orderCols, running, raw, "UID", pageSize))
       running.nextPageJson() match {
         case Some((rows, pageNum)) =>
           (200, s"""{"queryId": "$queryId", "page": $pageNum,""" +
@@ -222,6 +246,12 @@ final class QueryServer(
             .getOrElse(if (s.pageSize > 0) s.pageSize else defaultPageSize)
           require(pageSize > 0, s"pageSize must be positive, got $pageSize")
           val newId = java.util.UUID.randomUUID().toString.replace("-", "")
+          // a duplicate is a NEW query and audits as one (the reference
+          // re-enters createQuery with the copied definition)
+          Audit.audited(auditor, auditType, newId,
+            user = params.getOrElse("user", "anonymous"), query = s.query,
+            syntax = s.syntax, logicName = "duplicate",
+            timeMillis = System.currentTimeMillis()) { () }
           val running = new RunningQuery(cursor, newId, s.df, s.orderCols,
             pageSize)
           sessions.put(newId, s.copy(running = running, pageSize = pageSize))
@@ -238,6 +268,9 @@ final class QueryServer(
       case Some(s) =>
         val id = qid(params)
         cursor.close(id)
+        // a reset is a fresh run: its pages restart at 1, so the old
+        // run's ledger must go or the numbers collide
+        QueryMetrics.clearPages(id)
         val pageSize = if (s.pageSize > 0) s.pageSize else defaultPageSize
         sessions.put(id, s.copy(
           running = new RunningQuery(cursor, id, s.df, s.orderCols, pageSize)))
@@ -246,14 +279,17 @@ final class QueryServer(
 
   /** `POST /query/cancel?id=…` — abort + release (QueryExecutorBean
     * `/{id}/cancel`; pages already served stay served). */
-  private def cancel(params: Map[String, String]): (Int, String) = {
-    val id = qid(params)
+  private def cancel(params: Map[String, String]): (Int, String) =
+    if (teardown(qid(params))) (200, """{"canceled": true}""")
+    else (404, err("unknown queryId"))
+
+  /** Shared close/cancel teardown: remove the session, release its
+    * frame (ref-counted), drop cursor state. */
+  private def teardown(id: String): Boolean =
     Option(sessions.remove(id)) match {
-      case Some(s) => release(s); cursor.close(id)
-        (200, """{"canceled": true}""")
-      case None => (404, err("unknown queryId"))
+      case Some(s) => release(s); cursor.close(id); true
+      case None => false
     }
-  }
 
   /** `GET /lookupContentUUID?terms=TYPE:value[,…][&uidField=c]` — the
     * reference's content-returning UUID lookup (`/lookupContentUUID`,
@@ -268,17 +304,18 @@ final class QueryServer(
       return (404, err("no content table registered on this server")))
     val raw = params.getOrElse("terms", return (400, err("missing 'terms'")))
     try {
-      val terms = raw.split(',').toSeq.filter(_.nonEmpty).map { t =>
-        t.split(":", 2) match {
-          case Array(k, v) if v.nonEmpty => k -> v
-          case _ => throw new IllegalArgumentException(
-            s"malformed lookup term '$t' (want TYPE:value)")
-        }
+      val terms = parseTerms(raw)
+      val reg = LookupUUID.Registry(uuidTypes)
+      val rendered = LookupUUID.queryString(reg, terms)
+      val queryId = java.util.UUID.randomUUID().toString.replace("-", "")
+      val docs = Audit.audited(auditor, auditType, queryId,
+        user = params.getOrElse("user", "anonymous"), query = rendered,
+        syntax = "LUCENE", logicName = "lookupContentUUID",
+        timeMillis = System.currentTimeMillis()) {
+        LookupUUID.contentLookup(contentTable,
+          LookupUUID.lookup(reg, terms, tables, logic),
+          uidCol = params.getOrElse("uidField", "uid"))
       }
-      val hits = LookupUUID.lookup(LookupUUID.Registry(uuidTypes), terms,
-        tables, logic)
-      val docs = LookupUUID.contentLookup(contentTable, hits,
-        uidCol = params.getOrElse("uidField", "uid"))
       val rows = docs.toJSON.collect() // bounded by contentLookup maxDocs
       (200, s"""{"rows": [${rows.mkString(",")}]}""")
     } catch {
@@ -318,13 +355,9 @@ final class QueryServer(
     (200, s"""{"queryId": ${quote(id)}, "pages": [${pages.mkString(",")}]}""")
   }
 
-  private def close(params: Map[String, String]): (Int, String) = {
-    val id = qid(params)
-    Option(sessions.remove(id)) match {
-      case Some(s) => release(s); cursor.close(id); (200, """{"closed": true}""")
-      case None => (404, err("unknown queryId"))
-    }
-  }
+  private def close(params: Map[String, String]): (Int, String) =
+    if (teardown(qid(params))) (200, """{"closed": true}""")
+    else (404, err("unknown queryId"))
 
   /** Unpersist a removed session's frame ONLY when no live session
     * still shares it (`/query/duplicate` shares the persisted frame by

@@ -30,6 +30,9 @@ class AuditSpec extends SparkSpec {
     // the JEXL-first path still finds them when syntax is unmarked
     // (DatawaveSelectorExtractor tries JEXL, then LUCENE)
     assert(Audit.extractSelectors("F1:abc F2:def") == Seq("abc", "def"))
+    // a LUCENE-marked query that is actually JEXL still yields its
+    // selectors (the reference ignores the syntax marker: JEXL first)
+    assert(Audit.extractSelectors("F == 'a'", syntax = "LUCENE") == Seq("a"))
     // unparseable input yields no selectors, never an exception
     assert(Audit.extractSelectors("((((") == Seq.empty)
   }
@@ -76,10 +79,14 @@ class AuditSpec extends SparkSpec {
       HttpRequest.newBuilder(URI.create(url))
         .POST(HttpRequest.BodyPublishers.noBody()).build(),
       HttpResponse.BodyHandlers.ofString())
+    def getUrl(url: String) = client.send(
+      HttpRequest.newBuilder(URI.create(url)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
     val df = Seq((1L, "A"), (2L, "B")).toDF("id", "grp")
     val auditor = new Audit.CollectingAuditor
     val srv = new QueryServer(tables = Map("people" -> df),
-      auditor = auditor, auditType = Audit.Active)
+      auditor = auditor, auditType = Audit.Active,
+      uuidTypes = Seq(LookupUUID.UuidType("GRP", logic = "people")))
     val port = srv.start()
     try {
       val r = post(s"http://127.0.0.1:$port/query/create?table=people" +
@@ -88,6 +95,20 @@ class AuditSpec extends SparkSpec {
       val rec = auditor.records.head
       assert(rec.user == "bob" && rec.selectors == Seq("A") &&
         rec.logicName == "people")
+      // lookups run full queries and audit too (QueryExecutorBean
+      // audits lookupUUID/lookupContentUUID the same way)
+      val lr = getUrl(s"http://127.0.0.1:$port/lookupUUID?terms=GRP:B")
+      assert(lr.statusCode() == 200, lr.body())
+      val lrec = auditor.records.last
+      assert(lrec.logicName == "lookupUUID" && lrec.selectors == Seq("B") &&
+        lrec.query == "GRP:B")
+      // and a duplicate audits as a NEW query
+      val id = "\"queryId\": \"([0-9a-f]+)\"".r
+        .findFirstMatchIn(r.body()).get.group(1)
+      assert(post(s"http://127.0.0.1:$port/query/duplicate?id=$id")
+        .statusCode() == 200)
+      assert(auditor.records.last.logicName == "duplicate")
+      assert(auditor.records.size == 3)
     } finally srv.stop()
     val down = new Audit.Auditor {
       override def audit(rec: Audit.AuditRecord): Unit =

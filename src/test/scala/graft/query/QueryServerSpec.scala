@@ -127,11 +127,15 @@ class QueryServerSpec extends SparkSpec {
         get(s"$base/next?id=$dupId").body()).toSeq
       assert(origP1 == Seq("\"id\":2", "\"id\":4", "\"id\":6", "\"id\":8",
         "\"id\":10"), origP1)
-      // reset: SAME id, next page is page 1 again
+      // reset: SAME id, next page is page 1 again, and the old run's
+      // page ledger is gone (no colliding page numbers)
       assert(post(s"$base/reset?id=$id").statusCode() == 200)
       val resetP1 = "\"id\":\\d+".r.findAllIn(
         get(s"$base/next?id=$id").body()).toSeq
       assert(resetP1 == origP1, resetP1)
+      val metricPages = "\"page\": \\d+".r.findAllIn(
+        get(s"$base/metrics?id=$id").body()).toSeq
+      assert(metricPages == Seq("\"page\": 1"), metricPages)
       // cancel releases the session; duplicate of a canceled id is a 404
       assert(post(s"$base/cancel?id=$id").statusCode() == 200)
       assert(get(s"$base/next?id=$id").statusCode() == 404)
