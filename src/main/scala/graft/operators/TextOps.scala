@@ -70,6 +70,35 @@ object TextOps {
       (nTok >= 5 && nTok <= 100000 && alphaRatio > 0.6).as("quality_keep"))
   }
 
+  /** Quality FILTER with per-rule drop reasons — the Gopher-rules
+    * keep/drop stage (Rae et al. 2021 appx. A1.1; C4's heuristics)
+    * every production corpus pipeline runs and audits: an ORDERED rule
+    * list evaluates map-side and each dropped document reports the
+    * FIRST rule it failed (the per-reason counts pipelines publish).
+    * Pure codegen'd projection — no shuffle, no UDF; thresholds are
+    * operator parameters. */
+  def qualityFilter(docs: DataFrame,
+                    minTokens: Int = 50, maxTokens: Int = 100000,
+                    minMeanTokLen: Double = 3.0, maxMeanTokLen: Double = 10.0,
+                    minAlphaRatio: Double = 0.6,
+                    minStopwordRatio: Double = 0.02,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val base = docs.select(Seq(col(idCol)) ++ qualityColumns(col(textCol)): _*)
+    val rules: Seq[(String, Column)] = Seq(
+      "too_few_tokens" -> (col("n_tokens") < minTokens),
+      "too_many_tokens" -> (col("n_tokens") > maxTokens),
+      "mean_token_len_low" -> (col("mean_token_len") < minMeanTokLen),
+      "mean_token_len_high" -> (col("mean_token_len") > maxMeanTokLen),
+      "alpha_ratio_low" -> (col("alpha_ratio") < minAlphaRatio),
+      "stopword_ratio_low" -> (col("stopword_ratio") < minStopwordRatio))
+    val reason = rules.foldRight(lit(null).cast("string")) {
+      case ((name, failed), acc) => when(failed, name).otherwise(acc)
+    }
+    base.select(col(idCol), col("n_tokens"),
+      reason.as("drop_reason"), reason.isNull.as("keep"))
+  }
+
   // --- language identification ----------------------------------------
 
   /** Tiny per-language stopword lists for the n-gram/stopword heuristic.

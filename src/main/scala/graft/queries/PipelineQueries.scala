@@ -65,6 +65,15 @@ object PipelineQueries {
   def textAnalyze(s: SparkSession, d: String): DataFrame =
     TextOps.analyze(Tables.documents(s, d))
 
+  /** Gopher-rules keep/drop with first-failing-rule reasons. Thresholds
+    * chosen so every rule bucket is non-empty at sf0.01 (gate-hygiene:
+    * each branch of the reason chain is exercised). */
+  def textQualityFilter(s: SparkSession, d: String): DataFrame =
+    TextOps.qualityFilter(Tables.documents(s, d),
+      minTokens = 40, maxTokens = 80,
+      minMeanTokLen = 4.1, maxMeanTokLen = 4.8,
+      minAlphaRatio = 0.82, minStopwordRatio = 0.05)
+
   /** Token counting (whitespace/punct tokenizer). */
   def textTokens(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(col("doc_id"),
@@ -181,6 +190,7 @@ object PipelineQueries {
     "dedup_minhash_lsh" -> dedupMinhash _,
     "dedup_simhash" -> dedupSimhash _,
     "text_analyze" -> textAnalyze _,
+    "text_quality_filter" -> textQualityFilter _,
     "text_tokens" -> textTokens _,
     "ann_topk" -> annTopk _,
     "emb_neardup" -> embNearDup _,
@@ -437,6 +447,38 @@ object PipelineQueries {
          |       ELSE 'und' END AS lang_pred,
          |  $fpSql AS fingerprint
          |FROM sc""".stripMargin
+    },
+    // text_quality_filter: replicate the ordered rule chain — the first
+    // failing rule is the reason; ratio math matches text_analyze's
+    // (those float columns already full-hash-match across engines)
+    "text_quality_filter" -> {
+      val stops = TextOps.EnStopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+      s"""WITH t AS (
+         |  SELECT doc_id, text, $toksSql AS toks, length(text) AS n_chars
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, len(toks) AS n_tokens,
+         |    CASE WHEN len(toks) > 0 THEN
+         |      CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+         |      ELSE 0.0 END AS mtl,
+         |    CASE WHEN n_chars > 0 THEN
+         |      CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / CAST(n_chars AS DOUBLE)
+         |      ELSE 0.0 END AS ar,
+         |    CASE WHEN len(toks) > 0 THEN
+         |      CAST(len(list_filter(toks, x -> list_contains($stops, x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+         |      ELSE 0.0 END AS sr
+         |  FROM t)
+         |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+         |  CASE WHEN n_tokens < 40 THEN 'too_few_tokens'
+         |       WHEN n_tokens > 80 THEN 'too_many_tokens'
+         |       WHEN mtl < 4.1 THEN 'mean_token_len_low'
+         |       WHEN mtl > 4.8 THEN 'mean_token_len_high'
+         |       WHEN ar < 0.82 THEN 'alpha_ratio_low'
+         |       WHEN sr < 0.05 THEN 'stopword_ratio_low'
+         |       ELSE NULL END AS drop_reason,
+         |  (n_tokens >= 40 AND n_tokens <= 80 AND mtl >= 4.1 AND mtl <= 4.8
+         |   AND ar >= 0.82 AND sr >= 0.05) AS keep
+         |FROM m""".stripMargin
     },
     "ann_topk" ->
       """WITH probe AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0)

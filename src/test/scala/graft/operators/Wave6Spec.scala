@@ -23,6 +23,25 @@ class Wave6Spec extends SparkSpec {
     }
   }
 
+  test("quality filter reports the FIRST failing rule, in order") {
+    val docs = Seq(
+      (1L, "tiny"), // too few tokens
+      (2L, Seq.fill(30)("considerable").mkString(" ")), // mean len high
+      (3L, Seq.fill(30)("the dependable article stays here").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = TextOps.qualityFilter(docs, minTokens = 5, maxTokens = 200,
+        minMeanTokLen = 3.0, maxMeanTokLen = 8.0,
+        minAlphaRatio = 0.5, minStopwordRatio = 0.05)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("drop_reason") == "too_few_tokens" &&
+      !out(0).getAs[Boolean]("keep"))
+    // doc 2 also fails stopword_ratio_low, but mean_token_len_high
+    // comes FIRST in the rule order
+    assert(out(1).getAs[String]("drop_reason") == "mean_token_len_high")
+    assert(out(2).getAs[Boolean]("keep") &&
+      out(2).getAs[String]("drop_reason") == null)
+  }
+
   test("surprisal handles an empty / zero-token corpus without failing") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(TextOps.surprisal(empty, 1.0, 2.0).count() == 0)
