@@ -61,6 +61,17 @@ object Warmup {
       // inside surprisal() runs two tiny jobs at construction — part of
       // the warming)
       "surprisal" -> graft.operators.TextOps.surprisal(docs, 1.0, 2.0),
+      // rel_facets_cms: explode|generate|udf( (the CMS union Aggregator +
+      // estimate UDF + map explode)
+      "cms_facets" -> {
+        val rows = (0L until 48L).map(i =>
+          (s"b${i % 2}", s"k${i % 2}", s"v${i % 4}"))
+          .toDF("batch", "key", "v").repartition(2)
+        graft.ingest.Facets.cmsEstimates(
+          graft.ingest.Facets.cmsMerge(
+            graft.ingest.Facets.cmsBatches(rows, "batch", "key", "v"), "key"),
+          "key", Seq("v0", "v1"))
+      },
       // ancestor_query (document-tree flatten): transform(|explode|generate
       // — no filter/aggregate, so the subset stays exact
       "tree" -> docs.select(col("doc_id"),

@@ -38,4 +38,75 @@ object Facets {
     batches.groupBy(col(keyCol))
       .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("cardinality"),
         sum(col("cnt")).as("cnt"))
+
+  // ---- CountMinSketch half of FacetValue ------------------------------
+  // FacetValue.java:16-25 carries BOTH sketches: HLL+ for cardinality
+  // (above) and CountMinSketch for per-value frequency. The CMS side
+  // answers "how often does value v occur under facet key k" from sketch
+  // bytes alone — merged across ingest batches, never re-reading raw
+  // events. Estimates are DETERMINISTIC given (eps, confidence, seed),
+  // and exact whenever the value collides with no other value in at
+  // least one hash row (overwhelmingly likely for bounded value domains
+  // at the default width), which is what makes the gate hash-comparable
+  // against an exact oracle while exercising the full
+  // serialize → merge → estimate interchange.
+
+  import org.apache.spark.sql.expressions.Aggregator
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.util.sketch.CountMinSketch
+
+  /** Mergeable CMS-union aggregate (serialized-bytes in, serialized-bytes
+    * out) — partial (map-side) merge capable, so unioning N batch
+    * sketches shuffles only sketch bytes. All inputs must share
+    * (depth, width, seed); CountMinSketch.mergeInPlace enforces it. */
+  private object CmsUnion extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+    private def read(b: Array[Byte]) =
+      CountMinSketch.readFrom(new java.io.ByteArrayInputStream(b))
+    private def write(s: CountMinSketch): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      s.writeTo(bos)
+      bos.toByteArray
+    }
+    override def zero: Array[Byte] = Array.emptyByteArray
+    override def reduce(acc: Array[Byte], x: Array[Byte]): Array[Byte] =
+      merge(acc, x)
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+      if (a.isEmpty) b
+      else if (b.isEmpty) a
+      else { val s = read(a); s.mergeInPlace(read(b)); write(s) }
+    override def finish(r: Array[Byte]): Array[Byte] = r
+    override def bufferEncoder = Encoders.BINARY
+    override def outputEncoder = Encoders.BINARY
+  }
+
+  /** Per-(batch, key) serialized CountMinSketch over the facet values —
+    * the CMS write path beside [[sketchBatches]]'s HLL. */
+  def cmsBatches(df: DataFrame, batchCol: String, keyCol: String,
+                 valCol: String, eps: Double = 0.005,
+                 confidence: Double = 0.999, seed: Int = 42): DataFrame =
+    df.groupBy(col(batchCol), col(keyCol))
+      .agg(count_min_sketch(col(valCol), lit(eps), lit(confidence),
+        lit(seed)).as("cms"),
+        count(lit(1)).as("cnt"))
+
+  /** Union the per-batch CMS sketches per key — the CMS read path. */
+  def cmsMerge(batches: DataFrame, keyCol: String): DataFrame =
+    batches.groupBy(col(keyCol))
+      .agg(udaf(CmsUnion, Encoders.BINARY).apply(col("cms")).as("cms"),
+        sum(col("cnt")).as("cnt"))
+
+  /** Frequency estimates for `values` under each facet key, from the
+    * merged sketch bytes: one deserialization per key, one
+    * (key, value, estimate) row per probe value. */
+  def cmsEstimates(merged: DataFrame, keyCol: String,
+                   values: Seq[String]): DataFrame = {
+    val probe = values.toArray
+    val est = udf { (bytes: Array[Byte]) =>
+      val s = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
+      probe.map(v => s.estimateCount(v))
+    }
+    merged.select(col(keyCol),
+        explode(map_from_arrays(lit(probe), est(col("cms"))))
+          .as(Seq("value", "estimate")))
+  }
 }

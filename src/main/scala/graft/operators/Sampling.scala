@@ -69,4 +69,81 @@ object Sampling {
     df.withColumn("cum_tokens", sum(col(nTokensCol)).over(w))
       .filter(col("cum_tokens") <= budget)
   }
+
+  /** The 100 TB form of [[tokenBudget]]: the SAME keep set (proved
+    * row-for-row equal by SamplingSpec) without a per-stratum global
+    * window over the full corpus.
+    *
+    * Pass 1 aggregates token subtotals per (stratum, coarse hash-order
+    * bucket) — a map-side-combined shuffle producing at most
+    * strata × `coarseBuckets` rows (dozens × 4096), a bounded driver
+    * collect. The driver walks each stratum's buckets in order and finds
+    * the CUT bucket: the first whose cumulative total exceeds the
+    * budget. Pass 2 is a map-side filter — buckets before the cut are
+    * kept whole, buckets after dropped whole — plus a window over ONLY
+    * the cut bucket's rows (≈ corpus/`coarseBuckets` per stratum) to
+    * place the exact boundary. Equality holds because the coarse bucket
+    * `floor(hash·C/B)` is monotone in the hash that orders the window
+    * form, and hash ties always land in the same bucket.
+    *
+    * Returns the kept rows with the same `cum_tokens` the window form
+    * emits — exact for boundary-bucket rows (prior-bucket subtotals are
+    * known) and reconstructed per earlier bucket by a bucket-local
+    * window plus the driver's running offsets, so both variants are
+    * hash-identical, not just keep-set-equal. */
+  def tokenBudgetTwoPass(df: DataFrame, idCol: String, stratumCol: String,
+                         nTokensCol: String, budgets: Map[String, Long],
+                         defaultBudget: Long, salt: String = "graft",
+                         coarseBuckets: Int = 4096): DataFrame = {
+    val bucket = (hashBucket(col(idCol), salt) * coarseBuckets / Buckets)
+      .cast("int")
+    // PASS 1: (stratum, bucket) subtotals; bounded by strata × buckets
+    val sub = df
+      .groupBy(col(stratumCol).cast("string").as("s"), bucket.as("b"))
+      .agg(sum(col(nTokensCol)).cast("long").as("t"))
+      .collect()
+    // driver walk per stratum: the cut bucket (first whose cumulative
+    // exceeds the budget) and each bucket's starting offset (cumulative
+    // through the PRIOR buckets) — emitted as a tiny broadcastable
+    // lookup table, NOT a when-chain (strata × buckets literals would
+    // blow up the expression tree)
+    val metaRows = sub.groupBy(_.getString(0)).toSeq.flatMap { case (s, rows) =>
+      val budget = budgets.getOrElse(s, defaultBudget)
+      val inOrder = rows.map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1)
+      var cum = 0L
+      var cut = Int.MaxValue
+      val offsets = inOrder.map { case (b, t) =>
+        val off = cum
+        if (cut == Int.MaxValue && cum + t > budget) cut = b
+        cum += t
+        (b, off)
+      }
+      offsets.map { case (b, off) => (s, b, off, cut, budget) }
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val meta = broadcast(
+      metaRows.toDF("__s", "__b", "__off", "__cut", "__budget"))
+    val withB = df.withColumn("__cb", bucket)
+      .join(meta, col(stratumCol).cast("string") === col("__s") &&
+        col("__cb") === col("__b"))
+      // map-side drop of every bucket PAST the cut — the window below
+      // never sees them
+      .filter(col("__cb") <= col("__cut"))
+    // bucket-local window: identical ordering to the global window
+    // restricted to one bucket (the bucket is monotone in the hash, and
+    // hash ties share a bucket), and PARALLEL across strata × buckets —
+    // the per-stratum sequential scan the single-window form pays is
+    // gone
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol), col("__cb"))
+      .orderBy(hashBucket(col(idCol), salt), col(idCol))
+    withB
+      .withColumn("cum_tokens",
+        sum(col(nTokensCol)).over(wLocal) + col("__off"))
+      // whole buckets before the cut keep; only the cut bucket consults
+      // the reconstructed running total
+      .filter(col("__cb") < col("__cut") || col("cum_tokens") <= col("__budget"))
+      .drop("__cb", "__s", "__b", "__off", "__cut", "__budget")
+  }
 }

@@ -242,16 +242,19 @@ object TextOps {
   def surprisal(docs: DataFrame, headBits: Double, middleBits: Double,
                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
-    // persist the MODEL, not the token stream: the vocabulary-sized
-    // aggregate feeds both the driver-side total (which materializes
-    // the cache eagerly) and the scoring join, so the corpus tokenizes
-    // twice (model build + scoring stream) instead of three times while
-    // the resident cache stays model-sized, not token-sized
-    val model = toks.groupBy("tok").agg(count(lit(1)).as("c")).persist()
+    // The model is referenced exactly ONCE (the scoring join), so it
+    // needs no persist — and therefore leaves no cached frame behind
+    // after the op (a server calling this repeatedly must not
+    // accumulate vocabulary-sized cache entries). The corpus token
+    // total comes from a separate MAP-ONLY scan of the token-array
+    // sizes: no explode, no shuffle — far cheaper than materializing
+    // the vocabulary aggregate just to sum it.
+    val model = toks.groupBy("tok").agg(count(lit(1)).as("c"))
     // the model total is ONE scalar — a bounded driver materialization
     // (NeedleScan pattern), not a data-scale collect; null on an empty
     // corpus (SUM over zero rows) → zero tokens, empty profile
-    val totalRow = model.agg(sum("c")).collect()(0)
+    val totalRow = docs
+      .agg(sum(size(tokens(col(textCol)))).cast("long")).collect()(0)
     val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
     val totalQ = qlog4Long(total)
     val scored = toks.join(model, Seq("tok"))

@@ -407,9 +407,9 @@ object PipelineQueries {
       s"""WITH d AS (SELECT doc_id, lang, CAST(len($toksSql) AS BIGINT) AS n_tokens
          |  FROM documents),
          |w AS (SELECT doc_id, lang, n_tokens,
-         |  sum(n_tokens) OVER (PARTITION BY lang ORDER BY
+         |  CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY
          |    CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':mix1')),
-         |      1, 8)) AS BIGINT) % 1000000, doc_id) AS cum_tokens FROM d)
+         |      1, 8)) AS BIGINT) % 1000000, doc_id) AS BIGINT) AS cum_tokens FROM d)
          |SELECT doc_id, lang, n_tokens, cum_tokens FROM w
          | WHERE cum_tokens <= CASE WHEN lang = 'en' THEN 6000 ELSE 2000 END""".stripMargin,
     "text_analyze" -> {

@@ -285,6 +285,26 @@ object Relational {
       .select(col("user_id"), col("cardinality"), col("cnt"))
   }
 
+  /** The CountMinSketch half of FacetValue (FacetValue.java:16-25
+    * carries HLL+ AND CMS): per-day CMS sketches of user cohorts under
+    * each event type, serialized → unioned across the day batches →
+    * probed for every cohort's frequency, touching only sketch bytes on
+    * the read path. Estimates are deterministic given (eps, confidence,
+    * seed) and exact for this bounded value domain (50 cohorts vs width
+    * 400 × depth ≥4: a value inflates only by colliding in EVERY row),
+    * so the oracle is the exact count per (event_type, cohort). */
+  def facetsCms(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .withColumn("cohort", (col("user_id") % 50).cast("string"))
+    val batches = graft.ingest.Facets.cmsBatches(
+      ev, batchCol = "day", keyCol = "event_type", valCol = "cohort")
+    val merged = graft.ingest.Facets.cmsMerge(batches, "event_type")
+    graft.ingest.Facets.cmsEstimates(merged, "event_type",
+        (0 until 50).map(_.toString))
+      .select(col("event_type"), col("value").as("cohort"), col("estimate"))
+  }
+
   /** Paged results (RunningQuery.next()): deterministic ORDER BY + OFFSET +
     * LIMIT page. */
   def pagination(s: SparkSession, d: String): DataFrame =
@@ -330,6 +350,7 @@ object Relational {
     "rel_index_stats" -> indexStats _,
     "rel_facets" -> facets _,
     "rel_facets_sketch" -> facetsSketch _,
+    "rel_facets_cms" -> facetsCms _,
     "rel_pagination" -> pagination _,
     "rel_rollup" -> rollupAgg _,
   )
@@ -454,6 +475,20 @@ object Relational {
     "rel_facets" ->
       """SELECT event_type AS facet_value, count(*) AS cnt FROM events
         | WHERE value > 5 GROUP BY 1""".stripMargin,
+    // CMS point estimates equal exact counts for this bounded domain
+    // (see facetsCms scaladoc); every (event_type, cohort) pair probed,
+    // absent pairs estimate 0
+    "rel_facets_cms" ->
+      """WITH et AS (SELECT DISTINCT event_type FROM events),
+        |coh AS (SELECT CAST(c AS VARCHAR) AS cohort
+        |        FROM (SELECT unnest(range(0, 50)) AS c)),
+        |exact AS (SELECT event_type, CAST(user_id % 50 AS VARCHAR) AS cohort,
+        |          count(*) AS n FROM events GROUP BY 1, 2)
+        |SELECT et.event_type, coh.cohort,
+        |   CAST(COALESCE(exact.n, 0) AS BIGINT) AS estimate
+        | FROM et CROSS JOIN coh
+        | LEFT JOIN exact ON exact.event_type = et.event_type
+        |   AND exact.cohort = coh.cohort""".stripMargin,
     "rel_pagination" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         | ORDER BY o_orderkey ASC LIMIT 10 OFFSET 20""".stripMargin,

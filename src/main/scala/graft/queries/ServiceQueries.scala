@@ -121,6 +121,96 @@ object ServiceQueries {
     } finally server.stop()
   }
 
+  /** The audit TABLE (Auditor / QueryExecutorBean.java:704-740 audit-
+    * before-execute): a live server under ACTIVE auditing serves a
+    * create and a batched lookupUUID; the gate returns the audit frame —
+    * user, logic, type, syntax, the audited query, and the selectors the
+    * extractor pulled (JEXL-then-LUCENE walk with negation parity,
+    * DatawaveSelectorExtractor.java:22-52). The oracle is the literal
+    * expected records, so the security-relevant surface is hash-checked
+    * end-to-end over HTTP, not just spec-covered. */
+  def auditTable(s: SparkSession, d: String): DataFrame = {
+    val auditor = new Audit.CollectingAuditor
+    val server = new QueryServer(Map("events" -> Tables.events(s, d)),
+      uuidTypes = Seq(
+        LookupUUID.UuidType("EVENT_ID", logic = "events"),
+        LookupUUID.UuidType("USER_ID", logic = "events")),
+      auditor = auditor, auditType = Audit.Active)
+    val port = server.start()
+    try {
+      val svc = new RemoteQueryService(s"http://127.0.0.1:$port")
+      val id = svc.createQuery("events",
+        "EVENT_TYPE == 'click' && USER_ID == 42", orderBy = Seq("event_id"))
+      svc.close(id)
+      val (lid, _) = svc.lookupUUID(Seq("EVENT_ID" -> "5", "USER_ID" -> "42"))
+      svc.close(lid)
+      auditor.toDF(s).select(col("user"),
+        col("logicName").as("logic_name"),
+        col("auditType").as("audit_type"), col("syntax"), col("query"),
+        concat_ws(",", col("selectors")).as("selectors"))
+    } finally server.stop()
+  }
+
+  /** Lifecycle verbs under the oracle (QueryExecutorBean `/duplicate`,
+    * `/reset`, `/cancel`, `/close`): create → duplicate (shared persisted
+    * frame, NEW id, page 1) → drain BOTH sessions fully → reset the
+    * duplicate and re-drain it → close both. Result = the union of the
+    * three drains tagged by leg, so the ref-counted shared-frame release
+    * and the reset ledger produce driver-visible rows (= the base query's
+    * result three times over). */
+  def queryLifecycle(s: SparkSession, d: String): DataFrame = {
+    val server = new QueryServer(Map("events" -> Tables.events(s, d)))
+    val port = server.start()
+    try {
+      val svc = new RemoteQueryService(s"http://127.0.0.1:$port")
+      // pageSize sized so the sf0.1 drains stay ~a dozen page jobs each
+      val id = svc.createQuery("events", "EVENT_TYPE == 'click' && USER_ID < 50",
+        pageSize = 2000, orderBy = Seq("event_id"))
+      val dupId = svc.duplicate(id)
+      def drain(qid: String): Seq[String] = {
+        val out = Seq.newBuilder[String]
+        var page = svc.nextPage(qid)
+        while (page.nonEmpty) { out ++= page.get; page = svc.nextPage(qid) }
+        out.result()
+      }
+      val orig = drain(id)
+      val dup = drain(dupId)
+      svc.reset(dupId)
+      val redrained = drain(dupId)
+      svc.close(id)
+      svc.close(dupId)
+      import s.implicits._
+      def parse(rows: Seq[String], leg: String): DataFrame =
+        s.read.json(s.createDataset(rows))
+          .select(col("event_id").cast("long").as("event_id"),
+            col("user_id").cast("long").as("user_id"), col("event_type"),
+            lit(leg).as("leg"))
+      parse(orig, "orig").unionByName(parse(dup, "dup"))
+        .unionByName(parse(redrained, "reset"))
+    } finally server.stop()
+  }
+
+  /** `/query/predict` (QueryExecutorBean.java:990-1054 + QueryPredictor
+    * SPI): seed the metric history with two instrumented queries of known
+    * result counts, then predict a NEW query without executing it. The
+    * gate returns the history predictor's deterministic predictions
+    * (mean rows over non-error history + sample count); the plan-stats
+    * predictor and the HTTP endpoint shape are pinned by PredictSpec
+    * (size estimates are engine-internal, so they stay out of the
+    * oracle). */
+  def queryPredict(s: SparkSession, d: String): DataFrame = {
+    QueryMetrics.clear()
+    val logic = new ShardQueryLogic()
+    val ev = Tables.events(s, d)
+    QueryMetrics.instrumented(logic, "qp1", ev, "EVENT_TYPE == 'click'")
+    QueryMetrics.instrumented(logic, "qp2", ev, "EVENT_TYPE == 'view'")
+    val planned = logic.query(ev, "EVENT_TYPE == 'purchase'")
+    val preds = Predict.predict(planned,
+      Seq(new Predict.HistoryPredictor(() => QueryMetrics.all)))
+      .filter(p => p.name == "PREDICTED_ROWS" || p.name == "HISTORY_SAMPLES")
+    Predict.toDF(s, preds)
+  }
+
   /** Query-metrics logic (QueryMetricQueryLogic): run an instrumented
     * query, then query the metrics store itself. */
   def queryMetrics(s: SparkSession, d: String): DataFrame = {
@@ -211,6 +301,9 @@ object ServiceQueries {
     "composite_query" -> compositeQuery _,
     "filtered_query" -> filteredQuery _,
     "remote_query" -> remoteQuery _,
+    "audit_table" -> auditTable _,
+    "query_lifecycle" -> queryLifecycle _,
+    "query_predict" -> queryPredict _,
     "lookup_uuid" -> lookupUuid _,
     "transforms_chain" -> transformsChain _,
     "decorated_fields" -> decoratedFields _,
@@ -274,6 +367,30 @@ object ServiceQueries {
     "remote_query" ->
       """SELECT event_id, user_id, event_type FROM events
         | WHERE event_type = 'click' AND user_id < 50""".stripMargin,
+    // the literal audit records the two server calls must produce
+    "audit_table" ->
+      """SELECT 'anonymous' AS "user", 'events' AS logic_name,
+        |   'ACTIVE' AS audit_type, 'JEXL' AS syntax,
+        |   'EVENT_TYPE == ''click'' && USER_ID == 42' AS query,
+        |   'click,42' AS selectors
+        |UNION ALL
+        |SELECT 'anonymous', 'lookupUUID', 'ACTIVE', 'LUCENE',
+        |   'EVENT_ID:5 OR USER_ID:42', '5,42'""".stripMargin,
+    // three full drains (original, duplicate, post-reset duplicate) of
+    // the same base query
+    "query_lifecycle" ->
+      """WITH base AS (SELECT event_id, user_id, event_type FROM events
+        |   WHERE event_type = 'click' AND user_id < 50)
+        |SELECT event_id, user_id, event_type, leg FROM base
+        | CROSS JOIN (VALUES ('orig'), ('dup'), ('reset')) l(leg)""".stripMargin,
+    // history predictor: mean result rows over the two seeded queries
+    "query_predict" ->
+      """WITH c AS (SELECT
+        |   (SELECT count(*) FROM events WHERE event_type = 'click') AS r1,
+        |   (SELECT count(*) FROM events WHERE event_type = 'view') AS r2)
+        |SELECT 'PREDICTED_ROWS' AS name, (r1 + r2) / 2.0 AS value FROM c
+        |UNION ALL
+        |SELECT 'HISTORY_SAMPLES', 2.0 FROM c""".stripMargin,
     "lookup_uuid" ->
       """SELECT event_id, user_id, event_type FROM events
         | WHERE event_id IN (5, 6) OR user_id = 42""".stripMargin,

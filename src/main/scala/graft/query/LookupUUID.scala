@@ -84,9 +84,13 @@ object LookupUUID {
                 uidCol: String = "uid", maxDocs: Int = 1000): DataFrame = {
     require(terms.nonEmpty, "no lookup terms")
     val (eventTerms, rest) = terms.partition(_._1.equalsIgnoreCase("event"))
-    val uids = eventTerms.flatMap(_._2.split(" ")).filter(_.nonEmpty)
-    require(uids.size <= reg.batchLookupLimit,
-      s"too many lookup UIDs: ${uids.size} > ${reg.batchLookupLimit}")
+    // dedup the uid list: a repeated UID in a batch ('7 7') must not
+    // duplicate its document in the all-event path
+    val uids = eventTerms.flatMap(_._2.split(" ")).filter(_.nonEmpty).distinct
+    // the batch cap covers the WHOLE batch — direct event uids plus
+    // registered lookup terms — not just the event leg
+    require(uids.size + rest.size <= reg.batchLookupLimit,
+      s"too many lookup terms: ${uids.size + rest.size} > ${reg.batchLookupLimit}")
     val direct =
       if (uids.isEmpty) None
       else Some(ContentStore.decoded(ContentStore.fetchByRefs(content,

@@ -33,6 +33,9 @@ object QueryMetrics {
   private val pageBuf = ArrayBuffer.empty[PageMetric]
 
   def record(m: QueryMetric): Unit = synchronized { buf += m }
+  /** The recorded per-query metrics (driver-resident; the history a
+    * [[Predict.HistoryPredictor]] predicts from). */
+  def all: Seq[QueryMetric] = synchronized { buf.toList }
   def recordPage(m: PageMetric): Unit = synchronized { pageBuf += m }
   def clear(): Unit = synchronized { buf.clear(); pageBuf.clear() }
 

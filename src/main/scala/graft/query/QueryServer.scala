@@ -28,6 +28,9 @@ import java.util.concurrent.ConcurrentHashMap
   *  - `POST /query/close?id=...` → drops cursor state + unpersists.
   *  - `GET /query/list` / `GET /query/listQueryLogic` → active sessions
   *    with paging position / dispatchable logic names.
+  *  - `GET /query/predict?table=T&query=Q[&syntax=…]` → named cost
+  *    predictions from the configured predictors (plan stats + metric
+  *    history), no execution.
   *  - `POST /query/duplicate?id=...` → new id, same definition, page 1;
   *    `POST /query/reset?id=...` → same id, paging restarted;
   *    `POST /query/cancel?id=...` → abort + release (served pages stand).
@@ -48,7 +51,10 @@ final class QueryServer(
     defaultPageSize: Int = 100,
     uuidTypes: Seq[LookupUUID.UuidType] = Seq.empty,
     auditor: Audit.Auditor = new Audit.CollectingAuditor,
-    auditType: Audit.AuditType = Audit.None_) {
+    auditType: Audit.AuditType = Audit.None_,
+    predictors: Seq[Predict.QueryPredictor] =
+      Seq(new Predict.PlanStatsPredictor,
+        new Predict.HistoryPredictor(() => QueryMetrics.all))) {
 
   private final case class Session(df: DataFrame, orderCols: Seq[String],
                                    running: RunningQuery,
@@ -57,6 +63,11 @@ final class QueryServer(
   private val sessions = new ConcurrentHashMap[String, Session]()
   private val cursor = new QueryCursor(stateDir)
   private var server: HttpServer = _
+  /** Guards the duplicate read-copy-put against a concurrent
+    * close/cancel of the source: without it, teardown can observe "no
+    * other sharer" in [[release]] during duplicate's window and
+    * unpersist the frame the new session is about to share. */
+  private val shareLock = new Object
 
   /** Start on `port` (0 = ephemeral); returns the bound port. */
   def start(port: Int = 0): Int = {
@@ -71,6 +82,7 @@ final class QueryServer(
     server.createContext("/query/duplicate", handler(duplicate))
     server.createContext("/query/reset", handler(reset))
     server.createContext("/query/cancel", handler(cancel))
+    server.createContext("/query/predict", handler(predict))
     server.createContext("/lookupUUID", handler(lookupUuid))
     server.createContext("/lookupContentUUID", handler(lookupContentUuid))
     server.createContext("/lookupUID", handler(lookupUid))
@@ -238,26 +250,34 @@ final class QueryServer(
     * same definition, paging restarted from page 1 (QueryExecutorBean
     * `/{id}/duplicate`). The persisted frame is shared, not re-planned. */
   private def duplicate(params: Map[String, String]): (Int, String) =
-    session(params) match {
-      case None => (404, err("unknown queryId"))
-      case Some(s) =>
-        try {
-          val pageSize = params.get("pageSize").map(_.toInt)
-            .getOrElse(if (s.pageSize > 0) s.pageSize else defaultPageSize)
-          require(pageSize > 0, s"pageSize must be positive, got $pageSize")
-          val newId = java.util.UUID.randomUUID().toString.replace("-", "")
-          // a duplicate is a NEW query and audits as one (the reference
-          // re-enters createQuery with the copied definition)
-          Audit.audited(auditor, auditType, newId,
-            user = params.getOrElse("user", "anonymous"), query = s.query,
-            syntax = s.syntax, logicName = "duplicate",
-            timeMillis = System.currentTimeMillis()) { () }
-          val running = new RunningQuery(cursor, newId, s.df, s.orderCols,
-            pageSize)
-          sessions.put(newId, s.copy(running = running, pageSize = pageSize))
-          (200, s"""{"queryId": "$newId"}""")
-        } catch { case e: Exception => (400, err(e.getMessage)) }
-    }
+    try {
+      val requestedPageSize = params.get("pageSize").map(_.toInt)
+      requestedPageSize.foreach(p =>
+        require(p > 0, s"pageSize must be positive, got $p"))
+      // the read-copy-put must be atomic vs teardown: a concurrent
+      // close/cancel of the source between our read and our put would
+      // see no other sharer and unpersist the frame we are about to
+      // share (the duplicate would still be correct, just uncached)
+      shareLock.synchronized {
+        session(params) match {
+          case None => (404, err("unknown queryId"))
+          case Some(s) =>
+            val pageSize = requestedPageSize
+              .getOrElse(if (s.pageSize > 0) s.pageSize else defaultPageSize)
+            val newId = java.util.UUID.randomUUID().toString.replace("-", "")
+            // a duplicate is a NEW query and audits as one (the reference
+            // re-enters createQuery with the copied definition)
+            Audit.audited(auditor, auditType, newId,
+              user = params.getOrElse("user", "anonymous"), query = s.query,
+              syntax = s.syntax, logicName = "duplicate",
+              timeMillis = System.currentTimeMillis()) { () }
+            val running = new RunningQuery(cursor, newId, s.df, s.orderCols,
+              pageSize)
+            sessions.put(newId, s.copy(running = running, pageSize = pageSize))
+            (200, s"""{"queryId": "$newId"}""")
+        }
+      }
+    } catch { case e: Exception => (400, err(e.getMessage)) }
 
   /** `POST /query/reset?id=…` — same query id, paging restarted
     * (QueryExecutorBean `/{id}/reset`: releases resources and re-runs;
@@ -267,6 +287,17 @@ final class QueryServer(
       case None => (404, err("unknown queryId"))
       case Some(s) =>
         val id = qid(params)
+        try {
+          // a reset is a fresh run and RE-audits as one (the reference
+          // re-enters the audit path on reset, QueryExecutorBean.java:
+          // 1235-1266, and fails the reset on audit error) — otherwise
+          // a caller under ACTIVE auditing could replay the full result
+          // set via reset with no audit record
+          Audit.audited(auditor, auditType, id,
+            user = params.getOrElse("user", "anonymous"), query = s.query,
+            syntax = s.syntax, logicName = "reset",
+            timeMillis = System.currentTimeMillis()) { () }
+        } catch { case e: Exception => return (400, err(e.getMessage)) }
         cursor.close(id)
         // a reset is a fresh run: its pages restart at 1, so the old
         // run's ledger must go or the numbers collide
@@ -277,6 +308,30 @@ final class QueryServer(
         (200, """{"reset": true}""")
     }
 
+  /** `GET /query/predict?table=T&query=Q[&syntax=…]` — the reference's
+    * `/{logicName}/predict` (QueryExecutorBean.java:990-1054): validate
+    * and PLAN the query, then ask the configured predictors for named
+    * cost predictions without running a single job. No predictors →
+    * `hasResults=false` (NoOpQueryPredictor deployment). */
+  private def predict(params: Map[String, String]): (Int, String) = {
+    val table = params.getOrElse("table",
+      return (400, err("missing 'table'")))
+    val q = params.getOrElse("query", return (400, err("missing 'query'")))
+    val df0 = tables.getOrElse(table,
+      return (404, err(s"unknown table '$table'")))
+    try {
+      val planned = logic.query(df0, q,
+        QueryParams(syntax = params.getOrElse("syntax", "JEXL")))
+      val preds = Predict.predict(planned, predictors)
+      if (preds.isEmpty) (200, """{"hasResults": false}""")
+      else {
+        val items = preds.map(p =>
+          s"""{"name": ${quote(p.name)}, "value": ${p.value}}""")
+        (200, s"""{"hasResults": true, "predictions": [${items.mkString(",")}]}""")
+      }
+    } catch { case e: Exception => (400, err(e.getMessage)) }
+  }
+
   /** `POST /query/cancel?id=…` — abort + release (QueryExecutorBean
     * `/{id}/cancel`; pages already served stay served). */
   private def cancel(params: Map[String, String]): (Int, String) =
@@ -286,9 +341,11 @@ final class QueryServer(
   /** Shared close/cancel teardown: remove the session, release its
     * frame (ref-counted), drop cursor state. */
   private def teardown(id: String): Boolean =
-    Option(sessions.remove(id)) match {
-      case Some(s) => release(s); cursor.close(id); true
-      case None => false
+    shareLock.synchronized {
+      Option(sessions.remove(id)) match {
+        case Some(s) => release(s); cursor.close(id); true
+        case None => false
+      }
     }
 
   /** `GET /lookupContentUUID?terms=TYPE:value[,…][&uidField=c]` — the

@@ -105,6 +105,44 @@ final class RemoteQueryService(baseUrl: String) {
   def plan(id: String): String = http("GET", s"/query/plan?id=${enc(id)}")._2
 
   def close(id: String): Unit = http("POST", s"/query/close?id=${enc(id)}")
+
+  /** `duplicate` (QueryExecutorBean `/{id}/duplicate`) → the NEW id. */
+  def duplicate(id: String): String = {
+    val (status, body) = http("POST", s"/query/duplicate?id=${enc(id)}")
+    if (status != 200)
+      throw new IllegalStateException(s"remote duplicate failed ($status): $body")
+    extract("queryId", body)
+  }
+
+  /** `reset` (QueryExecutorBean `/{id}/reset`): same id, paging restarts. */
+  def reset(id: String): Unit = {
+    val (status, body) = http("POST", s"/query/reset?id=${enc(id)}")
+    if (status != 200)
+      throw new IllegalStateException(s"remote reset failed ($status): $body")
+  }
+
+  /** Batched `lookupUUID` (createUUIDQueryAndNext: create + first page in
+    * one call) → (queryId, first-page row documents); drain the rest with
+    * [[nextPage]]. */
+  def lookupUUID(terms: Seq[(String, String)], pageSize: Int = 100,
+                 user: String = "anonymous"): (String, Seq[String]) = {
+    val t = terms.map { case (k, v) => s"$k:$v" }.mkString(",")
+    val (status, body) = http("GET",
+      s"/lookupUUID?terms=${enc(t)}&pageSize=$pageSize&user=${enc(user)}")
+    if (status != 200)
+      throw new IllegalStateException(s"remote lookupUUID failed ($status): $body")
+    (extract("queryId", body), rowsOf(body))
+  }
+
+  /** `predict` (QueryExecutorBean `/{logicName}/predict`): named cost
+    * predictions for an unexecuted query, raw JSON body. */
+  def predict(table: String, query: String, syntax: String = "JEXL"): String = {
+    val (status, body) = http("GET",
+      s"/query/predict?table=${enc(table)}&query=${enc(query)}&syntax=${enc(syntax)}")
+    if (status != 200)
+      throw new IllegalStateException(s"remote predict failed ($status): $body")
+    body
+  }
 }
 
 object RemoteQueryLogic {

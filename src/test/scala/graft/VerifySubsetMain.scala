@@ -20,12 +20,27 @@ object VerifySubsetMain {
       (1 to repeat).foreach { i =>
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, sfDir)
-          .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+          .write.mode("overwrite").parquet(s"$outDir/$name")
         spark.catalog.clearCache()
         System.err.println(
           f"[subset] $name%-24s run$i ${(System.nanoTime() - t0) / 1e9}%6.2f s")
       }
     }
+    // driver-layout oracle dump (subset only) so tools/verify_local.py
+    // runs directly on this outDir
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = SparkEntry.oracleSql.view.filterKeys(names.contains)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
 }

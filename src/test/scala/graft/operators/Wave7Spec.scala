@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+/** Round-6 wave: two-pass token-budget equality, surprisal cache
+  * hygiene, the CountMinSketch facet interchange, and the simhash
+  * recall floor at sf0.01. */
+class Wave7Spec extends SparkSpec {
+  import spark.implicits._
+
+  def sf01 = "/root/testdata/sf0.01"
+
+  test("tokenBudgetTwoPass emits exactly the window form's rows (fixture + sf0.01)") {
+    // fixture: uneven token sizes so the cut lands mid-bucket
+    val docs = (1L to 200L)
+      .map(i => (i, if (i % 3 == 0) "en" else "fr", (i % 7) + 1))
+      .toDF("doc_id", "lang", "n_tokens")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "cum_tokens").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val budgets = Map("en" -> 120L)
+    val one = canon(Sampling.tokenBudget(docs, "doc_id", "lang", "n_tokens",
+      budgets, defaultBudget = 90L, salt = "tp"))
+    // a handful of coarse buckets FORCES multi-doc buckets and boundary
+    // placement inside a bucket
+    val two = canon(Sampling.tokenBudgetTwoPass(docs, "doc_id", "lang",
+      "n_tokens", budgets, defaultBudget = 90L, salt = "tp",
+      coarseBuckets = 8))
+    assert(two == one, s"two-pass diverged: only-window=${one -- two}, " +
+      s"only-twopass=${two -- one}")
+    // real data at the driver's gate scale: the documents table with the
+    // gate's own budgets (hash-identical, not just keep-set-equal)
+    val real = Tables.documents(spark, sf01)
+      .select(col("doc_id"), col("lang"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+    val oneR = canon(Sampling.tokenBudget(real, "doc_id", "lang", "n_tokens",
+      Map("en" -> 6000L), 2000L))
+    val twoR = canon(Sampling.tokenBudgetTwoPass(real, "doc_id", "lang",
+      "n_tokens", Map("en" -> 6000L), 2000L))
+    assert(twoR == oneR && oneR.nonEmpty)
+  }
+
+  test("tokenBudgetTwoPass budget widening still yields a superset") {
+    val docs = (1L to 120L).map(i => (i, "en", 5L))
+      .toDF("doc_id", "lang", "n_tokens")
+    def keep(b: Long) = Sampling.tokenBudgetTwoPass(docs, "doc_id", "lang",
+        "n_tokens", Map("en" -> b), b, salt = "w", coarseBuckets = 16)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val k = keep(100L)
+    assert(k.size == 20 && k.subsetOf(keep(300L)))
+  }
+
+  test("surprisal leaves no cached frames behind (server-lifetime hygiene)") {
+    spark.catalog.clearCache()
+    val docs = Seq((1L, "alpha beta beta"), (2L, "alpha gamma"))
+      .toDF("doc_id", "text")
+    TextOps.surprisal(docs, 1.0, 2.0).collect()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "surprisal must not accumulate cached frames across invocations")
+  }
+
+  test("CMS facet sketches: batch union equals the single whole-corpus sketch") {
+    val rows = (1L to 300L)
+      .map(i => (s"b${i % 3}", s"k${i % 2}", s"v${i % 5}"))
+      .toDF("batch", "key", "v")
+    val probes = (0 until 5).map(i => s"v$i") :+ "absent"
+    def ests(df: org.apache.spark.sql.DataFrame) =
+      graft.ingest.Facets.cmsEstimates(df, "key", probes)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+    // three per-batch sketches merged vs one sketch over everything
+    val merged = ests(graft.ingest.Facets.cmsMerge(
+      graft.ingest.Facets.cmsBatches(rows, "batch", "key", "v"), "key"))
+    val whole = ests(graft.ingest.Facets.cmsMerge(
+      graft.ingest.Facets.cmsBatches(
+        rows.withColumn("batch", lit("all")), "batch", "key", "v"), "key"))
+    assert(merged == whole, "CMS union must be order/batching-insensitive")
+    // the CMS guarantee: estimate >= exact, and exact here (no full-row
+    // collisions at this width); the never-added value estimates 0
+    val exact = rows.groupBy("key", "v").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    exact.foreach { case (kv, n) => assert(merged(kv) == n, s"$kv") }
+    assert(merged(("k0", "absent")) == 0L && merged(("k1", "absent")) == 0L)
+  }
+
+  test("sf0.01 documents: simhash recall floor vs the exact jaccard pair set") {
+    // ngram/minhash have exact-match gates and SemDeDup/LSH/IVF have
+    // pinned recall floors; this pins simhash's so a banding regression
+    // fails a test, not a reader. Measured 2026-08: recall 0.96 at
+    // sf0.01 (24/25); OpsSpec pins sf0.001 at >= 0.8. Floor has headroom.
+    val d = Tables.documents(spark, sf01)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(Dedup.ngramJaccardPairs(d, 3, 0.8))
+    assert(exact.nonEmpty)
+    val sh = pairSet(Dedup.simhashPairs(d, 3, 0.8, maxHamming = 7))
+    assert(sh.subsetOf(exact), "exact verify guarantees precision 1.0")
+    val recall = sh.size.toDouble / exact.size
+    info(s"simhash recall at sf0.01 = $recall (${sh.size}/${exact.size})")
+    assert(recall >= 0.75, s"simhash recall regressed: $recall")
+  }
+}

@@ -64,6 +64,21 @@ def main():
         detail = ""
         for c in a.columns:
             av, bv = a[c].values, b[c].values
+            # The driver hashes the RENDERED values, so an int column on one
+            # side vs a float/object column on the other (e.g. DuckDB HUGEINT
+            # window sums -> pandas float64) hash-mismatches even when every
+            # value is numerically identical. Flag dtype-kind divergence hard.
+            def kind(d):
+                if np.issubdtype(d, np.integer): return "int"
+                if np.issubdtype(d, np.floating): return "float"
+                if np.issubdtype(d, np.bool_): return "bool"
+                return str(d)
+            ka, kb = kind(a[c].dtype), kind(b[c].dtype)
+            if ka != kb:
+                detail = (f"col {c}: DTYPE divergence {a[c].dtype} vs {b[c].dtype} "
+                          f"(driver hash WILL fail; cast the oracle, e.g. HUGEINT->BIGINT)")
+                equal = False
+                break
             if np.issubdtype(a[c].dtype, np.floating) or np.issubdtype(b[c].dtype, np.floating):
                 ok = np.array_equal(av.astype(float), bv.astype(float), equal_nan=True)
                 if not ok:
