@@ -222,6 +222,33 @@ object ServiceQueries {
       .select(col("queryId"), col("query"), col("syntax"), col("resultRows"))
   }
 
+  /** Time-bucketed metrics summary (QueryMetricsBean `/summary/all`,
+    * BaseQueryMetricHandler.binSummary): three REAL paged runs over
+    * orders, their create times pinned into different windows relative
+    * to a fixed end — 30 min (every bucket), 7 h (hour12 outward), 2 d
+    * (day7 outward) — then the nine-bucket summary. Page counts and
+    * page-result totals derive from the data (pageSize-10000 ledgers),
+    * so the oracle recomputes them from the orders counts. */
+  def queryMetricsSummary(s: SparkSession, d: String): DataFrame = {
+    QueryMetrics.clear()
+    val end = 100L * 86400000L // fixed synthetic "now"
+    val logic = new ShardQueryLogic()
+    def pagedRun(id: String, beginOffset: Long, status: String): Unit = {
+      val df = logic.query(Tables.orders(s, d),
+        s"O_ORDERSTATUS == '$status'").select("o_orderkey").persist()
+      df.count()
+      new RunningQuery(new QueryCursor(tempStateDir()), id, df,
+        Seq("o_orderkey"), pageSize = 10000).run()
+      df.unpersist()
+      QueryMetrics.record(QueryMetric(id, s"O_ORDERSTATUS == '$status'",
+        "JEXL", end - beginOffset, 1L, 0L))
+    }
+    pagedRun("ms1", 30L * 60000L, "F")
+    pagedRun("ms2", 7L * 3600000L, "O")
+    pagedRun("ms3", 2L * 86400000L, "P")
+    QueryMetrics.summary(s, end)
+  }
+
   /** DashboardQueryLogic: three instrumented queries (one selector, two
     * selectors, and a zero-result probe) roll up into one bucketed
     * DashboardSummary row. Latency buckets are runtime-dependent and are
@@ -297,6 +324,7 @@ object ServiceQueries {
     "cursor_page" -> cursorPage _,
     "query_pages" -> queryPages _,
     "query_metrics" -> queryMetrics _,
+    "query_metrics_summary" -> queryMetricsSummary _,
     "dashboard_query" -> dashboardQuery _,
     "composite_query" -> compositeQuery _,
     "filtered_query" -> filteredQuery _,
@@ -334,6 +362,29 @@ object ServiceQueries {
       """SELECT 'qm1' AS "queryId", 'EVENT_TYPE == ''click''' AS query,
         |   'JEXL' AS syntax, CAST(count(*) AS BIGINT) AS "resultRows"
         | FROM events WHERE event_type = 'click'""".stripMargin,
+    // nine windows; membership: ms1 (30 min) everywhere, ms2 (7 h) from
+    // hour12 outward, ms3 (2 d) from day7 outward; page ledgers are
+    // ceil(count/10000) pages carrying count rows
+    "query_metrics_summary" ->
+      """WITH c AS (SELECT
+        |   (SELECT count(*) FROM orders WHERE o_orderstatus = 'F') AS f,
+        |   (SELECT count(*) FROM orders WHERE o_orderstatus = 'O') AS o,
+        |   (SELECT count(*) FROM orders WHERE o_orderstatus = 'P') AS p),
+        |pc AS (SELECT f, o, p,
+        |   CAST(CEIL(f / 10000.0) AS BIGINT) AS pf,
+        |   CAST(CEIL(o / 10000.0) AS BIGINT) AS po,
+        |   CAST(CEIL(p / 10000.0) AS BIGINT) AS pp FROM c)
+        |SELECT 'hour1' AS bucket, CAST(1 AS INT) AS ord,
+        |   CAST(1 AS BIGINT) AS "queryCount", pf AS "pageCount",
+        |   CAST(f AS BIGINT) AS "pageRows" FROM pc
+        |UNION ALL SELECT 'hour6', 2, 1, pf, f FROM pc
+        |UNION ALL SELECT 'hour12', 3, 2, pf + po, f + o FROM pc
+        |UNION ALL SELECT 'day1', 4, 2, pf + po, f + o FROM pc
+        |UNION ALL SELECT 'day7', 5, 3, pf + po + pp, f + o + p FROM pc
+        |UNION ALL SELECT 'day30', 6, 3, pf + po + pp, f + o + p FROM pc
+        |UNION ALL SELECT 'day60', 7, 3, pf + po + pp, f + o + p FROM pc
+        |UNION ALL SELECT 'day90', 8, 3, pf + po + pp, f + o + p FROM pc
+        |UNION ALL SELECT 'all', 9, 3, pf + po + pp, f + o + p FROM pc""".stripMargin,
     // bucket arithmetic over the three probes' deterministic result counts
     "dashboard_query" ->
       """WITH c AS (

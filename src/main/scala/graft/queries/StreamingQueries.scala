@@ -134,14 +134,49 @@ object StreamingQueries {
       col("cnt"))
   }
 
+  /** Streaming exact-dedup ledger under REAL multi-batch state: the
+    * documents corpus split into 4 files streamed one per trigger, the
+    * per-hash keeper/count state carried across micro-batches
+    * (`flatMapGroupsWithState`). min(keeper) is order-independent and
+    * max(n_docs) folds the update-mode ledger, so the final table equals
+    * the batch dedup answer regardless of how files batch — the
+    * streamed-converges-to-bulk contract, for dedup. */
+  def streamDedup(s: SparkSession, d: String): DataFrame = {
+    val base = tmp("graft-sded")
+    s.read.parquet(s"$d/documents.parquet").select("doc_id", "text")
+      .repartition(4).write.parquet(s"$base/in")
+    val stream = s.readStream.schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val qn = s"graft_dedup_${ctr.incrementAndGet()}"
+    // state partitions sized to the key cardinality (see streamUidState)
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = try {
+      StreamingIngest.dedupLedger(stream)
+        .writeStream.format("memory").queryName(qn)
+        .option("checkpointLocation", s"$base/ck")
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    q.awaitTermination()
+    s.table(qn).groupBy("h")
+      .agg(min(col("keeper")).as("keeper"), max(col("n_docs")).as("n_docs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_windowed" -> streamWindowed _,
     "stream_ingest" -> streamIngest _,
     "stream_uid_state" -> streamUidState _,
     "stream_sessions" -> streamSessions _,
+    "stream_dedup" -> streamDedup _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the streamed ledger's final fold equals the batch dedup answer
+    "stream_dedup" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keeper,
+        |   count(*) AS n_docs
+        | FROM documents GROUP BY 1""".stripMargin,
     "stream_windowed" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |   event_type, count(*) AS cnt

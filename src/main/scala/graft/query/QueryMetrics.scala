@@ -17,7 +17,8 @@ final case class QueryMetric(
     elapsedMillis: Long,
     resultRows: Long,
     error: Boolean = false,
-    selectors: Long = 1)
+    selectors: Long = 1,
+    user: String = "anonymous")
 
 /** Per-page metric (QueryMetric.PageMetric analog — the reference emits
   * one per `next()` call with pagesize/returnTime, RunningQuery:331). */
@@ -78,6 +79,47 @@ object QueryMetrics {
           System.currentTimeMillis() - t0, 0, error = true, selectors))
         throw e
     }
+  }
+
+  /** Time-bucketed metrics summary — the reference's `/Query/Metrics
+    * /summary/all` + `/summary/user` (QueryMetricsBean.java:224-336,
+    * BaseQueryMetricHandler.binSummary:66-96): each query metric joins
+    * its page ledger, then lands in EVERY window bucket its create time
+    * falls inside (a query within the last hour counts in hour1 AND
+    * hour6 AND … AND all), accumulating query count, page count, and
+    * page result totals per bucket. `user` narrows to one caller's
+    * queries (the `/summary/user` variant). All nine buckets are always
+    * present (zeros when empty), like the reference's response shape.
+    * The metric store is driver-resident; the whole summary is a
+    * tiny-frame aggregate. */
+  def summary(spark: SparkSession, endMillis: Long,
+              forUser: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val H = 3600000L
+    val D = 24L * H
+    val windows = Seq(
+      ("hour1", 1, H), ("hour6", 2, 6 * H), ("hour12", 3, 12 * H),
+      ("day1", 4, D), ("day7", 5, 7 * D), ("day30", 6, 30 * D),
+      ("day60", 7, 60 * D), ("day90", 8, 90 * D),
+      ("all", 9, Long.MaxValue))
+    val buckets = windows.toDF("bucket", "ord", "window")
+    val pages = pagesDF(spark).groupBy("queryId")
+      .agg(count(lit(1)).as("pages"), sum("rows").as("pageRows"))
+    val metrics0 = toDF(spark).join(pages, Seq("queryId"), "left")
+    val metrics = forUser.fold(metrics0)(u =>
+      metrics0.filter(col("user") === u))
+    val binned = metrics.crossJoin(broadcast(buckets))
+      .filter(col("beginMillis") > lit(endMillis) - col("window"))
+      .groupBy("bucket", "ord")
+      .agg(count(lit(1)).as("queryCount"),
+        coalesce(sum("pages"), lit(0L)).as("pageCount"),
+        coalesce(sum("pageRows"), lit(0L)).as("pageRows"))
+    buckets.join(binned, Seq("bucket", "ord"), "left")
+      .select(col("bucket"), col("ord"),
+        coalesce(col("queryCount"), lit(0L)).as("queryCount"),
+        coalesce(col("pageCount"), lit(0L)).as("pageCount"),
+        coalesce(col("pageRows"), lit(0L)).as("pageRows"))
   }
 
   /** DashboardQueryLogic (core/query dashboard/DashboardSummary.java:15-80,

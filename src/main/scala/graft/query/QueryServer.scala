@@ -76,6 +76,7 @@ final class QueryServer(
     server.createContext("/query/next", handler(next))
     server.createContext("/query/plan", handler(plan))
     server.createContext("/query/metrics", handler(metrics))
+    server.createContext("/query/metrics/summary", handler(metricsSummary))
     server.createContext("/query/close", handler(close))
     server.createContext("/query/list", handler(list))
     server.createContext("/query/listQueryLogic", handler(listQueryLogic))
@@ -411,6 +412,22 @@ final class QueryServer(
         s""" "elapsedMillis": ${p.elapsedMillis}, "status": ${quote(p.status)}}""")
     (200, s"""{"queryId": ${quote(id)}, "pages": [${pages.mkString(",")}]}""")
   }
+
+  /** `GET /query/metrics/summary[?end=millis][&user=u]` — the reference's
+    * `/Query/Metrics/summary/all` and `/summary/user`
+    * (QueryMetricsBean.java:224-336): nine time-window buckets over
+    * query create times, each with query/page/page-result counts. */
+  private def metricsSummary(params: Map[String, String]): (Int, String) =
+    try {
+      val end = params.get("end").map(_.toLong)
+        .getOrElse(System.currentTimeMillis())
+      val spark = tables.values.headOption
+        .map(_.sparkSession)
+        .getOrElse(return (500, err("no tables registered")))
+      val rows = QueryMetrics.summary(spark, end, params.get("user"))
+        .orderBy("ord").toJSON.collect() // exactly nine bucket rows
+      (200, s"""{"buckets": [${rows.mkString(",")}]}""")
+    } catch { case e: Exception => (400, err(e.getMessage)) }
 
   private def close(params: Map[String, String]): (Int, String) =
     if (teardown(qid(params))) (200, """{"closed": true}""")

@@ -10,6 +10,9 @@ import org.apache.spark.sql.types.StructType
   * cap — Uid.proto:9-13). */
 final case class UidState(count: Long, uids: Seq[String])
 
+/** Per-hash dedup-ledger state: winning keeper (min doc id) + count. */
+final case class DedupState(keeper: Long, n: Long)
+
 /** Structured-Streaming ingest (SURVEY.md §2.7): the reference's streaming
   * story is FlagMaker file micro-batching + "live" Mutation writes
   * (FlagMaker.java:60, LiveContextWriter.java:23) — here the same shape is
@@ -120,6 +123,38 @@ object StreamingIngest {
           Iterator((f, v, merged.count, merged.uids))
       }
       .toDF("field", "value", "cnt", "uid_sample")
+  }
+
+  /** Streaming exact-dedup ledger — the LIVE analog of
+    * [[graft.operators.Dedup.exact]] for a landing-zone corpus: per
+    * content hash the state carries the winning keeper (MIN doc id —
+    * order-independent, so the streamed ledger converges to the batch
+    * answer no matter how micro-batches split the corpus) and the total
+    * observation count. Update mode emits the refreshed ledger row per
+    * touched hash each micro-batch; folding the emissions with
+    * min(keeper)/max(n) yields the final ledger (both measures are
+    * monotone across batches). At scale the state is one small struct
+    * per DISTINCT hash — the dedup ledger a live ingest tier keeps so
+    * arriving duplicates are droppable on sight. */
+  def dedupLedger(docs: DataFrame, idCol: String = "doc_id",
+                  hashCol: String = "h"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(hashCol).cast("string"), col(idCol).cast("long"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[DedupState, (String, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (h, rows, state: GroupState[DedupState]) =>
+          val ids = rows.map(_._2).toSeq
+          val prev = state.getOption.getOrElse(DedupState(Long.MaxValue, 0L))
+          val merged = DedupState(math.min(prev.keeper, ids.min),
+            prev.n + ids.size)
+          state.update(merged)
+          Iterator((h, merged.keeper, merged.n))
+      }
+      .toDF("h", "keeper", "n_docs")
   }
 
   /** Age-off maintenance (age-off filter analog,
