@@ -222,6 +222,55 @@ object ServiceQueries {
       .select(col("queryId"), col("query"), col("syntax"), col("resultRows"))
   }
 
+  private val crCtr = new java.util.concurrent.atomic.AtomicInteger()
+
+  /** CachedResults over HTTP (CachedResultsBean load → SQL retrieval):
+    * a finished query's frame loads as a named view, then the caller
+    * runs SQL against it — the reference ships result pages to MySQL to
+    * get this; here the persisted frame serves the SQL natively. The
+    * alias is uniqued per invocation so repeated bench passes never
+    * collide. */
+  def cachedResultsLoad(s: SparkSession, d: String): DataFrame = {
+    val server = new QueryServer(Map("events" -> Tables.events(s, d)))
+    val port = server.start()
+    try {
+      val svc = new RemoteQueryService(s"http://127.0.0.1:$port")
+      val id = svc.createQuery("events", "EVENT_TYPE == 'view'",
+        orderBy = Seq("event_id"))
+      val alias = s"graft_cr_${crCtr.incrementAndGet()}"
+      svc.loadCachedResults(id, alias)
+      val rows = svc.cachedSql(
+        s"SELECT user_id, count(*) AS cnt FROM $alias GROUP BY user_id",
+        pageSize = 1000000)
+      svc.close(id)
+      import s.implicits._
+      s.read.json(s.createDataset(rows))
+        .select(col("user_id").cast("long").as("user_id"),
+          col("cnt").cast("long").as("cnt"))
+    } finally server.stop()
+  }
+
+  /** ID translation over HTTP (IdTranslatorBean `/translateIDs`): the
+    * ids are probed against BOTH registered types — the caller doesn't
+    * know whether 7 or 42 is an event id or a user id, so the rendered
+    * LUCENE disjunction crosses ids × types — and the first page is the
+    * whole auto-closed answer. */
+  def translateId(s: SparkSession, d: String): DataFrame = {
+    val server = new QueryServer(Map("events" -> Tables.events(s, d)),
+      uuidTypes = Seq(
+        LookupUUID.UuidType("EVENT_ID", logic = "events"),
+        LookupUUID.UuidType("USER_ID", logic = "events")))
+    val port = server.start()
+    try {
+      val svc = new RemoteQueryService(s"http://127.0.0.1:$port")
+      val rows = svc.translateIds(Seq("7", "42"), pageSize = 100000)
+      import s.implicits._
+      s.read.json(s.createDataset(rows))
+        .select(col("event_id").cast("long").as("event_id"),
+          col("user_id").cast("long").as("user_id"), col("event_type"))
+    } finally server.stop()
+  }
+
   /** Time-bucketed metrics summary (QueryMetricsBean `/summary/all`,
     * BaseQueryMetricHandler.binSummary): three REAL paged runs over
     * orders, their create times pinned into different windows relative
@@ -333,6 +382,8 @@ object ServiceQueries {
     "query_lifecycle" -> queryLifecycle _,
     "query_predict" -> queryPredict _,
     "lookup_uuid" -> lookupUuid _,
+    "translate_id" -> translateId _,
+    "cached_results_load" -> cachedResultsLoad _,
     "transforms_chain" -> transformsChain _,
     "decorated_fields" -> decoratedFields _,
     "analyzer_tokens" -> analyzerTokens _,
@@ -445,6 +496,13 @@ object ServiceQueries {
     "lookup_uuid" ->
       """SELECT event_id, user_id, event_type FROM events
         | WHERE event_id IN (5, 6) OR user_id = 42""".stripMargin,
+    "cached_results_load" ->
+      """SELECT user_id, count(*) AS cnt FROM events
+        | WHERE event_type = 'view' GROUP BY user_id""".stripMargin,
+    // every id probed against every type: ids {7,42} x {EVENT_ID, USER_ID}
+    "translate_id" ->
+      """SELECT event_id, user_id, event_type FROM events
+        | WHERE event_id IN (7, 42) OR user_id IN (7, 42)""".stripMargin,
     "transforms_chain" ->
       """SELECT c_custkey, c_name AS customer_name,
         |   CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS "BAL_TIER"

@@ -69,6 +69,35 @@ object LookupUUID {
       params.copy(syntax = "LUCENE"))
   }
 
+  /** ID translation (IdTranslatorBean.java:155-231, buildQuery:213-227):
+    * the caller does NOT know an id's type, so each id is probed against
+    * EVERY registered UUID type — quoted LUCENE terms, crossed over
+    * types, OR'd into one disjunction (a 1-term quoted phrase is plain
+    * equality). The reference runs it as a single query whose first page
+    * is the answer and auto-closes it (callers never call next/close). */
+  def translateQueryString(reg: Registry, ids: Seq[String]): String = {
+    require(ids.nonEmpty, "no ids to translate")
+    require(reg.types.nonEmpty, "no UUID types registered")
+    require(ids.size <= reg.batchLookupLimit,
+      s"too many ids: ${ids.size} > ${reg.batchLookupLimit}")
+    ids.flatMap(id => reg.types.map(t => s"""${t.field}:"$id""""))
+      .mkString(" OR ")
+  }
+
+  /** Run an id translation against the registry's (single) logic table. */
+  def translate(reg: Registry, ids: Seq[String],
+                tables: Map[String, DataFrame],
+                logic: ShardQueryLogic = new ShardQueryLogic(),
+                params: QueryParams = QueryParams()): DataFrame = {
+    val logics = reg.types.map(_.logic).distinct
+    require(logics.size == 1,
+      s"id translation requires one query logic, got: $logics")
+    val table = tables.getOrElse(logics.head,
+      throw new IllegalArgumentException(s"no table for logic '${logics.head}'"))
+    logic.query(table, translateQueryString(reg, ids),
+      params.copy(syntax = "LUCENE"))
+  }
+
   /** UID lookup (lookup/uid/LookupUIDQueryLogic.java:12-38): terms
     * keyed `event` carry result UIDs directly — each value is a
     * space-separated UID list (UID_TERM_SEPARATOR) — and when EVERY

@@ -87,6 +87,10 @@ final class QueryServer(
     server.createContext("/lookupUUID", handler(lookupUuid))
     server.createContext("/lookupContentUUID", handler(lookupContentUuid))
     server.createContext("/lookupUID", handler(lookupUid))
+    server.createContext("/translateId", handler(translateId))
+    server.createContext("/translateIDs", handler(translateId))
+    server.createContext("/cachedresults/load", handler(cachedLoad))
+    server.createContext("/cachedresults/sql", handler(cachedSql))
     server.start()
     server.getAddress.getPort
   }
@@ -229,6 +233,38 @@ final class QueryServer(
     } catch {
       case e: Exception => (400, err(e.getMessage))
     }
+  }
+
+  /** `GET /translateId?id=X` / `GET /translateIDs?ids=a,b[,…]`
+    * (IdTranslatorBean.java:155-231): probe the id(s) against EVERY
+    * registered UUID type in one LUCENE disjunction; the FIRST page is
+    * the whole answer and the query is auto-closed — callers never call
+    * next/close (the reference's documented contract). 204 on no hits. */
+  private def translateId(params: Map[String, String]): (Int, String) = {
+    if (uuidTypes.isEmpty)
+      return (404, err("no UUID types registered on this server"))
+    val ids = params.get("id").map(Seq(_)).orElse(
+      params.get("ids").map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty)))
+      .getOrElse(return (400, err("missing 'id' or 'ids'")))
+    try {
+      val pageSize = params.get("pageSize").map(_.toInt)
+        .getOrElse(defaultPageSize)
+      require(pageSize > 0, s"pageSize must be positive, got $pageSize")
+      val reg = LookupUUID.Registry(uuidTypes)
+      val rendered = LookupUUID.translateQueryString(reg, ids)
+      val queryId = java.util.UUID.randomUUID().toString.replace("-", "")
+      val result = Audit.audited(auditor, auditType, queryId,
+        user = params.getOrElse("user", "anonymous"), query = rendered,
+        syntax = "LUCENE", logicName = "translateId",
+        timeMillis = System.currentTimeMillis()) {
+        LookupUUID.translate(reg, ids, tables, logic)
+      }
+      // one page, deterministic order, then done — no session survives
+      val rows = result.orderBy(result.columns.head)
+        .limit(pageSize).toJSON.collect()
+      if (rows.isEmpty) (204, "")
+      else (200, s"""{"rows": [${rows.mkString(",")}]}""")
+    } catch { case e: Exception => (400, err(e.getMessage)) }
   }
 
   /** `GET /query/list` — the caller's active queries (QueryExecutorBean
@@ -411,6 +447,41 @@ final class QueryServer(
       s"""{"page": ${p.pageNum}, "rows": ${p.rows},""" +
         s""" "elapsedMillis": ${p.elapsedMillis}, "status": ${quote(p.status)}}""")
     (200, s"""{"queryId": ${quote(id)}, "pages": [${pages.mkString(",")}]}""")
+  }
+
+  /** `POST /cachedresults/load?id=…&alias=A` — the reference's
+    * CachedResults `load` (CachedResultsBean: materialize a finished
+    * query's results as a TABLE the caller then runs SQL against; the
+    * reference ships pages to MySQL, here the persisted frame registers
+    * as a temp view natively). The session stays open — closing it later
+    * drops the cache but the view definition remains valid (re-plans). */
+  private def cachedLoad(params: Map[String, String]): (Int, String) =
+    session(params) match {
+      case None => (404, err("unknown queryId"))
+      case Some(s) =>
+        val alias = params.getOrElse("alias", return (400, err("missing 'alias'")))
+        if (!alias.matches("[A-Za-z_][A-Za-z0-9_]*"))
+          return (400, err(s"invalid alias '$alias'"))
+        s.df.createOrReplaceTempView(alias)
+        (200, s"""{"view": ${quote(alias)}}""")
+    }
+
+  /** `GET /cachedresults/sql?sql=…[&pageSize=N]` — CachedResults
+    * retrieval: arbitrary SELECT over the loaded view(s)
+    * (CachedRunningQuery.java:399,486-495 builds exactly this SQL
+    * against its MySQL copy; Spark SQL runs it against the cached frame
+    * directly). One page of rows, bounded by pageSize. */
+  private def cachedSql(params: Map[String, String]): (Int, String) = {
+    val sql = params.getOrElse("sql", return (400, err("missing 'sql'")))
+    try {
+      val pageSize = params.get("pageSize").map(_.toInt)
+        .getOrElse(defaultPageSize)
+      require(pageSize > 0, s"pageSize must be positive, got $pageSize")
+      val spark = tables.values.headOption.map(_.sparkSession)
+        .getOrElse(return (500, err("no tables registered")))
+      val rows = spark.sql(sql).limit(pageSize).toJSON.collect()
+      (200, s"""{"rows": [${rows.mkString(",")}]}""")
+    } catch { case e: Exception => (400, err(e.getMessage)) }
   }
 
   /** `GET /query/metrics/summary[?end=millis][&user=u]` — the reference's

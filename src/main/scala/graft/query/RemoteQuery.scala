@@ -134,6 +134,36 @@ final class RemoteQueryService(baseUrl: String) {
     (extract("queryId", body), rowsOf(body))
   }
 
+  /** CachedResults `load` (CachedResultsBean): expose a finished query's
+    * results as a named view for SQL retrieval. */
+  def loadCachedResults(id: String, alias: String): Unit = {
+    val (status, body) = http("POST",
+      s"/cachedresults/load?id=${enc(id)}&alias=${enc(alias)}")
+    if (status != 200)
+      throw new IllegalStateException(s"remote load failed ($status): $body")
+  }
+
+  /** CachedResults SQL retrieval: one bounded page of row documents. */
+  def cachedSql(sql: String, pageSize: Int = 100): Seq[String] = {
+    val (status, body) = http("GET",
+      s"/cachedresults/sql?sql=${enc(sql)}&pageSize=$pageSize")
+    if (status != 200)
+      throw new IllegalStateException(s"remote sql failed ($status): $body")
+    rowsOf(body)
+  }
+
+  /** `translateIDs` (IdTranslatorBean): probe ids against every
+    * registered UUID type; the first page IS the answer (auto-closed
+    * remotely). Returns the row documents; empty on remote 204. */
+  def translateIds(ids: Seq[String], pageSize: Int = 100): Seq[String] = {
+    val (status, body) = http("GET",
+      s"/translateIDs?ids=${enc(ids.mkString(","))}&pageSize=$pageSize")
+    if (status == 204) Seq.empty
+    else if (status != 200)
+      throw new IllegalStateException(s"remote translateIDs failed ($status): $body")
+    else rowsOf(body)
+  }
+
   /** `predict` (QueryExecutorBean `/{logicName}/predict`): named cost
     * predictions for an unexecuted query, raw JSON body. */
   def predict(table: String, query: String, syntax: String = "JEXL"): String = {

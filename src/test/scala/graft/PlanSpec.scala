@@ -188,6 +188,33 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Window"), plan.take(3000))
   }
 
+  test("two-pass token budget broadcasts its cut table and windows per (stratum, bucket)") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("lang"),
+        size(graft.operators.TextOps.tokens(col("text"))).cast("long")
+          .as("n_tokens"))
+    val plan = graft.operators.Sampling.tokenBudgetTwoPass(docs, "doc_id",
+        "lang", "n_tokens", Map("en" -> 6000L), 2000L)
+      .queryExecution.executedPlan.toString
+    // the driver's cut/offset table joins via broadcast (never a shuffle
+    // of the corpus against a strata×buckets-sized table)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    // the boundary window partitions by (stratum, bucket) — parallel —
+    // not by stratum alone (the serialized shape this variant replaces)
+    assert(plan.contains("Window") && plan.contains("__cb"), plan.take(3000))
+  }
+
+  test("CMS facet estimates stay two aggregates, no joins over raw events") {
+    // write path: one (batch, key) aggregate; read path: one key
+    // aggregate over sketch bytes; the probe explode is a projection
+    val plan = executed("rel_facets_cms")
+    assert(!plan.contains("Join"), plan.take(3000))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges\n" +
+      plan.take(3000))
+  }
+
   test("repetition profiling reads the corpus once and aggregates twice") {
     // ONE tagged explode feeds both arities — a second Generate would
     // mean tokens and bigrams each re-tokenize the text (the two-pass
