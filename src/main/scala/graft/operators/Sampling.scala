@@ -70,6 +70,35 @@ object Sampling {
       .filter(col("cum_tokens") <= budget)
   }
 
+  /** Deterministic repeat-factor upsampling — the other half of corpus
+    * mixing: over-represented strata are DOWN-sampled ([[stratified]] /
+    * [[tokenBudget]]), high-value strata are UP-sampled by a fractional
+    * repeat factor (the "epochs" column of a training-mix table: code ×
+    * 2.3 means every code doc appears twice and 30% of them a third
+    * time). Each doc emits floor(w) copies plus one more iff its hash
+    * bucket falls under frac(w)·B — so the realized rate is exactly w in
+    * expectation, the copy set is a pure function of (id, salt, w), and
+    * raising w never removes copies a lower w produced. A `copy` ordinal
+    * distinguishes the duplicates (shuffle-salt material for the
+    * downstream global shuffle). Map-side only: explode of a ≤⌈w⌉-long
+    * sequence, no shuffle, no RNG state. */
+  def repeatUpsample(df: DataFrame, idCol: String, stratumCol: String,
+                     weights: Map[String, Double], defaultWeight: Double,
+                     salt: String = "graft"): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(_ >= 0),
+      "repeat weights must be non-negative")
+    val w = weights.foldLeft(lit(defaultWeight)) { case (els, (k, r)) =>
+      when(col(stratumCol) === k, lit(r)).otherwise(els)
+    }
+    val copies = (floor(w).cast("long") +
+      when(hashBucket(col(idCol), salt) <
+        floor((w - floor(w)) * Buckets).cast("long"), 1L).otherwise(0L))
+    df.withColumn("__n", copies)
+      .filter(col("__n") >= 1L)
+      .withColumn("copy", explode(sequence(lit(1L), col("__n"), lit(1L))))
+      .drop("__n")
+  }
+
   /** The 100 TB form of [[tokenBudget]]: the SAME keep set (proved
     * row-for-row equal by SamplingSpec) without a per-stratum global
     * window over the full corpus.

@@ -176,7 +176,18 @@ object PipelineQueries {
       .select("doc_id", "lang", "n_tokens", "cum_tokens")
   }
 
+  /** Repeat-factor upsampling: the en stratum at 2.3 epochs (every doc
+    * twice, the hash-chosen 30% a third time), everything else halved —
+    * the training-mix "epochs" column, reproducible copy-for-copy. */
+  def corpusUpsample(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling.repeatUpsample(
+        Tables.documents(s, d).select("doc_id", "lang"),
+        "doc_id", "lang", weights = Map("en" -> 2.3), defaultWeight = 0.5,
+        salt = "up1")
+      .select("doc_id", "lang", "copy")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_upsample" -> corpusUpsample _,
     "text_redact_pii" -> textRedactPii _,
     "text_repetition" -> textRepetition _,
     "text_surprisal" -> textSurprisal _,
@@ -401,6 +412,21 @@ object PipelineQueries {
          |    THEN CAST(COALESCE(n_dup, 0) AS DOUBLE) / CAST(len(spans) AS DOUBLE)
          |    ELSE 0.0 END AS dup_frac
          | FROM sp LEFT JOIN pd USING (doc_id)""".stripMargin,
+    // floor(w) copies + one more when the md5 bucket falls under the
+    // fractional remainder; FLOOR before the BIGINT cast because DuckDB
+    // rounds double→int while Spark truncates
+    "corpus_upsample" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |   CASE WHEN lang = 'en' THEN 2.3 ELSE 0.5 END AS w,
+        |   CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+        |     ':up1')), 1, 8)) AS BIGINT) % 1000000 AS b
+        | FROM documents),
+        |c AS (SELECT doc_id, lang,
+        |   CAST(FLOOR(w) AS BIGINT) + CASE WHEN b <
+        |     CAST(FLOOR((w - FLOOR(w)) * 1000000) AS BIGINT)
+        |     THEN 1 ELSE 0 END AS n FROM d)
+        |SELECT doc_id, lang, CAST(g AS BIGINT) AS copy
+        | FROM c, unnest(range(1, n + 1)) t(g) WHERE n >= 1""".stripMargin,
     // same md5 bucket ordering + running token sum on both engines →
     // identical budget cuts (doc_id breaks bucket ties)
     "corpus_mix" ->

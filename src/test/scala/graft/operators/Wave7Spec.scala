@@ -52,6 +52,33 @@ class Wave7Spec extends SparkSpec {
     assert(k.size == 20 && k.subsetOf(keep(300L)))
   }
 
+  test("repeatUpsample: exact copy counts, monotone in weight, deterministic") {
+    val docs = (1L to 1000L).map(i => (i, if (i <= 800) "en" else "fr"))
+      .toDF("doc_id", "lang")
+    def copies(wEn: Double) = Sampling.repeatUpsample(docs, "doc_id", "lang",
+        Map("en" -> wEn), defaultWeight = 0.5, salt = "u")
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val c = copies(2.3)
+    // en docs: 2 or 3 copies; fr docs: 0 or 1 (absent map key = 0)
+    assert(c.filter(_._1 <= 800).values.forall(n => n == 2 || n == 3))
+    assert(c.filter(_._1 > 800).values.forall(_ == 1))
+    // realized rates track the fractional parts (hash-uniform)
+    val en3 = c.count { case (id, n) => id <= 800 && n == 3 }
+    assert(math.abs(en3 / 800.0 - 0.3) < 0.06, s"frac(2.3) realized ${en3 / 800.0}")
+    val frKept = c.count(_._1 > 800)
+    assert(math.abs(frKept / 200.0 - 0.5) < 0.12, s"frac(0.5) realized ${frKept / 200.0}")
+    // raising the weight never removes copies (same hash decides)
+    val c4 = copies(2.4)
+    assert(c.filter(_._1 <= 800).forall { case (id, n) => c4(id) >= n })
+    // copy ordinals are 1..n
+    val ords = Sampling.repeatUpsample(docs, "doc_id", "lang",
+        Map("en" -> 2.3), 0.5, "u")
+      .filter(col("doc_id") === 1L).select("copy").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(ords == (1L to c(1L)).toSeq)
+  }
+
   test("surprisal leaves no cached frames behind (server-lifetime hygiene)") {
     spark.catalog.clearCache()
     val docs = Seq((1L, "alpha beta beta"), (2L, "alpha gamma"))
