@@ -92,6 +92,62 @@ object GeoQueries {
           syntax = "LUCENE"))
       .select("c_custkey", "lat", "lon")
 
+  private def pointWkt(c: DataFrame): DataFrame =
+    c.withColumn("geom",
+      concat(lit("POINT ("), col("lon").cast("string"), lit(" "),
+        col("lat").cast("string"), lit(")")))
+
+  /** Per-row axis-aligned BOX polygon around the synthetic point, with a
+    * custkey-derived half-width 1..5° — box-vs-box and box-vs-point
+    * JTS predicates become exact range arithmetic in the oracle. */
+  private def boxWkt(c: DataFrame): DataFrame = {
+    val h = (pmod(col("c_custkey"), lit(5)) + 1).cast("double")
+    def s(x: org.apache.spark.sql.Column) = x.cast("string")
+    c.withColumn("x1", col("lon") - h).withColumn("x2", col("lon") + h)
+      .withColumn("y1", col("lat") - h).withColumn("y2", col("lat") + h)
+      .withColumn("geom", concat(lit("POLYGON (("),
+        s(col("x1")), lit(" "), s(col("y1")), lit(", "),
+        s(col("x2")), lit(" "), s(col("y1")), lit(", "),
+        s(col("x2")), lit(" "), s(col("y2")), lit(", "),
+        s(col("x1")), lit(" "), s(col("y2")), lit(", "),
+        s(col("x1")), lit(" "), s(col("y1")), lit("))")))
+  }
+
+  /** geowave:covered_by — point coveredBy box is the INCLUSIVE range
+    * check (boundary points covered, unlike `within`). */
+  def geowaveCoveredBy(s: SparkSession, d: String): DataFrame =
+    logic.query(pointWkt(withGeo(Tables.customer(s, d))),
+        "geowave:covered_by(GEOM, 'POLYGON ((-30 10, 40 10, 40 60, -30 60, -30 10))')",
+        QueryParams(returnFields = Seq("c_custkey")))
+      .select("c_custkey")
+
+  /** geowave:within — JTS `within` needs an INTERIOR intersection, so a
+    * point exactly on the box boundary is NOT within (the strict form of
+    * covered_by; the two gates differ on real boundary rows). */
+  def geowaveWithin(s: SparkSession, d: String): DataFrame =
+    logic.query(pointWkt(withGeo(Tables.customer(s, d))),
+        "geowave:within(GEOM, 'POLYGON ((-30 10, 40 10, 40 60, -30 60, -30 10))')",
+        QueryParams(returnFields = Seq("c_custkey")))
+      .select("c_custkey")
+
+  /** geowave:contains — the ROW geometry (box) contains the QUERY point:
+    * strict interior membership (a boundary-only touch is not
+    * containment). */
+  def geowaveContains(s: SparkSession, d: String): DataFrame =
+    logic.query(boxWkt(withGeo(Tables.customer(s, d))),
+        "geowave:contains(GEOM, 'POINT (5 35)')",
+        QueryParams(returnFields = Seq("c_custkey")))
+      .select("c_custkey")
+
+  /** geowave:overlaps — row box vs query box: interiors intersect but
+    * NEITHER covers the other (JTS overlaps for same-dimension
+    * geometries). */
+  def geowaveOverlaps(s: SparkSession, d: String): DataFrame =
+    logic.query(boxWkt(withGeo(Tables.customer(s, d))),
+        "geowave:overlaps(GEOM, 'POLYGON ((-30 10, 40 10, 40 60, -30 60, -30 10))')",
+        QueryParams(returnFields = Seq("c_custkey")))
+      .select("c_custkey")
+
   /** Whindex value-trigger remap (WhindexVisitor.java:58-71): the frame
     * has NO generic GEOM column at all — only the value-specific
     * MARS_GEOM (populated where planet = MARS, the pre-filtered index
@@ -126,6 +182,10 @@ object GeoQueries {
     "geo_bbox_z" -> geoBboxZ _,
     "geo_circle" -> geoCircle _,
     "geowave_intersects" -> geowaveIntersects _,
+    "geowave_covered_by" -> geowaveCoveredBy _,
+    "geowave_within" -> geowaveWithin _,
+    "geowave_contains" -> geowaveContains _,
+    "geowave_overlaps" -> geowaveOverlaps _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -151,5 +211,36 @@ object GeoQueries {
     "geowave_intersects" ->
       s"""SELECT c_custkey FROM $geoSql
          | WHERE lat >= 10 AND lat <= 60 AND lon >= -30 AND lon <= 40""".stripMargin,
+    // point coveredBy box: inclusive ranges
+    "geowave_covered_by" ->
+      s"""SELECT c_custkey FROM $geoSql
+         | WHERE lat >= 10 AND lat <= 60 AND lon >= -30 AND lon <= 40""".stripMargin,
+    // point within box: JTS within requires interior intersection, so
+    // strict ranges (boundary rows excluded — this oracle differs from
+    // covered_by exactly on them)
+    "geowave_within" ->
+      s"""SELECT c_custkey FROM $geoSql
+         | WHERE lat > 10 AND lat < 60 AND lon > -30 AND lon < 40""".stripMargin,
+    // row box (half-width h = custkey mod 5 + 1) contains POINT (5 35):
+    // strict interior membership
+    "geowave_contains" ->
+      s"""SELECT c_custkey FROM (
+         |  SELECT c_custkey, lat, lon,
+         |    CAST(c_custkey % 5 + 1 AS DOUBLE) AS h
+         |  FROM $geoSql t)
+         | WHERE lon - h < 5 AND 5 < lon + h
+         |   AND lat - h < 35 AND 35 < lat + h""".stripMargin,
+    // row box vs query box (-30..40, 10..60): interiors intersect AND
+    // neither covers the other (the row box never covers the 70x50
+    // query box, so only query-covers-row must be excluded)
+    "geowave_overlaps" ->
+      s"""SELECT c_custkey FROM (
+         |  SELECT c_custkey, lon - h AS x1, lon + h AS x2,
+         |         lat - h AS y1, lat + h AS y2
+         |  FROM (SELECT c_custkey, lat, lon,
+         |          CAST(c_custkey % 5 + 1 AS DOUBLE) AS h
+         |        FROM $geoSql t) b)
+         | WHERE x1 < 40 AND x2 > -30 AND y1 < 60 AND y2 > 10
+         |   AND NOT (x1 >= -30 AND x2 <= 40 AND y1 >= 10 AND y2 <= 60)""".stripMargin,
   )
 }
