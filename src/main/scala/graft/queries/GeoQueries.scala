@@ -148,6 +148,32 @@ object GeoQueries {
         QueryParams(returnFields = Seq("c_custkey")))
       .select("c_custkey")
 
+  /** geowave:covers — the ROW box covers the QUERY point: the INCLUSIVE
+    * form of contains (boundary touch counts). */
+  def geowaveCovers(s: SparkSession, d: String): DataFrame =
+    logic.query(boxWkt(withGeo(Tables.customer(s, d))),
+        "geowave:covers(GEOM, 'POINT (5 35)')",
+        QueryParams(returnFields = Seq("c_custkey")))
+      .select("c_custkey")
+
+  /** geowave:crosses — a VERTICAL segment per row (the point stretched
+    * ±h in latitude) vs the query box: JTS crosses holds iff the
+    * segment's interior meets both the box interior and its exterior —
+    * exactly the span conditions the oracle states. */
+  def geowaveCrosses(s: SparkSession, d: String): DataFrame = {
+    val h = (pmod(col("c_custkey"), lit(5)) + 1).cast("double")
+    val seg = withGeo(Tables.customer(s, d))
+      .withColumn("geom", concat(lit("LINESTRING ("),
+        col("lon").cast("string"), lit(" "), (col("lat") - h).cast("string"),
+        lit(", "),
+        col("lon").cast("string"), lit(" "), (col("lat") + h).cast("string"),
+        lit(")")))
+    logic.query(seg,
+        "geowave:crosses(GEOM, 'POLYGON ((-30 10, 40 10, 40 60, -30 60, -30 10))')",
+        QueryParams(returnFields = Seq("c_custkey")))
+      .select("c_custkey")
+  }
+
   /** Whindex value-trigger remap (WhindexVisitor.java:58-71): the frame
     * has NO generic GEOM column at all — only the value-specific
     * MARS_GEOM (populated where planet = MARS, the pre-filtered index
@@ -186,6 +212,8 @@ object GeoQueries {
     "geowave_within" -> geowaveWithin _,
     "geowave_contains" -> geowaveContains _,
     "geowave_overlaps" -> geowaveOverlaps _,
+    "geowave_covers" -> geowaveCovers _,
+    "geowave_crosses" -> geowaveCrosses _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -242,5 +270,24 @@ object GeoQueries {
          |        FROM $geoSql t) b)
          | WHERE x1 < 40 AND x2 > -30 AND y1 < 60 AND y2 > 10
          |   AND NOT (x1 >= -30 AND x2 <= 40 AND y1 >= 10 AND y2 <= 60)""".stripMargin,
+    // row box covers POINT (5 35): inclusive membership
+    "geowave_covers" ->
+      s"""SELECT c_custkey FROM (
+         |  SELECT c_custkey, lat, lon,
+         |    CAST(c_custkey % 5 + 1 AS DOUBLE) AS h
+         |  FROM $geoSql t)
+         | WHERE lon - h <= 5 AND 5 <= lon + h
+         |   AND lat - h <= 35 AND 35 <= lat + h""".stripMargin,
+    // vertical segment {lon} x [lat-h, lat+h] crosses the box iff lon is
+    // strictly inside (-30, 40), the open segment meets the open lat
+    // band (10, 60), and it also exits the closed band
+    "geowave_crosses" ->
+      s"""SELECT c_custkey FROM (
+         |  SELECT c_custkey, lat, lon,
+         |    CAST(c_custkey % 5 + 1 AS DOUBLE) AS h
+         |  FROM $geoSql t)
+         | WHERE lon > -30 AND lon < 40
+         |   AND lat - h < 60 AND lat + h > 10
+         |   AND (lat - h < 10 OR lat + h > 60)""".stripMargin,
   )
 }
