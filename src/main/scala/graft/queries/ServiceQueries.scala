@@ -222,6 +222,29 @@ object ServiceQueries {
       .select(col("queryId"), col("query"), col("syntax"), col("resultRows"))
   }
 
+  /** LookupUID over live HTTP (LookupUIDQueryLogic.java:12-38): an
+    * all-event uid batch skips the event query entirely — the stored
+    * documents for the uids page straight back. The batch repeats uid 7,
+    * which must NOT duplicate its document (the uid list dedups). */
+  def lookupUid(s: SparkSession, d: String): DataFrame = {
+    val server = new QueryServer(Map("content" ->
+      graft.content.ContentStore.contentTable(Tables.documents(s, d))))
+    val port = server.start()
+    try {
+      val svc = new RemoteQueryService(s"http://127.0.0.1:$port")
+      val (id, first) = svc.lookupUid(Seq("3", "7", "11", "7"), pageSize = 100)
+      val rows = Seq.newBuilder[String]
+      rows ++= first
+      var page = svc.nextPage(id)
+      while (page.nonEmpty) { rows ++= page.get; page = svc.nextPage(id) }
+      svc.close(id)
+      import s.implicits._
+      s.read.json(s.createDataset(rows.result()))
+        .select(col("uid"), col("view_name"), col("text"),
+          col("content_length").cast("long").as("content_length"))
+    } finally server.stop()
+  }
+
   private val crCtr = new java.util.concurrent.atomic.AtomicInteger()
 
   /** CachedResults over HTTP (CachedResultsBean load → SQL retrieval):
@@ -382,6 +405,7 @@ object ServiceQueries {
     "query_lifecycle" -> queryLifecycle _,
     "query_predict" -> queryPredict _,
     "lookup_uuid" -> lookupUuid _,
+    "lookup_uid" -> lookupUid _,
     "translate_id" -> translateId _,
     "cached_results_load" -> cachedResultsLoad _,
     "transforms_chain" -> transformsChain _,
@@ -499,6 +523,11 @@ object ServiceQueries {
     "cached_results_load" ->
       """SELECT user_id, count(*) AS cnt FROM events
         | WHERE event_type = 'view' GROUP BY user_id""".stripMargin,
+    // uid batch {3,7,11,7}: the repeat must not duplicate doc 7
+    "lookup_uid" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS uid, 'RAW' AS view_name, text,
+        |   CAST(length(text) AS BIGINT) AS content_length
+        | FROM documents WHERE doc_id IN (3, 7, 11)""".stripMargin,
     // every id probed against every type: ids {7,42} x {EVENT_ID, USER_ID}
     "translate_id" ->
       """SELECT event_id, user_id, event_type FROM events

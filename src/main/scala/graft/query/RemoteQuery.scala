@@ -152,6 +152,17 @@ final class RemoteQueryService(baseUrl: String) {
     rowsOf(body)
   }
 
+  /** `lookupUID` batch (LookupUIDQueryLogic): all-event uid batches skip
+    * the event query and fetch stored documents directly; the first page
+    * rides the create. Returns (queryId, first-page rows). */
+  def lookupUid(uids: Seq[String], pageSize: Int = 100): (String, Seq[String]) = {
+    val (status, body) = http("GET",
+      s"/lookupUID?uids=${enc(uids.mkString(","))}&pageSize=$pageSize")
+    if (status != 200)
+      throw new IllegalStateException(s"remote lookupUID failed ($status): $body")
+    (extract("queryId", body), rowsOf(body))
+  }
+
   /** `translateIDs` (IdTranslatorBean): probe ids against every
     * registered UUID type; the first page IS the answer (auto-closed
     * remotely). Returns the row documents; empty on remote 204. */
