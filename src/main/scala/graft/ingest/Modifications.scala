@@ -24,13 +24,60 @@ object Modifications {
   final case class DeleteField(uid: String, datatype: String, field: String,
                                value: Option[String] = None) extends FieldEdit
 
+  /** UPDATE (MutableMetadataHandler MODE.UPDATE, :369-377): remove the
+    * REQUIRED old value and insert the new one as one edit. Existence of
+    * the old value is the service tier's read-side check (the reference
+    * validates against its current-entry scan); the edit itself is the
+    * delete+insert pair. */
+  final case class UpdateField(uid: String, datatype: String, field: String,
+                               oldValue: String, newValue: String,
+                               group: String = "",
+                               shardDate: java.sql.Date = null,
+                               visibility: String = "") extends FieldEdit {
+    require(oldValue != null, "fieldValue parameter required for update")
+  }
+
+  val HistoryPrefix = "HISTORY_" // MutableMetadataHandler.java:198
+
   /** Apply edits: deletes anti-join out, puts append. One shuffle on the
-    * delete keys; the long table never rewrites untouched rows. */
-  def applyEdits(long: DataFrame, edits: Seq[FieldEdit]): DataFrame = {
+    * delete keys; the long table never rewrites untouched rows.
+    *
+    * `insertHistory` mirrors MutableMetadataHandler.insertHistory
+    * (:573-590): every insert/delete leg also appends a
+    * `HISTORY_<FIELD>` row valued `<ts>:<user>:<value>:<mode>` (an
+    * UPDATE contributes both its delete and its insert entry), so the
+    * event's modification trail is queryable with the standard stack. */
+  def applyEdits(long: DataFrame, edits: Seq[FieldEdit],
+                 insertHistory: Boolean = false, user: String = "anonymous",
+                 timeMillis: Long = 0L): DataFrame = {
     val spark = long.sparkSession
     import spark.implicits._
-    val dels = edits.collect { case d: DeleteField => d }
-    val puts = edits.collect { case p: PutField => p }
+    val desugared = edits.flatMap {
+      case u: UpdateField => Seq(
+        DeleteField(u.uid, u.datatype, u.field, Some(u.oldValue)),
+        PutField(u.uid, u.datatype, u.field, u.newValue, u.group,
+          u.shardDate, u.visibility))
+      case e => Seq(e)
+    }
+    val history: Seq[PutField] =
+      if (!insertHistory) Seq.empty
+      else edits.flatMap {
+        case p: PutField => Seq(PutField(p.uid, p.datatype,
+          HistoryPrefix + p.field, s"$timeMillis:$user:${p.value}:insert",
+          p.group, p.shardDate, p.visibility))
+        case dl: DeleteField => Seq(PutField(dl.uid, dl.datatype,
+          HistoryPrefix + dl.field,
+          s"$timeMillis:$user:${dl.value.getOrElse("")}:delete"))
+        case u: UpdateField => Seq(
+          PutField(u.uid, u.datatype, HistoryPrefix + u.field,
+            s"$timeMillis:$user:${u.oldValue}:delete", u.group,
+            u.shardDate, u.visibility),
+          PutField(u.uid, u.datatype, HistoryPrefix + u.field,
+            s"$timeMillis:$user:${u.newValue}:insert", u.group,
+            u.shardDate, u.visibility))
+      }
+    val dels = desugared.collect { case d: DeleteField => d }
+    val puts = desugared.collect { case p: PutField => p } ++ history
     val afterDelete =
       if (dels.isEmpty) long
       else {

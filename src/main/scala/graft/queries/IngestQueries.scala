@@ -203,6 +203,28 @@ object IngestQueries {
       .agg(count(lit(1)).as("cnt"), countDistinct(col("uid")).as("n_uids"))
   }
 
+  /** UPDATE mode + modification history (MutableMetadataHandler
+    * MODE.UPDATE:369-377, insertHistory:573-590): an update removes the
+    * old value and inserts the new one, and every leg appends a
+    * `HISTORY_<FIELD>` row `<ts>:<user>:<value>:<mode>` — uid 12's
+    * update contributes BOTH its delete and its insert trail entry. */
+  def modsUpdateHistory(s: SparkSession, d: String): DataFrame = {
+    import graft.ingest.Modifications._
+    val long = longEvents(s, d)
+    val edits: Seq[FieldEdit] = Seq(
+      UpdateField("12", "event", "event_type",
+        oldValue = "click", newValue = "corrected",
+        shardDate = java.sql.Date.valueOf("2024-01-05")),
+      DeleteField("17", "event", "event_type", Some("view")),
+      PutField("19", "event", "event_type", "flagged",
+        shardDate = java.sql.Date.valueOf("2024-01-05")))
+    applyEdits(long, edits, insertHistory = true, user = "alice",
+        timeMillis = 1700000000000L)
+      .filter(col("uid").isin("12", "17", "19") &&
+        col("field").isin("event_type", "HISTORY_event_type"))
+      .select("uid", "field", "value")
+  }
+
   /** Uid.List REMOVEDUID patch (GlobalIndexUidAggregator.java:21-25):
     * deletes net against the index — counts decrement, uids leave the
     * list, zeroed keys vanish, puts materialize new keys. Keys stay under
@@ -333,6 +355,7 @@ object IngestQueries {
     "ing_error_channel" -> ingErrorChannel _,
     "ing_uid_list" -> ingUidList _,
     "mods_applied" -> modsApplied _,
+    "mods_update_history" -> modsUpdateHistory _,
     "ing_uid_list_removed" -> ingUidListRemoved _,
     "feeds_atom" -> feedsAtom _,
     "feeds_summary" -> feedsSummary _,
@@ -443,6 +466,24 @@ object IngestQueries {
         | FROM events GROUP BY 1, 2""".stripMargin,
     // the oracle replays the edits relationally: delete uid 12's
     // event_type wholesale, uid 17's 'view' value, insert the correction
+    // update = delete(old)+insert(new); history trail rows are literal
+    // (fixed user + timestamp in the gate)
+    "mods_update_history" ->
+      """WITH e AS (SELECT CAST(event_id AS VARCHAR) AS uid, event_type
+        |  FROM events WHERE event_id IN (12, 17, 19))
+        |SELECT uid, 'event_type' AS field, event_type AS value FROM e
+        | WHERE NOT (uid = '12' AND event_type = 'click')
+        |   AND NOT (uid = '17' AND event_type = 'view')
+        |UNION ALL SELECT '12', 'event_type', 'corrected'
+        |UNION ALL SELECT '19', 'event_type', 'flagged'
+        |UNION ALL SELECT '12', 'HISTORY_event_type',
+        |   '1700000000000:alice:click:delete'
+        |UNION ALL SELECT '12', 'HISTORY_event_type',
+        |   '1700000000000:alice:corrected:insert'
+        |UNION ALL SELECT '17', 'HISTORY_event_type',
+        |   '1700000000000:alice:view:delete'
+        |UNION ALL SELECT '19', 'HISTORY_event_type',
+        |   '1700000000000:alice:flagged:insert'""".stripMargin,
     "mods_applied" ->
       """WITH melt AS (
         |  SELECT CAST(event_id AS VARCHAR) AS uid, event_type AS value
