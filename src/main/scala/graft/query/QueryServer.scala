@@ -59,7 +59,7 @@ final class QueryServer(
   private final case class Session(df: DataFrame, orderCols: Seq[String],
                                    running: RunningQuery,
                                    query: String = "", syntax: String = "JEXL",
-                                   pageSize: Int = 0)
+                                   pageSize: Int = 0, table: String = "")
   private val sessions = new ConcurrentHashMap[String, Session]()
   private val cursor = new QueryCursor(stateDir)
   private var server: HttpServer = _
@@ -135,8 +135,10 @@ final class QueryServer(
       }
       val running = new RunningQuery(cursor, queryId, result, orderCols,
         pageSize)
-      sessions.put(queryId,
-        Session(result, orderCols, running, q, qp.syntax, pageSize))
+      val sess = Session(result, orderCols, running, q, qp.syntax, pageSize,
+        table)
+      sessions.put(queryId, sess)
+      persistSession(queryId, sess)
       (200, s"""{"queryId": "$queryId"}""")
     } catch {
       case e: Exception => (400, err(e.getMessage))
@@ -310,7 +312,9 @@ final class QueryServer(
               timeMillis = System.currentTimeMillis()) { () }
             val running = new RunningQuery(cursor, newId, s.df, s.orderCols,
               pageSize)
-            sessions.put(newId, s.copy(running = running, pageSize = pageSize))
+            val dupSess = s.copy(running = running, pageSize = pageSize)
+            sessions.put(newId, dupSess)
+            persistSession(newId, dupSess)
             (200, s"""{"queryId": "$newId"}""")
         }
       }
@@ -380,7 +384,7 @@ final class QueryServer(
   private def teardown(id: String): Boolean =
     shareLock.synchronized {
       Option(sessions.remove(id)) match {
-        case Some(s) => release(s); cursor.close(id); true
+        case Some(s) => release(s); cursor.close(id); dropSessionFile(id); true
         case None => false
       }
     }
@@ -513,12 +517,65 @@ final class QueryServer(
     if (!sessions.values.asScala.exists(_.df eq s.df)) s.df.unpersist()
   }
 
+  // ---- durable session definitions -----------------------------------
+  // The reference's query-storage story: a query's DEFINITION and its
+  // cursor position both live outside the serving process (the
+  // microservice stack keeps them in a storage service), so a restarted
+  // server resumes paging exactly where the dead one stopped. Here the
+  // definition persists as a properties file beside the cursor state in
+  // `stateDir`; [[session]] lazily re-plans unknown ids from disk.
+  // Only table-backed sessions (create/duplicate) persist — lookups are
+  // first-page-rides-create calls whose sessions are ephemeral.
+
+  private def sessionFile(id: String): java.nio.file.Path =
+    java.nio.file.Paths.get(stateDir, "sessions", s"$id.properties")
+
+  private def persistSession(id: String, s: Session): Unit =
+    if (s.table.nonEmpty) {
+      val p = new java.util.Properties()
+      p.setProperty("table", s.table)
+      p.setProperty("query", s.query)
+      p.setProperty("syntax", s.syntax)
+      p.setProperty("pageSize", s.pageSize.toString)
+      p.setProperty("orderBy", s.orderCols.mkString(","))
+      java.nio.file.Files.createDirectories(sessionFile(id).getParent)
+      val out = java.nio.file.Files.newOutputStream(sessionFile(id))
+      try p.store(out, null) finally out.close()
+    }
+
+  private def dropSessionFile(id: String): Unit =
+    java.nio.file.Files.deleteIfExists(sessionFile(id))
+
+  /** Rebuild a session from its persisted definition: re-plan the query
+    * (fresh persisted frame) and resume from the DURABLE cursor offset —
+    * pages served by the dead server stay served. */
+  private def resumeSession(id: String): Option[Session] = {
+    val f = sessionFile(id)
+    if (!java.nio.file.Files.exists(f)) return None
+    val p = new java.util.Properties()
+    val in = java.nio.file.Files.newInputStream(f)
+    try p.load(in) finally in.close()
+    val table = p.getProperty("table", "")
+    tables.get(table).map { df0 =>
+      val qp = QueryParams(syntax = p.getProperty("syntax", "JEXL"))
+      val result = logic.query(df0, p.getProperty("query", ""), qp).persist()
+      val orderCols = p.getProperty("orderBy", "").split(',').toSeq
+        .map(_.trim).filter(_.nonEmpty)
+      val pageSize = p.getProperty("pageSize", defaultPageSize.toString).toInt
+      val running = new RunningQuery(cursor, id, result, orderCols, pageSize)
+      val s = Session(result, orderCols, running, p.getProperty("query", ""),
+        qp.syntax, pageSize, table)
+      sessions.putIfAbsent(id, s)
+      sessions.get(id)
+    }
+  }
+
   // ---- plumbing ------------------------------------------------------
 
   private def qid(params: Map[String, String]): String =
     params.getOrElse("id", "")
   private def session(params: Map[String, String]): Option[Session] =
-    Option(sessions.get(qid(params)))
+    Option(sessions.get(qid(params))).orElse(resumeSession(qid(params)))
   private def err(msg: String): String =
     s"""{"error": ${quote(msg)}}"""
   private def quote(s: String): String =
