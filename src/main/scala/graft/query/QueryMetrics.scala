@@ -172,9 +172,13 @@ final class RunningQuery(
     df: DataFrame,
     orderCols: Seq[String],
     pageSize: Int,
-    pageTimeoutMillis: Long = Long.MaxValue) {
+    pageTimeoutMillis: Long = Long.MaxValue,
+    startPage: Long = 0L) {
 
-  private var pageNum = 0L
+  // startPage seeds the 1-based numbering when a restarted server
+  // resumes a durable cursor mid-query: the next served page keeps its
+  // true ordinal instead of restarting at 1
+  private var pageNum = startPage
 
   /** Pages served so far (the `/query/list` position). */
   def pagesServed: Long = pageNum

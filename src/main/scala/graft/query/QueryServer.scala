@@ -82,6 +82,7 @@ final class QueryServer(
     server.createContext("/query/listQueryLogic", handler(listQueryLogic))
     server.createContext("/query/duplicate", handler(duplicate))
     server.createContext("/query/reset", handler(reset))
+    server.createContext("/query/update", handler(update))
     server.createContext("/query/cancel", handler(cancel))
     server.createContext("/query/predict", handler(predict))
     server.createContext("/lookupUUID", handler(lookupUuid))
@@ -373,6 +374,64 @@ final class QueryServer(
     } catch { case e: Exception => (400, err(e.getMessage)) }
   }
 
+  /** `POST /query/update?id=…[&pageSize=N][&orderBy=…][&query=Q]` — the
+    * reference's `/{id}/update` (QueryExecutorBean.java:2837-2940):
+    * pageSize/orderBy take effect on SUBSEQUENT pages (paging position
+    * kept — pages served stay served); a query-TEXT change is auditable
+    * and must pass the auditor first (audit failure fails the update),
+    * then updates the stored DEFINITION — the one reset/duplicate/
+    * restart-resume re-plan from — without disturbing the in-flight
+    * frame, matching the reference's settings-mutation semantics. */
+  private def update(params: Map[String, String]): (Int, String) =
+    session(params) match {
+      case None => (404, err("unknown queryId"))
+      case Some(s) =>
+        try {
+          val id = qid(params)
+          val pageSize = params.get("pageSize").map(_.toInt)
+            .getOrElse(if (s.pageSize > 0) s.pageSize else defaultPageSize)
+          require(pageSize > 0, s"pageSize must be positive, got $pageSize")
+          val orderCols = params.get("orderBy")
+            .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+            .getOrElse(s.orderCols)
+          val newQuery = params.get("query")
+          val newDf = newQuery match {
+            case None => s.df
+            case Some(q2) =>
+              // the reference audits BEFORE applying an auditable update
+              // and fails the update on audit error; then the new text
+              // re-plans (a bad query fails the update, not a later page)
+              val df0 = tables.getOrElse(s.table,
+                return (400, err("query update requires a table-backed session")))
+              Audit.audited(auditor, auditType, id,
+                user = params.getOrElse("user", "anonymous"), query = q2,
+                syntax = s.syntax, logicName = "update",
+                timeMillis = System.currentTimeMillis()) {
+                logic.query(df0, q2, QueryParams(syntax = s.syntax)).persist()
+              }
+          }
+          val missing = orderCols.filterNot(c =>
+            newDf.columns.exists(_.equalsIgnoreCase(c)))
+          if (missing.nonEmpty) {
+            if (!(newDf eq s.df)) newDf.unpersist()
+            return (400, err(s"unknown orderBy column(s): ${missing.mkString(", ")}"))
+          }
+          // paging position is KEPT (the durable cursor offset survives
+          // the swap); subsequent pages read the updated definition
+          val running = new RunningQuery(cursor, id, newDf, orderCols,
+            pageSize, startPage = s.running.pagesServed)
+          val updated = s.copy(df = newDf, running = running,
+            orderCols = orderCols, pageSize = pageSize,
+            query = newQuery.getOrElse(s.query))
+          shareLock.synchronized {
+            sessions.put(id, updated)
+            if (!(newDf eq s.df)) release(s) // ref-counted old frame drop
+          }
+          persistSession(id, updated)
+          (200, """{"updated": true}""")
+        } catch { case e: Exception => (400, err(e.getMessage)) }
+    }
+
   /** `POST /query/cancel?id=…` — abort + release (QueryExecutorBean
     * `/{id}/cancel`; pages already served stay served). */
   private def cancel(params: Map[String, String]): (Int, String) =
@@ -562,7 +621,8 @@ final class QueryServer(
       val orderCols = p.getProperty("orderBy", "").split(',').toSeq
         .map(_.trim).filter(_.nonEmpty)
       val pageSize = p.getProperty("pageSize", defaultPageSize.toString).toInt
-      val running = new RunningQuery(cursor, id, result, orderCols, pageSize)
+      val running = new RunningQuery(cursor, id, result, orderCols, pageSize,
+        startPage = cursor.currentOffset(id) / pageSize)
       val s = Session(result, orderCols, running, p.getProperty("query", ""),
         qp.syntax, pageSize, table)
       sessions.putIfAbsent(id, s)

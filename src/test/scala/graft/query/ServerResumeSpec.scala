@@ -47,6 +47,8 @@ class ServerResumeSpec extends SparkSpec {
       assert(page2.statusCode() == 200, page2.body())
       assert("\"id\":(\\d+)".r.findAllMatchIn(page2.body())
         .map(_.group(1).toInt).toSeq == (11 to 20), page2.body().take(400))
+      // the resumed page keeps its TRUE ordinal (page 2), not page 1
+      assert(page2.body().contains("\"page\": 2"), page2.body().take(200))
       // close drops the durable definition: a third server knows nothing
       assert(post(s"http://127.0.0.1:$p2/query/close?id=$id").statusCode() == 200)
       val srv3 = new QueryServer(tables, stateDir = stateDir)
@@ -56,5 +58,44 @@ class ServerResumeSpec extends SparkSpec {
       // lookup-style ids never persist: unknown ids still 404
       assert(get(s"http://127.0.0.1:$p2/query/next?id=deadbeef").statusCode() == 404)
     } finally srv2.stop()
+  }
+
+  test("update: pageSize applies to subsequent pages; query text audits, re-plans, keeps position") {
+    val df = (1 to 40).map(i => (i.toLong, if (i % 2 == 0) "A" else "B"))
+      .toDF("id", "grp")
+    val auditor = new Audit.CollectingAuditor
+    val srv = new QueryServer(tables = Map("t" -> df),
+      auditor = auditor, auditType = Audit.Active)
+    val port = srv.start()
+    try {
+      def ids(body: String): Seq[Int] =
+        "\"id\":(\\d+)".r.findAllMatchIn(body).map(_.group(1).toInt).toSeq
+      val created = post(s"http://127.0.0.1:$port/query/create?table=t&query=" +
+        java.net.URLEncoder.encode("ID >= 1", "UTF-8") + "&pageSize=10&orderBy=id")
+      val id = "\"queryId\": \"([0-9a-f]+)\"".r
+        .findFirstMatchIn(created.body()).get.group(1)
+      assert(ids(get(s"http://127.0.0.1:$port/query/next?id=$id").body()) == (1 to 10))
+      // pageSize shrinks for SUBSEQUENT pages, position kept, ordinal kept
+      assert(post(s"http://127.0.0.1:$port/query/update?id=$id&pageSize=5")
+        .statusCode() == 200)
+      val p2 = get(s"http://127.0.0.1:$port/query/next?id=$id")
+      assert(ids(p2.body()) == (11 to 15), p2.body().take(300))
+      assert(p2.body().contains("\"page\": 2"), p2.body().take(200))
+      // a query-TEXT change audits (new record) and re-plans; the durable
+      // offset survives the swap (next page = offset 15 of the new result)
+      val before = auditor.records.size
+      assert(post(s"http://127.0.0.1:$port/query/update?id=$id&query=" +
+        java.net.URLEncoder.encode("GRP == 'A'", "UTF-8")).statusCode() == 200)
+      assert(auditor.records.size == before + 1 &&
+        auditor.records.last.logicName == "update" &&
+        auditor.records.last.selectors == Seq("A"))
+      val p3 = get(s"http://127.0.0.1:$port/query/next?id=$id")
+      // even ids 2..40 sorted = 20 rows; offset 15 -> rows 32,34,36,38,40
+      assert(ids(p3.body()) == Seq(32, 34, 36, 38, 40), p3.body().take(300))
+      // bad orderBy refuses without disturbing the session
+      assert(post(s"http://127.0.0.1:$port/query/update?id=$id&orderBy=nope")
+        .statusCode() == 400)
+      assert(get(s"http://127.0.0.1:$port/query/next?id=$id").statusCode() == 204)
+    } finally srv.stop()
   }
 }
