@@ -99,6 +99,39 @@ object Sampling {
       .drop("__n")
   }
 
+  /** Deterministic global training order — the LAST pipeline step: the
+    * final mix is shuffled reproducibly so every training run (and every
+    * resume) reads documents in the same pseudo-random order. Position
+    * = rank in ([[hashBucket]] of the salt-keyed id, id) order, CONTIGUOUS
+    * from 1.
+    *
+    * A naive `row_number() OVER (ORDER BY hash)` is a single-partition
+    * window — the anti-scale shape. Here positions come from the same
+    * two-pass trick as [[tokenBudgetTwoPass]]: a map-side-combined count
+    * per coarse hash bucket (≤ `coarseBuckets` rows to the driver), a
+    * cumulative-offset lookup broadcast back, and a PER-BUCKET window
+    * for the local rank — parallel across buckets, exact because the
+    * bucket is monotone in the hash. */
+  def trainingOrder(df: DataFrame, idCol: String, salt: String = "graft",
+                    coarseBuckets: Int = 4096): DataFrame = {
+    val bucket = (hashBucket(col(idCol), salt) * coarseBuckets / Buckets)
+      .cast("int")
+    val sub = df.groupBy(bucket.as("b")).agg(count(lit(1)).as("c")).collect()
+    var cum = 0L
+    val offsets = sub.map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      .map { case (b, c) => val o = (b, cum); cum += c; o }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val meta = broadcast(offsets.toSeq.toDF("__b", "__off"))
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__cb"))
+      .orderBy(hashBucket(col(idCol), salt), col(idCol))
+    df.withColumn("__cb", bucket)
+      .join(meta, col("__cb") === col("__b"))
+      .withColumn("pos", row_number().over(wLocal) + col("__off"))
+      .drop("__cb", "__b", "__off")
+  }
+
   /** The 100 TB form of [[tokenBudget]]: the SAME keep set (proved
     * row-for-row equal by SamplingSpec) without a per-stratum global
     * window over the full corpus.

@@ -186,7 +186,16 @@ object PipelineQueries {
         salt = "up1")
       .select("doc_id", "lang", "copy")
 
+  /** Reproducible global training order: contiguous 1-based positions
+    * in salted-hash order, computed bucket-parallel (never a
+    * single-partition global window). */
+  def corpusShuffle(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling.trainingOrder(
+        Tables.documents(s, d).select("doc_id"), "doc_id", salt = "ord1")
+      .select("doc_id", "pos")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_shuffle" -> corpusShuffle _,
     "corpus_upsample" -> corpusUpsample _,
     "text_redact_pii" -> textRedactPii _,
     "text_repetition" -> textRepetition _,
@@ -412,6 +421,14 @@ object PipelineQueries {
          |    THEN CAST(COALESCE(n_dup, 0) AS DOUBLE) / CAST(len(spans) AS DOUBLE)
          |    ELSE 0.0 END AS dup_frac
          | FROM sp LEFT JOIN pd USING (doc_id)""".stripMargin,
+    // the two-pass bucket-offset positions equal a global row_number in
+    // the same (md5 bucket, doc_id) order
+    "corpus_shuffle" ->
+      """SELECT doc_id, CAST(row_number() OVER (ORDER BY
+        |   CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+        |     ':ord1')), 1, 8)) AS BIGINT) % 1000000,
+        |   doc_id) AS BIGINT) AS pos
+        | FROM documents""".stripMargin,
     // floor(w) copies + one more when the md5 bucket falls under the
     // fractional remainder; FLOOR before the BIGINT cast because DuckDB
     // rounds double→int while Spark truncates
