@@ -20,9 +20,16 @@ object Modifications {
                             value: String, group: String = "",
                             shardDate: java.sql.Date = null,
                             visibility: String = "") extends FieldEdit
-  /** Delete all instances of (uid, field) — or only a specific value. */
+  /** Delete all instances of (uid, field) — or only a specific value.
+    * `group`/`shardDate`/`visibility` place the HISTORY trail row when
+    * [[applyEdits]] runs with `insertHistory` — the reference inherits
+    * the REMOVED entry's markings (the service tier reads them before
+    * submitting the edit, so it passes them here). */
   final case class DeleteField(uid: String, datatype: String, field: String,
-                               value: Option[String] = None) extends FieldEdit
+                               value: Option[String] = None,
+                               group: String = "",
+                               shardDate: java.sql.Date = null,
+                               visibility: String = "") extends FieldEdit
 
   /** UPDATE (MutableMetadataHandler MODE.UPDATE, :369-377): remove the
     * REQUIRED old value and insert the new one as one edit. Existence of
@@ -67,7 +74,8 @@ object Modifications {
           p.group, p.shardDate, p.visibility))
         case dl: DeleteField => Seq(PutField(dl.uid, dl.datatype,
           HistoryPrefix + dl.field,
-          s"$timeMillis:$user:${dl.value.getOrElse("")}:delete"))
+          s"$timeMillis:$user:${dl.value.getOrElse("")}:delete",
+          dl.group, dl.shardDate, dl.visibility))
         case u: UpdateField => Seq(
           PutField(u.uid, u.datatype, HistoryPrefix + u.field,
             s"$timeMillis:$user:${u.oldValue}:delete", u.group,

@@ -80,6 +80,10 @@ object LookupUUID {
     require(reg.types.nonEmpty, "no UUID types registered")
     require(ids.size <= reg.batchLookupLimit,
       s"too many ids: ${ids.size} > ${reg.batchLookupLimit}")
+    // the ids land inside LUCENE quotes — a quote (or backslash) in an
+    // id would break out of the phrase and inject extra query terms
+    ids.foreach(id => require(!id.exists(c => c == '"' || c == '\\'),
+      s"invalid characters in id '$id'"))
     ids.flatMap(id => reg.types.map(t => s"""${t.field}:"$id""""))
       .mkString(" OR ")
   }

@@ -262,11 +262,17 @@ final class QueryServer(
         timeMillis = System.currentTimeMillis()) {
         LookupUUID.translate(reg, ids, tables, logic)
       }
-      // one page, deterministic order, then done — no session survives
-      val rows = result.orderBy(result.columns.head)
-        .limit(pageSize).toJSON.collect()
+      // one page, deterministic order, then done — no session survives;
+      // the over-fetch by one row surfaces truncation explicitly (the
+      // reference's X-Partial-Results signal) instead of dropping hits
+      // silently
+      val fetched = result.orderBy(result.columns.head)
+        .limit(pageSize + 1).toJSON.collect()
+      val partial = fetched.length > pageSize
+      val rows = if (partial) fetched.dropRight(1) else fetched
       if (rows.isEmpty) (204, "")
-      else (200, s"""{"rows": [${rows.mkString(",")}]}""")
+      else (200,
+        s"""{"partial": $partial, "rows": [${rows.mkString(",")}]}""")
     } catch { case e: Exception => (400, err(e.getMessage)) }
   }
 
@@ -423,11 +429,18 @@ final class QueryServer(
           val updated = s.copy(df = newDf, running = running,
             orderCols = orderCols, pageSize = pageSize,
             query = newQuery.getOrElse(s.query))
+          // the swap must re-check the session under the lock: a close/
+          // cancel that won the race already tore the query down — the
+          // update must NOT resurrect it (or re-create its durable file)
           shareLock.synchronized {
+            if (!sessions.containsKey(id)) {
+              if (!(newDf eq s.df)) newDf.unpersist()
+              return (404, err("unknown queryId"))
+            }
             sessions.put(id, updated)
             if (!(newDf eq s.df)) release(s) // ref-counted old frame drop
+            persistSession(id, updated)
           }
-          persistSession(id, updated)
           (200, """{"updated": true}""")
         } catch { case e: Exception => (400, err(e.getMessage)) }
     }
@@ -537,6 +550,14 @@ final class QueryServer(
   private def cachedSql(params: Map[String, String]): (Int, String) = {
     val sql = params.getOrElse("sql", return (400, err("missing 'sql'")))
     try {
+      // the reference's CachedRunningQuery only ever builds SELECTs
+      // against the loaded view — refuse DDL/DML/SET (a shared
+      // SparkSession catalog must not be mutable through this verb)
+      val head = sql.trim.split("\\s+", 2).headOption.getOrElse("")
+        .toUpperCase
+      require(head == "SELECT" || head == "WITH",
+        s"only SELECT statements are allowed, got '$head'")
+      require(!sql.contains(";"), "multi-statement SQL is not allowed")
       val pageSize = params.get("pageSize").map(_.toInt)
         .getOrElse(defaultPageSize)
       require(pageSize > 0, s"pageSize must be positive, got $pageSize")
@@ -597,6 +618,12 @@ final class QueryServer(
       p.setProperty("syntax", s.syntax)
       p.setProperty("pageSize", s.pageSize.toString)
       p.setProperty("orderBy", s.orderCols.mkString(","))
+      // page-ordinal base: pages after this persist are served at THIS
+      // pageSize, so a resume recovers the true ordinal as
+      // base + (offsetNow - offsetBase) / pageSize even when an earlier
+      // pageSize produced the prior offset rows
+      p.setProperty("pagesServedBase", s.running.pagesServed.toString)
+      p.setProperty("offsetBase", cursor.currentOffset(id).toString)
       java.nio.file.Files.createDirectories(sessionFile(id).getParent)
       val out = java.nio.file.Files.newOutputStream(sessionFile(id))
       try p.store(out, null) finally out.close()
@@ -607,28 +634,42 @@ final class QueryServer(
 
   /** Rebuild a session from its persisted definition: re-plan the query
     * (fresh persisted frame) and resume from the DURABLE cursor offset —
-    * pages served by the dead server stay served. */
-  private def resumeSession(id: String): Option[Session] = {
-    val f = sessionFile(id)
-    if (!java.nio.file.Files.exists(f)) return None
-    val p = new java.util.Properties()
-    val in = java.nio.file.Files.newInputStream(f)
-    try p.load(in) finally in.close()
-    val table = p.getProperty("table", "")
-    tables.get(table).map { df0 =>
-      val qp = QueryParams(syntax = p.getProperty("syntax", "JEXL"))
-      val result = logic.query(df0, p.getProperty("query", ""), qp).persist()
-      val orderCols = p.getProperty("orderBy", "").split(',').toSeq
-        .map(_.trim).filter(_.nonEmpty)
-      val pageSize = p.getProperty("pageSize", defaultPageSize.toString).toInt
-      val running = new RunningQuery(cursor, id, result, orderCols, pageSize,
-        startPage = cursor.currentOffset(id) / pageSize)
-      val s = Session(result, orderCols, running, p.getProperty("query", ""),
-        qp.syntax, pageSize, table)
-      sessions.putIfAbsent(id, s)
-      sessions.get(id)
+    * pages served by the dead server stay served. Runs under the share
+    * lock so two concurrent resumes of one id cannot each persist a
+    * frame (the loser's cached frame would leak), and a resume cannot
+    * race a teardown's file delete. */
+  private def resumeSession(id: String): Option[Session] =
+    shareLock.synchronized {
+      Option(sessions.get(id)).orElse {
+        val f = sessionFile(id)
+        if (!java.nio.file.Files.exists(f)) None
+        else {
+          val p = new java.util.Properties()
+          val in = java.nio.file.Files.newInputStream(f)
+          try p.load(in) finally in.close()
+          val table = p.getProperty("table", "")
+          tables.get(table).map { df0 =>
+            val qp = QueryParams(syntax = p.getProperty("syntax", "JEXL"))
+            val result = logic.query(df0, p.getProperty("query", ""), qp)
+              .persist()
+            val orderCols = p.getProperty("orderBy", "").split(',').toSeq
+              .map(_.trim).filter(_.nonEmpty)
+            val pageSize =
+              p.getProperty("pageSize", defaultPageSize.toString).toInt
+            val base = p.getProperty("pagesServedBase", "0").toLong
+            val offBase = p.getProperty("offsetBase", "0").toLong
+            val running = new RunningQuery(cursor, id, result, orderCols,
+              pageSize,
+              startPage = base +
+                (cursor.currentOffset(id) - offBase) / pageSize)
+            val s = Session(result, orderCols, running,
+              p.getProperty("query", ""), qp.syntax, pageSize, table)
+            sessions.put(id, s)
+            s
+          }
+        }
+      }
     }
-  }
 
   // ---- plumbing ------------------------------------------------------
 

@@ -27,20 +27,9 @@ object VerifySubsetMain {
       }
     }
     // driver-layout oracle dump (subset only) so tools/verify_local.py
-    // runs directly on this outDir
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql.view.filterKeys(names.contains)
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$outDir/oracle_sql.json"), json)
+    // runs directly on this outDir; shared escaper (Verify.writeOracles)
+    Verify.writeOracles(outDir,
+      SparkEntry.oracleSql.view.filterKeys(names.contains).toMap)
     spark.stop()
   }
 }

@@ -98,4 +98,38 @@ class ServerResumeSpec extends SparkSpec {
       assert(get(s"http://127.0.0.1:$port/query/next?id=$id").statusCode() == 204)
     } finally srv.stop()
   }
+
+  test("service-verb hardening: SELECT-only cached SQL, id injection refused, translate truncation flagged") {
+    val df = (1 to 30).map(i => (i.toLong, (i % 3).toLong)).toDF("id", "grp")
+    val srv = new QueryServer(tables = Map("t" -> df),
+      uuidTypes = Seq(LookupUUID.UuidType("GRP", logic = "t")))
+    val port = srv.start()
+    try {
+      def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+      // cached SQL: only SELECT/WITH, single statement
+      val created = post(s"http://127.0.0.1:$port/query/create?table=t&query=" +
+        enc("ID >= 1"))
+      val id = "\"queryId\": \"([0-9a-f]+)\"".r
+        .findFirstMatchIn(created.body()).get.group(1)
+      assert(post(s"http://127.0.0.1:$port/cachedresults/load?id=$id&alias=h1")
+        .statusCode() == 200)
+      assert(get(s"http://127.0.0.1:$port/cachedresults/sql?sql=" +
+        enc("SELECT count(*) AS c FROM h1")).statusCode() == 200)
+      assert(get(s"http://127.0.0.1:$port/cachedresults/sql?sql=" +
+        enc("DROP VIEW h1")).statusCode() == 400)
+      assert(get(s"http://127.0.0.1:$port/cachedresults/sql?sql=" +
+        enc("SELECT 1; SELECT 2")).statusCode() == 400)
+      // a quote inside an id cannot break out of the LUCENE phrase
+      val inj = get(s"http://127.0.0.1:$port/translateIDs?ids=" +
+        enc("""1" OR GRP:"2"""))
+      assert(inj.statusCode() == 400 &&
+        inj.body().contains("invalid characters"), inj.body())
+      // truncation is explicit, never silent: grp 1 has 10 rows
+      val t1 = get(s"http://127.0.0.1:$port/translateIDs?ids=1&pageSize=4")
+      assert(t1.body().contains("\"partial\": true") &&
+        "\"id\":(\\d+)".r.findAllIn(t1.body()).size == 4, t1.body().take(300))
+      val t2 = get(s"http://127.0.0.1:$port/translateIDs?ids=1&pageSize=50")
+      assert(t2.body().contains("\"partial\": false"), t2.body().take(300))
+    } finally srv.stop()
+  }
 }
