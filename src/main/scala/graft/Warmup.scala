@@ -61,6 +61,10 @@ object Warmup {
       // inside surprisal() runs two tiny jobs at construction — part of
       // the warming)
       "surprisal" -> graft.operators.TextOps.surprisal(docs, 1.0, 2.0),
+      // ann_pq_recall: transform(|aggregate(|zip_with( (normalize +
+      // per-subspace argmin encode + ADC fold + rerank cosine)
+      "pq" -> VectorOps.pqTopKReranked(emb, probeId = 0L, k = 5,
+        shortlist = 16, m = 4, codeK = 4).select("vec_id"),
       // rel_facets_cms: explode|generate|udf( (the CMS union Aggregator +
       // estimate UDF + map explode)
       "cms_facets" -> {

@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev harness: PQ ADC recall vs brute force at sf0.001/sf0.01 across
+  * several probes — measured before pinning the gate's recall floor. */
+object PqProbeMain {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.operators.VectorOps
+    for (sf <- Seq("0.001", "0.01")) {
+      val emb = graft.core.Tables.embeddings(spark, s"/root/testdata/sf$sf")
+      for (probe <- Seq(0L, 7L, 42L)) {
+        val exact = VectorOps.bruteForceTopK(emb, probe, 10)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        val pq = VectorOps.pqTopK(emb, probe, 10)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        val rr = VectorOps.pqTopKReranked(emb, probe, 10, shortlist = 100)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        System.err.println(s"[pq] sf$sf probe$probe adc = ${(pq & exact).size}/10" +
+          s" reranked = ${(rr & exact).size}/10")
+      }
+    }
+    spark.stop()
+  }
+}
