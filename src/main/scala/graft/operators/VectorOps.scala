@@ -418,19 +418,28 @@ object VectorOps {
     * their previous centroid. */
   def pqCodebooks(emb: DataFrame, m: Int, codeK: Int,
                   iters: Int = 2): Seq[Seq[Seq[Double]]] = {
-    val n = emb.count()
+    val normed = pqNormalized(emb).persist()
+    try pqCodebooksFromNormed(normed, m, codeK, iters)
+    finally normed.unpersist()
+  }
+
+  /** Training over an already-materialized normalized frame — shared
+    * with [[pqTopKReranked]] so one persisted pass feeds training AND
+    * the code scan instead of re-shuffling the corpus per stage. */
+  private def pqCodebooksFromNormed(normed: DataFrame, m: Int, codeK: Int,
+                                    iters: Int): Seq[Seq[Seq[Double]]] = {
+    val n = normed.count()
     val stride = math.max(1L, n / codeK)
-    val sample = emb.filter(pmod(col("vec_id"), lit(stride)) === 0)
+    val sample = normed.filter(pmod(col("vec_id"), lit(stride)) === 0)
       .orderBy("vec_id").limit(codeK)
-      .select(col("embedding").cast("array<double>")).collect()
-      .map(r => normalizeVec(r.getSeq[Double](0)))
+      .select(col("nv")).collect()
+      .map(_.getSeq[Double](0))
     require(sample.nonEmpty, "empty embedding table")
     val dim = sample.head.size
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val dsub = dim / m
     var books: Seq[Seq[Seq[Double]]] = (0 until m).map(j =>
       sample.map(v => v.slice(j * dsub, (j + 1) * dsub).toSeq).toSeq)
-    val normed = pqNormalized(emb)
     for (_ <- 0 until iters) {
       val j = (col("pos") / dsub).cast("int")
       val means = normed
@@ -506,8 +515,9 @@ object VectorOps {
     * protocol; use [[pqTopKReranked]] for the full search. */
   def pqTopK(emb: DataFrame, probeId: Long, k: Int, m: Int = 8,
              codeK: Int = 16,
-             books0: Option[Seq[Seq[Seq[Double]]]] = None): DataFrame = {
-    val books = books0.getOrElse(pqCodebooks(emb, m, codeK))
+             books0: Option[Seq[Seq[Seq[Double]]]] = None,
+             iters: Int = 2): DataFrame = {
+    val books = books0.getOrElse(pqCodebooks(emb, m, codeK, iters))
     val probe = normalizeVec(emb.filter(col("vec_id") === probeId)
       .select(col("embedding").cast("array<double>"))
       .head().getSeq[Double](0))
@@ -535,14 +545,37 @@ object VectorOps {
     * shortlist boundary, never the final ranking). */
   def pqTopKReranked(emb: DataFrame, probeId: Long, k: Int,
                      shortlist: Int = 100, m: Int = 8,
-                     codeK: Int = 16): DataFrame = {
-    val books = pqCodebooks(emb, m, codeK) // train ONCE for the search
-    val cand = pqTopK(emb, probeId, shortlist, m, codeK, Some(books))
-      .select("vec_id")
+                     codeK: Int = 16, iters: Int = 2): DataFrame = {
+    // ONE persisted normalized pass feeds training and the ADC scan;
+    // the shortlist collects eagerly (bounded by `shortlist` — the
+    // needle-set contract), so the cache releases before return and the
+    // returned frame depends only on the RAW table
+    val normed = pqNormalized(emb).persist()
+    val candIds: Seq[Long] =
+      try {
+        val books = pqCodebooksFromNormed(normed, m, codeK, iters)
+        val probe = normalizeVec(emb.filter(col("vec_id") === probeId)
+          .select(col("embedding").cast("array<double>"))
+          .head().getSeq[Double](0))
+        val dsub = probe.size / m
+        val lut: Seq[Seq[Double]] = (0 until m).map(j => books(j).map(cen =>
+          l2sq(probe.slice(j * dsub, (j + 1) * dsub), cen)))
+        val lutCol = typedLit(lut)
+        val dist = aggregate(
+          zip_with(col("code"), sequence(lit(0), lit(m - 1)),
+            (c, j) => lutCol(j)(c)),
+          lit(0.0), (acc, x) => acc + x)
+        normed.select(col("vec_id"), pqEncode(col("nv"), books).as("code"))
+          .filter(col("vec_id") =!= probeId)
+          .select(col("vec_id"), dist.as("dist"))
+          .orderBy(col("dist").asc, col("vec_id").asc)
+          .limit(shortlist)
+          .select("vec_id").collect().map(_.getLong(0)).toSeq
+      } finally normed.unpersist()
     val probe: Seq[Double] = emb.filter(col("vec_id") === probeId)
       .select(col("embedding").cast("array<double>"))
       .head().getSeq[Double](0)
-    emb.join(broadcast(cand), Seq("vec_id"))
+    emb.filter(col("vec_id").isin(candIds: _*))
       .withColumn("sim", cosine(col("embedding"), typedLit(probe)))
       .orderBy(col("sim").desc, col("vec_id").asc)
       .limit(k)

@@ -134,12 +134,14 @@ object PipelineQueries {
   /** PQ (product quantization) top-10 recall vs brute force — the
     * storage-side ANN family: vectors stored as m=8 codes, ADC over
     * codes shortlists 100 candidates, exact re-rank on the shortlist
-    * only. Measured reranked recall 0.9-1.0 at sf0.01 (probes 0/7/42);
-    * floor 0.8 leaves headroom. */
+    * only. One Lloyd round: measured reranked recall 9/10 on probes
+    * 0/7/42 at sf0.01 (zero rounds dips to 6/10; two add cost, not
+    * recall); floor 0.8. */
   def annPqRecall(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     recallRow(
-      VectorOps.pqTopKReranked(emb, probeId = 0L, k = 10, shortlist = 100)
+      VectorOps.pqTopKReranked(emb, probeId = 0L, k = 10, shortlist = 100,
+          iters = 1)
         .select("vec_id"),
       VectorOps.bruteForceTopK(emb, probeId = 0L, k = 10).select("vec_id"),
       k = 10, minHits = 8)

@@ -16,12 +16,14 @@ object PqProbeMain {
       for (probe <- Seq(0L, 7L, 42L)) {
         val exact = VectorOps.bruteForceTopK(emb, probe, 10)
           .select("vec_id").collect().map(_.getLong(0)).toSet
-        val pq = VectorOps.pqTopK(emb, probe, 10)
-          .select("vec_id").collect().map(_.getLong(0)).toSet
-        val rr = VectorOps.pqTopKReranked(emb, probe, 10, shortlist = 100)
-          .select("vec_id").collect().map(_.getLong(0)).toSet
-        System.err.println(s"[pq] sf$sf probe$probe adc = ${(pq & exact).size}/10" +
-          s" reranked = ${(rr & exact).size}/10")
+        for ((m, ck, it) <- Seq((8, 16, 0), (8, 16, 1))) {
+          val t0 = System.nanoTime()
+          val rr = VectorOps.pqTopKReranked(emb, probe, 10, shortlist = 100,
+            m = m, codeK = ck, iters = it)
+            .select("vec_id").collect().map(_.getLong(0)).toSet
+          System.err.println(f"[pq] sf$sf probe$probe m=$m ck=$ck it=$it reranked = " +
+            s"${(rr & exact).size}/10 ${(System.nanoTime()-t0)/1e9}%.1f s")
+        }
       }
     }
     spark.stop()
