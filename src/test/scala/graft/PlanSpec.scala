@@ -215,6 +215,24 @@ class PlanSpec extends SparkSpec {
       plan.take(3000))
   }
 
+  test("PQ re-rank plans an InSet needle filter + top-k, never a join or global sort") {
+    // the returned frame touches only the RAW table: shortlist ids as a
+    // pushed-down membership filter, then TakeOrderedAndProject — no
+    // join, no cached residue (the op released its persisted pass)
+    spark.catalog.clearCache()
+    val emb = graft.core.Tables.embeddings(spark, sf001)
+    val plan = graft.operators.VectorOps
+      .pqTopKReranked(emb, probeId = 0L, k = 10, shortlist = 20, iters = 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan.take(2000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(plan.contains("vec_id") &&
+      (plan.contains("IN (") || plan.contains("INSET") || plan.contains("In(")),
+      plan.take(2000))
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "the PQ op must release its persisted normalized pass")
+  }
+
   test("repetition profiling reads the corpus once and aggregates twice") {
     // ONE tagged explode feeds both arities — a second Generate would
     // mean tokens and bigrams each re-tokenize the text (the two-pass
