@@ -157,38 +157,52 @@ final class QueryServer(
       }
     }
 
+  /** Shared lookup-session start (createUUIDQueryAndNext shape): audit,
+    * run + persist, register the session, serve the FIRST page on the
+    * create response. Both lookup endpoints delegate here so the
+    * audit/session/first-page rules cannot drift between them. */
+  private def lookupSession(params: Map[String, String], queryId: String,
+                            query: String, syntax: String, logicName: String,
+                            selectors: Option[Seq[String]])
+                           (body: => DataFrame): (Int, String) = {
+    val pageSize = params.get("pageSize").map(_.toInt)
+      .getOrElse(defaultPageSize)
+    require(pageSize > 0, s"pageSize must be positive, got $pageSize")
+    val result = Audit.audited(auditor, auditType, queryId,
+      user = params.getOrElse("user", "anonymous"), query = query,
+      syntax = syntax, logicName = logicName,
+      timeMillis = System.currentTimeMillis(), selectors = selectors) {
+      body.persist()
+    }
+    val orderCols = Seq(result.columns.head)
+    val running = new RunningQuery(cursor, queryId, result, orderCols,
+      pageSize)
+    sessions.put(queryId,
+      Session(result, orderCols, running, query, syntax, pageSize))
+    // the first page rides the create response
+    running.nextPageJson() match {
+      case Some((rows, pageNum)) =>
+        (200, s"""{"queryId": "$queryId", "page": $pageNum,""" +
+          s""" "rows": [${rows.mkString(",")}]}""")
+      case None =>
+        (200, s"""{"queryId": "$queryId", "page": 1, "rows": []}""")
+    }
+  }
+
   private def lookupUuid(params: Map[String, String]): (Int, String) = {
     if (uuidTypes.isEmpty)
       return (404, err("no UUID types registered on this server"))
     val raw = params.getOrElse("terms", return (400, err("missing 'terms'")))
     try {
       val terms = parseTerms(raw)
-      val pageSize = params.get("pageSize").map(_.toInt)
-        .getOrElse(defaultPageSize)
-      require(pageSize > 0, s"pageSize must be positive, got $pageSize")
       val reg = LookupUUID.Registry(uuidTypes)
       // audit-before-execute applies to lookups too (they run full
       // queries); the rendered LUCENE disjunction is the audited query
       val rendered = LookupUUID.queryString(reg, terms)
       val queryId = java.util.UUID.randomUUID().toString.replace("-", "")
-      val result = Audit.audited(auditor, auditType, queryId,
-        user = params.getOrElse("user", "anonymous"), query = rendered,
-        syntax = "LUCENE", logicName = "lookupUUID",
-        timeMillis = System.currentTimeMillis()) {
-        LookupUUID.lookup(reg, terms, tables, logic).persist()
-      }
-      val orderCols = Seq(result.columns.head)
-      val running = new RunningQuery(cursor, queryId, result, orderCols,
-        pageSize)
-      sessions.put(queryId,
-        Session(result, orderCols, running, rendered, "LUCENE", pageSize))
-      // createUUIDQueryAndNext: the first page rides the create response
-      running.nextPageJson() match {
-        case Some((rows, pageNum)) =>
-          (200, s"""{"queryId": "$queryId", "page": $pageNum,""" +
-            s""" "rows": [${rows.mkString(",")}]}""")
-        case None =>
-          (200, s"""{"queryId": "$queryId", "page": 1, "rows": []}""")
+      lookupSession(params, queryId, rendered, "LUCENE", "lookupUUID",
+        selectors = None) {
+        LookupUUID.lookup(reg, terms, tables, logic)
       }
     } catch {
       case e: Exception => (400, err(e.getMessage))
@@ -205,33 +219,14 @@ final class QueryServer(
       return (404, err("no content table registered on this server")))
     val raw = params.getOrElse("uids", return (400, err("missing 'uids'")))
     try {
-      val pageSize = params.get("pageSize").map(_.toInt)
-        .getOrElse(defaultPageSize)
-      require(pageSize > 0, s"pageSize must be positive, got $pageSize")
       val uids = raw.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
       val queryId = java.util.UUID.randomUUID().toString.replace("-", "")
       // the uids themselves are the audit selectors (the
       // SplitSelectorExtractor shape — not parseable as a query)
-      val result = Audit.audited(auditor, auditType, queryId,
-        user = params.getOrElse("user", "anonymous"), query = raw,
-        syntax = "UID", logicName = "lookupUID",
-        timeMillis = System.currentTimeMillis(),
+      lookupSession(params, queryId, raw, "UID", "lookupUID",
         selectors = Some(uids)) {
         LookupUUID.lookupUid(LookupUUID.Registry(uuidTypes),
           Seq("event" -> uids.mkString(" ")), tables, contentTable)
-          .persist()
-      }
-      val orderCols = Seq(result.columns.head)
-      val running = new RunningQuery(cursor, queryId, result, orderCols,
-        pageSize)
-      sessions.put(queryId,
-        Session(result, orderCols, running, raw, "UID", pageSize))
-      running.nextPageJson() match {
-        case Some((rows, pageNum)) =>
-          (200, s"""{"queryId": "$queryId", "page": $pageNum,""" +
-            s""" "rows": [${rows.mkString(",")}]}""")
-        case None =>
-          (200, s"""{"queryId": "$queryId", "page": 1, "rows": []}""")
       }
     } catch {
       case e: Exception => (400, err(e.getMessage))
