@@ -507,34 +507,47 @@ object VectorOps {
     array(codes: _*)
   }
 
-  /** ADC top-k over CODES ONLY: the probe's per-(subspace, centroid)
-    * squared distances become a driver-side lookup table; each stored
-    * vector's approximate distance is m table lookups summed over its
-    * codes — the raw vectors are never read. TakeOrderedAndProject,
-    * ascending distance. This is the SHORTLIST stage of the PQ
-    * protocol; use [[pqTopKReranked]] for the full search. */
-  def pqTopK(emb: DataFrame, probeId: Long, k: Int, m: Int = 8,
-             codeK: Int = 16,
-             books0: Option[Seq[Seq[Seq[Double]]]] = None,
-             iters: Int = 2): DataFrame = {
-    val books = books0.getOrElse(pqCodebooks(emb, m, codeK, iters))
-    val probe = normalizeVec(emb.filter(col("vec_id") === probeId)
-      .select(col("embedding").cast("array<double>"))
-      .head().getSeq[Double](0))
-    val dsub = probe.size / m
+  /** The ADC shortlist stage shared by [[pqTopK]] and
+    * [[pqTopKReranked]]: probe's per-(subspace, centroid) squared
+    * distances become a driver-side lookup table; each stored vector's
+    * approximate distance is m table lookups summed over its codes —
+    * the raw vectors are never read. TakeOrderedAndProject, ascending
+    * distance. */
+  private def pqAdcShortlist(normed: DataFrame, probeN: Seq[Double],
+                             books: Seq[Seq[Seq[Double]]], probeId: Long,
+                             n: Int): DataFrame = {
+    val m = books.size
+    val dsub = probeN.size / m
     val lut: Seq[Seq[Double]] = (0 until m).map(j =>
-      books(j).map(cen => l2sq(probe.slice(j * dsub, (j + 1) * dsub), cen)))
+      books(j).map(cen => l2sq(probeN.slice(j * dsub, (j + 1) * dsub), cen)))
     val lutCol = typedLit(lut)
     val dist = aggregate(
       zip_with(col("code"), sequence(lit(0), lit(m - 1)),
         (c, j) => lutCol(j)(c)),
       lit(0.0), (acc, x) => acc + x)
-    pqNormalized(emb)
+    normed
       .select(col("vec_id"), pqEncode(col("nv"), books).as("code"))
       .filter(col("vec_id") =!= probeId)
       .select(col("vec_id"), dist.as("dist"))
       .orderBy(col("dist").asc, col("vec_id").asc)
-      .limit(k)
+      .limit(n)
+  }
+
+  /** Probe vector fetch (one driver lookup, raw floats as doubles). */
+  private def probeVec(emb: DataFrame, probeId: Long): Seq[Double] =
+    emb.filter(col("vec_id") === probeId)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0)
+
+  /** ADC top-k over CODES ONLY (the shortlist stage as a public
+    * operator); use [[pqTopKReranked]] for the full search. */
+  def pqTopK(emb: DataFrame, probeId: Long, k: Int, m: Int = 8,
+             codeK: Int = 16,
+             books0: Option[Seq[Seq[Seq[Double]]]] = None,
+             iters: Int = 2): DataFrame = {
+    val books = books0.getOrElse(pqCodebooks(emb, m, codeK, iters))
+    pqAdcShortlist(pqNormalized(emb), normalizeVec(probeVec(emb, probeId)),
+      books, probeId, k)
   }
 
   /** The full PQ search protocol: ADC over codes shortlists
@@ -549,34 +562,19 @@ object VectorOps {
     // ONE persisted normalized pass feeds training and the ADC scan;
     // the shortlist collects eagerly (bounded by `shortlist` — the
     // needle-set contract), so the cache releases before return and the
-    // returned frame depends only on the RAW table
+    // returned frame depends only on the RAW table. The probe is
+    // fetched ONCE (cosine is scale-invariant, so the normalized copy
+    // serves both the ADC table and the exact re-rank).
+    val probeN = normalizeVec(probeVec(emb, probeId))
     val normed = pqNormalized(emb).persist()
     val candIds: Seq[Long] =
       try {
         val books = pqCodebooksFromNormed(normed, m, codeK, iters)
-        val probe = normalizeVec(emb.filter(col("vec_id") === probeId)
-          .select(col("embedding").cast("array<double>"))
-          .head().getSeq[Double](0))
-        val dsub = probe.size / m
-        val lut: Seq[Seq[Double]] = (0 until m).map(j => books(j).map(cen =>
-          l2sq(probe.slice(j * dsub, (j + 1) * dsub), cen)))
-        val lutCol = typedLit(lut)
-        val dist = aggregate(
-          zip_with(col("code"), sequence(lit(0), lit(m - 1)),
-            (c, j) => lutCol(j)(c)),
-          lit(0.0), (acc, x) => acc + x)
-        normed.select(col("vec_id"), pqEncode(col("nv"), books).as("code"))
-          .filter(col("vec_id") =!= probeId)
-          .select(col("vec_id"), dist.as("dist"))
-          .orderBy(col("dist").asc, col("vec_id").asc)
-          .limit(shortlist)
+        pqAdcShortlist(normed, probeN, books, probeId, shortlist)
           .select("vec_id").collect().map(_.getLong(0)).toSeq
       } finally normed.unpersist()
-    val probe: Seq[Double] = emb.filter(col("vec_id") === probeId)
-      .select(col("embedding").cast("array<double>"))
-      .head().getSeq[Double](0)
     emb.filter(col("vec_id").isin(candIds: _*))
-      .withColumn("sim", cosine(col("embedding"), typedLit(probe)))
+      .withColumn("sim", cosine(col("embedding"), typedLit(probeN)))
       .orderBy(col("sim").desc, col("vec_id").asc)
       .limit(k)
       .select("vec_id", "sim")

@@ -262,7 +262,8 @@ final class QueryServer(
       // reference's X-Partial-Results signal) instead of dropping hits
       // silently
       val fetched = result.orderBy(result.columns.head)
-        .limit(pageSize + 1).toJSON.collect()
+        .limit(if (pageSize == Int.MaxValue) pageSize else pageSize + 1)
+        .toJSON.collect()
       val partial = fetched.length > pageSize
       val rows = if (partial) fetched.dropRight(1) else fetched
       if (rows.isEmpty) (204, "")
@@ -346,8 +347,13 @@ final class QueryServer(
         // run's ledger must go or the numbers collide
         QueryMetrics.clearPages(id)
         val pageSize = if (s.pageSize > 0) s.pageSize else defaultPageSize
-        sessions.put(id, s.copy(
-          running = new RunningQuery(cursor, id, s.df, s.orderCols, pageSize)))
+        val fresh = s.copy(
+          running = new RunningQuery(cursor, id, s.df, s.orderCols, pageSize))
+        sessions.put(id, fresh)
+        // re-persist so the durable (pagesServedBase, offsetBase) track
+        // the RESTARTED run — a stale base after a pageSize-changing
+        // update would make a later resume compute a negative ordinal
+        persistSession(id, fresh)
         (200, """{"reset": true}""")
     }
 
@@ -424,13 +430,15 @@ final class QueryServer(
           val updated = s.copy(df = newDf, running = running,
             orderCols = orderCols, pageSize = pageSize,
             query = newQuery.getOrElse(s.query))
-          // the swap must re-check the session under the lock: a close/
-          // cancel that won the race already tore the query down — the
-          // update must NOT resurrect it (or re-create its durable file)
+          // the swap is a CAS on the EXACT session we read: a concurrent
+          // close (must not be resurrected) OR close-then-resume (the
+          // resumed session must not be clobbered and its frame leaked)
+          // both fail the identity check and refuse the stale update
           shareLock.synchronized {
-            if (!sessions.containsKey(id)) {
+            if (!(sessions.get(id).asInstanceOf[AnyRef] eq
+                s.asInstanceOf[AnyRef])) {
               if (!(newDf eq s.df)) newDf.unpersist()
-              return (404, err("unknown queryId"))
+              return (409, err("query changed concurrently; retry the update"))
             }
             sessions.put(id, updated)
             if (!(newDf eq s.df)) release(s) // ref-counted old frame drop
@@ -545,19 +553,24 @@ final class QueryServer(
   private def cachedSql(params: Map[String, String]): (Int, String) = {
     val sql = params.getOrElse("sql", return (400, err("missing 'sql'")))
     try {
-      // the reference's CachedRunningQuery only ever builds SELECTs
-      // against the loaded view — refuse DDL/DML/SET (a shared
-      // SparkSession catalog must not be mutable through this verb)
-      val head = sql.trim.split("\\s+", 2).headOption.getOrElse("")
-        .toUpperCase
-      require(head == "SELECT" || head == "WITH",
-        s"only SELECT statements are allowed, got '$head'")
-      require(!sql.contains(";"), "multi-statement SQL is not allowed")
       val pageSize = params.get("pageSize").map(_.toInt)
         .getOrElse(defaultPageSize)
       require(pageSize > 0, s"pageSize must be positive, got $pageSize")
       val spark = tables.values.headOption.map(_.sparkSession)
         .getOrElse(return (500, err("no tables registered")))
+      // the reference's CachedRunningQuery only ever builds SELECTs —
+      // gate on the PARSED plan, not string prefixes: a WITH-prefixed
+      // INSERT parses fine and a head-keyword check would let it mutate
+      // the shared catalog/filesystem through this verb. Any Command
+      // (DDL, SET, …) or insert node anywhere in the plan is refused.
+      val parsed = spark.sessionState.sqlParser.parsePlan(sql)
+      val mutating = parsed.collectFirst {
+        case c: org.apache.spark.sql.catalyst.plans.logical.Command => c
+        case i: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement => i
+        case d: org.apache.spark.sql.catalyst.plans.logical.InsertIntoDir => d
+      }
+      require(mutating.isEmpty,
+        s"only SELECT statements are allowed, got ${mutating.get.nodeName}")
       val rows = spark.sql(sql).limit(pageSize).toJSON.collect()
       (200, s"""{"rows": [${rows.mkString(",")}]}""")
     } catch { case e: Exception => (400, err(e.getMessage)) }
@@ -653,10 +666,12 @@ final class QueryServer(
               p.getProperty("pageSize", defaultPageSize.toString).toInt
             val base = p.getProperty("pagesServedBase", "0").toLong
             val offBase = p.getProperty("offsetBase", "0").toLong
+            // never negative even if a crash raced the reset's
+            // offset-delete/file-rewrite pair
             val running = new RunningQuery(cursor, id, result, orderCols,
               pageSize,
-              startPage = base +
-                (cursor.currentOffset(id) - offBase) / pageSize)
+              startPage = math.max(0L, base +
+                (cursor.currentOffset(id) - offBase) / pageSize))
             val s = Session(result, orderCols, running,
               p.getProperty("query", ""), qp.syntax, pageSize, table)
             sessions.put(id, s)

@@ -21,8 +21,10 @@ object PqProbeMain {
           val rr = VectorOps.pqTopKReranked(emb, probe, 10, shortlist = 100,
             m = m, codeK = ck, iters = it)
             .select("vec_id").collect().map(_.getLong(0)).toSet
-          System.err.println(f"[pq] sf$sf probe$probe m=$m ck=$ck it=$it reranked = " +
-            s"${(rr & exact).size}/10 ${(System.nanoTime()-t0)/1e9}%.1f s")
+          val secs = (System.nanoTime() - t0) / 1e9
+          System.err.println(
+            f"[pq] sf$sf probe$probe m=$m ck=$ck it=$it reranked = " +
+              f"${(rr & exact).size}/10 $secs%.1f s")
         }
       }
     }

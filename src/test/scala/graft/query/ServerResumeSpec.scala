@@ -119,6 +119,19 @@ class ServerResumeSpec extends SparkSpec {
         enc("DROP VIEW h1")).statusCode() == 400)
       assert(get(s"http://127.0.0.1:$port/cachedresults/sql?sql=" +
         enc("SELECT 1; SELECT 2")).statusCode() == 400)
+      // WITH-prefixed DML parses in Spark's grammar — the plan gate
+      // (not a head-keyword check) must refuse it
+      val dml = get(s"http://127.0.0.1:$port/cachedresults/sql?sql=" +
+        enc("WITH x AS (SELECT 1 AS a) INSERT OVERWRITE DIRECTORY " +
+          "'/tmp/graft-pwn' USING parquet SELECT * FROM x"))
+      assert(dml.statusCode() == 400 &&
+        dml.body().contains("only SELECT"), dml.body())
+      assert(get(s"http://127.0.0.1:$port/cachedresults/sql?sql=" +
+        enc("SET spark.sql.shuffle.partitions=1")).statusCode() == 400)
+      // semicolons INSIDE string literals are legitimate
+      assert(get(s"http://127.0.0.1:$port/cachedresults/sql?sql=" +
+        enc("SELECT count(*) AS c FROM h1 WHERE 'a;b' <> ''"))
+        .statusCode() == 200)
       // a quote inside an id cannot break out of the LUCENE phrase
       val inj = get(s"http://127.0.0.1:$port/translateIDs?ids=" +
         enc("""1" OR GRP:"2"""))
