@@ -28,6 +28,24 @@ object PqProbeMain {
         }
       }
     }
+    // 1x vs 10x scale probe (sf0.1 = 2000 vectors; 10x = 20k with
+    // deterministic per-copy id shifts): training is model-sized, the
+    // ADC scan is linear in codes — wall clock should grow far slower
+    // than 10x (scheduling floor + model train amortize)
+    {
+      import org.apache.spark.sql.functions._
+      val e1 = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.1")
+      val e10 = (0 until 10).map(i =>
+        e1.withColumn("vec_id", col("vec_id") + lit(i * 10000000L)))
+        .reduce(_ unionByName _)
+      for ((tag, e) <- Seq(("1x", e1), ("10x", e10)); pass <- 1 to 2) {
+        val t0 = System.nanoTime()
+        val n = VectorOps.pqTopKReranked(e, probeId = 0L, k = 10,
+          shortlist = 100, iters = 1).count()
+        System.err.println(
+          f"[pq-scale] $tag pass$pass rows=$n ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      }
+    }
     spark.stop()
   }
 }
