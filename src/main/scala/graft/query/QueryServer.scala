@@ -61,6 +61,13 @@ final class QueryServer(
                                    query: String = "", syntax: String = "JEXL",
                                    pageSize: Int = 0, table: String = "")
   private val sessions = new ConcurrentHashMap[String, Session]()
+  /** CachedResults alias registry: lowercased view name → owning query
+    * id. `/cachedresults/sql` only resolves relations registered here
+    * (plus CTE names local to the statement), and closing the owning
+    * query drops its aliases — the reference's CachedResults table is
+    * scoped to the query that exported it (CachedResultsBean), never a
+    * window onto the server's whole catalog or filesystem. */
+  private val loadedAliases = new ConcurrentHashMap[String, String]()
   private val cursor = new QueryCursor(stateDir)
   private var server: HttpServer = _
   /** Guards the duplicate read-copy-put against a concurrent
@@ -91,6 +98,7 @@ final class QueryServer(
     server.createContext("/translateId", handler(translateId))
     server.createContext("/translateIDs", handler(translateId))
     server.createContext("/cachedresults/load", handler(cachedLoad))
+    server.createContext("/cachedresults/update", handler(cachedUpdate))
     server.createContext("/cachedresults/sql", handler(cachedSql))
     server.start()
     server.getAddress.getPort
@@ -327,7 +335,13 @@ final class QueryServer(
     * (QueryExecutorBean `/{id}/reset`: releases resources and re-runs;
     * the persisted frame survives, the cursor state does not). */
   private def reset(params: Map[String, String]): (Int, String) =
-    session(params) match {
+    // the read-copy-put below must be atomic vs a concurrent /query/
+    // update: reset racing outside the lock could put a Session built
+    // from the stale pre-update snapshot, clobbering the updated
+    // definition and leaking the update's newly persisted frame (no
+    // session would reference it, so release could never unpersist it).
+    // The monitor is reentrant, so session()'s resumeSession is fine.
+    shareLock.synchronized { session(params) match {
       case None => (404, err("unknown queryId"))
       case Some(s) =>
         val id = qid(params)
@@ -355,7 +369,7 @@ final class QueryServer(
         // update would make a later resume compute a negative ordinal
         persistSession(id, fresh)
         (200, """{"reset": true}""")
-    }
+    } }
 
   /** `GET /query/predict?table=T&query=Q[&syntax=…]` — the reference's
     * `/{logicName}/predict` (QueryExecutorBean.java:990-1054): validate
@@ -402,44 +416,46 @@ final class QueryServer(
             .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
             .getOrElse(s.orderCols)
           val newQuery = params.get("query")
-          val newDf = newQuery match {
-            case None => s.df
-            case Some(q2) =>
-              // the reference audits BEFORE applying an auditable update
-              // and fails the update on audit error; then the new text
-              // re-plans (a bad query fails the update, not a later page)
-              val df0 = tables.getOrElse(s.table,
-                return (400, err("query update requires a table-backed session")))
-              Audit.audited(auditor, auditType, id,
-                user = params.getOrElse("user", "anonymous"), query = q2,
-                syntax = s.syntax, logicName = "update",
-                timeMillis = System.currentTimeMillis()) {
-                logic.query(df0, q2, QueryParams(syntax = s.syntax)).persist()
-              }
-          }
-          val missing = orderCols.filterNot(c =>
-            newDf.columns.exists(_.equalsIgnoreCase(c)))
-          if (missing.nonEmpty) {
-            if (!(newDf eq s.df)) newDf.unpersist()
-            return (400, err(s"unknown orderBy column(s): ${missing.mkString(", ")}"))
-          }
-          // paging position is KEPT (the durable cursor offset survives
-          // the swap); subsequent pages read the updated definition
-          val running = new RunningQuery(cursor, id, newDf, orderCols,
-            pageSize, startPage = s.running.pagesServed)
-          val updated = s.copy(df = newDf, running = running,
-            orderCols = orderCols, pageSize = pageSize,
-            query = newQuery.getOrElse(s.query))
-          // the swap is a CAS on the EXACT session we read: a concurrent
-          // close (must not be resurrected) OR close-then-resume (the
-          // resumed session must not be clobbered and its frame leaked)
-          // both fail the identity check and refuse the stale update
+          // the CAS identity check runs BEFORE the audit: under ACTIVE
+          // auditing the trail must never record a definition change the
+          // 409 path then refuses to apply (the reference audits exactly
+          // the updates it applies). Every session-map mutator holds
+          // shareLock, so once the identity holds here nothing can change
+          // it before our put — audit-then-apply is atomic. The re-plan
+          // under the lock is schema resolution only (no jobs run).
           shareLock.synchronized {
             if (!(sessions.get(id).asInstanceOf[AnyRef] eq
-                s.asInstanceOf[AnyRef])) {
-              if (!(newDf eq s.df)) newDf.unpersist()
+                s.asInstanceOf[AnyRef]))
               return (409, err("query changed concurrently; retry the update"))
+            val newDf = newQuery match {
+              case None => s.df
+              case Some(q2) =>
+                // the reference audits BEFORE applying an auditable
+                // update and fails the update on audit error; then the
+                // new text re-plans (a bad query fails the update, not a
+                // later page)
+                val df0 = tables.getOrElse(s.table,
+                  return (400, err("query update requires a table-backed session")))
+                Audit.audited(auditor, auditType, id,
+                  user = params.getOrElse("user", "anonymous"), query = q2,
+                  syntax = s.syntax, logicName = "update",
+                  timeMillis = System.currentTimeMillis()) {
+                  logic.query(df0, q2, QueryParams(syntax = s.syntax)).persist()
+                }
             }
+            val missing = orderCols.filterNot(c =>
+              newDf.columns.exists(_.equalsIgnoreCase(c)))
+            if (missing.nonEmpty) {
+              if (!(newDf eq s.df)) newDf.unpersist()
+              return (400, err(s"unknown orderBy column(s): ${missing.mkString(", ")}"))
+            }
+            // paging position is KEPT (the durable cursor offset survives
+            // the swap); subsequent pages read the updated definition
+            val running = new RunningQuery(cursor, id, newDf, orderCols,
+              pageSize, startPage = s.running.pagesServed)
+            val updated = s.copy(df = newDf, running = running,
+              orderCols = orderCols, pageSize = pageSize,
+              query = newQuery.getOrElse(s.query))
             sessions.put(id, updated)
             if (!(newDf eq s.df)) release(s) // ref-counted old frame drop
             persistSession(id, updated)
@@ -455,12 +471,29 @@ final class QueryServer(
     else (404, err("unknown queryId"))
 
   /** Shared close/cancel teardown: remove the session, release its
-    * frame (ref-counted), drop cursor state. */
+    * frame (ref-counted), drop cursor state AND the durable definition.
+    * A session may exist only on disk (server restarted, nothing paged
+    * since) — close must still delete the stored definition + cursor,
+    * matching the reference storage-service delete-on-close, or the
+    * file leaks and a later `/query/next` silently resurrects the
+    * supposedly-closed query. Aliases the query loaded via
+    * `/cachedresults/load` drop with it (alias-scoped teardown). */
   private def teardown(id: String): Boolean =
     shareLock.synchronized {
+      import scala.jdk.CollectionConverters._
+      val owned =
+        loadedAliases.asScala.collect { case (a, q) if q == id => a }.toSeq
+      owned.foreach { a =>
+        tables.values.headOption
+          .foreach(_.sparkSession.catalog.dropTempView(a))
+        loadedAliases.remove(a)
+      }
       Option(sessions.remove(id)) match {
         case Some(s) => release(s); cursor.close(id); dropSessionFile(id); true
-        case None => false
+        case None =>
+          val hadFile = java.nio.file.Files.exists(sessionFile(id))
+          if (hadFile) { cursor.close(id); dropSessionFile(id) }
+          hadFile
       }
     }
 
@@ -535,15 +568,40 @@ final class QueryServer(
     * as a temp view natively). The session stays open — closing it later
     * drops the cache but the view definition remains valid (re-plans). */
   private def cachedLoad(params: Map[String, String]): (Int, String) =
-    session(params) match {
+    shareLock.synchronized { session(params) match {
       case None => (404, err("unknown queryId"))
       case Some(s) =>
         val alias = params.getOrElse("alias", return (400, err("missing 'alias'")))
         if (!alias.matches("[A-Za-z_][A-Za-z0-9_]*"))
           return (400, err(s"invalid alias '$alias'"))
+        val id = qid(params)
+        // an alias another live query already exported must not be
+        // silently rebound under a caller mid-way through
+        // /cachedresults/sql — first-writer-wins until its owner closes
+        // (re-load by the SAME query is a no-op refresh)
+        val owner = loadedAliases.putIfAbsent(alias.toLowerCase, id)
+        if (owner != null && owner != id)
+          return (409, err(s"alias '$alias' is bound to another query"))
         s.df.createOrReplaceTempView(alias)
         (200, s"""{"view": ${quote(alias)}}""")
-    }
+    } }
+
+  /** `POST /cachedresults/update?id=…&alias=A` — the reference's
+    * CachedResults `update` (CachedResultsBean update: re-point the
+    * caller's alias at a different finished query). Only the alias's
+    * CURRENT owner may be replaced, and the new owner takes over the
+    * alias-scoped teardown — closing the old query no longer drops it. */
+  private def cachedUpdate(params: Map[String, String]): (Int, String) =
+    shareLock.synchronized { session(params) match {
+      case None => (404, err("unknown queryId"))
+      case Some(s) =>
+        val alias = params.getOrElse("alias", return (400, err("missing 'alias'")))
+        if (!loadedAliases.containsKey(alias.toLowerCase))
+          return (404, err(s"alias '$alias' is not loaded"))
+        loadedAliases.put(alias.toLowerCase, qid(params))
+        s.df.createOrReplaceTempView(alias)
+        (200, s"""{"view": ${quote(alias)}}""")
+    } }
 
   /** `GET /cachedresults/sql?sql=…[&pageSize=N]` — CachedResults
     * retrieval: arbitrary SELECT over the loaded view(s)
@@ -562,15 +620,36 @@ final class QueryServer(
       // gate on the PARSED plan, not string prefixes: a WITH-prefixed
       // INSERT parses fine and a head-keyword check would let it mutate
       // the shared catalog/filesystem through this verb. Any Command
-      // (DDL, SET, …) or insert node anywhere in the plan is refused.
+      // (DDL, SET, …) or insert node anywhere in the plan (subqueries
+      // included) is refused.
       val parsed = spark.sessionState.sqlParser.parsePlan(sql)
-      val mutating = parsed.collectFirst {
+      val mutating = parsed.collectWithSubqueries {
         case c: org.apache.spark.sql.catalyst.plans.logical.Command => c
         case i: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement => i
         case d: org.apache.spark.sql.catalyst.plans.logical.InsertIntoDir => d
-      }
+      }.headOption
       require(mutating.isEmpty,
         s"only SELECT statements are allowed, got ${mutating.get.nodeName}")
+      // SELECT-only is not enough: runSQLOnFiles makes
+      // `FROM parquet.`/any/path`` (or text.`/etc/hosts`) a read of the
+      // server's entire filesystem, and bare identifiers can reach temp
+      // views other callers registered. The reference's CachedResults
+      // retrieval only ever reads its OWN exported table — so every
+      // relation must be an alias loaded via /cachedresults/load (CTE
+      // names defined by the statement itself are local and fine).
+      val cteNames = parsed.collectWithSubqueries {
+        case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+          w.cteRelations.map(_._1.toLowerCase)
+      }.flatten.toSet
+      val unknown = parsed.collectWithSubqueries {
+        case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+          r.multipartIdentifier
+      }.filterNot(ident => ident.length == 1 &&
+        (cteNames(ident.head.toLowerCase) ||
+          loadedAliases.containsKey(ident.head.toLowerCase)))
+      require(unknown.isEmpty,
+        s"unknown relation '${unknown.headOption.map(_.mkString(".")).getOrElse("")}':" +
+          " only aliases loaded via /cachedresults/load are queryable")
       val rows = spark.sql(sql).limit(pageSize).toJSON.collect()
       (200, s"""{"rows": [${rows.mkString(",")}]}""")
     } catch { case e: Exception => (400, err(e.getMessage)) }

@@ -145,4 +145,81 @@ class ServerResumeSpec extends SparkSpec {
       assert(t2.body().contains("\"partial\": false"), t2.body().take(300))
     } finally srv.stop()
   }
+
+  test("close of a durable-only session deletes the stored definition (no resurrect)") {
+    val stateDir =
+      java.nio.file.Files.createTempDirectory("graft-resume2").toString
+    val df = (1 to 10).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    val tables = Map("t" -> df)
+    val srv1 = new QueryServer(tables, stateDir = stateDir)
+    val p1 = srv1.start()
+    val created = post(s"http://127.0.0.1:$p1/query/create?table=t&query=" +
+      java.net.URLEncoder.encode("ID >= 1", "UTF-8") + "&pageSize=5&orderBy=id")
+    val id = "\"queryId\": \"([0-9a-f]+)\"".r
+      .findFirstMatchIn(created.body()).get.group(1)
+    srv1.stop() // restart BEFORE any page on the new server
+    val srv2 = new QueryServer(tables, stateDir = stateDir)
+    val p2 = srv2.start()
+    try {
+      // close with NO in-memory session must still find and delete the
+      // durable definition (reference storage-service delete-on-close) —
+      // not 404 — and nothing may resurrect the query afterwards
+      assert(post(s"http://127.0.0.1:$p2/query/close?id=$id").statusCode() == 200)
+      assert(get(s"http://127.0.0.1:$p2/query/next?id=$id").statusCode() == 404)
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(stateDir, "sessions", s"$id.properties")))
+      // a second close reports unknown
+      assert(post(s"http://127.0.0.1:$p2/query/close?id=$id").statusCode() == 404)
+    } finally srv2.stop()
+  }
+
+  test("cached SQL: only loaded aliases resolve; aliases are owned and drop on close") {
+    val df = (1 to 20).map(i => (i.toLong, (i % 4).toLong)).toDF("id", "grp")
+    val srv = new QueryServer(tables = Map("t" -> df))
+    val port = srv.start()
+    try {
+      def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+      def createQ(): String = {
+        val c = post(s"http://127.0.0.1:$port/query/create?table=t&query=" +
+          enc("ID >= 1"))
+        "\"queryId\": \"([0-9a-f]+)\"".r.findFirstMatchIn(c.body()).get.group(1)
+      }
+      val id1 = createQ()
+      assert(post(s"http://127.0.0.1:$port/cachedresults/load?id=$id1&alias=cr1")
+        .statusCode() == 200)
+      assert(get(s"http://127.0.0.1:$port/cachedresults/sql?sql=" +
+        enc("SELECT count(*) AS c FROM cr1")).statusCode() == 200)
+      // a file-source relation is NOT a loaded alias: the server must not
+      // become a window onto its own filesystem (runSQLOnFiles)
+      val fs = get(s"http://127.0.0.1:$port/cachedresults/sql?sql=" +
+        enc("SELECT * FROM text.`/etc/hosts`"))
+      assert(fs.statusCode() == 400 && fs.body().contains("unknown relation"),
+        fs.body())
+      // a temp view registered by some OTHER caller is equally invisible
+      df.sparkSession.range(3).toDF("x").createOrReplaceTempView("foreign_view")
+      val fv = get(s"http://127.0.0.1:$port/cachedresults/sql?sql=" +
+        enc("SELECT * FROM foreign_view"))
+      assert(fv.statusCode() == 400 && fv.body().contains("unknown relation"),
+        fv.body())
+      // CTE names local to the statement resolve fine
+      assert(get(s"http://127.0.0.1:$port/cachedresults/sql?sql=" +
+        enc("WITH w AS (SELECT grp FROM cr1) SELECT count(*) AS c FROM w"))
+        .statusCode() == 200)
+      // alias ownership: a different query cannot rebind a live alias…
+      val id2 = createQ()
+      assert(post(s"http://127.0.0.1:$port/cachedresults/load?id=$id2&alias=cr1")
+        .statusCode() == 409)
+      // …but /cachedresults/update re-points it explicitly
+      assert(post(s"http://127.0.0.1:$port/cachedresults/update?id=$id2&alias=cr1")
+        .statusCode() == 200)
+      // the alias now survives id1's close (id2 owns it)…
+      assert(post(s"http://127.0.0.1:$port/query/close?id=$id1").statusCode() == 200)
+      assert(get(s"http://127.0.0.1:$port/cachedresults/sql?sql=" +
+        enc("SELECT count(*) AS c FROM cr1")).statusCode() == 200)
+      // …and drops with its owner (alias-scoped teardown)
+      assert(post(s"http://127.0.0.1:$port/query/close?id=$id2").statusCode() == 200)
+      assert(get(s"http://127.0.0.1:$port/cachedresults/sql?sql=" +
+        enc("SELECT count(*) AS c FROM cr1")).statusCode() == 400)
+    } finally srv.stop()
+  }
 }
