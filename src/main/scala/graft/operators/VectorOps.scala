@@ -579,4 +579,134 @@ object VectorOps {
       .limit(k)
       .select("vec_id", "sim")
   }
+
+  // ---- PQ as a persisted index + batched multi-probe search ---------
+  // The search above retrains codebooks and re-encodes the corpus per
+  // call — fine as a demo, wrong as a deployment. The production shape
+  // (the reference's write-once global index consulted per query,
+  // ShardedDataTypeHandler.java:86-101) is: train + encode ONCE, write
+  // the codes and codebooks as tables, then serve every probe — and
+  // every BATCH of probes — off the stored codes. A pipeline that
+  // queries thousands of needles amortizes ONE code-column scan across
+  // all of them: each probe contributes only an m×codeK LUT (driver
+  // literal), the scan computes every probe's ADC distance in the same
+  // pass, and a per-probe group-limit (Spark rewrites the rank filter
+  // into WindowGroupLimit — a map-side local top-k BEFORE the shuffle)
+  // keeps the shuffle at O(partitions × probes × shortlist), never
+  // O(n × probes).
+
+  /** Train codebooks and encode the corpus ONCE; write both as tables
+    * under `dir` (`codes`: (vec_id, code ARRAY<INT>); `codebooks`:
+    * (j, c, centroid ARRAY<DOUBLE>)). Returns the trained codebooks so
+    * the writer can search immediately without re-reading. */
+  def pqWriteIndex(emb: DataFrame, dir: String, m: Int = 8,
+                   codeK: Int = 16, iters: Int = 2): Seq[Seq[Seq[Double]]] = {
+    val spark = emb.sparkSession
+    val normed = pqNormalized(emb).persist()
+    try {
+      val books = pqCodebooksFromNormed(normed, m, codeK, iters)
+      import spark.implicits._
+      val bookRows = for {
+        (book, j) <- books.zipWithIndex; (cen, c) <- book.zipWithIndex
+      } yield (j, c, cen)
+      // model-sized (m·codeK rows) — one file
+      spark.createDataset(bookRows).toDF("j", "c", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+      normed.select(col("vec_id"), pqEncode(col("nv"), books).as("code"))
+        .write.mode("overwrite").parquet(s"$dir/codes")
+      books
+    } finally normed.unpersist()
+  }
+
+  /** Load a written index: the codes FRAME (stays distributed — this is
+    * the 32×-smaller column every search scans) and the codebooks as a
+    * driver model (m·codeK·dsub doubles). */
+  def pqReadIndex(spark: SparkSession, dir: String)
+      : (DataFrame, Seq[Seq[Seq[Double]]]) = {
+    val books = spark.read.parquet(s"$dir/codebooks")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3.toSeq).toSeq)
+    (spark.read.parquet(s"$dir/codes"), books)
+  }
+
+  /** One scan of the stored codes serving N probes: per-probe ADC
+    * distances from one stacked LUT literal, then a per-probe
+    * `shortlist`-limit. Returns (probe_id, vec_id, dist) — the
+    * candidate set each probe re-ranks. Public so the plan shape is
+    * assertable: reads ONLY the code column (no encode, no raw
+    * vectors), and the rank filter must show as WindowGroupLimit. */
+  def pqAdcShortlistBatch(codes: DataFrame,
+                          books: Seq[Seq[Seq[Double]]],
+                          probes: Seq[(Long, Seq[Double])],
+                          shortlist: Int): DataFrame = {
+    require(probes.nonEmpty, "need at least one probe")
+    val m = books.size
+    val dsub = books.head.head.size
+    // N stacked LUTs: lutAll(p)(j)(c) = ‖probe_p[j] − centroid_{j,c}‖²
+    val lutAll: Seq[Seq[Seq[Double]]] = probes.map { case (_, pn) =>
+      (0 until m).map(j =>
+        books(j).map(cen => l2sq(pn.slice(j * dsub, (j + 1) * dsub), cen)))
+    }
+    val lutCol = typedLit(lutAll)
+    val probeIdLit = typedLit(probes.map(_._1))
+    // every probe's distance computed in the SAME pass over the codes —
+    // m lookups + adds per probe per row, raw vectors never read
+    val distArr = array(probes.indices.map { p =>
+      aggregate(zip_with(col("code"), sequence(lit(0), lit(m - 1)),
+        (c, j) => lutCol(p)(j)(c)), lit(0.0), (acc, x) => acc + x)
+    }: _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("p")).orderBy(col("dist").asc, col("vec_id").asc)
+    codes
+      .select(col("vec_id"), posexplode(distArr).as(Seq("p", "dist")))
+      .withColumn("probe_id", probeIdLit(col("p")))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= shortlist)
+      .select(col("probe_id"), col("vec_id"), col("dist"))
+  }
+
+  /** Batched PQ search over a PERSISTED index: shortlist every probe
+    * from one scan of the stored codes ([[pqAdcShortlistBatch]]), then
+    * exact-cosine re-rank ONLY the union shortlist (one InSet needle
+    * fetch of raw vectors serves all probes; per-probe top-k over
+    * probes×shortlist rows is driver-bounded). Returns
+    * (probe_id, vec_id, sim), k rows per probe. Zero training and zero
+    * encode jobs — the index is read-only here, which is what lets a
+    * second (and thousandth) batch reuse it. */
+  def pqTopKBatch(emb: DataFrame, codes: DataFrame,
+                  books: Seq[Seq[Seq[Double]]], probeIds: Seq[Long],
+                  k: Int, shortlist: Int = 100): DataFrame = {
+    val spark = emb.sparkSession
+    // all probe vectors in ONE lookup job
+    val fetched = emb.filter(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> normalizeVec(r.getSeq[Double](1)))
+      .toMap
+    val missing = probeIds.filterNot(fetched.contains)
+    require(missing.isEmpty, s"unknown probe id(s): ${missing.mkString(",")}")
+    val probes = probeIds.map(pid => pid -> fetched(pid))
+    // the shortlist is the needle-set contract: ≤ probes×shortlist rows,
+    // collected eagerly so the returned frame depends only on raw
+    // vectors (the index files are not re-read at execution time)
+    val pairs = pqAdcShortlistBatch(codes, books, probes, shortlist)
+      .select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val unionIds = pairs.map(_._2).distinct
+    import spark.implicits._
+    val pairsDf = spark.createDataset(pairs).toDF("probe_id", "vec_id")
+    val probeMap = map(probes.flatMap { case (pid, pn) =>
+      Seq(lit(pid), typedLit(pn)) }: _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    emb.filter(col("vec_id").isin(unionIds: _*))
+      .join(broadcast(pairsDf), Seq("vec_id"))
+      .withColumn("sim",
+        cosine(col("embedding"), element_at(probeMap, col("probe_id"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("vec_id"), col("sim"))
+  }
 }

@@ -147,6 +147,46 @@ object PipelineQueries {
       k = 10, minHits = 8)
   }
 
+  /** PQ as a PERSISTED index serving a batched multi-probe search: the
+    * codebooks + code column are trained/encoded ONCE and written as
+    * tables, then three probes are answered from one scan of the stored
+    * codes (stacked per-probe LUTs, WindowGroupLimit shortlist) and one
+    * shared exact re-rank over the union shortlist. Per-probe recall
+    * ≥ 8/10 vs brute force — the write-once/read-many contract is what
+    * makes PQ the storage half of billion-scale ANN (PqIndexSpec pins
+    * that the search itself runs zero train/encode jobs). */
+  def annPqBatch(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-index")
+    try {
+      // codeK=32 + two Lloyd rounds: measured per-probe hits at
+      // shortlist 200 are 10/10/10 (sf0.01) and 10/9/10 (sf0.1) —
+      // probe 7 sits in a dense region and needs the finer codebooks
+      // (codeK=16/iters=1 dips to 6/10 at sf0.1)
+      VectorOps.pqWriteIndex(emb, dir.toString, m = 8, codeK = 32, iters = 2)
+      // read the index back — the search must run off the STORED tables
+      val (codes, books) = VectorOps.pqReadIndex(s, dir.toString)
+      val probeIds = Seq(0L, 7L, 42L)
+      val approx = VectorOps.pqTopKBatch(emb, codes, books, probeIds,
+        k = 10, shortlist = 200)
+      val exact = probeIds.map(p =>
+          VectorOps.bruteForceTopK(emb, p, k = 10)
+            .select(lit(p).as("probe_id"), col("vec_id")))
+        .reduce(_.unionAll(_))
+      // the shortlist pairs collected eagerly above — the index files
+      // are no longer referenced by the returned plan, so the temp
+      // index can be dropped in the finally
+      approx.select("probe_id", "vec_id").join(exact, Seq("probe_id", "vec_id"))
+        .groupBy("probe_id").agg(count(lit(1)).as("hits"))
+        .select(col("probe_id"), lit(10L).as("k"),
+          (col("hits") >= 8).as("recall_ok"))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   /** PII audit + scrub. The synthetic corpus is clean by construction, so
     * the gate augments each document with deterministic PII derived from
     * its id (email, IP, phone, card — same derivation in the oracle) and
@@ -235,6 +275,7 @@ object PipelineQueries {
     "ann_lsh_recall" -> annLshRecall _,
     "ann_ivf_recall" -> annIvfRecall _,
     "ann_pq_recall" -> annPqRecall _,
+    "ann_pq_batch" -> annPqBatch _,
   )
 
   private val toksSql =
@@ -614,5 +655,9 @@ object PipelineQueries {
     "ann_lsh_recall" -> "SELECT CAST(10 AS BIGINT) AS k, true AS recall_ok",
     "ann_ivf_recall" -> "SELECT CAST(10 AS BIGINT) AS k, true AS recall_ok",
     "ann_pq_recall" -> "SELECT CAST(10 AS BIGINT) AS k, true AS recall_ok",
+    "ann_pq_batch" ->
+      """SELECT CAST(probe_id AS BIGINT) AS probe_id,
+        |   CAST(10 AS BIGINT) AS k, true AS recall_ok
+        | FROM (VALUES (0), (7), (42)) AS t(probe_id)""".stripMargin,
   )
 }

@@ -1,0 +1,124 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** PQ as a persisted index: codes + codebooks written ONCE, every later
+  * batch search served off the stored tables with zero train/encode
+  * work — the write-once/read-many contract of storage-side ANN. */
+class PqIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 60 deterministic 8-dim vectors in two well-separated lobes, so
+  // nearest neighbours are unambiguous and PQ recall is stable
+  private def corpus = {
+    val rows = (0L until 60L).map { i =>
+      val lobe = if (i % 2 == 0) 1.0f else -1.0f
+      val v = (0 until 8).map(dd =>
+        lobe * (1.0f + 0.01f * ((i * 7 + dd * 3) % 10)) +
+          (if (dd % 2 == 0) 0.1f else -0.1f) * ((i % 5).toFloat))
+      (i, v.toArray)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("batch search off a stored index: per-probe top-k matches brute force, index reused untouched") {
+    val emb = corpus.cache()
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-spec").toString
+    VectorOps.pqWriteIndex(emb, dir, m = 4, codeK = 8, iters = 2)
+    val (codes, books) = VectorOps.pqReadIndex(spark, dir)
+    assert(codes.columns.toSeq == Seq("vec_id", "code"))
+    assert(books.size == 4 && books.head.size == 8 && books.head.head.size == 2)
+
+    val probeIds = Seq(0L, 1L, 5L)
+    val got = VectorOps.pqTopKBatch(emb, codes, books, probeIds, k = 5,
+        shortlist = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // k rows per probe, no self-hits
+    assert(got.size == 15 && got.forall { case (p, v) => p != v })
+    probeIds.foreach { p =>
+      val exact = VectorOps.bruteForceTopK(emb, p, 5)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val approx = got.filter(_._1 == p).map(_._2).toSet
+      assert((approx & exact).size >= 4, s"probe $p: $approx vs $exact")
+    }
+  }
+
+  test("the shortlist scan reads ONLY stored codes (no encode, WindowGroupLimit, no raw vectors)") {
+    val emb = corpus
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-spec2").toString
+    VectorOps.pqWriteIndex(emb, dir, m = 4, codeK = 8, iters = 1)
+    val (codes, books) = VectorOps.pqReadIndex(spark, dir)
+    val probes = Seq(
+      0L -> (0 until 8).map(_ => 0.5), 1L -> (0 until 8).map(_ => -0.5))
+    val plan = VectorOps.pqAdcShortlistBatch(codes, books, probes, 10)
+      .queryExecution.executedPlan.toString
+    // one FileScan of the codes table; the rank filter became a
+    // map-side group-limit; the raw embedding column never appears
+    assert(plan.contains("codes") && !plan.contains("embedding"), plan)
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("a second batch re-executes NOTHING but probe fetch, code-scan shortlist, needle re-rank") {
+    val emb = corpus.cache()
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-spec3").toString
+    VectorOps.pqWriteIndex(emb, dir, m = 4, codeK = 8, iters = 1)
+    val (codes, books) = VectorOps.pqReadIndex(spark, dir)
+    val first = VectorOps.pqTopKBatch(emb, codes, books, Seq(0L, 1L), k = 5)
+      .collect().toSeq
+    // record every query execution the SECOND search triggers: probe
+    // fetch + shortlist collect (inside pqTopKBatch) + the final
+    // collect = exactly 3. A re-train (stride sample + per-round mean
+    // aggregate) or re-encode would surface as extra executions and as
+    // un-needled scans of the corpus — both asserted absent.
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val ql = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(name: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = plans.add(qe.executedPlan.toString)
+      override def onFailure(name: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(ql)
+    try {
+      val second = VectorOps.pqTopKBatch(emb, codes, books, Seq(0L, 1L), k = 5)
+        .collect().toSeq
+      assert(second == first)
+      // the listener bus is async: wait for the count to settle
+      var last = -1
+      var spins = 0
+      while (plans.size != last && spins < 50) {
+        last = plans.size; Thread.sleep(100); spins += 1
+      }
+      import scala.jdk.CollectionConverters._
+      val ps = plans.asScala.toSeq
+      assert(ps.size == 3, s"expected 3 executions, got ${ps.size}")
+      // the shortlist execution reads the stored codes, never raw vectors
+      assert(ps.exists(p => p.contains("codes") && !p.contains("embedding")))
+      // every execution touching the corpus is needle-bounded on vec_id
+      ps.filter(_.contains("embedding")).foreach { p =>
+        assert(p.contains("vec_id") && (p.contains(" IN ") || p.contains("INSET")
+          || p.contains("isin") || p.contains("IN (")), p)
+      }
+    } finally spark.listenerManager.unregister(ql)
+  }
+
+  test("stacked-LUT batch shortlist is identical to the single-probe ADC path per probe") {
+    val emb = corpus
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-spec4").toString
+    val books = VectorOps.pqWriteIndex(emb, dir, m = 4, codeK = 8, iters = 1)
+    val (codes, _) = VectorOps.pqReadIndex(spark, dir)
+    val single = VectorOps.pqTopK(emb, probeId = 0L, k = 10, m = 4,
+        codeK = 8, books0 = Some(books))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val probe0 = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val n0 = { val nrm = math.sqrt(probe0.map(x => x * x).sum)
+      probe0.map(_ / nrm) }
+    val batch = VectorOps.pqAdcShortlistBatch(codes, books, Seq(0L -> n0), 10)
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(batch == single)
+  }
+}
