@@ -202,10 +202,17 @@ object ServiceQueries {
     QueryMetrics.clear()
     val logic = new ShardQueryLogic()
     val ev = Tables.events(s, d)
-    QueryMetrics.instrumented(logic, "qp1", ev, "EVENT_TYPE == 'click'")
-    QueryMetrics.instrumented(logic, "qp2", ev, "EVENT_TYPE == 'view'")
+    QueryMetrics.instrumented(logic, "qp1", ev, "EVENT_TYPE == 'click'",
+      logicName = "events")
+    QueryMetrics.instrumented(logic, "qp2", ev, "EVENT_TYPE == 'view'",
+      logicName = "events")
+    // a different logic's history must NOT leak into the prediction —
+    // the oracle's mean is over the two events runs only, so a
+    // cross-logic mean (÷3) would hash-mismatch
+    QueryMetrics.instrumented(logic, "qp3", Tables.orders(s, d),
+      "O_ORDERSTATUS == 'F'", logicName = "orders")
     val planned = logic.query(ev, "EVENT_TYPE == 'purchase'")
-    val preds = Predict.predict(planned,
+    val preds = Predict.predict(planned, "events",
       Seq(new Predict.HistoryPredictor(() => QueryMetrics.all)))
       .filter(p => p.name == "PREDICTED_ROWS" || p.name == "HISTORY_SAMPLES")
     Predict.toDF(s, preds)
@@ -321,6 +328,48 @@ object ServiceQueries {
     QueryMetrics.summary(s, end)
   }
 
+  /** Metrics survive the process (warehouse/metrics-core: the reference
+    * ingests query metrics into the shard schema, so `/summary` reads
+    * ONE history across servers and restarts): server 1 creates and
+    * fully drains a paged query, then STOPS — flushing its metric
+    * ledger to the lake tables under stateDir. A BRAND-NEW server over
+    * the same stateDir serves `/query/metrics/summary` from the table:
+    * the dead server's query, page count, and page rows are all there.
+    * Deterministic because the query was created "now" relative to the
+    * summary end — it lands in every window bucket. */
+  def queryMetricsDurable(s: SparkSession, d: String): DataFrame = {
+    val stateDir =
+      java.nio.file.Files.createTempDirectory("graft-metrics").toString
+    val tables = Map("orders" -> Tables.orders(s, d))
+    val srv1 = new QueryServer(tables, stateDir = stateDir)
+    val p1 = srv1.start()
+    val id = try {
+      val svc = new RemoteQueryService(s"http://127.0.0.1:$p1")
+      val qid = svc.createQuery("orders", "O_ORDERSTATUS == 'F'",
+        pageSize = 10000, orderBy = Seq("o_orderkey"))
+      var page = svc.nextPage(qid)
+      while (page.nonEmpty) page = svc.nextPage(qid)
+      qid
+    } finally srv1.stop() // flush: pending metric rows become the table
+    val srv2 = new QueryServer(tables, stateDir = stateDir)
+    val p2 = srv2.start()
+    try {
+      val svc2 = new RemoteQueryService(s"http://127.0.0.1:$p2")
+      val rows = svc2.metricsSummary()
+      import s.implicits._
+      s.read.json(s.createDataset(rows))
+        .select(col("bucket"), col("ord").cast("int").as("ord"),
+          col("queryCount").cast("long").as("queryCount"),
+          col("pageCount").cast("long").as("pageCount"),
+          col("pageRows").cast("long").as("pageRows"))
+    } finally {
+      // the durable definition would otherwise leak in stateDir
+      val svc2 = new RemoteQueryService(s"http://127.0.0.1:$p2")
+      try svc2.close(id) catch { case _: Exception => () }
+      srv2.stop()
+    }
+  }
+
   /** DashboardQueryLogic: three instrumented queries (one selector, two
     * selectors, and a zero-result probe) roll up into one bucketed
     * DashboardSummary row. Latency buckets are runtime-dependent and are
@@ -397,6 +446,7 @@ object ServiceQueries {
     "query_pages" -> queryPages _,
     "query_metrics" -> queryMetrics _,
     "query_metrics_summary" -> queryMetricsSummary _,
+    "query_metrics_durable" -> queryMetricsDurable _,
     "dashboard_query" -> dashboardQuery _,
     "composite_query" -> compositeQuery _,
     "filtered_query" -> filteredQuery _,
@@ -460,6 +510,18 @@ object ServiceQueries {
         |UNION ALL SELECT 'day60', 7, 3, pf + po + pp, f + o + p FROM pc
         |UNION ALL SELECT 'day90', 8, 3, pf + po + pp, f + o + p FROM pc
         |UNION ALL SELECT 'all', 9, 3, pf + po + pp, f + o + p FROM pc""".stripMargin,
+    // the restarted server reports the dead server's one query in every
+    // bucket (created "now" relative to the summary end)
+    "query_metrics_durable" ->
+      """WITH n AS (SELECT count(*) AS c FROM orders
+        |  WHERE o_orderstatus = 'F')
+        |SELECT t.bucket, CAST(t.ord AS INT) AS ord,
+        |   CAST(1 AS BIGINT) AS "queryCount",
+        |   CAST(CEIL(c / 10000.0) AS BIGINT) AS "pageCount",
+        |   CAST(c AS BIGINT) AS "pageRows"
+        |FROM (VALUES ('hour1', 1), ('hour6', 2), ('hour12', 3),
+        |   ('day1', 4), ('day7', 5), ('day30', 6), ('day60', 7),
+        |   ('day90', 8), ('all', 9)) AS t(bucket, ord), n""".stripMargin,
     // bucket arithmetic over the three probes' deterministic result counts
     "dashboard_query" ->
       """WITH c AS (

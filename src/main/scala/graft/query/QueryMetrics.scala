@@ -18,7 +18,8 @@ final case class QueryMetric(
     resultRows: Long,
     error: Boolean = false,
     selectors: Long = 1,
-    user: String = "anonymous")
+    user: String = "anonymous",
+    logicName: String = "")
 
 /** Per-page metric (QueryMetric.PageMetric analog — the reference emits
   * one per `next()` call with pagesize/returnTime, RunningQuery:331). */
@@ -65,18 +66,21 @@ object QueryMetrics {
   def instrumented(logic: ShardQueryLogic, queryId: String,
                    events: DataFrame, q: String,
                    params: QueryParams = QueryParams(),
-                   selectors: Long = 1): DataFrame = {
+                   selectors: Long = 1,
+                   logicName: String = ""): DataFrame = {
     val t0 = System.currentTimeMillis()
     try {
       val out = logic.query(events, q, params)
       val n = out.count()
       record(QueryMetric(queryId, q, params.syntax, t0,
-        System.currentTimeMillis() - t0, n, error = false, selectors))
+        System.currentTimeMillis() - t0, n, error = false, selectors,
+        logicName = logicName))
       out
     } catch {
       case e: Throwable =>
         record(QueryMetric(queryId, q, params.syntax, t0,
-          System.currentTimeMillis() - t0, 0, error = true, selectors))
+          System.currentTimeMillis() - t0, 0, error = true, selectors,
+          logicName = logicName))
         throw e
     }
   }
@@ -93,8 +97,18 @@ object QueryMetrics {
     * The metric store is driver-resident; the whole summary is a
     * tiny-frame aggregate. */
   def summary(spark: SparkSession, endMillis: Long,
-              forUser: Option[String] = None): DataFrame = {
+              forUser: Option[String] = None): DataFrame =
+    summaryFrom(toDF(spark), pagesDF(spark), endMillis, forUser)
+
+  /** The binning core over EXPLICIT metric/page frames — the same
+    * summary served from the driver-resident ledgers (above) or from a
+    * [[MetricsStore]]'s lake tables (the restart-surviving path the
+    * QueryServer endpoint uses). */
+  def summaryFrom(metricsIn: DataFrame, pagesIn: DataFrame,
+                  endMillis: Long,
+                  forUser: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.functions._
+    val spark = metricsIn.sparkSession
     import spark.implicits._
     val H = 3600000L
     val D = 24L * H
@@ -104,9 +118,9 @@ object QueryMetrics {
       ("day60", 7, 60 * D), ("day90", 8, 90 * D),
       ("all", 9, Long.MaxValue))
     val buckets = windows.toDF("bucket", "ord", "window")
-    val pages = pagesDF(spark).groupBy("queryId")
+    val pages = pagesIn.groupBy("queryId")
       .agg(count(lit(1)).as("pages"), sum("rows").as("pageRows"))
-    val metrics0 = toDF(spark).join(pages, Seq("queryId"), "left")
+    val metrics0 = metricsIn.join(pages, Seq("queryId"), "left")
     val metrics = forUser.fold(metrics0)(u =>
       metrics0.filter(col("user") === u))
     val binned = metrics.crossJoin(broadcast(buckets))
@@ -173,7 +187,11 @@ final class RunningQuery(
     orderCols: Seq[String],
     pageSize: Int,
     pageTimeoutMillis: Long = Long.MaxValue,
-    startPage: Long = 0L) {
+    startPage: Long = 0L,
+    // where page metrics land: the JVM-wide ledger by default; the
+    // QueryServer routes its pages into a lake-backed MetricsStore so
+    // the ledger survives the process
+    sink: PageMetric => Unit = QueryMetrics.recordPage) {
 
   // startPage seeds the 1-based numbering when a restarted server
   // resumes a durable cursor mid-query: the next served page keeps its
@@ -220,7 +238,7 @@ final class RunningQuery(
       else "COMPLETE"
     if (rows > 0) {
       pageNum += 1
-      QueryMetrics.recordPage(PageMetric(queryId, pageNum, rows, dt, status))
+      sink(PageMetric(queryId, pageNum, rows, dt, status))
     }
     rows
   }

@@ -52,9 +52,7 @@ final class QueryServer(
     uuidTypes: Seq[LookupUUID.UuidType] = Seq.empty,
     auditor: Audit.Auditor = new Audit.CollectingAuditor,
     auditType: Audit.AuditType = Audit.None_,
-    predictors: Seq[Predict.QueryPredictor] =
-      Seq(new Predict.PlanStatsPredictor,
-        new Predict.HistoryPredictor(() => QueryMetrics.all))) {
+    predictors: Seq[Predict.QueryPredictor] = QueryServer.defaultPredictors) {
 
   private final case class Session(df: DataFrame, orderCols: Seq[String],
                                    running: RunningQuery,
@@ -69,6 +67,25 @@ final class QueryServer(
     * window onto the server's whole catalog or filesystem. */
   private val loadedAliases = new ConcurrentHashMap[String, String]()
   private val cursor = new QueryCursor(stateDir)
+  /** Lake-backed metric ledger beside the cursor/session state: query +
+    * page metrics buffer here and flush to parquet on [[stop]], so
+    * `/query/metrics/summary` and the history predictor read ONE
+    * history across restarts and sibling servers (the reference ingests
+    * query metrics back into the shard schema — metrics-core,
+    * QueryMetricQueryLogic). */
+  private[query] val metricsStore = new MetricsStore(s"$stateDir/metrics")
+  private def sparkOf = tables.values.headOption.map(_.sparkSession)
+  private val pageSink: PageMetric => Unit = metricsStore.recordPage
+  /** The stock predictor pair is rebuilt per-instance so its history
+    * predictor reads THIS server's durable store (restart-surviving),
+    * not the JVM-wide buffer; an explicit predictor list is honored
+    * verbatim (empty = NoOp deployment). */
+  private val effectivePredictors: Seq[Predict.QueryPredictor] =
+    if (predictors eq QueryServer.defaultPredictors)
+      Seq(new Predict.PlanStatsPredictor,
+        new Predict.HistoryPredictor(() =>
+          sparkOf.map(metricsStore.history(_)).getOrElse(Seq.empty)))
+    else predictors
   private var server: HttpServer = _
   /** Guards the duplicate read-copy-put against a concurrent
     * close/cancel of the source: without it, teardown can observe "no
@@ -104,7 +121,12 @@ final class QueryServer(
     server.getAddress.getPort
   }
 
-  def stop(): Unit = if (server != null) server.stop(0)
+  def stop(): Unit = {
+    if (server != null) server.stop(0)
+    // one parquet append per table — the pending tail becomes durable
+    // history the next server life (or a sibling) reads
+    sparkOf.foreach(metricsStore.flush)
+  }
 
   // ---- endpoint implementations -------------------------------------
 
@@ -143,11 +165,16 @@ final class QueryServer(
         return (400, err(s"unknown orderBy column(s): ${missing.mkString(", ")}"))
       }
       val running = new RunningQuery(cursor, queryId, result, orderCols,
-        pageSize)
+        pageSize, sink = pageSink)
       val sess = Session(result, orderCols, running, q, qp.syntax, pageSize,
         table)
       sessions.put(queryId, sess)
       persistSession(queryId, sess)
+      // the create itself is a metric event (the reference ingests a
+      // BaseQueryMetric per created query); pages accrue to the same id
+      metricsStore.record(QueryMetric(queryId, q, qp.syntax,
+        System.currentTimeMillis(), 0L, 0L,
+        user = params.getOrElse("user", "anonymous"), logicName = table))
       (200, s"""{"queryId": "$queryId"}""")
     } catch {
       case e: Exception => (400, err(e.getMessage))
@@ -184,9 +211,12 @@ final class QueryServer(
     }
     val orderCols = Seq(result.columns.head)
     val running = new RunningQuery(cursor, queryId, result, orderCols,
-      pageSize)
+      pageSize, sink = pageSink)
     sessions.put(queryId,
       Session(result, orderCols, running, query, syntax, pageSize))
+    metricsStore.record(QueryMetric(queryId, query, syntax,
+      System.currentTimeMillis(), 0L, 0L,
+      user = params.getOrElse("user", "anonymous"), logicName = logicName))
     // the first page rides the create response
     running.nextPageJson() match {
       case Some((rows, pageNum)) =>
@@ -322,7 +352,7 @@ final class QueryServer(
               syntax = s.syntax, logicName = "duplicate",
               timeMillis = System.currentTimeMillis()) { () }
             val running = new RunningQuery(cursor, newId, s.df, s.orderCols,
-              pageSize)
+              pageSize, sink = pageSink)
             val dupSess = s.copy(running = running, pageSize = pageSize)
             sessions.put(newId, dupSess)
             persistSession(newId, dupSess)
@@ -358,11 +388,14 @@ final class QueryServer(
         } catch { case e: Exception => return (400, err(e.getMessage)) }
         cursor.close(id)
         // a reset is a fresh run: its pages restart at 1, so the old
-        // run's ledger must go or the numbers collide
-        QueryMetrics.clearPages(id)
+        // run's LIVE ledger must go or the numbers collide (flushed
+        // pages are immutable history, like the reference's ingested
+        // metrics)
+        metricsStore.clearPendingPages(id)
         val pageSize = if (s.pageSize > 0) s.pageSize else defaultPageSize
         val fresh = s.copy(
-          running = new RunningQuery(cursor, id, s.df, s.orderCols, pageSize))
+          running = new RunningQuery(cursor, id, s.df, s.orderCols, pageSize,
+            sink = pageSink))
         sessions.put(id, fresh)
         // re-persist so the durable (pagesServedBase, offsetBase) track
         // the RESTARTED run — a stale base after a pageSize-changing
@@ -385,7 +418,9 @@ final class QueryServer(
     try {
       val planned = logic.query(df0, q,
         QueryParams(syntax = params.getOrElse("syntax", "JEXL")))
-      val preds = Predict.predict(planned, predictors)
+      // logic-aware: the history predictor prices THIS logic off its
+      // own past runs, never a cross-logic mean
+      val preds = Predict.predict(planned, table, effectivePredictors)
       if (preds.isEmpty) (200, """{"hasResults": false}""")
       else {
         val items = preds.map(p =>
@@ -452,7 +487,7 @@ final class QueryServer(
             // paging position is KEPT (the durable cursor offset survives
             // the swap); subsequent pages read the updated definition
             val running = new RunningQuery(cursor, id, newDf, orderCols,
-              pageSize, startPage = s.running.pagesServed)
+              pageSize, startPage = s.running.pagesServed, sink = pageSink)
             val updated = s.copy(df = newDf, running = running,
               orderCols = orderCols, pageSize = pageSize,
               query = newQuery.getOrElse(s.query))
@@ -555,7 +590,8 @@ final class QueryServer(
   private def metrics(params: Map[String, String]): (Int, String) = {
     val id = qid(params)
     if (!sessions.containsKey(id)) return (404, err("unknown queryId"))
-    val pages = QueryMetrics.pages(id).map(p =>
+    val spark = sparkOf.getOrElse(return (500, err("no tables registered")))
+    val pages = metricsStore.pages(spark, id).map(p =>
       s"""{"page": ${p.pageNum}, "rows": ${p.rows},""" +
         s""" "elapsedMillis": ${p.elapsedMillis}, "status": ${quote(p.status)}}""")
     (200, s"""{"queryId": ${quote(id)}, "pages": [${pages.mkString(",")}]}""")
@@ -663,10 +699,11 @@ final class QueryServer(
     try {
       val end = params.get("end").map(_.toLong)
         .getOrElse(System.currentTimeMillis())
-      val spark = tables.values.headOption
-        .map(_.sparkSession)
-        .getOrElse(return (500, err("no tables registered")))
-      val rows = QueryMetrics.summary(spark, end, params.get("user"))
+      val spark = sparkOf.getOrElse(return (500, err("no tables registered")))
+      // pending ∪ flushed table: a restarted (or sibling) server over
+      // the same stateDir reports the SAME history the dead one built
+      val rows = QueryMetrics.summaryFrom(metricsStore.metricsDF(spark),
+          metricsStore.pagesDF(spark), end, params.get("user"))
         .orderBy("ord").toJSON.collect() // exactly nine bucket rows
       (200, s"""{"buckets": [${rows.mkString(",")}]}""")
     } catch { case e: Exception => (400, err(e.getMessage)) }
@@ -750,7 +787,8 @@ final class QueryServer(
             val running = new RunningQuery(cursor, id, result, orderCols,
               pageSize,
               startPage = math.max(0L, base +
-                (cursor.currentOffset(id) - offBase) / pageSize))
+                (cursor.currentOffset(id) - offBase) / pageSize),
+              sink = pageSink)
             val s = Session(result, orderCols, running,
               p.getProperty("query", ""), qp.syntax, pageSize, table)
             sessions.put(id, s)
@@ -798,4 +836,15 @@ final class QueryServer(
         java.net.URLDecoder.decode(k, "UTF-8") ->
           java.net.URLDecoder.decode(v, "UTF-8")
       }.toMap
+}
+
+object QueryServer {
+  /** The stock predictor set. Referenced by IDENTITY in the
+    * constructor default: a server left on the default swaps in a
+    * store-backed history predictor (so predictions survive restarts);
+    * any explicit list — including `Seq.empty` for a NoOp deployment —
+    * is honored verbatim. */
+  val defaultPredictors: Seq[Predict.QueryPredictor] =
+    Seq(new Predict.PlanStatsPredictor,
+      new Predict.HistoryPredictor(() => QueryMetrics.all))
 }

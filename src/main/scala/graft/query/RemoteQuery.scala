@@ -175,6 +175,20 @@ final class RemoteQueryService(baseUrl: String) {
     else rowsOf(body)
   }
 
+  /** `/query/metrics/summary` (QueryMetricsBean `/summary/all` +
+    * `/summary/user`): the nine ordered time-window buckets as row
+    * documents. */
+  def metricsSummary(end: Option[Long] = None,
+                     user: Option[String] = None): Seq[String] = {
+    val qs = Seq(end.map(e => s"end=$e"), user.map(u => s"user=${enc(u)}"))
+      .flatten.mkString("&")
+    val (status, body) = http("GET",
+      "/query/metrics/summary" + (if (qs.isEmpty) "" else s"?$qs"))
+    if (status != 200)
+      throw new IllegalStateException(s"remote summary failed ($status): $body")
+    splitTopLevel(body.substring(body.indexOf('[') + 1, body.lastIndexOf(']')))
+  }
+
   /** `predict` (QueryExecutorBean `/{logicName}/predict`): named cost
     * predictions for an unexecuted query, raw JSON body. */
   def predict(table: String, query: String, syntax: String = "JEXL"): String = {

@@ -40,28 +40,71 @@ class MetricsSummarySpec extends SparkSpec {
     QueryMetrics.clear()
   }
 
-  test("metrics summary over HTTP: nine ordered buckets, user filter") {
-    QueryMetrics.clear()
-    val end = 1000L * 86400000L
-    QueryMetrics.record(QueryMetric("h1", "q", "JEXL", end - 1000L, 1L, 2L,
-      user = "carol"))
-    val df = Seq((1L, "A")).toDF("id", "grp")
+  test("metrics summary over HTTP reads the server's own durable store, user filter") {
+    val df = (1 to 12).map(i => (i.toLong, "A")).toDF("id", "grp")
     val srv = new QueryServer(tables = Map("people" -> df))
     val port = srv.start()
     val client = HttpClient.newHttpClient()
     def get(url: String): HttpResponse[String] = client.send(
       HttpRequest.newBuilder(URI.create(url)).GET().build(),
       HttpResponse.BodyHandlers.ofString())
+    def post(url: String): HttpResponse[String] = client.send(
+      HttpRequest.newBuilder(URI.create(url))
+        .POST(HttpRequest.BodyPublishers.noBody()).build(),
+      HttpResponse.BodyHandlers.ofString())
     try {
-      val r = get(s"http://127.0.0.1:$port/query/metrics/summary?end=$end")
+      // one real paged run AS carol — the summary must come from the
+      // server's metric store, not the JVM-wide test ledger
+      val created = post(s"http://127.0.0.1:$port/query/create?table=people" +
+        "&query=" + java.net.URLEncoder.encode("ID >= 1", "UTF-8") +
+        "&pageSize=20&user=carol")
+      assert(created.statusCode() == 200, created.body())
+      val id = "\"queryId\": \"([0-9a-f]+)\"".r
+        .findFirstMatchIn(created.body()).get.group(1)
+      assert(get(s"http://127.0.0.1:$port/query/next?id=$id").statusCode() == 200)
+      val r = get(s"http://127.0.0.1:$port/query/metrics/summary")
       assert(r.statusCode() == 200, r.body())
       assert("\"bucket\":".r.findAllIn(r.body()).size == 9, r.body())
       assert(r.body().indexOf("hour1") < r.body().indexOf("day90"),
         "buckets ordered by window")
+      // created "now": the query and its 12-row page land in EVERY bucket
+      assert("\"queryCount\":1".r.findAllIn(r.body()).size == 9, r.body())
+      assert("\"pageRows\":12".r.findAllIn(r.body()).size == 9, r.body())
       val ru = get(
-        s"http://127.0.0.1:$port/query/metrics/summary?end=$end&user=nobody")
+        s"http://127.0.0.1:$port/query/metrics/summary?user=nobody")
       assert(ru.statusCode() == 200 &&
         "\"queryCount\":0".r.findAllIn(ru.body()).size == 9, ru.body())
-    } finally { srv.stop(); QueryMetrics.clear() }
+    } finally srv.stop()
+  }
+
+  test("summary survives a server restart over the same stateDir, with no double count") {
+    val stateDir =
+      java.nio.file.Files.createTempDirectory("graft-msum").toString
+    val df = (1 to 7).map(i => (i.toLong, "A")).toDF("id", "grp")
+    val tables = Map("people" -> df)
+    val client = HttpClient.newHttpClient()
+    def get(url: String): HttpResponse[String] = client.send(
+      HttpRequest.newBuilder(URI.create(url)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    def post(url: String): HttpResponse[String] = client.send(
+      HttpRequest.newBuilder(URI.create(url))
+        .POST(HttpRequest.BodyPublishers.noBody()).build(),
+      HttpResponse.BodyHandlers.ofString())
+    val srv1 = new QueryServer(tables, stateDir = stateDir)
+    val p1 = srv1.start()
+    val created = post(s"http://127.0.0.1:$p1/query/create?table=people" +
+      "&query=" + java.net.URLEncoder.encode("ID >= 1", "UTF-8"))
+    val id = "\"queryId\": \"([0-9a-f]+)\"".r
+      .findFirstMatchIn(created.body()).get.group(1)
+    assert(get(s"http://127.0.0.1:$p1/query/next?id=$id").statusCode() == 200)
+    srv1.stop() // flushes the ledger to the lake tables
+    val srv2 = new QueryServer(tables, stateDir = stateDir)
+    val p2 = srv2.start()
+    try {
+      val r = get(s"http://127.0.0.1:$p2/query/metrics/summary")
+      // the dead server's query + its 7-row page, exactly once
+      assert("\"queryCount\":1".r.findAllIn(r.body()).size == 9, r.body())
+      assert("\"pageRows\":7".r.findAllIn(r.body()).size == 9, r.body())
+    } finally srv2.stop()
   }
 }

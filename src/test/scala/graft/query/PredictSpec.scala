@@ -40,6 +40,25 @@ class PredictSpec extends SparkSpec {
     assert(new Predict.HistoryPredictor(() => Seq.empty).predict(df).isEmpty)
   }
 
+  test("history predictor conditions on the logic being predicted") {
+    val df = Seq((1L, "x")).toDF("id", "v")
+    val h = Seq(
+      QueryMetric("a", "q1", "JEXL", 0L, 10L, 100L, logicName = "events"),
+      QueryMetric("b", "q2", "JEXL", 0L, 30L, 300L, logicName = "events"),
+      QueryMetric("c", "q3", "JEXL", 0L, 50L, 1000L, logicName = "edges"))
+    val p = new Predict.HistoryPredictor(() => h)
+    // two logics price differently off their OWN history
+    assert(p.predict(df, "events")
+      .contains(Predict.Prediction("PREDICTED_ROWS", 200.0)))
+    assert(p.predict(df, "edges")
+      .contains(Predict.Prediction("PREDICTED_ROWS", 1000.0)))
+    // a logic with no history predicts nothing (never a cross-logic mean)
+    assert(p.predict(df, "content").isEmpty)
+    // the plain form stays the all-history mean (legacy callers)
+    assert(p.predict(df)
+      .contains(Predict.Prediction("HISTORY_SAMPLES", 3.0)))
+  }
+
   test("predict endpoint: no execution, named predictions; NoOp deployment answers hasResults=false") {
     val df = (1 to 25).map(i => (i.toLong, if (i % 2 == 0) "A" else "B"))
       .toDF("id", "grp")
