@@ -2,12 +2,56 @@ package graft
 
 import java.io.ByteArrayOutputStream
 
-/** Test-fixture builders for real media payloads, assembled by hand from
-  * the public specs: a minimal valid ISO-BMFF (MP4) box tree
-  * (moov → trak → [tkhd, mdia → [hdlr, minf → stbl → [stts, stsz]]])
-  * and a minimal Matroska/WebM EBML tree
-  * (Segment → [Tracks → TrackEntry, Cluster → SimpleBlock*]). */
+/** Deterministic synthetic-media generator (the dbgen analog for binary
+  * columns): real media payloads assembled by hand from the public
+  * specs — a minimal valid ISO-BMFF (MP4) box tree
+  * (moov → trak → [tkhd, mdia → [hdlr, minf → stbl → [stts, stsz]]]),
+  * a minimal Matroska/WebM EBML tree
+  * (Segment → [Tracks → TrackEntry, Cluster → SimpleBlock*]), a RIFF
+  * AVI, plus JDK-codec-encoded PNG/BMP images and WAV audio. Main-tree
+  * so the multimodal driver gate and the specs generate the SAME
+  * payloads; every builder is byte-deterministic for a given argument
+  * list, which is what makes decode results oracle-able. */
 object TestMedia {
+
+  /** Solid-color RGB PNG encoded by the JDK's own ImageIO codec. */
+  def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** All-black RGB BMP (BufferedImage default) via ImageIO. */
+  def bmp(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    bos.toByteArray
+  }
+
+  /** 16-bit mono WAV: loud sine first half, silence second half — the
+    * RMS envelope must see the boundary. */
+  def wav(sampleRate: Int, nSamples: Int): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val v = if (i < nSamples / 2) (math.sin(i * 0.1) * 20000).toInt else 0
+      pcm(i * 2) = (v & 0xff).toByte
+      pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
 
   private def be32(v: Int): Array[Byte] =
     Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,

@@ -122,11 +122,21 @@ object Dedup {
     * inverted index over k-token windows: distinct spans per doc →
     * groupBy(span) document frequency → df ≥ 2 filter → doc-keyed count.
     * Two map-side-combined shuffles keyed on the 128-bit span hash; the
-    * df filter keeps the join side to actually-shared spans. At 100 TB
-    * the one addition is a hot-span cap (boilerplate headers can put one
-    * span in millions of docs) — the df aggregate is where it would
-    * clip, exactly like the reference's Uid.List 20-cap. */
-  def spanProfile(docs: DataFrame, k: Int = 10): DataFrame = {
+    * df filter keeps the join side to actually-shared spans.
+    *
+    * `hotSpanCap` is the 100 TB guard: boilerplate (license headers,
+    * nav chrome) can put ONE span in millions of documents, and every
+    * occurrence of that span lands on a single reducer in the
+    * doc-count join — a skew cliff that grows with corpus size, not
+    * with genuine duplication. A span with df ≥ cap is a STOP SPAN
+    * (the stopword analog, and the same clip discipline as the
+    * reference's Uid.List 20-cap): it stops counting as duplication —
+    * ubiquity is boilerplate, not copying — and, because the clip
+    * happens at the df AGGREGATE (row per distinct span), the join
+    * never fans it out; wall time stays flat as a hot span's df grows
+    * (ScaleProbe6Main: 10× hot-df at ~1× wall). Default uncapped. */
+  def spanProfile(docs: DataFrame, k: Int = 10,
+                  hotSpanCap: Long = Long.MaxValue): DataFrame = {
     // the shingle derivation is the expensive interpreted subtree — one
     // evaluation, everything downstream reads the persisted arrays
     val withSp = spread(docs)
@@ -136,7 +146,7 @@ object Dedup {
       .select(col("doc_id"), explode(col("sp")).as("span"))
       .select(col("doc_id"), md5(col("span")).as("h"))
     val shared = spans.groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2)
+      .filter(col("df") >= 2 && col("df") < hotSpanCap)
     val perDoc = spans.join(shared, "h")
       .groupBy("doc_id").agg(count(lit(1)).as("n_dup_spans"))
     withSp.select(col("doc_id"), size(col("sp")).cast("long").as("n_spans"))

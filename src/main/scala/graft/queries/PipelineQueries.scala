@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.operators.{Dedup, TextOps, VectorOps}
+import graft.operators.{Dedup, Multimodal, TextOps, VectorOps}
 
 /** LLM-training-data pipeline operators over `documents` / `embeddings`
   * (BASELINE.json north star: dedup, similarity search, text analysis as
@@ -187,6 +187,42 @@ object PipelineQueries {
     }
   }
 
+  /** Multimodal probe + feature plumbing under the oracle: a media table
+    * of DETERMINISTIC payloads ([[graft.TestMedia]] — real PNG/BMP/WAV
+    * encoded by the JDK's own codecs, hand-assembled MP4/MKV/AVI
+    * containers) runs the per-partition decode pass
+    * ([[Multimodal.probeAll]]: image → width/height/frames, audio →
+    * rate/channels/samples, video → container-parsed track metadata) and
+    * the feature pass ([[Multimodal.extractFeatures]], dim=8), reduced
+    * to the count of non-zero feature buckets — white PNG puts ALL mass
+    * in the top luminance bucket (1), the half-silent WAV fills exactly
+    * the first 4 RMS windows, the videos' bitrate envelopes fill all 8,
+    * and garbage bytes yield the explicit could-not-decode row
+    * (0,0,0 / empty vector), never pseudo-data. */
+  def multimodalProbe(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    val rows = Seq(
+      Row(1L, "image", graft.TestMedia.png(37, 21, 0xFFFFFF), "png"),
+      Row(2L, "image", graft.TestMedia.bmp(64, 48), "bmp"),
+      Row(3L, "audio", graft.TestMedia.wav(8000, 4000), "wav"),
+      Row(4L, "video", graft.TestMedia.mp4(640, 360, Seq(100, 50)), "mp4"),
+      Row(5L, "video", graft.TestMedia.mkv(320, 240, Seq.fill(12)(40)), "mkv"),
+      Row(6L, "video", graft.TestMedia.avi(160, 120, Seq.fill(8)(500)), "avi"),
+      Row(7L, "video", "not-a-container".getBytes("UTF-8"), "mp4"))
+    val media = s.createDataFrame(
+      s.sparkContext.parallelize(rows, 2), Multimodal.mediaSchema)
+    val probed = Multimodal.probeAll(media)
+      .select(col("media_id"), col("modality"), col("format"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("n_frames").cast("long").as("n_frames"))
+    val feats = Multimodal.extractFeatures(media, dim = 8)
+      .select(col("media_id"),
+        size(filter(col("embedding"), x => x =!= 0.0f))
+          .cast("long").as("feat_nonzero"))
+    probed.join(feats, Seq("media_id"))
+  }
+
   /** PII audit + scrub. The synthetic corpus is clean by construction, so
     * the gate augments each document with deterministic PII derived from
     * its id (email, IP, phone, card — same derivation in the oracle) and
@@ -276,6 +312,7 @@ object PipelineQueries {
     "ann_ivf_recall" -> annIvfRecall _,
     "ann_pq_recall" -> annPqRecall _,
     "ann_pq_batch" -> annPqBatch _,
+    "multimodal_probe" -> multimodalProbe _,
   )
 
   private val toksSql =
@@ -659,5 +696,23 @@ object PipelineQueries {
       """SELECT CAST(probe_id AS BIGINT) AS probe_id,
         |   CAST(10 AS BIGINT) AS k, true AS recall_ok
         | FROM (VALUES (0), (7), (42)) AS t(probe_id)""".stripMargin,
+    // literal rows: the decode results of byte-deterministic payloads
+    // (audio maps rate/channels/samples onto the probe triple)
+    "multimodal_probe" ->
+      """SELECT CAST(media_id AS BIGINT) AS media_id, modality, format,
+        |   CAST(width AS BIGINT) AS width,
+        |   CAST(height AS BIGINT) AS height,
+        |   CAST(n_frames AS BIGINT) AS n_frames,
+        |   CAST(feat_nonzero AS BIGINT) AS feat_nonzero
+        | FROM (VALUES
+        |   (1, 'image', 'png', 37, 21, 1, 1),
+        |   (2, 'image', 'bmp', 64, 48, 1, 1),
+        |   (3, 'audio', 'wav', 8000, 1, 4000, 4),
+        |   (4, 'video', 'mp4', 640, 360, 150, 8),
+        |   (5, 'video', 'mkv', 320, 240, 12, 8),
+        |   (6, 'video', 'avi', 160, 120, 8, 8),
+        |   (7, 'video', 'mp4', 0, 0, 0, 0)
+        | ) AS t(media_id, modality, format, width, height, n_frames,
+        |        feat_nonzero)""".stripMargin,
   )
 }

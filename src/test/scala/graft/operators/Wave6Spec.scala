@@ -104,6 +104,25 @@ class Wave6Spec extends SparkSpec {
     assert(out(0).getAs[Double]("dup_frac") == 3.0 / 5.0)
   }
 
+  test("spanProfile hot-span cap: a ubiquitous span stops counting as duplication") {
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ") // one 10-token span
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, boiler + " uniqa"), (2L, boiler + " uniqb"),
+      (3L, boiler + " uniqc"),                       // boiler df = 3
+      (4L, shared + " tail1"), (5L, shared + " tail2") // shared df = 2
+    ).toDF("doc_id", "text")
+    // uncapped: both spans count
+    val all = Dedup.spanProfile(docs, k = 10).orderBy("doc_id").collect()
+    assert(all.map(_.getAs[Long]("n_dup_spans")).toSeq ==
+      Seq(1L, 1L, 1L, 1L, 1L))
+    // cap 3: the df-3 boilerplate is a STOP SPAN; genuine df-2 dup stays
+    val capped = Dedup.spanProfile(docs, k = 10, hotSpanCap = 3)
+      .orderBy("doc_id").collect()
+    assert(capped.map(_.getAs[Long]("n_dup_spans")).toSeq ==
+      Seq(0L, 0L, 0L, 1L, 1L))
+  }
+
   test("tokenBudget keeps a stratum's docs in hash order until the budget and is monotone in budget") {
     val docs = (1L to 40L).map(i => (i, if (i <= 30) "en" else "fr", 10L))
       .toDF("doc_id", "lang", "n_tokens")
