@@ -65,6 +65,23 @@ object Warmup {
       // per-subspace argmin encode + ADC fold + rerank cosine)
       "pq" -> VectorOps.pqTopKReranked(emb, probeId = 0L, k = 5,
         shortlist = 16, m = 4, codeK = 4).select("vec_id"),
+      // ann_pq_batch: aggregate(|zip_with(|explode|posexplode|generate
+      // (the stacked-LUT ADC fold under a posexplode fan-out — the
+      // batch shortlist's shape; codebooks are a tiny literal so no
+      // index build runs here)
+      "pq_batch" -> {
+        val books = Seq.tabulate(4)(j => Seq.tabulate(4)(c =>
+          Seq.tabulate(4)(dd => (j + c + dd).toDouble / 8)))
+        // code column as a plain literal array: the kernel must carry
+        // EXACTLY the gate's feature subset (a transform()-built code
+        // would add a feature and break exact-match coverage)
+        VectorOps.pqAdcShortlistBatch(
+          emb.select(col("vec_id"),
+            array(lit(0), lit(1), lit(2), lit(3)).as("code")),
+          books,
+          probes = Seq(0L -> Seq.fill(16)(0.25), 1L -> Seq.fill(16)(0.5)),
+          shortlist = 8)
+      },
       // rel_facets_cms: explode|generate|udf( (the CMS union Aggregator +
       // estimate UDF + map explode)
       "cms_facets" -> {

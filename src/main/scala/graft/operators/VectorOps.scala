@@ -60,6 +60,33 @@ object VectorOps {
           .orderBy(col("sim").desc, col("vec_id").asc)).as("rank"))
   }
 
+  /** Exact top-k for N probes in ONE corpus scan (the oracle side of
+    * batched ANN gates, and the honest exact baseline for multi-needle
+    * search): per-row sims against every probe from one stacked
+    * literal, per-probe top-k via the same WindowGroupLimit shape the
+    * PQ shortlist uses. Returns (probe_id, vec_id, sim). */
+  def bruteForceTopKBatch(emb: DataFrame, probeIds: Seq[Long],
+                          k: Int): DataFrame = {
+    require(probeIds.nonEmpty, "need at least one probe")
+    val fetched = emb.filter(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](0 + 1)).toMap
+    val missing = probeIds.filterNot(fetched.contains)
+    require(missing.isEmpty, s"unknown probe id(s): ${missing.mkString(",")}")
+    val probeLit = typedLit(probeIds.map(fetched))
+    val idLit = typedLit(probeIds)
+    val simArr = array(probeIds.indices.map(p =>
+      cosine(col("embedding"), probeLit(p))): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("p")).orderBy(col("sim").desc, col("vec_id").asc)
+    emb.select(col("vec_id"), posexplode(simArr).as(Seq("p", "sim")))
+      .withColumn("probe_id", idLit(col("p")))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("vec_id"), col("sim"))
+  }
+
   /** All-pairs near-duplicates by cosine ≥ threshold. EXACT.
     *
     * An exact low-threshold cosine join is inherently quadratic in

@@ -159,20 +159,21 @@ object PipelineQueries {
     val emb = Tables.embeddings(s, d)
     val dir = java.nio.file.Files.createTempDirectory("graft-pq-index")
     try {
-      // codeK=32 + two Lloyd rounds: measured per-probe hits at
-      // shortlist 200 are 10/10/10 (sf0.01) and 10/9/10 (sf0.1) —
-      // probe 7 sits in a dense region and needs the finer codebooks
-      // (codeK=16/iters=1 dips to 6/10 at sf0.1)
-      VectorOps.pqWriteIndex(emb, dir.toString, m = 8, codeK = 32, iters = 2)
+      // codeK=16 + two Lloyd rounds + shortlist 400: measured per-probe
+      // hits 10/10/10 (sf0.01) and 10/9/9 (sf0.1); the finer codeK=32
+      // book buys ~nothing once the shortlist is this deep but doubles
+      // the encode cost (probe 7 sits in a dense region — codeK=16/
+      // iters=1/shortlist=100 dips to 6/10 at sf0.1)
+      VectorOps.pqWriteIndex(emb, dir.toString, m = 8, codeK = 16, iters = 2)
       // read the index back — the search must run off the STORED tables
       val (codes, books) = VectorOps.pqReadIndex(s, dir.toString)
       val probeIds = Seq(0L, 7L, 42L)
       val approx = VectorOps.pqTopKBatch(emb, codes, books, probeIds,
-        k = 10, shortlist = 200)
-      val exact = probeIds.map(p =>
-          VectorOps.bruteForceTopK(emb, p, k = 10)
-            .select(lit(p).as("probe_id"), col("vec_id")))
-        .reduce(_.unionAll(_))
+        k = 10, shortlist = 400)
+      // the exact oracle side is ALSO one scan (bruteForceTopKBatch) —
+      // three separate brute-force jobs were a third of the gate's wall
+      val exact = VectorOps.bruteForceTopKBatch(emb, probeIds, k = 10)
+        .select("probe_id", "vec_id")
       // the shortlist pairs collected eagerly above — the index files
       // are no longer referenced by the returned plan, so the temp
       // index can be dropped in the finally

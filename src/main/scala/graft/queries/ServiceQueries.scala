@@ -338,20 +338,19 @@ object ServiceQueries {
     * Deterministic because the query was created "now" relative to the
     * summary end — it lands in every window bucket. */
   def queryMetricsDurable(s: SparkSession, d: String): DataFrame = {
-    val stateDir =
-      java.nio.file.Files.createTempDirectory("graft-metrics").toString
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-metrics")
     val tables = Map("orders" -> Tables.orders(s, d))
-    val srv1 = new QueryServer(tables, stateDir = stateDir)
+    val srv1 = new QueryServer(tables, stateDir = stateDir.toString)
     val p1 = srv1.start()
-    val id = try {
+    try {
       val svc = new RemoteQueryService(s"http://127.0.0.1:$p1")
       val qid = svc.createQuery("orders", "O_ORDERSTATUS == 'F'",
         pageSize = 10000, orderBy = Seq("o_orderkey"))
       var page = svc.nextPage(qid)
       while (page.nonEmpty) page = svc.nextPage(qid)
-      qid
-    } finally srv1.stop() // flush: pending metric rows become the table
-    val srv2 = new QueryServer(tables, stateDir = stateDir)
+    } finally srv1.stop() // flush: pending metric rows become the table;
+                          // stop() also releases the cached frame
+    val srv2 = new QueryServer(tables, stateDir = stateDir.toString)
     val p2 = srv2.start()
     try {
       val svc2 = new RemoteQueryService(s"http://127.0.0.1:$p2")
@@ -363,10 +362,12 @@ object ServiceQueries {
           col("pageCount").cast("long").as("pageCount"),
           col("pageRows").cast("long").as("pageRows"))
     } finally {
-      // the durable definition would otherwise leak in stateDir
-      val svc2 = new RemoteQueryService(s"http://127.0.0.1:$p2")
-      try svc2.close(id) catch { case _: Exception => () }
       srv2.stop()
+      // rows are collected strings — the state (cursor files, session
+      // definition, metric tables) can all go
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(stateDir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
 

@@ -46,56 +46,95 @@ final class MetricsStore(dir: String) {
     }
   }
 
-  private def tableDF[T <: Product : scala.reflect.runtime.universe.TypeTag](
-      spark: SparkSession, name: String): DataFrame = {
+  /** Part files of a table, enumerated UNDER the store lock: a reader
+    * that snapshots pending and the file list in one critical section
+    * can never race a flush into seeing a row both pending and flushed
+    * (the append happens inside flush's own synchronized block). */
+  private def tableFiles(name: String): Seq[String] = {
     val path = java.nio.file.Paths.get(dir, name)
-    val enc = Encoders.product[T]
-    if (java.nio.file.Files.exists(path))
-      spark.read.schema(enc.schema).parquet(path.toString)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], enc.schema)
+    if (!java.nio.file.Files.exists(path)) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(path).iterator().asScala
+        .map(_.toString).filter(_.endsWith(".parquet")).toSeq
+    }
   }
 
-  /** Query metrics: pending ∪ flushed table. */
+  private def unionDF[T <: Product :
+      scala.reflect.runtime.universe.TypeTag : org.apache.spark.sql.Encoder](
+      spark: SparkSession, name: String,
+      pending: => Seq[T]): DataFrame = synchronized {
+    import spark.implicits._
+    val enc = Encoders.product[T]
+    val files = tableFiles(name)
+    val table =
+      if (files.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], enc.schema)
+      else spark.read.schema(enc.schema).parquet(files: _*)
+    spark.createDataset(pending).toDF().unionByName(table)
+  }
+
+  /** Query metrics: pending ∪ flushed table (consistent snapshot). */
   def metricsDF(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    spark.createDataset(synchronized(pendingQ.toList)).toDF()
-      .unionByName(tableDF[QueryMetric](spark, "queries"))
+    unionDF[QueryMetric](spark, "queries", pendingQ.toList)
   }
 
-  /** Page metrics: pending ∪ flushed table. */
+  /** Page metrics: pending ∪ flushed table (consistent snapshot). */
   def pagesDF(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    spark.createDataset(synchronized(pendingP.toList)).toDF()
-      .unionByName(tableDF[PageMetric](spark, "pages"))
+    unionDF[PageMetric](spark, "pages", pendingP.toList)
   }
 
-  /** One query's page ledger (the `/query/metrics?id=` surface), page
-    * order. */
+  /** One query's page ledger (the `/query/metrics?id=` surface):
+    * the LATEST run's pages in page order — after a reset (or a reset
+    * following a restart) earlier attempts' pages remain summary
+    * history but drop out of the per-query view, exactly like the
+    * pre-lake in-process ledger after clearPages. */
   def pages(spark: SparkSession, queryId: String): Seq[PageMetric] = {
     import spark.implicits._
-    val flushed =
-      if (java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "pages")))
-        tableDF[PageMetric](spark, "pages")
-          .filter(org.apache.spark.sql.functions.col("queryId") === queryId)
-          .as[PageMetric].collect().toSeq
-      else Seq.empty
-    (flushed ++ synchronized(pendingP.filter(_.queryId == queryId).toList))
-      .sortBy(_.pageNum)
+    val all = pagesDF(spark)
+      .filter(org.apache.spark.sql.functions.col("queryId") === queryId)
+      .as[PageMetric].collect().toSeq
+    if (all.isEmpty) all
+    else {
+      val latest = all.map(_.attempt).max
+      all.filter(_.attempt == latest).sortBy(_.pageNum)
+    }
+  }
+
+  /** Highest attempt recorded for a query (pending or flushed) — a
+    * reset resumes numbering on the NEXT attempt so two runs' pages
+    * never collide in the durable ledger. */
+  def latestAttempt(spark: SparkSession, queryId: String): Long = {
+    import org.apache.spark.sql.functions._
+    val r = pagesDF(spark)
+      .filter(col("queryId") === queryId)
+      .agg(max("attempt")).head()
+    if (r.isNullAt(0)) -1L else r.getLong(0)
   }
 
   /** The query-metric history a [[Predict.HistoryPredictor]] predicts
-    * from: most recent `limit` flushed rows plus everything pending —
-    * a bounded model-sized collect (predictions rest on means, so a
-    * capped recent window is the right estimator input at scale). */
+    * from: the most recent `limit` query metrics with resultRows /
+    * elapsedMillis RECONCILED against the page ledger (a created
+    * query's metric starts at zero; what it actually returned lives in
+    * its pages — the reference updates its BaseQueryMetric per page,
+    * an append-only lake reconciles at read). Bounded model-sized
+    * collect: predictions rest on means, so a capped recent window is
+    * the right estimator input at scale. */
   def history(spark: SparkSession, limit: Int = 10000): Seq[QueryMetric] = {
+    import org.apache.spark.sql.functions._
     import spark.implicits._
-    val flushed =
-      if (java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "queries")))
-        tableDF[QueryMetric](spark, "queries")
-          .orderBy(org.apache.spark.sql.functions.col("beginMillis").desc)
-          .limit(limit).as[QueryMetric].collect().toSeq
-      else Seq.empty
-    flushed ++ synchronized(pendingQ.toList)
+    val rollup = pagesDF(spark).groupBy("queryId")
+      .agg(sum("rows").as("pr"), sum("elapsedMillis").as("pe"))
+    metricsDF(spark).join(rollup, Seq("queryId"), "left")
+      .select(col("queryId"), col("query"), col("syntax"),
+        col("beginMillis"), greatest(col("elapsedMillis"),
+          coalesce(col("pe"), lit(0L))).as("elapsedMillis"),
+        greatest(col("resultRows"),
+          coalesce(col("pr"), lit(0L))).as("resultRows"),
+        col("error"), col("selectors"), col("user"), col("logicName"))
+      .orderBy(col("beginMillis").desc)
+      .limit(limit).as[QueryMetric].collect().toSeq
   }
 }

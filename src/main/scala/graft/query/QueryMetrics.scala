@@ -28,7 +28,10 @@ final case class PageMetric(
     pageNum: Long,
     rows: Long,
     elapsedMillis: Long,
-    status: String) // COMPLETE | PARTIAL | TIMEOUT
+    status: String, // COMPLETE | PARTIAL | TIMEOUT
+    // run ordinal: a /query/reset starts attempt n+1, so two runs'
+    // page numbers never collide in an append-only durable ledger
+    attempt: Long = 0L)
 
 object QueryMetrics {
   private val buf = ArrayBuffer.empty[QueryMetric]
@@ -191,7 +194,9 @@ final class RunningQuery(
     // where page metrics land: the JVM-wide ledger by default; the
     // QueryServer routes its pages into a lake-backed MetricsStore so
     // the ledger survives the process
-    sink: PageMetric => Unit = QueryMetrics.recordPage) {
+    sink: PageMetric => Unit = QueryMetrics.recordPage,
+    // run ordinal stamped on every recorded page (see PageMetric)
+    val attempt: Long = 0L) {
 
   // startPage seeds the 1-based numbering when a restarted server
   // resumes a durable cursor mid-query: the next served page keeps its
@@ -238,7 +243,7 @@ final class RunningQuery(
       else "COMPLETE"
     if (rows > 0) {
       pageNum += 1
-      sink(PageMetric(queryId, pageNum, rows, dt, status))
+      sink(PageMetric(queryId, pageNum, rows, dt, status, attempt))
     }
     rows
   }

@@ -122,10 +122,20 @@ final class QueryServer(
   }
 
   def stop(): Unit = {
-    if (server != null) server.stop(0)
+    // delay 1: lets in-flight exchange handlers finish BEFORE the
+    // flush below, so a page recorded by a racing /query/next still
+    // makes the durable ledger (an idle server returns immediately)
+    if (server != null) server.stop(1)
     // one parquet append per table — the pending tail becomes durable
     // history the next server life (or a sibling) reads
     sparkOf.foreach(metricsStore.flush)
+    // a stopped server serves nothing: release every cached frame (a
+    // restart re-plans and re-persists from the durable definitions) —
+    // without this a stop-without-close leaks the persisted frames in
+    // the shared SparkSession forever
+    import scala.jdk.CollectionConverters._
+    sessions.values.asScala.toSeq.foreach(_.df.unpersist())
+    sessions.clear()
   }
 
   // ---- endpoint implementations -------------------------------------
@@ -356,6 +366,13 @@ final class QueryServer(
             val dupSess = s.copy(running = running, pageSize = pageSize)
             sessions.put(newId, dupSess)
             persistSession(newId, dupSess)
+            // the duplicate is a query of its own: without a metric row
+            // its durable pages would be orphans the summary's
+            // metric-join drops
+            metricsStore.record(QueryMetric(newId, s.query, s.syntax,
+              System.currentTimeMillis(), 0L, 0L,
+              user = params.getOrElse("user", "anonymous"),
+              logicName = s.table))
             (200, s"""{"queryId": "$newId"}""")
         }
       }
@@ -395,7 +412,11 @@ final class QueryServer(
         val pageSize = if (s.pageSize > 0) s.pageSize else defaultPageSize
         val fresh = s.copy(
           running = new RunningQuery(cursor, id, s.df, s.orderCols, pageSize,
-            sink = pageSink))
+            sink = pageSink,
+            // flushed pages of earlier runs are immutable history — the
+            // fresh run numbers its pages under the NEXT attempt so the
+            // durable ledger never holds two page 1s of one attempt
+            attempt = s.running.attempt + 1))
         sessions.put(id, fresh)
         // re-persist so the durable (pagesServedBase, offsetBase) track
         // the RESTARTED run — a stale base after a pageSize-changing
@@ -487,7 +508,8 @@ final class QueryServer(
             // paging position is KEPT (the durable cursor offset survives
             // the swap); subsequent pages read the updated definition
             val running = new RunningQuery(cursor, id, newDf, orderCols,
-              pageSize, startPage = s.running.pagesServed, sink = pageSink)
+              pageSize, startPage = s.running.pagesServed, sink = pageSink,
+              attempt = s.running.attempt) // same run, position kept
             val updated = s.copy(df = newDf, running = running,
               orderCols = orderCols, pageSize = pageSize,
               query = newQuery.getOrElse(s.query))
@@ -589,9 +611,15 @@ final class QueryServer(
 
   private def metrics(params: Map[String, String]): (Int, String) = {
     val id = qid(params)
-    if (!sessions.containsKey(id)) return (404, err("unknown queryId"))
     val spark = sparkOf.getOrElse(return (500, err("no tables registered")))
-    val pages = metricsStore.pages(spark, id).map(p =>
+    val ledger = metricsStore.pages(spark, id)
+    // durable history outlives the session: a restarted server (or a
+    // closed query) still reports its recorded pages — 404 only when
+    // NOTHING (live session, durable definition, ledger) knows the id
+    if (ledger.isEmpty && !sessions.containsKey(id) &&
+        !java.nio.file.Files.exists(sessionFile(id)))
+      return (404, err("unknown queryId"))
+    val pages = ledger.map(p =>
       s"""{"page": ${p.pageNum}, "rows": ${p.rows},""" +
         s""" "elapsedMillis": ${p.elapsedMillis}, "status": ${quote(p.status)}}""")
     (200, s"""{"queryId": ${quote(id)}, "pages": [${pages.mkString(",")}]}""")
@@ -622,19 +650,27 @@ final class QueryServer(
         (200, s"""{"view": ${quote(alias)}}""")
     } }
 
-  /** `POST /cachedresults/update?id=…&alias=A` — the reference's
-    * CachedResults `update` (CachedResultsBean update: re-point the
-    * caller's alias at a different finished query). Only the alias's
-    * CURRENT owner may be replaced, and the new owner takes over the
-    * alias-scoped teardown — closing the old query no longer drops it. */
+  /** `POST /cachedresults/update?id=…&alias=A[&from=OLDID]` — the
+    * reference's CachedResults `update` (CachedResultsBean update:
+    * re-point the caller's alias at a different finished query). The
+    * re-point is a CAS on ownership: taking over an alias another
+    * query holds requires naming that owner in `from` — a caller who
+    * cannot name the owner cannot hijack a view someone else's
+    * `/cachedresults/sql` pages are flowing through. The new owner
+    * takes over the alias-scoped teardown. */
   private def cachedUpdate(params: Map[String, String]): (Int, String) =
     shareLock.synchronized { session(params) match {
       case None => (404, err("unknown queryId"))
       case Some(s) =>
         val alias = params.getOrElse("alias", return (400, err("missing 'alias'")))
-        if (!loadedAliases.containsKey(alias.toLowerCase))
+        val owner = loadedAliases.get(alias.toLowerCase)
+        if (owner == null)
           return (404, err(s"alias '$alias' is not loaded"))
-        loadedAliases.put(alias.toLowerCase, qid(params))
+        val id = qid(params)
+        if (owner != id && !params.get("from").contains(owner))
+          return (409, err(s"alias '$alias' is owned by another query;" +
+            " pass from=<ownerId> to re-point it"))
+        loadedAliases.put(alias.toLowerCase, id)
         s.df.createOrReplaceTempView(alias)
         (200, s"""{"view": ${quote(alias)}}""")
     } }
@@ -788,7 +824,13 @@ final class QueryServer(
               pageSize,
               startPage = math.max(0L, base +
                 (cursor.currentOffset(id) - offBase) / pageSize),
-              sink = pageSink)
+              sink = pageSink,
+              // resume CONTINUES the dead server's run: same attempt,
+              // so its pages extend that run's ledger (a later reset
+              // bumps past it)
+              attempt = math.max(0L, tables.values.headOption
+                .map(df => metricsStore.latestAttempt(df.sparkSession, id))
+                .getOrElse(0L)))
             val s = Session(result, orderCols, running,
               p.getProperty("query", ""), qp.syntax, pageSize, table)
             sessions.put(id, s)

@@ -104,6 +104,18 @@ class PqIndexSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(ql)
   }
 
+  test("batched brute force matches the single-probe exact top-k per probe") {
+    val emb = corpus
+    val batch = VectorOps.bruteForceTopKBatch(emb, Seq(0L, 3L, 8L), k = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(batch.size == 18)
+    Seq(0L, 3L, 8L).foreach { p =>
+      val single = VectorOps.bruteForceTopK(emb, p, 6)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(batch.filter(_._1 == p).map(_._2) == single, s"probe $p")
+    }
+  }
+
   test("stacked-LUT batch shortlist is identical to the single-probe ADC path per probe") {
     val emb = corpus
     val dir = java.nio.file.Files.createTempDirectory("graft-pq-spec4").toString

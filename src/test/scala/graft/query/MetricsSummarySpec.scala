@@ -77,6 +77,66 @@ class MetricsSummarySpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("history reconciles page rows; duplicates count; per-id metrics and reset survive a restart") {
+    val stateDir =
+      java.nio.file.Files.createTempDirectory("graft-msum2").toString
+    val df = (1 to 10).map(i => (i.toLong, "A")).toDF("id", "grp")
+    val tables = Map("people" -> df)
+    val client = HttpClient.newHttpClient()
+    def get(url: String): HttpResponse[String] = client.send(
+      HttpRequest.newBuilder(URI.create(url)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    def post(url: String): HttpResponse[String] = client.send(
+      HttpRequest.newBuilder(URI.create(url))
+        .POST(HttpRequest.BodyPublishers.noBody()).build(),
+      HttpResponse.BodyHandlers.ofString())
+    val srv1 = new QueryServer(tables, stateDir = stateDir)
+    val p1 = srv1.start()
+    val created = post(s"http://127.0.0.1:$p1/query/create?table=people" +
+      "&query=" + java.net.URLEncoder.encode("ID >= 1", "UTF-8") + "&pageSize=10")
+    val id = "\"queryId\": \"([0-9a-f]+)\"".r
+      .findFirstMatchIn(created.body()).get.group(1)
+    assert(get(s"http://127.0.0.1:$p1/query/next?id=$id").statusCode() == 200)
+    // a created-then-paged query predicts its REAL row count, not the
+    // create-time zero (history reconciles the page ledger)
+    val pred = get(s"http://127.0.0.1:$p1/query/predict?table=people&query=" +
+      java.net.URLEncoder.encode("ID >= 1", "UTF-8"))
+    assert(pred.body().contains("\"name\": \"PREDICTED_ROWS\", \"value\": 10"),
+      pred.body())
+    // a duplicate's pages must be COUNTED by the summary (it has its
+    // own metric row)
+    val dup = post(s"http://127.0.0.1:$p1/query/duplicate?id=$id")
+    val dupId = "\"queryId\": \"([0-9a-f]+)\"".r
+      .findFirstMatchIn(dup.body()).get.group(1)
+    assert(get(s"http://127.0.0.1:$p1/query/next?id=$dupId").statusCode() == 200)
+    val sum1 = get(s"http://127.0.0.1:$p1/query/metrics/summary")
+    assert("\"queryCount\":2".r.findAllIn(sum1.body()).size == 9, sum1.body())
+    assert("\"pageRows\":20".r.findAllIn(sum1.body()).size == 9, sum1.body())
+    srv1.stop()
+    val srv2 = new QueryServer(tables, stateDir = stateDir)
+    val p2 = srv2.start()
+    try {
+      // per-id metrics survive the restart (no resident session needed)
+      val m = get(s"http://127.0.0.1:$p2/query/metrics?id=$id")
+      assert(m.statusCode() == 200 &&
+        "\"page\": 1".r.findAllIn(m.body()).size == 1, m.body())
+      // reset AFTER a restart: the fresh run re-pages 1..N on the next
+      // attempt — the per-id view shows ONE page 1, never a collision
+      // with the dead run's flushed ledger
+      assert(post(s"http://127.0.0.1:$p2/query/reset?id=$id").statusCode() == 200)
+      assert(get(s"http://127.0.0.1:$p2/query/next?id=$id").statusCode() == 200)
+      val m2 = get(s"http://127.0.0.1:$p2/query/metrics?id=$id")
+      assert("\"page\": 1".r.findAllIn(m2.body()).size == 1, m2.body())
+      // the summary keeps ALL served pages (2 queries, 3 served pages)
+      val sum2 = get(s"http://127.0.0.1:$p2/query/metrics/summary")
+      assert("\"queryCount\":2".r.findAllIn(sum2.body()).size == 9, sum2.body())
+      assert("\"pageRows\":30".r.findAllIn(sum2.body()).size == 9, sum2.body())
+      // an id nothing knows stays 404
+      assert(get(s"http://127.0.0.1:$p2/query/metrics?id=unknowable")
+        .statusCode() == 404)
+    } finally srv2.stop()
+  }
+
   test("summary survives a server restart over the same stateDir, with no double count") {
     val stateDir =
       java.nio.file.Files.createTempDirectory("graft-msum").toString

@@ -209,9 +209,15 @@ class ServerResumeSpec extends SparkSpec {
       val id2 = createQ()
       assert(post(s"http://127.0.0.1:$port/cachedresults/load?id=$id2&alias=cr1")
         .statusCode() == 409)
-      // …but /cachedresults/update re-points it explicitly
+      // …nor hijack it through the update verb without naming the
+      // current owner (the CAS the load guard would otherwise lack)
       assert(post(s"http://127.0.0.1:$port/cachedresults/update?id=$id2&alias=cr1")
-        .statusCode() == 200)
+        .statusCode() == 409)
+      assert(post(s"http://127.0.0.1:$port/cachedresults/update?id=$id2&alias=cr1" +
+        s"&from=deadbeef").statusCode() == 409)
+      // …but an explicit owner-naming update re-points it
+      assert(post(s"http://127.0.0.1:$port/cachedresults/update?id=$id2&alias=cr1" +
+        s"&from=$id1").statusCode() == 200)
       // the alias now survives id1's close (id2 owns it)…
       assert(post(s"http://127.0.0.1:$port/query/close?id=$id1").statusCode() == 200)
       assert(get(s"http://127.0.0.1:$port/cachedresults/sql?sql=" +
