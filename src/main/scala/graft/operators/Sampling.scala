@@ -208,4 +208,69 @@ object Sampling {
       .filter(col("__cb") < col("__cut") || col("cum_tokens") <= col("__budget"))
       .drop("__cb", "__s", "__b", "__off", "__cut", "__budget")
   }
+
+  /** Deterministic train/val/test split assignment: each id's hash
+    * bucket falls into one of the ordered fractions' cumulative ranges
+    * — a pure per-row function of (id, salt, fractions), so membership
+    * is reproducible anywhere, map-side, and raising one fraction at a
+    * neighbor's expense moves only boundary-bucket docs. The ordered
+    * list (not a map) pins which split absorbs rounding. */
+  def splitAssign(df: DataFrame, idCol: String,
+                  fractions: Seq[(String, Double)],
+                  salt: String = "graft"): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 >= 0) &&
+      math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must be non-negative and sum to 1")
+    val bounds = fractions.scanLeft(0L) { case (acc, (_, f)) =>
+      acc + math.round(f * Buckets)
+    }.tail.dropRight(1) :+ Buckets // last split absorbs rounding drift
+    val b = hashBucket(col(idCol), salt)
+    val assign = fractions.map(_._1).zip(bounds).reverse
+      .foldLeft(lit(fractions.last._1)) { case (els, (name, hi)) =>
+        when(b < hi, name).otherwise(els)
+      }
+    df.withColumn("split", assign)
+  }
+
+  /** Sequence packing — the step AFTER [[trainingOrder]]: lay the
+    * shuffled corpus out as one token stream and cut it into fixed
+    * `ctxLen` context windows, reporting for every document its stream
+    * start offset, the window it starts in, and how many windows it
+    * spans. This is the map a packed-pretraining loader needs to build
+    * batch files without ever concatenating text on one machine.
+    *
+    * The running token total is a global order statistic, so it uses
+    * the SAME bucket-offset scheme as [[trainingOrder]] /
+    * [[tokenBudgetTwoPass]]: per-coarse-bucket token subtotals
+    * (map-side-combined, ≤ `coarseBuckets` rows to the driver), driver
+    * cumsum, broadcast offsets, per-bucket running-sum window — never
+    * a single-partition global window. */
+  def packWindows(df: DataFrame, idCol: String, nTokensCol: String,
+                  ctxLen: Long, salt: String = "graft",
+                  coarseBuckets: Int = 4096): DataFrame = {
+    require(ctxLen > 0, "ctxLen must be positive")
+    val bucket = (hashBucket(col(idCol), salt) * coarseBuckets / Buckets)
+      .cast("int")
+    val sub = df.groupBy(bucket.as("b"))
+      .agg(sum(col(nTokensCol)).as("t")).collect()
+    var cum = 0L
+    val offsets = sub.map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      .map { case (b, t) => val o = (b, cum); cum += t; o }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val meta = broadcast(offsets.toSeq.toDF("__b", "__toff"))
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__cb"))
+      .orderBy(hashBucket(col(idCol), salt), col(idCol))
+    df.withColumn("__cb", bucket)
+      .join(meta, col("__cb") === col("__b"))
+      .withColumn("start_tok",
+        sum(col(nTokensCol)).over(wLocal) - col(nTokensCol) + col("__toff"))
+      .withColumn("window_id", floor(col("start_tok") / ctxLen))
+      // an empty doc still OCCUPIES its start window (span 1)
+      .withColumn("n_windows",
+        floor((col("start_tok") + greatest(col(nTokensCol), lit(1L)) - 1)
+          / ctxLen) - col("window_id") + 1)
+      .drop("__cb", "__b", "__toff")
+  }
 }

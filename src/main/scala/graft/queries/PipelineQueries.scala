@@ -287,9 +287,34 @@ object PipelineQueries {
         Tables.documents(s, d).select("doc_id"), "doc_id", salt = "ord1")
       .select("doc_id", "pos")
 
+  /** Deterministic train/val/test split assignment — hash-range
+    * membership, map-side, reproducible anywhere. */
+  def corpusSplit(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling.splitAssign(
+        Tables.documents(s, d).select("doc_id"),
+        "doc_id", Seq("train" -> 0.96, "val" -> 0.02, "test" -> 0.02),
+        salt = "sp1")
+      .select("doc_id", "split")
+
+  /** Sequence packing: the shuffled corpus as one token stream cut into
+    * 2048-token context windows — per doc its stream offset, start
+    * window, and window span; computed bucket-parallel with the same
+    * offset scheme as corpus_shuffle (never a global window). */
+  def corpusPack(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling.packWindows(
+        Tables.documents(s, d).select(col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", ctxLen = 2048, salt = "ord1")
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        col("start_tok"),
+        col("window_id").cast("long").as("window_id"),
+        col("n_windows").cast("long").as("n_windows"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_shuffle" -> corpusShuffle _,
     "corpus_upsample" -> corpusUpsample _,
+    "corpus_split" -> corpusSplit _,
+    "corpus_pack" -> corpusPack _,
     "text_redact_pii" -> textRedactPii _,
     "text_repetition" -> textRepetition _,
     "text_surprisal" -> textSurprisal _,
@@ -525,6 +550,31 @@ object PipelineQueries {
         |     ':ord1')), 1, 8)) AS BIGINT) % 1000000,
         |   doc_id) AS BIGINT) AS pos
         | FROM documents""".stripMargin,
+    // hash-range membership: bounds 960000 / 980000 of the 1e6 buckets
+    "corpus_split" ->
+      """SELECT doc_id, CASE WHEN b < 960000 THEN 'train'
+        |   WHEN b < 980000 THEN 'val' ELSE 'test' END AS split
+        | FROM (SELECT doc_id,
+        |   CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+        |     ':sp1')), 1, 8)) AS BIGINT) % 1000000 AS b FROM documents)""".stripMargin,
+    // the oracle replays the GLOBAL running sum the bucket-offset form
+    // reconstructs (the bucket is monotone in the hash, ties share a
+    // bucket — identical total order)
+    "corpus_pack" ->
+      s"""WITH tk AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |ord AS (SELECT doc_id, n_tokens,
+         |  CAST(SUM(n_tokens) OVER (ORDER BY
+         |    CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+         |      ':ord1')), 1, 8)) AS BIGINT) % 1000000, doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS start_tok
+         |  FROM tk)
+         |SELECT doc_id, n_tokens, start_tok,
+         |  CAST(FLOOR(start_tok / 2048.0) AS BIGINT) AS window_id,
+         |  CAST(FLOOR((start_tok + GREATEST(n_tokens, 1) - 1) / 2048.0)
+         |    AS BIGINT) - CAST(FLOOR(start_tok / 2048.0) AS BIGINT) + 1
+         |    AS n_windows
+         |FROM ord""".stripMargin,
     // floor(w) copies + one more when the md5 bucket falls under the
     // fractional remainder; FLOOR before the BIGINT cast because DuckDB
     // rounds double→int while Spark truncates

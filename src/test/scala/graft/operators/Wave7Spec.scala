@@ -12,6 +12,54 @@ class Wave7Spec extends SparkSpec {
 
   def sf01 = "/root/testdata/sf0.01"
 
+  test("packWindows: contiguous token stream, correct window spans, equals the global-window form") {
+    val docs = (1L to 300L).map(i => (i, (i % 11) + 1))
+      .toDF("doc_id", "n_tokens")
+    val packed = Sampling.packWindows(docs, "doc_id", "n_tokens",
+      ctxLen = 64, salt = "pw", coarseBuckets = 16)
+      .select("doc_id", "n_tokens", "start_tok", "window_id", "n_windows")
+      .collect().map(r => (r.getLong(0), r.getLong(1) + 0L,
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    // the stream is contiguous: sorted by offset, each doc starts where
+    // the previous ended
+    val byOff = packed.sortBy(_._3)
+    byOff.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 == a._3 + a._2, s"gap between $a and $b") }
+    assert(byOff.head._3 == 0L)
+    // spans: a doc crossing a 64-token boundary spans the right count
+    byOff.foreach { case (_, n, st, w, nw) =>
+      assert(w == st / 64, "start window")
+      assert(nw == (st + math.max(n, 1) - 1) / 64 - st / 64 + 1, "span")
+    }
+    // bucket-offset form == the naive single-window global form
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(Sampling.hashBucket(col("doc_id"), "pw"), col("doc_id"))
+    val naive = docs
+      .withColumn("start_tok", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select("doc_id", "start_tok")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    packed.foreach { case (id, _, st, _, _) => assert(naive(id) == st) }
+  }
+
+  test("splitAssign: reproducible hash-range membership, fractions respected, exhaustive") {
+    val docs = (1L to 4000L).toDF("doc_id")
+    val fr = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    val a = Sampling.splitAssign(docs, "doc_id", fr, salt = "sp")
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a.values.sum == 4000L && a.keySet == Set("train", "val", "test"))
+    assert(a("train") > 3400 && a("val") > 100 && a("test") > 100, a.toString)
+    // pure function of (id, salt): a second call is identical
+    val b = Sampling.splitAssign(docs, "doc_id", fr, salt = "sp")
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    // fractions must sum to 1
+    intercept[IllegalArgumentException] {
+      Sampling.splitAssign(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
   test("tokenBudgetTwoPass emits exactly the window form's rows (fixture + sf0.01)") {
     // fixture: uneven token sizes so the cut lands mid-bucket
     val docs = (1L to 200L)
