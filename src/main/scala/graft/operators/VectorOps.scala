@@ -736,4 +736,126 @@ object VectorOps {
       .filter(col("rn") <= k)
       .select(col("probe_id"), col("vec_id"), col("sim"))
   }
+
+  // ---- IVF-PQ: the composed billion-scale index -----------------------
+  // The canonical layout (FAISS IndexIVFPQ shape): a coarse quantizer
+  // splits the corpus into cells, PQ codes compress every vector, and
+  // the codes table is WRITTEN PARTITIONED BY CELL — so a probe that
+  // visits nProbe of nCells cells prunes (nCells−nProbe)/nCells of the
+  // files before a byte is read (.explain shows PartitionFilters, the
+  // same storage-side selection as the reference's sharded global
+  // index). ADC + exact re-rank proceed exactly as in the flat PQ
+  // path, but over the probed cells' codes only.
+
+  /** Train coarse centroids + PQ codebooks, encode, and write the index:
+    * `centroids` (cell, centroid), `codebooks` (j, c, centroid), and
+    * `codes` (vec_id, code) PARTITIONED BY cell. */
+  def ivfPqWriteIndex(emb: DataFrame, dir: String, nCells: Int = 16,
+                      m: Int = 8, codeK: Int = 16, iters: Int = 2,
+                      coarseIters: Int = 2): Seq[Seq[Seq[Double]]] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // Lloyd-refined coarse quantizer: the raw stride sample misplaces
+    // cell boundaries enough to strand true neighbours in unprobed
+    // cells (measured: probe-42 recall 2/10 sampled vs green refined)
+    val centroids = kmeansCentroids(emb, nCells, coarseIters)
+    spark.createDataset(centroids.zipWithIndex.map { case (c, i) => (i, c) })
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    val normed = pqNormalized(emb).persist()
+    try {
+      val books = pqCodebooksFromNormed(normed, m, codeK, iters)
+      val bookRows = for {
+        (book, j) <- books.zipWithIndex; (cen, c) <- book.zipWithIndex
+      } yield (j, c, cen)
+      spark.createDataset(bookRows).toDF("j", "c", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+      normed.select(col("vec_id"),
+          ivfAssign(col("nv"), centroids).as("cell"),
+          pqEncode(col("nv"), books).as("code"))
+        .write.partitionBy("cell").mode("overwrite").parquet(s"$dir/codes")
+      books
+    } finally normed.unpersist()
+  }
+
+  /** Load an IVF-PQ index: the cell-partitioned codes FRAME plus the
+    * two driver-side models (codebooks, coarse centroids). */
+  def ivfPqReadIndex(spark: SparkSession, dir: String)
+      : (DataFrame, Seq[Seq[Seq[Double]]], Seq[Seq[Double]]) = {
+    val books = spark.read.parquet(s"$dir/codebooks")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3.toSeq).toSeq)
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq)
+      .sortBy(_._1).map(_._2).toSeq
+    (spark.read.parquet(s"$dir/codes"), books, centroids)
+  }
+
+  /** Batched IVF-PQ search over a persisted index: each probe selects
+    * its `nProbe` nearest cells on the driver; ONE scan of the UNION of
+    * probed cells (partition-pruned — unprobed cells' files are never
+    * read) computes every probe's ADC distance, a per-probe filter
+    * keeps only rows in that probe's own cells, and the union shortlist
+    * re-ranks exactly as in [[pqTopKBatch]]. */
+  def ivfPqTopKBatch(emb: DataFrame, codes: DataFrame,
+                     books: Seq[Seq[Seq[Double]]],
+                     centroids: Seq[Seq[Double]], probeIds: Seq[Long],
+                     k: Int, nProbe: Int = 4,
+                     shortlist: Int = 100): DataFrame = {
+    val spark = emb.sparkSession
+    val m = books.size
+    val dsub = books.head.head.size
+    val fetched = emb.filter(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> normalizeVec(r.getSeq[Double](1)))
+      .toMap
+    val missing = probeIds.filterNot(fetched.contains)
+    require(missing.isEmpty, s"unknown probe id(s): ${missing.mkString(",")}")
+    val probeCells: Seq[Seq[Int]] =
+      probeIds.map(pid => ivfProbeCells(fetched(pid), centroids, nProbe))
+    val unionCells = probeCells.flatten.distinct
+    val lutAll: Seq[Seq[Seq[Double]]] = probeIds.map { pid =>
+      val pn = fetched(pid)
+      (0 until m).map(j =>
+        books(j).map(cen => l2sq(pn.slice(j * dsub, (j + 1) * dsub), cen)))
+    }
+    val lutCol = typedLit(lutAll)
+    val probeIdLit = typedLit(probeIds)
+    val cellsLit = typedLit(probeCells)
+    val distArr = array(probeIds.indices.map { p =>
+      aggregate(zip_with(col("code"), sequence(lit(0), lit(m - 1)),
+        (c, j) => lutCol(p)(j)(c)), lit(0.0), (acc, x) => acc + x)
+    }: _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("p")).orderBy(col("dist").asc, col("vec_id").asc)
+    val pairs = codes
+      // partition filter: only the probed cells' files are read
+      .filter(col("cell").isin(unionCells: _*))
+      .select(col("vec_id"), col("cell"), posexplode(distArr).as(Seq("p", "dist")))
+      // each probe sees only ITS cells (another probe's cells are
+      // pruned rows here, never false candidates)
+      .filter(array_contains(cellsLit(col("p")), col("cell")))
+      .withColumn("probe_id", probeIdLit(col("p")))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= shortlist)
+      .select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val unionIds = pairs.map(_._2).distinct
+    import spark.implicits._
+    val pairsDf = spark.createDataset(pairs).toDF("probe_id", "vec_id")
+    val probeMap = map(probeIds.flatMap(pid =>
+      Seq(lit(pid), typedLit(fetched(pid)))): _*)
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    emb.filter(col("vec_id").isin(unionIds: _*))
+      .join(broadcast(pairsDf), Seq("vec_id"))
+      .withColumn("sim",
+        cosine(col("embedding"), element_at(probeMap, col("probe_id"))))
+      .withColumn("rn", row_number().over(w2))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("vec_id"), col("sim"))
+  }
 }

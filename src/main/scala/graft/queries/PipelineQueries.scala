@@ -188,6 +188,50 @@ object PipelineQueries {
     }
   }
 
+  /** IVF-PQ — the composed billion-scale index (FAISS IndexIVFPQ
+    * shape): Lloyd-refined coarse cells + PQ codes, written ONCE with
+    * the codes table PARTITIONED BY CELL, so a probe reads only its
+    * nProbe cells' files (PqIndexSpec pins the PartitionFilters).
+    * Gated against the exact answer WITHIN the probed cells (what the
+    * PQ pipeline must recover; measured 10/10 per probe, floor 9) —
+    * whole-corpus recall is the coarse quantizer's data-dependent
+    * property, probed separately (the synthetic embeddings are weakly
+    * clustered, so cell recall is the binding constraint there). */
+  def annIvfPqBatch(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq")
+    try {
+      VectorOps.ivfPqWriteIndex(emb, dir.toString, nCells = 16, m = 8,
+        codeK = 16, iters = 1)
+      val (codes, books, cents) = VectorOps.ivfPqReadIndex(s, dir.toString)
+      val probeIds = Seq(0L, 7L, 42L)
+      val nProbe = 4
+      val approx = VectorOps.ivfPqTopKBatch(emb, codes, books, cents,
+        probeIds, k = 10, nProbe = nProbe, shortlist = 400)
+      val withCell = emb
+        .withColumn("cell", VectorOps.ivfAssign(col("embedding"), cents))
+      val exact = probeIds.map { p =>
+        val pn = emb.filter(col("vec_id") === p)
+          .select(col("embedding").cast("array<double>")).head()
+          .getSeq[Double](0)
+        val nrm = math.sqrt(pn.map(x => x * x).sum)
+        val cells = VectorOps.ivfProbeCells(pn.map(_ / nrm), cents, nProbe)
+        withCell.filter(col("cell").isin(cells: _*) && col("vec_id") =!= p)
+          .withColumn("sim", VectorOps.cosine(col("embedding"), typedLit(pn)))
+          .orderBy(col("sim").desc, col("vec_id").asc).limit(10)
+          .select(lit(p).as("probe_id"), col("vec_id"))
+      }.reduce(_ unionAll _)
+      approx.select("probe_id", "vec_id").join(exact, Seq("probe_id", "vec_id"))
+        .groupBy("probe_id").agg(count(lit(1)).as("hits"))
+        .select(col("probe_id"), lit(10L).as("k"),
+          (col("hits") >= 9).as("recall_ok"))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   /** Multimodal probe + feature plumbing under the oracle: a media table
     * of DETERMINISTIC payloads ([[graft.TestMedia]] — real PNG/BMP/WAV
     * encoded by the JDK's own codecs, hand-assembled MP4/MKV/AVI
@@ -338,6 +382,7 @@ object PipelineQueries {
     "ann_ivf_recall" -> annIvfRecall _,
     "ann_pq_recall" -> annPqRecall _,
     "ann_pq_batch" -> annPqBatch _,
+    "ann_ivfpq_batch" -> annIvfPqBatch _,
     "multimodal_probe" -> multimodalProbe _,
   )
 
@@ -744,6 +789,10 @@ object PipelineQueries {
     "ann_ivf_recall" -> "SELECT CAST(10 AS BIGINT) AS k, true AS recall_ok",
     "ann_pq_recall" -> "SELECT CAST(10 AS BIGINT) AS k, true AS recall_ok",
     "ann_pq_batch" ->
+      """SELECT CAST(probe_id AS BIGINT) AS probe_id,
+        |   CAST(10 AS BIGINT) AS k, true AS recall_ok
+        | FROM (VALUES (0), (7), (42)) AS t(probe_id)""".stripMargin,
+    "ann_ivfpq_batch" ->
       """SELECT CAST(probe_id AS BIGINT) AS probe_id,
         |   CAST(10 AS BIGINT) AS k, true AS recall_ok
         | FROM (VALUES (0), (7), (42)) AS t(probe_id)""".stripMargin,

@@ -35,6 +35,41 @@ object PqBatchProbeMain {
         System.err.println(
           f"[pqb] sf$sf shortlist=$sl hits ${hits.mkString(" ")} $secs%.1f s")
       }
+      val dir2 = java.nio.file.Files.createTempDirectory("ivfpqb").toString
+      VectorOps.ivfPqWriteIndex(emb, dir2, nCells = 16, m = 8, codeK = 16,
+        iters = 2)
+      val (codes2, books2, cents) = VectorOps.ivfPqReadIndex(spark, dir2)
+      for ((np, sl) <- Seq((4, 400), (6, 400), (8, 400))) {
+        val t0 = System.nanoTime()
+        val approx = VectorOps.ivfPqTopKBatch(emb, codes2, books2, cents,
+          probes, k = 10, nProbe = np, shortlist = sl)
+        val byProbe = approx.collect().groupBy(_.getLong(0))
+          .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+        val secs = (System.nanoTime() - t0) / 1e9
+        val hits = probes.map { p =>
+          val ex = VectorOps.bruteForceTopK(emb, p, 10)
+            .select("vec_id").collect().map(_.getLong(0)).toSet
+          s"$p:${(byProbe.getOrElse(p, Set.empty) & ex).size}"
+        }
+        // vs the exact answer RESTRICTED to the probed cells (isolates
+        // PQ/pipeline correctness from coarse-quantizer recall)
+        import org.apache.spark.sql.functions.{col, typedLit}
+        val hitsCell = probes.map { p =>
+          val pn = emb.filter(col("vec_id") === p)
+            .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+          val cells = VectorOps.ivfProbeCells({
+            val nrm = math.sqrt(pn.map(x => x*x).sum); pn.map(_/nrm)}, cents, np)
+          val restricted = emb
+            .withColumn("cell", VectorOps.ivfAssign(col("embedding"), cents))
+            .filter(col("cell").isin(cells: _*) && col("vec_id") =!= p)
+            .withColumn("sim", VectorOps.cosine(col("embedding"), typedLit(pn)))
+            .orderBy(col("sim").desc, col("vec_id").asc).limit(10)
+            .select("vec_id").collect().map(_.getLong(0)).toSet
+          s"$p:${(byProbe.getOrElse(p, Set.empty) & restricted).size}"
+        }
+        System.err.println(
+          f"[ivfpqb] sf$sf nProbe=$np shortlist=$sl hits ${hits.mkString(" ")} cellhits ${hitsCell.mkString(" ")} $secs%.1f s")
+      }
     }
     spark.stop()
   }

@@ -116,6 +116,42 @@ class PqIndexSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ: cell-partitioned codes, probes partition-prune, within-cells answer exact") {
+    val emb = corpus.cache()
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-spec").toString
+    VectorOps.ivfPqWriteIndex(emb, dir, nCells = 4, m = 4, codeK = 8,
+      iters = 2)
+    val (codes, books, cents) = VectorOps.ivfPqReadIndex(spark, dir)
+    // the codes table is PHYSICALLY partitioned by cell
+    val cellDirs = new java.io.File(s"$dir/codes").listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName).toSet
+    assert(cellDirs.nonEmpty && cellDirs.subsetOf(
+      (0 until 4).map(c => s"cell=$c").toSet), cellDirs.toString)
+    // a cell-filtered scan prunes partitions (storage-side selection)
+    val plan = codes.filter(col("cell").isin(0, 1)).queryExecution
+      .executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan)
+    // the search recovers the exact within-probed-cells answer
+    val probeIds = Seq(0L, 1L)
+    val got = VectorOps.ivfPqTopKBatch(emb, codes, books, cents, probeIds,
+      k = 5, nProbe = 2, shortlist = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.size == 10 && got.forall { case (p, v) => p != v })
+    probeIds.foreach { p =>
+      val pn = emb.filter(col("vec_id") === p)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      val nrm = math.sqrt(pn.map(x => x * x).sum)
+      val cells = VectorOps.ivfProbeCells(pn.map(_ / nrm), cents, 2)
+      val exact = emb
+        .withColumn("cell", VectorOps.ivfAssign(col("embedding"), cents))
+        .filter(col("cell").isin(cells: _*) && col("vec_id") =!= p)
+        .withColumn("sim", VectorOps.cosine(col("embedding"), typedLit(pn)))
+        .orderBy(col("sim").desc, col("vec_id").asc).limit(5)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(got.filter(_._1 == p).map(_._2).toSet == exact, s"probe $p")
+    }
+  }
+
   test("stacked-LUT batch shortlist is identical to the single-probe ADC path per probe") {
     val emb = corpus
     val dir = java.nio.file.Files.createTempDirectory("graft-pq-spec4").toString
