@@ -626,19 +626,27 @@ object VectorOps {
     * under `dir` (`codes`: (vec_id, code ARRAY<INT>); `codebooks`:
     * (j, c, centroid ARRAY<DOUBLE>)). Returns the trained codebooks so
     * the writer can search immediately without re-reading. */
+  /** Shared training half of the index writers: train codebooks over an
+    * already-normalized persisted pass and write the codebooks table
+    * (model-sized, m·codeK rows — one file). */
+  private def trainAndWriteBooks(normed: DataFrame, dir: String, m: Int,
+      codeK: Int, iters: Int): Seq[Seq[Seq[Double]]] = {
+    val spark = normed.sparkSession
+    import spark.implicits._
+    val books = pqCodebooksFromNormed(normed, m, codeK, iters)
+    val bookRows = for {
+      (book, j) <- books.zipWithIndex; (cen, c) <- book.zipWithIndex
+    } yield (j, c, cen)
+    spark.createDataset(bookRows).toDF("j", "c", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    books
+  }
+
   def pqWriteIndex(emb: DataFrame, dir: String, m: Int = 8,
                    codeK: Int = 16, iters: Int = 2): Seq[Seq[Seq[Double]]] = {
-    val spark = emb.sparkSession
     val normed = pqNormalized(emb).persist()
     try {
-      val books = pqCodebooksFromNormed(normed, m, codeK, iters)
-      import spark.implicits._
-      val bookRows = for {
-        (book, j) <- books.zipWithIndex; (cen, c) <- book.zipWithIndex
-      } yield (j, c, cen)
-      // model-sized (m·codeK rows) — one file
-      spark.createDataset(bookRows).toDF("j", "c", "centroid")
-        .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+      val books = trainAndWriteBooks(normed, dir, m, codeK, iters)
       normed.select(col("vec_id"), pqEncode(col("nv"), books).as("code"))
         .write.mode("overwrite").parquet(s"$dir/codes")
       books
@@ -666,7 +674,8 @@ object VectorOps {
   def pqAdcShortlistBatch(codes: DataFrame,
                           books: Seq[Seq[Seq[Double]]],
                           probes: Seq[(Long, Seq[Double])],
-                          shortlist: Int): DataFrame = {
+                          shortlist: Int,
+                          cellsOf: Option[Seq[Seq[Int]]] = None): DataFrame = {
     require(probes.nonEmpty, "need at least one probe")
     val m = books.size
     val dsub = books.head.head.size
@@ -685,8 +694,15 @@ object VectorOps {
     }: _*)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("p")).orderBy(col("dist").asc, col("vec_id").asc)
-    codes
-      .select(col("vec_id"), posexplode(distArr).as(Seq("p", "dist")))
+    val fanned = codes
+      .select(col("vec_id") +: cellsOf.map(_ => col("cell")).toSeq :+
+        posexplode(distArr).as(Seq("p", "dist")): _*)
+    // IVF composition: each probe sees only ITS cells (another probe's
+    // cells are pruned rows here, never false candidates)
+    val scoped = cellsOf.fold(fanned)(cells =>
+      fanned.filter(array_contains(
+        typedLit(cells).apply(col("p")), col("cell"))))
+    scoped
       .withColumn("probe_id", probeIdLit(col("p")))
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("rn", row_number().over(w))
@@ -694,34 +710,16 @@ object VectorOps {
       .select(col("probe_id"), col("vec_id"), col("dist"))
   }
 
-  /** Batched PQ search over a PERSISTED index: shortlist every probe
-    * from one scan of the stored codes ([[pqAdcShortlistBatch]]), then
-    * exact-cosine re-rank ONLY the union shortlist (one InSet needle
-    * fetch of raw vectors serves all probes; per-probe top-k over
-    * probes×shortlist rows is driver-bounded). Returns
-    * (probe_id, vec_id, sim), k rows per probe. Zero training and zero
-    * encode jobs — the index is read-only here, which is what lets a
-    * second (and thousandth) batch reuse it. */
-  def pqTopKBatch(emb: DataFrame, codes: DataFrame,
-                  books: Seq[Seq[Seq[Double]]], probeIds: Seq[Long],
-                  k: Int, shortlist: Int = 100): DataFrame = {
+  /** Shared exact re-rank tail of the batched searches: fetch ONLY the
+    * union shortlist's raw vectors (one InSet needle scan serves every
+    * probe), score each (probe, candidate) pair by true cosine, keep
+    * per-probe top-k. */
+  private def rerankShortlist(emb: DataFrame, pairs: Seq[(Long, Long)],
+                              probes: Seq[(Long, Seq[Double])],
+                              k: Int): DataFrame = {
     val spark = emb.sparkSession
-    // all probe vectors in ONE lookup job
-    val fetched = emb.filter(col("vec_id").isin(probeIds: _*))
-      .select(col("vec_id"), col("embedding").cast("array<double>"))
-      .collect().map(r => r.getLong(0) -> normalizeVec(r.getSeq[Double](1)))
-      .toMap
-    val missing = probeIds.filterNot(fetched.contains)
-    require(missing.isEmpty, s"unknown probe id(s): ${missing.mkString(",")}")
-    val probes = probeIds.map(pid => pid -> fetched(pid))
-    // the shortlist is the needle-set contract: ≤ probes×shortlist rows,
-    // collected eagerly so the returned frame depends only on raw
-    // vectors (the index files are not re-read at execution time)
-    val pairs = pqAdcShortlistBatch(codes, books, probes, shortlist)
-      .select("probe_id", "vec_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSeq
-    val unionIds = pairs.map(_._2).distinct
     import spark.implicits._
+    val unionIds = pairs.map(_._2).distinct
     val pairsDf = spark.createDataset(pairs).toDF("probe_id", "vec_id")
     val probeMap = map(probes.flatMap { case (pid, pn) =>
       Seq(lit(pid), typedLit(pn)) }: _*)
@@ -735,6 +733,39 @@ object VectorOps {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("probe_id"), col("vec_id"), col("sim"))
+  }
+
+  /** All probe vectors in ONE lookup job, L2-normalized, input order. */
+  private def fetchProbes(emb: DataFrame,
+                          probeIds: Seq[Long]): Seq[(Long, Seq[Double])] = {
+    val fetched = emb.filter(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> normalizeVec(r.getSeq[Double](1)))
+      .toMap
+    val missing = probeIds.filterNot(fetched.contains)
+    require(missing.isEmpty, s"unknown probe id(s): ${missing.mkString(",")}")
+    probeIds.map(pid => pid -> fetched(pid))
+  }
+
+  /** Batched PQ search over a PERSISTED index: shortlist every probe
+    * from one scan of the stored codes ([[pqAdcShortlistBatch]]), then
+    * exact-cosine re-rank ONLY the union shortlist (one InSet needle
+    * fetch of raw vectors serves all probes; per-probe top-k over
+    * probes×shortlist rows is driver-bounded). Returns
+    * (probe_id, vec_id, sim), k rows per probe. Zero training and zero
+    * encode jobs — the index is read-only here, which is what lets a
+    * second (and thousandth) batch reuse it. */
+  def pqTopKBatch(emb: DataFrame, codes: DataFrame,
+                  books: Seq[Seq[Seq[Double]]], probeIds: Seq[Long],
+                  k: Int, shortlist: Int = 100): DataFrame = {
+    val probes = fetchProbes(emb, probeIds)
+    // the shortlist is the needle-set contract: ≤ probes×shortlist rows,
+    // collected eagerly so the returned frame depends only on raw
+    // vectors (the index files are not re-read at execution time)
+    val pairs = pqAdcShortlistBatch(codes, books, probes, shortlist)
+      .select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    rerankShortlist(emb, pairs, probes, k)
   }
 
   // ---- IVF-PQ: the composed billion-scale index -----------------------
@@ -764,12 +795,7 @@ object VectorOps {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
     val normed = pqNormalized(emb).persist()
     try {
-      val books = pqCodebooksFromNormed(normed, m, codeK, iters)
-      val bookRows = for {
-        (book, j) <- books.zipWithIndex; (cen, c) <- book.zipWithIndex
-      } yield (j, c, cen)
-      spark.createDataset(bookRows).toDF("j", "c", "centroid")
-        .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+      val books = trainAndWriteBooks(normed, dir, m, codeK, iters)
       normed.select(col("vec_id"),
           ivfAssign(col("nv"), centroids).as("cell"),
           pqEncode(col("nv"), books).as("code"))
@@ -803,59 +829,16 @@ object VectorOps {
                      centroids: Seq[Seq[Double]], probeIds: Seq[Long],
                      k: Int, nProbe: Int = 4,
                      shortlist: Int = 100): DataFrame = {
-    val spark = emb.sparkSession
-    val m = books.size
-    val dsub = books.head.head.size
-    val fetched = emb.filter(col("vec_id").isin(probeIds: _*))
-      .select(col("vec_id"), col("embedding").cast("array<double>"))
-      .collect().map(r => r.getLong(0) -> normalizeVec(r.getSeq[Double](1)))
-      .toMap
-    val missing = probeIds.filterNot(fetched.contains)
-    require(missing.isEmpty, s"unknown probe id(s): ${missing.mkString(",")}")
+    val probes = fetchProbes(emb, probeIds)
     val probeCells: Seq[Seq[Int]] =
-      probeIds.map(pid => ivfProbeCells(fetched(pid), centroids, nProbe))
+      probes.map { case (_, pn) => ivfProbeCells(pn, centroids, nProbe) }
     val unionCells = probeCells.flatten.distinct
-    val lutAll: Seq[Seq[Seq[Double]]] = probeIds.map { pid =>
-      val pn = fetched(pid)
-      (0 until m).map(j =>
-        books(j).map(cen => l2sq(pn.slice(j * dsub, (j + 1) * dsub), cen)))
-    }
-    val lutCol = typedLit(lutAll)
-    val probeIdLit = typedLit(probeIds)
-    val cellsLit = typedLit(probeCells)
-    val distArr = array(probeIds.indices.map { p =>
-      aggregate(zip_with(col("code"), sequence(lit(0), lit(m - 1)),
-        (c, j) => lutCol(p)(j)(c)), lit(0.0), (acc, x) => acc + x)
-    }: _*)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("p")).orderBy(col("dist").asc, col("vec_id").asc)
-    val pairs = codes
-      // partition filter: only the probed cells' files are read
-      .filter(col("cell").isin(unionCells: _*))
-      .select(col("vec_id"), col("cell"), posexplode(distArr).as(Seq("p", "dist")))
-      // each probe sees only ITS cells (another probe's cells are
-      // pruned rows here, never false candidates)
-      .filter(array_contains(cellsLit(col("p")), col("cell")))
-      .withColumn("probe_id", probeIdLit(col("p")))
-      .filter(col("vec_id") =!= col("probe_id"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= shortlist)
+    val pairs = pqAdcShortlistBatch(
+        // partition filter: only the probed cells' FILES are read
+        codes.filter(col("cell").isin(unionCells: _*)),
+        books, probes, shortlist, cellsOf = Some(probeCells))
       .select("probe_id", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
-    val unionIds = pairs.map(_._2).distinct
-    import spark.implicits._
-    val pairsDf = spark.createDataset(pairs).toDF("probe_id", "vec_id")
-    val probeMap = map(probeIds.flatMap(pid =>
-      Seq(lit(pid), typedLit(fetched(pid)))): _*)
-    val w2 = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("probe_id"))
-      .orderBy(col("sim").desc, col("vec_id").asc)
-    emb.filter(col("vec_id").isin(unionIds: _*))
-      .join(broadcast(pairsDf), Seq("vec_id"))
-      .withColumn("sim",
-        cosine(col("embedding"), element_at(probeMap, col("probe_id"))))
-      .withColumn("rn", row_number().over(w2))
-      .filter(col("rn") <= k)
-      .select(col("probe_id"), col("vec_id"), col("sim"))
+    rerankShortlist(emb, pairs, probes, k)
   }
 }

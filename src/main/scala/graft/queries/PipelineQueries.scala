@@ -181,11 +181,7 @@ object PipelineQueries {
         .groupBy("probe_id").agg(count(lit(1)).as("hits"))
         .select(col("probe_id"), lit(10L).as("k"),
           (col("hits") >= 8).as("recall_ok"))
-    } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    } finally graft.core.Fs.deleteRecursively(dir)
   }
 
   /** IVF-PQ — the composed billion-scale index (FAISS IndexIVFPQ
@@ -201,35 +197,49 @@ object PipelineQueries {
     val emb = Tables.embeddings(s, d)
     val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq")
     try {
+      // one coarse round: the gate pins within-probed-cells recovery,
+      // which holds for ANY cell layout — deployments keep the default
+      // two rounds for whole-corpus recall
       VectorOps.ivfPqWriteIndex(emb, dir.toString, nCells = 16, m = 8,
-        codeK = 16, iters = 1)
+        codeK = 16, iters = 1, coarseIters = 1)
       val (codes, books, cents) = VectorOps.ivfPqReadIndex(s, dir.toString)
       val probeIds = Seq(0L, 7L, 42L)
       val nProbe = 4
       val approx = VectorOps.ivfPqTopKBatch(emb, codes, books, cents,
         probeIds, k = 10, nProbe = nProbe, shortlist = 400)
-      val withCell = emb
-        .withColumn("cell", VectorOps.ivfAssign(col("embedding"), cents))
-      val exact = probeIds.map { p =>
-        val pn = emb.filter(col("vec_id") === p)
-          .select(col("embedding").cast("array<double>")).head()
-          .getSeq[Double](0)
+      // the exact oracle side is ALSO one scan (the bruteForceTopKBatch
+      // shape + per-probe cell membership): every probe's restricted
+      // sims from one stacked literal, window top-10 per probe
+      val probeVecs = emb.filter(col("vec_id").isin(probeIds: _*))
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      val probeCells = probeIds.map { p =>
+        val pn = probeVecs(p)
         val nrm = math.sqrt(pn.map(x => x * x).sum)
-        val cells = VectorOps.ivfProbeCells(pn.map(_ / nrm), cents, nProbe)
-        withCell.filter(col("cell").isin(cells: _*) && col("vec_id") =!= p)
-          .withColumn("sim", VectorOps.cosine(col("embedding"), typedLit(pn)))
-          .orderBy(col("sim").desc, col("vec_id").asc).limit(10)
-          .select(lit(p).as("probe_id"), col("vec_id"))
-      }.reduce(_ unionAll _)
+        VectorOps.ivfProbeCells(pn.map(_ / nrm), cents, nProbe)
+      }
+      val probeLit = typedLit(probeIds.map(probeVecs))
+      val idLit = typedLit(probeIds)
+      val cellsLit = typedLit(probeCells)
+      val simArr = array(probeIds.indices.map(p =>
+        VectorOps.cosine(col("embedding"), probeLit(p))): _*)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("p")).orderBy(col("sim").desc, col("vec_id").asc)
+      val exact = emb
+        .withColumn("cell", VectorOps.ivfAssign(col("embedding"), cents))
+        .select(col("vec_id"), col("cell"),
+          posexplode(simArr).as(Seq("p", "sim")))
+        .filter(array_contains(cellsLit(col("p")), col("cell")))
+        .withColumn("probe_id", idLit(col("p")))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select("probe_id", "vec_id")
       approx.select("probe_id", "vec_id").join(exact, Seq("probe_id", "vec_id"))
         .groupBy("probe_id").agg(count(lit(1)).as("hits"))
         .select(col("probe_id"), lit(10L).as("k"),
           (col("hits") >= 9).as("recall_ok"))
-    } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    } finally graft.core.Fs.deleteRecursively(dir)
   }
 
   /** Multimodal probe + feature plumbing under the oracle: a media table

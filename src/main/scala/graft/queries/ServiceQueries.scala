@@ -365,9 +365,7 @@ object ServiceQueries {
       srv2.stop()
       // rows are collected strings — the state (cursor files, session
       // definition, metric tables) can all go
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(stateDir).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
+      graft.core.Fs.deleteRecursively(stateDir)
     }
   }
 

@@ -24,13 +24,6 @@ final class MetricsStore(dir: String) {
   def record(m: QueryMetric): Unit = synchronized { pendingQ += m }
   def recordPage(p: PageMetric): Unit = synchronized { pendingP += p }
 
-  /** Drop one query's UNFLUSHED pages (a `/query/reset` restarts page
-    * numbering — the fresh run's pages must not collide with the dead
-    * run's in the live view). Already-flushed pages are history and
-    * stay, like the reference's ingested metrics. */
-  def clearPendingPages(queryId: String): Unit =
-    synchronized { pendingP.filterInPlace(_.queryId != queryId) }
-
   /** Append the pending rows to the tables (one write per table). */
   def flush(spark: SparkSession): Unit = synchronized {
     import spark.implicits._
@@ -62,28 +55,37 @@ final class MetricsStore(dir: String) {
 
   private def unionDF[T <: Product :
       scala.reflect.runtime.universe.TypeTag : org.apache.spark.sql.Encoder](
-      spark: SparkSession, name: String,
-      pending: => Seq[T]): DataFrame = synchronized {
+      spark: SparkSession, name: String, pending: => Seq[T],
+      patch: DataFrame => DataFrame): DataFrame = synchronized {
     import spark.implicits._
     val enc = Encoders.product[T]
+    // read NULLABLE so part files written by an older schema (before a
+    // column existed) decode; `patch` fills the defaults
+    val readSchema = org.apache.spark.sql.types.StructType(
+      enc.schema.map(_.copy(nullable = true)))
     val files = tableFiles(name)
     val table =
       if (files.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], enc.schema)
-      else spark.read.schema(enc.schema).parquet(files: _*)
+      else patch(spark.read.schema(readSchema).parquet(files: _*))
     spark.createDataset(pending).toDF().unionByName(table)
   }
+
+  import org.apache.spark.sql.functions.{coalesce => fnCoalesce, col, lit}
 
   /** Query metrics: pending ∪ flushed table (consistent snapshot). */
   def metricsDF(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    unionDF[QueryMetric](spark, "queries", pendingQ.toList)
+    unionDF[QueryMetric](spark, "queries", pendingQ.toList,
+      _.withColumn("logicName", fnCoalesce(col("logicName"), lit(""))))
   }
 
-  /** Page metrics: pending ∪ flushed table (consistent snapshot). */
+  /** Page metrics: pending ∪ flushed table (consistent snapshot).
+    * Pre-attempt part files read as attempt 0 (one logical run). */
   def pagesDF(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    unionDF[PageMetric](spark, "pages", pendingP.toList)
+    unionDF[PageMetric](spark, "pages", pendingP.toList,
+      _.withColumn("attempt", fnCoalesce(col("attempt"), lit(0L))))
   }
 
   /** One query's page ledger (the `/query/metrics?id=` surface):
@@ -103,17 +105,6 @@ final class MetricsStore(dir: String) {
     }
   }
 
-  /** Highest attempt recorded for a query (pending or flushed) — a
-    * reset resumes numbering on the NEXT attempt so two runs' pages
-    * never collide in the durable ledger. */
-  def latestAttempt(spark: SparkSession, queryId: String): Long = {
-    import org.apache.spark.sql.functions._
-    val r = pagesDF(spark)
-      .filter(col("queryId") === queryId)
-      .agg(max("attempt")).head()
-    if (r.isNullAt(0)) -1L else r.getLong(0)
-  }
-
   /** The query-metric history a [[Predict.HistoryPredictor]] predicts
     * from: the most recent `limit` query metrics with resultRows /
     * elapsedMillis RECONCILED against the page ledger (a created
@@ -125,7 +116,13 @@ final class MetricsStore(dir: String) {
   def history(spark: SparkSession, limit: Int = 10000): Seq[QueryMetric] = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    val rollup = pagesDF(spark).groupBy("queryId")
+    val pages = pagesDF(spark)
+    // only each query's LATEST attempt: a reset's re-drain must not
+    // inflate the reconciled result count (pages() has the same rule)
+    val latest = pages.groupBy("queryId")
+      .agg(max("attempt").as("attempt"))
+    val rollup = pages.join(latest, Seq("queryId", "attempt"))
+      .groupBy("queryId")
       .agg(sum("rows").as("pr"), sum("elapsedMillis").as("pe"))
     metricsDF(spark).join(rollup, Seq("queryId"), "left")
       .select(col("queryId"), col("query"), col("syntax"),

@@ -404,18 +404,15 @@ final class QueryServer(
             timeMillis = System.currentTimeMillis()) { () }
         } catch { case e: Exception => return (400, err(e.getMessage)) }
         cursor.close(id)
-        // a reset is a fresh run: its pages restart at 1, so the old
-        // run's LIVE ledger must go or the numbers collide (flushed
-        // pages are immutable history, like the reference's ingested
-        // metrics)
-        metricsStore.clearPendingPages(id)
         val pageSize = if (s.pageSize > 0) s.pageSize else defaultPageSize
         val fresh = s.copy(
           running = new RunningQuery(cursor, id, s.df, s.orderCols, pageSize,
             sink = pageSink,
-            // flushed pages of earlier runs are immutable history — the
-            // fresh run numbers its pages under the NEXT attempt so the
-            // durable ledger never holds two page 1s of one attempt
+            // ALL pages of earlier runs stay in the ledger (served is
+            // served — summary totals must not depend on flush timing);
+            // the fresh run numbers its pages under the NEXT attempt so
+            // two runs never collide, and the per-id view shows only
+            // the latest attempt
             attempt = s.running.attempt + 1))
         sessions.put(id, fresh)
         // re-persist so the durable (pagesServedBase, offsetBase) track
@@ -611,13 +608,21 @@ final class QueryServer(
 
   private def metrics(params: Map[String, String]): (Int, String) = {
     val id = qid(params)
-    val spark = sparkOf.getOrElse(return (500, err("no tables registered")))
+    // cheap existence checks FIRST; the ledger scan is the last resort
+    // so durable history still outlives the session (a restarted server
+    // or a closed query keeps its recorded pages) without every unknown
+    // id paying a table scan when no ledger could know it
+    val known = sessions.containsKey(id) ||
+      java.nio.file.Files.exists(sessionFile(id))
+    val spark = sparkOf match {
+      case Some(sp) => sp
+      case None => // table-less server: no ledger exists either way
+        return if (known)
+          (200, s"""{"queryId": ${quote(id)}, "pages": []}""")
+        else (404, err("unknown queryId"))
+    }
     val ledger = metricsStore.pages(spark, id)
-    // durable history outlives the session: a restarted server (or a
-    // closed query) still reports its recorded pages — 404 only when
-    // NOTHING (live session, durable definition, ledger) knows the id
-    if (ledger.isEmpty && !sessions.containsKey(id) &&
-        !java.nio.file.Files.exists(sessionFile(id)))
+    if (ledger.isEmpty && !known)
       return (404, err("unknown queryId"))
     val pages = ledger.map(p =>
       s"""{"page": ${p.pageNum}, "rows": ${p.rows},""" +
@@ -784,6 +789,10 @@ final class QueryServer(
       // pageSize produced the prior offset rows
       p.setProperty("pagesServedBase", s.running.pagesServed.toString)
       p.setProperty("offsetBase", cursor.currentOffset(id).toString)
+      // the run ordinal travels WITH the definition (inferring it from
+      // the page ledger fails for a reset that served no page before
+      // the restart — the resumed run would re-collide page numbers)
+      p.setProperty("attempt", s.running.attempt.toString)
       java.nio.file.Files.createDirectories(sessionFile(id).getParent)
       val out = java.nio.file.Files.newOutputStream(sessionFile(id))
       try p.store(out, null) finally out.close()
@@ -828,9 +837,7 @@ final class QueryServer(
               // resume CONTINUES the dead server's run: same attempt,
               // so its pages extend that run's ledger (a later reset
               // bumps past it)
-              attempt = math.max(0L, tables.values.headOption
-                .map(df => metricsStore.latestAttempt(df.sparkSession, id))
-                .getOrElse(0L)))
+              attempt = p.getProperty("attempt", "0").toLong)
             val s = Session(result, orderCols, running,
               p.getProperty("query", ""), qp.syntax, pageSize, table)
             sessions.put(id, s)

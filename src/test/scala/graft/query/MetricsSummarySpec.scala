@@ -131,10 +131,55 @@ class MetricsSummarySpec extends SparkSpec {
       val sum2 = get(s"http://127.0.0.1:$p2/query/metrics/summary")
       assert("\"queryCount\":2".r.findAllIn(sum2.body()).size == 9, sum2.body())
       assert("\"pageRows\":30".r.findAllIn(sum2.body()).size == 9, sum2.body())
+      // …but the HISTORY reconciles per-query rows over the LATEST
+      // attempt only: a reset's re-drain must not inflate the
+      // prediction (10 per query, never 20)
+      val pred = get(s"http://127.0.0.1:$p2/query/predict?table=people&query=" +
+        java.net.URLEncoder.encode("ID >= 1", "UTF-8"))
+      assert(pred.body().contains("\"name\": \"PREDICTED_ROWS\", \"value\": 10"),
+        pred.body())
       // an id nothing knows stays 404
       assert(get(s"http://127.0.0.1:$p2/query/metrics?id=unknowable")
         .statusCode() == 404)
     } finally srv2.stop()
+  }
+
+  test("a reset that served no page before a restart still resumes on its own attempt") {
+    val stateDir =
+      java.nio.file.Files.createTempDirectory("graft-msum3").toString
+    val df = (1 to 6).map(i => (i.toLong, "A")).toDF("id", "grp")
+    val tables = Map("people" -> df)
+    val client = HttpClient.newHttpClient()
+    def get(url: String): HttpResponse[String] = client.send(
+      HttpRequest.newBuilder(URI.create(url)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    def post(url: String): HttpResponse[String] = client.send(
+      HttpRequest.newBuilder(URI.create(url))
+        .POST(HttpRequest.BodyPublishers.noBody()).build(),
+      HttpResponse.BodyHandlers.ofString())
+    val srv1 = new QueryServer(tables, stateDir = stateDir)
+    val p1 = srv1.start()
+    val created = post(s"http://127.0.0.1:$p1/query/create?table=people" +
+      "&query=" + java.net.URLEncoder.encode("ID >= 1", "UTF-8"))
+    val id = "\"queryId\": \"([0-9a-f]+)\"".r
+      .findFirstMatchIn(created.body()).get.group(1)
+    assert(get(s"http://127.0.0.1:$p1/query/next?id=$id").statusCode() == 200)
+    srv1.stop() // attempt-0 page 1 flushed
+    val srv2 = new QueryServer(tables, stateDir = stateDir)
+    val p2 = srv2.start()
+    // reset bumps to attempt 1 and PERSISTS it — then the server dies
+    // before any attempt-1 page exists in the ledger
+    assert(post(s"http://127.0.0.1:$p2/query/reset?id=$id").statusCode() == 200)
+    srv2.stop()
+    val srv3 = new QueryServer(tables, stateDir = stateDir)
+    val p3 = srv3.start()
+    try {
+      assert(get(s"http://127.0.0.1:$p3/query/next?id=$id").statusCode() == 200)
+      // the resumed run serves page 1 on attempt 1 — ONE page 1 in the
+      // per-id view, never a collision with the dead attempt-0 ledger
+      val m = get(s"http://127.0.0.1:$p3/query/metrics?id=$id")
+      assert("\"page\": 1".r.findAllIn(m.body()).size == 1, m.body())
+    } finally srv3.stop()
   }
 
   test("summary survives a server restart over the same stateDir, with no double count") {
