@@ -117,6 +117,7 @@ final class QueryServer(
     server.createContext("/cachedresults/load", handler(cachedLoad))
     server.createContext("/cachedresults/update", handler(cachedUpdate))
     server.createContext("/cachedresults/sql", handler(cachedSql))
+    server.createContext("/cachedresults/getRows", handler(cachedGetRows))
     server.start()
     server.getAddress.getPort
   }
@@ -729,6 +730,33 @@ final class QueryServer(
           " only aliases loaded via /cachedresults/load are queryable")
       val rows = spark.sql(sql).limit(pageSize).toJSON.collect()
       (200, s"""{"rows": [${rows.mkString(",")}]}""")
+    } catch { case e: Exception => (400, err(e.getMessage)) }
+  }
+
+  /** `GET /cachedresults/getRows?alias=A[&rowBegin=N][&rowEnd=M]` — the
+    * reference's CachedResults row-range retrieval
+    * (CachedResultsBean getRows: 1-based inclusive row positions over
+    * the materialized table's stable order). Deterministic order =
+    * the view's first column (the reference's MySQL table is ordered by
+    * its row id); the range is bounded like every other page. */
+  private def cachedGetRows(params: Map[String, String]): (Int, String) = {
+    val alias = params.getOrElse("alias", return (400, err("missing 'alias'")))
+    if (!loadedAliases.containsKey(alias.toLowerCase))
+      return (404, err(s"alias '$alias' is not loaded"))
+    try {
+      val rowBegin = params.get("rowBegin").map(_.toLong).getOrElse(1L)
+      val rowEnd = params.get("rowEnd").map(_.toLong)
+        .getOrElse(rowBegin + defaultPageSize - 1)
+      require(rowBegin >= 1 && rowEnd >= rowBegin,
+        s"need 1 <= rowBegin <= rowEnd, got [$rowBegin, $rowEnd]")
+      val n = rowEnd - rowBegin + 1
+      require(n <= 100000, s"row range too large ($n; max 100000)")
+      val spark = sparkOf.getOrElse(return (500, err("no tables registered")))
+      val view = spark.table(alias)
+      val rows = view.orderBy(view.columns.head)
+        .offset((rowBegin - 1).toInt).limit(n.toInt).toJSON.collect()
+      (200, s"""{"rowBegin": $rowBegin, "rowEnd": $rowEnd,""" +
+        s""" "rows": [${rows.mkString(",")}]}""")
     } catch { case e: Exception => (400, err(e.getMessage)) }
   }
 

@@ -218,6 +218,20 @@ class ServerResumeSpec extends SparkSpec {
       // …but an explicit owner-naming update re-points it
       assert(post(s"http://127.0.0.1:$port/cachedresults/update?id=$id2&alias=cr1" +
         s"&from=$id1").statusCode() == 200)
+      // getRows: 1-based inclusive slices over the view's stable order
+      // partition the result (CachedResultsBean getRows)
+      def slice(b: Int, e: Int): Seq[Int] = {
+        val r = get(s"http://127.0.0.1:$port/cachedresults/getRows" +
+          s"?alias=cr1&rowBegin=$b&rowEnd=$e")
+        assert(r.statusCode() == 200, r.body())
+        "\"id\":(\\d+)".r.findAllMatchIn(r.body()).map(_.group(1).toInt).toSeq
+      }
+      assert(slice(1, 8) == (1 to 8) && slice(9, 20) == (9 to 20))
+      assert(slice(21, 30).isEmpty) // past the end: empty page, not error
+      assert(get(s"http://127.0.0.1:$port/cachedresults/getRows?alias=nope")
+        .statusCode() == 404)
+      assert(get(s"http://127.0.0.1:$port/cachedresults/getRows" +
+        "?alias=cr1&rowBegin=5&rowEnd=4").statusCode() == 400)
       // the alias now survives id1's close (id2 owns it)…
       assert(post(s"http://127.0.0.1:$port/query/close?id=$id1").statusCode() == 200)
       assert(get(s"http://127.0.0.1:$port/cachedresults/sql?sql=" +
