@@ -653,6 +653,31 @@ object VectorOps {
     } finally normed.unpersist()
   }
 
+  /** Incremental index maintenance: encode NEW vectors with the STORED
+    * codebooks and append their codes — no retrain, no re-encode of the
+    * existing corpus (the write-once contract under live ingest; the
+    * reference's analog is new shards joining the global index without
+    * rebuilding it). Quantization drift from a growing corpus is a
+    * re-TRAIN decision made offline, not a side effect of appends. */
+  def pqAppendToIndex(newVecs: DataFrame, dir: String): Unit = {
+    val (_, books) = pqReadIndex(newVecs.sparkSession, dir)
+    pqNormalized(newVecs)
+      .select(col("vec_id"), pqEncode(col("nv"), books).as("code"))
+      .write.mode("append").parquet(s"$dir/codes")
+  }
+
+  /** [[pqAppendToIndex]] for an IVF-PQ index: assign each new vector's
+    * cell with the stored coarse centroids, encode with the stored
+    * codebooks, append into the cell partitions. */
+  def ivfPqAppendToIndex(newVecs: DataFrame, dir: String): Unit = {
+    val (_, books, centroids) = ivfPqReadIndex(newVecs.sparkSession, dir)
+    pqNormalized(newVecs)
+      .select(col("vec_id"),
+        ivfAssign(col("nv"), centroids).as("cell"),
+        pqEncode(col("nv"), books).as("code"))
+      .write.partitionBy("cell").mode("append").parquet(s"$dir/codes")
+  }
+
   /** Load a written index: the codes FRAME (stays distributed — this is
     * the 32×-smaller column every search scans) and the codebooks as a
     * driver model (m·codeK·dsub doubles). */

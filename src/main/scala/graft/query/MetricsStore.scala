@@ -105,6 +105,39 @@ final class MetricsStore(dir: String) {
     }
   }
 
+  /** Compaction + retention for the lake tables: every flush appends a
+    * part file, so a long-lived stateDir accumulates small files — the
+    * same maintenance story as any append-only lake table (the
+    * reference ages off metrics through its table age-off rules).
+    * Rewrites each table as ONE file, keeping only query metrics with
+    * `beginMillis >= retainAfterMillis` and the pages of retained
+    * queries (a page's lifetime follows its query's). Runs under the
+    * store lock: concurrent readers see either the old file set or the
+    * new one, never a mix. */
+  def compact(spark: SparkSession, retainAfterMillis: Long = 0L): Unit =
+    synchronized {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      def rewrite(name: String, keep: DataFrame => DataFrame): Unit = {
+        val files = tableFiles(name)
+        if (files.nonEmpty) {
+          val path = java.nio.file.Paths.get(dir, name)
+          val tmp = java.nio.file.Paths.get(dir, s".$name.compact")
+          keep(spark.read.parquet(files: _*))
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          graft.core.Fs.deleteRecursively(path)
+          java.nio.file.Files.move(tmp, path)
+        }
+      }
+      rewrite("queries", _.filter(col("beginMillis") >= retainAfterMillis))
+      val retained =
+        if (tableFiles("queries").isEmpty) None
+        else Some(spark.read.parquet(s"$dir/queries").select("queryId"))
+      rewrite("pages", pages =>
+        retained.fold(pages)(q => pages.join(broadcast(q), Seq("queryId"),
+          "left_semi")))
+    }
+
   /** The query-metric history a [[Predict.HistoryPredictor]] predicts
     * from: the most recent `limit` query metrics with resultRows /
     * elapsedMillis RECONCILED against the page ledger (a created

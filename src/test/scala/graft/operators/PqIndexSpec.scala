@@ -116,6 +116,42 @@ class PqIndexSpec extends SparkSpec {
     }
   }
 
+  test("append encodes new vectors with the STORED books — no retrain, appended ids findable") {
+    val all = corpus.cache()
+    val first = all.filter(col("vec_id") < 40L)
+    val rest = all.filter(col("vec_id") >= 40L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-app").toString
+    VectorOps.pqWriteIndex(first, dir, m = 4, codeK = 8, iters = 1)
+    val booksFile = new java.io.File(s"$dir/codebooks").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val booksBytes = java.nio.file.Files.readAllBytes(booksFile.toPath).toSeq
+
+    VectorOps.pqAppendToIndex(rest, dir)
+    // the codebooks file is byte-identical — nothing retrained
+    assert(java.nio.file.Files.readAllBytes(booksFile.toPath).toSeq
+      == booksBytes)
+    val (codes, books) = VectorOps.pqReadIndex(spark, dir)
+    assert(codes.count() == 60)
+    // appended codes came from the SAME books: re-encoding an appended
+    // vector reproduces its stored code
+    val stored = codes.filter(col("vec_id") === 41L)
+      .select("code").head().getSeq[Int](0)
+    val fresh = all.filter(col("vec_id") === 41L)
+      .select(VectorOps.pqEncode(
+        // normalize inline the way the writer does
+        transform(col("embedding"), x => x.cast("double") /
+          sqrt(aggregate(col("embedding"), lit(0.0),
+            (a, y) => a + y.cast("double") * y.cast("double")))), books))
+      .head().getSeq[Int](0)
+    assert(stored == fresh)
+    // appended vectors are FINDABLE: a probe from the appended half
+    // returns appended neighbours (odd lobe lives in ids 41,43,…)
+    val got = VectorOps.pqTopKBatch(all, codes, books, Seq(41L), k = 5,
+        shortlist = 30)
+      .collect().map(_.getLong(1)).toSet
+    assert(got.exists(_ >= 40L), got.toString)
+  }
+
   test("IVF-PQ: cell-partitioned codes, probes partition-prune, within-cells answer exact") {
     val emb = corpus.cache()
     val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-spec").toString
