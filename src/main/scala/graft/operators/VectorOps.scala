@@ -661,9 +661,22 @@ object VectorOps {
     * re-TRAIN decision made offline, not a side effect of appends. */
   def pqAppendToIndex(newVecs: DataFrame, dir: String): Unit = {
     val (_, books) = pqReadIndex(newVecs.sparkSession, dir)
+    requireDimMatches(newVecs, books)
     pqNormalized(newVecs)
       .select(col("vec_id"), pqEncode(col("nv"), books).as("code"))
       .write.mode("append").parquet(s"$dir/codes")
+  }
+
+  /** Appending mismatched-dimension vectors would write garbage codes
+    * into a write-once index — fail fast like the training path's
+    * divisibility require (ingest schema drift is exactly where this
+    * bites). */
+  private def requireDimMatches(newVecs: DataFrame,
+                                books: Seq[Seq[Seq[Double]]]): Unit = {
+    val expected = books.size * books.head.head.size
+    val got = embDim(newVecs)
+    require(got == expected,
+      s"appended vectors have dim $got but the stored codebooks encode dim $expected")
   }
 
   /** [[pqAppendToIndex]] for an IVF-PQ index: assign each new vector's
@@ -671,6 +684,7 @@ object VectorOps {
     * codebooks, append into the cell partitions. */
   def ivfPqAppendToIndex(newVecs: DataFrame, dir: String): Unit = {
     val (_, books, centroids) = ivfPqReadIndex(newVecs.sparkSession, dir)
+    requireDimMatches(newVecs, books)
     pqNormalized(newVecs)
       .select(col("vec_id"),
         ivfAssign(col("nv"), centroids).as("cell"),

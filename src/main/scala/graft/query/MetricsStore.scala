@@ -58,6 +58,7 @@ final class MetricsStore(dir: String) {
       spark: SparkSession, name: String, pending: => Seq[T],
       patch: DataFrame => DataFrame): DataFrame = synchronized {
     import spark.implicits._
+    recoverTables() // a crashed compact must not read as an empty table
     val enc = Encoders.product[T]
     // read NULLABLE so part files written by an older schema (before a
     // column existed) decode; `patch` fills the defaults
@@ -93,17 +94,18 @@ final class MetricsStore(dir: String) {
     * following a restart) earlier attempts' pages remain summary
     * history but drop out of the per-query view, exactly like the
     * pre-lake in-process ledger after clearPages. */
-  def pages(spark: SparkSession, queryId: String): Seq[PageMetric] = {
-    import spark.implicits._
-    val all = pagesDF(spark)
-      .filter(org.apache.spark.sql.functions.col("queryId") === queryId)
-      .as[PageMetric].collect().toSeq
-    if (all.isEmpty) all
-    else {
-      val latest = all.map(_.attempt).max
-      all.filter(_.attempt == latest).sortBy(_.pageNum)
+  def pages(spark: SparkSession, queryId: String): Seq[PageMetric] =
+    synchronized { // collect under the lock: see [[readLocked]]
+      import spark.implicits._
+      val all = pagesDF(spark)
+        .filter(org.apache.spark.sql.functions.col("queryId") === queryId)
+        .as[PageMetric].collect().toSeq
+      if (all.isEmpty) all
+      else {
+        val latest = all.map(_.attempt).max
+        all.filter(_.attempt == latest).sortBy(_.pageNum)
+      }
     }
-  }
 
   /** Compaction + retention for the lake tables: every flush appends a
     * part file, so a long-lived stateDir accumulates small files — the
@@ -118,25 +120,66 @@ final class MetricsStore(dir: String) {
     synchronized {
       import org.apache.spark.sql.functions._
       import spark.implicits._
-      def rewrite(name: String, keep: DataFrame => DataFrame): Unit = {
+      def rewrite[T <: Product :
+          scala.reflect.runtime.universe.TypeTag : org.apache.spark.sql.Encoder](
+          name: String, patch: DataFrame => DataFrame,
+          keep: DataFrame => DataFrame): Unit = {
         val files = tableFiles(name)
         if (files.nonEmpty) {
           val path = java.nio.file.Paths.get(dir, name)
+          val old = java.nio.file.Paths.get(dir, s".$name.old")
           val tmp = java.nio.file.Paths.get(dir, s".$name.compact")
-          keep(spark.read.parquet(files: _*))
+          // same migration-tolerant read as unionDF: the encoder's
+          // schema (nullable) + patched defaults, never a single part
+          // file's footer — a mixed-schema table must not lose the
+          // newer columns on rewrite
+          val readSchema = org.apache.spark.sql.types.StructType(
+            Encoders.product[T].schema.map(_.copy(nullable = true)))
+          keep(patch(spark.read.schema(readSchema).parquet(files: _*)))
             .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          graft.core.Fs.deleteRecursively(path)
+          // crash-safe swap: old aside → new in → drop old. A crash
+          // leaves either the original (before the first move) or the
+          // compacted data (after the second); recoverTable() handles
+          // the one window in between.
+          graft.core.Fs.deleteRecursively(old)
+          java.nio.file.Files.move(path, old)
           java.nio.file.Files.move(tmp, path)
+          graft.core.Fs.deleteRecursively(old)
         }
       }
-      rewrite("queries", _.filter(col("beginMillis") >= retainAfterMillis))
+      recoverTables()
+      rewrite[QueryMetric]("queries",
+        _.withColumn("logicName", fnCoalesce(col("logicName"), lit(""))),
+        _.filter(col("beginMillis") >= retainAfterMillis))
       val retained =
         if (tableFiles("queries").isEmpty) None
         else Some(spark.read.parquet(s"$dir/queries").select("queryId"))
-      rewrite("pages", pages =>
-        retained.fold(pages)(q => pages.join(broadcast(q), Seq("queryId"),
-          "left_semi")))
+      rewrite[PageMetric]("pages",
+        _.withColumn("attempt", fnCoalesce(col("attempt"), lit(0L))),
+        pages => retained.fold(pages)(q =>
+          pages.join(broadcast(q), Seq("queryId"), "left_semi")))
     }
+
+  /** Recover from a compact interrupted between its two moves: the
+    * table dir is gone but `.name.old` still holds the pre-compact
+    * data — move it back. Leftover `.compact` staging is discarded. */
+  private def recoverTables(): Unit =
+    Seq("queries", "pages").foreach { name =>
+      val path = java.nio.file.Paths.get(dir, name)
+      val old = java.nio.file.Paths.get(dir, s".$name.old")
+      if (!java.nio.file.Files.exists(path) &&
+          java.nio.file.Files.exists(old))
+        java.nio.file.Files.move(old, path)
+      graft.core.Fs.deleteRecursively(
+        java.nio.file.Paths.get(dir, s".$name.compact"))
+    }
+
+  /** Run `f` holding the store lock: a reader that BUILDS and COLLECTS
+    * its frames inside one locked section can never race a concurrent
+    * [[compact]] into reading deleted part files or a half-old,
+    * half-new view (unionDF pins the file LIST under the lock, but the
+    * parquet read itself is lazy). */
+  def readLocked[T](f: => T): T = synchronized(f)
 
   /** The query-metric history a [[Predict.HistoryPredictor]] predicts
     * from: the most recent `limit` query metrics with resultRows /
@@ -146,7 +189,9 @@ final class MetricsStore(dir: String) {
     * an append-only lake reconciles at read). Bounded model-sized
     * collect: predictions rest on means, so a capped recent window is
     * the right estimator input at scale. */
-  def history(spark: SparkSession, limit: Int = 10000): Seq[QueryMetric] = {
+  def history(spark: SparkSession,
+              limit: Int = 10000): Seq[QueryMetric] = synchronized {
+    // build AND collect under the lock: see [[readLocked]]
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val pages = pagesDF(spark)

@@ -749,11 +749,21 @@ final class QueryServer(
         .getOrElse(rowBegin + defaultPageSize - 1)
       require(rowBegin >= 1 && rowEnd >= rowBegin,
         s"need 1 <= rowBegin <= rowEnd, got [$rowBegin, $rowEnd]")
+      // offset() takes an Int — refuse rather than silently wrap (a
+      // 2^32-off range would return the WRONG rows labeled correctly)
+      require(rowEnd <= Int.MaxValue,
+        s"row positions beyond ${Int.MaxValue} are not addressable")
       val n = rowEnd - rowBegin + 1
       require(n <= 100000, s"row range too large ($n; max 100000)")
       val spark = sparkOf.getOrElse(return (500, err("no tables registered")))
       val view = spark.table(alias)
-      val rows = view.orderBy(view.columns.head)
+      // TOTAL order: every column participates, so tied leading values
+      // cannot shuffle rows across page boundaries between requests
+      // (only fully-identical rows are interchangeable — unobservable).
+      // Each page re-sorts the view; a deployment paging huge results
+      // materializes a row-id column at load time instead (the
+      // reference's MySQL table has its row id for exactly this).
+      val rows = view.orderBy(view.columns.map(view.col): _*)
         .offset((rowBegin - 1).toInt).limit(n.toInt).toJSON.collect()
       (200, s"""{"rowBegin": $rowBegin, "rowEnd": $rowEnd,""" +
         s""" "rows": [${rows.mkString(",")}]}""")
@@ -770,10 +780,14 @@ final class QueryServer(
         .getOrElse(System.currentTimeMillis())
       val spark = sparkOf.getOrElse(return (500, err("no tables registered")))
       // pending ∪ flushed table: a restarted (or sibling) server over
-      // the same stateDir reports the SAME history the dead one built
-      val rows = QueryMetrics.summaryFrom(metricsStore.metricsDF(spark),
-          metricsStore.pagesDF(spark), end, params.get("user"))
-        .orderBy("ord").toJSON.collect() // exactly nine bucket rows
+      // the same stateDir reports the SAME history the dead one built.
+      // Build AND collect under the store lock so a concurrent compact
+      // cannot delete the enumerated part files mid-read.
+      val rows = metricsStore.readLocked {
+        QueryMetrics.summaryFrom(metricsStore.metricsDF(spark),
+            metricsStore.pagesDF(spark), end, params.get("user"))
+          .orderBy("ord").toJSON.collect() // exactly nine bucket rows
+      }
       (200, s"""{"buckets": [${rows.mkString(",")}]}""")
     } catch { case e: Exception => (400, err(e.getMessage)) }
 

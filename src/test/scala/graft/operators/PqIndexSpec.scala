@@ -150,6 +150,13 @@ class PqIndexSpec extends SparkSpec {
         shortlist = 30)
       .collect().map(_.getLong(1)).toSet
     assert(got.exists(_ >= 40L), got.toString)
+    // dimension drift fails FAST — never garbage codes in the index
+    val short = (0L until 5L).map(i => (i + 100L, Array.fill(4)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      VectorOps.pqAppendToIndex(short, dir)
+    }
+    assert(ex.getMessage.contains("dim 4"), ex.getMessage)
   }
 
   test("IVF-PQ: cell-partitioned codes, probes partition-prune, within-cells answer exact") {

@@ -38,5 +38,12 @@ class MetricsStoreSpec extends SparkSpec {
     assert(after.map(_.queryId).toSet == Set("q2", "q3"))
     assert(store.pages(spark, "q1").isEmpty)
     assert(store.pages(spark, "q2").map(_.rows) == Seq(20L))
+
+    // a compact that crashed between its two moves (table dir gone,
+    // .old still holding the data) recovers on the next read
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(dir, "queries"),
+      java.nio.file.Paths.get(dir, ".queries.old"))
+    assert(store.history(spark).map(_.queryId).toSet == Set("q2", "q3"))
   }
 }
