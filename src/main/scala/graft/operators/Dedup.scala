@@ -68,6 +68,15 @@ object Dedup {
   private def spread(docs: DataFrame): DataFrame =
     graft.core.Spread(docs.select(col("doc_id"), col("text")))
 
+  /** (doc_id, sh) shingle-hash frame — the shared first stage of every
+    * signature path (LSH, SimHash needle verify, the dedup store).
+    * Shingle-free docs (shorter than n tokens) are dropped: they can
+    * never reach the Jaccard threshold. */
+  private def shingled(docs: DataFrame, n: Int): DataFrame =
+    spread(docs)
+      .select(col("doc_id"), hashedShingles(col("text"), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
     val withSh = spread(docs)
       .select(col("doc_id"), hashedShingles(col("text"), n).as("sh"))
@@ -289,32 +298,35 @@ object Dedup {
           c.getField("_2"), lit(MinhashP)))))
   }
 
+  /** (doc_id, band, bucket) rows from a shingled frame: the codegen'd
+    * MinHash signature ([[graft.functions.MinHashSig]] — bit-identical
+    * to the declarative form, MinHashSigSpec) sliced into `bands`
+    * hashed band keys. Shared by the one-shot pair join and the
+    * write-once signature store. */
+  private def bandTable(withSh: DataFrame, numHashes: Int,
+                        bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    withSh.withColumn("mh",
+        graft.functions.MinHashSig.signature(col("sh"), numHashes))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("mh"), b * rows + lit(1), lit(rows))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+  }
+
   /** MinHash-LSH near-dup pairs: banded bucket join for candidates, exact
     * Jaccard verify (same output contract as [[ngramJaccardPairs]]).
     * bands × rowsPerBand = numHashes; P(candidate | j) = 1-(1-j^rows)^bands.
     * Defaults catch j ≥ 0.8 pairs with ~1-1e-13 probability. */
   def minhashLshPairs(docs: DataFrame, n: Int, threshold: Double,
                       numHashes: Int = 128, bands: Int = 32): DataFrame = {
-    val rows = numHashes / bands
     // Persist shingles + banded signatures: higher-order aggregates are
     // interpreted (non-codegen), so each must be evaluated exactly once —
     // not once per side of the self-join plus twice more in the verify
     // join. At lake scale the analog is a checkpointed signatures table
     // maintained incrementally at ingest.
-    val withSh = spread(docs)
-      .select(col("doc_id"), hashedShingles(col("text"), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .persist()
-    // native codegen'd signature (MinHashSig) — bit-identical to the
-    // declarative minhashSignature (asserted in MinHashSigSpec) but two
-    // tight Java loops instead of the interpreted HOF path
-    val sig = withSh.withColumn("mh",
-      graft.functions.MinHashSig.signature(col("sh"), numHashes))
-    val banded = sig.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => hash(slice(col("mh"), b * rows + lit(1), lit(rows))))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-      .persist()
+    val withSh = shingled(docs, n).persist()
+    val banded = bandTable(withSh, numHashes, bands).persist()
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -411,5 +423,126 @@ object Dedup {
       .select(col("doc_id"), hashedShingles(col("text"), n).as("sh"))
       .persist()
     verifyJaccard(cand, withSh, threshold)
+  }
+
+  // ---- Incremental dedup: a write-once signature store ---------------
+  // The ingest-pipeline shape: a corpus's shingle hashes + LSH band
+  // table are written ONCE; each new batch dedups against the STORE —
+  // the band join broadcasts the (small) new batch against one scan of
+  // the stored bands, and the exact verify reads stored shingles for
+  // candidate partners only (semi-join prune). The old corpus is never
+  // re-shingled and never re-paired, exactly like
+  // [[graft.operators.VectorOps.pqAppendToIndex]] on the ANN side (and
+  // the reference's new shards joining the global index without a
+  // rebuild). At lake scale the band table would be written bucketed by
+  // (band, bucket) so even re-runs of LARGE batches sort-merge without
+  // a shuffle of the stored side.
+
+  /** Read-validate the store's signature parameters (written once by
+    * [[writeDedupStore]]); every later append/query derives its
+    * signatures from THESE, so a parameter mismatch — which would
+    * silently produce near-empty candidate sets — cannot happen. */
+  private def storeParams(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): (Int, Int, Int) = {
+    val r = spark.read.parquet(s"$dir/params").head()
+    (r.getAs[Int]("n"), r.getAs[Int]("num_hashes"), r.getAs[Int]("bands"))
+  }
+
+  /** Band rows first, shingles second: after a partial failure, a doc
+    * with bands but no shingles merely misses pairs until the append is
+    * retried (band-row duplicates collapse in the candidate
+    * `.distinct()`), whereas duplicated SHINGLE rows would corrupt the
+    * verify join forever. Retrying the whole append is therefore safe. */
+  private def writeStoreParts(withSh: DataFrame, dir: String, numHashes: Int,
+                              bands: Int, mode: String): Unit = {
+    bandTable(withSh, numHashes, bands).write.mode(mode).parquet(s"$dir/bands")
+    withSh.write.mode(mode).parquet(s"$dir/shingles")
+  }
+
+  /** Write the signature store for a corpus: `params` (one row),
+    * `shingles` (doc_id, sh) and `bands` (doc_id, band, bucket). */
+  def writeDedupStore(docs: DataFrame, dir: String, n: Int = 3,
+                      numHashes: Int = 128, bands: Int = 32): Unit = {
+    val spark = docs.sparkSession
+    spark.range(1)
+      .select(lit(n).as("n"), lit(numHashes).as("num_hashes"),
+        lit(bands).as("bands"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+    val withSh = shingled(docs, n).persist()
+    try writeStoreParts(withSh, dir, numHashes, bands, "overwrite")
+    finally withSh.unpersist()
+  }
+
+  /** Register a processed batch as part of the corpus: its signatures
+    * append to the store, so the NEXT batch dedups against it too.
+    * Signature params come from the store itself. Caller contract:
+    * append AFTER consuming the batch's [[incrementalNearDupPairs]]
+    * (the pair frame reads the store), and never append ids already
+    * stored. A failed append may be retried whole (see
+    * [[writeStoreParts]]). */
+  def appendDedupStore(newDocs: DataFrame, dir: String): Unit = {
+    val (n, numHashes, bands) = storeParams(newDocs.sparkSession, dir)
+    val withSh = shingled(newDocs, n).persist()
+    try writeStoreParts(withSh, dir, numHashes, bands, "append")
+    finally withSh.unpersist()
+  }
+
+  /** Lazy plan behind [[incrementalNearDupPairs]] — split out so specs
+    * can assert the join shapes (the public op materializes eagerly,
+    * hiding the plan behind a checkpoint scan). Persists three frames;
+    * the public wrapper unpersists them. */
+  private[graft] def incrementalPairsPlan(newDocs: DataFrame, dir: String,
+                                          threshold: Double)
+      : (DataFrame, Seq[DataFrame]) = {
+    val spark = newDocs.sparkSession
+    val (n, numHashes, bands) = storeParams(spark, dir)
+    val newSh = shingled(newDocs, n).persist()
+    val newBands = bandTable(newSh, numHashes, bands).persist()
+    val oldBands = spark.read.parquet(s"$dir/bands")
+    // stored side scanned once; the new batch is the broadcast side
+    val candCross = oldBands.as("y")
+      .join(broadcast(newBands.as("x")),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("id_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("id_b"))
+    val candSelf = newBands.as("x").join(newBands.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+    val cand = candCross.unionByName(candSelf).distinct().persist()
+    // verify touches stored shingles for candidate PARTNERS only: one
+    // full scan of the store semi-join-pruned to candidate ids (AQE
+    // broadcasts the id side when small), persisted so the id_a and
+    // id_b branches of the verify join share the single pruned pass
+    val candIds = cand
+      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+      .distinct()
+    val allSh = spark.read.parquet(s"$dir/shingles")
+      .join(candIds, Seq("doc_id"), "left_semi")
+      .unionByName(newSh)
+      .persist()
+    (verifyJaccard(cand, allSh, threshold), Seq(newSh, newBands, cand, allSh))
+  }
+
+  /** Near-dup pairs a NEW batch forms with the stored corpus and with
+    * itself — (id_a, id_b, inter, uni), id_a < id_b, the same verified
+    * contract as [[ngramJaccardPairs]]/[[minhashLshPairs]]. Candidates
+    * come from the LSH band join (new × stored + new × new); signature
+    * params come from the store. EAGER: the result (bounded by the new
+    * batch's candidate pairs) is persisted and counted so the four
+    * intermediate caches release in-op — a per-batch ingest loop holds
+    * exactly one cached frame per outstanding result, released by
+    * `result.unpersist()` (or `catalog.clearCache`), NOT a
+    * localCheckpoint whose blocks only garbage collection can free. */
+  def incrementalNearDupPairs(newDocs: DataFrame, dir: String,
+                              threshold: Double): DataFrame = {
+    val (pairs, cached) = incrementalPairsPlan(newDocs, dir, threshold)
+    val out = pairs.persist()
+    out.count()
+    cached.foreach(_.unpersist())
+    out
   }
 }

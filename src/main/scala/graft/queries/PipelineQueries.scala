@@ -61,6 +61,26 @@ object PipelineQueries {
     Dedup.simhashPairs(Tables.documents(s, d), n = 3, threshold = 0.8,
       maxHamming = 7)
 
+  /** Incremental dedup against a write-once signature store: 80% of the
+    * corpus is the EXISTING store (shingle hashes + LSH band table,
+    * written once); the other 20% arrives as a new batch and dedups
+    * against the store + itself — the old corpus is never re-shingled
+    * or re-paired (its band table is scanned once with the new batch
+    * broadcast). Same verified (inter, uni) contract as the one-shot
+    * pair ops; oracle = the exact pair set restricted to pairs
+    * involving a new doc. */
+  def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    // temp store left in place (streaming-gate convention): the result
+    // is cached eagerly, but a recompute under cache eviction must
+    // still find the store files
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedupstore")
+    Dedup.writeDedupStore(docs.filter(col("doc_id") % 5 =!= 0),
+      dir.toString, n = 3)
+    Dedup.incrementalNearDupPairs(
+      docs.filter(col("doc_id") % 5 === 0), dir.toString, threshold = 0.8)
+  }
+
   /** Per-document text analysis: quality + language-ID + fingerprint. */
   def textAnalyze(s: SparkSession, d: String): DataFrame =
     TextOps.analyze(Tables.documents(s, d))
@@ -380,6 +400,7 @@ object PipelineQueries {
     "dedup_clusters" -> dedupClusters _,
     "sample_stratified" -> sampleStratified _,
     "dedup_minhash_lsh" -> dedupMinhash _,
+    "dedup_incremental" -> dedupIncremental _,
     "dedup_simhash" -> dedupSimhash _,
     "text_analyze" -> textAnalyze _,
     "text_quality_filter" -> textQualityFilter _,
@@ -483,6 +504,10 @@ object PipelineQueries {
          | FROM $shinglesSql a, bench b
          | WHERE len(list_intersect(a.sh, b.bs)) >= 2""".stripMargin,
     "dedup_minhash_lsh" -> jaccardPairsSql,
+    // the exact pair set restricted to pairs with a NEW-batch side
+    "dedup_incremental" ->
+      s"""SELECT * FROM ($jaccardPairsSql)
+         | WHERE id_a % 5 = 0 OR id_b % 5 = 0""".stripMargin,
     // same md5-derived bucket on both engines → identical keep decisions
     "sample_stratified" ->
       """SELECT doc_id, lang FROM documents

@@ -12,6 +12,85 @@ class Wave7Spec extends SparkSpec {
 
   def sf01 = "/root/testdata/sf0.01"
 
+  test("incremental dedup: batches dedup against the store, appends feed the NEXT batch, old corpus untouched") {
+    val mk = (id: Long, text: String) => (id, text)
+    val base = Seq(
+      mk(1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      mk(2L, "totally different words live in this one document here"),
+      mk(3L, "yet another unrelated piece of text with its own tokens"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-incdedup")
+    try {
+      Dedup.writeDedupStore(base, dir.toString, n = 3)
+      // batch 1: doc 10 duplicates doc 1 (store hit); doc 11 is novel
+      val b1 = Seq(
+        mk(10L, "alpha beta gamma delta epsilon zeta eta theta"),
+        mk(11L, "completely novel content that matches nothing else at all"))
+        .toDF("doc_id", "text")
+      val p1f = Dedup.incrementalNearDupPairs(b1, dir.toString, threshold = 0.8)
+      val p1 = p1f.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      p1f.unpersist()
+      assert(p1 == Set((1L, 10L)), p1.toString)
+      Dedup.appendDedupStore(b1, dir.toString)
+      // batch 2: doc 20 duplicates doc 11 — a PREVIOUS BATCH's doc, only
+      // findable because the append registered it
+      val b2 = Seq(
+        mk(20L, "completely novel content that matches nothing else at all"))
+        .toDF("doc_id", "text")
+      val p2f = Dedup.incrementalNearDupPairs(b2, dir.toString, threshold = 0.8)
+      val p2 = p2f.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      p2f.unpersist()
+      assert(p2 == Set((11L, 20L)), p2.toString)
+      // the store-side band join broadcasts the NEW batch, NEVER the
+      // store: with auto-broadcast off, the only way the bands file scan
+      // ends up STREAMED into a BroadcastHashJoin is the explicit hint —
+      // flipping the hint to the store side fails this assertion
+      val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      try {
+        // auto-broadcast OFF: the only broadcasts left are the explicit
+        // hints, so the direction assertion is not vacuously satisfied
+        // by tiny test inputs; AQE off so plan nodes are collectible
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        val (pairs, cached) = Dedup.incrementalPairsPlan(b2, dir.toString, 0.8)
+        def scansBands(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+          p.collect {
+            case s: org.apache.spark.sql.execution.FileSourceScanExec
+                if s.relation.location.rootPaths
+                  .exists(_.toString.endsWith("/bands")) => s
+          }.nonEmpty
+        // the band join sits beneath cand's persist boundary — traverse
+        // into InMemoryRelation cached plans to reach it
+        def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+            : Seq[org.apache.spark.sql.execution.SparkPlan] =
+          p.collect { case x => x }.flatMap {
+            case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+              allNodes(m.relation.cachedPlan)
+            case other => Seq(other)
+          }
+        val bandJoin = allNodes(pairs.queryExecution.executedPlan).collect {
+          case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+              if scansBands(j.left) || scansBands(j.right) => j
+        }
+        assert(bandJoin.nonEmpty,
+          pairs.queryExecution.executedPlan.toString.take(3000))
+        bandJoin.foreach { j =>
+          val buildIsLeft =
+            j.buildSide == org.apache.spark.sql.catalyst.optimizer.BuildLeft
+          val streamed = if (buildIsLeft) j.right else j.left
+          val build = if (buildIsLeft) j.left else j.right
+          assert(scansBands(streamed) && !scansBands(build),
+            s"store must be streamed, got build=\n$build")
+        }
+        cached.foreach(_.unpersist())
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      }
+    } finally graft.core.Fs.deleteRecursively(dir)
+  }
+
   test("packWindows: contiguous token stream, correct window spans, equals the global-window form") {
     val docs = (1L to 300L).map(i => (i, (i % 11) + 1))
       .toDF("doc_id", "n_tokens")
