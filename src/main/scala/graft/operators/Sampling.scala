@@ -273,4 +273,50 @@ object Sampling {
           / ctxLen) - col("window_id") + 1)
       .drop("__cb", "__b", "__toff")
   }
+
+  /** Temperature-scaled domain sampling weights — the multilingual-mix
+    * step (mT5/XLM-R style: p_d ∝ n_d^α with α < 1 upweights low-resource
+    * domains). Emits one row per domain: token count, normalized
+    * sampling weight, and the repeat factor (weight · total / n_d) that
+    * [[repeatUpsample]] then applies.
+    *
+    * Exactness discipline: α is restricted to 1/2 or 1/4 so n^α is an
+    * INTEGER floor-sqrt (floor(sqrt(n)) is exact for n < 2^52 because
+    * IEEE sqrt is correctly rounded — any engine computes the same
+    * long), the normalizers S = Σ n^α and T = Σ n are exact integer
+    * sums, and each output double is a fixed tree of IEEE ÷/× over
+    * those integers — reproducible bit-for-bit, hash-gateable. The
+    * qlog4 convention, applied to pow.
+    *
+    * 100 TB shape: one map-side-combined aggregate (domains-in,
+    * domains-out), a two-scalar driver materialization for S/T, and a
+    * per-row projection. Nothing grows with the corpus but the first
+    * aggregate's input. */
+  def temperatureWeights(df: DataFrame, domainCol: String,
+                         nTokensCol: String,
+                         alpha: Double = 0.5): DataFrame = {
+    require(alpha == 0.5 || alpha == 0.25,
+      s"alpha must be 0.5 or 0.25 (exact integer-root path), got $alpha")
+    def isqrt(c: Column): Column =
+      floor(sqrt(c.cast("double"))).cast("long")
+    val counts = df.groupBy(col(domainCol).as("domain"))
+      .agg(sum(col(nTokensCol)).cast("long").as("n_tokens"))
+    val root: Column => Column =
+      if (alpha == 0.5) isqrt else c => isqrt(isqrt(c))
+    val scaled = counts.withColumn("n_alpha", root(col("n_tokens")))
+    // S and T are TWO scalars (the surprisal-total pattern) — integer
+    // sums, so partition order cannot perturb them
+    val row = scaled.agg(sum(col("n_alpha")), sum(col("n_tokens"))).collect()(0)
+    val (s, t) =
+      (if (row.isNullAt(0)) 0L else row.getLong(0),
+        if (row.isNullAt(1)) 0L else row.getLong(1))
+    require(s > 0, "temperatureWeights needs a non-empty corpus")
+    // weight = n^α/S; repeat = (n^α/S)·(T/n) — each a fixed IEEE tree
+    // over exact integers (association mirrored in the oracle)
+    val weight = col("n_alpha").cast("double") / lit(s.toDouble)
+    scaled.select(col("domain"), col("n_tokens"),
+      weight.as("weight"),
+      (weight * (lit(t.toDouble) / col("n_tokens").cast("double")))
+        .as("repeat_factor"))
+  }
 }

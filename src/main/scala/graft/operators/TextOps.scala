@@ -274,6 +274,113 @@ object TextOps {
           .otherwise("tail").as("ppl_bucket"))
   }
 
+  // --- relevance ranking (TF-IDF / BM25) --------------------------------
+
+  /** Rank documents for a term set by quarter-bit-exact TF-IDF — the
+    * content-relevance scoring the reference approximates with
+    * `content:scoredPhrase` (TermWeight scores stored at ingest,
+    * ContentFunctions.java): here computed corpus-wide from tf and df.
+    * idf is quantized with [[qlog4]] (idf_q(t) = qlog4(N) − qlog4(df_t)),
+    * so every score is exact integer arithmetic — any engine reproduces
+    * the ranking bit-for-bit (same discipline as [[surprisal]]).
+    *
+    * 100 TB shape: the token stream is filtered to the query terms
+    * BEFORE any shuffle (an `isin` over a handful of literals, pushed
+    * into the scan projection), so shuffle volume is query-term
+    * instances only — never the vocabulary. df/idf is a ≤|terms|-row
+    * aggregate broadcast back onto tf; the top-k is a
+    * TakeOrderedAndProject (per-partition heaps + driver merge of k
+    * rows), never a global sort. */
+  def rankTfIdf(docs: DataFrame, terms: Seq[String], k: Int = 20,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty, "rankTfIdf needs at least one query term")
+    val norm = terms.map(_.toLowerCase).distinct
+    // ONE scalar job (the surprisal-total pattern): N feeds the idf
+    // constant, a bounded driver materialization
+    val n = docs.count()
+    val nQ = qlog4Long(n)
+    val hits = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .filter(col("tok").isin(norm.map(lit(_)): _*))
+    val tf = hits.groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    // one row per (doc, term) → count(*) = documents containing t
+    val idf = tf.groupBy("tok")
+      .agg((lit(nQ) - qlog4(count(lit(1)))).as("idf_q"))
+    tf.join(broadcast(idf), Seq("tok"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("tf") * col("idf_q")).as("score_qbits"))
+      .orderBy(col("score_qbits").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Okapi BM25 top-k — the standard-formula double-precision sibling of
+    * [[rankTfIdf]] for callers who want the real scoring function
+    * (length-normalized, tf-saturated). Same distributed shape; the
+    * scores are IEEE doubles (spec-tested with tolerance, not
+    * hash-gated — `ln` is not exactly reproducible across engines). */
+  def rankBm25(docs: DataFrame, terms: Seq[String], k: Int = 20,
+               k1: Double = 1.2, b: Double = 0.75,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty, "rankBm25 needs at least one query term")
+    val norm = terms.map(_.toLowerCase).distinct
+    val n = docs.count()
+    val lens = docs.select(col(idCol), tokenCount(col(textCol)).as("dl"))
+    val avgRow = lens.agg(avg(col("dl"))).collect()(0)
+    val avgdl = if (avgRow.isNullAt(0)) 0.0 else avgRow.getDouble(0)
+    val hits = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .filter(col("tok").isin(norm.map(lit(_)): _*))
+    val tf = hits.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      .select(col("tok"),
+        log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+          .as("idf"))
+    // lens is corpus-sized — never broadcast; the join keys on the
+    // (small) hit-doc side and shuffles only matching docs
+    val tfd = tf.join(broadcast(idf), Seq("tok"))
+      .join(lens, Seq(idCol))
+    val denom = col("tf").cast("double") + lit(k1) *
+      (lit(1.0 - b) + lit(b) * col("dl").cast("double")
+        / lit(math.max(avgdl, 1e-9)))
+    tfd.select(col(idCol),
+        (col("idf") * (col("tf").cast("double") * (k1 + 1.0)) / denom).as("s"))
+      .groupBy(col(idCol)).agg(sum(col("s")).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  // --- BPE merge statistics ---------------------------------------------
+
+  /** Adjacent-symbol pair counts over the word-frequency table — the
+    * statistic one BPE merge iteration maximizes (Sennrich et al. 2016:
+    * count pairs in the vocabulary weighted by word frequency, merge the
+    * max). Emits the top-k (pair, count) rows with a total order
+    * (count desc, pair asc), exact integer arithmetic throughout.
+    *
+    * 100 TB shape: the corpus collapses to its VOCABULARY first (one
+    * map-side-combined shuffle on word — tokens-in, vocab-out), and the
+    * pair explode runs over vocab rows, not corpus rows: a trillion-token
+    * corpus with a 10M-word vocabulary pays the pair work 10M times.
+    * The final top-k is a TakeOrderedAndProject over the pair aggregate. */
+  def bpePairs(docs: DataFrame, k: Int = 50,
+               textCol: String = "text"): DataFrame = {
+    val vocab = docs
+      .select(explode(tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+    // sequence(1, len-1) must not run on len<2 words: Spark's sequence
+    // DESCENDS when stop < start (sequence(1,0) = [1,0]), which would
+    // fabricate pairs from one-char words
+    vocab.filter(length(col("word")) >= 2)
+      .select(col("wc"), explode(transform(
+        sequence(lit(1), length(col("word")) - 1),
+        i => col("word").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(sum(col("wc")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("pair"))
+      .limit(k)
+  }
+
   // --- derived DataFrames ----------------------------------------------
 
   def analyze(docs: DataFrame): DataFrame =

@@ -384,7 +384,33 @@ object PipelineQueries {
         col("window_id").cast("long").as("window_id"),
         col("n_windows").cast("long").as("n_windows"))
 
+  /** Quarter-bit-exact TF-IDF relevance ranking: top-20 documents for a
+    * three-term query, integer scores (qlog4-quantized idf), total-order
+    * tie-break — the corpus-wide form of the reference's stored-TermWeight
+    * relevance (content:scoredPhrase). */
+  def textRankTfidf(s: SparkSession, d: String): DataFrame =
+    TextOps.rankTfIdf(graft.core.Spread(Tables.documents(s, d)),
+      Seq("join", "merge", "scan"))
+
+  /** One BPE merge iteration's statistic: adjacent-symbol pair counts
+    * over the word-frequency table, top-50 — the tokenizer-training
+    * aggregate (corpus collapses to vocab before any pair work). */
+  def bpePairs(s: SparkSession, d: String): DataFrame =
+    TextOps.bpePairs(graft.core.Spread(Tables.documents(s, d)))
+
+  /** Temperature-scaled per-language sampling weights (α = 1/2 via exact
+    * integer floor-sqrt): the multilingual mix table feeding
+    * repeat-factor upsampling. */
+  def corpusTemperature(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling.temperatureWeights(
+      Tables.documents(s, d).select(col("lang"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens")),
+      "lang", "n_tokens")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_rank_tfidf" -> textRankTfidf _,
+    "bpe_pairs" -> bpePairs _,
+    "corpus_temperature" -> corpusTemperature _,
     "corpus_shuffle" -> corpusShuffle _,
     "corpus_upsample" -> corpusUpsample _,
     "corpus_split" -> corpusSplit _,
@@ -849,5 +875,52 @@ object PipelineQueries {
         |   (7, 'video', 'mp4', 0, 0, 0, 0)
         | ) AS t(media_id, modality, format, width, height, n_frames,
         |        feat_nonzero)""".stripMargin,
+    // quarter-bit idf: qlog4(N) − qlog4(df), same exact-integer log as
+    // text_surprisal; score = Σ tf·idf_q is pure int64, so the top-20
+    // (score desc, doc_id) replays bit-for-bit
+    "text_rank_tfidf" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |hits AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM hits
+         |  WHERE tok IN ('join', 'merge', 'scan') GROUP BY 1, 2),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |idf AS (SELECT tok,
+         |  (CASE WHEN n < 32768 THEN length(bin(n*n*n*n)) - 1
+         |        ELSE 4 * (length(bin(n)) - 1) + 3 END)
+         |  - (CASE WHEN df < 32768 THEN length(bin(df*df*df*df)) - 1
+         |          ELSE 4 * (length(bin(df)) - 1) + 3 END) AS idf_q
+         |  FROM (SELECT tok, count(*) AS df FROM tf GROUP BY 1), n),
+         |sc AS (SELECT doc_id, count(*) AS n_terms,
+         |    sum(tf * idf_q) AS score
+         |  FROM tf JOIN idf USING (tok) GROUP BY 1)
+         |SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms,
+         |  CAST(score AS BIGINT) AS score_qbits
+         |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // pair = 2-char substring at each position of each vocab word,
+    // weighted by word frequency — exact integers, total-order top-50
+    "bpe_pairs" ->
+      s"""WITH w AS (SELECT unnest($toksSql) AS word FROM documents),
+         |v AS (SELECT word, count(*) AS wc FROM w GROUP BY 1),
+         |p AS (SELECT substring(word, CAST(i AS INT), 2) AS pair, wc
+         |  FROM (SELECT word, wc, unnest(range(1, length(word))) AS i
+         |        FROM v WHERE length(word) >= 2))
+         |SELECT pair, CAST(sum(wc) AS BIGINT) AS pair_count
+         |FROM p GROUP BY 1 ORDER BY pair_count DESC, pair LIMIT 50""".stripMargin,
+    // n^α as exact integer floor-sqrt; S and T integer sums; each double
+    // a fixed IEEE ÷/× tree mirrored operand-for-operand in the operator
+    "corpus_temperature" ->
+      s"""WITH c AS (SELECT lang AS domain,
+         |    CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY 1),
+         |s AS (SELECT domain, n_tokens,
+         |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS na
+         |  FROM c),
+         |t AS (SELECT CAST(sum(na) AS BIGINT) AS S,
+         |    CAST(sum(n_tokens) AS BIGINT) AS T FROM s)
+         |SELECT domain, n_tokens,
+         |  CAST(na AS DOUBLE) / CAST(S AS DOUBLE) AS weight,
+         |  (CAST(na AS DOUBLE) / CAST(S AS DOUBLE))
+         |    * (CAST(T AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS repeat_factor
+         |FROM s, t""".stripMargin,
   )
 }
