@@ -545,4 +545,46 @@ object Dedup {
     cached.foreach(_.unpersist())
     out
   }
+
+  /** C4-style GLOBAL line deduplication (Raffel et al. 2020 §2.2: "we
+    * discarded all but one of any three-sentence span occurring more
+    * than once" — productionized as line-level dedup in C4/RefinedWeb):
+    * every distinct non-empty line is kept in exactly ONE document —
+    * its first occurrence in (doc_id, line_no) order — and every other
+    * occurrence is dropped. Returns one row per document: original and
+    * surviving line counts plus the md5 of the reassembled text (the
+    * surviving lines re-joined in original order), so the whole rewrite
+    * is hash-checkable.
+    *
+    * 100 TB shape: TWO shuffles, both map-side-combinable — a window
+    * keyed on the line hash picks each line's global keeper (the skew
+    * concern is a boilerplate line shared by millions of docs: the
+    * window only needs the MIN occurrence, so Spark's rank evaluates
+    * streaming per key — no buffering of the fan-out), then a doc-keyed
+    * sort-agg reassembles survivors. No joins, no all-pairs anything. */
+  def lineDedup(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val lines = spread(docs)
+      .select(col(idCol), posexplode(split(col(textCol), "\n")))
+      .withColumnRenamed("pos", "line_no")
+      .withColumn("line", trim(col("col"))).drop("col")
+      .filter(col("line") =!= "")
+    // global keeper = first (doc_id, line_no) occurrence of the line;
+    // hashing the line keys the shuffle on 128 bits, not arbitrary-
+    // length text
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("line")))
+      .orderBy(col(idCol), col("line_no"))
+    // ONE doc-keyed aggregation after the rank — survivors and totals
+    // in the same pass (collect_list drops the nulls of non-keepers),
+    // so the exploded line set is never shuffled twice or joined
+    lines.withColumn("rn", row_number().over(w))
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_lines"),
+        count(when(col("rn") === 1, lit(1))).as("n_kept"),
+        md5(concat_ws("\n",
+          array_sort(collect_list(
+            when(col("rn") === 1, struct(col("line_no"), col("line")))))
+            .getField("line"))).as("kept_md5"))
+  }
 }

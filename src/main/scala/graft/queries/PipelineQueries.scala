@@ -407,7 +407,23 @@ object PipelineQueries {
         TextOps.tokenCount(col("text")).cast("long").as("n_tokens")),
       "lang", "n_tokens")
 
+  /** C4-style global line dedup: the corpus has no newline structure, so
+    * the gate derives deterministic "lines" (consecutive 10-token
+    * chunks, rejoined with \n — same derivation in the oracle) and
+    * proves the rewrite: per-doc line counts + md5 of the reassembled
+    * surviving text. */
+  def dedupLines(s: SparkSession, d: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val lined = graft.core.Spread(Tables.documents(s, d)).select(col("doc_id"),
+      when(size(toks) > 0, concat_ws("\n", transform(
+        sequence(lit(0), (ceil(size(toks) / lit(10.0)) - 1).cast("int")),
+        i => concat_ws(" ", slice(toks, i * 10 + 1, lit(10))))))
+        .otherwise(lit("")).as("text"))
+    Dedup.lineDedup(lined)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_lines" -> dedupLines _,
     "text_rank_tfidf" -> textRankTfidf _,
     "bpe_pairs" -> bpePairs _,
     "corpus_temperature" -> corpusTemperature _,
@@ -906,6 +922,29 @@ object PipelineQueries {
          |        FROM v WHERE length(word) >= 2))
          |SELECT pair, CAST(sum(wc) AS BIGINT) AS pair_count
          |FROM p GROUP BY 1 ORDER BY pair_count DESC, pair LIMIT 50""".stripMargin,
+    // same 10-token chunk "lines", same md5-keyed first-occurrence
+    // window, same in-order reassembly — the rewrite hash-checks
+    "dedup_lines" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |l AS (SELECT doc_id, list_transform(
+         |    range(0, CAST(ceil(len(toks)/10.0) AS BIGINT)),
+         |    i -> array_to_string(
+         |      toks[CAST(i*10+1 AS INT):CAST(i*10+10 AS INT)], ' ')) AS ls
+         |  FROM t),
+         |ln AS (SELECT doc_id, CAST(i AS BIGINT) - 1 AS line_no,
+         |    trim(ls[CAST(i AS INT)]) AS line
+         |  FROM l, unnest(range(1, len(ls) + 1)) AS u(i)),
+         |flt AS (SELECT * FROM ln WHERE line <> ''),
+         |k AS (SELECT *, row_number() OVER (PARTITION BY md5(line)
+         |    ORDER BY doc_id, line_no) AS rn FROM flt),
+         |r AS (SELECT doc_id, count(*) AS n_kept,
+         |    md5(string_agg(line, chr(10) ORDER BY line_no)) AS kept_md5
+         |  FROM k WHERE rn = 1 GROUP BY 1),
+         |b AS (SELECT doc_id, count(*) AS n_lines FROM flt GROUP BY 1)
+         |SELECT b.doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+         |  CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+         |  COALESCE(kept_md5, md5('')) AS kept_md5
+         |FROM b LEFT JOIN r USING (doc_id)""".stripMargin,
     // n^α as exact integer floor-sqrt; S and T integer sums; each double
     // a fixed IEEE ÷/× tree mirrored operand-for-operand in the operator
     "corpus_temperature" ->

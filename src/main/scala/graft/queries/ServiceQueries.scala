@@ -440,7 +440,74 @@ object ServiceQueries {
         element_at(col("positions"), 1).cast("long").as("first_pos"))
   }
 
+  /** The reference's PRIMARY verb — `/query/createAndNext`
+    * (QueryExecutorBean.java:616, the §3.1 main path): create + FIRST
+    * page in one round trip, then `/query/next` to exhaustion. Also
+    * pins the no-results contract: an empty query auto-closes on the
+    * server and answers 204, leaving no session behind. */
+  def createAndNext(s: SparkSession, d: String): DataFrame = {
+    val server = new QueryServer(Map("orders" -> Tables.orders(s, d)))
+    val port = server.start()
+    try {
+      val svc = new RemoteQueryService(s"http://127.0.0.1:$port")
+      val (id, first) = svc.createAndNext("orders",
+        "O_ORDERSTATUS == 'F' && O_ORDERPRIORITY == '1-URGENT'",
+        pageSize = 2000, orderBy = Seq("o_orderkey"))
+        .getOrElse(throw new IllegalStateException("expected results"))
+      val out = Seq.newBuilder[String]
+      out ++= first
+      var page = svc.nextPage(id)
+      while (page.nonEmpty) { out ++= page.get; page = svc.nextPage(id) }
+      svc.close(id)
+      // the no-results branch: 204, query auto-closed server-side
+      if (svc.createAndNext("orders",
+          "O_ORDERSTATUS == 'NO_SUCH_STATUS'").nonEmpty)
+        throw new IllegalStateException("empty query must answer 204")
+      import s.implicits._
+      s.read.json(s.createDataset(out.result()))
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"), col("o_orderpriority"))
+    } finally server.stop()
+  }
+
+  /** QueryMetricQueryLogic (reference query/metrics): query metrics are
+    * DATA — ingested into the lake and queried through the standard JEXL
+    * stack like any shard table. Two live queries run against a server;
+    * after stop() flushes the durable store, a ShardQueryLogic JEXL
+    * query over the metrics TABLE returns their definitions. */
+  def queryMetricsLogic(s: SparkSession, d: String): DataFrame = {
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-metrics")
+    val server = new QueryServer(Map(
+      "orders" -> Tables.orders(s, d),
+      "customer" -> Tables.customer(s, d)), stateDir = stateDir.toString)
+    val port = server.start()
+    try {
+      val svc = new RemoteQueryService(s"http://127.0.0.1:$port")
+      val id1 = svc.createQuery("orders", "O_ORDERSTATUS == 'F'",
+        pageSize = 1000000, orderBy = Seq("o_orderkey"))
+      svc.nextPage(id1)
+      val id2 = svc.createQuery("customer", "C_MKTSEGMENT == 'BUILDING'",
+        pageSize = 1000000, orderBy = Seq("c_custkey"))
+      svc.nextPage(id2)
+    } finally server.stop() // flush: the durable metrics table appears
+    try {
+      val store = new MetricsStore(s"$stateDir/metrics")
+      val out = new ShardQueryLogic().query(store.metricsDF(s),
+          "LOGICNAME == 'orders' || LOGICNAME == 'customer'",
+          QueryParams(returnFields =
+            Seq("QUERY", "SYNTAX", "LOGICNAME", "USER")))
+        .select(col("query").as("query_text"), col("syntax"),
+          col("logicName").as("logic_name"), col("user").as("user_name"))
+      // localize before the backing files go away (two rows)
+      val local = s.createDataFrame(
+        java.util.Arrays.asList(out.collect(): _*), out.schema)
+      local
+    } finally graft.core.Fs.deleteRecursively(stateDir)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "create_and_next" -> createAndNext _,
+    "query_metrics_logic" -> queryMetricsLogic _,
     "cursor_page" -> cursorPage _,
     "query_pages" -> queryPages _,
     "query_metrics" -> queryMetrics _,
@@ -463,6 +530,18 @@ object ServiceQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the paged union over HTTP must equal the plain filter
+    "create_and_next" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
+        |WHERE o_orderstatus = 'F'
+        |  AND o_orderpriority = '1-URGENT'""".stripMargin,
+    // the two created queries' definitions, read back from the durable
+    // metrics table through the standard JEXL stack — literal rows
+    "query_metrics_logic" ->
+      """SELECT query_text, syntax, logic_name, user_name FROM (VALUES
+        |  ('O_ORDERSTATUS == ''F''', 'JEXL', 'orders', 'anonymous'),
+        |  ('C_MKTSEGMENT == ''BUILDING''', 'JEXL', 'customer', 'anonymous')
+        |) AS t(query_text, syntax, logic_name, user_name)""".stripMargin,
     // every event gains an appended event_uri row (first live pattern:
     // event_type) and its props row is overwritten from user_id
     "decorated_fields" ->

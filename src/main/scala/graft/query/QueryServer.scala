@@ -20,6 +20,9 @@ import java.util.concurrent.ConcurrentHashMap
   *    plans eagerly so a bad query fails at create (the reference's
   *    createQuery semantics), and the frame is persisted so pages read
   *    cached partitions, not re-planned scans.
+  *  - `POST /query/createAndNext?…` (same parameters) → create + FIRST
+  *    page in one round trip — the reference's primary verb
+  *    (createQueryAndNext); empty results close the query and 204.
   *  - `GET /query/next?id=...` → `{"rows": [...], "page": N}`, or HTTP
   *    204 when exhausted (the reference's NO_CONTENT page).
   *  - `GET /query/plan?id=...` → the executed physical plan text.
@@ -97,6 +100,7 @@ final class QueryServer(
   def start(port: Int = 0): Int = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/query/create", handler(create))
+    server.createContext("/query/createAndNext", handler(createAndNext))
     server.createContext("/query/next", handler(next))
     server.createContext("/query/plan", handler(plan))
     server.createContext("/query/metrics", handler(metrics))
@@ -141,12 +145,43 @@ final class QueryServer(
 
   // ---- endpoint implementations -------------------------------------
 
-  private def create(params: Map[String, String]): (Int, String) = {
+  private def create(params: Map[String, String]): (Int, String) =
+    doCreate(params) match {
+      case Left(resp) => resp
+      case Right(id) => (200, s"""{"queryId": "$id"}""")
+    }
+
+  /** `POST /query/createAndNext?…` — the reference's PRIMARY verb
+    * (QueryExecutorBean.java:616 createQueryAndNext, the path §3.1 calls
+    * the main entry point): create the query AND serve its first page in
+    * one round trip. An empty result closes the query and returns 204
+    * (the reference's NoResultsQueryException → NO_CONTENT + close) —
+    * callers never hold a session for a query with nothing to page. */
+  private def createAndNext(params: Map[String, String]): (Int, String) =
+    doCreate(params) match {
+      case Left(resp) => resp
+      case Right(id) =>
+        // the session was registered by doCreate under this id; a
+        // concurrent close between then and here just yields 204
+        Option(sessions.get(id)).flatMap(_.running.nextPageJson()) match {
+          case Some((rows, pageNum)) =>
+            (200, s"""{"queryId": "$id", "page": $pageNum,""" +
+              s""" "rows": [${rows.mkString(",")}]}""")
+          case None => teardown(id); (204, "")
+        }
+    }
+
+  /** Shared create core: validate, audit, plan+persist, register the
+    * session, persist its durable definition, record the create metric.
+    * Left = the error response; Right = the new query id. */
+  private def doCreate(
+      params: Map[String, String]): Either[(Int, String), String] = {
     val table = params.getOrElse("table",
-      return (400, err("missing 'table'")))
-    val q = params.getOrElse("query", return (400, err("missing 'query'")))
+      return Left((400, err("missing 'table'"))))
+    val q = params.getOrElse("query",
+      return Left((400, err("missing 'query'"))))
     val df0 = tables.getOrElse(table,
-      return (404, err(s"unknown table '$table'")))
+      return Left((404, err(s"unknown table '$table'"))))
     val qp = QueryParams(syntax = params.getOrElse("syntax", "JEXL"))
     val queryId = java.util.UUID.randomUUID().toString.replace("-", "")
     try {
@@ -173,7 +208,8 @@ final class QueryServer(
         result.columns.exists(_.equalsIgnoreCase(c)))
       if (missing.nonEmpty) {
         result.unpersist()
-        return (400, err(s"unknown orderBy column(s): ${missing.mkString(", ")}"))
+        return Left((400,
+          err(s"unknown orderBy column(s): ${missing.mkString(", ")}")))
       }
       val running = new RunningQuery(cursor, queryId, result, orderCols,
         pageSize, sink = pageSink)
@@ -186,9 +222,9 @@ final class QueryServer(
       metricsStore.record(QueryMetric(queryId, q, qp.syntax,
         System.currentTimeMillis(), 0L, 0L,
         user = params.getOrElse("user", "anonymous"), logicName = table))
-      (200, s"""{"queryId": "$queryId"}""")
+      Right(queryId)
     } catch {
-      case e: Exception => (400, err(e.getMessage))
+      case e: Exception => Left((400, err(e.getMessage)))
     }
   }
 

@@ -93,6 +93,23 @@ final class RemoteQueryService(baseUrl: String) {
     extract("queryId", body)
   }
 
+  /** `createAndNext` (QueryExecutorBean's primary verb): create + first
+    * page in one round trip. None = the query had no results (the
+    * server closed it and returned 204). */
+  def createAndNext(table: String, query: String, syntax: String = "JEXL",
+                    pageSize: Int = 100, orderBy: Seq[String] = Seq.empty)
+      : Option[(String, Seq[String])] = {
+    val order = if (orderBy.isEmpty) ""
+                else s"&orderBy=${enc(orderBy.mkString(","))}"
+    val (status, body) = http("POST",
+      s"/query/createAndNext?table=${enc(table)}&query=${enc(query)}" +
+        s"&syntax=${enc(syntax)}&pageSize=$pageSize$order")
+    if (status == 204) None
+    else if (status != 200)
+      throw new IllegalStateException(s"remote createAndNext failed ($status): $body")
+    else Some((extract("queryId", body), rowsOf(body)))
+  }
+
   /** One `next` call; None at the remote NO_CONTENT (exhausted). */
   def nextPage(id: String): Option[Seq[String]] = {
     val (status, body) = http("GET", s"/query/next?id=${enc(id)}")

@@ -50,6 +50,28 @@ class Wave8Spec extends SparkSpec {
       got.toSeq.toString)
   }
 
+  test("lineDedup: global first-occurrence keeper, in-order reassembly") {
+    val docs = Seq(
+      (1L, "shared header\nunique one\nshared header"),
+      (2L, "shared header\nunique two"),
+      (3L, "  \nunique three")).toDF("doc_id", "text")
+    val got = Dedup.lineDedup(docs).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    // doc 1 keeps the FIRST "shared header" and drops its own repeat;
+    // doc 2 loses it entirely; doc 3's blank line never counts
+    assert(got(1L)._1 == 3 && got(1L)._2 == 2)
+    assert(got(2L)._1 == 2 && got(2L)._2 == 1)
+    assert(got(3L)._1 == 1 && got(3L)._2 == 1)
+    def md5Of(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    assert(got(1L)._3 == md5Of("shared header\nunique one"))
+    assert(got(2L)._3 == md5Of("unique two"))
+    assert(got(3L)._3 == md5Of("unique three"))
+  }
+
   test("temperatureWeights: exact integer roots, α=1/2 and α=1/4") {
     val counts = Seq(("en", 900L), ("zh", 100L)).toDF("lang", "n")
     val rows = Sampling.temperatureWeights(counts, "lang", "n")

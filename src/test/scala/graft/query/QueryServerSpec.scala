@@ -73,6 +73,37 @@ class QueryServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("createAndNext: first page rides the create; empty result auto-closes with 204") {
+    val df = (1 to 25).map(i => (i.toLong, s"name_$i", if (i % 2 == 0) "A" else "B"))
+      .toDF("id", "name", "grp")
+    val srv = new QueryServer(tables = Map("people" -> df))
+    val port = srv.start()
+    try {
+      val base = s"http://127.0.0.1:$port/query"
+      // hit path: queryId AND page 1 in one response; next continues
+      val r = post(s"$base/createAndNext?table=people&query=" +
+        java.net.URLEncoder.encode("GRP == 'A'", "UTF-8") +
+        "&pageSize=10&orderBy=id")
+      assert(r.statusCode() == 200, r.body())
+      assert("\"id\":".r.findAllIn(r.body()).size == 10, r.body().take(500))
+      val id = "\"queryId\": \"([0-9a-f]+)\"".r
+        .findFirstMatchIn(r.body()).get.group(1)
+      val p2 = get(s"$base/next?id=$id")
+      assert("\"id\":".r.findAllIn(p2.body()).size == 2, p2.body().take(500))
+      assert(post(s"$base/close?id=$id").statusCode() == 200)
+      // no-results path: 204, and the query is GONE — no session to
+      // page or close (the reference's NoResultsQueryException → close)
+      val none = post(s"$base/createAndNext?table=people&query=" +
+        java.net.URLEncoder.encode("GRP == 'Z'", "UTF-8"))
+      assert(none.statusCode() == 204, none.body())
+      assert(get(s"$base/list").body() == "[]")
+      // validation still fails like create does
+      assert(post(s"$base/createAndNext?table=people&query=" +
+        java.net.URLEncoder.encode("NO_SUCH_FIELD == 'x'", "UTF-8"))
+        .statusCode() == 400)
+    } finally srv.stop()
+  }
+
   test("lookupUUID over HTTP: first page rides the create, next continues") {
     val df = (1 to 30).map(i => (i.toLong, s"u$i")).toDF("id", "uuid")
     val srv = new QueryServer(tables = Map("people" -> df),
