@@ -243,4 +243,24 @@ class PlanSpec extends SparkSpec {
     val aggs = "HashAggregate".r.findAllIn(plan).length
     assert(aggs >= 4, plan.take(3000)) // 2 logical aggs × partial+final
   }
+
+  test("TF-IDF ranking broadcasts the idf table and heaps the top-k") {
+    val plan = executed("text_rank_tfidf")
+    // the ≤|terms|-row idf side must broadcast onto tf…
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    // …and the top-20 must be per-partition heaps + driver merge,
+    // never a global sort of every scored document
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    assert(!plan.contains("GlobalLimit"), plan.take(3000))
+  }
+
+  test("line dedup is a window + one aggregation — no join over the line set") {
+    // keeper selection and reassembly share one pass: a Join (or a
+    // second doc-keyed exchange) means the exploded line set is being
+    // read twice — the shape this operator was collapsed to avoid
+    val plan = executed("dedup_lines")
+    assert(!plan.contains("Join"), plan.take(3000))
+    assert(plan.contains("RunningWindowFunction") || plan.contains("Window"),
+      plan.take(3000))
+  }
 }
