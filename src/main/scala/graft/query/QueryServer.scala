@@ -632,15 +632,36 @@ final class QueryServer(
   }
 
   /** Like the reference's plan response, leads with the canonical JEXL
-    * rendering of the (translated) query, then the physical plan. */
+    * rendering of the (translated) query, then the physical plan.
+    * Two forms, mirroring the reference's two plan verbs:
+    *  - `?id=…` — the plan of a CREATED query (GET `/{id}/plan`);
+    *  - `?table=T&query=Q[&syntax=…]` — plan WITHOUT creating
+    *    (POST `/{logicName}/plan`, QueryExecutorBean.java:848-851):
+    *    validate + optimize only, no session, no jobs, nothing cached —
+    *    a planning probe can run thousands of these without residue. */
   private def plan(params: Map[String, String]): (Int, String) = {
-    val s = session(params).getOrElse(return (404, err("unknown queryId")))
-    val jexl =
-      try graft.jexl.JexlRender.render(
-        if (s.syntax.equalsIgnoreCase("LUCENE")) graft.jexl.LuceneParser.parse(s.query)
-        else graft.jexl.JexlParser.parse(s.query))
-      catch { case _: Exception => s.query }
-    (200, s"JEXL: $jexl\n" + s.df.queryExecution.executedPlan.toString)
+    def render(query: String, syntax: String, df: DataFrame): String = {
+      val jexl =
+        try graft.jexl.JexlRender.render(
+          if (syntax.equalsIgnoreCase("LUCENE")) graft.jexl.LuceneParser.parse(query)
+          else graft.jexl.JexlParser.parse(query))
+        catch { case _: Exception => query }
+      s"JEXL: $jexl\n" + df.queryExecution.executedPlan.toString
+    }
+    if (params.contains("id")) {
+      val s = session(params).getOrElse(return (404, err("unknown queryId")))
+      (200, render(s.query, s.syntax, s.df))
+    } else {
+      val table = params.getOrElse("table",
+        return (400, err("need 'id', or 'table' + 'query'")))
+      val q = params.getOrElse("query", return (400, err("missing 'query'")))
+      val df0 = tables.getOrElse(table,
+        return (404, err(s"unknown table '$table'")))
+      val syntax = params.getOrElse("syntax", "JEXL")
+      try (200, render(q, syntax,
+        logic.query(df0, q, QueryParams(syntax = syntax))))
+      catch { case e: Exception => (400, err(e.getMessage)) }
+    }
   }
 
   private def metrics(params: Map[String, String]): (Int, String) = {

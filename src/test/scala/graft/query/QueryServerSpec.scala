@@ -104,6 +104,26 @@ class QueryServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("plan without create: validate + optimize, no session left behind") {
+    val df = (1 to 5).map(i => (i.toLong, s"n$i")).toDF("id", "name")
+    val srv = new QueryServer(tables = Map("people" -> df))
+    val port = srv.start()
+    try {
+      val base = s"http://127.0.0.1:$port/query"
+      val p = get(s"$base/plan?table=people&query=" +
+        java.net.URLEncoder.encode("ID >= 3", "UTF-8"))
+      assert(p.statusCode() == 200, p.body().take(300))
+      assert(p.body().startsWith("JEXL: "), p.body().take(200))
+      // planning is not creating: no session appears
+      assert(get(s"$base/list").body() == "[]")
+      // a bad query fails the plan call like it fails create
+      assert(get(s"$base/plan?table=people&query=" +
+        java.net.URLEncoder.encode("NOPE == 1", "UTF-8")).statusCode() == 400)
+      assert(get(s"$base/plan?table=absent&query=x").statusCode() == 404)
+      assert(get(s"$base/plan").statusCode() == 400)
+    } finally srv.stop()
+  }
+
   test("lookupUUID over HTTP: first page rides the create, next continues") {
     val df = (1 to 30).map(i => (i.toLong, s"u$i")).toDF("id", "uuid")
     val srv = new QueryServer(tables = Map("people" -> df),
