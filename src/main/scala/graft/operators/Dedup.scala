@@ -554,7 +554,8 @@ object Dedup {
     * occurrence is dropped. Returns one row per document: original and
     * surviving line counts plus the md5 of the reassembled text (the
     * surviving lines re-joined in original order), so the whole rewrite
-    * is hash-checkable.
+    * is hash-checkable. Expects the (doc_id, text) layout every Dedup
+    * operator uses.
     *
     * 100 TB shape: TWO shuffles, both map-side-combinable — a window
     * keyed on the line hash picks each line's global keeper (the skew
@@ -562,10 +563,9 @@ object Dedup {
     * window only needs the MIN occurrence, so Spark's rank evaluates
     * streaming per key — no buffering of the fan-out), then a doc-keyed
     * sort-agg reassembles survivors. No joins, no all-pairs anything. */
-  def lineDedup(docs: DataFrame, idCol: String = "doc_id",
-                textCol: String = "text"): DataFrame = {
+  def lineDedup(docs: DataFrame): DataFrame = {
     val lines = spread(docs)
-      .select(col(idCol), posexplode(split(col(textCol), "\n")))
+      .select(col("doc_id"), posexplode(split(col("text"), "\n")))
       .withColumnRenamed("pos", "line_no")
       .withColumn("line", trim(col("col"))).drop("col")
       .filter(col("line") =!= "")
@@ -574,12 +574,12 @@ object Dedup {
     // length text
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(md5(col("line")))
-      .orderBy(col(idCol), col("line_no"))
+      .orderBy(col("doc_id"), col("line_no"))
     // ONE doc-keyed aggregation after the rank — survivors and totals
     // in the same pass (collect_list drops the nulls of non-keepers),
     // so the exploded line set is never shuffled twice or joined
     lines.withColumn("rn", row_number().over(w))
-      .groupBy(col(idCol)).agg(
+      .groupBy(col("doc_id")).agg(
         count(lit(1)).as("n_lines"),
         count(when(col("rn") === 1, lit(1))).as("n_kept"),
         md5(concat_ws("\n",

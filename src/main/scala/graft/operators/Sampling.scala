@@ -288,35 +288,40 @@ object Sampling {
     * those integers — reproducible bit-for-bit, hash-gateable. The
     * qlog4 convention, applied to pow.
     *
-    * 100 TB shape: one map-side-combined aggregate (domains-in,
-    * domains-out), a two-scalar driver materialization for S/T, and a
-    * per-row projection. Nothing grows with the corpus but the first
-    * aggregate's input. */
+    * 100 TB shape: ONE map-side-combined aggregate (corpus-in,
+    * domains-out) whose domains-sized result materializes on the driver
+    * exactly once — S, T, and every output row come from that single
+    * collect, so the corpus is never scanned twice. Nothing grows with
+    * the corpus but the aggregate's input. */
   def temperatureWeights(df: DataFrame, domainCol: String,
                          nTokensCol: String,
                          alpha: Double = 0.5): DataFrame = {
     require(alpha == 0.5 || alpha == 0.25,
       s"alpha must be 0.5 or 0.25 (exact integer-root path), got $alpha")
-    def isqrt(c: Column): Column =
-      floor(sqrt(c.cast("double"))).cast("long")
-    val counts = df.groupBy(col(domainCol).as("domain"))
+    def isqrt(n: Long): Long = math.sqrt(n.toDouble).toLong
+    val root: Long => Long =
+      if (alpha == 0.5) isqrt else n => isqrt(isqrt(n))
+    val counts = df.groupBy(col(domainCol).cast("string").as("domain"))
       .agg(sum(col(nTokensCol)).cast("long").as("n_tokens"))
-    val root: Column => Column =
-      if (alpha == 0.5) isqrt else c => isqrt(isqrt(c))
-    val scaled = counts.withColumn("n_alpha", root(col("n_tokens")))
-    // S and T are TWO scalars (the surprisal-total pattern) — integer
-    // sums, so partition order cannot perturb them
-    val row = scaled.agg(sum(col("n_alpha")), sum(col("n_tokens"))).collect()(0)
-    val (s, t) =
-      (if (row.isNullAt(0)) 0L else row.getLong(0),
-        if (row.isNullAt(1)) 0L else row.getLong(1))
+      .collect()
+      .map(r => (r.getString(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1)))
+    // the mix table is model-sized by definition (languages/sources);
+    // refuse a mis-keyed call before it swamps the driver
+    require(counts.length <= 100000,
+      s"temperatureWeights collected ${counts.length} domains — domainCol" +
+        " must be a model-sized key (languages/sources), not a row key")
+    val na = counts.map { case (_, n) => root(n) }
+    val s = na.sum
+    val t = counts.map(_._2).sum
     require(s > 0, "temperatureWeights needs a non-empty corpus")
     // weight = n^α/S; repeat = (n^α/S)·(T/n) — each a fixed IEEE tree
     // over exact integers (association mirrored in the oracle)
-    val weight = col("n_alpha").cast("double") / lit(s.toDouble)
-    scaled.select(col("domain"), col("n_tokens"),
-      weight.as("weight"),
-      (weight * (lit(t.toDouble) / col("n_tokens").cast("double")))
-        .as("repeat_factor"))
+    val out = counts.zip(na).map { case ((d, n), a) =>
+      val weight = a.toDouble / s.toDouble
+      (d, n, weight, weight * (t.toDouble / n.toDouble))
+    }.toSeq
+    df.sparkSession.createDataFrame(out)
+      .toDF("domain", "n_tokens", "weight", "repeat_factor")
   }
 }

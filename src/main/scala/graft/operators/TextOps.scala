@@ -326,21 +326,23 @@ object TextOps {
     require(terms.nonEmpty, "rankBm25 needs at least one query term")
     val norm = terms.map(_.toLowerCase).distinct
     val n = docs.count()
-    val lens = docs.select(col(idCol), tokenCount(col(textCol)).as("dl"))
-    val avgRow = lens.agg(avg(col("dl"))).collect()(0)
+    // avgdl is ONE map-only scalar; each doc's own length rides the
+    // hits scan itself (carried through the explode), so the only rows
+    // that ever shuffle are query-term instances — no corpus-sized
+    // length table exists, let alone joins
+    val avgRow = docs.agg(avg(tokenCount(col(textCol)))).collect()(0)
     val avgdl = if (avgRow.isNullAt(0)) 0.0 else avgRow.getDouble(0)
     val hits = docs
-      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .select(col(idCol), tokenCount(col(textCol)).as("dl"),
+        explode(tokens(col(textCol))).as("tok"))
       .filter(col("tok").isin(norm.map(lit(_)): _*))
-    val tf = hits.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val tf = hits.groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
     val idf = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       .select(col("tok"),
         log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
           .as("idf"))
-    // lens is corpus-sized — never broadcast; the join keys on the
-    // (small) hit-doc side and shuffles only matching docs
     val tfd = tf.join(broadcast(idf), Seq("tok"))
-      .join(lens, Seq(idCol))
     val denom = col("tf").cast("double") + lit(k1) *
       (lit(1.0 - b) + lit(b) * col("dl").cast("double")
         / lit(math.max(avgdl, 1e-9)))
@@ -379,6 +381,22 @@ object TextOps {
       .groupBy("pair").agg(sum(col("wc")).as("pair_count"))
       .orderBy(col("pair_count").desc, col("pair"))
       .limit(k)
+  }
+
+  /** Deterministic "line" structure for corpora without newlines: the
+    * token stream re-joined as consecutive `chunk`-token lines. ONE
+    * definition shared by the dedup_lines gate, its DuckDB oracle
+    * mirror, and the scale probe — the derivation must not drift
+    * between what is gated and what is measured. */
+  def chunkLines(text: Column, chunk: Int = 10): Column = {
+    require(chunk > 0, "chunk must be positive")
+    val toks = tokens(text)
+    // sequence(0, -1) DESCENDS on an empty token array — guard it out
+    when(size(toks) > 0, concat_ws("\n", transform(
+      sequence(lit(0),
+        (ceil(size(toks) / lit(chunk.toDouble)) - 1).cast("int")),
+      i => concat_ws(" ", slice(toks, i * chunk + 1, lit(chunk))))))
+      .otherwise(lit(""))
   }
 
   // --- derived DataFrames ----------------------------------------------

@@ -412,15 +412,10 @@ object PipelineQueries {
     * chunks, rejoined with \n — same derivation in the oracle) and
     * proves the rewrite: per-doc line counts + md5 of the reassembled
     * surviving text. */
-  def dedupLines(s: SparkSession, d: String): DataFrame = {
-    val toks = TextOps.tokens(col("text"))
-    val lined = graft.core.Spread(Tables.documents(s, d)).select(col("doc_id"),
-      when(size(toks) > 0, concat_ws("\n", transform(
-        sequence(lit(0), (ceil(size(toks) / lit(10.0)) - 1).cast("int")),
-        i => concat_ws(" ", slice(toks, i * 10 + 1, lit(10))))))
-        .otherwise(lit("")).as("text"))
-    Dedup.lineDedup(lined)
-  }
+  def dedupLines(s: SparkSession, d: String): DataFrame =
+    // no Spread here: lineDedup spreads internally like every Dedup op
+    Dedup.lineDedup(Tables.documents(s, d).select(col("doc_id"),
+      TextOps.chunkLines(col("text")).as("text")))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_lines" -> dedupLines _,

@@ -477,20 +477,22 @@ object ServiceQueries {
     * query over the metrics TABLE returns their definitions. */
   def queryMetricsLogic(s: SparkSession, d: String): DataFrame = {
     val stateDir = java.nio.file.Files.createTempDirectory("graft-metrics")
-    val server = new QueryServer(Map(
-      "orders" -> Tables.orders(s, d),
-      "customer" -> Tables.customer(s, d)), stateDir = stateDir.toString)
-    val port = server.start()
+    // the temp state must go even when the live-server phase throws —
+    // ONE outer finally owns the cleanup
     try {
-      val svc = new RemoteQueryService(s"http://127.0.0.1:$port")
-      val id1 = svc.createQuery("orders", "O_ORDERSTATUS == 'F'",
-        pageSize = 1000000, orderBy = Seq("o_orderkey"))
-      svc.nextPage(id1)
-      val id2 = svc.createQuery("customer", "C_MKTSEGMENT == 'BUILDING'",
-        pageSize = 1000000, orderBy = Seq("c_custkey"))
-      svc.nextPage(id2)
-    } finally server.stop() // flush: the durable metrics table appears
-    try {
+      val server = new QueryServer(Map(
+        "orders" -> Tables.orders(s, d),
+        "customer" -> Tables.customer(s, d)), stateDir = stateDir.toString)
+      val port = server.start()
+      try {
+        val svc = new RemoteQueryService(s"http://127.0.0.1:$port")
+        val id1 = svc.createQuery("orders", "O_ORDERSTATUS == 'F'",
+          pageSize = 1000000, orderBy = Seq("o_orderkey"))
+        svc.nextPage(id1)
+        val id2 = svc.createQuery("customer", "C_MKTSEGMENT == 'BUILDING'",
+          pageSize = 1000000, orderBy = Seq("c_custkey"))
+        svc.nextPage(id2)
+      } finally server.stop() // flush: the durable metrics table appears
       val store = new MetricsStore(s"$stateDir/metrics")
       val out = new ShardQueryLogic().query(store.metricsDF(s),
           "LOGICNAME == 'orders' || LOGICNAME == 'customer'",
@@ -499,9 +501,8 @@ object ServiceQueries {
         .select(col("query").as("query_text"), col("syntax"),
           col("logicName").as("logic_name"), col("user").as("user_name"))
       // localize before the backing files go away (two rows)
-      val local = s.createDataFrame(
+      s.createDataFrame(
         java.util.Arrays.asList(out.collect(): _*), out.schema)
-      local
     } finally graft.core.Fs.deleteRecursively(stateDir)
   }
 

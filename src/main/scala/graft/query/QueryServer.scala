@@ -163,11 +163,18 @@ final class QueryServer(
       case Right(id) =>
         // the session was registered by doCreate under this id; a
         // concurrent close between then and here just yields 204
-        Option(sessions.get(id)).flatMap(_.running.nextPageJson()) match {
+        try Option(sessions.get(id)).flatMap(_.running.nextPageJson()) match {
           case Some((rows, pageNum)) =>
             (200, s"""{"queryId": "$id", "page": $pageNum,""" +
               s""" "rows": [${rows.mkString(",")}]}""")
           case None => teardown(id); (204, "")
+        } catch {
+          case e: Exception =>
+            // a first-page RUNTIME failure must not strand a session
+            // the caller has no id for (the error response carries no
+            // queryId) — the reference closes the query on failure
+            teardown(id)
+            (500, err(e.getMessage))
         }
     }
 

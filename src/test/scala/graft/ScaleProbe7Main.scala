@@ -5,9 +5,10 @@ import org.apache.spark.sql.functions._
 
 /** Dev harness: round-7 wave-2 probe.
   *
-  * 1. lineDedup at 1×/10× corpus (docs replicated with shifted ids and a
-  *    per-copy suffix so cross-copy lines still collide like real
-  *    boilerplate) — the claim: two shuffles, wall tracks the line count.
+  * 1. lineDedup at 1×/10× corpus (docs replicated VERBATIM with shifted
+  *    ids — every copied line collides, the boilerplate-heavy worst
+  *    case, and the kept-line sum at 10× must equal the 1× run's) —
+  *    the claim: two shuffles, wall tracks the line count.
   * 2. rankTfIdf at 1×/10× — the terms-filtered shuffle means wall tracks
   *    query-term instances, not corpus tokens.
   * 3. bpePairs at 1×/10× — the pair work is vocabulary-sized, so 10×
@@ -35,15 +36,11 @@ object ScaleProbe7Main {
         (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
         col("text"))).reduce(_ unionByName _)
 
-    // chunked "lines" exactly as the dedup_lines gate derives them
-    def lined(docs: org.apache.spark.sql.DataFrame) = {
-      val toks = graft.operators.TextOps.tokens(col("text"))
+    // chunked "lines" via the SAME shared derivation the dedup_lines
+    // gate uses (TextOps.chunkLines) — the probe measures what is gated
+    def lined(docs: org.apache.spark.sql.DataFrame) =
       docs.select(col("doc_id"),
-        when(size(toks) > 0, concat_ws("\n", transform(
-          sequence(lit(0), (ceil(size(toks) / lit(10.0)) - 1).cast("int")),
-          i => concat_ws(" ", slice(toks, i * 10 + 1, lit(10))))))
-          .otherwise(lit("")).as("text"))
-    }
+        graft.operators.TextOps.chunkLines(col("text")).as("text"))
 
     // shape warmup
     graft.operators.Dedup.lineDedup(lined(base.limit(500)))
