@@ -506,7 +506,45 @@ object ServiceQueries {
     } finally graft.core.Fs.deleteRecursively(stateDir)
   }
 
+  /** The remaining executor verbs under the oracle: `/query/define`
+    * persists a definition WITHOUT executing (the defined query then
+    * pages through the restart-resume path on first `/query/next`), and
+    * `/query/execute` streams the full result in one chunked response
+    * with no session or cache left behind. Both legs must equal the
+    * plain filter. */
+  def queryExecute(s: SparkSession, d: String): DataFrame = {
+    val server = new QueryServer(Map("orders" -> Tables.orders(s, d)))
+    val port = server.start()
+    try {
+      val svc = new RemoteQueryService(s"http://127.0.0.1:$port")
+      val enc = (v: String) => java.net.URLEncoder.encode(v, "UTF-8")
+      val q = "O_ORDERSTATUS == 'P'"
+      // leg 1: define → drain via next (first next resumes the
+      // definition exactly like a restarted server would)
+      val defBody = svc.http0("POST",
+        s"/query/define?table=orders&query=${enc(q)}" +
+          "&pageSize=5000&orderBy=o_orderkey")
+      val id = "\"queryId\": \"([0-9a-f]+)\"".r
+        .findFirstMatchIn(defBody).get.group(1)
+      val defined = Seq.newBuilder[String]
+      var page = svc.nextPage(id)
+      while (page.nonEmpty) { defined ++= page.get; page = svc.nextPage(id) }
+      svc.close(id)
+      // leg 2: the streamed execute verb, one response
+      val exeBody = svc.http0("POST",
+        s"/query/execute?table=orders&query=${enc(q)}&orderBy=o_orderkey")
+      val executed = svc.rowsOf(exeBody)
+      import s.implicits._
+      def parse(rows: Seq[String], leg: String): DataFrame =
+        s.read.json(s.createDataset(rows))
+          .select(col("o_orderkey").cast("long").as("o_orderkey"),
+            col("o_orderstatus"), lit(leg).as("leg"))
+      parse(defined.result(), "defined").unionByName(parse(executed, "executed"))
+    } finally server.stop()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "query_execute" -> queryExecute _,
     "create_and_next" -> createAndNext _,
     "query_metrics_logic" -> queryMetricsLogic _,
     "cursor_page" -> cursorPage _,
@@ -531,6 +569,12 @@ object ServiceQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // both verbs (define→resume-drain, streamed execute) must equal the
+    // plain filter — one leg each
+    "query_execute" ->
+      """SELECT o_orderkey, o_orderstatus, leg FROM orders,
+        |  (VALUES ('defined'), ('executed')) AS l(leg)
+        |WHERE o_orderstatus = 'P'""".stripMargin,
     // the paged union over HTTP must equal the plain filter
     "create_and_next" ->
       """SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders

@@ -23,6 +23,13 @@ import java.util.concurrent.ConcurrentHashMap
   *  - `POST /query/createAndNext?…` (same parameters) → create + FIRST
   *    page in one round trip — the reference's primary verb
   *    (createQueryAndNext); empty results close the query and 204.
+  *  - `POST /query/define?…` → persist the definition WITHOUT executing
+  *    (defineQuery); the first next/duplicate/reset resumes it.
+  *  - `POST /query/execute?…` → run + STREAM all rows in one chunked
+  *    response, nothing cached, no session (the execute verb).
+  *  - `GET /query/get?id=…` → the stored definition (`GET /{id}`);
+  *    `GET /query/predictions?id=…` → predictions for a created query;
+  *    `POST /query/remove?id=…` → close + delete the definition.
   *  - `GET /query/next?id=...` → `{"rows": [...], "page": N}`, or HTTP
   *    204 when exhausted (the reference's NO_CONTENT page).
   *  - `GET /query/plan?id=...` → the executed physical plan text.
@@ -101,6 +108,11 @@ final class QueryServer(
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/query/create", handler(create))
     server.createContext("/query/createAndNext", handler(createAndNext))
+    server.createContext("/query/define", handler(define))
+    server.createContext("/query/execute", executeHandler)
+    server.createContext("/query/get", handler(getDefinition))
+    server.createContext("/query/predictions", handler(predictions))
+    server.createContext("/query/remove", handler(remove))
     server.createContext("/query/next", handler(next))
     server.createContext("/query/plan", handler(plan))
     server.createContext("/query/metrics", handler(metrics))
@@ -568,6 +580,167 @@ final class QueryServer(
     if (teardown(qid(params))) (200, """{"canceled": true}""")
     else (404, err("unknown queryId"))
 
+  /** `POST /query/define?table=T&query=Q[&syntax=…][&pageSize=N]
+    * [&orderBy=…]` — the reference's `/{logicName}/define`
+    * (QueryExecutorBean.java:622: validate + persist the definition,
+    * do NOT begin execution): the query parses and plans for
+    * validation, then only the DURABLE definition is written — no
+    * session, no cached frame, no jobs. The first `/query/next` (or
+    * duplicate/reset) resumes it through the restart-resume path.
+    * Deviation, documented: the define itself is audited (our
+    * audit-before-execute discipline needs the caller's user context,
+    * which the lazy resume no longer has; the reference defers the
+    * audit to its execute verbs). */
+  private def define(params: Map[String, String]): (Int, String) = {
+    val table = params.getOrElse("table",
+      return (400, err("missing 'table'")))
+    val q = params.getOrElse("query", return (400, err("missing 'query'")))
+    val df0 = tables.getOrElse(table,
+      return (404, err(s"unknown table '$table'")))
+    val qp = QueryParams(syntax = params.getOrElse("syntax", "JEXL"))
+    try {
+      val pageSize = params.get("pageSize").map(_.toInt)
+        .getOrElse(defaultPageSize)
+      require(pageSize > 0, s"pageSize must be positive, got $pageSize")
+      val queryId = java.util.UUID.randomUUID().toString.replace("-", "")
+      // schema resolution only — a bad query or unknown orderBy fails
+      // the define, but nothing executes and nothing caches
+      val planned = Audit.audited(auditor, auditType, queryId,
+        user = params.getOrElse("user", "anonymous"), query = q,
+        syntax = qp.syntax, logicName = table,
+        timeMillis = System.currentTimeMillis()) {
+        logic.query(df0, q, qp)
+      }
+      val orderCols = params.get("orderBy")
+        .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+        .getOrElse(Seq(planned.columns.head))
+      val missing = orderCols.filterNot(c =>
+        planned.columns.exists(_.equalsIgnoreCase(c)))
+      if (missing.nonEmpty)
+        return (400, err(s"unknown orderBy column(s): ${missing.mkString(", ")}"))
+      writeDefinition(queryId, table, q, qp.syntax, pageSize, orderCols,
+        pagesServedBase = 0L, offsetBase = 0L, attempt = 0L)
+      metricsStore.record(QueryMetric(queryId, q, qp.syntax,
+        System.currentTimeMillis(), 0L, 0L,
+        user = params.getOrElse("user", "anonymous"), logicName = table))
+      (200, s"""{"queryId": "$queryId"}""")
+    } catch { case e: Exception => (400, err(e.getMessage)) }
+  }
+
+  /** `GET /query/get?id=…` — the reference's `GET /{id}`
+    * (listQueryByID): the stored definition of a live OR defined query. */
+  private def getDefinition(params: Map[String, String]): (Int, String) =
+    session(params) match {
+      case None => (404, err("unknown queryId"))
+      case Some(s) =>
+        (200, s"""{"queryId": ${quote(qid(params))},""" +
+          s""" "table": ${quote(s.table)}, "query": ${quote(s.query)},""" +
+          s""" "syntax": ${quote(s.syntax)}, "pageSize": ${s.pageSize},""" +
+          s""" "orderBy": ${quote(s.orderCols.mkString(","))},""" +
+          s""" "pagesServed": ${s.running.pagesServed}}""")
+    }
+
+  /** `GET /query/predictions?id=…` — the reference's `/{id}/predictions`:
+    * the configured predictors run against the CREATED query's planned
+    * frame (no execution beyond what the session already did). */
+  private def predictions(params: Map[String, String]): (Int, String) =
+    session(params) match {
+      case None => (404, err("unknown queryId"))
+      case Some(s) =>
+        try {
+          val preds = Predict.predict(s.df,
+            if (s.table.nonEmpty) s.table else "unknown", effectivePredictors)
+          if (preds.isEmpty) (200, """{"hasResults": false}""")
+          else {
+            val items = preds.map(p =>
+              s"""{"name": ${quote(p.name)}, "value": ${p.value}}""")
+            (200, s"""{"hasResults": true, "predictions": [${items.mkString(",")}]}""")
+          }
+        } catch { case e: Exception => (400, err(e.getMessage)) }
+    }
+
+  /** `POST /query/remove?id=…` — the reference's `/{id}/remove`: close
+    * if running AND delete the persisted definition (close + persister
+    * remove, QueryExecutorBean.java:2616). [[teardown]] already does
+    * both for this storage model. */
+  private def remove(params: Map[String, String]): (Int, String) =
+    if (teardown(qid(params))) (200, """{"removed": true}""")
+    else (404, err("unknown queryId"))
+
+  /** `POST /query/execute?table=T&query=Q[&syntax=…][&orderBy=…]` — the
+    * reference's `/{logicName}/execute`: run the query and STREAM every
+    * result row in ONE response (the streamed-attachment verb), leaving
+    * nothing behind — no session, no cached frame, no pages. Rows flow
+    * through `toLocalIterator` into a chunked response, so driver
+    * memory holds one partition, never the result set; as with any
+    * streamed response, a mid-stream failure truncates the body after
+    * the 200 committed (the reference's attachment stream shares this).
+    * Validation/audit failures, arriving before the stream opens, are
+    * proper error statuses. */
+  private val executeHandler: HttpHandler = new HttpHandler {
+    override def handle(ex: HttpExchange): Unit = {
+      def fail(status: Int, body: String): Unit = {
+        val bytes = body.getBytes(StandardCharsets.UTF_8)
+        ex.getResponseHeaders.set("Content-Type", "application/json")
+        ex.sendResponseHeaders(status, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+      try {
+        val params = parseQuery(ex.getRequestURI.getRawQuery)
+        val table = params.getOrElse("table", { fail(400, err("missing 'table'")); return })
+        val q = params.getOrElse("query", { fail(400, err("missing 'query'")); return })
+        val df0 = tables.getOrElse(table, { fail(404, err(s"unknown table '$table'")); return })
+        val qp = QueryParams(syntax = params.getOrElse("syntax", "JEXL"))
+        val queryId = java.util.UUID.randomUUID().toString.replace("-", "")
+        val result = Audit.audited(auditor, auditType, queryId,
+          user = params.getOrElse("user", "anonymous"), query = q,
+          syntax = qp.syntax, logicName = table,
+          timeMillis = System.currentTimeMillis()) {
+          logic.query(df0, q, qp)
+        }
+        val ordered = params.get("orderBy")
+          .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty)) match {
+          case Some(cols) =>
+            val missing = cols.filterNot(c =>
+              result.columns.exists(_.equalsIgnoreCase(c)))
+            if (missing.nonEmpty) {
+              fail(400, err(s"unknown orderBy column(s): ${missing.mkString(", ")}"))
+              return
+            }
+            result.orderBy(cols.map(result.col): _*)
+          case None => result
+        }
+        metricsStore.record(QueryMetric(queryId, q, qp.syntax,
+          System.currentTimeMillis(), 0L, 0L,
+          user = params.getOrElse("user", "anonymous"), logicName = table))
+        // chunked from here on: partitions stream through the driver
+        // one at a time
+        ex.getResponseHeaders.set("Content-Type", "application/json")
+        ex.sendResponseHeaders(200, 0)
+        val os = ex.getResponseBody
+        try {
+          os.write(s"""{"queryId": "$queryId", "rows": ["""
+            .getBytes(StandardCharsets.UTF_8))
+          val it = ordered.toJSON.toLocalIterator()
+          var first = true
+          while (it.hasNext) {
+            if (!first) os.write(','.toInt)
+            os.write(it.next().getBytes(StandardCharsets.UTF_8))
+            first = false
+          }
+          os.write("]}".getBytes(StandardCharsets.UTF_8))
+        } finally { os.close(); ex.close() }
+      } catch {
+        case e: Exception =>
+          // response not yet committed → proper error; committed →
+          // close truncates (documented above)
+          try fail(400, err(e.getMessage))
+          catch { case _: Exception => ex.close() }
+      }
+    }
+  }
+
   /** Shared close/cancel teardown: remove the session, release its
     * frame (ref-counted), drop cursor state AND the durable definition.
     * A session may exist only on disk (server restarted, nothing paged
@@ -882,27 +1055,38 @@ final class QueryServer(
     java.nio.file.Paths.get(stateDir, "sessions", s"$id.properties")
 
   private def persistSession(id: String, s: Session): Unit =
-    if (s.table.nonEmpty) {
-      val p = new java.util.Properties()
-      p.setProperty("table", s.table)
-      p.setProperty("query", s.query)
-      p.setProperty("syntax", s.syntax)
-      p.setProperty("pageSize", s.pageSize.toString)
-      p.setProperty("orderBy", s.orderCols.mkString(","))
+    if (s.table.nonEmpty)
       // page-ordinal base: pages after this persist are served at THIS
       // pageSize, so a resume recovers the true ordinal as
       // base + (offsetNow - offsetBase) / pageSize even when an earlier
-      // pageSize produced the prior offset rows
-      p.setProperty("pagesServedBase", s.running.pagesServed.toString)
-      p.setProperty("offsetBase", cursor.currentOffset(id).toString)
-      // the run ordinal travels WITH the definition (inferring it from
-      // the page ledger fails for a reset that served no page before
-      // the restart — the resumed run would re-collide page numbers)
-      p.setProperty("attempt", s.running.attempt.toString)
-      java.nio.file.Files.createDirectories(sessionFile(id).getParent)
-      val out = java.nio.file.Files.newOutputStream(sessionFile(id))
-      try p.store(out, null) finally out.close()
-    }
+      // pageSize produced the prior offset rows. The run ordinal
+      // travels WITH the definition (inferring it from the page ledger
+      // fails for a reset that served no page before the restart — the
+      // resumed run would re-collide page numbers).
+      writeDefinition(id, s.table, s.query, s.syntax, s.pageSize,
+        s.orderCols, s.running.pagesServed, cursor.currentOffset(id),
+        s.running.attempt)
+
+  /** The durable definition record itself — written by [[persistSession]]
+    * for live sessions and by [[define]] for defined-but-not-executed
+    * queries (both resume through [[resumeSession]]). */
+  private def writeDefinition(id: String, table: String, query: String,
+                              syntax: String, pageSize: Int,
+                              orderCols: Seq[String], pagesServedBase: Long,
+                              offsetBase: Long, attempt: Long): Unit = {
+    val p = new java.util.Properties()
+    p.setProperty("table", table)
+    p.setProperty("query", query)
+    p.setProperty("syntax", syntax)
+    p.setProperty("pageSize", pageSize.toString)
+    p.setProperty("orderBy", orderCols.mkString(","))
+    p.setProperty("pagesServedBase", pagesServedBase.toString)
+    p.setProperty("offsetBase", offsetBase.toString)
+    p.setProperty("attempt", attempt.toString)
+    java.nio.file.Files.createDirectories(sessionFile(id).getParent)
+    val out = java.nio.file.Files.newOutputStream(sessionFile(id))
+    try p.store(out, null) finally out.close()
+  }
 
   private def dropSessionFile(id: String): Unit =
     java.nio.file.Files.deleteIfExists(sessionFile(id))

@@ -74,10 +74,21 @@ final class RemoteQueryService(baseUrl: String) {
     out.result()
   }
 
-  private def rowsOf(pageJson: String): Seq[String] = {
+  /** The `"rows"` array of a page-shaped JSON body, element strings. */
+  def rowsOf(pageJson: String): Seq[String] = {
     val ix = pageJson.indexOf("\"rows\"")
     if (ix < 0) Seq.empty
     else splitTopLevel(pageJson.substring(pageJson.indexOf('[', ix)))
+  }
+
+  /** Raw verb passthrough for endpoints without a typed helper; the
+    * response body, throwing on any non-200 status. */
+  def http0(method: String, pathAndQuery: String): String = {
+    val (status, body) = http(method, pathAndQuery)
+    if (status != 200)
+      throw new IllegalStateException(
+        s"remote $pathAndQuery failed ($status): $body")
+    body
   }
 
   /** `createQuery` (RemoteQueryService.createQuery) → remote query id. */

@@ -124,6 +124,52 @@ class QueryServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("define/execute/get/predictions/remove round out the executor verbs") {
+    val df = (1 to 25).map(i => (i.toLong, s"name_$i", if (i % 2 == 0) "A" else "B"))
+      .toDF("id", "name", "grp")
+    val srv = new QueryServer(tables = Map("people" -> df))
+    val port = srv.start()
+    try {
+      val base = s"http://127.0.0.1:$port/query"
+      val enc = (s: String) => java.net.URLEncoder.encode(s, "UTF-8")
+      // define: definition persists, NO session exists yet
+      val defd = post(s"$base/define?table=people&query=${enc("GRP == 'A'")}" +
+        "&pageSize=10&orderBy=id")
+      assert(defd.statusCode() == 200, defd.body())
+      val id = "\"queryId\": \"([0-9a-f]+)\"".r
+        .findFirstMatchIn(defd.body()).get.group(1)
+      assert(get(s"$base/list").body() == "[]")
+      // a bad define fails validation eagerly
+      assert(post(s"$base/define?table=people&query=${enc("NOPE == 1")}")
+        .statusCode() == 400)
+      // get: the stored definition is readable before any execution
+      val gd = get(s"$base/get?id=$id")
+      assert(gd.statusCode() == 200 && gd.body().contains("GRP =="),
+        gd.body())
+      // first next resumes the defined query and pages from row 1
+      val p1 = get(s"$base/next?id=$id")
+      assert(p1.statusCode() == 200)
+      assert("\"id\":".r.findAllIn(p1.body()).size == 10, p1.body().take(400))
+      assert(p1.body().contains(""""id":2,"""), p1.body().take(300))
+      // predictions for the created query answer (plan-stats predictor)
+      val pr = get(s"$base/predictions?id=$id")
+      assert(pr.statusCode() == 200 && pr.body().contains("hasResults"),
+        pr.body().take(300))
+      // remove: close + definition gone — next is 404, get is 404
+      assert(post(s"$base/remove?id=$id").statusCode() == 200)
+      assert(get(s"$base/next?id=$id").statusCode() == 404)
+      assert(get(s"$base/get?id=$id").statusCode() == 404)
+      // execute: one streamed response with ALL rows, nothing left over
+      val exe = post(s"$base/execute?table=people&query=${enc("GRP == 'A'")}" +
+        "&orderBy=id")
+      assert(exe.statusCode() == 200, exe.body().take(300))
+      assert("\"id\":".r.findAllIn(exe.body()).size == 12, exe.body().take(600))
+      assert(get(s"$base/list").body() == "[]")
+      assert(post(s"$base/execute?table=people&query=${enc("NOPE == 1")}")
+        .statusCode() == 400)
+    } finally srv.stop()
+  }
+
   test("lookupUUID over HTTP: first page rides the create, next continues") {
     val df = (1 to 30).map(i => (i.toLong, s"u$i")).toDF("id", "uuid")
     val srv = new QueryServer(tables = Map("people" -> df),
