@@ -543,7 +543,106 @@ object ServiceQueries {
     } finally server.stop()
   }
 
+  /** Model management under the oracle (ModelBean.java:124-478): import
+    * → clone → insert-mapping → delete over live HTTP, then a query
+    * resolved through the STORED surviving model (forward 1→N alias
+    * expansion + reverse display rename — the reference's QUERY_MODEL
+    * parameter against the metadata table). Legs: the final
+    * `/model/list` catalog and the model-resolved rows, both vs plain
+    * SQL. */
+  def modelCrud(s: SparkSession, d: String): DataFrame = {
+    val server = new QueryServer(Map("customer" -> Tables.customer(s, d)))
+    val port = server.start()
+    try {
+      val svc = new RemoteQueryService(s"http://127.0.0.1:$port")
+      val enc = (v: String) => java.net.URLEncoder.encode(v, "UTF-8")
+      svc.http0("POST", "/model/import?name=TPCH&mappings=" +
+        enc("SEGMENT:C_MKTSEGMENT:FORWARD;KEY:C_CUSTKEY:FORWARD;" +
+          "KEY:C_NATIONKEY:FORWARD;balance:C_ACCTBAL:REVERSE"))
+      svc.http0("POST", "/model/clone?name=TPCH&newName=TPCH2")
+      svc.http0("POST", "/model/insert?name=TPCH2&mappings=" +
+        enc("NATION:C_NATIONKEY:FORWARD"))
+      svc.http0("POST", "/model/delete?name=TPCH")
+      val listBody = svc.http0("GET", "/model/list")
+      val names = "\"([A-Za-z0-9_]+)\"".r
+        .findAllMatchIn(listBody.substring(listBody.indexOf('[')))
+        .map(_.group(1)).toSeq
+      // the query names ALIASES of the surviving clone: SEGMENT expands
+      // to c_mktsegment, KEY to (c_custkey OR c_nationkey), and the
+      // REVERSE row renames c_acctbal → balance in the result
+      val exeBody = svc.http0("POST",
+        "/query/execute?table=customer&model=TPCH2" +
+          s"&query=${enc("SEGMENT == 'BUILDING' && KEY == 13")}" +
+          "&orderBy=c_custkey")
+      import s.implicits._
+      val rowsDf = s.read.json(s.createDataset(svc.rowsOf(exeBody)))
+        .select(lit("rows").as("leg"),
+          col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
+          col("balance").cast("double").as("balance"))
+      val namesDf = names.toDF("c_name")
+        .select(lit("list").as("leg"),
+          lit(null).cast("long").as("c_custkey"), col("c_name"),
+          lit(null).cast("double").as("balance"))
+      rowsDf.unionByName(namesDf)
+    } finally server.stop()
+  }
+
+  /** The Modification service tier under the oracle
+    * (ModificationBean.java:88-134 + ModificationService.java:58-130):
+    * `/listConfigurations` reports the registered services, and three
+    * `/submit` calls (update, value-specific delete, insert) flow
+    * through request-class + role + mutable-field validation into the
+    * SERVED table — a follow-up `/query/execute` reads the edited rows
+    * with their HISTORY_ trail. Legs: the configuration catalog and the
+    * replayed edit result. */
+  def modificationService(s: SparkSession, d: String): DataFrame = {
+    val long = graft.ingest.Ingest.toLong(
+      graft.core.Spread(Tables.events(s, d)),
+      uidCol = "event_id", datatype = "event", dateCol = "ts")
+    val cfgs = Seq(
+      ModificationRegistry.ServiceConfig("MutableMetadataUpdateService",
+        "field edits with a HISTORY_ trail", "DefaultModificationRequest",
+        Seq("AuthorizedUser")),
+      ModificationRegistry.ServiceConfig("PurgeService",
+        "history-free field removal", "DefaultModificationRequest",
+        Seq("Administrator"), insertHistory = false))
+    val server = new QueryServer(Map("events_long" -> long),
+      modificationServices = cfgs,
+      mutableFields = () => Seq(("event", "event_type")))
+    val port = server.start()
+    try {
+      val svc = new RemoteQueryService(s"http://127.0.0.1:$port")
+      val enc = (v: String) => java.net.URLEncoder.encode(v, "UTF-8")
+      val confBody = svc.http0("GET", "/modification/listConfigurations")
+      val common = "service=MutableMetadataUpdateService" +
+        "&requestClass=DefaultModificationRequest&roles=AuthorizedUser" +
+        "&user=alice&ts=1700000000000&table=events_long&datatype=event" +
+        "&field=event_type"
+      svc.http0("POST", s"/modification/submit?$common&mode=UPDATE&uid=12" +
+        "&oldValue=click&newValue=corrected&shardDate=2024-01-05")
+      svc.http0("POST",
+        s"/modification/submit?$common&mode=DELETE&uid=17&value=view")
+      svc.http0("POST", s"/modification/submit?$common&mode=INSERT&uid=19" +
+        "&value=flagged&shardDate=2024-01-05")
+      val exeBody = svc.http0("POST", "/query/execute?table=events_long" +
+        s"&query=${enc("(UID == '12' || UID == '17' || UID == '19') && " +
+          "(FIELD == 'event_type' || FIELD == 'HISTORY_event_type')")}" +
+        "&orderBy=uid,field,value")
+      import s.implicits._
+      val rowsDf = s.read.json(s.createDataset(svc.rowsOf(exeBody)))
+        .select(lit("rows").as("leg"), col("uid"), col("field"),
+          col("value"))
+      val confDf = s.read.json(s.createDataset(Seq(confBody)))
+        .select(lit("config").as("leg"), col("name").as("uid"),
+          col("requestClass").as("field"),
+          concat_ws(",", col("authorizedRoles")).as("value"))
+      rowsDf.unionByName(confDf)
+    } finally server.stop()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "modification_service" -> modificationService _,
+    "model_crud" -> modelCrud _,
     "query_execute" -> queryExecute _,
     "create_and_next" -> createAndNext _,
     "query_metrics_logic" -> queryMetricsLogic _,
@@ -569,6 +668,41 @@ object ServiceQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // rows leg replays the three submits relationally (update =
+    // delete(old)+insert(new); literal history trail — fixed user+ts);
+    // config leg = the registered service catalog
+    "modification_service" ->
+      """WITH e AS (SELECT CAST(event_id AS VARCHAR) AS uid, event_type
+        |  FROM events WHERE event_id IN (12, 17, 19))
+        |SELECT 'rows' AS leg, uid, 'event_type' AS field,
+        |       event_type AS value FROM e
+        | WHERE NOT (uid = '12' AND event_type = 'click')
+        |   AND NOT (uid = '17' AND event_type = 'view')
+        |UNION ALL SELECT 'rows', '12', 'event_type', 'corrected'
+        |UNION ALL SELECT 'rows', '19', 'event_type', 'flagged'
+        |UNION ALL SELECT 'rows', '12', 'HISTORY_event_type',
+        |   '1700000000000:alice:click:delete'
+        |UNION ALL SELECT 'rows', '12', 'HISTORY_event_type',
+        |   '1700000000000:alice:corrected:insert'
+        |UNION ALL SELECT 'rows', '17', 'HISTORY_event_type',
+        |   '1700000000000:alice:view:delete'
+        |UNION ALL SELECT 'rows', '19', 'HISTORY_event_type',
+        |   '1700000000000:alice:flagged:insert'
+        |UNION ALL SELECT 'config', 'MutableMetadataUpdateService',
+        |   'DefaultModificationRequest', 'AuthorizedUser'
+        |UNION ALL SELECT 'config', 'PurgeService',
+        |   'DefaultModificationRequest', 'Administrator'""".stripMargin,
+    // rows leg = the model-resolved query (SEGMENT→c_mktsegment,
+    // KEY→custkey|nationkey, REVERSE rename to balance); list leg = the
+    // surviving model catalog after import→clone→delete
+    "model_crud" ->
+      """SELECT 'rows' AS leg, c_custkey, c_name, c_acctbal AS balance
+        |  FROM customer
+        | WHERE c_mktsegment = 'BUILDING'
+        |   AND (c_custkey = 13 OR c_nationkey = 13)
+        |UNION ALL
+        |SELECT 'list', CAST(NULL AS BIGINT), 'TPCH2', CAST(NULL AS DOUBLE)
+        |""".stripMargin,
     // both verbs (define→resume-drain, streamed execute) must equal the
     // plain filter — one leg each
     "query_execute" ->

@@ -1,7 +1,7 @@
 package graft.query
 
 import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
 import java.util.concurrent.ConcurrentHashMap
@@ -62,12 +62,28 @@ final class QueryServer(
     uuidTypes: Seq[LookupUUID.UuidType] = Seq.empty,
     auditor: Audit.Auditor = new Audit.CollectingAuditor,
     auditType: Audit.AuditType = Audit.None_,
-    predictors: Seq[Predict.QueryPredictor] = QueryServer.defaultPredictors) {
+    predictors: Seq[Predict.QueryPredictor] = QueryServer.defaultPredictors,
+    modificationServices: Seq[ModificationRegistry.ServiceConfig] = Seq.empty,
+    mutableFields: () => Seq[(String, String)] = () => Seq.empty) {
+
+  /** The served tables. `/modification/submit` REBINDS an entry to its
+    * edited frame (the reference's mutation service writes through to
+    * the shard table); running sessions keep paging their persisted
+    * snapshot — the same read-snapshot character an in-flight Accumulo
+    * scan has across a mutation. */
+  @volatile private var tableMap: Map[String, DataFrame] = tables
+
+  /** Modification service dispatch (ModificationBean.java:88-134 +
+    * ModificationCacheBean) over the registered configurations. */
+  private val modifications =
+    new ModificationRegistry(modificationServices,
+      new MutableFieldCache(mutableFields))
 
   private final case class Session(df: DataFrame, orderCols: Seq[String],
                                    running: RunningQuery,
                                    query: String = "", syntax: String = "JEXL",
-                                   pageSize: Int = 0, table: String = "")
+                                   pageSize: Int = 0, table: String = "",
+                                   model: String = "")
   private val sessions = new ConcurrentHashMap[String, Session]()
   /** CachedResults alias registry: lowercased view name → owning query
     * id. `/cachedresults/sql` only resolves relations registered here
@@ -84,7 +100,13 @@ final class QueryServer(
     * query metrics back into the shard schema — metrics-core,
     * QueryMetricQueryLogic). */
   private[query] val metricsStore = new MetricsStore(s"$stateDir/metrics")
-  private def sparkOf = tables.values.headOption.map(_.sparkSession)
+  /** Model management (ModelBean.java:124-478) over a lake-backed model
+    * table beside the rest of the durable state; `model=NAME` on the
+    * query verbs resolves through it at plan time, exactly like the
+    * reference's QUERY_MODEL parameter resolving against the metadata
+    * table. */
+  private[query] val models = new ModelStore(s"$stateDir/models")
+  private def sparkOf = tableMap.values.headOption.map(_.sparkSession)
   private val pageSink: PageMetric => Unit = metricsStore.recordPage
   /** The stock predictor pair is rebuilt per-instance so its history
     * predictor reads THIS server's durable store (restart-surviving),
@@ -130,6 +152,19 @@ final class QueryServer(
     server.createContext("/lookupUID", handler(lookupUid))
     server.createContext("/translateId", handler(translateId))
     server.createContext("/translateIDs", handler(translateId))
+    server.createContext("/modification/listConfigurations",
+      handler(modListConfigurations))
+    server.createContext("/modification/getMutableFieldList",
+      handler(modGetMutableFields))
+    server.createContext("/modification/reloadCache", handler(modReloadCache))
+    server.createContext("/modification/submit", handler(modSubmit))
+    server.createContext("/model/list", handler(modelList))
+    server.createContext("/model/get", handler(modelGet))
+    server.createContext("/model/import", handler(modelImport))
+    server.createContext("/model/clone", handler(modelClone))
+    server.createContext("/model/delete", handler(modelDelete))
+    server.createContext("/model/insert", handler(modelInsert))
+    server.createContext("/model/deleteMapping", handler(modelDeleteMapping))
     server.createContext("/cachedresults/load", handler(cachedLoad))
     server.createContext("/cachedresults/update", handler(cachedUpdate))
     server.createContext("/cachedresults/sql", handler(cachedSql))
@@ -190,6 +225,27 @@ final class QueryServer(
         }
     }
 
+  /** Resolve a stored model name (the reference's QUERY_MODEL
+    * parameter) against the model store: the logic rebinds to the
+    * model's FORWARD mappings and the params gain its REVERSE result
+    * renames; an unknown model refuses the query. Empty name = the
+    * configured logic untouched. */
+  private def resolveModel(modelName: String, qp: QueryParams)
+      : (ShardQueryLogic, QueryParams) =
+    if (modelName.isEmpty) (logic, qp)
+    else {
+      val sp = sparkOf.getOrElse(throw new IllegalStateException(
+        "no table attached; model store unavailable"))
+      models.getModel(sp, modelName) match {
+        case Left(e) => throw new IllegalArgumentException(e.msg)
+        case Right(_) =>
+          val mt = models.table(sp)
+          (logic.withModel(graft.jexl.QueryModelLoader.load(mt, modelName)),
+           qp.copy(renameFields = qp.renameFields ++
+             graft.jexl.QueryModelLoader.reverseRename(mt, modelName)))
+      }
+    }
+
   /** Shared create core: validate, audit, plan+persist, register the
     * session, persist its durable definition, record the create metric.
     * Left = the error response; Right = the new query id. */
@@ -199,7 +255,7 @@ final class QueryServer(
       return Left((400, err("missing 'table'"))))
     val q = params.getOrElse("query",
       return Left((400, err("missing 'query'"))))
-    val df0 = tables.getOrElse(table,
+    val df0 = tableMap.getOrElse(table,
       return Left((404, err(s"unknown table '$table'"))))
     val qp = QueryParams(syntax = params.getOrElse("syntax", "JEXL"))
     val queryId = java.util.UUID.randomUUID().toString.replace("-", "")
@@ -210,6 +266,8 @@ final class QueryServer(
       val pageSize = params.get("pageSize").map(_.toInt)
         .getOrElse(defaultPageSize)
       require(pageSize > 0, s"pageSize must be positive, got $pageSize")
+      val modelName = params.getOrElse("model", "")
+      val (effLogic, effQp) = resolveModel(modelName, qp)
       // audit BEFORE execution (QueryExecutorBean.java:704-740: an
       // auditor failure fails the create — QUERY_AUDITING_ERROR); then
       // plan eagerly (bad queries fail the create call, like the
@@ -218,7 +276,7 @@ final class QueryServer(
         user = params.getOrElse("user", "anonymous"), query = q,
         syntax = qp.syntax, logicName = table,
         timeMillis = System.currentTimeMillis()) {
-        logic.query(df0, q, qp).persist()
+        effLogic.query(df0, q, effQp).persist()
       }
       val orderCols = params.get("orderBy")
         .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
@@ -233,7 +291,7 @@ final class QueryServer(
       val running = new RunningQuery(cursor, queryId, result, orderCols,
         pageSize, sink = pageSink)
       val sess = Session(result, orderCols, running, q, qp.syntax, pageSize,
-        table)
+        table, modelName)
       sessions.put(queryId, sess)
       persistSession(queryId, sess)
       // the create itself is a metric event (the reference ingests a
@@ -306,7 +364,7 @@ final class QueryServer(
       val queryId = java.util.UUID.randomUUID().toString.replace("-", "")
       lookupSession(params, queryId, rendered, "LUCENE", "lookupUUID",
         selectors = None) {
-        LookupUUID.lookup(reg, terms, tables, logic)
+        LookupUUID.lookup(reg, terms, tableMap, logic)
       }
     } catch {
       case e: Exception => (400, err(e.getMessage))
@@ -319,7 +377,7 @@ final class QueryServer(
     * documents for the UIDs page back directly. Requires a `content`
     * table registered on the server. */
   private def lookupUid(params: Map[String, String]): (Int, String) = {
-    val contentTable = tables.getOrElse("content",
+    val contentTable = tableMap.getOrElse("content",
       return (404, err("no content table registered on this server")))
     val raw = params.getOrElse("uids", return (400, err("missing 'uids'")))
     try {
@@ -330,7 +388,7 @@ final class QueryServer(
       lookupSession(params, queryId, raw, "UID", "lookupUID",
         selectors = Some(uids)) {
         LookupUUID.lookupUid(LookupUUID.Registry(uuidTypes),
-          Seq("event" -> uids.mkString(" ")), tables, contentTable)
+          Seq("event" -> uids.mkString(" ")), tableMap, contentTable)
       }
     } catch {
       case e: Exception => (400, err(e.getMessage))
@@ -359,7 +417,7 @@ final class QueryServer(
         user = params.getOrElse("user", "anonymous"), query = rendered,
         syntax = "LUCENE", logicName = "translateId",
         timeMillis = System.currentTimeMillis()) {
-        LookupUUID.translate(reg, ids, tables, logic)
+        LookupUUID.translate(reg, ids, tableMap, logic)
       }
       // one page, deterministic order, then done — no session survives;
       // the over-fetch by one row surfaces truncation explicitly (the
@@ -390,7 +448,7 @@ final class QueryServer(
   /** `GET /query/listQueryLogic` — the dispatchable logic/table names
     * (QueryExecutorBean `/listQueryLogic`). */
   private def listQueryLogic(params: Map[String, String]): (Int, String) =
-    (200, tables.keys.toSeq.sorted.map(quote).mkString("[", ",", "]"))
+    (200, tableMap.keys.toSeq.sorted.map(quote).mkString("[", ",", "]"))
 
   /** `POST /query/duplicate?id=…[&pageSize=N]` — a NEW query id over the
     * same definition, paging restarted from page 1 (QueryExecutorBean
@@ -487,7 +545,7 @@ final class QueryServer(
     val table = params.getOrElse("table",
       return (400, err("missing 'table'")))
     val q = params.getOrElse("query", return (400, err("missing 'query'")))
-    val df0 = tables.getOrElse(table,
+    val df0 = tableMap.getOrElse(table,
       return (404, err(s"unknown table '$table'")))
     try {
       val planned = logic.query(df0, q,
@@ -543,7 +601,7 @@ final class QueryServer(
                 // update and fails the update on audit error; then the
                 // new text re-plans (a bad query fails the update, not a
                 // later page)
-                val df0 = tables.getOrElse(s.table,
+                val df0 = tableMap.getOrElse(s.table,
                   return (400, err("query update requires a table-backed session")))
                 Audit.audited(auditor, auditType, id,
                   user = params.getOrElse("user", "anonymous"), query = q2,
@@ -595,7 +653,7 @@ final class QueryServer(
     val table = params.getOrElse("table",
       return (400, err("missing 'table'")))
     val q = params.getOrElse("query", return (400, err("missing 'query'")))
-    val df0 = tables.getOrElse(table,
+    val df0 = tableMap.getOrElse(table,
       return (404, err(s"unknown table '$table'")))
     val qp = QueryParams(syntax = params.getOrElse("syntax", "JEXL"))
     try {
@@ -603,13 +661,15 @@ final class QueryServer(
         .getOrElse(defaultPageSize)
       require(pageSize > 0, s"pageSize must be positive, got $pageSize")
       val queryId = java.util.UUID.randomUUID().toString.replace("-", "")
+      val modelName = params.getOrElse("model", "")
+      val (effLogic, effQp) = resolveModel(modelName, qp)
       // schema resolution only — a bad query or unknown orderBy fails
       // the define, but nothing executes and nothing caches
       val planned = Audit.audited(auditor, auditType, queryId,
         user = params.getOrElse("user", "anonymous"), query = q,
         syntax = qp.syntax, logicName = table,
         timeMillis = System.currentTimeMillis()) {
-        logic.query(df0, q, qp)
+        effLogic.query(df0, q, effQp)
       }
       val orderCols = params.get("orderBy")
         .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
@@ -619,7 +679,8 @@ final class QueryServer(
       if (missing.nonEmpty)
         return (400, err(s"unknown orderBy column(s): ${missing.mkString(", ")}"))
       writeDefinition(queryId, table, q, qp.syntax, pageSize, orderCols,
-        pagesServedBase = 0L, offsetBase = 0L, attempt = 0L)
+        pagesServedBase = 0L, offsetBase = 0L, attempt = 0L,
+        model = modelName)
       metricsStore.record(QueryMetric(queryId, q, qp.syntax,
         System.currentTimeMillis(), 0L, 0L,
         user = params.getOrElse("user", "anonymous"), logicName = table))
@@ -690,14 +751,15 @@ final class QueryServer(
         val params = parseQuery(ex.getRequestURI.getRawQuery)
         val table = params.getOrElse("table", { fail(400, err("missing 'table'")); return })
         val q = params.getOrElse("query", { fail(400, err("missing 'query'")); return })
-        val df0 = tables.getOrElse(table, { fail(404, err(s"unknown table '$table'")); return })
+        val df0 = tableMap.getOrElse(table, { fail(404, err(s"unknown table '$table'")); return })
         val qp = QueryParams(syntax = params.getOrElse("syntax", "JEXL"))
         val queryId = java.util.UUID.randomUUID().toString.replace("-", "")
+        val (effLogic, effQp) = resolveModel(params.getOrElse("model", ""), qp)
         val result = Audit.audited(auditor, auditType, queryId,
           user = params.getOrElse("user", "anonymous"), query = q,
           syntax = qp.syntax, logicName = table,
           timeMillis = System.currentTimeMillis()) {
-          logic.query(df0, q, qp)
+          effLogic.query(df0, q, effQp)
         }
         val ordered = params.get("orderBy")
           .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty)) match {
@@ -755,7 +817,7 @@ final class QueryServer(
       val owned =
         loadedAliases.asScala.collect { case (a, q) if q == id => a }.toSeq
       owned.foreach { a =>
-        tables.values.headOption
+        tableMap.values.headOption
           .foreach(_.sparkSession.catalog.dropTempView(a))
         loadedAliases.remove(a)
       }
@@ -777,7 +839,7 @@ final class QueryServer(
   private def lookupContentUuid(params: Map[String, String]): (Int, String) = {
     if (uuidTypes.isEmpty)
       return (404, err("no UUID types registered on this server"))
-    val contentTable = tables.getOrElse("content",
+    val contentTable = tableMap.getOrElse("content",
       return (404, err("no content table registered on this server")))
     val raw = params.getOrElse("terms", return (400, err("missing 'terms'")))
     try {
@@ -790,7 +852,7 @@ final class QueryServer(
         syntax = "LUCENE", logicName = "lookupContentUUID",
         timeMillis = System.currentTimeMillis()) {
         LookupUUID.contentLookup(contentTable,
-          LookupUUID.lookup(reg, terms, tables, logic),
+          LookupUUID.lookup(reg, terms, tableMap, logic),
           uidCol = params.getOrElse("uidField", "uid"))
       }
       val rows = docs.toJSON.collect() // bounded by contentLookup maxDocs
@@ -835,7 +897,7 @@ final class QueryServer(
       val table = params.getOrElse("table",
         return (400, err("need 'id', or 'table' + 'query'")))
       val q = params.getOrElse("query", return (400, err("missing 'query'")))
-      val df0 = tables.getOrElse(table,
+      val df0 = tableMap.getOrElse(table,
         return (404, err(s"unknown table '$table'")))
       val syntax = params.getOrElse("syntax", "JEXL")
       try (200, render(q, syntax,
@@ -874,6 +936,192 @@ final class QueryServer(
     * reference ships pages to MySQL, here the persisted frame registers
     * as a temp view natively). The session stays open — closing it later
     * drops the cache but the view definition remains valid (re-plans). */
+  // ---- modification service (ModificationBean.java:88-134) -----------
+
+  /** `GET /modification/listConfigurations` — the registered services:
+    * name, request class, description, authorized roles
+    * (ModificationService.listConfigurations:58-70). */
+  private def modListConfigurations(
+      params: Map[String, String]): (Int, String) = {
+    val items = modifications.listConfigurations.map(c =>
+      s"""{"name": ${quote(c.name)},""" +
+        s""" "requestClass": ${quote(c.requestClass)},""" +
+        s""" "description": ${quote(c.description)},""" +
+        s""" "authorizedRoles": [${c.authorizedRoles.map(quote).mkString(",")}]}""")
+    (200, s"[${items.mkString(",")}]")
+  }
+
+  /** `GET /modification/getMutableFieldList`
+    * (ModificationCacheBean.java:115). */
+  private def modGetMutableFields(
+      params: Map[String, String]): (Int, String) = {
+    val items = modifications.cache.mutableFieldList.toSeq.sortBy(_._1)
+      .map { case (dt, fs) =>
+        s"""${quote(dt)}: [${fs.toSeq.sorted.map(quote).mkString(",")}]""" }
+    (200, s"{${items.mkString(",")}}")
+  }
+
+  /** `GET /modification/reloadCache` — re-scan the mutable-field source
+    * and atomically swap (ModificationCacheBean.java:86), answering the
+    * refreshed list. */
+  private def modReloadCache(params: Map[String, String]): (Int, String) = {
+    modifications.cache.reload()
+    modGetMutableFields(params)
+  }
+
+  /** `POST /modification/submit?service=…&requestClass=…&table=…&mode=
+    * INSERT|DELETE|UPDATE&uid=…&datatype=…&field=…[&value=…][&oldValue=…
+    * &newValue=…][&shardDate=…][&visibility=…][&user=…][&roles=r1,r2]
+    * [&ts=millis]` — the `/{serviceName}/submit` verb: resolve the
+    * service, validate request class / caller roles / field mutability,
+    * apply the edit, REBIND the served table to the edited frame. `ts`
+    * injects the history timestamp (the reference stamps server time;
+    * a replayable trail needs injection). */
+  private def modSubmit(params: Map[String, String]): (Int, String) = {
+    import graft.ingest.Modifications._
+    val service = params.getOrElse("service",
+      return (400, err("missing 'service'")))
+    val table = params.getOrElse("table",
+      return (400, err("missing 'table'")))
+    val long = tableMap.getOrElse(table,
+      return (404, err(s"unknown table '$table'")))
+    try {
+      val uid = params.getOrElse("uid",
+        throw new IllegalArgumentException("missing 'uid'"))
+      val datatype = params.getOrElse("datatype", "event")
+      val field = params.getOrElse("field",
+        throw new IllegalArgumentException("missing 'field'"))
+      val shardDate = params.get("shardDate").map(java.sql.Date.valueOf).orNull
+      val vis = params.getOrElse("visibility", "")
+      val edit: FieldEdit = params.getOrElse("mode", "").toUpperCase match {
+        case "INSERT" => PutField(uid, datatype, field,
+          params.getOrElse("value",
+            throw new IllegalArgumentException("missing 'value'")),
+          shardDate = shardDate, visibility = vis)
+        case "DELETE" => DeleteField(uid, datatype, field,
+          params.get("value"), shardDate = shardDate, visibility = vis)
+        case "UPDATE" => UpdateField(uid, datatype, field,
+          oldValue = params.getOrElse("oldValue",
+            throw new IllegalArgumentException(
+              "fieldValue parameter required for update")),
+          newValue = params.getOrElse("newValue",
+            throw new IllegalArgumentException("missing 'newValue'")),
+          shardDate = shardDate, visibility = vis)
+        case m => throw new IllegalArgumentException(
+          s"mode must be INSERT, DELETE or UPDATE, got '$m'")
+      }
+      val edited = modifications.submit(long, service,
+        params.getOrElse("requestClass", ""),
+        params.getOrElse("roles", "").split(',').toSet.filter(_.nonEmpty),
+        Seq(edit), params.getOrElse("user", "anonymous"),
+        params.get("ts").map(_.toLong).getOrElse(System.currentTimeMillis()))
+      tableMap = tableMap.updated(table, edited)
+      (200, """{"submitted": true}""")
+    } catch {
+      case e: ModificationRegistry.ModificationException =>
+        (e.status, err(e.getMessage))
+      case e: IllegalArgumentException => (400, err(e.getMessage))
+    }
+  }
+
+  // ---- model management (ModelBean.java:124-478) ---------------------
+
+  /** `ALIAS:FIELD:DIRECTION[:VIS][;…]` → mappings of `name`; the wire
+    * form of the reference's Model XML/JSON body. */
+  private def parseMappings(raw: String, name: String): Seq[ModelMapping] =
+    raw.split(';').toSeq.filter(_.nonEmpty).map { m =>
+      m.split(':') match {
+        case Array(a, f, d) => ModelMapping(name, a, f, d.toUpperCase)
+        case Array(a, f, d, vis) => ModelMapping(name, a, f, d.toUpperCase, vis)
+        case _ => throw new IllegalArgumentException(
+          s"malformed mapping '$m' (want ALIAS:FIELD:DIRECTION[:VIS])")
+      }
+    }
+
+  private def withSpark(
+      f: SparkSession => (Int, String)): (Int, String) =
+    sparkOf match {
+      case Some(sp) => f(sp)
+      case None => (500, err("no table attached; model store unavailable"))
+    }
+
+  private def modelVerb(params: Map[String, String])(
+      f: (SparkSession, String) => Either[ModelStore.ModelError, (Int, String)])
+      : (Int, String) = withSpark { sp =>
+    val name = params.getOrElse("name", return (400, err("missing 'name'")))
+    try f(sp, name) match {
+      case Left(e) => (e.status, err(e.msg))
+      case Right(ok) => ok
+    } catch { case e: IllegalArgumentException => (400, err(e.getMessage)) }
+  }
+
+  /** `GET /model/list` — model names in the table (ModelBean
+    * listModelNames; reserved record kinds never list). */
+  private def modelList(params: Map[String, String]): (Int, String) =
+    withSpark { sp =>
+      (200, s"""{"names": [${models.listNames(sp).map(quote).mkString(",")}]}""")
+    }
+
+  /** `GET /model/get?name=…` — the model and all its mappings
+    * (ModelBean getModel; 404 when empty). */
+  private def modelGet(params: Map[String, String]): (Int, String) =
+    modelVerb(params) { (sp, name) =>
+      models.getModel(sp, name).map { ms =>
+        val fields = ms.sortBy(m => (m.alias, m.field, m.direction)).map(m =>
+          s"""{"alias": ${quote(m.alias)}, "field": ${quote(m.field)},""" +
+            s""" "direction": ${quote(m.direction)},""" +
+            s""" "visibility": ${quote(m.visibility)}}""")
+        (200, s"""{"name": ${quote(name)}, "fields": [${fields.mkString(",")}]}""")
+      }
+    }
+
+  /** `POST /model/import?name=…&mappings=A:F:DIR[;…]` — create a NEW
+    * model; 412 if the name exists (ModelBean importModel). */
+  private def modelImport(params: Map[String, String]): (Int, String) =
+    modelVerb(params) { (sp, name) =>
+      val raw = params.getOrElse("mappings",
+        return (400, err("missing 'mappings'")))
+      models.importModel(sp, name, parseMappings(raw, name))
+        .map(_ => (200, """{"imported": true}"""))
+    }
+
+  /** `POST /model/clone?name=…&newName=…` (ModelBean cloneModel: 404 on
+    * a missing source, 412 on an existing target). */
+  private def modelClone(params: Map[String, String]): (Int, String) =
+    modelVerb(params) { (sp, name) =>
+      val newName = params.getOrElse("newName",
+        return (400, err("missing 'newName'")))
+      models.cloneModel(sp, name, newName)
+        .map(_ => (200, """{"cloned": true}"""))
+    }
+
+  /** `POST /model/delete?name=…` — drop the whole model (ModelBean
+    * deleteModel; 404 when absent). */
+  private def modelDelete(params: Map[String, String]): (Int, String) =
+    modelVerb(params) { (sp, name) =>
+      models.deleteModel(sp, name).map(_ => (200, """{"deleted": true}"""))
+    }
+
+  /** `POST /model/insert?name=…&mappings=…` — add mappings to a model
+    * (ModelBean insertMapping). */
+  private def modelInsert(params: Map[String, String]): (Int, String) =
+    modelVerb(params) { (sp, name) =>
+      val raw = params.getOrElse("mappings",
+        return (400, err("missing 'mappings'")))
+      models.insertMappings(sp, name, parseMappings(raw, name))
+        .map(_ => (200, """{"inserted": true}"""))
+    }
+
+  /** `POST /model/deleteMapping?name=…&mappings=…` — remove exactly the
+    * given mappings (ModelBean deleteMapping). */
+  private def modelDeleteMapping(params: Map[String, String]): (Int, String) =
+    modelVerb(params) { (sp, name) =>
+      val raw = params.getOrElse("mappings",
+        return (400, err("missing 'mappings'")))
+      models.deleteMappings(sp, name, parseMappings(raw, name))
+        .map(_ => (200, """{"deleted": true}"""))
+    }
+
   private def cachedLoad(params: Map[String, String]): (Int, String) =
     shareLock.synchronized { session(params) match {
       case None => (404, err("unknown queryId"))
@@ -929,7 +1177,7 @@ final class QueryServer(
       val pageSize = params.get("pageSize").map(_.toInt)
         .getOrElse(defaultPageSize)
       require(pageSize > 0, s"pageSize must be positive, got $pageSize")
-      val spark = tables.values.headOption.map(_.sparkSession)
+      val spark = tableMap.values.headOption.map(_.sparkSession)
         .getOrElse(return (500, err("no tables registered")))
       // the reference's CachedRunningQuery only ever builds SELECTs —
       // gate on the PARSED plan, not string prefixes: a WITH-prefixed
@@ -1065,7 +1313,7 @@ final class QueryServer(
       // resumed run would re-collide page numbers).
       writeDefinition(id, s.table, s.query, s.syntax, s.pageSize,
         s.orderCols, s.running.pagesServed, cursor.currentOffset(id),
-        s.running.attempt)
+        s.running.attempt, s.model)
 
   /** The durable definition record itself — written by [[persistSession]]
     * for live sessions and by [[define]] for defined-but-not-executed
@@ -1073,13 +1321,15 @@ final class QueryServer(
   private def writeDefinition(id: String, table: String, query: String,
                               syntax: String, pageSize: Int,
                               orderCols: Seq[String], pagesServedBase: Long,
-                              offsetBase: Long, attempt: Long): Unit = {
+                              offsetBase: Long, attempt: Long,
+                              model: String = ""): Unit = {
     val p = new java.util.Properties()
     p.setProperty("table", table)
     p.setProperty("query", query)
     p.setProperty("syntax", syntax)
     p.setProperty("pageSize", pageSize.toString)
     p.setProperty("orderBy", orderCols.mkString(","))
+    p.setProperty("model", model)
     p.setProperty("pagesServedBase", pagesServedBase.toString)
     p.setProperty("offsetBase", offsetBase.toString)
     p.setProperty("attempt", attempt.toString)
@@ -1107,9 +1357,13 @@ final class QueryServer(
           val in = java.nio.file.Files.newInputStream(f)
           try p.load(in) finally in.close()
           val table = p.getProperty("table", "")
-          tables.get(table).map { df0 =>
+          tableMap.get(table).map { df0 =>
             val qp = QueryParams(syntax = p.getProperty("syntax", "JEXL"))
-            val result = logic.query(df0, p.getProperty("query", ""), qp)
+            // a definition created under a model must resume under it —
+            // the model store is durable beside the definitions
+            val modelName = p.getProperty("model", "")
+            val (effLogic, effQp) = resolveModel(modelName, qp)
+            val result = effLogic.query(df0, p.getProperty("query", ""), effQp)
               .persist()
             val orderCols = p.getProperty("orderBy", "").split(',').toSeq
               .map(_.trim).filter(_.nonEmpty)
@@ -1129,7 +1383,8 @@ final class QueryServer(
               // bumps past it)
               attempt = p.getProperty("attempt", "0").toLong)
             val s = Session(result, orderCols, running,
-              p.getProperty("query", ""), qp.syntax, pageSize, table)
+              p.getProperty("query", ""), qp.syntax, pageSize, table,
+              modelName)
             sessions.put(id, s)
             s
           }

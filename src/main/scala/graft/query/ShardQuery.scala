@@ -57,6 +57,12 @@ final class ShardQueryLogic(
     // consumed and the generic field swaps for the value-specific one
     whindex: Seq[Whindex.Mapping] = Nil) {
 
+  /** This logic with a different query model, all other configuration
+    * (policy, index, whindex) retained — the reference's per-request
+    * QUERY_MODEL parameter rebinding the model a logic resolves with. */
+  def withModel(m: QueryModel): ShardQueryLogic =
+    new ShardQueryLogic(m, policy, index, unfieldedThreshold, whindex)
+
   def query(events: DataFrame, q: String,
             params: QueryParams = QueryParams()): DataFrame = {
     val parsed = if (params.syntax.equalsIgnoreCase("LUCENE")) LuceneParser.parse(q)

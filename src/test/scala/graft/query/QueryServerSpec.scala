@@ -170,6 +170,137 @@ class QueryServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("model CRUD verbs: import/get/clone/insert/delete with the " +
+      "reference's status codes, and model= resolves stored models") {
+    val df = Seq((1L, "alice", "EAST", 100L), (2L, "bob", "WEST", 200L),
+      (3L, "carol", "EAST", 300L)).toDF("id", "name", "region", "bal")
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft-model-spec").toString
+    val srv = new QueryServer(tables = Map("people" -> df),
+      stateDir = stateDir)
+    val port = srv.start()
+    try {
+      val base = s"http://127.0.0.1:$port"
+      val enc = (s: String) => java.net.URLEncoder.encode(s, "UTF-8")
+      // empty store lists empty
+      assert(get(s"$base/model/list").body() == """{"names": []}""")
+      // import M1: AREA→REGION forward, display→BAL reverse
+      val maps = enc("AREA:REGION:FORWARD;display_bal:BAL:REVERSE")
+      assert(post(s"$base/model/import?name=M1&mappings=$maps")
+        .statusCode() == 200)
+      // re-import → 412 precondition failed (exists; delete first)
+      assert(post(s"$base/model/import?name=M1&mappings=$maps")
+        .statusCode() == 412)
+      // reserved record-kind name → 400
+      assert(post(s"$base/model/import?name=edge&mappings=$maps")
+        .statusCode() == 400)
+      // get: mappings round-trip; unknown → 404
+      val got = get(s"$base/model/get?name=M1")
+      assert(got.statusCode() == 200 &&
+        got.body().contains("\"alias\": \"AREA\"") &&
+        got.body().contains("\"direction\": \"REVERSE\""), got.body())
+      assert(get(s"$base/model/get?name=NOPE").statusCode() == 404)
+      // clone → M2, insert an extra alias into M2 only
+      assert(post(s"$base/model/clone?name=M1&newName=M2")
+        .statusCode() == 200)
+      assert(post(s"$base/model/insert?name=M2&mappings=" +
+        enc("WHO:NAME:FORWARD")).statusCode() == 200)
+      // delete M1 (404 on a second delete)
+      assert(post(s"$base/model/delete?name=M1").statusCode() == 200)
+      assert(post(s"$base/model/delete?name=M1").statusCode() == 404)
+      assert(get(s"$base/model/list").body() == """{"names": ["M2"]}""")
+      // a query under the stored model: aliases resolve, reverse renames
+      val exe = post(s"$base/query/execute?table=people&model=M2" +
+        s"&query=${enc("AREA == 'EAST' && WHO =~ '.*a.*'")}&orderBy=id")
+      assert(exe.statusCode() == 200, exe.body().take(300))
+      assert(exe.body().contains("\"display_bal\":100") &&
+        exe.body().contains("\"display_bal\":300") &&
+        !exe.body().contains("bob"), exe.body().take(500))
+      // M1 is gone → the model param refuses the query
+      assert(post(s"$base/query/execute?table=people&model=M1" +
+        s"&query=${enc("AREA == 'EAST'")}").statusCode() == 400)
+      // a model-bound definition survives a server RESTART: the model
+      // store and the definition are both durable under stateDir
+      val defd = post(s"$base/query/define?table=people&model=M2" +
+        s"&query=${enc("AREA == 'WEST'")}&pageSize=10&orderBy=id")
+      assert(defd.statusCode() == 200, defd.body())
+      val defId = "\"queryId\": \"([0-9a-f]+)\"".r
+        .findFirstMatchIn(defd.body()).get.group(1)
+      srv.stop()
+      val srv2 = new QueryServer(tables = Map("people" -> df),
+        stateDir = stateDir)
+      val port2 = srv2.start()
+      try {
+        val p1 = get(s"http://127.0.0.1:$port2/query/next?id=$defId")
+        assert(p1.statusCode() == 200, p1.body().take(300))
+        assert(p1.body().contains("\"display_bal\":200"), p1.body().take(300))
+        // the restarted server's store sees the same models
+        assert(get(s"http://127.0.0.1:$port2/model/list").body()
+          == """{"names": ["M2"]}""")
+      } finally srv2.stop()
+    } finally {
+      try srv.stop() catch { case _: Exception => () }
+      graft.core.Fs.deleteRecursively(stateDir)
+    }
+  }
+
+  test("modification service: request-class, role and mutability checks " +
+      "gate submit; reloadCache swaps the mutable-field list atomically") {
+    val long = Seq(
+      ("12", "event", java.sql.Date.valueOf("2024-01-05"), "", "event_type",
+        "", "click"),
+      ("12", "event", java.sql.Date.valueOf("2024-01-05"), "", "color",
+        "", "red"))
+      .toDF("uid", "datatype", "shard_date", "visibility", "field",
+        "group", "value")
+    @volatile var mutablePairs = Seq(("event", "event_type"))
+    val cfg = ModificationRegistry.ServiceConfig(
+      "MutableMetadataUpdateService", "edits with history",
+      "DefaultModificationRequest", Seq("AuthorizedUser"))
+    val purge = ModificationRegistry.ServiceConfig(
+      "PurgeService", "history-free removal",
+      "DefaultModificationRequest", Seq("Administrator"),
+      insertHistory = false)
+    val srv = new QueryServer(Map("ev" -> long),
+      modificationServices = Seq(cfg, purge),
+      mutableFields = () => mutablePairs)
+    val port = srv.start()
+    try {
+      val base = s"http://127.0.0.1:$port/modification"
+      val ok = "service=MutableMetadataUpdateService" +
+        "&requestClass=DefaultModificationRequest&roles=AuthorizedUser" +
+        "&table=ev&mode=DELETE&uid=12&datatype=event&field=event_type"
+      // the four refusals, in the reference's order of checks
+      assert(post(s"$base/submit?${ok.replace("MutableMetadataUpdateService",
+        "NopeService")}").statusCode() == 404)
+      assert(post(s"$base/submit?${ok.replace("DefaultModificationRequest",
+        "WrongRequest")}").statusCode() == 400)
+      assert(post(s"$base/submit?${ok.replace("AuthorizedUser",
+        "SomeOtherRole")}").statusCode() == 401)
+      assert(post(s"$base/submit?${ok.replace("field=event_type",
+        "field=color")}").statusCode() == 400) // not in the mutable list
+      // a history-free service treats all fields as mutable
+      // (MutableMetadataHandler.java:341-344) — same field succeeds
+      assert(post(s"$base/submit?service=PurgeService" +
+        "&requestClass=DefaultModificationRequest&roles=Administrator" +
+        "&table=ev&mode=DELETE&uid=12&datatype=event&field=color")
+        .statusCode() == 200)
+      // the good submit lands and the SERVED table reflects it
+      assert(post(s"$base/submit?$ok").statusCode() == 200)
+      val exe = post(s"http://127.0.0.1:$port/query/execute?table=ev" +
+        s"&query=${java.net.URLEncoder.encode("UID == '12'", "UTF-8")}")
+      assert(!exe.body().contains("click") && !exe.body().contains("red"),
+        exe.body().take(400))
+      // reload: the swapped list takes effect for the NEXT submit
+      mutablePairs = Seq(("event", "color"))
+      assert(get(s"$base/getMutableFieldList").body()
+        .contains("event_type"))
+      val reloaded = get(s"$base/reloadCache")
+      assert(reloaded.body().contains("color") &&
+        !reloaded.body().contains("event_type"), reloaded.body())
+    } finally srv.stop()
+  }
+
   test("lookupUUID over HTTP: first page rides the create, next continues") {
     val df = (1 to 30).map(i => (i.toLong, s"u$i")).toDF("id", "uuid")
     val srv = new QueryServer(tables = Map("people" -> df),
