@@ -640,7 +640,65 @@ object ServiceQueries {
     } finally server.stop()
   }
 
+  /** The bulk-export job tier under the oracle (MapReduceBean.java:
+    * 181-988, BulkResultsJob): define a query, ship it into the
+    * configured job over live HTTP, poll the durable state machine to
+    * SUCCEEDED, stream every result file back through `/getFile`, and
+    * union the parsed export with the job-state leg. The export itself
+    * is a distributed `df.write` (the reference's MR mappers →
+    * Spark-native file sink). */
+  def bulkExport(s: SparkSession, d: String): DataFrame = {
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft-bulk-gate").toString
+    val server = new QueryServer(Map("orders" -> Tables.orders(s, d)),
+      stateDir = stateDir)
+    val port = server.start()
+    try {
+      val svc = new RemoteQueryService(s"http://127.0.0.1:$port")
+      val enc = (v: String) => java.net.URLEncoder.encode(v, "UTF-8")
+      val defBody = svc.http0("POST", "/query/define?table=orders" +
+        s"&query=${enc("O_ORDERSTATUS == 'F' && O_TOTALPRICE > 300000.0")}")
+      val qid = "\"queryId\": \"([0-9a-f]+)\"".r
+        .findFirstMatchIn(defBody).get.group(1)
+      val subBody = svc.http0("POST",
+        "/mapreduce/submit?jobName=BulkResultsJob&roles=AuthorizedUser" +
+          s"&parameters=${enc(s"queryId:$qid;format:json")}")
+      val jobId = "\"jobId\": \"([0-9a-f]+)\"".r
+        .findFirstMatchIn(subBody).get.group(1)
+      var state = "RUNNING"
+      val deadline = System.currentTimeMillis() + 120000
+      var listBody = ""
+      while (state == "RUNNING" && System.currentTimeMillis() < deadline) {
+        Thread.sleep(100)
+        listBody = svc.http0("GET", s"/mapreduce/list?jobId=$jobId")
+        state = "\"state\": \"([A-Z]+)\"".r
+          .findFirstMatchIn(listBody).map(_.group(1)).getOrElse("RUNNING")
+      }
+      require(state == "SUCCEEDED", s"bulk export ended $state")
+      val parts = "\"name\": \"([^\"]+)\"".r.findAllMatchIn(listBody)
+        .map(_.group(1)).toSeq.filter(_.endsWith(".json"))
+      val lines = parts.flatMap(n => svc.http0("GET",
+          s"/mapreduce/getFile?jobId=$jobId&fileName=$n")
+        .split('\n').toSeq.filter(_.nonEmpty))
+      import s.implicits._
+      val rowsDf = s.read.json(s.createDataset(lines))
+        .select(lit("rows").as("leg"),
+          col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_totalprice").cast("double").as("o_totalprice"),
+          lit(null).cast("string").as("info"))
+      val jobDf = Seq(s"BulkResultsJob:$state").toDF("info")
+        .select(lit("job").as("leg"),
+          lit(null).cast("long").as("o_orderkey"),
+          lit(null).cast("double").as("o_totalprice"), col("info"))
+      rowsDf.unionByName(jobDf)
+    } finally {
+      server.stop()
+      graft.core.Fs.deleteRecursively(stateDir)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bulk_export" -> bulkExport _,
     "modification_service" -> modificationService _,
     "model_crud" -> modelCrud _,
     "query_execute" -> queryExecute _,
@@ -668,6 +726,16 @@ object ServiceQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the streamed-back export must equal the defined query's full
+    // result; the job leg pins the state machine's terminal state
+    "bulk_export" ->
+      """SELECT 'rows' AS leg, o_orderkey, o_totalprice,
+        |       CAST(NULL AS VARCHAR) AS info
+        |  FROM orders
+        | WHERE o_orderstatus = 'F' AND o_totalprice > 300000.0
+        |UNION ALL
+        |SELECT 'job', CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+        |       'BulkResultsJob:SUCCEEDED'""".stripMargin,
     // rows leg replays the three submits relationally (update =
     // delete(old)+insert(new); literal history trail — fixed user+ts);
     // config leg = the registered service catalog

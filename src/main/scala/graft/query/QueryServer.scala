@@ -64,7 +64,8 @@ final class QueryServer(
     auditType: Audit.AuditType = Audit.None_,
     predictors: Seq[Predict.QueryPredictor] = QueryServer.defaultPredictors,
     modificationServices: Seq[ModificationRegistry.ServiceConfig] = Seq.empty,
-    mutableFields: () => Seq[(String, String)] = () => Seq.empty) {
+    mutableFields: () => Seq[(String, String)] = () => Seq.empty,
+    mapReduceJobs: Seq[MapReduce.JobConfig] = Seq(MapReduce.BulkResults)) {
 
   /** The served tables. `/modification/submit` REBINDS an entry to its
     * edited frame (the reference's mutation service writes through to
@@ -78,6 +79,33 @@ final class QueryServer(
   private val modifications =
     new ModificationRegistry(modificationServices,
       new MutableFieldCache(mutableFields))
+
+  /** Bulk export jobs (MapReduceBean) — BulkResultsJob resolves the
+    * `queryId` runtime parameter against the durable definitions, so
+    * define → submit is the reference's flow (define the query, ship it
+    * into the bulk job). */
+  private val bulkJobs = new MapReduceManager(s"$stateDir/mapreduce",
+    mapReduceJobs,
+    runQuery = params => definitionFrame(params.getOrElse("queryId", "")))
+
+  /** The planned frame of a query id: a live session's frame if one
+    * exists, else re-planned from the durable definition — WITHOUT
+    * creating a session or touching cursor state. */
+  private def definitionFrame(queryId: String): DataFrame =
+    Option(sessions.get(queryId)).map(_.df).getOrElse {
+      val f = sessionFile(queryId)
+      if (!java.nio.file.Files.exists(f))
+        throw new IllegalArgumentException(s"unknown queryId '$queryId'")
+      val p = new java.util.Properties()
+      val in = java.nio.file.Files.newInputStream(f)
+      try p.load(in) finally in.close()
+      val table = p.getProperty("table", "")
+      val df0 = tableMap.getOrElse(table,
+        throw new IllegalArgumentException(s"unknown table '$table'"))
+      val qp = QueryParams(syntax = p.getProperty("syntax", "JEXL"))
+      val (effLogic, effQp) = resolveModel(p.getProperty("model", ""), qp)
+      effLogic.query(df0, p.getProperty("query", ""), effQp)
+    }
 
   private final case class Session(df: DataFrame, orderCols: Seq[String],
                                    running: RunningQuery,
@@ -152,6 +180,14 @@ final class QueryServer(
     server.createContext("/lookupUID", handler(lookupUid))
     server.createContext("/translateId", handler(translateId))
     server.createContext("/translateIDs", handler(translateId))
+    server.createContext("/mapreduce/listConfigurations",
+      handler(mrListConfigurations))
+    server.createContext("/mapreduce/submit", handler(mrSubmit))
+    server.createContext("/mapreduce/list", handler(mrList))
+    server.createContext("/mapreduce/cancel", handler(mrCancel))
+    server.createContext("/mapreduce/restart", handler(mrRestart))
+    server.createContext("/mapreduce/remove", handler(mrRemove))
+    server.createContext("/mapreduce/getFile", mrGetFileHandler)
     server.createContext("/modification/listConfigurations",
       handler(modListConfigurations))
     server.createContext("/modification/getMutableFieldList",
@@ -936,6 +972,98 @@ final class QueryServer(
     * reference ships pages to MySQL, here the persisted frame registers
     * as a temp view natively). The session stays open — closing it later
     * drops the cache but the view definition remains valid (re-plans). */
+  // ---- bulk export jobs (MapReduceBean.java:181-988) -----------------
+
+  /** `GET /mapreduce/listConfigurations[?jobType=…]` — the configured
+    * job catalog (MapReduceBean:181-199). */
+  private def mrListConfigurations(
+      params: Map[String, String]): (Int, String) = {
+    val items = bulkJobs.listConfigurations(params.get("jobType")).map(c =>
+      s"""{"jobName": ${quote(c.name)}, "jobType": ${quote(c.jobType)},""" +
+        s""" "description": ${quote(c.description)},""" +
+        s""" "requiredRoles": [${c.requiredRoles.map(quote).mkString(",")}],""" +
+        s""" "requiredRuntimeParameters": [${
+          c.requiredParams.map(quote).mkString(",")}]}""")
+    (200, s"[${items.mkString(",")}]")
+  }
+
+  /** `POST /mapreduce/submit?jobName=…&parameters=name:value;…
+    * [&roles=…]` — validate job name / roles / required parameters,
+    * start the export ASYNC, answer the new job id
+    * (MapReduceBean.submit:376-430). */
+  private def mrSubmit(params: Map[String, String]): (Int, String) = {
+    val jobName = params.getOrElse("jobName",
+      return (400, err("missing 'jobName'")))
+    bulkJobs.submit(jobName, params.getOrElse("parameters", ""),
+      params.getOrElse("roles", "").split(',').toSet.filter(_.nonEmpty)) match {
+      case Left((st, msg)) => (st, err(msg))
+      case Right(id) => (200, s"""{"jobId": "$id"}""")
+    }
+  }
+
+  /** `GET /mapreduce/list[?jobId=…]` — all job ids, or one job's state
+    * + result files with sizes (MapReduceInfoResponse). */
+  private def mrList(params: Map[String, String]): (Int, String) =
+    params.get("jobId") match {
+      case None =>
+        (200, s"[${bulkJobs.listJobIds.map(quote).mkString(",")}]")
+      case Some(id) => bulkJobs.info(id) match {
+        case None => (404, err("unknown jobId"))
+        case Some((name, state, files)) =>
+          val fs = files.map { case (n, sz) =>
+            s"""{"name": ${quote(n)}, "size": $sz}""" }
+          (200, s"""{"jobName": ${quote(name)}, "state": ${quote(state)},""" +
+            s""" "resultFiles": [${fs.mkString(",")}]}""")
+      }
+    }
+
+  /** `POST /mapreduce/cancel?jobId=…` — abort the job group's running
+    * Spark stages (the reference kills the running application). */
+  private def mrCancel(params: Map[String, String]): (Int, String) =
+    if (bulkJobs.cancel(params.getOrElse("jobId", "")))
+      (200, """{"canceled": true}""")
+    else (404, err("unknown jobId"))
+
+  /** `POST /mapreduce/restart?jobId=…` — cancel + resubmit the same
+    * definition as a NEW job id (MapReduceBean.restart:669-690). */
+  private def mrRestart(params: Map[String, String]): (Int, String) =
+    bulkJobs.restart(params.getOrElse("jobId", "")) match {
+      case Left((st, msg)) => (st, err(msg))
+      case Right(id) => (200, s"""{"jobId": "$id"}""")
+    }
+
+  /** `POST /mapreduce/remove?jobId=…` — cancel if running, drop state
+    * and result files (MapReduceBean.remove:983-1010). */
+  private def mrRemove(params: Map[String, String]): (Int, String) =
+    if (bulkJobs.remove(params.getOrElse("jobId", "")))
+      (200, """{"removed": true}""")
+    else (404, err("unknown jobId"))
+
+  /** `GET /mapreduce/getFile?jobId=…&fileName=…` — stream one result
+    * file's bytes (MapReduceBean.getResultFile:753; path-confined to
+    * the job's results directory). */
+  private val mrGetFileHandler: HttpHandler = new HttpHandler {
+    override def handle(ex: HttpExchange): Unit = {
+      try {
+        val params = parseQuery(ex.getRequestURI.getRawQuery)
+        bulkJobs.resultFile(params.getOrElse("jobId", ""),
+          params.getOrElse("fileName", "")) match {
+          case None =>
+            val b = err("unknown jobId or fileName")
+              .getBytes(StandardCharsets.UTF_8)
+            ex.sendResponseHeaders(404, b.length)
+            ex.getResponseBody.write(b)
+          case Some(path) =>
+            ex.getResponseHeaders.set("Content-Type",
+              "application/octet-stream")
+            ex.sendResponseHeaders(200, java.nio.file.Files.size(path))
+            val os = ex.getResponseBody
+            try java.nio.file.Files.copy(path, os) finally os.close()
+        }
+      } finally ex.close()
+    }
+  }
+
   // ---- modification service (ModificationBean.java:88-134) -----------
 
   /** `GET /modification/listConfigurations` — the registered services:
