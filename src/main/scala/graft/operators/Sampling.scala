@@ -324,4 +324,81 @@ object Sampling {
     df.sparkSession.createDataFrame(out)
       .toDF("domain", "n_tokens", "weight", "repeat_factor")
   }
+
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw
+    * document by how target-like its hashed n-gram features are and keep
+    * the top `k`. Feature = word bigrams hashed into `buckets` buckets;
+    * the raw and target bucket LMs come out of ONE shared aggregate
+    * (target rows are flagged by `targetPred`, a predicate over the raw
+    * corpus itself — the paper's "target distribution sample"); the
+    * importance weight of bucket b is the log-ratio
+    * log p_target(b) − p_raw(b), quarter-bit quantized
+    * ([[TextOps.qlog4]] of the Laplace-smoothed counts) so every doc
+    * score is exact integer arithmetic on any engine. The constant
+    * log(T_raw/T_target) normalizer is dropped: it shifts all docs
+    * equally and cannot reorder the top-k.
+    *
+    * 100 TB shape: the LM is one map-side-combinable aggregate over the
+    * exploded bigram stream into ≤`buckets` rows (never collected — it
+    * stays a frame and BROADCASTS into the scoring join), the per-doc
+    * score is a second map-side-combinable aggregate keyed by doc id,
+    * and the final top-k is a TakeOrderedAndProject. The corpus streams
+    * through exactly twice; nothing is all-pairs, nothing is
+    * driver-side. */
+  def dsirSelect(docs: DataFrame, targetPred: Column, buckets: Int = 256,
+                 k: Int = 100, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val grams = docs.select(col(idCol), targetPred.as("is_target"),
+        explode(TextOps.bigrams(col(textCol))).as("s"))
+      .withColumn("b",
+        conv(substring(md5(col("s")), 1, 6), 16, 10).cast("long") % buckets)
+    val lm = grams.groupBy("b").agg(
+      count(lit(1)).as("r"),
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("t"))
+    val weights = lm.select(col("b"),
+      (TextOps.qlog4(col("t") + 1) - TextOps.qlog4(col("r") + 1)).as("w"))
+    val scores = grams.join(broadcast(weights), "b")
+      .groupBy(col(idCol)).agg(sum("w").as("dsir_qbits"))
+    docs.select(col(idCol))
+      .join(scores, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("dsir_qbits"), lit(0L)).cast("long").as("dsir_qbits"))
+      .orderBy(col("dsir_qbits").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Per-domain frequency cap (the RefinedWeb/Dolma "no domain may
+    * dominate the corpus" rule): keep at most `cap` documents from each
+    * domain, survivors chosen in deterministic salted-hash order
+    * ([[hashBucket]], ties by id) so the kept set is a pure function of
+    * (corpus, cap, salt) — independent of partitioning, and raising the
+    * cap yields a superset.
+    *
+    * 100 TB shape: two-phase like [[tokenBudgetTwoPass]]. Phase 1 is a
+    * map-side-combined per-domain count (domains-sized output). Domains
+    * already within cap pass WITHOUT any sort — their rows take the
+    * broadcast-join fast path and never shuffle. Only over-cap domains'
+    * rows enter the per-domain rank window, so the expensive path is
+    * bounded by (over-cap domains × their rows), and a single
+    * pathologically hot domain is exactly the case the cap exists to
+    * cut — its window emits `cap` rows no matter the input size. Output
+    * carries the domain's ORIGINAL count so the cut is visible. */
+  def domainCap(docs: DataFrame, domainCol: String, cap: Int,
+                idCol: String = "doc_id",
+                salt: String = "dcap"): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val counts = docs.groupBy(col(domainCol))
+      .agg(count(lit(1)).cast("long").as("n_domain"))
+    val base = docs.select(col(idCol), col(domainCol))
+      .join(broadcast(counts), Seq(domainCol))
+    val under = base.filter(col("n_domain") <= cap)
+    val over = base.filter(col("n_domain") > cap)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(domainCol))
+          .orderBy(hashBucket(col(idCol), salt), col(idCol))))
+      .filter(col("rk") <= cap).drop("rk")
+    under.unionByName(over)
+      .select(col(idCol), col(domainCol), col("n_domain"))
+  }
 }

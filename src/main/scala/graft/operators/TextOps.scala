@@ -19,6 +19,28 @@ object TextOps {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** GPT-2-style pre-tokenizer pattern, simplified to the subset whose
+    * semantics are IDENTICAL under Java regex (Spark codegen) and RE2
+    * (DuckDB oracle): no lookarounds, no \s/\w class differences
+    * (explicit character classes), leftmost-first alternation in both.
+    * Pieces: apostrophe contractions, words with their leading space,
+    * digit runs, punctuation runs — whitespace itself is not a piece
+    * (it rides in as the next word's leading space, like the real BPE
+    * pre-tokenizers), so the count approximates a subword-token budget
+    * from the raw bytes without a merges table. */
+  val PreTokenPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \\t\\r\\n]+"
+
+  /** Count of BPE-ish pre-token pieces (codegen'd regexp scan,
+    * map-side). */
+  def preTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(PreTokenPattern), lit(0))).cast("long")
+
+  /** Count of whitespace-delimited words — the cheap token-budget
+    * estimator [[preTokenCount]] refines. */
+  def wsTokenCount(text: Column): Column =
+    size(filter(split(text, "[ \\t\\r\\n]+"), t => t =!= "")).cast("long")
+
   /** Normalized text for fingerprinting: lowercase, collapse whitespace. */
   def normalized(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))

@@ -361,6 +361,20 @@ object PipelineQueries {
         Tables.documents(s, d).select("doc_id"), "doc_id", salt = "ord1")
       .select("doc_id", "pos")
 
+  /** DSIR importance selection: the 100 most en-like documents of the
+    * multilingual pool under a hashed-bigram LM log-ratio (target sample
+    * = the en docs themselves), scores exact quarter-bit integers. */
+  def dsirSelectGate(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling.dsirSelect(
+      Tables.documents(s, d), targetPred = col("lang") === "en",
+      buckets = 256, k = 100)
+
+  /** Per-domain frequency cap: at most 10 docs per source, survivors in
+    * deterministic salted-hash order, original domain size carried. */
+  def domainCapGate(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling.domainCap(
+      Tables.documents(s, d), domainCol = "source", cap = 10)
+
   /** Deterministic train/val/test split assignment — hash-range
     * membership, map-side, reproducible anywhere. */
   def corpusSplit(s: SparkSession, d: String): DataFrame =
@@ -424,6 +438,8 @@ object PipelineQueries {
     "corpus_temperature" -> corpusTemperature _,
     "corpus_shuffle" -> corpusShuffle _,
     "corpus_upsample" -> corpusUpsample _,
+    "corpus_dsir" -> dsirSelectGate _,
+    "corpus_domain_cap" -> domainCapGate _,
     "corpus_split" -> corpusSplit _,
     "corpus_pack" -> corpusPack _,
     "text_redact_pii" -> textRedactPii _,
@@ -659,6 +675,45 @@ object PipelineQueries {
          |    THEN CAST(COALESCE(n_dup, 0) AS DOUBLE) / CAST(len(spans) AS DOUBLE)
          |    ELSE 0.0 END AS dup_frac
          | FROM sp LEFT JOIN pd USING (doc_id)""".stripMargin,
+    // hashed-bigram LM log-ratio, quarter-bit quantized (the qlog4 CASE
+    // on the Laplace-smoothed counts) — integer end-to-end, so the
+    // top-100 reproduces bit-for-bit; tie-break doc_id
+    "corpus_dsir" ->
+      s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+         |big AS (SELECT doc_id, lang,
+         |    unnest(list_transform(range(1, len(toks)),
+         |      i -> toks[i] || ' ' || toks[i+1])) AS s
+         |  FROM t WHERE len(toks) >= 2),
+         |bk AS (SELECT doc_id, lang,
+         |    CAST(concat('0x', substr(md5(s), 1, 6)) AS BIGINT) % 256 AS b
+         |  FROM big),
+         |lm AS (SELECT b, CAST(count(*) AS BIGINT) + 1 AS r,
+         |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+         |      + 1 AS t
+         |  FROM bk GROUP BY 1),
+         |w AS (SELECT b,
+         |    (CASE WHEN t < 32768 THEN length(bin(t*t*t*t)) - 1
+         |          ELSE 4 * (length(bin(t)) - 1) + 3 END)
+         |  - (CASE WHEN r < 32768 THEN length(bin(r*r*r*r)) - 1
+         |          ELSE 4 * (length(bin(r)) - 1) + 3 END) AS w
+         |  FROM lm),
+         |sc AS (SELECT doc_id, sum(w) AS q FROM bk JOIN w USING (b)
+         |  GROUP BY 1)
+         |SELECT d.doc_id, CAST(COALESCE(q, 0) AS BIGINT) AS dsir_qbits
+         | FROM documents d LEFT JOIN sc USING (doc_id)
+         | ORDER BY dsir_qbits DESC, doc_id LIMIT 100""".stripMargin,
+    // survivors = rank ≤ cap in (md5 bucket, doc_id) order per source;
+    // n_domain is the ORIGINAL size so the cut is visible
+    "corpus_domain_cap" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_domain
+        |  FROM documents GROUP BY 1),
+        |r AS (SELECT doc_id, source, row_number() OVER (
+        |    PARTITION BY source ORDER BY
+        |      CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+        |        ':dcap')), 1, 8)) AS BIGINT) % 1000000, doc_id) AS rk
+        |  FROM documents)
+        |SELECT doc_id, source, n_domain
+        | FROM r JOIN c USING (source) WHERE rk <= 10""".stripMargin,
     // the two-pass bucket-offset positions equal a global row_number in
     // the same (md5 bucket, doc_id) order
     "corpus_shuffle" ->

@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-7 third wave: DSIR importance selection and the per-domain
+  * frequency cap. */
+class Wave9Spec extends SparkSpec {
+  import spark.implicits._
+
+  // two "dialects": en-flagged docs reuse the same bigrams, the others
+  // use disjoint vocabulary — a doc written in the target dialect but
+  // NOT flagged as target must outscore the off-target docs
+  private def pool = Seq(
+    (1L, "alpha beta alpha beta alpha", "en"),
+    (2L, "alpha beta gamma alpha beta", "en"),
+    (3L, "alpha beta alpha beta gamma", "xx"), // target-like, unflagged
+    (4L, "zip zap zip zap zip zap", "xx"),
+    (5L, "quux corge quux corge quux", "xx")).toDF("doc_id", "text", "lang")
+
+  test("dsirSelect: target-like unflagged doc ranks above off-target docs") {
+    val got = Sampling.dsirSelect(pool, col("lang") === "en", buckets = 64,
+      k = 5).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byId = got.toMap
+    // doc 3 shares the target bigrams → its score must beat 4 and 5
+    assert(byId(3L) > byId(4L), got.toSeq.toString)
+    assert(byId(3L) > byId(5L), got.toSeq.toString)
+    // order is score desc then id asc
+    val scores = got.map(_._2)
+    assert(scores.sameElements(scores.sorted.reverse), got.toSeq.toString)
+  }
+
+  test("dsirSelect: k cuts after the total order; rerun is identical") {
+    val a = Sampling.dsirSelect(pool, col("lang") === "en", buckets = 64,
+      k = 3).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val b = Sampling.dsirSelect(pool, col("lang") === "en", buckets = 64,
+      k = 3).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a.length == 3)
+    assert(a == b)
+  }
+
+  private def domains = (1L to 25L).map { i =>
+    (i, if (i <= 18) "hot" else if (i <= 22) "warm" else "cold")
+  }.toDF("doc_id", "source")
+
+  test("domainCap: every domain at most cap; under-cap domains intact") {
+    val got = Sampling.domainCap(domains, "source", cap = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val perDomain = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(perDomain("hot") == 4, perDomain.toString)
+    assert(perDomain("warm") == 4, perDomain.toString)
+    assert(perDomain("cold") == 3, perDomain.toString) // 3 < cap: all kept
+    // n_domain carries the ORIGINAL sizes
+    assert(got.filter(_._2 == "hot").forall(_._3 == 18L))
+    assert(got.filter(_._2 == "cold").forall(_._3 == 3L))
+  }
+
+  test("domainCap: raising the cap yields a superset; rerun identical") {
+    val k4 = Sampling.domainCap(domains, "source", cap = 4)
+      .collect().map(_.getLong(0)).toSet
+    val k8 = Sampling.domainCap(domains, "source", cap = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(k4.subsetOf(k8), (k4, k8).toString)
+    val again = Sampling.domainCap(domains, "source", cap = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == k4)
+  }
+
+  test("domainCap: under-cap rows avoid the window (no sort on that path)") {
+    val onlyUnder = Sampling.domainCap(domains.filter(col("source") === "cold"),
+      "source", cap = 4)
+    val plan = onlyUnder.queryExecution.executedPlan.toString
+    // the under-cap leg is a broadcast join + filter; the only Window in
+    // the tree sits on the OVER-cap leg, which is empty here — assert the
+    // under-cap branch's rows don't flow through it by checking output
+    assert(onlyUnder.collect().length == 3)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      plan)
+  }
+}
