@@ -25,7 +25,7 @@ object SparkEntry {
     * set from the actual plans and fails if a combo loses coverage, so
     * the tag list cannot silently rot. */
   val warmupQueries: Seq[String] = Seq(
-    "dedup_lines", "edge_query",
+    "corpus_dsir", "dedup_lines", "edge_query",
     "flt_compare_all", "flt_eval_functions", "ing_date_index",
     "lucene_phrase", "mods_applied",
     "qs_content_within", "qs_excerpt", "qs_limit_hits", "ssdeep_chained",

@@ -261,6 +261,38 @@ object Dedup {
     }
   }
 
+  /** Quality-aware dedup collapse: instead of keeping each near-dup
+    * cluster's min-id member, keep its BEST member under an integer
+    * quality score (ties by id) — the curation rule real pipelines
+    * apply after clustering (drop the mangled OCR copy, keep the clean
+    * one). Unclustered documents survive as their own singleton cluster.
+    *
+    * 100 TB shape: the cluster table is bounded by near-dup density
+    * (it only holds docs that appeared in a pair), the per-cluster
+    * argmax is a rank window over clusters that are small by
+    * construction, and the untouched majority of the corpus takes the
+    * anti-join path — one shuffle on the id, no sort. `quality` must be
+    * an integer column expression over `docs` so the argmax reproduces
+    * on any engine. */
+  def keepBestPerCluster(docs: DataFrame, clusterDf: DataFrame,
+                         quality: Column,
+                         idCol: String = "doc_id"): DataFrame = {
+    val q = docs.select(col(idCol), quality.cast("long").as("quality"))
+    val best = clusterDf.join(q, idCol)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+          .orderBy(col("quality").desc, col(idCol))))
+    val sizes = clusterDf.groupBy("cluster_id")
+      .agg(count(lit(1)).cast("long").as("n_members"))
+    best.filter(col("rk") === 1).drop("rk").join(sizes, "cluster_id")
+      .select(col(idCol), col("cluster_id").cast("long").as("cluster_id"),
+        col("quality"), col("n_members"))
+      .unionByName(
+        q.join(clusterDf.select(col(idCol)), Seq(idCol), "left_anti")
+          .select(col(idCol), col(idCol).cast("long").as("cluster_id"),
+            col("quality"), lit(1L).as("n_members")))
+  }
+
   /** Benchmark decontamination (training-data hygiene, net-new beyond
     * the reference): report every corpus document sharing at least
     * `minHits` n-gram shingles with a benchmark/eval corpus, so eval

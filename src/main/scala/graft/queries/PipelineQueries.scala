@@ -30,6 +30,23 @@ object PipelineQueries {
     Dedup.clusters(
       Dedup.ngramJaccardPairs(Tables.documents(s, d), n = 3, threshold = 0.8))
 
+  /** Quality-aware dedup collapse: each near-dup cluster keeps its
+    * highest-alpha-count member (ties by id), singletons survive as
+    * themselves — the "keep the clean copy" curation rule. */
+  def dedupKeepBest(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Dedup.keepBestPerCluster(docs,
+      Dedup.clusters(Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.8)),
+      quality = TextOps.alphaChars(col("text")))
+  }
+
+  /** BPE-ish pre-tokenizer piece counts beside the whitespace word
+    * count — the raw-bytes token-budget estimators. */
+  def textTokensBpe(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      TextOps.preTokenCount(col("text")).as("n_pieces"),
+      TextOps.wsTokenCount(col("text")).as("n_ws_tokens"))
+
   /** Deterministic stratified sampling: down-sample the over-represented
     * en stratum to 50%, keep the rest at 90% — the corpus-mix rebalance
     * every training pipeline runs, reproducible by construction. */
@@ -451,6 +468,8 @@ object PipelineQueries {
     "dedup_ngram_jaccard" -> dedupNgram _,
     "decontaminate" -> decontaminate _,
     "dedup_clusters" -> dedupClusters _,
+    "dedup_keep_best" -> dedupKeepBest _,
+    "text_tokens_bpe" -> textTokensBpe _,
     "sample_stratified" -> sampleStratified _,
     "dedup_minhash_lsh" -> dedupMinhash _,
     "dedup_incremental" -> dedupIncremental _,
@@ -582,6 +601,44 @@ object PipelineQueries {
          |)
          |SELECT src AS doc_id, CAST(LEAST(src, MIN(dst)) AS BIGINT) AS cluster_id
          | FROM reach GROUP BY src""".stripMargin,
+    // same component derivation as dedup_clusters, then per-cluster
+    // argmax on the integer alpha count (ties by id); singletons ride
+    // in via the NOT IN anti leg
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE p AS (SELECT id_a, id_b FROM ($jaccardPairsSql)),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM p
+         |      UNION SELECT id_b, id_a FROM p),
+         |reach AS (
+         |  SELECT src, dst FROM e
+         |  UNION
+         |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
+         |),
+         |cl AS (SELECT src AS doc_id,
+         |    CAST(LEAST(src, MIN(dst)) AS BIGINT) AS cluster_id
+         |  FROM reach GROUP BY src),
+         |q AS (SELECT doc_id, CAST(length(regexp_replace(text,
+         |    '[^a-zA-Z]', '', 'g')) AS BIGINT) AS quality FROM documents),
+         |r AS (SELECT cl.doc_id, cluster_id, quality,
+         |    row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY quality DESC, cl.doc_id) AS rk,
+         |    count(*) OVER (PARTITION BY cluster_id) AS n_members
+         |  FROM cl JOIN q USING (doc_id))
+         |SELECT doc_id, cluster_id, quality,
+         |  CAST(n_members AS BIGINT) AS n_members FROM r WHERE rk = 1
+         |UNION ALL
+         |SELECT q.doc_id, CAST(q.doc_id AS BIGINT) AS cluster_id, quality,
+         |  CAST(1 AS BIGINT) AS n_members FROM q
+         | WHERE q.doc_id NOT IN (SELECT doc_id FROM cl)""".stripMargin,
+    // the SAME pre-tokenizer regex runs under Java regex and RE2 (no
+    // lookarounds, explicit classes); apostrophe doubled for SQL
+    "text_tokens_bpe" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \t\r\n]+'))
+        |    AS BIGINT) AS n_pieces,
+        |  CAST(len(list_filter(regexp_split_to_array(text, '[ \t\r\n]+'),
+        |    x -> x <> '')) AS BIGINT) AS n_ws_tokens
+        | FROM documents""".stripMargin,
     // dedup_simhash: the md5-derived signature makes the whole pipeline
     // deterministic across engines — the oracle replicates signature →
     // 8×8-bit banding → hamming ≤ 7 → exact jaccard verify bit-for-bit.

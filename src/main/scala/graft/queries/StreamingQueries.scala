@@ -163,15 +163,58 @@ object StreamingQueries {
       .agg(min(col("keeper")).as("keeper"), max(col("n_docs")).as("n_docs"))
   }
 
+  /** Streaming domain-cap ledger: four micro-batches of the documents
+    * corpus through [[StreamingIngest.domainCapLedger]]; the folded
+    * final ledger (max n_seen per domain, survivors exploded) must
+    * equal the batch [[graft.operators.Sampling.domainCap]] answer —
+    * the same oracle as corpus_domain_cap, domain sizes included. */
+  def streamDomainCap(s: SparkSession, d: String): DataFrame = {
+    val base = tmp("graft-sdcap")
+    s.read.parquet(s"$d/documents.parquet").select("doc_id", "source")
+      .repartition(4).write.parquet(s"$base/in")
+    val stream = s.readStream.schema("doc_id BIGINT, source STRING")
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+    val qn = s"graft_dcap_${ctr.incrementAndGet()}"
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = try {
+      StreamingIngest.domainCapLedger(stream, "source", cap = 10)
+        .writeStream.format("memory").queryName(qn)
+        .option("checkpointLocation", s"$base/ck")
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    q.awaitTermination()
+    // final ledger = each domain's max-n_seen emission (n_seen strictly
+    // grows per domain, so the struct max picks the last one)
+    s.table(qn)
+      .groupBy(col("domain").as("source"))
+      .agg(max(struct(col("n_seen"), col("survivors"))).as("fin"))
+      .select(col("source"), col("fin.n_seen").as("n_domain"),
+        explode(col("fin.survivors")).as("doc_id"))
+      .select("doc_id", "source", "n_domain")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_windowed" -> streamWindowed _,
     "stream_ingest" -> streamIngest _,
     "stream_uid_state" -> streamUidState _,
     "stream_sessions" -> streamSessions _,
     "stream_dedup" -> streamDedup _,
+    "stream_domain_cap" -> streamDomainCap _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the streamed cap ledger's final fold equals the batch domain cap
+    "stream_domain_cap" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_domain
+        |  FROM documents GROUP BY 1),
+        |r AS (SELECT doc_id, source, row_number() OVER (
+        |    PARTITION BY source ORDER BY
+        |      CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+        |        ':dcap')), 1, 8)) AS BIGINT) % 1000000, doc_id) AS rk
+        |  FROM documents)
+        |SELECT doc_id, source, n_domain
+        | FROM r JOIN c USING (source) WHERE rk <= 10""".stripMargin,
     // the streamed ledger's final fold equals the batch dedup answer
     "stream_dedup" ->
       """SELECT md5(text) AS h, min(doc_id) AS keeper,

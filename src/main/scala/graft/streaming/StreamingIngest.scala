@@ -13,6 +13,10 @@ final case class UidState(count: Long, uids: Seq[String])
 /** Per-hash dedup-ledger state: winning keeper (min doc id) + count. */
 final case class DedupState(keeper: Long, n: Long)
 
+/** Per-domain cap-ledger state: rows seen + the current best-`cap`
+  * survivors as (hash bucket, id) pairs in ascending order. */
+final case class CapState(n: Long, best: Seq[(Long, Long)])
+
 /** Structured-Streaming ingest (SURVEY.md §2.7): the reference's streaming
   * story is FlagMaker file micro-batching + "live" Mutation writes
   * (FlagMaker.java:60, LiveContextWriter.java:23) — here the same shape is
@@ -155,6 +159,40 @@ object StreamingIngest {
           Iterator((h, merged.keeper, merged.n))
       }
       .toDF("h", "keeper", "n_docs")
+  }
+
+  /** Streaming per-domain frequency-cap ledger — the LIVE analog of
+    * [[graft.operators.Sampling.domainCap]]: per domain the state
+    * carries the best-`cap` survivors in (salted hash bucket, id) order
+    * plus the rows-seen count. The survivor set is the MINIMUM-`cap`
+    * of a pure hash order, so merging is order-independent and the
+    * streamed ledger converges to the batch answer however
+    * micro-batches split the corpus. Update mode emits the refreshed
+    * domain row each touched batch; `n_seen` strictly grows per domain,
+    * so the final ledger is each domain's max-`n_seen` emission.
+    * At scale the state is `cap` (bucket, id) pairs per domain —
+    * domains-sized, bounded by construction. */
+  def domainCapLedger(docs: DataFrame, domainCol: String, cap: Int,
+                      idCol: String = "doc_id",
+                      salt: String = "dcap"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(domainCol).cast("string"), col(idCol).cast("long"),
+        graft.operators.Sampling.hashBucket(col(idCol), salt))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CapState, (String, Long, Seq[Long])](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (dom, rows, state: GroupState[CapState]) =>
+          val arrived = rows.map(r => (r._3, r._2)).toSeq
+          val prev = state.getOption.getOrElse(CapState(0L, Nil))
+          val merged = CapState(prev.n + arrived.size,
+            (prev.best ++ arrived).sorted.take(cap))
+          state.update(merged)
+          Iterator((dom, merged.n, merged.best.map(_._2)))
+      }
+      .toDF("domain", "n_seen", "survivors")
   }
 
   /** Age-off maintenance (age-off filter analog,

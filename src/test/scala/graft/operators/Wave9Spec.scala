@@ -66,6 +66,31 @@ class Wave9Spec extends SparkSpec {
     assert(again == k4)
   }
 
+  test("keepBestPerCluster: argmax by quality, ties by id, singletons survive") {
+    val docs = Seq(
+      (1L, "aaaa"), (2L, "aaaaaaaa"), (3L, "aaaa"), // cluster {1,2,3}: 2 wins
+      (4L, "bbbb"), (5L, "bbbb"),                   // cluster {4,5}: tie → 4
+      (9L, "solo")).toDF("doc_id", "text")
+    val cl = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("doc_id", "cluster_id")
+    val got = Dedup.keepBestPerCluster(docs, cl, length(col("text")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq((2L, 1L, 8L, 3L), (4L, 4L, 4L, 2L),
+      (9L, 9L, 4L, 1L)), got.toSeq.toString)
+  }
+
+  test("preTokenCount: contractions, leading-space words, digit and punct runs") {
+    val got = Seq((1L, "I don't like 42 pears!"), (2L, ""), (3L, "  "))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.preTokenCount(col("text")).as("n"),
+        TextOps.wsTokenCount(col("text")).as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // I | _don | 't | _like | _42 | _pears | ! → 7 pieces, 5 ws words
+    assert(got.toSeq == Seq((1L, 7L, 5L), (2L, 0L, 0L), (3L, 0L, 0L)),
+      got.toSeq.toString)
+  }
+
   test("domainCap: under-cap rows avoid the window (no sort on that path)") {
     val onlyUnder = Sampling.domainCap(domains.filter(col("source") === "cold"),
       "source", cap = 4)
