@@ -168,6 +168,64 @@ object Dedup {
           .otherwise(lit(0.0)).as("dup_frac"))
   }
 
+  /** Exact-substring span REMOVAL (the other half of Lee et al. —
+    * [[spanProfile]] measures, this rewrites): every token covered by a
+    * k-token window whose content also appears in ANOTHER document is
+    * cut, and the scrubbed text is reassembled from the survivors. The
+    * all-copies-removed policy (vs the paper's keep-one) is the
+    * decontamination-grade scrub: cross-document verbatim material is
+    * boilerplate or contamination, and which copy was "first" is
+    * order-dependent — removing all of them keeps the output a pure
+    * function of the corpus.
+    *
+    * Relational end-to-end: positional windows hash in one projection
+    * over the persisted token arrays, cross-doc spans fall out of the
+    * df aggregate (min(doc) ≠ max(doc) — no countDistinct), coverage is
+    * a bounded k-fan explode of ONLY the duplicated windows, survivors
+    * are one anti-join, and the rebuild is a per-doc sort+fold. Every
+    * shuffle is keyed by the 128-bit span hash or the doc id; nothing
+    * is all-pairs. `hotSpanCap` clips boilerplate-ubiquitous spans at
+    * the aggregate exactly like [[spanProfile]]. */
+  def spanScrub(docs: DataFrame, k: Int = 10,
+                hotSpanCap: Long = Long.MaxValue): DataFrame = {
+    val toks = spread(docs)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .persist()
+    // (doc_id, window start, span hash) — hash in the projection so the
+    // explode carries 16 bytes, not k-token strings
+    val wins = toks
+      .select(col("doc_id"), posexplode(
+        when(size(col("toks")) >= k,
+          transform(sequence(lit(0), size(col("toks")) - k),
+            p => md5(array_join(slice(col("toks"), p + lit(1), lit(k)), " "))))
+          .otherwise(array().cast("array<string>"))).as(Seq("p", "h")))
+    val crossDoc = wins.groupBy("h")
+      .agg(min("doc_id").as("d0"), max("doc_id").as("d1"),
+        count(lit(1)).as("df"))
+      .filter(col("d0") =!= col("d1") && col("df") < hotSpanCap)
+      .select("h")
+    val covered = wins.join(crossDoc, "h")
+      .select(col("doc_id"), explode(sequence(col("p"), col("p") + (k - 1)))
+        .as("pos"))
+      .distinct()
+    val kept = toks
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+    val rebuilt = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      md5(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("tok")))),
+        s => s.getField("tok")), " ")).as("scrubbed_md5"))
+    val out = toks
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .cast("long").as("n_removed"),
+        coalesce(col("scrubbed_md5"), md5(lit(""))).as("scrubbed_md5"))
+    out
+  }
+
   /** MinHash prime modulus (2^31 − 1, Mersenne): products h·aᵢ stay below
     * 2^63 for 32-bit h, so ANSI-mode long arithmetic never overflows. */
   private val MinhashP = 2147483647L

@@ -34,6 +34,11 @@ object Multimodal {
     def probe(bytes: Array[Byte], format: String): (Int, Int, Int)
     /** → fixed-length feature vector */
     def features(bytes: Array[Byte], format: String, dim: Int): Array[Float]
+    /** → (out_width, out_height, re-encoded bytes) with the long edge
+      * capped at `maxDim` (aspect preserved; never upscales), or None
+      * when the modality/decoder cannot resize. */
+    def resize(bytes: Array[Byte], format: String,
+               maxDim: Int): Option[(Int, Int, Array[Byte])] = None
   }
 
   /** Container-parsed video track: dimensions plus the per-sample encoded
@@ -125,6 +130,34 @@ object Multimodal {
         if (isAudio(format)) audioEnvelope(bytes, dim)
         else imageHistogram(bytes, dim)
       } catch { case _: Exception => Array.fill(dim)(0f) }
+    }
+
+    /** Pure-JDK image resize: decode, scale the long edge down to
+      * `maxDim` (integer target dims, aspect preserved, never
+      * upscales), repaint into an RGB canvas, re-encode as PNG.
+      * Deterministic per byte content — the same pixels come out on any
+      * executor, so a resized corpus is reproducible. */
+    override def resize(bytes: Array[Byte], format: String,
+                        maxDim: Int): Option[(Int, Int, Array[Byte])] = {
+      if (isAudio(format) || isVideo(format) || bytes.isEmpty) return None
+      try {
+        val img = ImageIO.read(new ByteArrayInputStream(bytes))
+        if (img == null) return None
+        val (w, h) = (img.getWidth, img.getHeight)
+        val long0 = math.max(w, h)
+        val (nw, nh) =
+          if (long0 <= maxDim) (w, h)
+          else (math.max(1, w * maxDim / long0), math.max(1, h * maxDim / long0))
+        val out = new java.awt.image.BufferedImage(nw, nh,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try g.drawImage(img.getScaledInstance(nw, nh,
+          java.awt.Image.SCALE_AREA_AVERAGING), 0, 0, null)
+        finally g.dispose()
+        val baos = new java.io.ByteArrayOutputStream()
+        ImageIO.write(out, "png", baos)
+        Some((nw, nh, baos.toByteArray))
+      } catch { case _: Exception => None }
     }
 
     /** L1-normalized luminance histogram of the decoded pixels. */
@@ -565,6 +598,33 @@ object Multimodal {
         val bytes = Option(r.getAs[Array[Byte]]("content")).getOrElse(Array.empty)
         val fmt = Option(r.getAs[String]("format")).getOrElse("")
         Row(r.getAs[Long]("media_id"), decoder.features(bytes, fmt, dim).toSeq)
+      }
+    }(enc)
+  }
+
+  /** Distributed image resize: each image's long edge capped at
+    * `maxDim`, re-encoded, with before/after dims beside the new bytes
+    * (null bytes + zero dims for rows the decoder cannot resize — the
+    * same explicit could-not-decode contract as [[probeAll]]). Runs in
+    * the partition, no driver involvement; output bytes are ~maxDim²
+    * regardless of input size, so a resize sweep SHRINKS the corpus it
+    * scans. */
+  def resizeImages(media: DataFrame, maxDim: Int,
+                   decoder: MediaDecoder = JdkDecoder): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("out_width", IntegerType),
+      StructField("out_height", IntegerType),
+      StructField("out_content", BinaryType, nullable = true)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = Option(r.getAs[Array[Byte]]("content")).getOrElse(Array.empty)
+        val fmt = Option(r.getAs[String]("format")).getOrElse("")
+        decoder.resize(bytes, fmt, maxDim) match {
+          case Some((w, h, out)) => Row(r.getAs[Long]("media_id"), w, h, out)
+          case None => Row(r.getAs[Long]("media_id"), 0, 0, null)
+        }
       }
     }(enc)
   }

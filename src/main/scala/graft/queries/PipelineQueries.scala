@@ -350,6 +350,12 @@ object PipelineQueries {
   def spanDedup(s: SparkSession, d: String): DataFrame =
     Dedup.spanProfile(Tables.documents(s, d), k = 10)
 
+  /** Exact-substring span removal: tokens covered by any 10-token
+    * window shared verbatim with ANOTHER document are cut; per doc the
+    * removal count plus the md5 of the reassembled scrubbed text. */
+  def spanScrubGate(s: SparkSession, d: String): DataFrame =
+    Dedup.spanScrub(Tables.documents(s, d), k = 10)
+
   /** Token-budget corpus mixing: per-language budgets hit exactly, in
     * deterministic hash order (the "X tokens of each source" mix step). */
   def corpusMix(s: SparkSession, d: String): DataFrame = {
@@ -463,6 +469,7 @@ object PipelineQueries {
     "text_repetition" -> textRepetition _,
     "text_surprisal" -> textSurprisal _,
     "span_dedup" -> spanDedup _,
+    "span_scrub" -> spanScrubGate _,
     "corpus_mix" -> corpusMix _,
     "dedup_exact" -> dedupExact _,
     "dedup_ngram_jaccard" -> dedupNgram _,
@@ -732,6 +739,31 @@ object PipelineQueries {
          |    THEN CAST(COALESCE(n_dup, 0) AS DOUBLE) / CAST(len(spans) AS DOUBLE)
          |    ELSE 0.0 END AS dup_frac
          | FROM sp LEFT JOIN pd USING (doc_id)""".stripMargin,
+    // cross-doc spans via min(doc)<>max(doc), coverage = k-fan explode
+    // of duplicated windows only, survivors anti-joined, rebuild md5
+    // over the position-ordered remainder
+    "span_scrub" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |w AS (SELECT doc_id, unnest(range(0, len(toks) - 9)) AS p, toks
+         |  FROM t WHERE len(toks) >= 10),
+         |ws AS (SELECT doc_id, p,
+         |    md5(list_aggregate(toks[p+1:p+10], 'string_agg', ' ')) AS h
+         |  FROM w),
+         |x AS (SELECT h FROM ws GROUP BY h
+         |  HAVING min(doc_id) <> max(doc_id)),
+         |cov AS (SELECT DISTINCT doc_id, unnest(range(p, p + 10)) AS pos
+         |  FROM ws JOIN x USING (h)),
+         |tok AS (SELECT doc_id, unnest(range(0, len(toks))) AS pos,
+         |    unnest(toks) AS tok FROM t),
+         |kept AS (SELECT tok.doc_id, tok.pos, tok.tok FROM tok
+         |  ANTI JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos),
+         |reb AS (SELECT doc_id, count(*) AS n_kept,
+         |    md5(string_agg(tok, ' ' ORDER BY pos)) AS m
+         |  FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(toks) - COALESCE(n_kept, 0) AS BIGINT) AS n_removed,
+         |  COALESCE(m, md5('')) AS scrubbed_md5
+         | FROM t LEFT JOIN reb USING (doc_id)""".stripMargin,
     // hashed-bigram LM log-ratio, quarter-bit quantized (the qlog4 CASE
     // on the Laplace-smoothed counts) — integer end-to-end, so the
     // top-100 reproduces bit-for-bit; tie-break doc_id

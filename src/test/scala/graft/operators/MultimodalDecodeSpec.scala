@@ -165,6 +165,28 @@ class MultimodalDecodeSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 20, 10, 1), (2L, 8, 8, 1), (3L, 16000, 1, 100)))
   }
 
+  test("resizeImages caps the long edge, keeps aspect, re-probes to the new dims") {
+    val rows = Seq(
+      (1L, "image", png(40, 10, 0x00FF00), "png"), // 4:1 → 8×2
+      (2L, "image", bmp(6, 6), "bmp"),             // under cap → untouched
+      (3L, "audio", wav(16000, 50), "wav"),        // not an image → null
+      (4L, "image", Array[Byte](1, 2, 3), "png"))  // corrupt → null
+      .toDF("media_id", "modality", "content", "format")
+    val out = Multimodal.resizeImages(rows, maxDim = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        Option(r.getAs[Array[Byte]]("out_content")))).sortBy(_._1)
+    assert(out.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq((1L, 8, 2), (2L, 6, 6), (3L, 0, 0), (4L, 0, 0)), out.toSeq.toString)
+    assert(out(2)._4.isEmpty && out(3)._4.isEmpty)
+    // the emitted bytes are a REAL image: re-probing recovers the dims
+    val re = Multimodal.JdkDecoder.probe(out(0)._4.get, "png")
+    assert(re == ((8, 2, 1)), re.toString)
+    // deterministic per byte content: a second pass emits identical bytes
+    val again = Multimodal.resizeImages(rows, maxDim = 8)
+      .filter(col("media_id") === 1L).collect()(0).getAs[Array[Byte]]("out_content")
+    assert(java.util.Arrays.equals(again, out(0)._4.get))
+  }
+
   test("extractFeatures feeds VectorOps with content-derived embeddings") {
     val rows = Seq(
       (1L, "image", png(16, 16, 0xFFFFFF), "png"),

@@ -91,6 +91,27 @@ class Wave9Spec extends SparkSpec {
       got.toSeq.toString)
   }
 
+  test("spanScrub: cross-doc 10-token spans cut, within-doc repeats kept") {
+    val span = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$span alpha beta gamma delta"),   // shared span + 4-token tail
+      (2L, s"zig zag $span"),                  // shared span after 2 tokens
+      (3L, "solo words only here none shared stay put now ok"),
+      (4L, s"$span $span")).toDF("doc_id", "text") // cross-doc: all cut
+    val got = Dedup.spanScrub(docs, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+    def h(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // doc1: covered 0..9 → tail survives; doc2: covered 2..11 → "zig zag";
+    // doc3: untouched; doc4: every window contains shared material → all cut
+    assert(got == Seq(
+      (1L, 14L, 10L, h("alpha beta gamma delta")),
+      (2L, 12L, 10L, h("zig zag")),
+      (3L, 10L, 0L, h("solo words only here none shared stay put now ok")),
+      (4L, 20L, 20L, h(""))), got.toString)
+  }
+
   test("domainCap: under-cap rows avoid the window (no sort on that path)") {
     val onlyUnder = Sampling.domainCap(domains.filter(col("source") === "cold"),
       "source", cap = 4)
