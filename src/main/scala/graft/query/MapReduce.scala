@@ -59,6 +59,11 @@ final class MapReduceManager(
   private def writeState(id: String, jobName: String, params: String,
                          state: String, startTime: Long,
                          error: String = ""): Unit = synchronized {
+    // terminal states are STICKY: once a job left RUNNING, a racing
+    // writer (a canceled run thread finishing its write anyway, or the
+    // orphan path) must not flip it — the reference's state rows are
+    // likewise terminal-once
+    if (readState(id).exists(_.getProperty("state", "") != "RUNNING")) return
     val p = new java.util.Properties()
     p.setProperty("jobName", jobName)
     p.setProperty("parameters", params)
@@ -143,7 +148,11 @@ final class MapReduceManager(
             case "csv" => writer.option("header", "true").csv(out)
             case _ => writer.parquet(out)
           })
-          writeState(jobId, jobName, rawParams, "SUCCEEDED",
+          // a cancel() claims the job by removing it from `threads`
+          // BEFORE interrupting; if the interrupt was swallowed and the
+          // write completed anyway, the job is still CANCELED
+          writeState(jobId, jobName, rawParams,
+            if (threads.get(jobId) != null) "SUCCEEDED" else "CANCELED",
             startTimeOf(jobId))
         } finally sc.clearJobGroup()
       } catch {
@@ -159,8 +168,17 @@ final class MapReduceManager(
             error = Option(e.getMessage).getOrElse(e.getClass.getName))
       } finally threads.remove(jobId)
     }, s"graft-bulk-$jobId")
+    t.setDaemon(true) // never block JVM exit; shutdown() handles live jobs
     threads.put(jobId, t)
     t.start()
+  }
+
+  /** Stop every live export (server teardown): cancel each running job
+    * so its state records CANCELED and no thread keeps writing under a
+    * state directory the caller is about to delete. */
+  def shutdown(): Unit = {
+    import scala.jdk.CollectionConverters._
+    threads.keys.asScala.toSeq.foreach(cancel)
   }
 
   private def startTimeOf(id: String): Long =
@@ -175,11 +193,13 @@ final class MapReduceManager(
         if (!java.nio.file.Files.exists(res)) Seq.empty
         else {
           import scala.jdk.CollectionConverters._
-          java.nio.file.Files.list(res).iterator().asScala
+          val stream = java.nio.file.Files.list(res)
+          try stream.iterator().asScala
             .filterNot(_.getFileName.toString.startsWith("."))
             .filterNot(_.getFileName.toString.startsWith("_"))
             .map(f => f.getFileName.toString -> java.nio.file.Files.size(f))
             .toSeq.sortBy(_._1)
+          finally stream.close()
         }
       (p.getProperty("jobName", ""), p.getProperty("state", ""), files)
     }
@@ -189,9 +209,11 @@ final class MapReduceManager(
     if (!java.nio.file.Files.exists(d)) Seq.empty
     else {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.list(d).iterator().asScala
+      val stream = java.nio.file.Files.list(d)
+      try stream.iterator().asScala
         .filter(p => java.nio.file.Files.exists(p.resolve("state.properties")))
         .map(_.getFileName.toString).toSeq.sorted
+      finally stream.close()
     }
   }
 

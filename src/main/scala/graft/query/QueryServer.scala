@@ -214,6 +214,10 @@ final class QueryServer(
     // flush below, so a page recorded by a racing /query/next still
     // makes the durable ledger (an idle server returns immediately)
     if (server != null) server.stop(1)
+    // cancel live bulk exports so no thread keeps writing under a
+    // state directory the caller may be about to delete, and their
+    // state rows record CANCELED instead of a dangling RUNNING
+    bulkJobs.shutdown()
     // one parquet append per table — the pending tail becomes durable
     // history the next server life (or a sibling) reads
     sparkOf.foreach(metricsStore.flush)
@@ -1054,11 +1058,25 @@ final class QueryServer(
             ex.sendResponseHeaders(404, b.length)
             ex.getResponseBody.write(b)
           case Some(path) =>
-            ex.getResponseHeaders.set("Content-Type",
-              "application/octet-stream")
-            ex.sendResponseHeaders(200, java.nio.file.Files.size(path))
-            val os = ex.getResponseBody
-            try java.nio.file.Files.copy(path, os) finally os.close()
+            // size+copy can race a concurrent /mapreduce/remove — answer
+            // a structured 404 like every handler()-wrapped endpoint
+            // rather than dropping the exchange
+            try {
+              val size = java.nio.file.Files.size(path)
+              ex.getResponseHeaders.set("Content-Type",
+                "application/octet-stream")
+              ex.sendResponseHeaders(200, size)
+              val os = ex.getResponseBody
+              try java.nio.file.Files.copy(path, os) finally os.close()
+            } catch {
+              case _: java.io.IOException =>
+                val b = err("result file no longer available")
+                  .getBytes(StandardCharsets.UTF_8)
+                try {
+                  ex.sendResponseHeaders(404, b.length)
+                  ex.getResponseBody.write(b)
+                } catch { case _: java.io.IOException => () } // headers sent
+            }
         }
       } finally ex.close()
     }

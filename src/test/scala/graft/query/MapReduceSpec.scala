@@ -89,6 +89,31 @@ class MapReduceSpec extends SparkSpec {
     } finally graft.core.Fs.deleteRecursively(dir)
   }
 
+  test("terminal states are sticky and shutdown cancels live exports") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mr").toString
+    try {
+      val slow = udf { x: Long => Thread.sleep(1); x % 2 == 0 }
+      val mgr = new MapReduceManager(dir,
+        configs = Seq(
+          MapReduce.JobConfig("Tiny", "mapreduce", "", Nil, Nil),
+          MapReduce.JobConfig("SlowJob", "mapreduce", "", Nil, Nil)),
+        runQuery = p => if (p.get("speed").contains("slow"))
+          spark.range(600000L).toDF("id").filter(slow(col("id")))
+        else Seq(1L).toDF("id"))
+      // a SUCCEEDED job stays SUCCEEDED through a late cancel
+      val done = mgr.submit("Tiny", "format:json", Set.empty).toOption.get
+      assert(mgr.await(done) == "SUCCEEDED")
+      assert(mgr.cancel(done)) // existed → true…
+      assert(mgr.info(done).exists(_._2 == "SUCCEEDED")) // …but not flipped
+      // shutdown aborts a live export and records CANCELED
+      val live = mgr.submit("SlowJob", "speed:slow;format:parquet",
+        Set.empty).toOption.get
+      Thread.sleep(1000)
+      mgr.shutdown()
+      assert(mgr.await(live, 30000) == "CANCELED")
+    } finally graft.core.Fs.deleteRecursively(dir)
+  }
+
   test("define → submit → poll → getFile over live HTTP exports the " +
       "defined query's full result") {
     val df = (1 to 40).map(i => (i.toLong, if (i % 4 == 0) "X" else "Y"))
