@@ -838,6 +838,10 @@ object VectorOps {
       normed.select(col("vec_id"),
           ivfAssign(col("nv"), centroids).as("cell"),
           pqEncode(col("nv"), books).as("code"))
+        // co-locate each cell before the partitioned write: one file per
+        // cell instead of (shuffle partitions × cells) splinters — the
+        // layout a probe's partition-pruned read wants
+        .repartition(col("cell"))
         .write.partitionBy("cell").mode("overwrite").parquet(s"$dir/codes")
       books
     } finally normed.unpersist()
