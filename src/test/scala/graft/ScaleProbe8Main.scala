@@ -49,6 +49,20 @@ object ScaleProbe8Main {
       docs.unpersist()
     }
 
+    // spanScrub at 1×/10× VERBATIM copies (every span cross-doc — the
+    // worst case: maximal duplicated-window coverage explode)
+    graft.operators.Dedup.spanScrub(base.limit(500), k = 10)
+      .agg(sum("n_removed")).head()
+    for ((tag, k) <- Seq(("1x", 1), ("10x", 10))) {
+      val docs = times(k).persist()
+      docs.count()
+      t(s"spanScrub $tag") {
+        graft.operators.Dedup.spanScrub(docs, k = 10)
+          .agg(sum("n_removed")).head().getLong(0)
+      }
+      docs.unpersist()
+    }
+
     // domainCap: hot-domain probe — replicate ONE source's docs 10×,
     // leave the rest alone; survivors must stay at cap for every domain
     val hot = base.filter(col("source") === "src0")
