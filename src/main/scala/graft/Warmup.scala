@@ -65,10 +65,9 @@ object Warmup {
       // per-subspace argmin encode + ADC fold + rerank cosine)
       "pq" -> VectorOps.pqTopKReranked(emb, probeId = 0L, k = 5,
         shortlist = 16, m = 4, codeK = 4).select("vec_id"),
-      // ann_pq_batch: aggregate(|zip_with(|explode|posexplode|generate
-      // (the stacked-LUT ADC fold under a posexplode fan-out — the
-      // batch shortlist's shape; codebooks are a tiny literal so no
-      // index build runs here)
+      // ann_pq_batch: aggregate(|zip_with( (the probes-as-data ADC fold
+      // over a broadcast probe join — the batch shortlist's shape;
+      // codebooks are a tiny literal so no index build runs here)
       "pq_batch" -> {
         val books = Seq.tabulate(4)(j => Seq.tabulate(4)(c =>
           Seq.tabulate(4)(dd => (j + c + dd).toDouble / 8)))

@@ -62,26 +62,30 @@ object VectorOps {
 
   /** Exact top-k for N probes in ONE corpus scan (the oracle side of
     * batched ANN gates, and the honest exact baseline for multi-needle
-    * search): per-row sims against every probe from one stacked
-    * literal, per-probe top-k via the same WindowGroupLimit shape the
-    * PQ shortlist uses. Returns (probe_id, vec_id, sim). */
+    * search). Probes travel as DATA — one broadcast row per probe — so
+    * the per-row work is ONE constant-size cosine expression against the
+    * joined probe vector; the plan is the same at N=3 and N=1000 (the
+    * stacked-literal form this replaces fell out of codegen past a few
+    * dozen probes). Per-probe top-k via the same WindowGroupLimit shape
+    * the PQ shortlist uses. Returns (probe_id, vec_id, sim). */
   def bruteForceTopKBatch(emb: DataFrame, probeIds: Seq[Long],
                           k: Int): DataFrame = {
     require(probeIds.nonEmpty, "need at least one probe")
+    val spark = emb.sparkSession
+    import spark.implicits._
     val fetched = emb.filter(col("vec_id").isin(probeIds: _*))
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](0 + 1)).toMap
     val missing = probeIds.filterNot(fetched.contains)
     require(missing.isEmpty, s"unknown probe id(s): ${missing.mkString(",")}")
-    val probeLit = typedLit(probeIds.map(fetched))
-    val idLit = typedLit(probeIds)
-    val simArr = array(probeIds.indices.map(p =>
-      cosine(col("embedding"), probeLit(p))): _*)
+    val probesDf = spark.createDataset(probeIds.map(p => p -> fetched(p)))
+      .toDF("probe_id", "pvec")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("p")).orderBy(col("sim").desc, col("vec_id").asc)
-    emb.select(col("vec_id"), posexplode(simArr).as(Seq("p", "sim")))
-      .withColumn("probe_id", idLit(col("p")))
+      .partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id").asc)
+    emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(probesDf))
       .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("sim", cosine(col("embedding"), col("pvec")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("probe_id"), col("vec_id"), col("sim"))
@@ -615,12 +619,13 @@ object VectorOps {
   // the codes and codebooks as tables, then serve every probe — and
   // every BATCH of probes — off the stored codes. A pipeline that
   // queries thousands of needles amortizes ONE code-column scan across
-  // all of them: each probe contributes only an m×codeK LUT (driver
-  // literal), the scan computes every probe's ADC distance in the same
-  // pass, and a per-probe group-limit (Spark rewrites the rank filter
-  // into WindowGroupLimit — a map-side local top-k BEFORE the shuffle)
-  // keeps the shuffle at O(partitions × probes × shortlist), never
-  // O(n × probes).
+  // all of them: each probe is one broadcast DATA row carrying its
+  // m×codeK ADC lookup table, the scan computes every probe's distance
+  // in the same pass with a constant-size expression (the plan does not
+  // grow with the batch), and a per-probe group-limit (Spark rewrites
+  // the rank filter into WindowGroupLimit — a map-side local top-k
+  // BEFORE the shuffle) keeps the shuffle at
+  // O(partitions × probes × shortlist), never O(n × probes).
 
   /** Train codebooks and encode the corpus ONCE; write both as tables
     * under `dir` (`codes`: (vec_id, code ARRAY<INT>); `codebooks`:
@@ -704,10 +709,18 @@ object VectorOps {
     (spark.read.parquet(s"$dir/codes"), books)
   }
 
-  /** One scan of the stored codes serving N probes: per-probe ADC
-    * distances from one stacked LUT literal, then a per-probe
-    * `shortlist`-limit. Returns (probe_id, vec_id, dist) — the
-    * candidate set each probe re-ranks. Public so the plan shape is
+  /** One scan of the stored codes serving N probes, with probes as
+    * DATA, not plan: each probe is one broadcast row carrying its
+    * precomputed ADC lookup table (lut(j)(c) = ‖probe[j] −
+    * centroid_{j,c}‖², m·codeK doubles) and — for the IVF composition —
+    * its probed cells. The joined distance is ONE constant-size
+    * fold over the m codes per (row, probe) pair, so the projection is
+    * identical at N=3 and N=1000 and never leaves whole-stage codegen
+    * (the stacked-literal form this replaces built N separate
+    * aggregate trees and died at the 64KB codegen method limit;
+    * ScaleProbe9Main pins flat per-probe cost at 256 probes). Then a
+    * per-probe `shortlist`-limit. Returns (probe_id, vec_id, dist) —
+    * the candidate set each probe re-ranks. Public so the plan shape is
     * assertable: reads ONLY the code column (no encode, no raw
     * vectors), and the rank filter must show as WindowGroupLimit. */
   def pqAdcShortlistBatch(codes: DataFrame,
@@ -716,34 +729,40 @@ object VectorOps {
                           shortlist: Int,
                           cellsOf: Option[Seq[Seq[Int]]] = None): DataFrame = {
     require(probes.nonEmpty, "need at least one probe")
+    val spark = codes.sparkSession
+    import spark.implicits._
     val m = books.size
     val dsub = books.head.head.size
-    // N stacked LUTs: lutAll(p)(j)(c) = ‖probe_p[j] − centroid_{j,c}‖²
-    val lutAll: Seq[Seq[Seq[Double]]] = probes.map { case (_, pn) =>
-      (0 until m).map(j =>
-        books(j).map(cen => l2sq(pn.slice(j * dsub, (j + 1) * dsub), cen)))
+    val probeRows: Seq[(Long, Seq[Seq[Double]], Seq[Int])] =
+      probes.zipWithIndex.map { case ((pid, pn), i) =>
+        val lut = (0 until m).map(j =>
+          books(j).map(cen =>
+            l2sq(pn.slice(j * dsub, (j + 1) * dsub), cen)).toSeq)
+        (pid, lut, cellsOf.fold(Seq.empty[Int])(_(i)))
+      }
+    val probesDf = spark.createDataset(probeRows).toDF("probe_id", "lut", "cells")
+    // IVF composition: the join condition itself scopes each probe to
+    // ITS cells (another probe's cells are non-joining rows, never
+    // false candidates); the flat form is a broadcast cross join.
+    val joined = cellsOf match {
+      case Some(_) => codes.join(broadcast(probesDf),
+        array_contains(col("cells"), col("cell")))
+      case None => codes.crossJoin(broadcast(probesDf))
     }
-    val lutCol = typedLit(lutAll)
-    val probeIdLit = typedLit(probes.map(_._1))
-    // every probe's distance computed in the SAME pass over the codes —
-    // m lookups + adds per probe per row, raw vectors never read
-    val distArr = array(probes.indices.map { p =>
-      aggregate(zip_with(col("code"), sequence(lit(0), lit(m - 1)),
-        (c, j) => lutCol(p)(j)(c)), lit(0.0), (acc, x) => acc + x)
-    }: _*)
+    // every probe's distance from the SAME pass over the codes — m
+    // 0-based lut lookups + adds per (row, probe), raw vectors never
+    // read. m is statically known, so the sum is a flat chain of
+    // GetArrayItem pairs (no higher-order function): it stays inside
+    // whole-stage codegen, and its left-to-right order matches the
+    // single-probe ADC fold so dist doubles are bit-equal (the fold's
+    // 0.0 seed is absorbed: ADC terms are sums of squares, never -0.0)
+    val dist = (0 until m).map(j => col("lut")(j)(col("code")(j)))
+      .reduce(_ + _)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("p")).orderBy(col("dist").asc, col("vec_id").asc)
-    val fanned = codes
-      .select(col("vec_id") +: cellsOf.map(_ => col("cell")).toSeq :+
-        posexplode(distArr).as(Seq("p", "dist")): _*)
-    // IVF composition: each probe sees only ITS cells (another probe's
-    // cells are pruned rows here, never false candidates)
-    val scoped = cellsOf.fold(fanned)(cells =>
-      fanned.filter(array_contains(
-        typedLit(cells).apply(col("p")), col("cell"))))
-    scoped
-      .withColumn("probe_id", probeIdLit(col("p")))
+      .partitionBy(col("probe_id")).orderBy(col("dist").asc, col("vec_id").asc)
+    joined
       .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), dist.as("dist"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= shortlist)
       .select(col("probe_id"), col("vec_id"), col("dist"))
@@ -760,15 +779,19 @@ object VectorOps {
     import spark.implicits._
     val unionIds = pairs.map(_._2).distinct
     val pairsDf = spark.createDataset(pairs).toDF("probe_id", "vec_id")
-    val probeMap = map(probes.flatMap { case (pid, pn) =>
-      Seq(lit(pid), typedLit(pn)) }: _*)
+    // probe vectors as a broadcast frame (not an N-entry literal map):
+    // the scoring expression is one constant-size cosine against the
+    // joined pvec column regardless of batch width
+    val probesDf = spark.createDataset(probes).toDF("probe_id", "pvec")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("vec_id").asc)
+    // the isin compiles to ONE InSet expression (hash-set membership),
+    // so the needle-bounded corpus scan stays cheap at any batch width
     emb.filter(col("vec_id").isin(unionIds: _*))
       .join(broadcast(pairsDf), Seq("vec_id"))
-      .withColumn("sim",
-        cosine(col("embedding"), element_at(probeMap, col("probe_id"))))
+      .join(broadcast(probesDf), Seq("probe_id"))
+      .withColumn("sim", cosine(col("embedding"), col("pvec")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("probe_id"), col("vec_id"), col("sim"))

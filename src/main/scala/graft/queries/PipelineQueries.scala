@@ -245,30 +245,29 @@ object PipelineQueries {
       val approx = VectorOps.ivfPqTopKBatch(emb, codes, books, cents,
         probeIds, k = 10, nProbe = nProbe, shortlist = 400)
       // the exact oracle side is ALSO one scan (the bruteForceTopKBatch
-      // shape + per-probe cell membership): every probe's restricted
-      // sims from one stacked literal, window top-10 per probe
+      // shape + per-probe cell membership): probes join as broadcast
+      // DATA rows (pvec + probed cells), window top-10 per probe —
+      // constant-size scoring expression like the index path it checks
+      import s.implicits._
       val probeVecs = emb.filter(col("vec_id").isin(probeIds: _*))
         .select(col("vec_id"), col("embedding").cast("array<double>"))
         .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
-      val probeCells = probeIds.map { p =>
+      val exactProbes = probeIds.map { p =>
         val pn = probeVecs(p)
         val nrm = math.sqrt(pn.map(x => x * x).sum)
-        VectorOps.ivfProbeCells(pn.map(_ / nrm), cents, nProbe)
+        (p, pn, VectorOps.ivfProbeCells(pn.map(_ / nrm), cents, nProbe))
       }
-      val probeLit = typedLit(probeIds.map(probeVecs))
-      val idLit = typedLit(probeIds)
-      val cellsLit = typedLit(probeCells)
-      val simArr = array(probeIds.indices.map(p =>
-        VectorOps.cosine(col("embedding"), probeLit(p))): _*)
+      val exactProbesDf = s.createDataset(exactProbes)
+        .toDF("probe_id", "pvec", "cells")
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("p")).orderBy(col("sim").desc, col("vec_id").asc)
+        .partitionBy(col("probe_id"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
       val exact = emb
         .withColumn("cell", VectorOps.ivfAssign(col("embedding"), cents))
-        .select(col("vec_id"), col("cell"),
-          posexplode(simArr).as(Seq("p", "sim")))
-        .filter(array_contains(cellsLit(col("p")), col("cell")))
-        .withColumn("probe_id", idLit(col("p")))
+        .join(broadcast(exactProbesDf),
+          array_contains(col("cells"), col("cell")))
         .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("sim", VectorOps.cosine(col("embedding"), col("pvec")))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 10)
         .select("probe_id", "vec_id")
@@ -276,6 +275,30 @@ object PipelineQueries {
         .groupBy("probe_id").agg(count(lit(1)).as("hits"))
         .select(col("probe_id"), lit(10L).as("k"),
           (col("hits") >= 9).as("recall_ok"))
+    } finally graft.core.Fs.deleteRecursively(dir)
+  }
+
+  /** IVF-PQ WHOLE-CORPUS recall (r7 verdict item 3): the end-to-end
+    * quality number a user tuning nProbe needs — reranked top-10 vs
+    * GLOBAL brute force, not just the within-probed-cells recovery
+    * ann_ivfpq_batch pins. Fixed config (nCells=16, nProbe=6, m=8,
+    * codeK=16, two Lloyd rounds both levels — the deployment default):
+    * measured hits for probe 0 are 10/10 at sf0.01 and 9/10 at sf0.1
+    * (the synthetic embeddings are weakly clustered, so the coarse
+    * quantizer is the binding term — boundary probes 7/42 sit at 5-8
+    * and are recall-PROBED, not gated, in PqBatchProbeMain); floor 8. */
+  def annIvfPqRecall(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-rec")
+    try {
+      VectorOps.ivfPqWriteIndex(emb, dir.toString, nCells = 16, m = 8,
+        codeK = 16, iters = 2, coarseIters = 2)
+      val (codes, books, cents) = VectorOps.ivfPqReadIndex(s, dir.toString)
+      recallRow(
+        VectorOps.ivfPqTopKBatch(emb, codes, books, cents, Seq(0L), k = 10,
+          nProbe = 6, shortlist = 400).select("vec_id"),
+        VectorOps.bruteForceTopK(emb, probeId = 0L, k = 10).select("vec_id"),
+        k = 10, minHits = 8)
     } finally graft.core.Fs.deleteRecursively(dir)
   }
 
@@ -493,6 +516,7 @@ object PipelineQueries {
     "ann_pq_recall" -> annPqRecall _,
     "ann_pq_batch" -> annPqBatch _,
     "ann_ivfpq_batch" -> annIvfPqBatch _,
+    "ann_ivfpq_recall" -> annIvfPqRecall _,
     "multimodal_probe" -> multimodalProbe _,
   )
 
@@ -1012,6 +1036,7 @@ object PipelineQueries {
       """SELECT CAST(probe_id AS BIGINT) AS probe_id,
         |   CAST(10 AS BIGINT) AS k, true AS recall_ok
         | FROM (VALUES (0), (7), (42)) AS t(probe_id)""".stripMargin,
+    "ann_ivfpq_recall" -> "SELECT CAST(10 AS BIGINT) AS k, true AS recall_ok",
     // literal rows: the decode results of byte-deterministic payloads
     // (audio maps rate/channels/samples onto the probe triple)
     "multimodal_probe" ->

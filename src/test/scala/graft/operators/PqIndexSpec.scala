@@ -195,7 +195,7 @@ class PqIndexSpec extends SparkSpec {
     }
   }
 
-  test("stacked-LUT batch shortlist is identical to the single-probe ADC path per probe") {
+  test("probes-as-data batch shortlist is identical to the single-probe ADC path per probe") {
     val emb = corpus
     val dir = java.nio.file.Files.createTempDirectory("graft-pq-spec4").toString
     val books = VectorOps.pqWriteIndex(emb, dir, m = 4, codeK = 8, iters = 1)
@@ -211,5 +211,49 @@ class PqIndexSpec extends SparkSpec {
       .orderBy(col("dist").asc, col("vec_id").asc)
       .select("vec_id").collect().map(_.getLong(0)).toSeq
     assert(batch == single)
+  }
+
+  test("IVF-PQ whole-corpus recall floor: reranked top-5 vs GLOBAL brute force >= 4/5") {
+    val emb = corpus.cache()
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-rec").toString
+    VectorOps.ivfPqWriteIndex(emb, dir, nCells = 4, m = 4, codeK = 8,
+      iters = 2, coarseIters = 2)
+    val (codes, books, cents) = VectorOps.ivfPqReadIndex(spark, dir)
+    Seq(0L, 1L).foreach { p =>
+      val got = VectorOps.ivfPqTopKBatch(emb, codes, books, cents, Seq(p),
+        k = 5, nProbe = 2, shortlist = 40)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val exact = VectorOps.bruteForceTopK(emb, p, 5)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert((got & exact).size >= 4, s"probe $p: $got vs $exact")
+    }
+  }
+
+  test("the batch plan is CONSTANT-SIZE in the probe count (probes join as broadcast data)") {
+    val emb = corpus
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-spec5").toString
+    val books = VectorOps.pqWriteIndex(emb, dir, m = 4, codeK = 8, iters = 1)
+    val (codes, _) = VectorOps.pqReadIndex(spark, dir)
+    def plan(n: Int): String = {
+      val probes = (0 until n).map(i =>
+        i.toLong -> (0 until 8).map(d => math.sin(i * 8 + d)).toSeq)
+      VectorOps.pqAdcShortlistBatch(codes, books, probes, 10)
+        .queryExecution.executedPlan.toString
+    }
+    val p2 = plan(2)
+    val p64 = plan(64)
+    // the probe side is a broadcast (LocalTableScan → BroadcastExchange);
+    // the scoring projection is the SAME expression tree at any width, so
+    // the executed-plan text cannot grow with the batch (the stacked-
+    // literal form this guards against grew ~linearly and fell out of
+    // codegen past a few dozen probes)
+    assert(p64.contains("Broadcast"), p64)
+    assert(p64.length < p2.length * 2,
+      s"plan grew with probe count: ${p2.length} -> ${p64.length}")
+    // a 64-probe search end-to-end still returns k rows per probe off
+    // the stored index (probe ids 0..59 exist in the 60-row corpus)
+    val wide = VectorOps.pqTopKBatch(emb.cache(), codes, books,
+      (0L until 60L).toSeq, k = 3, shortlist = 20)
+    assert(wide.count() == 180)
   }
 }
