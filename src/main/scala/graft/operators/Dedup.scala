@@ -223,6 +223,15 @@ object Dedup {
         (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
           .cast("long").as("n_removed"),
         coalesce(col("scrubbed_md5"), md5(lit(""))).as("scrubbed_md5"))
+      // EAGER, like incrementalNearDupPairs: materialize the per-doc
+      // result (4 scalar columns — orders smaller than the token
+      // arrays) so the token cache releases IN-OP instead of leaking a
+      // cached frame per invocation in a long-lived session; the caller
+      // holds exactly one cached frame and frees it with
+      // `result.unpersist()`.
+      .persist()
+    out.count()
+    toks.unpersist()
     out
   }
 

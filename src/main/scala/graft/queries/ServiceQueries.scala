@@ -109,7 +109,8 @@ object ServiceQueries {
     * create → drain pages until 204 → close → re-parse rows. The gate
     * proves the full HTTP round-trip reproduces the local result. */
   def remoteQuery(s: SparkSession, d: String): DataFrame = {
-    val server = new QueryServer(Map("events" -> Tables.events(s, d)))
+    val server = new QueryServer(Map("events" -> Tables.events(s, d)),
+      metricsFlush = false)
     val port = server.start()
     try {
       val svc = new RemoteQueryService(s"http://127.0.0.1:$port")
@@ -159,7 +160,8 @@ object ServiceQueries {
     * and the reset ledger produce driver-visible rows (= the base query's
     * result three times over). */
   def queryLifecycle(s: SparkSession, d: String): DataFrame = {
-    val server = new QueryServer(Map("events" -> Tables.events(s, d)))
+    val server = new QueryServer(Map("events" -> Tables.events(s, d)),
+      metricsFlush = false)
     val port = server.start()
     try {
       val svc = new RemoteQueryService(s"http://127.0.0.1:$port")
@@ -235,7 +237,8 @@ object ServiceQueries {
     * which must NOT duplicate its document (the uid list dedups). */
   def lookupUid(s: SparkSession, d: String): DataFrame = {
     val server = new QueryServer(Map("content" ->
-      graft.content.ContentStore.contentTable(Tables.documents(s, d))))
+      graft.content.ContentStore.contentTable(Tables.documents(s, d))),
+      metricsFlush = false)
     val port = server.start()
     try {
       val svc = new RemoteQueryService(s"http://127.0.0.1:$port")
@@ -261,7 +264,8 @@ object ServiceQueries {
     * alias is uniqued per invocation so repeated bench passes never
     * collide. */
   def cachedResultsLoad(s: SparkSession, d: String): DataFrame = {
-    val server = new QueryServer(Map("events" -> Tables.events(s, d)))
+    val server = new QueryServer(Map("events" -> Tables.events(s, d)),
+      metricsFlush = false)
     val port = server.start()
     try {
       val svc = new RemoteQueryService(s"http://127.0.0.1:$port")
@@ -272,11 +276,24 @@ object ServiceQueries {
       val rows = svc.cachedSql(
         s"SELECT user_id, count(*) AS cnt FROM $alias GROUP BY user_id",
         pageSize = 1000000)
+      // create-from-alias (CachedResultsBean.create): the SAME aggregate
+      // defined as a DERIVED cached-results view via field/grouping
+      // parameters, then read back — both legs must agree
+      val enc = (v: String) => java.net.URLEncoder.encode(v, "UTF-8")
+      svc.http0("POST", s"/cachedresults/create?alias=$alias" +
+        s"&view=${alias}_agg" +
+        s"&fields=${enc("user_id, count(*) AS cnt")}" +
+        s"&grouping=user_id")
+      val created = svc.cachedSql(
+        s"SELECT user_id, cnt FROM ${alias}_agg", pageSize = 1000000)
       svc.close(id)
       import s.implicits._
-      s.read.json(s.createDataset(rows))
-        .select(col("user_id").cast("long").as("user_id"),
-          col("cnt").cast("long").as("cnt"))
+      def leg(name: String, rs: Seq[String]): DataFrame =
+        s.read.json(s.createDataset(rs))
+          .select(lit(name).as("leg"),
+            col("user_id").cast("long").as("user_id"),
+            col("cnt").cast("long").as("cnt"))
+      leg("sql", rows).unionByName(leg("created", created))
     } finally server.stop()
   }
 
@@ -446,7 +463,8 @@ object ServiceQueries {
     * pins the no-results contract: an empty query auto-closes on the
     * server and answers 204, leaving no session behind. */
   def createAndNext(s: SparkSession, d: String): DataFrame = {
-    val server = new QueryServer(Map("orders" -> Tables.orders(s, d)))
+    val server = new QueryServer(Map("orders" -> Tables.orders(s, d)),
+      metricsFlush = false)
     val port = server.start()
     try {
       val svc = new RemoteQueryService(s"http://127.0.0.1:$port")
@@ -513,7 +531,8 @@ object ServiceQueries {
     * with no session or cache left behind. Both legs must equal the
     * plain filter. */
   def queryExecute(s: SparkSession, d: String): DataFrame = {
-    val server = new QueryServer(Map("orders" -> Tables.orders(s, d)))
+    val server = new QueryServer(Map("orders" -> Tables.orders(s, d)),
+      metricsFlush = false)
     val port = server.start()
     try {
       val svc = new RemoteQueryService(s"http://127.0.0.1:$port")
@@ -551,7 +570,8 @@ object ServiceQueries {
     * `/model/list` catalog and the model-resolved rows, both vs plain
     * SQL. */
   def modelCrud(s: SparkSession, d: String): DataFrame = {
-    val server = new QueryServer(Map("customer" -> Tables.customer(s, d)))
+    val server = new QueryServer(Map("customer" -> Tables.customer(s, d)),
+      metricsFlush = false)
     val port = server.start()
     try {
       val svc = new RemoteQueryService(s"http://127.0.0.1:$port")
@@ -608,7 +628,8 @@ object ServiceQueries {
         Seq("Administrator"), insertHistory = false))
     val server = new QueryServer(Map("events_long" -> long),
       modificationServices = cfgs,
-      mutableFields = () => Seq(("event", "event_type")))
+      mutableFields = () => Seq(("event", "event_type")),
+      metricsFlush = false)
     val port = server.start()
     try {
       val svc = new RemoteQueryService(s"http://127.0.0.1:$port")
@@ -640,6 +661,64 @@ object ServiceQueries {
     } finally server.stop()
   }
 
+  /** The Atom feed service tier under the oracle (web-services/atom
+    * AtomServiceBean.java: getCategories/getFeed/getEntry): the
+    * category-names document, one category paged to EXHAUSTION with the
+    * opaque strictly-after cursor (pagesize 2, so every entry crosses a
+    * page boundary at least once — a dropped or duplicated entry at any
+    * boundary breaks the hash), and a single-entry fetch by encoded id.
+    * Legs: categories / the reassembled feed / the entry. */
+  def atomFeed(s: SparkSession, d: String): DataFrame = {
+    val long = graft.ingest.Ingest.toLong(
+      graft.core.Spread(Tables.events(s, d)),
+      uidCol = "event_id", datatype = "event", dateCol = "ts")
+    val server = new QueryServer(Map("events_long" -> long),
+      atomTable = Some(graft.ingest.Feeds.atom(long)), metricsFlush = false)
+    val port = server.start()
+    try {
+      val svc = new RemoteQueryService(s"http://127.0.0.1:$port")
+      val catsBody = svc.http0("GET", "/atom/categories")
+      val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+      var cursor = ""
+      var more = true
+      while (more) {
+        val l = if (cursor.isEmpty) ""
+          else s"&l=${java.net.URLEncoder.encode(cursor, "UTF-8")}"
+        val (status, body) = svc.httpStatus("GET",
+          s"/atom/feed?category=event_type&pagesize=2$l")
+        if (status == 204) more = false
+        else {
+          require(status == 200, s"feed page failed ($status): $body")
+          entries ++= svc.arrayOf("entries", body)
+          cursor = "\"next\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(body)
+            .map(_.group(1)).getOrElse(sys.error(s"no next cursor: $body"))
+        }
+      }
+      val entryBody = svc.http0("GET", "/atom/entry?category=event_type" +
+        s"&id=${graft.query.AtomFeed.encodeId("click")}")
+      import s.implicits._
+      def leg(name: String, rows: Seq[String]): DataFrame =
+        s.read.json(s.createDataset(rows))
+          .select(lit(name).as("leg"), lit("event_type").as("category"),
+            col("title").as("value"), col("updated").as("latest_date"),
+            col("occurrences").cast("long").as("occurrences"))
+      // the categories document is an array of plain strings (no
+      // objects), so slice the bracketed list directly
+      val catNames = catsBody.substring(catsBody.indexOf('[') + 1,
+          catsBody.lastIndexOf(']'))
+        .split(',').map(_.trim).filter(_.nonEmpty)
+        .map(c => c.substring(1, c.length - 1)).toSeq
+      val catsDf = s.createDataset(catNames).toDF("category")
+        .select(lit("categories").as("leg"), col("category"),
+          lit(null).cast("string").as("value"),
+          lit(null).cast("string").as("latest_date"),
+          lit(null).cast("long").as("occurrences"))
+      leg("feed", entries.toSeq)
+        .unionByName(leg("entry", Seq(entryBody)))
+        .unionByName(catsDf)
+    } finally server.stop()
+  }
+
   /** The bulk-export job tier under the oracle (MapReduceBean.java:
     * 181-988, BulkResultsJob): define a query, ship it into the
     * configured job over live HTTP, poll the durable state machine to
@@ -651,7 +730,7 @@ object ServiceQueries {
     val stateDir = java.nio.file.Files
       .createTempDirectory("graft-bulk-gate").toString
     val server = new QueryServer(Map("orders" -> Tables.orders(s, d)),
-      stateDir = stateDir)
+      stateDir = stateDir, metricsFlush = false)
     val port = server.start()
     try {
       val svc = new RemoteQueryService(s"http://127.0.0.1:$port")
@@ -698,6 +777,7 @@ object ServiceQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "atom_feed" -> atomFeed _,
     "bulk_export" -> bulkExport _,
     "modification_service" -> modificationService _,
     "model_crud" -> modelCrud _,
@@ -726,6 +806,24 @@ object ServiceQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the paged feed reassembles the whole category's aggregate; the
+    // entry leg is one value; categories = the melt's four fields
+    "atom_feed" ->
+      """WITH atom AS (
+        |  SELECT 'event_type' AS category, event_type AS value,
+        |         strftime(MAX(CAST(ts AS DATE)), '%Y-%m-%d') AS latest_date,
+        |         count(*) AS occurrences
+        |    FROM events GROUP BY 2)
+        |SELECT 'feed' AS leg, category, value, latest_date, occurrences
+        |  FROM atom
+        |UNION ALL
+        |SELECT 'entry', category, value, latest_date, occurrences
+        |  FROM atom WHERE value = 'click'
+        |UNION ALL
+        |SELECT 'categories', c, CAST(NULL AS VARCHAR),
+        |       CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+        |  FROM (VALUES ('event_type'), ('props'), ('user_id'), ('value'))
+        |       AS t(c)""".stripMargin,
     // the streamed-back export must equal the defined query's full
     // result; the job leg pins the state machine's terminal state
     "bulk_export" ->
@@ -908,8 +1006,12 @@ object ServiceQueries {
       """SELECT event_id, user_id, event_type FROM events
         | WHERE event_id IN (5, 6) OR user_id = 42""".stripMargin,
     "cached_results_load" ->
-      """SELECT user_id, count(*) AS cnt FROM events
-        | WHERE event_type = 'view' GROUP BY user_id""".stripMargin,
+      """WITH agg AS (
+        |  SELECT user_id, count(*) AS cnt FROM events
+        |   WHERE event_type = 'view' GROUP BY user_id)
+        |SELECT 'sql' AS leg, user_id, cnt FROM agg
+        |UNION ALL
+        |SELECT 'created', user_id, cnt FROM agg""".stripMargin,
     // uid batch {3,7,11,7}: the repeat must not duplicate doc 7
     "lookup_uid" ->
       """SELECT CAST(doc_id AS VARCHAR) AS uid, 'RAW' AS view_name, text,

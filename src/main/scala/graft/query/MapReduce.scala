@@ -134,12 +134,20 @@ final class MapReduceManager(
       System.currentTimeMillis())
     val t = new Thread(() => {
       try {
-        val df = runQuery(params)
-        val sc = df.sparkSession.sparkContext
         // group ALL of this job's Spark stages under the jobId —
         // cancel(jobId) aborts them mid-flight (the reference kills the
-        // YARN application)
-        sc.setJobGroup(jobId, s"bulk export $jobId", interruptOnCancel = true)
+        // YARN application). The group is a THREAD-LOCAL of the
+        // context, so set it before runQuery too: a query whose
+        // CONSTRUCTION triggers jobs must not escape the cancelable
+        // group. runQuery's own context is re-asserted after in case
+        // it differs from the process default.
+        def group(sc: org.apache.spark.SparkContext): Unit =
+          sc.setJobGroup(jobId, s"bulk export $jobId",
+            interruptOnCancel = true)
+        sparkOf.map(_.sparkContext).foreach(group)
+        val df = runQuery(params)
+        val sc = df.sparkSession.sparkContext
+        group(sc)
         try {
           val out = jobDir(jobId).resolve("results").toString
           val writer = df.write.mode("overwrite")
@@ -219,24 +227,30 @@ final class MapReduceManager(
 
   /** Cancel: abort the job group's running stages (`/{jobId}/cancel` →
     * kill the running application). True if the job existed. */
-  def cancel(jobId: String): Boolean = readState(jobId) match {
-    case None => false
-    case Some(p) =>
-      val t = threads.remove(jobId) // marks "canceled" for the run thread
-      if (t != null) {
-        // any live frame of this job group aborts; the run thread
-        // observes the SparkException and records CANCELED
-        sparkOf.foreach(_.sparkContext.cancelJobGroup(jobId))
-        t.interrupt()
-        t.join(30000)
-      }
-      if (readState(jobId).exists(_.getProperty("state") == "RUNNING"))
-        // orphaned RUNNING record (thread died with a previous server)
-        writeState(jobId, p.getProperty("jobName", ""),
-          p.getProperty("parameters", ""), "CANCELED",
-          p.getProperty("startTime", "0").toLong)
-      true
-  }
+  def cancel(jobId: String): Boolean = cancelJoined(jobId)._1
+
+  /** [[cancel]] plus whether the run thread is KNOWN dead after the
+    * join window — false means a write that ignored the interrupt may
+    * still be running ([[remove]] refuses to delete under it). */
+  private def cancelJoined(jobId: String): (Boolean, Boolean) =
+    readState(jobId) match {
+      case None => (false, true)
+      case Some(p) =>
+        val t = threads.remove(jobId) // marks "canceled" for the run thread
+        if (t != null) {
+          // any live frame of this job group aborts; the run thread
+          // observes the SparkException and records CANCELED
+          sparkOf.foreach(_.sparkContext.cancelJobGroup(jobId))
+          t.interrupt()
+          t.join(30000)
+        }
+        if (readState(jobId).exists(_.getProperty("state") == "RUNNING"))
+          // orphaned RUNNING record (thread died with a previous server)
+          writeState(jobId, p.getProperty("jobName", ""),
+            p.getProperty("parameters", ""), "CANCELED",
+            p.getProperty("startTime", "0").toLong)
+        (true, t == null || !t.isAlive)
+    }
 
   private def sparkOf: Option[org.apache.spark.sql.SparkSession] =
     org.apache.spark.sql.SparkSession.getActiveSession
@@ -258,11 +272,15 @@ final class MapReduceManager(
     }
 
   /** Remove (`DELETE /{jobId}/remove`): cancel if running, then drop
-    * state and files. */
+    * state and files. If the run thread survives the cancel's join
+    * window (a write ignoring the interrupt), the remove is REFUSED —
+    * deleting under a live writer would race it recreating the job
+    * directory with partial state after this returned true. */
   def remove(jobId: String): Boolean = {
     val existed = readState(jobId).isDefined
     if (existed) {
-      cancel(jobId)
+      val (_, dead) = cancelJoined(jobId)
+      if (!dead) return false
       graft.core.Fs.deleteRecursively(jobDir(jobId))
     }
     existed

@@ -61,6 +61,17 @@ final class ModelStore(dir: String, maxEntries: Int = 10000) {
   import ModelStore._
 
   private val rows = ArrayBuffer.empty[ModelMapping]
+
+  /** Name matching is CASE-INSENSITIVE everywhere in this store, because
+    * [[graft.jexl.QueryModelLoader]] resolves `model=NAME` with
+    * `upper(model_name)` — if 'TPCH' and 'tpch' could coexist here, a
+    * query would silently merge both models' mappings at plan time. The
+    * store therefore enforces one spelling per name: lookups/uniqueness
+    * ignore case, and mutations canonicalize to the stored spelling. */
+  private def sameName(a: String, b: String): Boolean = a.equalsIgnoreCase(b)
+  /** The stored spelling of `name`, if any mappings exist under it. */
+  private def storedSpelling(name: String): Option[String] =
+    rows.collectFirst { case m if sameName(m.model_name, name) => m.model_name }
   private var loaded = false
   private var version = 0L
 
@@ -116,7 +127,7 @@ final class ModelStore(dir: String, maxEntries: Int = 10000) {
                name: String): Either[ModelError, Seq[ModelMapping]] =
     synchronized {
       ensureLoaded(spark)
-      val ms = rows.filter(_.model_name == name).toSeq
+      val ms = rows.filter(m => sameName(m.model_name, name)).toSeq
       if (ms.isEmpty) Left(NotFound(name)) else Right(ms)
     }
 
@@ -128,7 +139,7 @@ final class ModelStore(dir: String, maxEntries: Int = 10000) {
       ensureLoaded(spark)
       validate(name, ms) match {
         case Some(err) => Left(err)
-        case None if rows.exists(_.model_name == name) =>
+        case None if rows.exists(m => sameName(m.model_name, name)) =>
           Left(AlreadyExists(name))
         case None =>
           rows ++= ms.map(_.copy(model_name = name))
@@ -148,9 +159,9 @@ final class ModelStore(dir: String, maxEntries: Int = 10000) {
   def deleteModel(spark: SparkSession,
                   name: String): Either[ModelError, Unit] = synchronized {
     ensureLoaded(spark)
-    if (!rows.exists(_.model_name == name)) Left(NotFound(name))
+    if (!rows.exists(m => sameName(m.model_name, name))) Left(NotFound(name))
     else {
-      rows.filterInPlace(_.model_name != name)
+      rows.filterInPlace(m => !sameName(m.model_name, name))
       persist(spark)
       Right(())
     }
@@ -166,7 +177,9 @@ final class ModelStore(dir: String, maxEntries: Int = 10000) {
       validate(name, ms) match {
         case Some(err) => Left(err)
         case None =>
-          val add = ms.map(_.copy(model_name = name))
+          // inserts under 'tpch' land under an existing 'TPCH' spelling
+          val canonical = storedSpelling(name).getOrElse(name)
+          val add = ms.map(_.copy(model_name = canonical))
             .filterNot(rows.contains)
           if (add.nonEmpty) { rows ++= add; persist(spark) }
           Right(())
@@ -178,7 +191,8 @@ final class ModelStore(dir: String, maxEntries: Int = 10000) {
                      ms: Seq[ModelMapping]): Either[ModelError, Unit] =
     synchronized {
       ensureLoaded(spark)
-      val drop = ms.map(_.copy(model_name = name)).toSet
+      val canonical = storedSpelling(name).getOrElse(name)
+      val drop = ms.map(_.copy(model_name = canonical)).toSet
       if (drop.exists(rows.contains)) {
         rows.filterInPlace(!drop.contains(_))
         persist(spark)
@@ -197,7 +211,7 @@ final class ModelStore(dir: String, maxEntries: Int = 10000) {
   private def validate(name: String,
                        ms: Seq[ModelMapping]): Option[ModelError] =
     if (name.isEmpty) Some(Rejected("model name must be non-empty"))
-    else if (Reserved.contains(name))
+    else if (Reserved.contains(name.toLowerCase))
       Some(Rejected(s"'$name' is a reserved record kind"))
     else if (rows.size + ms.size > maxEntries)
       Some(Rejected(s"model store would exceed $maxEntries mappings"))

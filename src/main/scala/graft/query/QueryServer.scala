@@ -65,14 +65,19 @@ final class QueryServer(
     predictors: Seq[Predict.QueryPredictor] = QueryServer.defaultPredictors,
     modificationServices: Seq[ModificationRegistry.ServiceConfig] = Seq.empty,
     mutableFields: () => Seq[(String, String)] = () => Seq.empty,
-    mapReduceJobs: Seq[MapReduce.JobConfig] = Seq(MapReduce.BulkResults)) {
+    mapReduceJobs: Seq[MapReduce.JobConfig] = Seq(MapReduce.BulkResults),
+    atomTable: Option[DataFrame] = None,
+    metricsFlush: Boolean = true) {
 
   /** The served tables. `/modification/submit` REBINDS an entry to its
     * edited frame (the reference's mutation service writes through to
     * the shard table); running sessions keep paging their persisted
     * snapshot — the same read-snapshot character an in-flight Accumulo
-    * scan has across a mutation. */
-  @volatile private var tableMap: Map[String, DataFrame] = tables
+    * scan has across a mutation. Accepted edits also append to the
+    * durable [[editLogFile]], which [[replayEditLog]] re-applies here at
+    * construction — so a restarted server over the same stateDir serves
+    * the edited tables, not the silently-reverted originals. */
+  @volatile private var tableMap: Map[String, DataFrame] = replayEditLog(tables)
 
   /** Modification service dispatch (ModificationBean.java:88-134 +
     * ModificationCacheBean) over the registered configurations. */
@@ -205,6 +210,12 @@ final class QueryServer(
     server.createContext("/cachedresults/update", handler(cachedUpdate))
     server.createContext("/cachedresults/sql", handler(cachedSql))
     server.createContext("/cachedresults/getRows", handler(cachedGetRows))
+    server.createContext("/cachedresults/loadAsync", handler(cachedLoadAsync))
+    server.createContext("/cachedresults/status", handler(cachedStatus))
+    server.createContext("/cachedresults/create", handler(cachedCreate))
+    server.createContext("/atom/categories", handler(atomCategories))
+    server.createContext("/atom/feed", handler(atomFeedPage))
+    server.createContext("/atom/entry", handler(atomEntry))
     server.start()
     server.getAddress.getPort
   }
@@ -219,8 +230,11 @@ final class QueryServer(
     // state rows record CANCELED instead of a dangling RUNNING
     bulkJobs.shutdown()
     // one parquet append per table — the pending tail becomes durable
-    // history the next server life (or a sibling) reads
-    sparkOf.foreach(metricsStore.flush)
+    // history the next server life (or a sibling) reads. `metricsFlush
+    // = false` opts a throwaway (gate/test-scale) server out, so its
+    // teardown measures queries, not ledger I/O — a real deployment
+    // keeps the default on and pays it once per server life.
+    if (metricsFlush) sparkOf.foreach(metricsStore.flush)
     // a stopped server serves nothing: release every cached frame (a
     // restart re-plans and re-persists from the durable definitions) —
     // without this a stop-without-close leaks the persisted frames in
@@ -730,27 +744,50 @@ final class QueryServer(
 
   /** `GET /query/get?id=…` — the reference's `GET /{id}`
     * (listQueryByID): the stored definition of a live OR defined query. */
-  private def getDefinition(params: Map[String, String]): (Int, String) =
-    session(params) match {
-      case None => (404, err("unknown queryId"))
+  private def getDefinition(params: Map[String, String]): (Int, String) = {
+    // READ verb: must not resume — inspecting a defined-but-never-
+    // executed query leaves it session-less and frame-less (define's
+    // contract), so absent a live session the durable record is read
+    // directly instead of through session()/resumeSession().
+    val id = qid(params)
+    Option(sessions.get(id)) match {
       case Some(s) =>
-        (200, s"""{"queryId": ${quote(qid(params))},""" +
+        (200, s"""{"queryId": ${quote(id)},""" +
           s""" "table": ${quote(s.table)}, "query": ${quote(s.query)},""" +
           s""" "syntax": ${quote(s.syntax)}, "pageSize": ${s.pageSize},""" +
           s""" "orderBy": ${quote(s.orderCols.mkString(","))},""" +
           s""" "pagesServed": ${s.running.pagesServed}}""")
+      case None => readDefinitionProps(id) match {
+        case None => (404, err("unknown queryId"))
+        case Some(p) =>
+          (200, s"""{"queryId": ${quote(id)},""" +
+            s""" "table": ${quote(p.getProperty("table", ""))},""" +
+            s""" "query": ${quote(p.getProperty("query", ""))},""" +
+            s""" "syntax": ${quote(p.getProperty("syntax", "JEXL"))},""" +
+            s""" "pageSize": ${p.getProperty("pageSize", "0")},""" +
+            s""" "orderBy": ${quote(p.getProperty("orderBy", ""))},""" +
+            s""" "pagesServed": ${p.getProperty("pagesServedBase", "0")}}""")
+      }
     }
+  }
 
   /** `GET /query/predictions?id=…` — the reference's `/{id}/predictions`:
     * the configured predictors run against the CREATED query's planned
     * frame (no execution beyond what the session already did). */
-  private def predictions(params: Map[String, String]): (Int, String) =
-    session(params) match {
+  private def predictions(params: Map[String, String]): (Int, String) = {
+    // READ verb: like /query/get, resolves the durable definition
+    // directly when no live session exists — the prediction plans the
+    // frame (definitionFrame) but registers no session and persists
+    // nothing, so a defined query does not appear in /query/list after.
+    val id = qid(params)
+    Option(sessions.get(id)).map(s =>
+        (s.df, if (s.table.nonEmpty) s.table else "unknown"))
+      .orElse(readDefinitionProps(id).map(p =>
+        (definitionFrame(id), p.getProperty("table", "unknown")))) match {
       case None => (404, err("unknown queryId"))
-      case Some(s) =>
+      case Some((df, table)) =>
         try {
-          val preds = Predict.predict(s.df,
-            if (s.table.nonEmpty) s.table else "unknown", effectivePredictors)
+          val preds = Predict.predict(df, table, effectivePredictors)
           if (preds.isEmpty) (200, """{"hasResults": false}""")
           else {
             val items = preds.map(p =>
@@ -759,6 +796,7 @@ final class QueryServer(
           }
         } catch { case e: Exception => (400, err(e.getMessage)) }
     }
+  }
 
   /** `POST /query/remove?id=…` — the reference's `/{id}/remove`: close
     * if running AND delete the persisted definition (close + persister
@@ -860,6 +898,7 @@ final class QueryServer(
         tableMap.values.headOption
           .foreach(_.sparkSession.catalog.dropTempView(a))
         loadedAliases.remove(a)
+        asyncLoads.remove(a)
       }
       Option(sessions.remove(id)) match {
         case Some(s) => release(s); cursor.close(id); dropSessionFile(id); true
@@ -1124,7 +1163,6 @@ final class QueryServer(
     * injects the history timestamp (the reference stamps server time;
     * a replayable trail needs injection). */
   private def modSubmit(params: Map[String, String]): (Int, String) = {
-    import graft.ingest.Modifications._
     val service = params.getOrElse("service",
       return (400, err("missing 'service'")))
     val table = params.getOrElse("table",
@@ -1132,41 +1170,110 @@ final class QueryServer(
     val long = tableMap.getOrElse(table,
       return (404, err(s"unknown table '$table'")))
     try {
-      val uid = params.getOrElse("uid",
-        throw new IllegalArgumentException("missing 'uid'"))
-      val datatype = params.getOrElse("datatype", "event")
-      val field = params.getOrElse("field",
-        throw new IllegalArgumentException("missing 'field'"))
-      val shardDate = params.get("shardDate").map(java.sql.Date.valueOf).orNull
-      val vis = params.getOrElse("visibility", "")
-      val edit: FieldEdit = params.getOrElse("mode", "").toUpperCase match {
-        case "INSERT" => PutField(uid, datatype, field,
-          params.getOrElse("value",
-            throw new IllegalArgumentException("missing 'value'")),
-          shardDate = shardDate, visibility = vis)
-        case "DELETE" => DeleteField(uid, datatype, field,
-          params.get("value"), shardDate = shardDate, visibility = vis)
-        case "UPDATE" => UpdateField(uid, datatype, field,
-          oldValue = params.getOrElse("oldValue",
-            throw new IllegalArgumentException(
-              "fieldValue parameter required for update")),
-          newValue = params.getOrElse("newValue",
-            throw new IllegalArgumentException("missing 'newValue'")),
-          shardDate = shardDate, visibility = vis)
-        case m => throw new IllegalArgumentException(
-          s"mode must be INSERT, DELETE or UPDATE, got '$m'")
-      }
+      val edit = parseEdit(params)
+      // resolve defaulted attribution NOW so the durable log replays
+      // the exact same edit after a restart
+      val user = params.getOrElse("user", "anonymous")
+      val ts = params.get("ts").map(_.toLong)
+        .getOrElse(System.currentTimeMillis())
       val edited = modifications.submit(long, service,
         params.getOrElse("requestClass", ""),
         params.getOrElse("roles", "").split(',').toSet.filter(_.nonEmpty),
-        Seq(edit), params.getOrElse("user", "anonymous"),
-        params.get("ts").map(_.toLong).getOrElse(System.currentTimeMillis()))
+        Seq(edit), user, ts)
+      val insertHistory = modifications.listConfigurations
+        .find(_.name == service).forall(_.insertHistory)
+      appendEditLog(params + ("user" -> user) + ("ts" -> ts.toString),
+        insertHistory)
       tableMap = tableMap.updated(table, edited)
       (200, """{"submitted": true}""")
     } catch {
       case e: ModificationRegistry.ModificationException =>
         (e.status, err(e.getMessage))
       case e: IllegalArgumentException => (400, err(e.getMessage))
+    }
+  }
+
+  /** The FieldEdit a submit's parameters describe — shared by the live
+    * verb and [[replayEditLog]]. */
+  private def parseEdit(
+      params: Map[String, String]): graft.ingest.Modifications.FieldEdit = {
+    import graft.ingest.Modifications._
+    val uid = params.getOrElse("uid",
+      throw new IllegalArgumentException("missing 'uid'"))
+    val datatype = params.getOrElse("datatype", "event")
+    val field = params.getOrElse("field",
+      throw new IllegalArgumentException("missing 'field'"))
+    val shardDate = params.get("shardDate").map(java.sql.Date.valueOf).orNull
+    val vis = params.getOrElse("visibility", "")
+    params.getOrElse("mode", "").toUpperCase match {
+      case "INSERT" => PutField(uid, datatype, field,
+        params.getOrElse("value",
+          throw new IllegalArgumentException("missing 'value'")),
+        shardDate = shardDate, visibility = vis)
+      case "DELETE" => DeleteField(uid, datatype, field,
+        params.get("value"), shardDate = shardDate, visibility = vis)
+      case "UPDATE" => UpdateField(uid, datatype, field,
+        oldValue = params.getOrElse("oldValue",
+          throw new IllegalArgumentException(
+            "fieldValue parameter required for update")),
+        newValue = params.getOrElse("newValue",
+          throw new IllegalArgumentException("missing 'newValue'")),
+        shardDate = shardDate, visibility = vis)
+      case m => throw new IllegalArgumentException(
+        s"mode must be INSERT, DELETE or UPDATE, got '$m'")
+    }
+  }
+
+  // ---- durable modification log -------------------------------------
+  // The reference's modification service writes THROUGH to the shard
+  // table, so an accepted edit is durable by construction. Here the
+  // served frames are in-memory bindings, so every 200-acknowledged
+  // submit appends its (already-validated) edit to a log under
+  // stateDir and construction replays the log over the constructor
+  // tables — the same restart contract as the models / definitions /
+  // metrics / MR tiers.
+
+  private def editLogFile =
+    java.nio.file.Paths.get(stateDir, "modifications", "editlog")
+
+  private def appendEditLog(params: Map[String, String],
+                            insertHistory: Boolean): Unit = synchronized {
+    java.nio.file.Files.createDirectories(editLogFile.getParent)
+    val enc = (s: String) => java.net.URLEncoder.encode(s, "UTF-8")
+    val line = (params + ("insertHistory" -> insertHistory.toString))
+      .toSeq.sortBy(_._1)
+      .map { case (k, v) => enc(k) + "=" + enc(v) }.mkString("&") + "\n"
+    java.nio.file.Files.write(editLogFile,
+      line.getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+  }
+
+  /** Re-apply the logged edits (in acceptance order) over the
+    * constructor tables. Validation already happened at accept time, so
+    * the edits apply directly; a logged table this server life does not
+    * serve is skipped (its edits re-apply when that table returns). */
+  private def replayEditLog(
+      base: Map[String, DataFrame]): Map[String, DataFrame] = {
+    if (!java.nio.file.Files.exists(editLogFile)) base
+    else {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(editLogFile).asScala
+        .filter(_.nonEmpty).foldLeft(base) { (m, line) =>
+          val p = parseQuery(line)
+          val table = p.getOrElse("table", "")
+          m.get(table) match {
+            case None => m
+            case Some(df) =>
+              val edited = graft.ingest.Modifications.applyEdits(df,
+                Seq(parseEdit(p)),
+                insertHistory =
+                  p.getOrElse("insertHistory", "true").toBoolean,
+                user = p.getOrElse("user", "anonymous"),
+                timeMillis = p.get("ts").map(_.toLong).getOrElse(0L))
+              m.updated(table, edited)
+          }
+        }
     }
   }
 
@@ -1331,38 +1438,153 @@ final class QueryServer(
       // the shared catalog/filesystem through this verb. Any Command
       // (DDL, SET, …) or insert node anywhere in the plan (subqueries
       // included) is refused.
-      val parsed = spark.sessionState.sqlParser.parsePlan(sql)
-      val mutating = parsed.collectWithSubqueries {
-        case c: org.apache.spark.sql.catalyst.plans.logical.Command => c
-        case i: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement => i
-        case d: org.apache.spark.sql.catalyst.plans.logical.InsertIntoDir => d
-      }.headOption
-      require(mutating.isEmpty,
-        s"only SELECT statements are allowed, got ${mutating.get.nodeName}")
-      // SELECT-only is not enough: runSQLOnFiles makes
-      // `FROM parquet.`/any/path`` (or text.`/etc/hosts`) a read of the
-      // server's entire filesystem, and bare identifiers can reach temp
-      // views other callers registered. The reference's CachedResults
-      // retrieval only ever reads its OWN exported table — so every
-      // relation must be an alias loaded via /cachedresults/load (CTE
-      // names defined by the statement itself are local and fine).
-      val cteNames = parsed.collectWithSubqueries {
-        case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
-          w.cteRelations.map(_._1.toLowerCase)
-      }.flatten.toSet
-      val unknown = parsed.collectWithSubqueries {
-        case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
-          r.multipartIdentifier
-      }.filterNot(ident => ident.length == 1 &&
-        (cteNames(ident.head.toLowerCase) ||
-          loadedAliases.containsKey(ident.head.toLowerCase)))
-      require(unknown.isEmpty,
-        s"unknown relation '${unknown.headOption.map(_.mkString(".")).getOrElse("")}':" +
-          " only aliases loaded via /cachedresults/load are queryable")
+      guardSelect(spark, sql)
       val rows = spark.sql(sql).limit(pageSize).toJSON.collect()
       (200, s"""{"rows": [${rows.mkString(",")}]}""")
     } catch { case e: Exception => (400, err(e.getMessage)) }
   }
+
+  /** The SELECT-only + loaded-relations-only guard shared by
+    * /cachedresults/sql and /cachedresults/create. Gate on the PARSED
+    * plan, not string prefixes: a WITH-prefixed INSERT parses fine and
+    * a head-keyword check would let it mutate the shared
+    * catalog/filesystem through this verb. Any Command (DDL, SET, …) or
+    * insert node anywhere in the plan (subqueries included) is refused.
+    * SELECT-only is not enough: runSQLOnFiles makes
+    * `FROM parquet.`/any/path`` (or text.`/etc/hosts`) a read of the
+    * server's entire filesystem, and bare identifiers can reach temp
+    * views other callers registered. The reference's CachedResults
+    * retrieval only ever reads its OWN exported table — so every
+    * relation must be an alias loaded via /cachedresults/load (CTE
+    * names defined by the statement itself are local and fine). */
+  private def guardSelect(spark: SparkSession, sql: String): Unit = {
+    val parsed = spark.sessionState.sqlParser.parsePlan(sql)
+    val mutating = parsed.collectWithSubqueries {
+      case c: org.apache.spark.sql.catalyst.plans.logical.Command => c
+      case i: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement => i
+      case d: org.apache.spark.sql.catalyst.plans.logical.InsertIntoDir => d
+    }.headOption
+    require(mutating.isEmpty,
+      s"only SELECT statements are allowed, got ${mutating.get.nodeName}")
+    val cteNames = parsed.collectWithSubqueries {
+      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+        w.cteRelations.map(_._1.toLowerCase)
+    }.flatten.toSet
+    val unknown = parsed.collectWithSubqueries {
+      case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+        r.multipartIdentifier
+    }.filterNot(ident => ident.length == 1 &&
+      (cteNames(ident.head.toLowerCase) ||
+        loadedAliases.containsKey(ident.head.toLowerCase)))
+    require(unknown.isEmpty,
+      s"unknown relation '${unknown.headOption.map(_.mkString(".")).getOrElse("")}':" +
+        " only aliases loaded via /cachedresults/load are queryable")
+  }
+
+  // ---- CachedResults async load + create-from-alias -----------------
+
+  /** Async load states for `/cachedresults/status`
+    * (alias-lowercase → LOADING | LOADED | ERROR:msg). */
+  private val asyncLoads = new ConcurrentHashMap[String, String]()
+
+  /** `POST /cachedresults/loadAsync?id=…&alias=A` — the reference's
+    * `/CachedResults/async/load` (CachedResultsBean.loadAsync:884-905):
+    * the load (definition resume, plan, persist, view registration)
+    * runs on a background thread; the caller polls
+    * `/cachedresults/status?alias=A`. The alias CAS happens
+    * SYNCHRONOUSLY, so the 200 response already reserves the name. */
+  private def cachedLoadAsync(params: Map[String, String]): (Int, String) =
+    shareLock.synchronized {
+      val alias = params.getOrElse("alias", return (400, err("missing 'alias'")))
+      if (!alias.matches("[A-Za-z_][A-Za-z0-9_]*"))
+        return (400, err(s"invalid alias '$alias'"))
+      val id = qid(params)
+      if (Option(sessions.get(id)).isEmpty &&
+          !java.nio.file.Files.exists(sessionFile(id)))
+        return (404, err("unknown queryId"))
+      val owner = loadedAliases.putIfAbsent(alias.toLowerCase, id)
+      if (owner != null && owner != id)
+        return (409, err(s"alias '$alias' is bound to another query"))
+      asyncLoads.put(alias.toLowerCase, "LOADING")
+      val t = new Thread(() => {
+        try session(Map("id" -> id)) match {
+          case Some(s) =>
+            s.df.createOrReplaceTempView(alias)
+            asyncLoads.put(alias.toLowerCase, "LOADED")
+          case None =>
+            loadedAliases.remove(alias.toLowerCase, id)
+            asyncLoads.put(alias.toLowerCase, "ERROR:unknown queryId")
+        } catch {
+          case e: Throwable =>
+            loadedAliases.remove(alias.toLowerCase, id)
+            asyncLoads.put(alias.toLowerCase,
+              "ERROR:" + Option(e.getMessage).getOrElse(e.getClass.getName))
+        }
+      }, s"graft-crload-$alias")
+      t.setDaemon(true)
+      t.start()
+      (200, s"""{"alias": ${quote(alias)}, "status": "LOADING"}""")
+    }
+
+  /** `GET /cachedresults/status?alias=A` — CachedResultsBean.status
+    * (:748-763): 200 LOADED, 412 while the async load is in flight (the
+    * reference's "not yet loaded" precondition), 404 unknown, 500 with
+    * the recorded error when the background load failed. */
+  private def cachedStatus(params: Map[String, String]): (Int, String) = {
+    val alias = params.getOrElse("alias",
+      return (400, err("missing 'alias'"))).toLowerCase
+    asyncLoads.get(alias) match {
+      case null =>
+        if (loadedAliases.containsKey(alias))
+          (200, """{"status": "LOADED"}""")
+        else (404, err(s"alias '$alias' is not loaded"))
+      case "LOADING" => (412, """{"status": "LOADING"}""")
+      case "LOADED" => (200, """{"status": "LOADED"}""")
+      case e => (500, err(e.stripPrefix("ERROR:")))
+    }
+  }
+
+  /** `POST /cachedresults/create?alias=SRC&view=NEW[&fields=f1,f2]
+    * [&conditions=…][&grouping=g1][&order=o1]` — the create-from-alias
+    * flow (CachedResultsBean.create:1189-1258 + CachedRunningQuery
+    * .generateSql): define a NEW cached-results view over an
+    * already-loaded one from field/condition/grouping/order parameters.
+    * 412 when the source is not loaded (QUERY_NOT_CACHED). The derived
+    * view binds to the SOURCE's owning query, so closing that query
+    * tears down both. The assembled SQL passes the same parsed-plan
+    * guard as /cachedresults/sql — `conditions` cannot smuggle a
+    * subquery over an unloaded relation or a mutation. */
+  private def cachedCreate(params: Map[String, String]): (Int, String) =
+    shareLock.synchronized {
+      try {
+        val src = params.getOrElse("alias", return (400, err("missing 'alias'")))
+        val owner = loadedAliases.get(src.toLowerCase)
+        if (owner == null)
+          return (412, err(s"alias '$src' is not loaded"))
+        val view = params.getOrElse("view", return (400, err("missing 'view'")))
+        if (!view.matches("[A-Za-z_][A-Za-z0-9_]*"))
+          return (400, err(s"invalid view '$view'"))
+        val prior = loadedAliases.putIfAbsent(view.toLowerCase, owner)
+        if (prior != null && prior != owner)
+          return (409, err(s"alias '$view' is bound to another query"))
+        // parts may be expressions (the reference's fields list carries
+        // aggregates when grouping is set) — structural safety comes
+        // from guardSelect on the ASSEMBLED single statement, which
+        // refuses mutations, unloaded relations, and file-path reads;
+        // a part smuggling a second statement fails the single-
+        // statement parse outright
+        def part(name: String): Option[String] =
+          params.get(name).map(_.trim).filter(_.nonEmpty)
+        val sql = s"SELECT ${part("fields").getOrElse("*")} FROM $src" +
+          part("conditions").map(c => s" WHERE $c").getOrElse("") +
+          part("grouping").map(g => s" GROUP BY $g").getOrElse("") +
+          part("order").map(o => s" ORDER BY $o").getOrElse("")
+        val spark = sparkOf.getOrElse(return (500, err("no tables registered")))
+        guardSelect(spark, sql)
+        spark.sql(sql).createOrReplaceTempView(view)
+        (200, s"""{"view": ${quote(view)}, "sql": ${quote(sql)}}""")
+      } catch { case e: Exception => (400, err(e.getMessage)) }
+    }
 
   /** `GET /cachedresults/getRows?alias=A[&rowBegin=N][&rowEnd=M]` — the
     * reference's CachedResults row-range retrieval
@@ -1400,6 +1622,70 @@ final class QueryServer(
         s""" "rows": [${rows.mkString(",")}]}""")
     } catch { case e: Exception => (400, err(e.getMessage)) }
   }
+
+  // ---- Atom service tier (web-services/atom: AtomServiceBean) -------
+
+  private lazy val atomFeedSvc: Option[AtomFeed] = atomTable.map(new AtomFeed(_))
+
+  /** `GET /atom/categories` — the category-names document
+    * (AtomServiceBean.java:118 getCategories); empty → 204 (the
+    * reference's NoResultsException → NO_CONTENT). */
+  private def atomCategories(params: Map[String, String]): (Int, String) =
+    atomFeedSvc match {
+      case None => (404, err("no atom table configured"))
+      case Some(svc) =>
+        val cats = svc.categories()
+        if (cats.isEmpty) (204, "")
+        else (200, s"""{"categories": [${cats.map(quote).mkString(",")}]}""")
+    }
+
+  /** `GET /atom/feed?category=C[&pagesize=N][&l=cursor]` — one paged
+    * feed document (AtomServiceBean.java:190 getFeed): newest-first
+    * entries, a `next` cursor naming the last returned key (resume is
+    * strictly after it); an empty page → 204. */
+  private def atomFeedPage(params: Map[String, String]): (Int, String) =
+    atomFeedSvc match {
+      case None => (404, err("no atom table configured"))
+      case Some(svc) =>
+        try {
+          val category = params.getOrElse("category",
+            return (400, err("missing 'category'")))
+          val pagesize = params.get("pagesize").map(_.toInt).getOrElse(30)
+          svc.feed(category, params.get("l"), pagesize) match {
+            case None => (204, "")
+            case Some(p) =>
+              val es = p.entries.map(e =>
+                s"""{"id": ${quote(e.id)}, "title": ${quote(e.title)},""" +
+                  s""" "updated": ${quote(e.updated)},""" +
+                  s""" "occurrences": ${e.occurrences}}""")
+              (200, s"""{"title": ${quote(p.category)},""" +
+                s""" "author": ${quote(p.author)},""" +
+                s""" "updated": ${quote(p.updated)},""" +
+                s""" "next": ${quote(p.nextCursor)},""" +
+                s""" "entries": [${es.mkString(",")}]}""")
+          }
+        } catch { case e: Exception => (400, err(e.getMessage)) }
+    }
+
+  /** `GET /atom/entry?category=C&id=I` — one entry document
+    * (AtomServiceBean.java:287 getEntry); no match → 204. */
+  private def atomEntry(params: Map[String, String]): (Int, String) =
+    atomFeedSvc match {
+      case None => (404, err("no atom table configured"))
+      case Some(svc) =>
+        try {
+          val category = params.getOrElse("category",
+            return (400, err("missing 'category'")))
+          val id = params.getOrElse("id", return (400, err("missing 'id'")))
+          svc.entry(category, id) match {
+            case None => (204, "")
+            case Some(e) => (200,
+              s"""{"id": ${quote(e.id)}, "title": ${quote(e.title)},""" +
+                s""" "updated": ${quote(e.updated)},""" +
+                s""" "occurrences": ${e.occurrences}}""")
+          }
+        } catch { case e: Exception => (400, err(e.getMessage)) }
+    }
 
   /** `GET /query/metrics/summary[?end=millis][&user=u]` — the reference's
     * `/Query/Metrics/summary/all` and `/summary/user`
@@ -1447,6 +1733,20 @@ final class QueryServer(
 
   private def sessionFile(id: String): java.nio.file.Path =
     java.nio.file.Paths.get(stateDir, "sessions", s"$id.properties")
+
+  /** The durable definition record of `id`, if one exists — a plain
+    * read with NO session side effects (backs the read verbs
+    * /query/get and /query/predictions). */
+  private def readDefinitionProps(id: String): Option[java.util.Properties] = {
+    val f = sessionFile(id)
+    if (!java.nio.file.Files.exists(f)) None
+    else {
+      val p = new java.util.Properties()
+      val in = java.nio.file.Files.newInputStream(f)
+      try p.load(in) finally in.close()
+      Some(p)
+    }
+  }
 
   private def persistSession(id: String, s: Session): Unit =
     if (s.table.nonEmpty)

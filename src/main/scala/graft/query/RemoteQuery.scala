@@ -74,12 +74,21 @@ final class RemoteQueryService(baseUrl: String) {
     out.result()
   }
 
-  /** The `"rows"` array of a page-shaped JSON body, element strings. */
-  def rowsOf(pageJson: String): Seq[String] = {
-    val ix = pageJson.indexOf("\"rows\"")
+  /** The named top-level array of a JSON body, element strings. */
+  def arrayOf(field: String, json: String): Seq[String] = {
+    val ix = json.indexOf("\"" + field + "\"")
     if (ix < 0) Seq.empty
-    else splitTopLevel(pageJson.substring(pageJson.indexOf('[', ix)))
+    else splitTopLevel(json.substring(json.indexOf('[', ix)))
   }
+
+  /** The `"rows"` array of a page-shaped JSON body, element strings. */
+  def rowsOf(pageJson: String): Seq[String] = arrayOf("rows", pageJson)
+
+  /** Raw verb passthrough returning (status, body) — for endpoints
+    * where a non-200 status is a meaningful terminal, e.g. the atom
+    * feed's 204 end-of-feed. */
+  def httpStatus(method: String, pathAndQuery: String): (Int, String) =
+    http(method, pathAndQuery)
 
   /** Raw verb passthrough for endpoints without a typed helper; the
     * response body, throwing on any non-200 status. */

@@ -454,4 +454,197 @@ class QueryServerSpec extends SparkSpec {
     assert(parts == Seq("""{"a": [1, 2], "b": {"c": "}]"}}""",
       """{"d": "\" , [", "e": 5}"""))
   }
+
+  test("accepted modification submits survive a server restart over the same stateDir") {
+    val mk = () => Seq(
+      ("12", "event", java.sql.Date.valueOf("2024-01-05"), "", "event_type",
+        "", "click"))
+      .toDF("uid", "datatype", "shard_date", "visibility", "field",
+        "group", "value")
+    val cfg = ModificationRegistry.ServiceConfig(
+      "MutableMetadataUpdateService", "edits with history",
+      "DefaultModificationRequest", Seq("AuthorizedUser"))
+    val stateDir =
+      java.nio.file.Files.createTempDirectory("graft-modlog").toString
+    def server() = new QueryServer(Map("ev" -> mk()), stateDir = stateDir,
+      modificationServices = Seq(cfg),
+      mutableFields = () => Seq(("event", "event_type")),
+      metricsFlush = false)
+    val srv1 = server()
+    val port1 = srv1.start()
+    try {
+      assert(post(s"http://127.0.0.1:$port1/modification/submit?" +
+        "service=MutableMetadataUpdateService" +
+        "&requestClass=DefaultModificationRequest&roles=AuthorizedUser" +
+        "&table=ev&mode=UPDATE&uid=12&datatype=event&field=event_type" +
+        "&oldValue=click&newValue=corrected&shardDate=2024-01-05" +
+        "&user=alice&ts=1700000000000").statusCode() == 200)
+    } finally srv1.stop()
+    // a NEW server over the same stateDir serves the EDITED table (the
+    // reference writes through to the shard table; here the durable
+    // edit log replays at construction)
+    val srv2 = server()
+    val port2 = srv2.start()
+    try {
+      val svc = new RemoteQueryService(s"http://127.0.0.1:$port2")
+      val body = svc.http0("POST", "/query/execute?table=ev&query=" +
+        java.net.URLEncoder.encode("FIELD == 'event_type'", "UTF-8"))
+      assert(body.contains("corrected") && !body.contains("click"), body)
+      // the HISTORY trail replayed too
+      val hist = svc.http0("POST", "/query/execute?table=ev&query=" +
+        java.net.URLEncoder.encode("FIELD == 'HISTORY_event_type'", "UTF-8"))
+      assert(hist.contains("1700000000000:alice:click:delete"), hist)
+    } finally srv2.stop()
+  }
+
+  test("/query/get and /query/predictions on a defined query leave NO session behind") {
+    val df = (1 to 9).map(i => (i.toLong, s"n$i")).toDF("id", "name")
+    val srv = new QueryServer(Map("t" -> df), metricsFlush = false)
+    val port = srv.start()
+    val base = s"http://127.0.0.1:$port"
+    try {
+      val defBody = post(s"$base/query/define?table=t&query=" +
+        java.net.URLEncoder.encode("ID > 3", "UTF-8")).body()
+      val id = "\"queryId\"\\s*:\\s*\"([^\"]+)\"".r
+        .findFirstMatchIn(defBody).get.group(1)
+      val g = get(s"$base/query/get?id=$id")
+      assert(g.statusCode() == 200 && g.body().contains("\"table\": \"t\""),
+        g.body())
+      val p = get(s"$base/query/predictions?id=$id")
+      assert(p.statusCode() == 200, p.body())
+      // the two READ verbs must not have resumed a session: the defined
+      // query stays absent from the active list (define's contract)
+      assert(!get(s"$base/query/list").body().contains(id))
+    } finally srv.stop()
+  }
+
+  test("model names are one case-insensitive namespace (the loader matches case-insensitively)") {
+    val df = Seq((1L, "a")).toDF("c_custkey", "c_name")
+    val srv = new QueryServer(Map("customer" -> df), metricsFlush = false)
+    val port = srv.start()
+    val base = s"http://127.0.0.1:$port/model"
+    try {
+      assert(post(s"$base/import?name=TPCH&mappings=KEY:C_CUSTKEY:FORWARD")
+        .statusCode() == 200)
+      // a lowercase respelling is the SAME model: import collides (412),
+      // get resolves (200)
+      assert(post(s"$base/import?name=tpch&mappings=X:Y:FORWARD")
+        .statusCode() == 412)
+      assert(get(s"$base/get?name=tpch").statusCode() == 200)
+      // inserts under the respelling land under the stored spelling —
+      // the loader can never see two half-models merge
+      assert(post(s"$base/insert?name=tpch&mappings=NAME:C_NAME:FORWARD")
+        .statusCode() == 200)
+      val got = get(s"$base/get?name=TPCH").body()
+      assert(got.contains("C_CUSTKEY") && got.contains("C_NAME"), got)
+      assert(!got.contains("\"tpch\""), got)
+      // delete by respelling removes the whole model
+      assert(post(s"$base/delete?name=Tpch").statusCode() == 200)
+      assert(get(s"$base/get?name=TPCH").statusCode() == 404)
+    } finally srv.stop()
+  }
+
+  test("cachedresults async load + status + create-from-alias, with alias-scoped teardown") {
+    val df = (1 to 40).map(i => (i.toLong, if (i % 2 == 0) "A" else "B"))
+      .toDF("id", "grp")
+    val srv = new QueryServer(Map("t" -> df), metricsFlush = false)
+    val port = srv.start()
+    val base = s"http://127.0.0.1:$port"
+    val enc = (v: String) => java.net.URLEncoder.encode(v, "UTF-8")
+    try {
+      val body = post(s"$base/query/create?table=t&query=" +
+        enc("ID > 10") + "&orderBy=id").body()
+      val id = "\"queryId\"\\s*:\\s*\"([^\"]+)\"".r
+        .findFirstMatchIn(body).get.group(1)
+      // unknown alias → 404 before anything loads
+      assert(get(s"$base/cachedresults/status?alias=cr_async").statusCode() == 404)
+      assert(post(s"$base/cachedresults/loadAsync?id=$id&alias=cr_async")
+        .statusCode() == 200)
+      // poll to LOADED (412 = the reference's "not yet loaded")
+      var st = 412
+      val deadline = System.currentTimeMillis() + 30000
+      while (st != 200 && System.currentTimeMillis() < deadline) {
+        st = get(s"$base/cachedresults/status?alias=cr_async").statusCode()
+        assert(st == 200 || st == 412, st.toString)
+        if (st != 200) Thread.sleep(100)
+      }
+      assert(st == 200)
+      // the loaded view serves SQL like a synchronous load
+      val rows = get(s"$base/cachedresults/sql?sql=" +
+        enc("SELECT count(*) AS n FROM cr_async")).body()
+      assert(rows.contains("\"n\":30"), rows)
+      // create-from-alias: aggregates via fields+grouping; 412 when the
+      // source alias is not loaded; derived views guard like sql
+      assert(post(s"$base/cachedresults/create?alias=nope&view=v2")
+        .statusCode() == 412)
+      assert(post(s"$base/cachedresults/create?alias=cr_async&view=cr_agg" +
+        s"&fields=${enc("grp, count(*) AS n")}&grouping=grp&order=grp")
+        .statusCode() == 200)
+      val agg = get(s"$base/cachedresults/sql?sql=" +
+        enc("SELECT grp, n FROM cr_agg ORDER BY grp")).body()
+      assert(agg.contains("\"grp\":\"A\"") && agg.contains("\"n\":15"), agg)
+      // conditions cannot smuggle an unloaded relation or a mutation
+      assert(post(s"$base/cachedresults/create?alias=cr_async&view=evil" +
+        s"&conditions=${enc("id IN (SELECT id FROM some_other_view)")}")
+        .statusCode() == 400)
+      // closing the owning query drops BOTH views and the async state
+      assert(post(s"$base/query/close?id=$id").statusCode() == 200)
+      assert(get(s"$base/cachedresults/status?alias=cr_async").statusCode() == 404)
+      assert(get(s"$base/cachedresults/sql?sql=" +
+        enc("SELECT * FROM cr_agg")).statusCode() == 400)
+    } finally srv.stop()
+  }
+
+  test("atom tier: categories, strictly-after cursor paging, entry, 204/404 contracts") {
+    val atom = Seq(
+      ("color", "red", java.sql.Date.valueOf("2024-01-05"), 3L),
+      ("color", "blue", java.sql.Date.valueOf("2024-01-05"), 2L),
+      ("color", "green", java.sql.Date.valueOf("2024-01-07"), 5L),
+      ("shape", "round", java.sql.Date.valueOf("2024-01-02"), 1L))
+      .toDF("category", "value", "latest_date", "occurrences")
+    val srv = new QueryServer(tables = Map.empty, atomTable = Some(atom),
+      metricsFlush = false)
+    val port = srv.start()
+    val base = s"http://127.0.0.1:$port"
+    try {
+      // categories: distinct, sorted
+      assert(get(s"$base/atom/categories").body()
+        == """{"categories": ["color","shape"]}""")
+      // page 1 of color at pagesize 2: newest-first (green first), then
+      // ties on date break value-ascending (blue before red)
+      val p1 = get(s"$base/atom/feed?category=color&pagesize=2").body()
+      assert(p1.contains("\"title\": \"green\"") &&
+        p1.contains("\"title\": \"blue\"") && !p1.contains("\"red\""), p1)
+      assert(p1.indexOf("green") < p1.indexOf("blue"), p1)
+      val next = "\"next\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(p1)
+        .get.group(1)
+      // page 2 resumes STRICTLY AFTER blue: only red remains
+      val p2 = get(s"$base/atom/feed?category=color&pagesize=2" +
+        s"&l=${java.net.URLEncoder.encode(next, "UTF-8")}").body()
+      assert(p2.contains("\"title\": \"red\"") && !p2.contains("blue"), p2)
+      val next2 = "\"next\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(p2)
+        .get.group(1)
+      // exhausted feed → 204 (the reference's NoResultsException)
+      assert(get(s"$base/atom/feed?category=color&pagesize=2" +
+        s"&l=${java.net.URLEncoder.encode(next2, "UTF-8")}")
+        .statusCode() == 204)
+      // unknown category → 204; entry by id; missing entry → 204
+      assert(get(s"$base/atom/feed?category=nope").statusCode() == 204)
+      val eid = graft.query.AtomFeed.encodeId("round")
+      val e1 = get(s"$base/atom/entry?category=shape&id=$eid").body()
+      assert(e1.contains("\"title\": \"round\"") &&
+        e1.contains("\"occurrences\": 1"), e1)
+      assert(get(s"$base/atom/entry?category=color&id=$eid")
+        .statusCode() == 204)
+    } finally srv.stop()
+  }
+
+  test("atom tier without a configured table answers 404 on every verb") {
+    val srv = new QueryServer(tables = Map.empty, metricsFlush = false)
+    val port = srv.start()
+    try {
+      assert(get(s"http://127.0.0.1:$port/atom/categories").statusCode() == 404)
+      assert(get(s"http://127.0.0.1:$port/atom/feed?category=x").statusCode() == 404)
+    } finally srv.stop()
+  }
 }
