@@ -27,10 +27,15 @@ object SparkEntry {
   val warmupQueries: Seq[String] = Seq(
     "corpus_dsir", "dedup_lines", "edge_query",
     "flt_compare_all", "flt_eval_functions", "ing_date_index",
-    "lucene_phrase", "mods_applied",
-    "qs_content_within", "qs_excerpt", "qs_limit_hits", "ssdeep_chained",
-    "text_analyze", "text_tokens", "tf_adjacent", "tf_lookup",
+    "lucene_phrase", "mods_applied", "multimodal_probe",
+    "qs_content_within", "qs_excerpt", "qs_limit_hits", "span_scrub",
+    "ssdeep_chained",
+    "text_analyze", "text_tokens", "tf_adjacent", "tf_excerpt", "tf_lookup",
     "whindex_remap")
+  // span_scrub / tf_excerpt / multimodal_probe joined the list in r8:
+  // the HOF-free tokens()/bigrams()/chunkLines() rewrite moved most
+  // text gates OUT of the taxed-shape space entirely, which re-ranked
+  // these three as the sole carriers of their residual HOF combos.
   // The five most expensive former representatives (analyzer_tokens,
   // ann_lsh, dedup_minhash_lsh, ann_ivf_recall, dedup_ngram_jaccard —
   // 5-20 s each at sf0.001) warm via graft.Warmup's tiny in-memory

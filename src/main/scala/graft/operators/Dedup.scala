@@ -572,6 +572,27 @@ object Dedup {
     finally withSh.unpersist()
   }
 
+  /** Offline store maintenance: rewrite the append-splintered `bands`
+    * and `shingles` tables into `filesPerTable` large files each. Every
+    * [[appendDedupStore]] adds one part-file set, so months of live
+    * batches splinter the store and each incremental probe pays
+    * per-file open overhead on the stored-bands read. Row content is
+    * unchanged — identical pair results, pinned in Wave7Spec with a
+    * part-file-count assertion. Write-to-temp then swap; run while no
+    * append is in flight (the same offline discipline as a major
+    * compaction, and as [[graft.operators.VectorOps.pqCompactIndex]]). */
+  def compactDedupStore(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, filesPerTable: Int = 1): Unit =
+    for (t <- Seq("bands", "shingles")) {
+      val src = s"$dir/$t"
+      val tmp = s"$dir/$t.compacting"
+      spark.read.parquet(src).repartition(filesPerTable)
+        .write.mode("overwrite").parquet(tmp)
+      graft.core.Fs.deleteRecursively(src)
+      java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+        java.nio.file.Paths.get(src))
+    }
+
   /** Register a processed batch as part of the corpus: its signatures
     * append to the store, so the NEXT batch dedups against it too.
     * Signature params come from the store itself. Caller contract:
@@ -656,34 +677,44 @@ object Dedup {
     * is hash-checkable. Expects the (doc_id, text) layout every Dedup
     * operator uses.
     *
-    * 100 TB shape: TWO shuffles, both map-side-combinable — a window
-    * keyed on the line hash picks each line's global keeper (the skew
-    * concern is a boilerplate line shared by millions of docs: the
-    * window only needs the MIN occurrence, so Spark's rank evaluates
-    * streaming per key — no buffering of the fan-out), then a doc-keyed
-    * sort-agg reassembles survivors. No joins, no all-pairs anything. */
+    * 100 TB shape: every shuffle is a map-side-combined AGGREGATE — a
+    * min-struct per line hash picks each line's global keeper (the
+    * boilerplate-line skew concern collapses at the combiner: a line
+    * shared by millions of docs ships ONE candidate per input
+    * partition, never the fan-out), a doc-keyed agg reassembles the
+    * KEPT lines (the only doc-keyed text movement), and the totals leg
+    * shuffles bare counts. The joins are per-doc result rows, never the
+    * line set; nothing is sorted globally. */
   def lineDedup(docs: DataFrame): DataFrame = {
     val lines = spread(docs)
       .select(col("doc_id"), posexplode(split(col("text"), "\n")))
       .withColumnRenamed("pos", "line_no")
       .withColumn("line", trim(col("col"))).drop("col")
       .filter(col("line") =!= "")
-    // global keeper = first (doc_id, line_no) occurrence of the line;
-    // hashing the line keys the shuffle on 128 bits, not arbitrary-
-    // length text
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(md5(col("line")))
-      .orderBy(col("doc_id"), col("line_no"))
-    // ONE doc-keyed aggregation after the rank — survivors and totals
-    // in the same pass (collect_list drops the nulls of non-keepers),
-    // so the exploded line set is never shuffled twice or joined
-    lines.withColumn("rn", row_number().over(w))
-      .groupBy(col("doc_id")).agg(
-        count(lit(1)).as("n_lines"),
-        count(when(col("rn") === 1, lit(1))).as("n_kept"),
-        md5(concat_ws("\n",
-          array_sort(collect_list(
-            when(col("rn") === 1, struct(col("line_no"), col("line")))))
-            .getField("line"))).as("kept_md5"))
+    // Global keeper per distinct line = min (doc_id, line_no, line) —
+    // an AGGREGATE with map-side partial combine (one surviving struct
+    // per distinct line per input partition), never a window: the
+    // window form sort-shuffled EVERY line occurrence by hash and then
+    // shuffled the full text a second time by doc (5.3× the oracle on
+    // the sf1 crossover probe). The struct's (doc_id, line_no) prefix
+    // is unique per row, so `line` never decides the min — the keeper
+    // is exactly the window form's rank-1 row, and it CARRIES the text,
+    // so the only doc-keyed text shuffle left is the KEPT lines; the
+    // totals leg shuffles counts only.
+    val keepers = lines
+      .groupBy(md5(col("line")).as("h"))
+      .agg(min(struct(col("doc_id"), col("line_no"), col("line"))).as("k"))
+      .select(col("k.doc_id").as("doc_id"), col("k.line_no").as("line_no"),
+        col("k.line").as("line"))
+    val kept = keepers.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      md5(concat_ws("\n",
+        array_sort(collect_list(struct(col("line_no"), col("line"))))
+          .getField("line"))).as("kept_md5"))
+    lines.groupBy("doc_id").agg(count(lit(1)).as("n_lines"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
   }
 }

@@ -106,7 +106,13 @@ object Grouping {
       visCol.map(_ => graft.vis.Visibility.combineAgg(
         graft.vis.Visibility.combineCols(col("vis_k"), col("vis_v")))
         .as("visibility"))
-    keys.join(vals, Seq("uid", "group"))
+    // shuffled HASH join, not sort-merge: both sides arrive from plain
+    // filtered scans with no useful ordering, the pairing key
+    // (uid, group) is unique-ish per side (no skew fan-out), and the
+    // downstream group-by neither needs nor reuses a sort — SMJ would
+    // pay two full sorts of the paired stream for nothing (measured
+    // ~35% of the gate's wall on the sf1 crossover probe)
+    keys.hint("shuffle_hash").join(vals, Seq("uid", "group"))
       .groupBy("group_key")
       .agg(aggs.head, aggs.tail: _*)
   }

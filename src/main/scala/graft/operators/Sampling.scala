@@ -349,23 +349,41 @@ object Sampling {
   def dsirSelect(docs: DataFrame, targetPred: Column, buckets: Int = 256,
                  k: Int = 100, idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame = {
-    val grams = docs.select(col(idCol), targetPred.as("is_target"),
+    // ONE pass of the corpus through the tokenizer: the bigram stream
+    // collapses to (doc, is_target, bucket, cnt) — ≤ `buckets` rows per
+    // doc — before anything else reads it, so the LM aggregate AND the
+    // scoring join both run over this compact frame instead of
+    // re-deriving the gram stream (the previous two-pass form
+    // re-tokenized the corpus per pass and was 2.4× slower on the sf1
+    // crossover probe). EAGER like spanScrub: the tiny k-row result
+    // persists so the bucketed cache releases in-op; callers free it
+    // with `result.unpersist()`.
+    val bucketed = docs.select(col(idCol), targetPred.as("is_target"),
         explode(TextOps.bigrams(col(textCol))).as("s"))
       .withColumn("b",
         conv(substring(md5(col("s")), 1, 6), 16, 10).cast("long") % buckets)
-    val lm = grams.groupBy("b").agg(
-      count(lit(1)).as("r"),
-      sum(when(col("is_target"), 1L).otherwise(0L)).as("t"))
+      .groupBy(col(idCol), col("is_target"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist()
+    val lm = bucketed.groupBy("b").agg(
+      sum("cnt").as("r"),
+      sum(when(col("is_target"), col("cnt")).otherwise(0L)).as("t"))
     val weights = lm.select(col("b"),
       (TextOps.qlog4(col("t") + 1) - TextOps.qlog4(col("r") + 1)).as("w"))
-    val scores = grams.join(broadcast(weights), "b")
-      .groupBy(col(idCol)).agg(sum("w").as("dsir_qbits"))
-    docs.select(col(idCol))
+    // w·cnt over the bucketed counts = Σw over the raw gram stream,
+    // exactly (integer arithmetic) — the oracle replays either form
+    val scores = bucketed.join(broadcast(weights), "b")
+      .groupBy(col(idCol)).agg(sum(col("w") * col("cnt")).as("dsir_qbits"))
+    val out = docs.select(col(idCol))
       .join(scores, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("dsir_qbits"), lit(0L)).cast("long").as("dsir_qbits"))
       .orderBy(col("dsir_qbits").desc, col(idCol))
       .limit(k)
+      .persist()
+    out.count()
+    bucketed.unpersist()
+    out
   }
 
   /** Per-domain frequency cap (the RefinedWeb/Dolma "no domain may

@@ -697,6 +697,38 @@ object VectorOps {
       .write.partitionBy("cell").mode("append").parquet(s"$dir/codes")
   }
 
+  /** Offline index maintenance — the explicit decision the append path
+    * defers. Live appends write one part-file set per batch (write-once,
+    * retry-safe), so a long-ingesting index splinters into many small
+    * files and every probe's code scan pays per-file open overhead.
+    * Compaction rewrites the code table into few large files: per CELL
+    * for an IVF-PQ index (`partitionBy(cell)` is preserved, so
+    * probe-time partition pruning still reads exactly its cells — back
+    * to one file per cell), `files` total for a flat index. Codebooks
+    * and centroids are untouched, codes are byte-identical rows, so
+    * search results cannot change (pinned in PqIndexSpec). Write-to-temp
+    * then swap; run while no append is in flight (the reference's
+    * analog is a major compaction — same offline discipline).
+    *
+    * A quantization RETRAIN (fresh codebooks + full re-encode, when
+    * drift from appended data degrades recall) is [[pqWriteIndex]] /
+    * [[ivfPqWriteIndex]] over the current corpus — overwrite IS the
+    * retrain; there is deliberately no half-retrain that would mix
+    * codes from two codebook generations. */
+  def pqCompactIndex(spark: SparkSession, dir: String,
+                     files: Int = 1): Unit = {
+    val codes = spark.read.parquet(s"$dir/codes")
+    val tmp = s"$dir/codes.compacting"
+    val writer =
+      if (codes.columns.contains("cell"))
+        codes.repartition(col("cell")).write.partitionBy("cell")
+      else codes.repartition(files).write
+    writer.mode("overwrite").parquet(tmp)
+    graft.core.Fs.deleteRecursively(s"$dir/codes")
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+      java.nio.file.Paths.get(s"$dir/codes"))
+  }
+
   /** Load a written index: the codes FRAME (stays distributed — this is
     * the 32×-smaller column every search scans) and the codebooks as a
     * driver model (m·codeK·dsub doubles). */

@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev harness: round-8 sf1 crossover probe (r7 verdict item 2).
+  *
+  * Round 7 found five material queries >2× their DuckDB oracle at
+  * sf0.1, with the claim that the constant is multi-stage scheduling
+  * floor, not plan shape — falsifiable by scaling the data 10×. This
+  * main times the five on a 10× corpus (target/sf1: documents 50k
+  * rows with per-replica-perturbed text, lineitem 6M rows) at
+  * local[32]; tools/sf1_duckdb.py times the same oracles in DuckDB at
+  * 32 threads. Two passes each; report both (pass 1 carries the
+  * one-time expression-JIT bill, pass 2 is the steady state).
+  */
+object Sf1CrossoverMain {
+  private val Five = Seq("corpus_dsir", "dedup_lines",
+    "grouping_paired_agg", "analyzer_tokens", "tf_within")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "target/sf1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Warmup.run(spark)
+    for (name <- Five; pass <- 1 to 2) {
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(name)(spark, sfDir).count()
+      System.err.println(f"[sf1] $name%-22s pass$pass rows=$n%8d " +
+        f"${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}

@@ -213,6 +213,57 @@ class PqIndexSpec extends SparkSpec {
     assert(batch == single)
   }
 
+  private def partFiles(dir: String): Int = {
+    val d = new java.io.File(dir)
+    if (!d.isDirectory) 0
+    else d.listFiles().map { f =>
+      if (f.isDirectory) partFiles(f.toString)
+      else if (f.getName.endsWith(".parquet")) 1 else 0
+    }.sum
+  }
+
+  test("compaction collapses append splinters; search results identical pre/post") {
+    val all = corpus.cache()
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-cmp").toString
+    VectorOps.pqWriteIndex(all.filter(col("vec_id") < 30L), dir,
+      m = 4, codeK = 8, iters = 1)
+    // three live appends → three more part-file sets
+    Seq(30L, 40L, 50L).foreach { lo =>
+      VectorOps.pqAppendToIndex(
+        all.filter(col("vec_id") >= lo && col("vec_id") < lo + 10L), dir)
+    }
+    val splintered = partFiles(s"$dir/codes")
+    assert(splintered >= 4, s"expected splinters, got $splintered")
+    val (codes0, books) = VectorOps.pqReadIndex(spark, dir)
+    val before = VectorOps.pqTopKBatch(all, codes0, books, Seq(0L, 41L),
+      k = 5, shortlist = 30).collect().toSeq
+    VectorOps.pqCompactIndex(spark, dir)
+    assert(partFiles(s"$dir/codes") == 1, partFiles(s"$dir/codes").toString)
+    val (codes1, books1) = VectorOps.pqReadIndex(spark, dir)
+    val after = VectorOps.pqTopKBatch(all, codes1, books1, Seq(0L, 41L),
+      k = 5, shortlist = 30).collect().toSeq
+    assert(after == before)
+    // IVF-PQ: compaction preserves the cell partitioning — back to one
+    // file per cell, PartitionFilters still prune
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-ivfpq-cmp").toString
+    VectorOps.ivfPqWriteIndex(all.filter(col("vec_id") < 40L), dir2,
+      nCells = 4, m = 4, codeK = 8, iters = 1, coarseIters = 1)
+    VectorOps.ivfPqAppendToIndex(all.filter(col("vec_id") >= 40L), dir2)
+    val (c2, b2, cents) = VectorOps.ivfPqReadIndex(spark, dir2)
+    val ib = VectorOps.ivfPqTopKBatch(all, c2, b2, cents, Seq(0L), k = 5,
+      nProbe = 2, shortlist = 40).collect().toSeq
+    VectorOps.pqCompactIndex(spark, dir2)
+    val cellDirs = new java.io.File(s"$dir2/codes").listFiles()
+      .filter(_.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty && cellDirs.forall(cd =>
+      cd.listFiles().count(_.getName.endsWith(".parquet")) == 1),
+      cellDirs.map(_.getName).mkString(","))
+    val (c3, b3, cents3) = VectorOps.ivfPqReadIndex(spark, dir2)
+    val ia = VectorOps.ivfPqTopKBatch(all, c3, b3, cents3, Seq(0L), k = 5,
+      nProbe = 2, shortlist = 40).collect().toSeq
+    assert(ia == ib)
+  }
+
   test("IVF-PQ whole-corpus recall floor: reranked top-5 vs GLOBAL brute force >= 4/5") {
     val emb = corpus.cache()
     val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-rec").toString

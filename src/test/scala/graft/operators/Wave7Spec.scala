@@ -91,6 +91,43 @@ class Wave7Spec extends SparkSpec {
     } finally graft.core.Fs.deleteRecursively(dir)
   }
 
+  test("compactDedupStore: splinters collapse to one file per table, pair results identical") {
+    val mk = (id: Long, text: String) => (id, text)
+    val base = Seq(
+      mk(1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      mk(2L, "totally different words live in this one document here"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cmpdedup")
+    try {
+      Dedup.writeDedupStore(base, dir.toString, n = 3)
+      // three live appends splinter both tables
+      (0 until 3).foreach { b =>
+        Dedup.appendDedupStore(Seq(
+          mk(100L + b, s"batch $b content entirely its own number ${b * 7}"))
+          .toDF("doc_id", "text"), dir.toString)
+      }
+      def files(t: String): Int = new java.io.File(s"$dir/$t").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(files("bands") >= 4 && files("shingles") >= 4,
+        s"bands=${files("bands")} shingles=${files("shingles")}")
+      val probe = Seq(
+        mk(200L, "alpha beta gamma delta epsilon zeta eta theta"),
+        mk(201L, "batch 1 content entirely its own number 7"))
+        .toDF("doc_id", "text")
+      val beforeF = Dedup.incrementalNearDupPairs(probe, dir.toString, 0.8)
+      val before = beforeF.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      beforeF.unpersist()
+      assert(before == Set((1L, 200L), (101L, 201L)), before.toString)
+      Dedup.compactDedupStore(spark, dir.toString)
+      assert(files("bands") == 1 && files("shingles") == 1,
+        s"bands=${files("bands")} shingles=${files("shingles")}")
+      val afterF = Dedup.incrementalNearDupPairs(probe, dir.toString, 0.8)
+      val after = afterF.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      afterF.unpersist()
+      assert(after == before)
+    } finally graft.core.Fs.deleteRecursively(dir)
+  }
+
   test("packWindows: contiguous token stream, correct window spans, equals the global-window form") {
     val docs = (1L to 300L).map(i => (i, (i % 11) + 1))
       .toDF("doc_id", "n_tokens")

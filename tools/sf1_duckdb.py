@@ -1,0 +1,34 @@
+#!/usr/bin/env python3
+"""Time the five sf1-crossover oracle queries in DuckDB (32 threads).
+
+Usage: sf1_duckdb.py <oracle_sql.json from a Verify dump> <sfDir>
+The oracle SQL references bare table names; views over <sfDir>/*.parquet
+provide them, mirroring tools/verify_local.py.
+"""
+import json, sys, time, glob, os
+import duckdb
+
+FIVE = ["corpus_dsir", "dedup_lines", "grouping_paired_agg",
+        "analyzer_tokens", "tf_within"]
+
+def main(oracle_json, sf_dir):
+    oracles = json.load(open(oracle_json))
+    con = duckdb.connect()
+    con.execute("PRAGMA threads=32")
+    for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        name = os.path.splitext(os.path.basename(p))[0]
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    for name in FIVE:
+        sql = oracles.get(name)
+        if not sql:
+            print(f"[sf1-duck] {name:<22} NO ORACLE")
+            continue
+        for p in (1, 2):
+            t0 = time.time()
+            n = len(con.execute(sql).fetchall())
+            print(f"[sf1-duck] {name:<22} pass{p} rows={n:8d} "
+                  f"{time.time()-t0:7.2f} s")
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
