@@ -26,12 +26,20 @@ object Dedup {
     * element, so referencing `tokens(text)` directly inside the window
     * transform would re-split the whole text for every window — O(|text|²)
     * per document (measured as a 500+ s single stage at sf0.1). */
-  def shingles(text: Column, n: Int): Column =
-    element_at(transform(array(TextOps.tokens(text)), toks =>
-      when(size(toks) >= n,
-        array_distinct(transform(sequence(lit(0), size(toks) - n),
-          i => array_join(slice(toks, i + lit(1), lit(n)), " "))))
-        .otherwise(array().cast("array<string>"))), 1)
+  /** Distinct n-token shingles as "t1 … tn" strings, derived straight
+    * off the space-normalized token string with ONE overlapping-window
+    * lookahead regex (the same codegen-only move as
+    * [[graft.operators.TextOps.bigrams]]): the previous nested
+    * transform/slice form built every window as an array copy under two
+    * higher-order functions, which dropped the whole projection out of
+    * whole-stage codegen — and shingling is the front of every
+    * jaccard/minhash/simhash/decontaminate/incremental pipeline.
+    * Output order (first occurrence) and content are identical. */
+  def shingles(text: Column, n: Int): Column = {
+    val norm = trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+    array_distinct(regexp_extract_all(norm,
+      lit(s"(?=\\b((?:[a-z0-9]+ ){${n - 1}}[a-z0-9]+))"), lit(1)))
+  }
 
   /** Shingle sets carried as xxhash64 values (`array<bigint>`): every
     * downstream operation — document frequency, prefix self-join, exact
