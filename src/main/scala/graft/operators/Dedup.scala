@@ -199,14 +199,19 @@ object Dedup {
     val toks = spread(docs)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .persist()
-    // (doc_id, window start, span hash) — hash in the projection so the
-    // explode carries 16 bytes, not k-token strings
+    // (doc_id, window start, span hash): windows come from ONE
+    // overlapping-window lookahead regex on the re-joined token string
+    // (the same codegen-only move as shingles()/bigrams() — the
+    // previous transform/slice loop built every window as an array copy
+    // under an interpreted HOF); window i starts at token i, so the
+    // posexplode index IS the span position, and the md5 hashes the
+    // identical "t1 … tk" string post-explode
     val wins = toks
       .select(col("doc_id"), posexplode(
-        when(size(col("toks")) >= k,
-          transform(sequence(lit(0), size(col("toks")) - k),
-            p => md5(array_join(slice(col("toks"), p + lit(1), lit(k)), " "))))
-          .otherwise(array().cast("array<string>"))).as(Seq("p", "h")))
+        regexp_extract_all(array_join(col("toks"), " "),
+          lit(s"(?=\\b((?:[a-z0-9]+ ){${k - 1}}[a-z0-9]+))"),
+          lit(1))).as(Seq("p", "w")))
+      .select(col("doc_id"), col("p"), md5(col("w")).as("h"))
     val crossDoc = wins.groupBy("h")
       .agg(min("doc_id").as("d0"), max("doc_id").as("d1"),
         count(lit(1)).as("df"))
