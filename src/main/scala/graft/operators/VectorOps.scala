@@ -402,6 +402,147 @@ object VectorOps {
       }.toDF("id_a", "id_b").distinct()
   }
 
+  /** Exact all-pairs k-NN JOIN: for EVERY vector its k nearest
+    * neighbours by cosine — the SemDeDup / kNN-LM / retrieval-training
+    * primitive where, unlike the probe searches above, every row is a
+    * query. Same broadcast-matrix envelope as [[cosineNearDupPairs]]
+    * (n·d floats broadcast once; beyond that the scale path is
+    * [[knnJoinCell]]): per DISTRIBUTED row one flat dot loop over the
+    * matrix with an O(k) insertion top-k — O(n²d) work spread over the
+    * cluster, never materialized as pairs. The fold is the same
+    * sequential s += vᵢ·vⱼ as every kernel here, so sims (and therefore
+    * ranks, tie-broken by neighbour id) are bit-reproducible against a
+    * left-folding oracle. Returns (vec_id, nb_id, rank), rank 1..k. */
+  def knnJoinExact(emb: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val vecs: Array[(Long, Array[Float])] = emb
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(vecs)
+    val kk = k
+    spark.range(0, vecs.length.toLong, 1,
+        numPartitions = spark.sparkContext.defaultParallelism * 2)
+      .mapPartitions { it =>
+        val arr = bc.value
+        val m = arr.length
+        val dims = if (m == 0) 0 else arr(0)._2.length
+        val norms = new Array[Double](m)
+        var t = 0
+        while (t < m) {
+          val v = arr(t)._2
+          var s = 0.0; var d = 0
+          while (d < dims) { s += v(d).toDouble * v(d).toDouble; d += 1 }
+          norms(t) = math.sqrt(s); t += 1
+        }
+        it.flatMap { iL =>
+          val i = iL.toInt
+          val vi = arr(i)._2
+          val bestSim = Array.fill(kk)(Double.NegativeInfinity)
+          val bestId = Array.fill(kk)(Long.MaxValue)
+          var j = 0
+          while (j < m) {
+            if (j != i) {
+              val vj = arr(j)._2
+              var s = 0.0; var d = 0
+              while (d < dims) { s += vi(d).toDouble * vj(d).toDouble; d += 1 }
+              val sim = s / (norms(i) * norms(j))
+              val id = arr(j)._1
+              // insertion by (sim desc, id asc)
+              var p = kk - 1
+              if (sim > bestSim(p) || (sim == bestSim(p) && id < bestId(p))) {
+                while (p > 0 && (sim > bestSim(p - 1) ||
+                    (sim == bestSim(p - 1) && id < bestId(p - 1)))) {
+                  bestSim(p) = bestSim(p - 1); bestId(p) = bestId(p - 1)
+                  p -= 1
+                }
+                bestSim(p) = sim; bestId(p) = id
+              }
+            }
+            j += 1
+          }
+          (0 until kk).iterator
+            .filter(r => bestSim(r) > Double.NegativeInfinity)
+            .map(r => (arr(i)._1, bestId(r), (r + 1).toLong))
+        }
+      }.toDF("vec_id", "nb_id", "rank")
+  }
+
+  /** Cell-bucketed k-NN join — the 100 TB path past [[knnJoinExact]]'s
+    * broadcast envelope (the same SemDeDup contract as
+    * [[cellNearDupPairs]]: near neighbours share a coarse cell, so each
+    * vector searches only its `nAssign` cells and work is
+    * nAssign²·Σ|cell|², never n²). One explode + ONE cell-keyed
+    * repartition + per-partition flat-array top-k kernels, then
+    * per-vector candidates from different cells merge under one
+    * (dedup → rank) window. Approximate: neighbours sharing no assigned
+    * cell are forfeited — recall vs exact is measured and gated
+    * (ann_knn_cell_recall) rather than assumed. */
+  def knnJoinCell(emb: DataFrame, k: Int, nCells: Int = 16,
+                  nAssign: Int = 2,
+                  centroidsOverride: Option[Seq[Seq[Double]]] = None)
+      : DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val centroids = centroidsOverride.getOrElse(ivfCentroids(emb, nCells))
+    val kk = k
+    val perCell = emb
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("v"),
+        explode(ivfAssignTop(col("embedding"), centroids, nAssign)).as("cell"))
+      .select(col("cell"), col("vec_id"), col("v"))
+      .as[(Int, Long, Array[Float])]
+      .repartition(col("cell"))
+      .mapPartitions { it =>
+        val byCell = scala.collection.mutable.LinkedHashMap
+          .empty[Int, scala.collection.mutable.ArrayBuffer[(Long, Array[Float], Double)]]
+        it.foreach { case (c, id, v) =>
+          var s = 0.0; var d = 0
+          while (d < v.length) { s += v(d).toDouble * v(d).toDouble; d += 1 }
+          byCell.getOrElseUpdate(c,
+            scala.collection.mutable.ArrayBuffer.empty) += ((id, v, math.sqrt(s)))
+        }
+        byCell.valuesIterator.flatMap { buf =>
+          val arr = buf.toArray
+          arr.indices.iterator.flatMap { i =>
+            val (ida, va, na) = arr(i)
+            val bestSim = Array.fill(kk)(Double.NegativeInfinity)
+            val bestId = Array.fill(kk)(Long.MaxValue)
+            var j = 0
+            while (j < arr.length) {
+              if (j != i) {
+                val (idb, vb, nb) = arr(j)
+                var s = 0.0; var d = 0
+                while (d < va.length) { s += va(d).toDouble * vb(d).toDouble; d += 1 }
+                val sim = s / (na * nb)
+                var p = kk - 1
+                if (sim > bestSim(p) || (sim == bestSim(p) && idb < bestId(p))) {
+                  while (p > 0 && (sim > bestSim(p - 1) ||
+                      (sim == bestSim(p - 1) && idb < bestId(p - 1)))) {
+                    bestSim(p) = bestSim(p - 1); bestId(p) = bestId(p - 1)
+                    p -= 1
+                  }
+                  bestSim(p) = sim; bestId(p) = idb
+                }
+              }
+              j += 1
+            }
+            (0 until kk).iterator
+              .filter(r => bestSim(r) > Double.NegativeInfinity)
+              .map(r => (ida, bestId(r), bestSim(r)))
+          }
+        }
+      }.toDF("vec_id", "nb_id", "sim")
+    // a pair seen from two shared cells carries the SAME sim (identical
+    // fold) — dedupe, then one global per-vector rank
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("nb_id").asc)
+    perCell.distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("nb_id"), col("rank").cast("long").as("rank"))
+  }
+
   /** ANN via IVF cells: scan ONLY the probe's `nProbe` nearest cells
     * (partition pruning at the lake layout level — cell id is the
     * clustering key), exact cosine re-rank within them. Approximate:
