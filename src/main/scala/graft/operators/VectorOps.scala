@@ -299,24 +299,67 @@ object VectorOps {
     * (pinned in VectorOpsSpec) without changing any plan shape — the
     * engine-portable gates keep the zero-iteration sample so their
     * oracles stay exact. */
+  /** Vectors every deterministic trainer sees: a stride sample of at
+    * most `trainN` rows, id-ordered — the FAISS discipline (quantizers
+    * train on a bounded sample, never the corpus), and the reason
+    * training costs ZERO corpus passes beyond one bounded collect. */
+  private def trainSample(df: DataFrame, vecExpr: Column,
+                          trainN: Int): Array[Array[Double]] = {
+    val n = df.count()
+    val stride = math.max(1L, n / trainN)
+    df.filter(pmod(col("vec_id"), lit(stride)) === 0)
+      .orderBy("vec_id").limit(trainN)
+      .select(vecExpr).collect()
+      .map(_.getSeq[Double](0).toArray)
+  }
+
+  /** Lloyd-refined centroids: the deterministic [[ivfCentroids]] seeds,
+    * then `iters` k-means rounds DRIVER-SIDE over a bounded
+    * [[trainSample]] — tight flat loops instead of one corpus-wide
+    * assign + mean-aggregate JOB per round (r7 shape: at 100 TB that
+    * was `iters` extra passes over the data for a model-sized
+    * artifact; at gate scale it was most of the coarse-training wall).
+    * Assignment replicates [[ivfAssign]] exactly: argmax dot with
+    * left-to-right sums, ties to the LARGER cell. Empty cells keep
+    * their previous centroid; means are L2-normalized. Refined
+    * centroids raise cell recall (pinned in VectorOpsSpec) without
+    * changing any plan shape — the engine-portable gates keep the
+    * zero-iteration sample so their oracles stay exact. */
   def kmeansCentroids(emb: DataFrame, nCells: Int,
-                      iters: Int = 2): Seq[Seq[Double]] = {
-    var cen = ivfCentroids(emb, nCells)
-    for (_ <- 0 until iters) {
-      val means = emb
-        .select(ivfAssign(col("embedding"), cen).as("cell"), col("embedding"))
-        .select(col("cell"), posexplode(col("embedding").cast("array<double>")))
-        .groupBy("cell", "pos").agg(avg("col").as("m"))
-        .collect().groupBy(_.getInt(0))
-      cen = cen.zipWithIndex.map { case (old, c) =>
-        means.get(c).fold(old) { rows =>
-          val v = rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
-          val nrm = math.sqrt(v.map(x => x * x).sum)
-          if (nrm == 0) old else v.map(_ / nrm)
+                      iters: Int = 2, trainN: Int = 16384): Seq[Seq[Double]] = {
+    var cen: Array[Array[Double]] =
+      ivfCentroids(emb, nCells).map(_.toArray).toArray
+    if (iters > 0) {
+      val train = trainSample(emb, col("embedding").cast("array<double>"),
+        trainN)
+      val dim = if (train.isEmpty) 0 else train.head.length
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(cen.length, dim)(0.0)
+        val cnts = new Array[Long](cen.length)
+        train.foreach { v =>
+          var best = 0; var bestS = Double.NegativeInfinity
+          var c = 0
+          while (c < cen.length) {
+            var s = 0.0; var i = 0
+            while (i < dim) { s += v(i) * cen(c)(i); i += 1 }
+            if (s >= bestS) { bestS = s; best = c } // ties -> larger cell
+            c += 1
+          }
+          var i = 0
+          while (i < dim) { sums(best)(i) += v(i); i += 1 }
+          cnts(best) += 1
+        }
+        cen = cen.zipWithIndex.map { case (old, c) =>
+          if (cnts(c) == 0) old
+          else {
+            val mean = Array.tabulate(dim)(i => sums(c)(i) / cnts(c))
+            val nrm = math.sqrt(mean.map(x => x * x).sum)
+            if (nrm == 0) old else mean.map(_ / nrm)
+          }
         }
       }
     }
-    cen
+    cen.map(_.toSeq).toSeq
   }
 
   /** The `nAssign` nearest cells per vector (multi-probe assignment):
@@ -597,44 +640,59 @@ object VectorOps {
 
   /** Training over an already-materialized normalized frame — shared
     * with [[pqTopKReranked]] so one persisted pass feeds training AND
-    * the code scan instead of re-shuffling the corpus per stage. */
+    * the code scan instead of re-shuffling the corpus per stage.
+    *
+    * Lloyd rounds run DRIVER-SIDE over a bounded [[trainSample]] (the
+    * FAISS discipline; see [[kmeansCentroids]]): the r7 shape paid one
+    * corpus-wide encode + (subspace, code, component)-mean JOB per
+    * round for a model-sized artifact — at gate scale that was most of
+    * every index build's wall, at 100 TB it is `iters` needless corpus
+    * passes. Seeds are the same deterministic stride rows as before
+    * (positions 0, n/codeK, … of the id-ordered sample — identical
+    * vectors when ids are contiguous); per-round assignment replicates
+    * [[pqEncode]] exactly (left-to-right (x−w)² sums, ties to the
+    * smaller code); empty codes keep their previous centroid. */
   private def pqCodebooksFromNormed(normed: DataFrame, m: Int, codeK: Int,
-                                    iters: Int): Seq[Seq[Seq[Double]]] = {
-    val n = normed.count()
-    val stride = math.max(1L, n / codeK)
-    val sample = normed.filter(pmod(col("vec_id"), lit(stride)) === 0)
-      .orderBy("vec_id").limit(codeK)
-      .select(col("nv")).collect()
-      .map(_.getSeq[Double](0))
-    require(sample.nonEmpty, "empty embedding table")
-    val dim = sample.head.size
+                                    iters: Int,
+                                    trainN: Int = 16384): Seq[Seq[Seq[Double]]] = {
+    val train = trainSample(normed, col("nv"), trainN)
+    require(train.nonEmpty, "empty embedding table")
+    val dim = train.head.length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val dsub = dim / m
-    var books: Seq[Seq[Seq[Double]]] = (0 until m).map(j =>
-      sample.map(v => v.slice(j * dsub, (j + 1) * dsub).toSeq).toSeq)
+    val seedStride = math.max(1, train.length / codeK)
+    val seeds = (0 until codeK).map(c =>
+      train(math.min(c * seedStride, train.length - 1)))
+    var books: Array[Array[Array[Double]]] = Array.tabulate(m)(j =>
+      seeds.map(v =>
+        java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub)).toArray)
     for (_ <- 0 until iters) {
-      val j = (col("pos") / dsub).cast("int")
-      val means = normed
-        // second barrier: without it, projection collapse would inline
-        // the full encode into every one of the dim exploded rows
-        .select(col("nv"), pqEncode(col("nv"), books).as("codes"))
-        .repartition(col("codes"))
-        .select(posexplode(col("nv")).as(Seq("pos", "x")), col("codes"))
-        .select(j.as("j"), pmod(col("pos"), lit(dsub)).as("w"), col("x"),
-          element_at(col("codes"), j + 1).as("c"))
-        .groupBy("j", "c", "w").agg(avg("x").as("mean"))
-        .collect()
-        .groupBy(r => (r.getInt(0), r.getInt(1)))
-        .map { case (k2, rows) =>
-          k2 -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq
-        }
-      books = books.zipWithIndex.map { case (book, jj) =>
-        book.zipWithIndex.map { case (old, c) =>
-          means.getOrElse((jj, c), old)
+      val sums = Array.fill(m, codeK, dsub)(0.0)
+      val cnts = Array.fill(m, codeK)(0L)
+      train.foreach { v =>
+        var j = 0
+        while (j < m) {
+          var best = 0; var bestD = Double.PositiveInfinity
+          var c = 0
+          while (c < codeK) {
+            var dd = 0.0; var i = 0
+            while (i < dsub) {
+              val d = v(j * dsub + i) - books(j)(c)(i); dd += d * d; i += 1
+            }
+            if (dd < bestD) { bestD = dd; best = c } // ties -> smaller code
+            c += 1
+          }
+          var i = 0
+          while (i < dsub) { sums(j)(best)(i) += v(j * dsub + i); i += 1 }
+          cnts(j)(best) += 1
+          j += 1
         }
       }
+      books = Array.tabulate(m)(j => Array.tabulate(codeK)(c =>
+        if (cnts(j)(c) == 0) books(j)(c)
+        else Array.tabulate(dsub)(i => sums(j)(c)(i) / cnts(j)(c))))
     }
-    books
+    books.map(_.map(_.toSeq: Seq[Double]).toSeq: Seq[Seq[Double]]).toSeq
   }
 
   /** L2-normalization expression. CAUTION: never feed this directly
