@@ -94,6 +94,37 @@ object ScaleProbe9Main {
 
     graft.core.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
     graft.core.Fs.deleteRecursively(java.nio.file.Paths.get(dir2))
+
+    // k-NN join scaling: exact is O(n²d) spread over the cluster; the
+    // cell path's quadratic term is Σ|cell|² — with nCells grown
+    // proportionally to the corpus (the IVF deployment contract) the
+    // per-cell population stays constant and cell work grows LINEARLY
+    // while exact grows quadratically. Replicas are circular shifts of
+    // the base vectors (distinct directions, norm-preserving): plain
+    // id-shifted copies degenerate ivfCentroids' stride sample into k
+    // copies of ONE vector, collapsing every assignment into 3 cells
+    // (measured 215 s at 16× before this probe used shifts).
+    import org.apache.spark.sql.functions.{col, concat, lit, slice}
+    def embTimes(k: Int) = (0 until k).map { i =>
+      val v = col("embedding")
+      val shifted = if (i == 0) v
+        else concat(slice(v, i + 1, 64 - i), slice(v, 1, i))
+      emb.select((col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+        shifted.as("embedding"))
+    }.reduce(_ unionByName _)
+    for ((tag, k) <- Seq(("1x", 1), ("4x", 4), ("16x", 16))) {
+      val e = embTimes(k).persist(); val ne = e.count()
+      val t0 = System.nanoTime()
+      val nex = VectorOps.knnJoinExact(e, 10).count()
+      val tExact = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val ncl = VectorOps.knnJoinCell(e, 10, nCells = 16 * k, nAssign = 3)
+        .count()
+      val tCell = (System.nanoTime() - t1) / 1e9
+      System.err.println(
+        f"[scale9] knnJoin $tag n=$ne exact rows=$nex $tExact%6.1f s | cell nCells=${16 * k} rows=$ncl $tCell%6.1f s")
+      e.unpersist()
+    }
     spark.stop()
   }
 }
