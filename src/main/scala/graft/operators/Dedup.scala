@@ -620,6 +620,46 @@ object Dedup {
     finally withSh.unpersist()
   }
 
+  /** Seed a signature store in BATCH-PARTITIONED layout (`bands/batch=…`,
+    * `shingles/batch=…`) for STREAMING maintenance: params plus an empty
+    * seed partition per table, so the first micro-batch's incremental
+    * probe reads a valid (empty) store. The batch layout is what makes a
+    * live pipeline exactly-once: [[appendDedupStoreBatch]] OVERWRITES its
+    * own `batch=N` partition, so a crash-replayed micro-batch replaces
+    * its registration instead of duplicating shingle rows (the flat
+    * [[appendDedupStore]] is append-mode and relies on the caller never
+    * re-appending). Readers see one extra `batch` partition column;
+    * [[incrementalPairsPlan]] projects it away. */
+  def seedDedupStoreBatched(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, n: Int = 3,
+                            numHashes: Int = 128, bands: Int = 32): Unit = {
+    spark.range(1)
+      .select(lit(n).as("n"), lit(numHashes).as("num_hashes"),
+        lit(bands).as("bands"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+    val emptySh = shingled(spark.range(0)
+      .select(col("id").as("doc_id"), lit("").as("text")), n)
+    bandTable(emptySh, numHashes, bands).write.mode("overwrite")
+      .parquet(s"$dir/bands/batch=seed")
+    emptySh.write.mode("overwrite").parquet(s"$dir/shingles/batch=seed")
+  }
+
+  /** Register one micro-batch in a [[seedDedupStoreBatched]] store —
+    * overwrite-by-batch-partition, so retries and crash-replays of the
+    * SAME batch id are idempotent. Same caller contract as
+    * [[appendDedupStore]] otherwise: append AFTER consuming the batch's
+    * [[incrementalNearDupPairs]]. */
+  def appendDedupStoreBatch(newDocs: DataFrame, dir: String,
+                            batchId: Long): Unit = {
+    val (n, numHashes, bands) = storeParams(newDocs.sparkSession, dir)
+    val withSh = shingled(newDocs, n).persist()
+    try {
+      bandTable(withSh, numHashes, bands).write.mode("overwrite")
+        .parquet(s"$dir/bands/batch=$batchId")
+      withSh.write.mode("overwrite").parquet(s"$dir/shingles/batch=$batchId")
+    } finally withSh.unpersist()
+  }
+
   /** Lazy plan behind [[incrementalNearDupPairs]] — split out so specs
     * can assert the join shapes (the public op materializes eagerly,
     * hiding the plan behind a checkpoint scan). Persists three frames;
@@ -653,8 +693,17 @@ object Dedup {
     val candIds = cand
       .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
       .distinct()
+    // the anti-join vs the batch's own ids makes the op idempotent
+    // under crash-replay AFTER a store append (the batched streaming
+    // layout): a doc whose shingles are already stored must not appear
+    // twice in the verify side. The select pins the shingle columns so
+    // a batch-partitioned store (extra `batch` partition column) unions
+    // cleanly with the fresh side.
+    val newIds = newSh.select("doc_id").distinct()
     val allSh = spark.read.parquet(s"$dir/shingles")
+      .select(newSh.columns.map(col).toIndexedSeq: _*)
       .join(candIds, Seq("doc_id"), "left_semi")
+      .join(broadcast(newIds), Seq("doc_id"), "left_anti")
       .unionByName(newSh)
       .persist()
     (verifyJaccard(cand, allSh, threshold), Seq(newSh, newBands, cand, allSh))

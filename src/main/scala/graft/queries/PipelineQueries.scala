@@ -559,7 +559,7 @@ object PipelineQueries {
        |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
        | FROM (SELECT doc_id, $toksSql AS toks FROM documents)
        | WHERE len(toks) >= 3)""".stripMargin
-  private val jaccardPairsSql =
+  private[queries] val jaccardPairsSql =
     s"""SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |   len(list_intersect(a.sh, b.sh)) AS inter,
        |   len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni

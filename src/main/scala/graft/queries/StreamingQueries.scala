@@ -194,6 +194,42 @@ object StreamingQueries {
       .select("doc_id", "source", "n_domain")
   }
 
+  /** Streaming NEAR-dup against a live signature store: four
+    * micro-batches of the documents corpus through
+    * [[StreamingIngest.nearDupStream]], seeded with an empty
+    * batch-partitioned store. Every unordered near-dup pair is emitted
+    * exactly once — in the batch where its later side arrived — so the
+    * union of the per-batch `batch_id=N` pair partitions equals the
+    * one-shot full-corpus jaccard pair set (dedup_ngram_jaccard's
+    * oracle), however the corpus happened to split into batches. */
+  def streamNearDup(s: SparkSession, d: String): DataFrame = {
+    val base = tmp("graft-sndup")
+    // three batches: the third probes a store that has grown by TWO
+    // appends (multi-append growth with one fewer full incremental pass
+    // than the 4-way split the other stream gates use — this gate's
+    // per-batch work is a whole pair computation, not one ledger fold).
+    // Even-id half corpus: jaccard pairs are per-doc-pair independent,
+    // so the subset's pair set is exactly the full set filtered to
+    // both-sides-even — same oracle, half the streamed volume.
+    s.read.parquet(s"$d/documents.parquet").select("doc_id", "text")
+      .filter(col("doc_id") % 2 === 0)
+      .repartition(3).write.parquet(s"$base/in")
+    graft.operators.Dedup.seedDedupStoreBatched(s, s"$base/store", n = 3)
+    val stream = s.readStream.schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+    // the micro-batch session clones the conf at query start — size the
+    // per-batch incremental joins to the tiny batch, not the session
+    // default (see streamUidState)
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = try {
+      StreamingIngest.nearDupStream(stream, s"$base/store",
+        s"$base/pairs", s"$base/ck", threshold = 0.8).start()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    q.awaitTermination()
+    s.read.parquet(s"$base/pairs").select("id_a", "id_b", "inter", "uni")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_windowed" -> streamWindowed _,
     "stream_ingest" -> streamIngest _,
@@ -201,9 +237,17 @@ object StreamingQueries {
     "stream_sessions" -> streamSessions _,
     "stream_dedup" -> streamDedup _,
     "stream_domain_cap" -> streamDomainCap _,
+    "stream_neardup" -> streamNearDup _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the union of per-batch incremental pair emissions equals the
+    // one-shot pair set over the streamed (even-id) corpus — which is
+    // the full jaccard pair set filtered to both-sides-even, because a
+    // pair's (inter, uni) depends on its two documents only
+    "stream_neardup" ->
+      s"""SELECT * FROM (${PipelineQueries.jaccardPairsSql})
+         | WHERE id_a % 2 = 0 AND id_b % 2 = 0""".stripMargin,
     // the streamed cap ledger's final fold equals the batch domain cap
     "stream_domain_cap" ->
       """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_domain

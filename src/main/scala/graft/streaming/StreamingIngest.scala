@@ -102,6 +102,43 @@ object StreamingIngest {
           .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
       }
 
+  /** Streaming near-dup against a write-once signature store — the LIVE
+    * analog of [[graft.operators.Dedup.incrementalNearDupPairs]], and
+    * the dedup counterpart of [[ingestTo]]'s live writer: each
+    * micro-batch (1) emits the near-dup pairs it forms with the
+    * store-so-far plus itself, then (2) registers itself in the store.
+    * The union of per-batch pair files IS the one-shot full-corpus pair
+    * set — every unordered pair lands exactly once, in the batch where
+    * its LATER side arrived, however the corpus splits into
+    * micro-batches (the streamed-converges-to-bulk contract, for
+    * near-dup). Exactly-once on BOTH sides: pairs land in per-batch
+    * `batch_id=N` overwrite partitions (the [[ingestTo]] trick) and the
+    * store registration overwrites its own `batch=N` partition
+    * ([[graft.operators.Dedup.appendDedupStoreBatch]]); a batch replayed
+    * after a crash — even one that already appended to the store —
+    * recomputes the SAME pairs (the incremental plan anti-joins the
+    * batch's own ids out of the stored side) and replaces its own
+    * output. Store must be seeded with
+    * [[graft.operators.Dedup.seedDedupStoreBatched]]. At scale this is
+    * the landing-zone dedup tier: the historical corpus is never
+    * re-shingled, each arriving batch broadcast-joins the stored bands
+    * once. */
+  def nearDupStream(stream: DataFrame, storeDir: String, pairsDir: String,
+                    checkpointDir: String, threshold: Double = 0.8)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val b = batch.persist()
+        val pairs = graft.operators.Dedup
+          .incrementalNearDupPairs(b, storeDir, threshold)
+        pairs.write.mode("overwrite").parquet(s"$pairsDir/batch_id=$id")
+        pairs.unpersist()
+        graft.operators.Dedup.appendDedupStoreBatch(b, storeDir, id)
+        b.unpersist(); ()
+      }
+
   /** Live global-index maintenance with CUSTOM streaming state — the
     * GlobalIndexUidAggregator combiner (GlobalIndexUidAggregator.java:
     * 21-25) that the reference runs at Accumulo compaction, expressed as

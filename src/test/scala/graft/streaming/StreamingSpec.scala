@@ -171,6 +171,94 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(merged.toSeq == Seq(("u1", 3L, 4L), ("u2", 1L, 2L), ("u3", 1L, 1L)))
   }
+
+  // Near-dup streaming: a small corpus with known duplicate structure.
+  // d6 = copy of d0, d7 = d0 + one extra token (jaccard ≈ 0.97),
+  // d8 = copy of d3; everything else distinct.
+  private def nearDupCorpus = {
+    val sentences = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu",
+      "one two three four five six seven eight nine ten eleven twelve",
+      "red orange yellow green blue indigo violet cyan magenta white black grey",
+      "north south east west up down left right forward backward inward outward",
+      "spark catalyst tungsten codegen shuffle partition broadcast join scan filter project agg",
+      "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod tempor")
+    val rows = Seq(
+      0L -> sentences(0), 1L -> sentences(1), 2L -> sentences(2),
+      3L -> sentences(3), 4L -> sentences(4), 5L -> sentences(5),
+      6L -> sentences(0), 7L -> (sentences(0) + " extra"),
+      8L -> sentences(3))
+    rows.toDF("doc_id", "text")
+  }
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int, Int)] =
+    df.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+      r.getAs[Int]("inter"), r.getAs[Int]("uni"))).toSet
+
+  test("streaming near-dup converges to the one-shot pair set under any batch split") {
+    val docs = nearDupCorpus
+    val oneShot = pairSet(graft.operators.Dedup.minhashLshPairs(docs, n = 3,
+      threshold = 0.8))
+    assert(oneShot.map { case (a, b, _, _) => (a, b) } ==
+      Set((0L, 6L), (0L, 7L), (6L, 7L), (3L, 8L)))
+    for (nSplit <- Seq(2, 3)) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-snd").toString
+      docs.repartition(nSplit).write.parquet(s"$tmp/in")
+      graft.operators.Dedup.seedDedupStoreBatched(spark, s"$tmp/store", n = 3)
+      val stream = spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+      val q = StreamingIngest.nearDupStream(stream, s"$tmp/store",
+        s"$tmp/pairs", s"$tmp/ck", threshold = 0.8).start()
+      q.awaitTermination(120000)
+      val streamed = pairSet(spark.read.parquet(s"$tmp/pairs")
+        .select("id_a", "id_b", "inter", "uni"))
+      assert(streamed == oneShot, s"split=$nSplit")
+    }
+  }
+
+  test("near-dup batch replayed AFTER its store append recomputes identical pairs") {
+    // the crash window the batched store layout exists for: batch 1's
+    // pairs are written and its shingles APPENDED, but the checkpoint
+    // commit never lands — the restart replays the batch against a store
+    // that already contains it. The incremental plan's anti-join on the
+    // batch's own ids must make the replay compute the SAME pairs (not
+    // doubled shingles), and the batch=N overwrite must replace, not
+    // duplicate, the store registration.
+    val docs = nearDupCorpus
+    val oneShot = pairSet(graft.operators.Dedup.minhashLshPairs(docs, n = 3,
+      threshold = 0.8))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sndx").toString
+    docs.repartition(3).write.parquet(s"$tmp/in")
+    graft.operators.Dedup.seedDedupStoreBatched(spark, s"$tmp/store", n = 3)
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def start() = spark.readStream.schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+      .writeStream.option("checkpointLocation", s"$tmp/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        // same body as StreamingIngest.nearDupStream, plus the crash
+        val bp = b.persist()
+        val pairs = graft.operators.Dedup
+          .incrementalNearDupPairs(bp, s"$tmp/store", 0.8)
+        pairs.write.mode("overwrite").parquet(s"$tmp/pairs/batch_id=$id")
+        pairs.unpersist()
+        graft.operators.Dedup.appendDedupStoreBatch(bp, s"$tmp/store", id)
+        bp.unpersist()
+        if (id == 1 && crashed.compareAndSet(false, true))
+          throw new RuntimeException("chaos: crashed after append, before commit")
+      }.start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      start().awaitTermination()
+    }
+    start().awaitTermination(120000)
+    val streamed = pairSet(spark.read.parquet(s"$tmp/pairs")
+      .select("id_a", "id_b", "inter", "uni"))
+    assert(streamed == oneShot)
+    // the replayed batch's registration did not duplicate shingle rows
+    val storeIds = spark.read.parquet(s"$tmp/store/shingles")
+      .groupBy("doc_id").count().filter(col("count") > 1).count()
+    assert(storeIds == 0)
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
