@@ -871,6 +871,39 @@ object VectorOps {
       .write.mode("append").parquet(s"$dir/codes")
   }
 
+  /** [[pqWriteIndex]] in BATCH-PARTITIONED layout (`codes/batch=seed`)
+    * for STREAMING maintenance: [[pqAppendToIndexBatch]] then OVERWRITES
+    * its own `batch=N` partition per micro-batch, so a crash-replayed
+    * batch replaces its codes instead of appending duplicates — the same
+    * exactly-once move as [[graft.operators.Dedup.seedDedupStoreBatched]]
+    * (the flat [[pqAppendToIndex]] is append-mode and relies on the
+    * caller never re-appending). Readers see one extra `batch` partition
+    * column; every search path projects it away. */
+  def pqSeedIndexBatched(emb: DataFrame, dir: String, m: Int = 8,
+                         codeK: Int = 16, iters: Int = 2)
+      : Seq[Seq[Seq[Double]]] = {
+    val normed = pqNormalized(emb).persist()
+    try {
+      val books = trainAndWriteBooks(normed, dir, m, codeK, iters)
+      normed.select(col("vec_id"), pqEncode(col("nv"), books).as("code"))
+        .write.mode("overwrite").parquet(s"$dir/codes/batch=seed")
+      books
+    } finally normed.unpersist()
+  }
+
+  /** Register one micro-batch of new vectors in a [[pqSeedIndexBatched]]
+    * index: encode with the STORED codebooks (no retrain — same contract
+    * as [[pqAppendToIndex]]) and overwrite the batch's own partition, so
+    * retries and crash-replays of the same batch id are idempotent. */
+  def pqAppendToIndexBatch(newVecs: DataFrame, dir: String,
+                           batchId: Long): Unit = {
+    val (_, books) = pqReadIndex(newVecs.sparkSession, dir)
+    requireDimMatches(newVecs, books)
+    pqNormalized(newVecs)
+      .select(col("vec_id"), pqEncode(col("nv"), books).as("code"))
+      .write.mode("overwrite").parquet(s"$dir/codes/batch=$batchId")
+  }
+
   /** Appending mismatched-dimension vectors would write garbage codes
     * into a write-once index — fail fast like the training path's
     * divisibility require (ingest schema drift is exactly where this
@@ -921,6 +954,12 @@ object VectorOps {
     val writer =
       if (codes.columns.contains("cell"))
         codes.repartition(col("cell")).write.partitionBy("cell")
+      else if (codes.columns.contains("batch"))
+        // batched streaming layout: collapse all batch partitions into
+        // one — written as a partition DIR (not a data column) so later
+        // [[pqAppendToIndexBatch]] calls keep a consistent layout
+        codes.drop("batch").repartition(files)
+          .withColumn("batch", lit("compacted")).write.partitionBy("batch")
       else codes.repartition(files).write
     writer.mode("overwrite").parquet(tmp)
     graft.core.Fs.deleteRecursively(s"$dir/codes")

@@ -230,6 +230,45 @@ object StreamingQueries {
     s.read.parquet(s"$base/pairs").select("id_a", "id_b", "inter", "uni")
   }
 
+  /** Live ANN-index maintenance: the PQ index is seeded from the
+    * historical 3/4 of the corpus (codebooks train there, write-once),
+    * the remaining quarter arrives as two micro-batches through
+    * [[StreamingIngest.annIndexStream]] — each encoded with the STORED
+    * codebooks into its own `batch=N` partition — and the batched
+    * search then runs off the streamed index. Probe 7 is itself a
+    * STREAMED vector (7 % 4 == 3), so the gate proves appended codes
+    * serve queries, not just sit in files. Recall vs whole-corpus brute
+    * force ≥ 8/10 per probe — measured 10/10/10 at sf0.01 and 10/9/8 at
+    * sf0.1 (ann_pq_batch's full-corpus-trained books measure 10/9/9
+    * there: seed-trained books give up one hit on probe 42). The result
+    * is batch-split-independent — codes depend only on the stored
+    * books — so the floor is deterministic. */
+  def streamAnnAppend(s: SparkSession, d: String): DataFrame = {
+    val emb = graft.core.Tables.embeddings(s, d)
+    val base = tmp("graft-sann")
+    val V = graft.operators.VectorOps
+    V.pqSeedIndexBatched(emb.filter(col("vec_id") % 4 =!= 3),
+      s"$base/index", m = 8, codeK = 16, iters = 2)
+    emb.filter(col("vec_id") % 4 === 3).select("vec_id", "embedding")
+      .repartition(2).write.parquet(s"$base/in")
+    val stream = s.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+    val q = StreamingIngest.annIndexStream(stream, s"$base/index",
+      s"$base/ck").start()
+    q.awaitTermination()
+    val (codes, books) = V.pqReadIndex(s, s"$base/index")
+    val probeIds = Seq(0L, 7L, 42L)
+    val approx = V.pqTopKBatch(emb, codes, books, probeIds,
+      k = 10, shortlist = 400)
+    val exact = V.bruteForceTopKBatch(emb, probeIds, k = 10)
+      .select("probe_id", "vec_id")
+    approx.select("probe_id", "vec_id")
+      .join(exact, Seq("probe_id", "vec_id"))
+      .groupBy("probe_id").agg(count(lit(1)).as("hits"))
+      .select(col("probe_id"), lit(10L).as("k"),
+        (col("hits") >= 8).as("recall_ok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_windowed" -> streamWindowed _,
     "stream_ingest" -> streamIngest _,
@@ -238,9 +277,16 @@ object StreamingQueries {
     "stream_dedup" -> streamDedup _,
     "stream_domain_cap" -> streamDomainCap _,
     "stream_neardup" -> streamNearDup _,
+    "stream_ann_append" -> streamAnnAppend _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    // recall floor vs whole-corpus brute force, literal rows (the
+    // ann_pq_batch pattern); probe 7 is a streamed vector
+    "stream_ann_append" ->
+      """SELECT CAST(probe_id AS BIGINT) AS probe_id,
+        |   CAST(10 AS BIGINT) AS k, true AS recall_ok
+        | FROM (VALUES (0), (7), (42)) AS t(probe_id)""".stripMargin,
     // the union of per-batch incremental pair emissions equals the
     // one-shot pair set over the streamed (even-id) corpus — which is
     // the full jaccard pair set filtered to both-sides-even, because a

@@ -139,6 +139,30 @@ object StreamingIngest {
         b.unpersist(); ()
       }
 
+  /** Live ANN-index maintenance — the vector-side twin of
+    * [[nearDupStream]] and the streaming face of
+    * [[graft.operators.VectorOps.pqAppendToIndex]]'s write-once
+    * contract: each micro-batch of new vectors is encoded with the
+    * STORED codebooks (zero retrain, the old corpus is never re-read)
+    * and lands in its own `batch=N` codes partition, so a crash-replayed
+    * batch replaces rather than duplicates its codes. Seed with
+    * [[graft.operators.VectorOps.pqSeedIndexBatched]]; searches run off
+    * the growing index at any point between batches. Quantization drift
+    * from streamed data remains an offline retrain decision
+    * ([[graft.operators.VectorOps.pqWriteIndex]] over the full corpus);
+    * file splinter from many batches is
+    * [[graft.operators.VectorOps.pqCompactIndex]]. */
+  def annIndexStream(stream: DataFrame, indexDir: String,
+                     checkpointDir: String)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.operators.VectorOps.pqAppendToIndexBatch(batch, indexDir, id)
+        ()
+      }
+
   /** Live global-index maintenance with CUSTOM streaming state — the
     * GlobalIndexUidAggregator combiner (GlobalIndexUidAggregator.java:
     * 21-25) that the reference runs at Accumulo compaction, expressed as

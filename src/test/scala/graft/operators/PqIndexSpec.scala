@@ -264,6 +264,60 @@ class PqIndexSpec extends SparkSpec {
     assert(ia == ib)
   }
 
+  test("batched streaming layout: same books/codes/search as flat appends; replay idempotent; compaction appendable") {
+    val all = corpus.cache()
+    def codeSet(codes: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+      codes.select("vec_id", "code").collect()
+        .map(r => (r.getLong(0), r.getSeq[Int](1).mkString(","))).toSet
+    // flat reference: books train on the seed corpus, two live appends
+    val flat = java.nio.file.Files.createTempDirectory("graft-pq-flat").toString
+    VectorOps.pqWriteIndex(all.filter(col("vec_id") < 40L), flat,
+      m = 4, codeK = 8, iters = 1)
+    VectorOps.pqAppendToIndex(
+      all.filter(col("vec_id") >= 40L && col("vec_id") < 50L), flat)
+    VectorOps.pqAppendToIndex(all.filter(col("vec_id") >= 50L), flat)
+    // batched layout: SAME seed corpus → same deterministic training path
+    val bat = java.nio.file.Files.createTempDirectory("graft-pq-bat").toString
+    VectorOps.pqSeedIndexBatched(all.filter(col("vec_id") < 40L), bat,
+      m = 4, codeK = 8, iters = 1)
+    VectorOps.pqAppendToIndexBatch(
+      all.filter(col("vec_id") >= 40L && col("vec_id") < 50L), bat, 0L)
+    VectorOps.pqAppendToIndexBatch(all.filter(col("vec_id") >= 50L), bat, 1L)
+    val (cf, bf) = VectorOps.pqReadIndex(spark, flat)
+    val (cb, bb) = VectorOps.pqReadIndex(spark, bat)
+    assert(bb == bf) // byte-identical codebooks
+    assert(codeSet(cb) == codeSet(cf)) // identical code rows
+    val probeIds = Seq(0L, 41L, 55L)
+    val sFlat = VectorOps.pqTopKBatch(all, cf, bf, probeIds, k = 5,
+      shortlist = 30).collect().toSeq
+    val sBat = VectorOps.pqTopKBatch(all, cb, bb, probeIds, k = 5,
+      shortlist = 30).collect().toSeq
+    assert(sBat == sFlat)
+    // a crash-replayed batch overwrites its own partition — no duplicates
+    VectorOps.pqAppendToIndexBatch(all.filter(col("vec_id") >= 50L), bat, 1L)
+    val (cb2, _) = VectorOps.pqReadIndex(spark, bat)
+    assert(cb2.count() == 60L && codeSet(cb2) == codeSet(cf))
+    // offline compaction mid-stream: collapse the splinters, then a
+    // LATER streamed append must still see a consistent layout and the
+    // full index must keep serving identical searches
+    VectorOps.pqCompactIndex(spark, bat)
+    val subdirs = new java.io.File(s"$bat/codes").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(subdirs == Seq("batch=compacted"), subdirs.mkString(","))
+    val bat2 = java.nio.file.Files.createTempDirectory("graft-pq-bat2").toString
+    VectorOps.pqSeedIndexBatched(all.filter(col("vec_id") < 40L), bat2,
+      m = 4, codeK = 8, iters = 1)
+    VectorOps.pqAppendToIndexBatch(
+      all.filter(col("vec_id") >= 40L && col("vec_id") < 50L), bat2, 0L)
+    VectorOps.pqCompactIndex(spark, bat2) // compact BETWEEN live batches
+    VectorOps.pqAppendToIndexBatch(all.filter(col("vec_id") >= 50L), bat2, 1L)
+    val (cc, bc) = VectorOps.pqReadIndex(spark, bat2)
+    assert(bc == bf && codeSet(cc) == codeSet(cf))
+    val sCompacted = VectorOps.pqTopKBatch(all, cc, bc, probeIds, k = 5,
+      shortlist = 30).collect().toSeq
+    assert(sCompacted == sFlat)
+  }
+
   test("IVF-PQ whole-corpus recall floor: reranked top-5 vs GLOBAL brute force >= 4/5") {
     val emb = corpus.cache()
     val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-rec").toString
