@@ -951,17 +951,18 @@ object VectorOps {
                      files: Int = 1): Unit = {
     val codes = spark.read.parquet(s"$dir/codes")
     val tmp = s"$dir/codes.compacting"
+    // batched streaming layout: collapse every batch partition into ONE
+    // `batch=compacted` partition DIR (not a data column), so later
+    // [[pqAppendToIndexBatch]]/[[ivfPqAppendToIndexBatch]] calls keep a
+    // consistent directory structure; cell stays a partition level
+    val hasBatch = codes.columns.contains("batch")
+    val body = if (hasBatch) codes.drop("batch") else codes
+    val target = if (hasBatch) s"$tmp/batch=compacted" else tmp
     val writer =
-      if (codes.columns.contains("cell"))
-        codes.repartition(col("cell")).write.partitionBy("cell")
-      else if (codes.columns.contains("batch"))
-        // batched streaming layout: collapse all batch partitions into
-        // one — written as a partition DIR (not a data column) so later
-        // [[pqAppendToIndexBatch]] calls keep a consistent layout
-        codes.drop("batch").repartition(files)
-          .withColumn("batch", lit("compacted")).write.partitionBy("batch")
-      else codes.repartition(files).write
-    writer.mode("overwrite").parquet(tmp)
+      if (body.columns.contains("cell"))
+        body.repartition(col("cell")).write.partitionBy("cell")
+      else body.repartition(files).write
+    writer.mode("overwrite").parquet(target)
     graft.core.Fs.deleteRecursively(s"$dir/codes")
     java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
       java.nio.file.Paths.get(s"$dir/codes"))
@@ -1138,6 +1139,53 @@ object VectorOps {
         .write.partitionBy("cell").mode("overwrite").parquet(s"$dir/codes")
       books
     } finally normed.unpersist()
+  }
+
+  /** [[ivfPqWriteIndex]] in BATCH-PARTITIONED layout
+    * (`codes/batch=seed/cell=C`) for STREAMING maintenance — the IVF-PQ
+    * twin of [[pqSeedIndexBatched]]. Cell stays a partition column at
+    * the second level under every batch, so probe-time partition
+    * pruning on cell is unchanged (pinned in PqIndexSpec); each
+    * [[ivfPqAppendToIndexBatch]] overwrites its own `batch=N` subtree,
+    * so crash-replays replace rather than duplicate codes. */
+  def ivfPqSeedIndexBatched(emb: DataFrame, dir: String, nCells: Int = 16,
+                            m: Int = 8, codeK: Int = 16, iters: Int = 2,
+                            coarseIters: Int = 2): Seq[Seq[Seq[Double]]] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val centroids = kmeansCentroids(emb, nCells, coarseIters)
+    spark.createDataset(centroids.zipWithIndex.map { case (c, i) => (i, c) })
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    val normed = pqNormalized(emb).persist()
+    try {
+      val books = trainAndWriteBooks(normed, dir, m, codeK, iters)
+      normed.select(col("vec_id"),
+          ivfAssign(col("nv"), centroids).as("cell"),
+          pqEncode(col("nv"), books).as("code"))
+        .repartition(col("cell"))
+        .write.partitionBy("cell").mode("overwrite")
+        .parquet(s"$dir/codes/batch=seed")
+      books
+    } finally normed.unpersist()
+  }
+
+  /** Register one micro-batch in a [[ivfPqSeedIndexBatched]] index:
+    * assign cells with the STORED coarse centroids, encode with the
+    * STORED codebooks, overwrite the batch's own cell-partitioned
+    * subtree — idempotent under retry/replay like
+    * [[pqAppendToIndexBatch]]. */
+  def ivfPqAppendToIndexBatch(newVecs: DataFrame, dir: String,
+                              batchId: Long): Unit = {
+    val (_, books, centroids) = ivfPqReadIndex(newVecs.sparkSession, dir)
+    requireDimMatches(newVecs, books)
+    pqNormalized(newVecs)
+      .select(col("vec_id"),
+        ivfAssign(col("nv"), centroids).as("cell"),
+        pqEncode(col("nv"), books).as("code"))
+      .repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite")
+      .parquet(s"$dir/codes/batch=$batchId")
   }
 
   /** Load an IVF-PQ index: the cell-partitioned codes FRAME plus the

@@ -151,7 +151,12 @@ object StreamingIngest {
     * from streamed data remains an offline retrain decision
     * ([[graft.operators.VectorOps.pqWriteIndex]] over the full corpus);
     * file splinter from many batches is
-    * [[graft.operators.VectorOps.pqCompactIndex]]. */
+    * [[graft.operators.VectorOps.pqCompactIndex]]. Serves BOTH index
+    * families: a `centroids` table in the index dir marks IVF-PQ
+    * (seeded by [[graft.operators.VectorOps.ivfPqSeedIndexBatched]] —
+    * cells assigned with the stored coarse centroids, partition pruning
+    * unchanged); its absence marks flat PQ
+    * ([[graft.operators.VectorOps.pqSeedIndexBatched]]). */
   def annIndexStream(stream: DataFrame, indexDir: String,
                      checkpointDir: String)
       : DataStreamWriter[org.apache.spark.sql.Row] =
@@ -159,7 +164,11 @@ object StreamingIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        graft.operators.VectorOps.pqAppendToIndexBatch(batch, indexDir, id)
+        val V = graft.operators.VectorOps
+        if (java.nio.file.Files.exists(
+            java.nio.file.Paths.get(indexDir, "centroids")))
+          V.ivfPqAppendToIndexBatch(batch, indexDir, id)
+        else V.pqAppendToIndexBatch(batch, indexDir, id)
         ()
       }
 

@@ -318,6 +318,56 @@ class PqIndexSpec extends SparkSpec {
     assert(sCompacted == sFlat)
   }
 
+  test("IVF-PQ batched streaming layout: search matches flat appends, cell pruning survives, compaction appendable") {
+    val all = corpus.cache()
+    // flat reference
+    val flat = java.nio.file.Files.createTempDirectory("graft-ivf-flat").toString
+    VectorOps.ivfPqWriteIndex(all.filter(col("vec_id") < 40L), flat,
+      nCells = 4, m = 4, codeK = 8, iters = 1, coarseIters = 1)
+    VectorOps.ivfPqAppendToIndex(all.filter(col("vec_id") >= 40L), flat)
+    val (cf, bf, sf_) = VectorOps.ivfPqReadIndex(spark, flat)
+    val ref = VectorOps.ivfPqTopKBatch(all, cf, bf, sf_, Seq(0L, 41L),
+      k = 5, nProbe = 2, shortlist = 40).collect().toSeq
+    // batched layout: same seed corpus → same centroids + books
+    val bat = java.nio.file.Files.createTempDirectory("graft-ivf-bat").toString
+    VectorOps.ivfPqSeedIndexBatched(all.filter(col("vec_id") < 40L), bat,
+      nCells = 4, m = 4, codeK = 8, iters = 1, coarseIters = 1)
+    VectorOps.ivfPqAppendToIndexBatch(all.filter(col("vec_id") >= 40L), bat, 0L)
+    val (cb, bb, sb) = VectorOps.ivfPqReadIndex(spark, bat)
+    assert(bb == bf && sb == sf_)
+    val got = VectorOps.ivfPqTopKBatch(all, cb, bb, sb, Seq(0L, 41L),
+      k = 5, nProbe = 2, shortlist = 40).collect().toSeq
+    assert(got == ref)
+    // cell is still a partition column UNDER each batch — a cell filter
+    // must prune files exactly as in the flat layout
+    val plan = cb.filter(col("cell").isin(0, 1)).queryExecution
+      .executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan)
+    // a replayed batch overwrites its own subtree — no duplicates
+    VectorOps.ivfPqAppendToIndexBatch(all.filter(col("vec_id") >= 40L), bat, 0L)
+    assert(VectorOps.ivfPqReadIndex(spark, bat)._1.count() == 60L)
+    // compaction BETWEEN live batches keeps the layout appendable:
+    // seed <40, append [40,50) as batch 0, compact, append [50,60) as
+    // batch 1 — the final index must serve the same searches as flat
+    val bat2 = java.nio.file.Files.createTempDirectory("graft-ivf-bat2").toString
+    VectorOps.ivfPqSeedIndexBatched(all.filter(col("vec_id") < 40L), bat2,
+      nCells = 4, m = 4, codeK = 8, iters = 1, coarseIters = 1)
+    VectorOps.ivfPqAppendToIndexBatch(
+      all.filter(col("vec_id") >= 40L && col("vec_id") < 50L), bat2, 0L)
+    VectorOps.pqCompactIndex(spark, bat2)
+    val subdirs = new java.io.File(s"$bat2/codes").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(subdirs == Seq("batch=compacted"), subdirs.mkString(","))
+    assert(new java.io.File(s"$bat2/codes/batch=compacted").listFiles()
+      .filter(_.isDirectory).forall(_.getName.startsWith("cell=")))
+    VectorOps.ivfPqAppendToIndexBatch(all.filter(col("vec_id") >= 50L), bat2, 1L)
+    val (cc, bc, sc_) = VectorOps.ivfPqReadIndex(spark, bat2)
+    assert(cc.count() == 60L && bc == bf && sc_ == sf_)
+    val got2 = VectorOps.ivfPqTopKBatch(all, cc, bc, sc_, Seq(0L, 41L),
+      k = 5, nProbe = 2, shortlist = 40).collect().toSeq
+    assert(got2 == ref)
+  }
+
   test("IVF-PQ whole-corpus recall floor: reranked top-5 vs GLOBAL brute force >= 4/5") {
     val emb = corpus.cache()
     val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-rec").toString
