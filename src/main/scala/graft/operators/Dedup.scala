@@ -564,22 +564,32 @@ object Dedup {
     * with bands but no shingles merely misses pairs until the append is
     * retried (band-row duplicates collapse in the candidate
     * `.distinct()`), whereas duplicated SHINGLE rows would corrupt the
-    * verify join forever. Retrying the whole append is therefore safe. */
+    * verify join forever. Retrying the whole append is therefore safe.
+    * `subdir` ("" = flat layout, "/batch=N" = batched streaming layout)
+    * selects the write target; batched writes are overwrite-by-partition
+    * and pass their precomputed band frame when the caller already has
+    * one (the streaming path computes signatures exactly once). */
   private def writeStoreParts(withSh: DataFrame, dir: String, numHashes: Int,
-                              bands: Int, mode: String): Unit = {
-    bandTable(withSh, numHashes, bands).write.mode(mode).parquet(s"$dir/bands")
-    withSh.write.mode(mode).parquet(s"$dir/shingles")
+                              bands: Int, mode: String, subdir: String = "",
+                              bandsFrame: Option[DataFrame] = None): Unit = {
+    bandsFrame.getOrElse(bandTable(withSh, numHashes, bands))
+      .write.mode(mode).parquet(s"$dir/bands$subdir")
+    withSh.write.mode(mode).parquet(s"$dir/shingles$subdir")
   }
+
+  private def writeParams(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, n: Int, numHashes: Int,
+                          bands: Int): Unit =
+    spark.range(1)
+      .select(lit(n).as("n"), lit(numHashes).as("num_hashes"),
+        lit(bands).as("bands"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
 
   /** Write the signature store for a corpus: `params` (one row),
     * `shingles` (doc_id, sh) and `bands` (doc_id, band, bucket). */
   def writeDedupStore(docs: DataFrame, dir: String, n: Int = 3,
                       numHashes: Int = 128, bands: Int = 32): Unit = {
-    val spark = docs.sparkSession
-    spark.range(1)
-      .select(lit(n).as("n"), lit(numHashes).as("num_hashes"),
-        lit(bands).as("bands"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+    writeParams(docs.sparkSession, dir, n, numHashes, bands)
     val withSh = shingled(docs, n).persist()
     try writeStoreParts(withSh, dir, numHashes, bands, "overwrite")
     finally withSh.unpersist()
@@ -599,8 +609,19 @@ object Dedup {
     for (t <- Seq("bands", "shingles")) {
       val src = s"$dir/$t"
       val tmp = s"$dir/$t.compacting"
-      spark.read.parquet(src).repartition(filesPerTable)
-        .write.mode("overwrite").parquet(tmp)
+      val rows = spark.read.parquet(src)
+      // batched streaming layout ([[seedDedupStoreBatched]]): collapse
+      // every batch partition into ONE `batch=compacted` partition DIR
+      // so later [[appendDedupStoreBatch]] calls keep a consistent
+      // directory structure (flattening `batch` into a data column
+      // would mix files and k=v dirs and break partition discovery).
+      // Run only while the stream is STOPPED and its checkpoint fully
+      // committed — a batch replayed after compaction would coexist
+      // with its compacted copy.
+      val hasBatch = rows.columns.contains("batch")
+      val body = if (hasBatch) rows.drop("batch") else rows
+      val target = if (hasBatch) s"$tmp/batch=compacted" else tmp
+      body.repartition(filesPerTable).write.mode("overwrite").parquet(target)
       graft.core.Fs.deleteRecursively(src)
       java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
         java.nio.file.Paths.get(src))
@@ -629,19 +650,17 @@ object Dedup {
     * its registration instead of duplicating shingle rows (the flat
     * [[appendDedupStore]] is append-mode and relies on the caller never
     * re-appending). Readers see one extra `batch` partition column;
-    * [[incrementalPairsPlan]] projects it away. */
-  def seedDedupStoreBatched(spark: org.apache.spark.sql.SparkSession,
-                            dir: String, n: Int = 3,
+    * [[incrementalPairsPlan]] projects it away. `docs` contributes only
+    * its SCHEMA (zero rows are written from it). */
+  def seedDedupStoreBatched(docs: DataFrame, dir: String, n: Int = 3,
                             numHashes: Int = 128, bands: Int = 32): Unit = {
-    spark.range(1)
-      .select(lit(n).as("n"), lit(numHashes).as("num_hashes"),
-        lit(bands).as("bands"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
-    val emptySh = shingled(spark.range(0)
-      .select(col("id").as("doc_id"), lit("").as("text")), n)
-    bandTable(emptySh, numHashes, bands).write.mode("overwrite")
-      .parquet(s"$dir/bands/batch=seed")
-    emptySh.write.mode("overwrite").parquet(s"$dir/shingles/batch=seed")
+    writeParams(docs.sparkSession, dir, n, numHashes, bands)
+    // schema comes from the REAL corpus frame (doc ids may be
+    // int/long/string — pinning a type here would make the seed
+    // partition's footer conflict with every later batch's)
+    val emptySh = shingled(docs.limit(0), n)
+    writeStoreParts(emptySh, dir, numHashes, bands, "overwrite",
+      subdir = "/batch=seed")
   }
 
   /** Register one micro-batch in a [[seedDedupStoreBatched]] store —
@@ -653,17 +672,38 @@ object Dedup {
                             batchId: Long): Unit = {
     val (n, numHashes, bands) = storeParams(newDocs.sparkSession, dir)
     val withSh = shingled(newDocs, n).persist()
-    try {
-      bandTable(withSh, numHashes, bands).write.mode("overwrite")
-        .parquet(s"$dir/bands/batch=$batchId")
-      withSh.write.mode("overwrite").parquet(s"$dir/shingles/batch=$batchId")
-    } finally withSh.unpersist()
+    try writeStoreParts(withSh, dir, numHashes, bands, "overwrite",
+      subdir = s"/batch=$batchId")
+    finally withSh.unpersist()
+  }
+
+  /** One micro-batch of the LIVE near-dup pipeline
+    * ([[graft.streaming.StreamingIngest.nearDupStream]] delegates here):
+    * emit the batch's pairs vs the store-so-far plus itself into
+    * `pairsDir/batch_id=N` (overwrite — replay-safe), then register the
+    * batch under `batch=N`. The batch's shingles and band table are
+    * computed ONCE — the pair plan's cached frames are reused for the
+    * registration instead of re-deriving the interpreted MinHash
+    * signatures a second time. */
+  private[graft] def streamBatchNearDup(batch: DataFrame, storeDir: String,
+                                        pairsDir: String, batchId: Long,
+                                        threshold: Double): Unit = {
+    val (_, numHashes, bands) = storeParams(batch.sparkSession, storeDir)
+    val (pairs, cached) = incrementalPairsPlan(batch, storeDir, threshold)
+    pairs.write.mode("overwrite").parquet(s"$pairsDir/batch_id=$batchId")
+    // cached = (newSh, newBands, …) — reuse the batch's signature
+    // frames for the store registration
+    writeStoreParts(cached.head, storeDir, numHashes, bands, "overwrite",
+      subdir = s"/batch=$batchId", bandsFrame = Some(cached(1)))
+    cached.foreach(_.unpersist())
   }
 
   /** Lazy plan behind [[incrementalNearDupPairs]] — split out so specs
     * can assert the join shapes (the public op materializes eagerly,
-    * hiding the plan behind a checkpoint scan). Persists three frames;
-    * the public wrapper unpersists them. */
+    * hiding the plan behind a checkpoint scan). The cached seq is
+    * positional by contract: (newSh, newBands, cand, allSh) — callers
+    * unpersist all of them, and [[streamBatchNearDup]] reuses the first
+    * two for the store registration. */
   private[graft] def incrementalPairsPlan(newDocs: DataFrame, dir: String,
                                           threshold: Double)
       : (DataFrame, Seq[DataFrame]) = {

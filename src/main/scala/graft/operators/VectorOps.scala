@@ -846,13 +846,21 @@ object VectorOps {
     books
   }
 
+  /** Shared encode-and-write half of the flat-PQ writers: one pipeline,
+    * parameterized by the codes target (`codes` flat vs `codes/batch=N`
+    * streaming) and write mode, so the four writer entry points cannot
+    * drift apart. */
+  private def writePqCodes(normed: DataFrame, books: Seq[Seq[Seq[Double]]],
+                           target: String, mode: String): Unit =
+    normed.select(col("vec_id"), pqEncode(col("nv"), books).as("code"))
+      .write.mode(mode).parquet(target)
+
   def pqWriteIndex(emb: DataFrame, dir: String, m: Int = 8,
                    codeK: Int = 16, iters: Int = 2): Seq[Seq[Seq[Double]]] = {
     val normed = pqNormalized(emb).persist()
     try {
       val books = trainAndWriteBooks(normed, dir, m, codeK, iters)
-      normed.select(col("vec_id"), pqEncode(col("nv"), books).as("code"))
-        .write.mode("overwrite").parquet(s"$dir/codes")
+      writePqCodes(normed, books, s"$dir/codes", "overwrite")
       books
     } finally normed.unpersist()
   }
@@ -866,9 +874,7 @@ object VectorOps {
   def pqAppendToIndex(newVecs: DataFrame, dir: String): Unit = {
     val (_, books) = pqReadIndex(newVecs.sparkSession, dir)
     requireDimMatches(newVecs, books)
-    pqNormalized(newVecs)
-      .select(col("vec_id"), pqEncode(col("nv"), books).as("code"))
-      .write.mode("append").parquet(s"$dir/codes")
+    writePqCodes(pqNormalized(newVecs), books, s"$dir/codes", "append")
   }
 
   /** [[pqWriteIndex]] in BATCH-PARTITIONED layout (`codes/batch=seed`)
@@ -885,8 +891,7 @@ object VectorOps {
     val normed = pqNormalized(emb).persist()
     try {
       val books = trainAndWriteBooks(normed, dir, m, codeK, iters)
-      normed.select(col("vec_id"), pqEncode(col("nv"), books).as("code"))
-        .write.mode("overwrite").parquet(s"$dir/codes/batch=seed")
+      writePqCodes(normed, books, s"$dir/codes/batch=seed", "overwrite")
       books
     } finally normed.unpersist()
   }
@@ -899,9 +904,8 @@ object VectorOps {
                            batchId: Long): Unit = {
     val (_, books) = pqReadIndex(newVecs.sparkSession, dir)
     requireDimMatches(newVecs, books)
-    pqNormalized(newVecs)
-      .select(col("vec_id"), pqEncode(col("nv"), books).as("code"))
-      .write.mode("overwrite").parquet(s"$dir/codes/batch=$batchId")
+    writePqCodes(pqNormalized(newVecs), books, s"$dir/codes/batch=$batchId",
+      "overwrite")
   }
 
   /** Appending mismatched-dimension vectors would write garbage codes
@@ -922,11 +926,8 @@ object VectorOps {
   def ivfPqAppendToIndex(newVecs: DataFrame, dir: String): Unit = {
     val (_, books, centroids) = ivfPqReadIndex(newVecs.sparkSession, dir)
     requireDimMatches(newVecs, books)
-    pqNormalized(newVecs)
-      .select(col("vec_id"),
-        ivfAssign(col("nv"), centroids).as("cell"),
-        pqEncode(col("nv"), books).as("code"))
-      .write.partitionBy("cell").mode("append").parquet(s"$dir/codes")
+    writeIvfPqCodes(pqNormalized(newVecs), books, centroids,
+      s"$dir/codes", "append")
   }
 
   /** Offline index maintenance — the explicit decision the append path
@@ -940,7 +941,12 @@ object VectorOps {
     * and centroids are untouched, codes are byte-identical rows, so
     * search results cannot change (pinned in PqIndexSpec). Write-to-temp
     * then swap; run while no append is in flight (the reference's
-    * analog is a major compaction — same offline discipline).
+    * analog is a major compaction — same offline discipline). For a
+    * STREAMED index that discipline means: stream stopped AND its last
+    * batch committed in the checkpoint — compacting a batch whose
+    * commit never landed absorbs its codes into `batch=compacted`, and
+    * the restart's replay then rewrites `batch=N` alongside them,
+    * duplicating those vectors in every later shortlist.
     *
     * A quantization RETRAIN (fresh codebooks + full re-encode, when
     * drift from appended data degrades recall) is [[pqWriteIndex]] /
@@ -1114,6 +1120,29 @@ object VectorOps {
   /** Train coarse centroids + PQ codebooks, encode, and write the index:
     * `centroids` (cell, centroid), `codebooks` (j, c, centroid), and
     * `codes` (vec_id, code) PARTITIONED BY cell. */
+  /** Shared halves of the IVF-PQ writers — one centroid-table write and
+    * one assign/encode/co-locate pipeline (cells repartitioned before
+    * the partitioned write: one file per cell, the layout a probe's
+    * partition-pruned read wants), parameterized by the codes target
+    * (`codes` flat vs `codes/batch=N` streaming) and mode. */
+  private def writeCentroids(spark: SparkSession, dir: String,
+                             centroids: Seq[Seq[Double]]): Unit = {
+    import spark.implicits._
+    spark.createDataset(centroids.zipWithIndex.map { case (c, i) => (i, c) })
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  private def writeIvfPqCodes(normed: DataFrame,
+                              books: Seq[Seq[Seq[Double]]],
+                              centroids: Seq[Seq[Double]],
+                              target: String, mode: String): Unit =
+    normed.select(col("vec_id"),
+        ivfAssign(col("nv"), centroids).as("cell"),
+        pqEncode(col("nv"), books).as("code"))
+      .repartition(col("cell"))
+      .write.partitionBy("cell").mode(mode).parquet(target)
+
   def ivfPqWriteIndex(emb: DataFrame, dir: String, nCells: Int = 16,
                       m: Int = 8, codeK: Int = 16, iters: Int = 2,
                       coarseIters: Int = 2): Seq[Seq[Seq[Double]]] = {
@@ -1123,20 +1152,11 @@ object VectorOps {
     // cell boundaries enough to strand true neighbours in unprobed
     // cells (measured: probe-42 recall 2/10 sampled vs green refined)
     val centroids = kmeansCentroids(emb, nCells, coarseIters)
-    spark.createDataset(centroids.zipWithIndex.map { case (c, i) => (i, c) })
-      .toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    writeCentroids(spark, dir, centroids)
     val normed = pqNormalized(emb).persist()
     try {
       val books = trainAndWriteBooks(normed, dir, m, codeK, iters)
-      normed.select(col("vec_id"),
-          ivfAssign(col("nv"), centroids).as("cell"),
-          pqEncode(col("nv"), books).as("code"))
-        // co-locate each cell before the partitioned write: one file per
-        // cell instead of (shuffle partitions × cells) splinters — the
-        // layout a probe's partition-pruned read wants
-        .repartition(col("cell"))
-        .write.partitionBy("cell").mode("overwrite").parquet(s"$dir/codes")
+      writeIvfPqCodes(normed, books, centroids, s"$dir/codes", "overwrite")
       books
     } finally normed.unpersist()
   }
@@ -1152,20 +1172,13 @@ object VectorOps {
                             m: Int = 8, codeK: Int = 16, iters: Int = 2,
                             coarseIters: Int = 2): Seq[Seq[Seq[Double]]] = {
     val spark = emb.sparkSession
-    import spark.implicits._
     val centroids = kmeansCentroids(emb, nCells, coarseIters)
-    spark.createDataset(centroids.zipWithIndex.map { case (c, i) => (i, c) })
-      .toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    writeCentroids(spark, dir, centroids)
     val normed = pqNormalized(emb).persist()
     try {
       val books = trainAndWriteBooks(normed, dir, m, codeK, iters)
-      normed.select(col("vec_id"),
-          ivfAssign(col("nv"), centroids).as("cell"),
-          pqEncode(col("nv"), books).as("code"))
-        .repartition(col("cell"))
-        .write.partitionBy("cell").mode("overwrite")
-        .parquet(s"$dir/codes/batch=seed")
+      writeIvfPqCodes(normed, books, centroids,
+        s"$dir/codes/batch=seed", "overwrite")
       books
     } finally normed.unpersist()
   }
@@ -1179,13 +1192,8 @@ object VectorOps {
                               batchId: Long): Unit = {
     val (_, books, centroids) = ivfPqReadIndex(newVecs.sparkSession, dir)
     requireDimMatches(newVecs, books)
-    pqNormalized(newVecs)
-      .select(col("vec_id"),
-        ivfAssign(col("nv"), centroids).as("cell"),
-        pqEncode(col("nv"), books).as("code"))
-      .repartition(col("cell"))
-      .write.partitionBy("cell").mode("overwrite")
-      .parquet(s"$dir/codes/batch=$batchId")
+    writeIvfPqCodes(pqNormalized(newVecs), books, centroids,
+      s"$dir/codes/batch=$batchId", "overwrite")
   }
 
   /** Load an IVF-PQ index: the cell-partitioned codes FRAME plus the

@@ -194,14 +194,15 @@ object StreamingQueries {
       .select("doc_id", "source", "n_domain")
   }
 
-  /** Streaming NEAR-dup against a live signature store: four
-    * micro-batches of the documents corpus through
+  /** Streaming NEAR-dup against a live signature store: three
+    * micro-batches of the (even-id half) documents corpus through
     * [[StreamingIngest.nearDupStream]], seeded with an empty
     * batch-partitioned store. Every unordered near-dup pair is emitted
     * exactly once — in the batch where its later side arrived — so the
     * union of the per-batch `batch_id=N` pair partitions equals the
-    * one-shot full-corpus jaccard pair set (dedup_ngram_jaccard's
-    * oracle), however the corpus happened to split into batches. */
+    * one-shot jaccard pair set over the streamed corpus
+    * (dedup_ngram_jaccard's oracle filtered to both-sides-even),
+    * however the corpus happened to split into batches. */
   def streamNearDup(s: SparkSession, d: String): DataFrame = {
     val base = tmp("graft-sndup")
     // three batches: the third probes a store that has grown by TWO
@@ -211,10 +212,10 @@ object StreamingQueries {
     // Even-id half corpus: jaccard pairs are per-doc-pair independent,
     // so the subset's pair set is exactly the full set filtered to
     // both-sides-even — same oracle, half the streamed volume.
-    s.read.parquet(s"$d/documents.parquet").select("doc_id", "text")
-      .filter(col("doc_id") % 2 === 0)
-      .repartition(3).write.parquet(s"$base/in")
-    graft.operators.Dedup.seedDedupStoreBatched(s, s"$base/store", n = 3)
+    val streamed = s.read.parquet(s"$d/documents.parquet")
+      .select("doc_id", "text").filter(col("doc_id") % 2 === 0)
+    streamed.repartition(3).write.parquet(s"$base/in")
+    graft.operators.Dedup.seedDedupStoreBatched(streamed, s"$base/store", n = 3)
     val stream = s.readStream.schema("doc_id BIGINT, text STRING")
       .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
     // the micro-batch session clones the conf at query start — size the

@@ -130,13 +130,13 @@ object StreamingIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val b = batch.persist()
-        val pairs = graft.operators.Dedup
-          .incrementalNearDupPairs(b, storeDir, threshold)
-        pairs.write.mode("overwrite").parquet(s"$pairsDir/batch_id=$id")
-        pairs.unpersist()
-        graft.operators.Dedup.appendDedupStoreBatch(b, storeDir, id)
-        b.unpersist(); ()
+        // a zero-row micro-batch (an empty file in the landing zone)
+        // has nothing to pair or register — and must not seed an empty
+        // batch partition the next read would still list
+        if (!batch.isEmpty)
+          graft.operators.Dedup.streamBatchNearDup(batch, storeDir,
+            pairsDir, id, threshold)
+        ()
       }
 
   /** Live ANN-index maintenance — the vector-side twin of
@@ -165,10 +165,14 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val V = graft.operators.VectorOps
-        if (java.nio.file.Files.exists(
-            java.nio.file.Paths.get(indexDir, "centroids")))
-          V.ivfPqAppendToIndexBatch(batch, indexDir, id)
-        else V.pqAppendToIndexBatch(batch, indexDir, id)
+        // a zero-row micro-batch would NPE the dim check and wedge the
+        // stream (the checkpoint replays the batch on every restart)
+        if (!batch.isEmpty) {
+          if (java.nio.file.Files.exists(
+              java.nio.file.Paths.get(indexDir, "centroids")))
+            V.ivfPqAppendToIndexBatch(batch, indexDir, id)
+          else V.pqAppendToIndexBatch(batch, indexDir, id)
+        }
         ()
       }
 

@@ -204,7 +204,17 @@ class StreamingSpec extends SparkSpec {
     for (nSplit <- Seq(2, 3)) {
       val tmp = java.nio.file.Files.createTempDirectory("graft-snd").toString
       docs.repartition(nSplit).write.parquet(s"$tmp/in")
-      graft.operators.Dedup.seedDedupStoreBatched(spark, s"$tmp/store", n = 3)
+      if (nSplit == 3) {
+        // a zero-row file in the landing zone produces an EMPTY
+        // micro-batch — the stream must skip it, not wedge or register
+        // an empty partition
+        docs.limit(0).repartition(1).write.parquet(s"$tmp/empty")
+        val part = new java.io.File(s"$tmp/empty").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.copy(part.toPath,
+          java.nio.file.Paths.get(s"$tmp/in", "zz-" + part.getName))
+      }
+      graft.operators.Dedup.seedDedupStoreBatched(docs, s"$tmp/store", n = 3)
       val stream = spark.readStream.schema("doc_id BIGINT, text STRING")
         .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
       val q = StreamingIngest.nearDupStream(stream, s"$tmp/store",
@@ -214,6 +224,36 @@ class StreamingSpec extends SparkSpec {
         .select("id_a", "id_b", "inter", "uni"))
       assert(streamed == oneShot, s"split=$nSplit")
     }
+  }
+
+  test("batched dedup store: string doc ids and mid-stream compaction") {
+    // the seed derives its schema from the corpus frame — a string-id
+    // corpus must round-trip (a type pinned at seed time would make the
+    // seed partition's footer conflict with every later batch's), and
+    // compactDedupStore must preserve the batch-partitioned layout so
+    // later appends keep a consistent directory
+    val docs = nearDupCorpus.select(
+      concat(lit("d"), col("doc_id")).as("doc_id"), col("text"))
+    val oneShot = graft.operators.Dedup.minhashLshPairs(docs, n = 3,
+        threshold = 0.8).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(oneShot.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sndstr").toString
+    graft.operators.Dedup.seedDedupStoreBatched(docs, dir, n = 3)
+    val ids0 = Seq("d0", "d1", "d2", "d3", "d4")
+    val b0 = docs.filter(col("doc_id").isin(ids0: _*))
+    val b1 = docs.filter(!col("doc_id").isin(ids0: _*))
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(String, String)] =
+      df.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val p0 = pairs(graft.operators.Dedup.incrementalNearDupPairs(b0, dir, 0.8))
+    graft.operators.Dedup.appendDedupStoreBatch(b0, dir, 0L)
+    graft.operators.Dedup.compactDedupStore(spark, dir) // between batches
+    val subdirs = new java.io.File(s"$dir/shingles").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(subdirs == Seq("batch=compacted"), subdirs.mkString(","))
+    val p1 = pairs(graft.operators.Dedup.incrementalNearDupPairs(b1, dir, 0.8))
+    graft.operators.Dedup.appendDedupStoreBatch(b1, dir, 1L)
+    assert((p0 ++ p1) == oneShot)
   }
 
   test("near-dup batch replayed AFTER its store append recomputes identical pairs") {
@@ -229,7 +269,7 @@ class StreamingSpec extends SparkSpec {
       threshold = 0.8))
     val tmp = java.nio.file.Files.createTempDirectory("graft-sndx").toString
     docs.repartition(3).write.parquet(s"$tmp/in")
-    graft.operators.Dedup.seedDedupStoreBatched(spark, s"$tmp/store", n = 3)
+    graft.operators.Dedup.seedDedupStoreBatched(docs, s"$tmp/store", n = 3)
     val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
     def start() = spark.readStream.schema("doc_id BIGINT, text STRING")
       .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
