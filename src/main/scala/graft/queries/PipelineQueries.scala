@@ -457,6 +457,33 @@ object PipelineQueries {
         salt = "sp1")
       .select("doc_id", "split")
 
+  /** The composed curation pipeline a production corpus runs
+    * END-TO-END: quality filter (Gopher rules) → exact dedup (min-id
+    * survivor per fingerprint) → per-domain frequency cap →
+    * train/val/test split — each stage the already-gated operator,
+    * chained exactly as a user chains them. The gate pins that the
+    * stages COMPOSE: every stage's keep decision is a pure function of
+    * the rows the previous stage passed, so the whole pipeline is one
+    * declarative plan (two semi-joins carry stage outputs; at lake
+    * scale the quality columns compute inline in the scan projection —
+    * the [[graft.operators.TextOps.analyze]] shape — and the semi-joins
+    * disappear). */
+  def corpusPipeline(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val keepIds = TextOps.qualityFilter(docs, minTokens = 40, maxTokens = 80,
+        minMeanTokLen = 4.1, maxMeanTokLen = 4.8, minAlphaRatio = 0.82,
+        minStopwordRatio = 0.05)
+      .filter(col("keep")).select("doc_id")
+    val kept = docs.join(keepIds, Seq("doc_id"), "left_semi")
+    val survIds = Dedup.exact(kept).select(col("survivor_id").as("doc_id"))
+    val sd = kept.select("doc_id", "source")
+      .join(survIds, Seq("doc_id"), "left_semi")
+    val capped = graft.operators.Sampling.domainCap(sd, "source", cap = 10)
+    graft.operators.Sampling.splitAssign(capped, "doc_id",
+        Seq("train" -> 0.96, "val" -> 0.02, "test" -> 0.02), salt = "sp1")
+      .select("doc_id", "source", "n_domain", "split")
+  }
+
   /** Sequence packing: the shuffled corpus as one token stream cut into
     * 2048-token context windows — per doc its stream offset, start
     * window, and window span; computed bucket-parallel with the same
@@ -514,6 +541,7 @@ object PipelineQueries {
     "corpus_dsir" -> dsirSelectGate _,
     "corpus_domain_cap" -> domainCapGate _,
     "corpus_split" -> corpusSplit _,
+    "corpus_pipeline" -> corpusPipeline _,
     "corpus_pack" -> corpusPack _,
     "text_redact_pii" -> textRedactPii _,
     "text_repetition" -> textRepetition _,
@@ -871,6 +899,50 @@ object PipelineQueries {
         | FROM (SELECT doc_id,
         |   CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
         |     ':sp1')), 1, 8)) AS BIGINT) % 1000000 AS b FROM documents)""".stripMargin,
+    // the composed pipeline: each CTE is the already-gated stage oracle
+    // restricted to the previous stage's survivors — quality keep
+    // (text_quality_filter's conjunctive form), min-id-per-fingerprint
+    // exact dedup, the dcap-salted domain cap, the sp1-salted split
+    "corpus_pipeline" -> {
+      val stops = TextOps.EnStopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+      s"""WITH t AS (
+         |  SELECT doc_id, text, $toksSql AS toks, length(text) AS n_chars
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, len(toks) AS n_tokens,
+         |    CASE WHEN len(toks) > 0 THEN
+         |      CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+         |      ELSE 0.0 END AS mtl,
+         |    CASE WHEN n_chars > 0 THEN
+         |      CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / CAST(n_chars AS DOUBLE)
+         |      ELSE 0.0 END AS ar,
+         |    CASE WHEN len(toks) > 0 THEN
+         |      CAST(len(list_filter(toks, x -> list_contains($stops, x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+         |      ELSE 0.0 END AS sr
+         |  FROM t),
+         |q AS (SELECT doc_id FROM m
+         |  WHERE n_tokens >= 40 AND n_tokens <= 80 AND mtl >= 4.1 AND mtl <= 4.8
+         |    AND ar >= 0.82 AND sr >= 0.05),
+         |kept AS (SELECT d.doc_id, d.text, d.source
+         |  FROM documents d JOIN q USING (doc_id)),
+         |surv AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY $fpSql),
+         |sd AS (SELECT k.doc_id, k.source FROM kept k JOIN surv USING (doc_id)),
+         |c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_domain
+         |  FROM sd GROUP BY 1),
+         |r AS (SELECT doc_id, source, row_number() OVER (
+         |    PARTITION BY source ORDER BY
+         |      CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+         |        ':dcap')), 1, 8)) AS BIGINT) % 1000000, doc_id) AS rk
+         |  FROM sd),
+         |capped AS (SELECT doc_id, source, n_domain
+         |  FROM r JOIN c USING (source) WHERE rk <= 10)
+         |SELECT doc_id, source, n_domain,
+         |  CASE WHEN b < 960000 THEN 'train'
+         |       WHEN b < 980000 THEN 'val' ELSE 'test' END AS split
+         |FROM (SELECT *, CAST(concat('0x', substr(md5(concat(
+         |    CAST(doc_id AS VARCHAR), ':sp1')), 1, 8)) AS BIGINT) % 1000000 AS b
+         |  FROM capped)""".stripMargin
+    },
     // the oracle replays the GLOBAL running sum the bucket-offset form
     // reconstructs (the bucket is monotone in the hash, ties share a
     // bucket — identical total order)
