@@ -169,6 +169,20 @@ class PlanSpec extends SparkSpec {
       plan.contains("BroadcastHashJoin"), plan.take(3000))
   }
 
+  test("composed curation pipeline: quality fuses into the scan, stages broadcast") {
+    // the end-to-end chain must stay one declarative plan: the Gopher
+    // rules evaluate INSIDE the documents scan's filter (no separate
+    // quality stage), both stage hand-offs are broadcast semi-joins,
+    // and the exact-dedup survivor agg is map-side combined — the only
+    // shuffles are the dedup agg and the over-cap window
+    val plan = executed("corpus_pipeline")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      plan.take(3000))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      plan.take(3000))
+    assert(plan.contains("partial_min"), plan.take(3000))
+  }
+
   test("span dedup derives shingles once and reuses the persisted arrays") {
     // the k-token span arrays are the expensive interpreted subtree; both
     // consumers (df aggregate + per-doc count) must read the InMemory
