@@ -14,4 +14,37 @@ object Fs {
 
   def deleteRecursively(dir: String): Unit =
     deleteRecursively(java.nio.file.Paths.get(dir))
+
+  /** Crash-safe directory swap for offline compaction: replace `src`
+    * with the fully-written `tmp` using RENAMES only, so no crash
+    * window leaves the table absent. Order: `src` → `src.old` (rename),
+    * `tmp` → `src` (rename), delete `src.old`. A crash before the
+    * first rename leaves `src` intact (stale `tmp` is overwritten by
+    * the next compaction); between the renames [[recoverSwap]] restores
+    * from `src.old`; after the second rename only the redundant
+    * `src.old` survives, deleted on the next access. */
+  def swapDir(src: String, tmp: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val old = src + ".old"
+    deleteRecursively(old)
+    Files.move(Paths.get(src), Paths.get(old))
+    Files.move(Paths.get(tmp), Paths.get(src))
+    deleteRecursively(old)
+  }
+
+  /** Recovery entry for [[swapDir]], called by readers/appenders before
+    * touching `src`: if a crash hit between the two renames (`src`
+    * missing, `src.old` present) the old generation is restored —
+    * readers never observe a missing table; a completed-but-uncleaned
+    * swap (`src` present, `src.old` leftover) just drops the leftover.
+    * Stale `*.compacting` temps are also cleared so a retried
+    * compaction starts clean. */
+  def recoverSwap(src: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val old = src + ".old"
+    if (!Files.exists(Paths.get(src)) && Files.exists(Paths.get(old)))
+      Files.move(Paths.get(old), Paths.get(src))
+    else deleteRecursively(old)
+    deleteRecursively(src + ".compacting")
+  }
 }

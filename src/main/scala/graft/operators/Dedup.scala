@@ -19,13 +19,6 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word n-gram shingles of the normalized text ("a b c" word windows).
-    *
-    * The tokenization is bound ONCE per row via a 1-element `transform`
-    * lambda-let: a subtree closed over by a HOF lambda is re-evaluated per
-    * element, so referencing `tokens(text)` directly inside the window
-    * transform would re-split the whole text for every window — O(|text|²)
-    * per document (measured as a 500+ s single stage at sf0.1). */
   /** Distinct n-token shingles as "t1 … tn" strings, derived straight
     * off the space-normalized token string with ONE overlapping-window
     * lookahead regex (the same codegen-only move as
@@ -601,7 +594,10 @@ object Dedup {
     * batches splinter the store and each incremental probe pays
     * per-file open overhead on the stored-bands read. Row content is
     * unchanged — identical pair results, pinned in Wave7Spec with a
-    * part-file-count assertion. Write-to-temp then swap; run while no
+    * part-file-count assertion. Write-to-temp then RENAME-ONLY swap
+    * ([[graft.core.Fs.swapDir]]: src→src.old, tmp→src, drop src.old —
+    * no crash window leaves the table absent; readers recover a
+    * half-swapped dir via [[graft.core.Fs.recoverSwap]]); run while no
     * append is in flight (the same offline discipline as a major
     * compaction, and as [[graft.operators.VectorOps.pqCompactIndex]]). */
   def compactDedupStore(spark: org.apache.spark.sql.SparkSession,
@@ -609,6 +605,7 @@ object Dedup {
     for (t <- Seq("bands", "shingles")) {
       val src = s"$dir/$t"
       val tmp = s"$dir/$t.compacting"
+      graft.core.Fs.recoverSwap(src)
       val rows = spark.read.parquet(src)
       // batched streaming layout ([[seedDedupStoreBatched]]): collapse
       // every batch partition into ONE `batch=compacted` partition DIR
@@ -622,9 +619,7 @@ object Dedup {
       val body = if (hasBatch) rows.drop("batch") else rows
       val target = if (hasBatch) s"$tmp/batch=compacted" else tmp
       body.repartition(filesPerTable).write.mode("overwrite").parquet(target)
-      graft.core.Fs.deleteRecursively(src)
-      java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
-        java.nio.file.Paths.get(src))
+      graft.core.Fs.swapDir(src, tmp)
     }
 
   /** Register a processed batch as part of the corpus: its signatures
@@ -708,6 +703,9 @@ object Dedup {
                                           threshold: Double)
       : (DataFrame, Seq[DataFrame]) = {
     val spark = newDocs.sparkSession
+    // restore a half-swapped compaction before reading either table
+    graft.core.Fs.recoverSwap(s"$dir/bands")
+    graft.core.Fs.recoverSwap(s"$dir/shingles")
     val (n, numHashes, bands) = storeParams(spark, dir)
     val newSh = shingled(newDocs, n).persist()
     val newBands = bandTable(newSh, numHashes, bands).persist()

@@ -289,16 +289,6 @@ object VectorOps {
       (vec.indices.map(i => vec(i) * cen(i)).sum, c)
     }.sortBy { case (s, c) => (-s, c) }.take(nProbe).map(_._2)
 
-  /** Lloyd-refined centroids: start from the deterministic
-    * [[ivfCentroids]] sample and run `iters` k-means rounds — assign
-    * (the same argmax-dot used at query time), then per-cell
-    * elementwise mean via ONE (cell, dim)-keyed aggregate (map-side
-    * combined; the collect is nCells·dim doubles, a bounded
-    * model-sized materialization, not data-sized). Empty cells keep
-    * their previous centroid. Refined centroids raise cell recall
-    * (pinned in VectorOpsSpec) without changing any plan shape — the
-    * engine-portable gates keep the zero-iteration sample so their
-    * oracles stay exact. */
   /** Vectors every deterministic trainer sees: a stride sample of at
     * most `trainN` rows, id-ordered — the FAISS discipline (quantizers
     * train on a bounded sample, never the corpus), and the reason
@@ -940,7 +930,9 @@ object VectorOps {
     * to one file per cell), `files` total for a flat index. Codebooks
     * and centroids are untouched, codes are byte-identical rows, so
     * search results cannot change (pinned in PqIndexSpec). Write-to-temp
-    * then swap; run while no append is in flight (the reference's
+    * then RENAME-ONLY swap ([[graft.core.Fs.swapDir]] — no crash window
+    * leaves `codes` absent; [[graft.core.Fs.recoverSwap]] restores a
+    * half-swapped dir); run while no append is in flight (the reference's
     * analog is a major compaction — same offline discipline). For a
     * STREAMED index that discipline means: stream stopped AND its last
     * batch committed in the checkpoint — compacting a batch whose
@@ -955,6 +947,7 @@ object VectorOps {
     * codes from two codebook generations. */
   def pqCompactIndex(spark: SparkSession, dir: String,
                      files: Int = 1): Unit = {
+    graft.core.Fs.recoverSwap(s"$dir/codes")
     val codes = spark.read.parquet(s"$dir/codes")
     val tmp = s"$dir/codes.compacting"
     // batched streaming layout: collapse every batch partition into ONE
@@ -969,9 +962,7 @@ object VectorOps {
         body.repartition(col("cell")).write.partitionBy("cell")
       else body.repartition(files).write
     writer.mode("overwrite").parquet(target)
-    graft.core.Fs.deleteRecursively(s"$dir/codes")
-    java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
-      java.nio.file.Paths.get(s"$dir/codes"))
+    graft.core.Fs.swapDir(s"$dir/codes", tmp)
   }
 
   /** Load a written index: the codes FRAME (stays distributed — this is
@@ -979,6 +970,8 @@ object VectorOps {
     * driver model (m·codeK·dsub doubles). */
   def pqReadIndex(spark: SparkSession, dir: String)
       : (DataFrame, Seq[Seq[Seq[Double]]]) = {
+    // restore a half-swapped compaction before reading the codes table
+    graft.core.Fs.recoverSwap(s"$dir/codes")
     val books = spark.read.parquet(s"$dir/codebooks")
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
       .groupBy(_._1).toSeq.sortBy(_._1)
@@ -1117,9 +1110,6 @@ object VectorOps {
   // index). ADC + exact re-rank proceed exactly as in the flat PQ
   // path, but over the probed cells' codes only.
 
-  /** Train coarse centroids + PQ codebooks, encode, and write the index:
-    * `centroids` (cell, centroid), `codebooks` (j, c, centroid), and
-    * `codes` (vec_id, code) PARTITIONED BY cell. */
   /** Shared halves of the IVF-PQ writers — one centroid-table write and
     * one assign/encode/co-locate pipeline (cells repartitioned before
     * the partitioned write: one file per cell, the layout a probe's

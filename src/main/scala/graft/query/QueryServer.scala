@@ -124,7 +124,7 @@ final class QueryServer(
     * query drops its aliases — the reference's CachedResults table is
     * scoped to the query that exported it (CachedResultsBean), never a
     * window onto the server's whole catalog or filesystem. */
-  private val loadedAliases = new ConcurrentHashMap[String, String]()
+  private[query] val loadedAliases = new ConcurrentHashMap[String, String]()
   private val cursor = new QueryCursor(stateDir)
   /** Lake-backed metric ledger beside the cursor/session state: query +
     * page metrics buffer here and flush to parquet on [[stop]], so
@@ -1391,6 +1391,10 @@ final class QueryServer(
         if (owner != null && owner != id)
           return (409, err(s"alias '$alias' is bound to another query"))
         s.df.createOrReplaceTempView(alias)
+        // a synchronous load supersedes any stale async state (e.g. a
+        // failed /loadAsync retried through /load must not keep
+        // answering 500 on /status or the data verbs)
+        asyncLoads.remove(alias.toLowerCase)
         (200, s"""{"view": ${quote(alias)}}""")
     } }
 
@@ -1438,6 +1442,8 @@ final class QueryServer(
       // the shared catalog/filesystem through this verb. Any Command
       // (DDL, SET, …) or insert node anywhere in the plan (subqueries
       // included) is refused.
+      val pending = asyncGate(referencedNames(spark, sql))
+      if (pending.isDefined) return pending.get
       guardSelect(spark, sql)
       val rows = spark.sql(sql).limit(pageSize).toJSON.collect()
       (200, s"""{"rows": [${rows.mkString(",")}]}""")
@@ -1485,7 +1491,36 @@ final class QueryServer(
 
   /** Async load states for `/cachedresults/status`
     * (alias-lowercase → LOADING | LOADED | ERROR:msg). */
-  private val asyncLoads = new ConcurrentHashMap[String, String]()
+  private[query] val asyncLoads = new ConcurrentHashMap[String, String]()
+
+  /** The status verb's contract applied to the DATA verbs (sql /
+    * getRows / create): `/loadAsync` reserves the alias in
+    * `loadedAliases` synchronously but the temp view registers later on
+    * the background thread, so in that window the alias guard passes
+    * while resolution would fail. An alias still LOADING answers the
+    * same 412 precondition `/status` reports, and one whose background
+    * load FAILED (and was not since re-loaded) answers 500 with the
+    * recorded error — never a raw TABLE_OR_VIEW_NOT_FOUND. */
+  private def asyncGate(names: Iterable[String]): Option[(Int, String)] =
+    names.iterator.map(n => (n.toLowerCase, asyncLoads.get(n.toLowerCase)))
+      .collectFirst {
+        case (n, "LOADING") =>
+          (412, err(s"alias '$n' is not yet loaded"))
+        case (n, s) if s != null && s.startsWith("ERROR:") &&
+            !loadedAliases.containsKey(n) =>
+          (500, err(s"alias '$n' failed to load: " +
+            s.stripPrefix("ERROR:")))
+      }
+
+  /** Single-part relation names referenced by `sql` (lowercased) — what
+    * [[asyncGate]] screens before [[guardSelect]] reports a mid-load
+    * alias as an unknown relation. */
+  private def referencedNames(spark: SparkSession, sql: String): Seq[String] =
+    spark.sessionState.sqlParser.parsePlan(sql).collectWithSubqueries {
+      case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+          if r.multipartIdentifier.length == 1 =>
+        r.multipartIdentifier.head.toLowerCase
+    }
 
   /** `POST /cachedresults/loadAsync?id=…&alias=A` — the reference's
     * `/CachedResults/async/load` (CachedResultsBean.loadAsync:884-905):
@@ -1558,6 +1593,8 @@ final class QueryServer(
     shareLock.synchronized {
       try {
         val src = params.getOrElse("alias", return (400, err("missing 'alias'")))
+        val srcPending = asyncGate(Seq(src))
+        if (srcPending.isDefined) return srcPending.get
         val owner = loadedAliases.get(src.toLowerCase)
         if (owner == null)
           return (412, err(s"alias '$src' is not loaded"))
@@ -1580,6 +1617,10 @@ final class QueryServer(
           part("grouping").map(g => s" GROUP BY $g").getOrElse("") +
           part("order").map(o => s" ORDER BY $o").getOrElse("")
         val spark = sparkOf.getOrElse(return (500, err("no tables registered")))
+        // conditions may reference OTHER loaded aliases via subqueries —
+        // those must also be past their async load
+        val refPending = asyncGate(referencedNames(spark, sql))
+        if (refPending.isDefined) return refPending.get
         guardSelect(spark, sql)
         spark.sql(sql).createOrReplaceTempView(view)
         (200, s"""{"view": ${quote(view)}, "sql": ${quote(sql)}}""")
@@ -1594,6 +1635,8 @@ final class QueryServer(
     * its row id); the range is bounded like every other page. */
   private def cachedGetRows(params: Map[String, String]): (Int, String) = {
     val alias = params.getOrElse("alias", return (400, err("missing 'alias'")))
+    val pending = asyncGate(Seq(alias))
+    if (pending.isDefined) return pending.get
     if (!loadedAliases.containsKey(alias.toLowerCase))
       return (404, err(s"alias '$alias' is not loaded"))
     try {

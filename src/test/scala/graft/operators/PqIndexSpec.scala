@@ -262,6 +262,19 @@ class PqIndexSpec extends SparkSpec {
     val ia = VectorOps.ivfPqTopKBatch(all, c3, b3, cents3, Seq(0L), k = 5,
       nProbe = 2, shortlist = 40).collect().toSeq
     assert(ia == ib)
+    // rename-only swap: a crash between the two renames (codes.old
+    // present, codes missing) recovers on the next read — identical
+    // results, leftover dropped
+    java.nio.file.Files.move(java.nio.file.Paths.get(s"$dir/codes"),
+      java.nio.file.Paths.get(s"$dir/codes.old"))
+    val (c4, b4) = VectorOps.pqReadIndex(spark, dir)
+    val recovered = VectorOps.pqTopKBatch(all, c4, b4, Seq(0L, 41L),
+      k = 5, shortlist = 30).collect().toSeq
+    assert(recovered == before)
+    assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$dir/codes")) &&
+      !java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$dir/codes.old")))
   }
 
   test("batched streaming layout: same books/codes/search as flat appends; replay idempotent; compaction appendable") {

@@ -125,6 +125,32 @@ class Wave7Spec extends SparkSpec {
       val after = afterF.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       afterF.unpersist()
       assert(after == before)
+      // crash-safety of the rename-only swap: a crash BETWEEN the two
+      // renames leaves bands.old (complete) and no bands — the next
+      // reader recovers the old generation and answers identically
+      val bands = java.nio.file.Paths.get(s"$dir/bands")
+      java.nio.file.Files.move(bands,
+        java.nio.file.Paths.get(s"$dir/bands.old"))
+      assert(!java.nio.file.Files.exists(bands))
+      val recF = Dedup.incrementalNearDupPairs(probe, dir.toString, 0.8)
+      val rec = recF.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      recF.unpersist()
+      assert(rec == before)
+      assert(java.nio.file.Files.exists(bands) &&
+        !java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$dir/bands.old")))
+      // a crash AFTER the second rename leaves only a stale .old +
+      // .compacting pair; recovery drops both without touching bands
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$dir/bands.old"))
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$dir/bands.compacting"))
+      Dedup.compactDedupStore(spark, dir.toString)
+      assert(files("bands") == 1 &&
+        !java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$dir/bands.old")) &&
+        !java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$dir/bands.compacting")))
     } finally graft.core.Fs.deleteRecursively(dir)
   }
 

@@ -587,6 +587,30 @@ class QueryServerSpec extends SparkSpec {
       assert(post(s"$base/cachedresults/create?alias=cr_async&view=evil" +
         s"&conditions=${enc("id IN (SELECT id FROM some_other_view)")}")
         .statusCode() == 400)
+      // the LOADING window: the alias is CAS-reserved but the temp view
+      // is not yet registered — the data verbs must answer the status
+      // verb's 412 precondition, not a raw resolution failure
+      srv.loadedAliases.put("cr_midload", id)
+      srv.asyncLoads.put("cr_midload", "LOADING")
+      assert(get(s"$base/cachedresults/sql?sql=" +
+        enc("SELECT * FROM cr_midload")).statusCode() == 412)
+      assert(get(s"$base/cachedresults/getRows?alias=cr_midload")
+        .statusCode() == 412)
+      assert(post(s"$base/cachedresults/create?alias=cr_midload&view=v9")
+        .statusCode() == 412)
+      // a failed load (alias released, ERROR recorded) answers 500 with
+      // the recorded error, until a retried synchronous load clears it
+      srv.loadedAliases.remove("cr_midload")
+      srv.asyncLoads.put("cr_midload", "ERROR:boom")
+      val failed = get(s"$base/cachedresults/getRows?alias=cr_midload")
+      assert(failed.statusCode() == 500 && failed.body().contains("boom"),
+        failed.body())
+      assert(post(s"$base/cachedresults/load?id=$id&alias=cr_midload")
+        .statusCode() == 200)
+      assert(get(s"$base/cachedresults/status?alias=cr_midload")
+        .statusCode() == 200)
+      assert(get(s"$base/cachedresults/getRows?alias=cr_midload&rowEnd=1")
+        .statusCode() == 200)
       // closing the owning query drops BOTH views and the async state
       assert(post(s"$base/query/close?id=$id").statusCode() == 200)
       assert(get(s"$base/cachedresults/status?alias=cr_async").statusCode() == 404)
