@@ -58,14 +58,18 @@ object Transforms {
     * the deterministic stand-in is the minimum value (pinned in
     * TransformsSpec).
     *
-    * Plan shape: ONE priority-tagged scan of the source + dest fields →
-    * a per-uid aggregate (map-side combined) computing both the
-    * min-struct winner and a has-dest flag → one uid-keyed join against
-    * the dest rows; the append leg is a FILTER on the aggregate (no
-    * anti-join, no second dest scan). No per-pattern passes, no window
-    * (measured: per-uid window partitions are tiny, so WindowExec's
-    * sort + per-partition overhead loses to the map-side-combined
-    * aggregate here). */
+    * Plan shape: ONE pass — a single uid-partitioned WindowExec
+    * (ordered by the priority-tagged source struct, so first_value IS
+    * the min-struct winner, has-dest is a full-frame max, and
+    * row_number marks one canonical emitter row per uid) feeding a
+    * conditional 1-or-2-row explode that overwrites dest rows and
+    * appends the missing-dest row in place. The previous
+    * groupBy + uid-join + three-branch union re-executed the whole
+    * upstream DAG once per branch — under a chain of decorates that
+    * compounds (3 branches × 3 branches = 9 source scans for two
+    * stages); the window form keeps exactly one scan and one
+    * hashpartitioning(uid) exchange, which the NEXT chained decorate
+    * reuses (its window repartitions on the same key). */
   def decorate(destField: String, patterns: Seq[(String, String)],
                placeholder: String = "@field_value@"): DocumentTransform = { df =>
     val srcFields = patterns.map(_._1)
@@ -77,19 +81,14 @@ object Transforms {
     // min struct = lowest-priority pattern first, then the minimum
     // source value (the deterministic "first"), carrying that value's
     // row context for the append leg
-    val chosen = df.filter(col("field").isin(srcFields :+ destField: _*))
-      .groupBy("uid")
-      .agg(
-        min(when(col("field").isin(srcFields: _*),
-          struct(prio.as("prio"), col("value").as("src_value"),
-            col("visibility").as("src_vis"), col("datatype").as("src_dt"),
-            col("shard_date").as("src_date")))).as("m"),
-        max(col("field") === destField).as("has_dest"))
-      .filter(col("m").isNotNull)
-      .select(col("uid"), col("m.prio").as("prio"),
-        col("m.src_value").as("src_value"), col("m.src_vis").as("src_vis"),
-        col("m.src_dt").as("src_dt"), col("m.src_date").as("src_date"),
-        col("has_dest"))
+    val srcStruct = when(col("field").isin(srcFields: _*),
+      struct(prio.as("prio"), col("value").as("src_value"),
+        col("visibility").as("src_vis"), col("datatype").as("src_dt"),
+        col("shard_date").as("src_date")))
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy("uid").orderBy(col("_src").asc_nulls_last)
+    val full = ord.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
     // template substitution, driver-side split so ALL placeholder
     // occurrences are replaced (String.replace semantics), codegen'd
     def rendered(prioCol: Column, value: Column): Column =
@@ -101,21 +100,34 @@ object Transforms {
           }
           when(prioCol === i, concat(pieces: _*)).otherwise(acc)
       }
-    val withNew = chosen
-      .select(col("uid"), rendered(col("prio"), col("src_value")).as("new_value"),
-        col("src_vis"), col("src_dt"), col("src_date"), col("has_dest"))
-    val dest = df.filter(col("field") === destField)
-    val rest = df.filter(col("field") =!= destField)
-    val overwritten = dest.join(withNew.select("uid", "new_value"), Seq("uid"), "left")
-      .withColumn("value", coalesce(col("new_value"), col("value")))
-      .drop("new_value")
-      .select(df.columns.map(col): _*)
-    val appended = withNew.filter(!col("has_dest"))
-      .select(col("uid"), col("src_dt").as("datatype"),
-        col("src_date").as("shard_date"), col("src_vis").as("visibility"),
-        lit(destField).as("field"), lit("").as("group"),
-        col("new_value").as("value"))
-      .select(df.columns.map(col): _*)
-    rest.unionByName(overwritten).unionByName(appended)
+    val tagged = df.withColumn("_src", srcStruct)
+      // same (partition, order) on all three → ONE WindowExec, one sort
+      .withColumn("_w", first(col("_src"), ignoreNulls = true).over(full))
+      .withColumn("_has_dest",
+        max(col("field") === destField).over(full))
+      .withColumn("_rn", row_number().over(ord))
+    val newValue = rendered(col("_w.prio"), col("_w.src_value"))
+    val others = df.columns.filterNot(_ == "uid")
+    val passRow = struct(others.map {
+      case "value" => when(col("field") === destField && col("_w").isNotNull,
+        newValue).otherwise(col("value")).as("value")
+      case c => col(c).as(c)
+    }.toIndexedSeq: _*)
+    val appendRow = struct(others.map {
+      case "datatype" => col("_w.src_dt").as("datatype")
+      case "shard_date" => col("_w.src_date").as("shard_date")
+      case "visibility" => col("_w.src_vis").as("visibility")
+      case "field" => lit(destField).as("field")
+      case "group" => lit("").as("group")
+      case "value" => newValue.as("value")
+      case c => col(c).as(c)
+    }.toIndexedSeq: _*)
+    val emit = col("_rn") === 1 && col("_w").isNotNull && !col("_has_dest")
+    tagged
+      .select(col("uid"),
+        explode(when(emit, array(passRow, appendRow))
+          .otherwise(array(passRow))).as("_r"))
+      .select(col("uid") +: others.map(c => col(s"_r.$c").as(c)).toIndexedSeq: _*)
+      .select(df.columns.map(col).toIndexedSeq: _*)
   }
 }
