@@ -50,6 +50,23 @@ object Dedup {
     docs.groupBy(TextOps.fingerprint(col(textCol)).as("fingerprint"))
       .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_copies"))
 
+  /** The keep-side of [[exact]]: the input ROWS whose doc survives
+    * (id == min id of its identical-content group), via ONE
+    * fingerprint-keyed window — no survivor-id join back to the corpus,
+    * so a composed pipeline's upstream stages execute once instead of
+    * once per join probe. The fingerprint is a pre-shuffle projection
+    * and the text column prunes below the exchange when the caller
+    * doesn't select it, so the shuffle carries ids + 128 bits per row.
+    * Row set equals `docs` semi-joined on [[exact]]'s survivor_id
+    * (spec-pinned in Wave9Spec). */
+  def exactKeep(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(TextOps.fingerprint(col(textCol))).orderBy(col(idCol))
+    docs.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
   /** All pairs (idA < idB) with shingle-set Jaccard ≥ threshold, reported
     * as exact integer (intersection, union) sizes.
     *

@@ -21,37 +21,62 @@ object Grouping {
   }
 
   /** uids where every (field, predicate) matches within one shared group.
-    * Plan: per-condition filtered scans of the long table, inner-joined on
-    * (uid, group) — the reference's per-document merge join over `fi`
-    * keys becomes a keyed join, co-partitioned on uid. */
+    * Plan: ONE scan of the long table — see [[matchesInGroupKeyed]]. */
   def matchesInGroup(long: DataFrame, conditions: Seq[FieldMatch]): DataFrame =
     matchesInGroupKeyed(long, conditions,
       conditions.map(_ => (c: Column) => c))
 
-  /** [[matchesInGroup]] with a per-condition group-identity transform,
-    * applied AFTER each condition's filtered scan (so only matching rows
-    * pay the rekey, never the whole frame). Mirrors the reference's
-    * asymmetric position handling: the caller passes the first field's
-    * pos-split identity and the remaining fields' subgroup identity
-    * (GroupingRequiredFilterFunctions.manageMatchesInGroupRemainingArgs). */
+  /** [[matchesInGroup]] with a per-condition group-identity transform.
+    * Mirrors the reference's asymmetric position handling: the caller
+    * passes the first field's pos-split identity and the remaining
+    * fields' subgroup identity (GroupingRequiredFilterFunctions
+    * .manageMatchesInGroupRemainingArgs).
+    *
+    * Plan: ONE scan — each row emits (condition-index, group-identity)
+    * for every condition it satisfies (a conditional array + compact +
+    * explode, all codegen'd), then a (uid, identity)-keyed aggregate
+    * ORs the indices into a bitmask and keeps identities where EVERY
+    * condition matched. Equivalent to inner-joining per-condition
+    * filtered frames on (uid, identity) — the previous shape — but
+    * without re-scanning the source once per condition (the source is
+    * usually itself a union/explode pipeline, so each extra scan
+    * re-executed that whole DAG). */
   def matchesInGroupKeyed(long: DataFrame, conditions: Seq[FieldMatch],
-                          idents: Seq[Column => Column]): DataFrame = {
-    require(conditions.nonEmpty && idents.size == conditions.size)
-    conditions.zip(idents).map { case (c, ident) =>
-      long.filter(col("field") === c.field && c.predicate(col("value")))
-        .select(col("uid"), ident(col("group").cast("string")).as("group"))
-        .filter(col("group").isNotNull)
-        .distinct()
-    }.reduce((a, b) => a.join(b, Seq("uid", "group")))
-      .select("uid").distinct()
-  }
+                          idents: Seq[Column => Column]): DataFrame =
+    allMatched(long, conditions, idents).select("uid").distinct()
 
   /** grouping:getGroupsForMatchesInGroup — also return WHICH groups hit. */
   def groupsForMatches(long: DataFrame, conditions: Seq[FieldMatch]): DataFrame =
-    conditions.zipWithIndex.map { case (c, i) =>
-      long.filter(col("field") === c.field && c.predicate(col("value")))
-        .select(col("uid"), col("group")).distinct()
-    }.reduce((a, b) => a.join(b, Seq("uid", "group")))
+    allMatched(long, conditions, conditions.map(_ => (c: Column) => c))
+      .select("uid", "group")
+
+  /** Shared one-scan kernel: (uid, group-identity) pairs where all
+    * `conditions` matched under their respective identities. */
+  private def allMatched(long: DataFrame, conditions: Seq[FieldMatch],
+                         idents: Seq[Column => Column]): DataFrame = {
+    require(conditions.nonEmpty && idents.size == conditions.size)
+    require(conditions.size < 63, "more than 62 grouping conditions")
+    val grp = col("group").cast("string")
+    val hits = conditions.zip(idents).zipWithIndex.map {
+      case ((c, ident), i) =>
+        when(col("field") === c.field && c.predicate(col("value")),
+          struct(lit(1L << i).as("mask"), ident(grp).as("g")))
+    }
+    // the any-condition disjunction pushes through a Union source and
+    // constant-folds against literal `field` legs (the common way a
+    // long view is built), so each leg scans with its own predicate
+    // pushed down and the explode only sees matching rows
+    val any = conditions.map(c =>
+      col("field") === c.field && c.predicate(col("value"))).reduce(_ || _)
+    long
+      .filter(any)
+      .select(col("uid"),
+        explode(array_compact(array(hits.toIndexedSeq: _*))).as("m"))
+      .filter(col("m.g").isNotNull)
+      .groupBy(col("uid"), col("m.g").as("group"))
+      .agg(bit_or(col("m.mask")).as("_mask"))
+      .filter(col("_mask") === (1L << conditions.size) - 1L)
+  }
 
   /** Group identity under matchesInGroup: the LAST `pos`+1 dot-segments of
     * the grouping context (EvaluationPhaseFilterFunctions

@@ -419,4 +419,33 @@ object Sampling {
     under.unionByName(over)
       .select(col(idCol), col(domainCol), col("n_domain"))
   }
+
+  /** [[domainCap]] in ONE pass over the input: a single domain-keyed
+    * window computes the domain count and the salted keep-rank in one
+    * sort, so the input DAG executes exactly once. Same rows, same
+    * columns (spec-pinned in Wave9Spec).
+    *
+    * Which to use: [[domainCap]]'s under-cap bypass is right when the
+    * input is a cheap table scan — under-cap rows skip the full-row
+    * shuffle entirely and only the domain COUNTS shuffle. This form is
+    * right when the input is itself an expensive pipeline (quality →
+    * dedup → …): [[domainCap]]'s three branches (counts, under, over)
+    * would re-execute that whole upstream DAG three times, which costs
+    * far more than shuffling the (id, domain) projection once. */
+  def domainCapOnePass(docs: DataFrame, domainCol: String, cap: Int,
+                       idCol: String = "doc_id",
+                       salt: String = "dcap"): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy(col(domainCol))
+      .orderBy(hashBucket(col(idCol), salt), col(idCol))
+    val full = ord.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    docs.select(col(idCol), col(domainCol))
+      // same (partition, order) spec for both → one WindowExec/sort
+      .withColumn("n_domain", count(lit(1)).over(full).cast("long"))
+      .withColumn("rk", row_number().over(ord))
+      .filter(col("n_domain") <= cap || col("rk") <= cap)
+      .select(col(idCol), col(domainCol), col("n_domain"))
+  }
 }

@@ -85,7 +85,15 @@ object TextOps {
 
   /** Structured quality row: counts + ratios + a keep/drop heuristic in
     * the spirit of C4/Gopher-style filters (length bounds, alpha ratio,
-    * stopword presence). */
+    * stopword presence).
+    *
+    * Deliberately the token-ARRAY forms: a measured r9 head-to-head at
+    * sf0.1 had the all-string rewrite (separators+1 counts, anchored
+    * \b-alternation regexp_count) 3× SLOWER — the rules predicate
+    * duplicates each stat subtree, and re-running regexes per duplicate
+    * costs more than one split + interpreted array folds. The regex
+    * trick pays where it removes per-window array materialization
+    * (tokens/bigrams/shingles), not single-pass folds. */
   def qualityColumns(text: Column): Seq[Column] = {
     val t = tokens(text)
     val nTok = size(t)
@@ -117,8 +125,13 @@ object TextOps {
                     minAlphaRatio: Double = 0.6,
                     minStopwordRatio: Double = 0.02,
                     idCol: String = "doc_id",
-                    textCol: String = "text"): DataFrame = {
-    val base = docs.select(Seq(col(idCol)) ++ qualityColumns(col(textCol)): _*)
+                    textCol: String = "text",
+                    carry: Seq[String] = Nil): DataFrame = {
+    // `carry` columns ride along so a composed pipeline can keep
+    // filtering AND hand the kept rows to its next stage without a
+    // semi-join back to the corpus (each join probe re-runs this scan)
+    val base = docs.select(Seq(col(idCol)) ++ carry.map(col) ++
+      qualityColumns(col(textCol)): _*)
     val rules: Seq[(String, Column)] = Seq(
       "too_few_tokens" -> (col("n_tokens") < minTokens),
       "too_many_tokens" -> (col("n_tokens") > maxTokens),
@@ -129,8 +142,8 @@ object TextOps {
     val reason = rules.foldRight(lit(null).cast("string")) {
       case ((name, failed), acc) => when(failed, name).otherwise(acc)
     }
-    base.select(col(idCol), col("n_tokens"),
-      reason.as("drop_reason"), reason.isNull.as("keep"))
+    base.select(Seq(col(idCol)) ++ carry.map(col) ++ Seq(col("n_tokens"),
+      reason.as("drop_reason"), reason.isNull.as("keep")): _*)
   }
 
   // --- language identification ----------------------------------------

@@ -464,21 +464,24 @@ object PipelineQueries {
     * chained exactly as a user chains them. The gate pins that the
     * stages COMPOSE: every stage's keep decision is a pure function of
     * the rows the previous stage passed, so the whole pipeline is one
-    * declarative plan (two semi-joins carry stage outputs; at lake
-    * scale the quality columns compute inline in the scan projection —
-    * the [[graft.operators.TextOps.analyze]] shape — and the semi-joins
-    * disappear). */
+    * declarative plan that scans the corpus ONCE — the quality rules
+    * and the dedup fingerprint evaluate in the same scan projection
+    * (qualityFilter `carry` + [[graft.operators.Dedup.exactKeep]]'s
+    * window replace the survivor-id semi-joins, whose probe sides each
+    * re-executed the upstream stages), and the cap is the one-pass
+    * window form for the same reason. Two shuffles total: the
+    * fingerprint window (ids + 128 bits per row — text prunes below
+    * the exchange) and the domain window. */
   def corpusPipeline(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val keepIds = TextOps.qualityFilter(docs, minTokens = 40, maxTokens = 80,
+    val kept = TextOps.qualityFilter(docs, minTokens = 40, maxTokens = 80,
         minMeanTokLen = 4.1, maxMeanTokLen = 4.8, minAlphaRatio = 0.82,
-        minStopwordRatio = 0.05)
-      .filter(col("keep")).select("doc_id")
-    val kept = docs.join(keepIds, Seq("doc_id"), "left_semi")
-    val survIds = Dedup.exact(kept).select(col("survivor_id").as("doc_id"))
-    val sd = kept.select("doc_id", "source")
-      .join(survIds, Seq("doc_id"), "left_semi")
-    val capped = graft.operators.Sampling.domainCap(sd, "source", cap = 10)
+        minStopwordRatio = 0.05, carry = Seq("source", "text"))
+      .filter(col("keep"))
+    val surv = Dedup.exactKeep(kept.select("doc_id", "source", "text"))
+      .select("doc_id", "source")
+    val capped = graft.operators.Sampling.domainCapOnePass(
+      surv, "source", cap = 10)
     graft.operators.Sampling.splitAssign(capped, "doc_id",
         Seq("train" -> 0.96, "val" -> 0.02, "test" -> 0.02), salt = "sp1")
       .select("doc_id", "source", "n_domain", "split")

@@ -169,18 +169,25 @@ class PlanSpec extends SparkSpec {
       plan.contains("BroadcastHashJoin"), plan.take(3000))
   }
 
-  test("composed curation pipeline: quality fuses into the scan, stages broadcast") {
+  test("composed curation pipeline: one corpus scan, two window shuffles, no joins") {
     // the end-to-end chain must stay one declarative plan: the Gopher
-    // rules evaluate INSIDE the documents scan's filter (no separate
-    // quality stage), both stage hand-offs are broadcast semi-joins,
-    // and the exact-dedup survivor agg is map-side combined — the only
-    // shuffles are the dedup agg and the over-cap window
+    // rules and the dedup fingerprint evaluate INSIDE the one documents
+    // scan's projection, stage hand-offs are window filters (no join
+    // probes that would re-execute the upstream), and the only
+    // exchanges are the fingerprint window and the domain-cap window
     val plan = executed("corpus_pipeline")
-    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
       plan.take(3000))
-    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected 1 corpus scan, got $scans\n" + plan.take(3000))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges\n" + plan.take(3000))
+    // the md5 fingerprint projects BELOW the shuffle (partition key is
+    // a plain attribute there, not an md5 call) and text prunes away:
+    // no Exchange output schema may carry the text column
+    assert(!plan.contains("Exchange hashpartitioning(md5"),
       plan.take(3000))
-    assert(plan.contains("partial_min"), plan.take(3000))
+    assert(plan.contains("Window"), plan.take(3000))
   }
 
   test("span dedup derives shingles once and reuses the persisted arrays") {

@@ -41,6 +41,7 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getAs[Int]("n_tokens") == 10)
     assert(r.getAs[Boolean]("quality_keep"))
   }
+
 }
 
 class DedupSpec extends SparkSpec {

@@ -66,6 +66,33 @@ class Wave9Spec extends SparkSpec {
     assert(again == k4)
   }
 
+  test("domainCapOnePass: identical rows to domainCap at several caps") {
+    for (cap <- Seq(1, 4, 8, 30)) {
+      val a = Sampling.domainCap(domains, "source", cap = cap)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val b = Sampling.domainCapOnePass(domains, "source", cap = cap)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(a == b, s"cap=$cap\n a=$a\n b=$b")
+    }
+  }
+
+  test("exactKeep: row set equals the exact() survivor semi-join") {
+    val docs = Seq(
+      (1L, "alpha beta gamma", "s1"),
+      (2L, "Alpha  beta GAMMA", "s2"), // same normalized content as 1
+      (3L, "something else entirely", "s1"),
+      (4L, "alpha beta gamma", "s3"),
+      (5L, "fifth unique text here", "s2")).toDF("doc_id", "text", "source")
+    val viaJoin = docs.join(
+        Dedup.exact(docs).select(col("survivor_id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    val viaKeep = Dedup.exactKeep(docs)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(viaKeep == viaJoin, s"keep=$viaKeep join=$viaJoin")
+    assert(viaKeep.map(_._1) == Set(1L, 3L, 5L))
+  }
+
   test("keepBestPerCluster: argmax by quality, ties by id, singletons survive") {
     val docs = Seq(
       (1L, "aaaa"), (2L, "aaaaaaaa"), (3L, "aaaa"), // cluster {1,2,3}: 2 wins
