@@ -30,8 +30,11 @@ object SparkEntry {
     "lucene_phrase", "mods_applied", "multimodal_probe",
     "qs_content_within", "qs_excerpt", "qs_limit_hits", "span_scrub",
     "ssdeep_chained",
-    "text_analyze", "text_tokens", "tf_adjacent", "tf_excerpt", "tf_lookup",
-    "whindex_remap")
+    "text_analyze", "text_quality_filter", "text_tokens", "tf_adjacent",
+    "tf_excerpt", "tf_lookup", "whindex_remap")
+  // text_quality_filter joined in r9: the qualityFilter lambda-let
+  // rewrite (stats bound once per row) gave it the unique
+  // transform+aggregate+filter combo.
   // span_scrub / tf_excerpt / multimodal_probe joined the list in r8:
   // the HOF-free tokens()/bigrams()/chunkLines() rewrite moved most
   // text gates OUT of the taxed-shape space entirely, which re-ranked

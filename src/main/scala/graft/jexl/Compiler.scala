@@ -662,33 +662,53 @@ private object Functions {
   private def tokensOf(c: Column): Column =
     graft.operators.TextOps.tokens(c.cast(StringType))
 
+  /** The tokenizer's space-normalized string: tokens are [a-z0-9]+ runs
+    * joined by single spaces, so token boundaries are exactly (^| ) and
+    * ( |$) — position arithmetic over [[tokensOf]] becomes string
+    * adjacency here. */
+  private def normOf(c: Column): Column =
+    trim(regexp_replace(lower(c.cast(StringType)), "[^a-z0-9]+", " "))
+
+  private def quoteTerm(t: String): String =
+    java.util.regex.Pattern.quote(t.toLowerCase)
+
   /** Ordered-consecutive phrase over the token stream — identical
     * semantics to the tf-table plan (Content.phrase): tokenizer-based, so
     * 'fast_scan' matches the phrase 'fast scan' exactly as the reference's
     * offset evaluation would.
     *
-    * The token array is BOUND once per row through a 1-element `exists`
-    * (a lambda-let): interpreted higher-order lambdas re-evaluate every
-    * subtree they close over, so an unbound form re-tokenizes the whole
-    * document per window index. */
-  private def phrasePred(c: Column, terms: Seq[String]): Column = {
-    val n = terms.size
-    exists(array(tokensOf(c)), toks =>
-      when(size(toks) >= n,
-        exists(sequence(lit(1), size(toks) - (n - 1)), i =>
-          terms.zipWithIndex.map { case (t, j) =>
-            element_at(toks, (i + lit(j)).cast("int")) === lit(t.toLowerCase)
-          }.reduce(_ && _)))
-        .otherwise(lit(false)))
-  }
+    * Consecutive token positions ⇔ the space-joined phrase occurs
+    * between token boundaries of the normalized string, so the whole
+    * predicate is ONE codegen'd regex — the previous form walked
+    * element_at windows over a lambda-bound token array, interpreted
+    * (raw text has one token per offset, so the tf-path's same-offset
+    * synonym successor rule cannot fire here). */
+  private def phrasePred(c: Column, terms: Seq[String]): Column =
+    normOf(c).rlike(
+      terms.map(quoteTerm).mkString("(?:^| )", " ", "(?: |$)"))
 
   /** ∃ one position per term with max−min ≤ dist (content:within,
-    * unordered). Nested `exists` over per-term position lists — bounded by
-    * per-document term frequency. The per-term position arrays are bound
-    * ONCE per row (same lambda-let trick as [[phrasePred]]); otherwise
-    * each inner exists re-derives its position list for every outer
-    * candidate position. */
-  private def withinPred(c: Column, dist: Int, terms: Seq[String]): Column = {
+    * unordered).
+    *
+    * The dominant case — two distinct terms (every LUCENE slop pair
+    * compiles here) — is ONE codegen'd regex on the normalized string:
+    * |pa−pb| ≤ dist ⇔ the terms occur with at most dist−1 whole tokens
+    * between them, in either order. The general k-term/repeated-term
+    * case keeps the nested-exists enumeration over per-term position
+    * lists (bound once per row via the 1-element lambda-let — an
+    * unbound form re-derives each list for every outer candidate). */
+  private def withinPred(c: Column, dist: Int, terms: Seq[String]): Column =
+    terms.map(_.toLowerCase) match {
+      case Seq(a, b) if a != b && dist >= 1 =>
+        val gap = s"(?: [a-z0-9]+){0,${dist - 1}} "
+        normOf(c).rlike(
+          s"(?:^| )(?:${quoteTerm(a)}$gap${quoteTerm(b)}" +
+            s"|${quoteTerm(b)}$gap${quoteTerm(a)})(?: |$$)")
+      case _ => withinPredGeneral(c, dist, terms)
+    }
+
+  private def withinPredGeneral(c: Column, dist: Int,
+                                terms: Seq[String]): Column = {
     val toks = tokensOf(c)
     val indexed = zip_with(toks, sequence(lit(0), size(toks) - 1),
       (t, i) => struct(t.as("t"), i.as("p")))

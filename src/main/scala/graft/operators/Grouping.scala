@@ -65,13 +65,21 @@ object Grouping {
     // the any-condition disjunction pushes through a Union source and
     // constant-folds against literal `field` legs (the common way a
     // long view is built), so each leg scans with its own predicate
-    // pushed down and the explode only sees matching rows
+    // pushed down and the row-to-matches step only sees matching rows
     val any = conditions.map(c =>
       col("field") === c.field && c.predicate(col("value"))).reduce(_ || _)
-    long
-      .filter(any)
-      .select(col("uid"),
-        explode(array_compact(array(hits.toIndexedSeq: _*))).as("m"))
+    val matched =
+      if (conditions.map(_.field).distinct.size == conditions.size)
+        // distinct condition fields → a row matches at most ONE
+        // condition: the when-chain IS the match row, no explode
+        long.filter(any)
+          .select(col("uid"),
+            hits.reduceRight((h, acc) => coalesce(h, acc)).as("m"))
+      else
+        long.filter(any)
+          .select(col("uid"),
+            explode(array_compact(array(hits.toIndexedSeq: _*))).as("m"))
+    matched
       .filter(col("m.g").isNotNull)
       .groupBy(col("uid"), col("m.g").as("group"))
       .agg(bit_or(col("m.mask")).as("_mask"))

@@ -129,21 +129,52 @@ object TextOps {
                     carry: Seq[String] = Nil): DataFrame = {
     // `carry` columns ride along so a composed pipeline can keep
     // filtering AND hand the kept rows to its next stage without a
-    // semi-join back to the corpus (each join probe re-runs this scan)
-    val base = docs.select(Seq(col(idCol)) ++ carry.map(col) ++
-      qualityColumns(col(textCol)): _*)
-    val rules: Seq[(String, Column)] = Seq(
-      "too_few_tokens" -> (col("n_tokens") < minTokens),
-      "too_many_tokens" -> (col("n_tokens") > maxTokens),
-      "mean_token_len_low" -> (col("mean_token_len") < minMeanTokLen),
-      "mean_token_len_high" -> (col("mean_token_len") > maxMeanTokLen),
-      "alpha_ratio_low" -> (col("alpha_ratio") < minAlphaRatio),
-      "stopword_ratio_low" -> (col("stopword_ratio") < minStopwordRatio))
-    val reason = rules.foldRight(lit(null).cast("string")) {
-      case ((name, failed), acc) => when(failed, name).otherwise(acc)
+    // semi-join back to the corpus (each join probe re-runs this scan).
+    //
+    // The token array and the reason fold are each bound ONCE per row
+    // via 1-element `transform` lambda-lets: Catalyst collapses the
+    // stats projection into whoever references it (the keep filter, the
+    // drop_reason output, downstream selects), textually duplicating
+    // the split()+fold subtree per reference — measured 2× the whole
+    // scan at sf1 (QualProbe9Main: 5.6 s collapsed vs 2.7 s behind a
+    // barrier). A subtree closed over by a lambda VariableReference is
+    // evaluated once no matter how many rule branches read it, and a
+    // pushed `keep` filter costs exactly one tokenization per row.
+    val rulesOf: Column => Column = { t =>
+      val nTok = size(t)
+      val meanTokLen = when(nTok > 0,
+        aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double")
+          / nTok.cast("double")).otherwise(0.0)
+      val stopR = when(nTok > 0,
+        size(filter(t, x => x.isin(EnStopwords.map(lit(_)): _*)))
+          .cast("double") / nTok.cast("double")).otherwise(0.0)
+      val nChars = length(col(textCol))
+      val alphaR = when(nChars > 0,
+        alphaChars(col(textCol)).cast("double") / nChars.cast("double"))
+        .otherwise(0.0)
+      val rules: Seq[(String, Column)] = Seq(
+        "too_few_tokens" -> (nTok < minTokens),
+        "too_many_tokens" -> (nTok > maxTokens),
+        "mean_token_len_low" -> (meanTokLen < minMeanTokLen),
+        "mean_token_len_high" -> (meanTokLen > maxMeanTokLen),
+        "alpha_ratio_low" -> (alphaR < minAlphaRatio),
+        "stopword_ratio_low" -> (stopR < minStopwordRatio))
+      val reason = rules.foldRight(lit(null).cast("string")) {
+        case ((name, failed), acc) => when(failed, name).otherwise(acc)
+      }
+      // inner let: drop_reason and keep both read the bound reason
+      element_at(transform(array(reason), r =>
+        struct(nTok.as("n_tokens"), r.as("drop_reason"),
+          r.isNull.as("keep"))), 1)
     }
-    base.select(Seq(col(idCol)) ++ carry.map(col) ++ Seq(col("n_tokens"),
-      reason.as("drop_reason"), reason.isNull.as("keep")): _*)
+    val m = element_at(
+      transform(array(tokens(col(textCol))), rulesOf), 1)
+    docs
+      .withColumn("_q", m)
+      .select(Seq(col(idCol)) ++ carry.map(col) ++ Seq(
+        col("_q.n_tokens").as("n_tokens"),
+        col("_q.drop_reason").as("drop_reason"),
+        col("_q.keep").as("keep")): _*)
   }
 
   // --- language identification ----------------------------------------

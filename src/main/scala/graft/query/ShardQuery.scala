@@ -293,7 +293,16 @@ final class ShardQueryLogic(
           val idents = identFirst +: Seq.fill(conds.size - 1)(identRest)
           val uids = graft.operators.Grouping.matchesInGroupKeyed(df, conds, idents)
           val uidCol = df.columns.find(_.equalsIgnoreCase("uid")).get
-          Some(df.join(uids.withColumnRenamed("uid", uidCol), Seq(uidCol), "left_semi"))
+          // a uid-only projection is the matching-document ID SET — the
+          // uids frame already IS that (one row per matching document);
+          // semi-joining the long frame back would re-scan it only to
+          // fan each document out to its row count and project the id
+          if (params.returnFields.map(_.toUpperCase) == Seq("UID") &&
+              params.disallowedFields.isEmpty &&
+              params.limitFieldValues.isEmpty)
+            Some(uids.withColumnRenamed("uid", uidCol))
+          else
+            Some(df.join(uids.withColumnRenamed("uid", uidCol), Seq(uidCol), "left_semi"))
         }
       }
     case _ => None

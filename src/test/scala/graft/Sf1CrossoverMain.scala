@@ -17,14 +17,24 @@ object Sf1CrossoverMain {
   private val Five = Seq("corpus_dsir", "dedup_lines",
     "grouping_paired_agg", "analyzer_tokens", "tf_within")
 
+  /** Round-9 list (r8 verdict Next #1-#3): the three material >2×
+    * singles, the sub-second TF/content band, and span_scrub. */
+  private val Round9 = Seq("decorated_fields", "qs_grouping_string",
+    "corpus_pipeline", "ancestor_query", "lucene_slop",
+    "qs_content_within", "tf_phrase", "tf_adjacent", "tf_within",
+    "edge_build", "span_scrub")
+
   def main(args: Array[String]): Unit = {
-    val sfDir = if (args.nonEmpty) args(0) else "target/sf1"
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "target/sf1")
+    val names = if (args.nonEmpty) args.toSeq
+      else if (sys.env.get("SPARK_GRAFT_ROUND").contains("9")) Round9
+      else Five
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Warmup.run(spark)
-    for (name <- Five; pass <- 1 to 2) {
+    for (name <- names; pass <- 1 to 2) {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, sfDir).count()
       System.err.println(f"[sf1] $name%-22s pass$pass rows=$n%8d " +

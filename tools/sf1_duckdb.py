@@ -1,9 +1,10 @@
 #!/usr/bin/env python3
-"""Time the five sf1-crossover oracle queries in DuckDB (32 threads).
+"""Time sf1-crossover oracle queries in DuckDB (32 threads).
 
-Usage: sf1_duckdb.py <oracle_sql.json from a Verify dump> <sfDir>
+Usage: sf1_duckdb.py <oracle_sql.json from a Verify dump> <sfDir> [name...]
 The oracle SQL references bare table names; views over <sfDir>/*.parquet
-provide them, mirroring tools/verify_local.py.
+provide them, mirroring tools/verify_local.py. Extra args select the
+query names (default: the round-8 five).
 """
 import json, sys, time, glob, os
 import duckdb
@@ -11,7 +12,7 @@ import duckdb
 FIVE = ["corpus_dsir", "dedup_lines", "grouping_paired_agg",
         "analyzer_tokens", "tf_within"]
 
-def main(oracle_json, sf_dir):
+def main(oracle_json, sf_dir, names=None):
     oracles = json.load(open(oracle_json))
     con = duckdb.connect()
     con.execute("PRAGMA threads=32")
@@ -19,7 +20,7 @@ def main(oracle_json, sf_dir):
         name = os.path.splitext(os.path.basename(p))[0]
         con.execute(
             f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
-    for name in FIVE:
+    for name in (names or FIVE):
         sql = oracles.get(name)
         if not sql:
             print(f"[sf1-duck] {name:<22} NO ORACLE")
@@ -31,4 +32,4 @@ def main(oracle_json, sf_dir):
                   f"{time.time()-t0:7.2f} s")
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    main(sys.argv[1], sys.argv[2], sys.argv[3:] or None)
