@@ -122,7 +122,22 @@ object Dedup {
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
       .persist()
-    verifyJaccard(cand, withSh, threshold)
+    eagerRelease(verifyJaccard(cand, withSh, threshold),
+      Seq(withSh, prefix, cand))
+  }
+
+  /** The [[incrementalNearDupPairs]] cache contract, shared by every
+    * batch pair op: materialize the (pair-bounded) RESULT so the
+    * intermediate caches release in-op — a long-lived curation session
+    * holds exactly one cached frame per call and frees it with
+    * `result.unpersist()` (CacheHygieneSpec pins that nothing else
+    * stays behind). */
+  private def eagerRelease(result: DataFrame,
+                           intermediates: Seq[DataFrame]): DataFrame = {
+    val out = result.persist()
+    out.count()
+    intermediates.foreach(_.unpersist())
+    out
   }
 
   /** Exact verify of candidate pairs against shingle sets. */
@@ -176,7 +191,8 @@ object Dedup {
       .filter(col("df") >= 2 && col("df") < hotSpanCap)
     val perDoc = spans.join(shared, "h")
       .groupBy("doc_id").agg(count(lit(1)).as("n_dup_spans"))
-    withSp.select(col("doc_id"), size(col("sp")).cast("long").as("n_spans"))
+    val profile = withSp
+      .select(col("doc_id"), size(col("sp")).cast("long").as("n_spans"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_spans"),
         coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
@@ -184,6 +200,7 @@ object Dedup {
           coalesce(col("n_dup_spans"), lit(0L)).cast("double")
             / col("n_spans").cast("double"))
           .otherwise(lit(0.0)).as("dup_frac"))
+    eagerRelease(profile, Seq(withSp))
   }
 
   /** Exact-substring span REMOVAL (the other half of Lee et al. —
@@ -455,7 +472,8 @@ object Dedup {
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
       .persist()
-    verifyJaccard(cand, withSh, threshold)
+    eagerRelease(verifyJaccard(cand, withSh, threshold),
+      Seq(withSh, banded, cand))
   }
 
   /** 64-bit SimHash over tokens: per-bit weighted sign accumulation,
@@ -544,7 +562,8 @@ object Dedup {
     val withSh = spread(needleDocs)
       .select(col("doc_id"), hashedShingles(col("text"), n).as("sh"))
       .persist()
-    verifyJaccard(cand, withSh, threshold)
+    eagerRelease(verifyJaccard(cand, withSh, threshold),
+      Seq(banded, cand, withSh))
   }
 
   // ---- Incremental dedup: a write-once signature store ---------------

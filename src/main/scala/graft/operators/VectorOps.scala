@@ -376,8 +376,14 @@ object VectorOps {
     * (multi-probe — recovers boundary pairs the single-cell form loses;
     * work bound becomes nAssign²·n²/nCells for balanced cells).
     *
-    * Assignment is one interpreted pass against the deterministic
-    * [[ivfCentroids]]; pairs are then resolved by ONE repartition on
+    * Assignment is one interpreted pass against deterministic
+    * centroids — DEFAULT [[kmeansCentroids]] (Lloyd-refined; the raw
+    * [[ivfCentroids]] stride sample is available via
+    * `centroidsOverride` for engine-replayable oracles, but as a
+    * DEPLOYMENT default it degenerates on replicated corpora: every
+    * stride hit can land in one replica's direction and the cell split
+    * collapses to 3·n² — SCALE.md measured 215.8 s vs 7.7 s on the
+    * r8 k-NN probe); pairs are then resolved by ONE repartition on
     * the cell key and a per-partition flat-array dot kernel — the same
     * move as [[cosineNearDupPairs]], because a shuffle JOIN would copy
     * two 64-float arrays into every candidate pair row (measured 6 s
@@ -396,7 +402,7 @@ object VectorOps {
                        centroidsOverride: Option[Seq[Seq[Double]]] = None): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val centroids = centroidsOverride.getOrElse(ivfCentroids(emb, nCells))
+    val centroids = centroidsOverride.getOrElse(kmeansCentroids(emb, nCells))
     val thr = threshold
     emb
       .select(col("vec_id"), col("embedding").cast("array<float>").as("v"),
@@ -511,14 +517,16 @@ object VectorOps {
     * per-vector candidates from different cells merge under one
     * (dedup → rank) window. Approximate: neighbours sharing no assigned
     * cell are forfeited — recall vs exact is measured and gated
-    * (ann_knn_cell_recall) rather than assumed. */
+    * (ann_knn_cell_recall) rather than assumed. Default centroids are
+    * [[kmeansCentroids]] (Lloyd) — see [[cellNearDupPairs]] for why the
+    * stride sample is an override, not a default. */
   def knnJoinCell(emb: DataFrame, k: Int, nCells: Int = 16,
                   nAssign: Int = 2,
                   centroidsOverride: Option[Seq[Seq[Double]]] = None)
       : DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val centroids = centroidsOverride.getOrElse(ivfCentroids(emb, nCells))
+    val centroids = centroidsOverride.getOrElse(kmeansCentroids(emb, nCells))
     val kk = k
     val perCell = emb
       .select(col("vec_id"), col("embedding").cast("array<float>").as("v"),

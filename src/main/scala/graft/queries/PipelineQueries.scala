@@ -128,9 +128,17 @@ object PipelineQueries {
   /** Cluster-bucketed near-dup (SemDeDup shape): within-cell exact
     * pairs only — the scale path past [[embNearDup]]'s broadcast
     * envelope. Full-hash oracle: the DuckDB side replays centroid
-    * sampling, argmax assignment, and the threshold join. */
-  def embNearDupCell(s: SparkSession, d: String): DataFrame =
-    VectorOps.cellNearDupPairs(Tables.embeddings(s, d), threshold = 0.45)
+    * sampling, argmax assignment, and the threshold join — which is why
+    * this gate pins the ZERO-ITERATION stride centroids via the
+    * override (the oracle can replay stride sampling bit-for-bit; it
+    * cannot replay Lloyd's driver-side float loops). The operator's
+    * DEPLOYMENT default is the Lloyd-refined [[VectorOps
+    * .kmeansCentroids]] — spec-pinned never below the sample's recall. */
+  def embNearDupCell(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    VectorOps.cellNearDupPairs(emb, threshold = 0.45,
+      centroidsOverride = Some(VectorOps.ivfCentroids(emb, 16)))
+  }
 
   /** LSH-bucketed ANN (approximate — recall asserted in tests, rows-only
     * check here). */

@@ -270,6 +270,37 @@ object StreamingQueries {
         (col("hits") >= 8).as("recall_ok"))
   }
 
+  /** The composed curation pipeline STREAMED (quality → exact dedup →
+    * domain cap → split), the reference's streamed==bulk correctness
+    * story applied to the flagship composition: the corpus arrives as
+    * three micro-batches, each registering its quality-kept rows into
+    * the batch-partitioned ledger; the final answer derives from the
+    * ledger and must hash-equal corpus_pipeline's batch answer (the
+    * oracle IS corpus_pipeline's CTE stitch, verbatim). */
+  def streamPipeline(s: SparkSession, d: String): DataFrame = {
+    val base = tmp("graft-spipe")
+    s.read.parquet(s"$d/documents.parquet")
+      .select("doc_id", "source", "text")
+      .repartition(3).write.parquet(s"$base/in")
+    val stream = s.readStream
+      .schema("doc_id BIGINT, source STRING, text STRING")
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+    // per-batch work is a projection+filter of a third of the corpus —
+    // size the micro-batch session's shuffles to that (see streamUidState)
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = try {
+      StreamingIngest.curationStream(stream, s"$base/ledger", s"$base/ck",
+        minTokens = 40, maxTokens = 80, minMeanTokLen = 4.1,
+        maxMeanTokLen = 4.8, minAlphaRatio = 0.82,
+        minStopwordRatio = 0.05).start()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    q.awaitTermination()
+    StreamingIngest.curationResult(s, s"$base/ledger", cap = 10,
+      Seq("train" -> 0.96, "val" -> 0.02, "test" -> 0.02),
+      splitSalt = "sp1")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_windowed" -> streamWindowed _,
     "stream_ingest" -> streamIngest _,
@@ -279,6 +310,7 @@ object StreamingQueries {
     "stream_domain_cap" -> streamDomainCap _,
     "stream_neardup" -> streamNearDup _,
     "stream_ann_append" -> streamAnnAppend _,
+    "stream_pipeline" -> streamPipeline _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -295,6 +327,10 @@ object StreamingQueries {
     "stream_neardup" ->
       s"""SELECT * FROM (${PipelineQueries.jaccardPairsSql})
          | WHERE id_a % 2 = 0 AND id_b % 2 = 0""".stripMargin,
+    // streamed == bulk for the composed curation pipeline: the ledger
+    // answer must equal the batch pipeline's, so the oracle IS the
+    // corpus_pipeline CTE stitch, verbatim
+    "stream_pipeline" -> PipelineQueries.oracleSql("corpus_pipeline"),
     // the streamed cap ledger's final fold equals the batch domain cap
     "stream_domain_cap" ->
       """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_domain

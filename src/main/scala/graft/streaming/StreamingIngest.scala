@@ -203,6 +203,70 @@ object StreamingIngest {
       .toDF("field", "value", "cnt", "uid_sample")
   }
 
+  /** Streaming COMPOSED curation — the live face of the batch
+    * corpusPipeline (quality → exact dedup → domain cap → split):
+    * each micro-batch pays only the per-ROW work (the Gopher rules and
+    * the dedup fingerprint evaluate in one projection of the batch)
+    * and registers its kept rows `(doc_id, source, fingerprint)` in a
+    * batch-partitioned ledger — OVERWRITE of `batch=N`, the same
+    * exactly-once discipline as [[nearDupStream]]'s store, so a
+    * crash-replayed micro-batch replaces its registration. The
+    * corpus-LEVEL decisions (min-id survivor per fingerprint, the
+    * domain cap's order statistic, the split) are not approximated
+    * per batch: [[curationResult]] derives them from the ledger — two
+    * windows over id+hash-sized rows, the text never re-read — and
+    * equals the batch pipeline's answer EXACTLY however the corpus was
+    * split into batches (StreamingSpec pins split-invariance and
+    * replay idempotence; the stream_pipeline gate pins hash-equality
+    * to the corpus_pipeline oracle). */
+  def curationStream(stream: DataFrame, ledgerDir: String,
+                     checkpointDir: String,
+                     minTokens: Int = 50, maxTokens: Int = 100000,
+                     minMeanTokLen: Double = 3.0,
+                     maxMeanTokLen: Double = 10.0,
+                     minAlphaRatio: Double = 0.6,
+                     minStopwordRatio: Double = 0.02)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        // an empty micro-batch registers nothing (and must not seed an
+        // empty batch partition the ledger read would still list)
+        if (!batch.isEmpty)
+          graft.operators.TextOps.qualityFilter(batch,
+              minTokens = minTokens, maxTokens = maxTokens,
+              minMeanTokLen = minMeanTokLen, maxMeanTokLen = maxMeanTokLen,
+              minAlphaRatio = minAlphaRatio,
+              minStopwordRatio = minStopwordRatio,
+              carry = Seq("source", "text"))
+            .filter(col("keep"))
+            .select(col("doc_id"), col("source"),
+              graft.operators.TextOps.fingerprint(col("text"))
+                .as("fingerprint"))
+            .write.mode("overwrite").parquet(s"$ledgerDir/kept/batch=$id")
+        ()
+      }
+
+  /** The curated-corpus answer as of the ledger's current batches —
+    * [[curationStream]]'s read side. Exact-dedup survivor = min id per
+    * fingerprint (one window), then the one-pass domain cap and the
+    * hash-range split — identical operators to the batch pipeline, fed
+    * from the ledger's (id, source, 128-bit) rows. */
+  def curationResult(spark: SparkSession, ledgerDir: String, cap: Int,
+                     splits: Seq[(String, Double)],
+                     splitSalt: String = "graft"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kept = spark.read.parquet(s"$ledgerDir/kept")
+    val w = Window.partitionBy(col("fingerprint")).orderBy(col("doc_id"))
+    val surv = kept.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).select("doc_id", "source")
+    graft.operators.Sampling.splitAssign(
+        graft.operators.Sampling.domainCapOnePass(surv, "source", cap),
+        "doc_id", splits, splitSalt)
+      .select("doc_id", "source", "n_domain", "split")
+  }
+
   /** Streaming exact-dedup ledger — the LIVE analog of
     * [[graft.operators.Dedup.exact]] for a landing-zone corpus: per
     * content hash the state carries the winning keeper (MIN doc id —

@@ -179,21 +179,24 @@ class VectorOpsSpec extends SparkSpec {
       df.select("id_a", "id_b").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     val exact = pairs(VectorOps.cosineNearDupPairs(emb, 0.45))
-    val cell = pairs(VectorOps.cellNearDupPairs(emb, 0.45))
+    // the zero-iteration stride sample (the engine-replayable override
+    // the emb_neardup_cell oracle pins)
+    val cell = pairs(VectorOps.cellNearDupPairs(emb, 0.45,
+      centroidsOverride = Some(VectorOps.ivfCentroids(emb, 16))))
     // within-cell pairs are a strict subset of the exact pair set
     assert(cell.subsetOf(exact))
     // SemDeDup contract: coarse clustering keeps most true near-dups
     // co-celled. Pin the measured recall floor so a centroid or
     // assignment regression fails loudly (measured 0.71 at sf0.001 /
     // 0.79 at sf0.01 with 16 stride-sampled cells and top-2
-    // assignment; k-means centroids would raise it further).
+    // assignment).
     assert(exact.nonEmpty)
     val recall = cell.size.toDouble / exact.size
     assert(recall >= 0.6, s"recall $recall")
-    // k-means-refined centroids must not lose recall vs the raw sample
-    // (measured: they raise it) and stay a subset of exact
-    val refined = pairs(VectorOps.cellNearDupPairs(emb, 0.45,
-      centroidsOverride = Some(VectorOps.kmeansCentroids(emb, nCells = 16))))
+    // the DEFAULT (r9: Lloyd-refined kmeansCentroids) must not lose
+    // recall vs the raw sample (measured: it raises it) and stays a
+    // subset of exact
+    val refined = pairs(VectorOps.cellNearDupPairs(emb, 0.45))
     assert(refined.subsetOf(exact))
     val krecall = refined.size.toDouble / exact.size
     assert(krecall_ok(krecall = krecall, base = recall), s"kmeans recall $krecall vs $recall")

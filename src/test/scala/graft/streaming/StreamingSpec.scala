@@ -299,6 +299,84 @@ class StreamingSpec extends SparkSpec {
       .groupBy("doc_id").count().filter(col("count") > 1).count()
     assert(storeIds == 0)
   }
+
+  test("streamed composed curation equals the batch pipeline under any split, replay-idempotent") {
+    // corpus shaped to exercise every stage: quality drops some rows,
+    // duplicates span batches (later batch carries the SMALLER id so
+    // the min-id survivor decision must be corpus-level, not per-batch),
+    // one domain exceeds the cap
+    val good = (i: Long) =>
+      ("the quick brown fox jumps over the lazy dog with " +
+        s"seven extra common words and the number $i here").toLowerCase
+    val docs = (
+      (1L to 12L).map(i => (i, "hot", good(i))) ++
+      Seq((20L, "cold", good(3)),   // dup of id 3, different domain
+          (0L, "cold", good(7)),    // dup of id 7, SMALLER id, later batch
+          (30L, "cold", "short"),   // quality-dropped
+          (31L, "cold", good(31)))
+    ).toDF("doc_id", "source", "text")
+    def curation(in: org.apache.spark.sql.DataFrame): Set[(Long, String, Long, String)] = {
+      val kept = graft.operators.TextOps.qualityFilter(in, minTokens = 5,
+          maxTokens = 100, minMeanTokLen = 1.0, maxMeanTokLen = 10.0,
+          minAlphaRatio = 0.5, minStopwordRatio = 0.01,
+          carry = Seq("source", "text")).filter(col("keep"))
+      val surv = graft.operators.Dedup.exactKeep(
+        kept.select("doc_id", "source", "text")).select("doc_id", "source")
+      graft.operators.Sampling.splitAssign(
+          graft.operators.Sampling.domainCapOnePass(surv, "source", 8),
+          "doc_id", Seq("train" -> 0.8, "val" -> 0.2), "cs")
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getLong(2), r.getString(3))).toSet
+    }
+    val batchAnswer = curation(docs)
+    assert(batchAnswer.nonEmpty && !batchAnswer.exists(_._1 == 30L))
+    // doc 0 (later-arriving smaller id) must displace 7; 20 must lose to 3
+    assert(batchAnswer.exists(_._1 == 0L) && !batchAnswer.exists(_._1 == 7L))
+    assert(!batchAnswer.exists(_._1 == 20L))
+    def result(dir: String): Set[(Long, String, Long, String)] =
+      StreamingIngest.curationResult(spark, dir, cap = 8,
+          Seq("train" -> 0.8, "val" -> 0.2), "cs")
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getLong(2), r.getString(3))).toSet
+    for (nSplit <- Seq(2, 3)) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-scur").toString
+      // doc 0 must arrive AFTER doc 7: order the files by descending id
+      docs.orderBy(col("doc_id").desc)
+        .repartitionByRange(nSplit, col("doc_id").desc)
+        .write.parquet(s"$tmp/in")
+      val stream = spark.readStream
+        .schema("doc_id BIGINT, source STRING, text STRING")
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+      StreamingIngest.curationStream(stream, s"$tmp/ledger", s"$tmp/ck",
+          minTokens = 5, maxTokens = 100, minMeanTokLen = 1.0,
+          maxMeanTokLen = 10.0, minAlphaRatio = 0.5,
+          minStopwordRatio = 0.01).start().awaitTermination(120000)
+      assert(result(s"$tmp/ledger") == batchAnswer, s"split=$nSplit")
+      // crash-replay: re-register one input file's batch — the
+      // overwrite of its own batch=N partition must REPLACE the
+      // registration, leaving the ledger answer unchanged and no
+      // doc registered twice
+      val f0 = new java.io.File(s"$tmp/in").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val in0 = spark.read.parquet(f0.getAbsolutePath)
+      val kept0 = graft.operators.TextOps.qualityFilter(in0, minTokens = 5,
+          maxTokens = 100, minMeanTokLen = 1.0, maxMeanTokLen = 10.0,
+          minAlphaRatio = 0.5, minStopwordRatio = 0.01,
+          carry = Seq("source", "text"))
+        .filter(col("keep"))
+        .select(col("doc_id"), col("source"),
+          graft.operators.TextOps.fingerprint(col("text")).as("fingerprint"))
+      // which micro-batch registered this file? the one holding its ids
+      val bid = spark.read.parquet(s"$tmp/ledger/kept")
+        .join(kept0.select("doc_id"), Seq("doc_id"), "left_semi")
+        .select("batch").head().get(0)
+      kept0.write.mode("overwrite").parquet(s"$tmp/ledger/kept/batch=$bid")
+      val dupIds = spark.read.parquet(s"$tmp/ledger/kept")
+        .groupBy("doc_id").count().filter(col("count") > 1).count()
+      assert(dupIds == 0, s"split=$nSplit: replay duplicated rows")
+      assert(result(s"$tmp/ledger") == batchAnswer, s"split=$nSplit replay")
+    }
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
