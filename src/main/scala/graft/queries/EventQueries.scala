@@ -16,7 +16,7 @@ object EventQueries {
   /** Deterministic synthetic visibility per event_type (the driver tables
     * carry no markings; policy labels are derived so the real parser/
     * evaluator path is exercised end-to-end). */
-  private def withVisibility(events: DataFrame): DataFrame =
+  private[queries] def withVisibility(events: DataFrame): DataFrame =
     events.withColumn("visibility",
       when(col("event_type") === "click", "A")
         .when(col("event_type") === "view", "A|B")

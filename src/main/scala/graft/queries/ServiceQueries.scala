@@ -302,6 +302,36 @@ object ServiceQueries {
     * know whether 7 or 42 is an event id or a user id, so the rendered
     * LUCENE disjunction crosses ids × types — and the first page is the
     * whole auto-closed answer. */
+  /** Server-side authorization resolution through the principal
+    * registry (the reference's DatawaveUser → Authorizations chain,
+    * web-services/security): the caller names ONLY `user=alice` — no
+    * caller-asserted auths — and the server resolves alice's granted
+    * {A} and applies fail-closed visibility enforcement at plan time.
+    * Same row set as the vis_filter gate, proving the registry path
+    * and the direct-auths path enforce identically. */
+  def visRegistry(s: SparkSession, d: String): DataFrame = {
+    val ev = EventQueries.withVisibility(Tables.events(s, d))
+    val server = new QueryServer(Map("events" -> ev),
+      users = Map("alice" -> Set("A"), "root" -> Set("A", "B", "C")),
+      metricsFlush = false)
+    val port = server.start()
+    try {
+      val svc = new RemoteQueryService(s"http://127.0.0.1:$port")
+      val id = svc.createQuery("events",
+        "EVENT_TYPE == 'click' || EVENT_TYPE == 'view' || " +
+          "EVENT_TYPE == 'purchase' || EVENT_TYPE == 'signup'",
+        pageSize = 5000, orderBy = Seq("event_id"), user = "alice")
+      val rows = Seq.newBuilder[String]
+      var page = svc.nextPage(id)
+      while (page.nonEmpty) { rows ++= page.get; page = svc.nextPage(id) }
+      svc.close(id)
+      import s.implicits._
+      s.read.json(s.createDataset(rows.result()))
+        .select(col("event_id").cast("long").as("event_id"),
+          col("event_type"), col("visibility"))
+    } finally server.stop()
+  }
+
   def translateId(s: SparkSession, d: String): DataFrame = {
     val server = new QueryServer(Map("events" -> Tables.events(s, d)),
       uuidTypes = Seq(
@@ -799,6 +829,7 @@ object ServiceQueries {
     "lookup_uuid" -> lookupUuid _,
     "lookup_uid" -> lookupUid _,
     "translate_id" -> translateId _,
+    "vis_registry" -> visRegistry _,
     "cached_results_load" -> cachedResultsLoad _,
     "transforms_chain" -> transformsChain _,
     "decorated_fields" -> decoratedFields _,
@@ -1018,6 +1049,14 @@ object ServiceQueries {
         |   CAST(length(text) AS BIGINT) AS content_length
         | FROM documents WHERE doc_id IN (3, 7, 11)""".stripMargin,
     // every id probed against every type: ids {7,42} x {EVENT_ID, USER_ID}
+    // the registry-resolved {A} admits exactly the rows vis_filter does:
+    // click (A) and view (A|B); purchase (A&B) and signup (C) fail closed
+    "vis_registry" ->
+      """SELECT event_id, event_type,
+        |   CASE event_type WHEN 'click' THEN 'A' WHEN 'view' THEN 'A|B'
+        |     WHEN 'purchase' THEN 'A&B' WHEN 'signup' THEN 'C'
+        |     ELSE '(A&B)|C' END AS visibility
+        | FROM events WHERE event_type IN ('click', 'view')""".stripMargin,
     "translate_id" ->
       """SELECT event_id, user_id, event_type FROM events
         | WHERE event_id IN (7, 42) OR user_id IN (7, 42)""".stripMargin,

@@ -67,6 +67,7 @@ final class QueryServer(
     mutableFields: () => Seq[(String, String)] = () => Seq.empty,
     mapReduceJobs: Seq[MapReduce.JobConfig] = Seq(MapReduce.BulkResults),
     atomTable: Option[DataFrame] = None,
+    users: Map[String, Set[String]] = Map.empty,
     metricsFlush: Boolean = true) {
 
   /** The served tables. `/modification/submit` REBINDS an entry to its
@@ -107,7 +108,8 @@ final class QueryServer(
       val table = p.getProperty("table", "")
       val df0 = tableMap.getOrElse(table,
         throw new IllegalArgumentException(s"unknown table '$table'"))
-      val qp = QueryParams(syntax = p.getProperty("syntax", "JEXL"))
+      val qp = QueryParams(syntax = p.getProperty("syntax", "JEXL"),
+        auths = definitionAuths(p))
       val (effLogic, effQp) = resolveModel(p.getProperty("model", ""), qp)
       effLogic.query(df0, p.getProperty("query", ""), effQp)
     }
@@ -116,7 +118,8 @@ final class QueryServer(
                                    running: RunningQuery,
                                    query: String = "", syntax: String = "JEXL",
                                    pageSize: Int = 0, table: String = "",
-                                   model: String = "")
+                                   model: String = "",
+                                   auths: Option[Set[String]] = None)
   private val sessions = new ConcurrentHashMap[String, Session]()
   /** CachedResults alias registry: lowercased view name → owning query
     * id. `/cachedresults/sql` only resolves relations registered here
@@ -216,6 +219,7 @@ final class QueryServer(
     server.createContext("/atom/categories", handler(atomCategories))
     server.createContext("/atom/feed", handler(atomFeedPage))
     server.createContext("/atom/entry", handler(atomEntry))
+    server.createContext("/admin/listTables", handler(adminListTables))
     server.start()
     server.getAddress.getPort
   }
@@ -300,6 +304,34 @@ final class QueryServer(
       }
     }
 
+  /** User→authorizations resolution (the reference's proxied-principal
+    * chain: web-services/security DatawaveUser → Accumulo
+    * Authorizations, consumed at LookupUUIDUtil.java:343-430): when a
+    * principal registry is configured, auths stop being caller-asserted
+    * — the caller names a `user`, the server resolves the GRANTED set,
+    * and an explicit `auths=` request may only DOWNGRADE (a requested
+    * token outside the grant is 403, an unknown user 401 — fail-closed
+    * both ways). An EMPTY registry keeps the embedded-library behavior
+    * (the deployment did its own authn; no server-side enforcement).
+    * Left = error response; Right = the auths to enforce. */
+  private def resolveAuths(params: Map[String, String])
+      : Either[(Int, String), Option[Set[String]]] =
+    if (users.isEmpty) Right(None)
+    else {
+      val user = params.getOrElse("user", "anonymous")
+      users.get(user) match {
+        case None => Left((401, err(s"unknown user '$user'")))
+        case Some(granted) =>
+          params.get("auths").map(_.split(',').toSet.filter(_.nonEmpty)) match {
+            case Some(req) if !req.subsetOf(granted) =>
+              Left((403, err(s"user '$user' is not granted: " +
+                (req -- granted).toSeq.sorted.mkString(","))))
+            case Some(req) => Right(Some(req))
+            case None => Right(Some(granted))
+          }
+      }
+    }
+
   /** Shared create core: validate, audit, plan+persist, register the
     * session, persist its durable definition, record the create metric.
     * Left = the error response; Right = the new query id. */
@@ -311,7 +343,12 @@ final class QueryServer(
       return Left((400, err("missing 'query'"))))
     val df0 = tableMap.getOrElse(table,
       return Left((404, err(s"unknown table '$table'"))))
-    val qp = QueryParams(syntax = params.getOrElse("syntax", "JEXL"))
+    val auths = resolveAuths(params) match {
+      case Left(resp) => return Left(resp)
+      case Right(a) => a
+    }
+    val qp = QueryParams(syntax = params.getOrElse("syntax", "JEXL"),
+      auths = auths)
     val queryId = java.util.UUID.randomUUID().toString.replace("-", "")
     try {
       // ALL client-input validation inside the try: a malformed pageSize
@@ -345,7 +382,7 @@ final class QueryServer(
       val running = new RunningQuery(cursor, queryId, result, orderCols,
         pageSize, sink = pageSink)
       val sess = Session(result, orderCols, running, q, qp.syntax, pageSize,
-        table, modelName)
+        table, modelName, auths)
       sessions.put(queryId, sess)
       persistSession(queryId, sess)
       // the create itself is a metric event (the reference ingests a
@@ -378,6 +415,12 @@ final class QueryServer(
                             query: String, syntax: String, logicName: String,
                             selectors: Option[Seq[String]])
                            (body: => DataFrame): (Int, String) = {
+    // lookups honor the principal registry too (unknown caller = 401,
+    // escalation = 403) — LookupUUIDUtil consumes the resolved chain
+    resolveAuths(params) match {
+      case Left(resp) => return resp
+      case Right(_) => ()
+    }
     val pageSize = params.get("pageSize").map(_.toInt)
       .getOrElse(defaultPageSize)
     require(pageSize > 0, s"pageSize must be positive, got $pageSize")
@@ -709,7 +752,12 @@ final class QueryServer(
     val q = params.getOrElse("query", return (400, err("missing 'query'")))
     val df0 = tableMap.getOrElse(table,
       return (404, err(s"unknown table '$table'")))
-    val qp = QueryParams(syntax = params.getOrElse("syntax", "JEXL"))
+    val auths = resolveAuths(params) match {
+      case Left(resp) => return resp
+      case Right(a) => a
+    }
+    val qp = QueryParams(syntax = params.getOrElse("syntax", "JEXL"),
+      auths = auths)
     try {
       val pageSize = params.get("pageSize").map(_.toInt)
         .getOrElse(defaultPageSize)
@@ -734,7 +782,7 @@ final class QueryServer(
         return (400, err(s"unknown orderBy column(s): ${missing.mkString(", ")}"))
       writeDefinition(queryId, table, q, qp.syntax, pageSize, orderCols,
         pagesServedBase = 0L, offsetBase = 0L, attempt = 0L,
-        model = modelName)
+        model = modelName, auths = auths)
       metricsStore.record(QueryMetric(queryId, q, qp.syntax,
         System.currentTimeMillis(), 0L, 0L,
         user = params.getOrElse("user", "anonymous"), logicName = table))
@@ -1169,6 +1217,12 @@ final class QueryServer(
       return (400, err("missing 'table'")))
     val long = tableMap.getOrElse(table,
       return (404, err(s"unknown table '$table'")))
+    // a configured principal registry gates mutations too (unknown
+    // caller = 401 before any edit parses)
+    resolveAuths(params) match {
+      case Left(resp) => return resp
+      case Right(_) => ()
+    }
     try {
       val edit = parseEdit(params)
       // resolve defaulted attribution NOW so the durable log replays
@@ -1730,6 +1784,30 @@ final class QueryServer(
         } catch { case e: Exception => (400, err(e.getMessage)) }
     }
 
+  /** `GET /admin/listTables` — the lake analog of the reference's
+    * Accumulo admin ListTables verb (web-services/accumulo
+    * ListTablesBean): every served table with its live row count and
+    * schema. Counts run against the CURRENT bindings, so a
+    * modification-rebound table reports its edited size. Catalog
+    * metadata only — no oracle row data leaves through this verb, and
+    * a configured principal registry still gates it (401 unknown). */
+  private def adminListTables(params: Map[String, String]): (Int, String) = {
+    resolveAuths(params) match {
+      case Left(resp) => return resp
+      case Right(_) => ()
+    }
+    try {
+      val items = tableMap.toSeq.sortBy(_._1).map { case (name, df) =>
+        val cols = df.schema.fields.map(f =>
+          s"""{"name": ${quote(f.name)},""" +
+            s""" "type": ${quote(f.dataType.simpleString)}}""")
+        s"""{"table": ${quote(name)}, "rows": ${df.count()},""" +
+          s""" "columns": [${cols.mkString(",")}]}"""
+      }
+      (200, s"""{"tables": [${items.mkString(",")}]}""")
+    } catch { case e: Exception => (500, err(e.getMessage)) }
+  }
+
   /** `GET /query/metrics/summary[?end=millis][&user=u]` — the reference's
     * `/Query/Metrics/summary/all` and `/summary/user`
     * (QueryMetricsBean.java:224-336): nine time-window buckets over
@@ -1802,7 +1880,7 @@ final class QueryServer(
       // resumed run would re-collide page numbers).
       writeDefinition(id, s.table, s.query, s.syntax, s.pageSize,
         s.orderCols, s.running.pagesServed, cursor.currentOffset(id),
-        s.running.attempt, s.model)
+        s.running.attempt, s.model, s.auths)
 
   /** The durable definition record itself — written by [[persistSession]]
     * for live sessions and by [[define]] for defined-but-not-executed
@@ -1811,11 +1889,15 @@ final class QueryServer(
                               syntax: String, pageSize: Int,
                               orderCols: Seq[String], pagesServedBase: Long,
                               offsetBase: Long, attempt: Long,
-                              model: String = ""): Unit = {
+                              model: String = "",
+                              auths: Option[Set[String]] = None): Unit = {
     val p = new java.util.Properties()
     p.setProperty("table", table)
     p.setProperty("query", query)
     p.setProperty("syntax", syntax)
+    // resolved auths travel WITH the definition: a restart-resumed (or
+    // duplicated/reset) session keeps its server-side enforcement
+    auths.foreach(a => p.setProperty("auths", a.toSeq.sorted.mkString(",")))
     p.setProperty("pageSize", pageSize.toString)
     p.setProperty("orderBy", orderCols.mkString(","))
     p.setProperty("model", model)
@@ -1847,7 +1929,8 @@ final class QueryServer(
           try p.load(in) finally in.close()
           val table = p.getProperty("table", "")
           tableMap.get(table).map { df0 =>
-            val qp = QueryParams(syntax = p.getProperty("syntax", "JEXL"))
+            val qp = QueryParams(syntax = p.getProperty("syntax", "JEXL"),
+              auths = definitionAuths(p))
             // a definition created under a model must resume under it —
             // the model store is durable beside the definitions
             val modelName = p.getProperty("model", "")
@@ -1873,13 +1956,19 @@ final class QueryServer(
               attempt = p.getProperty("attempt", "0").toLong)
             val s = Session(result, orderCols, running,
               p.getProperty("query", ""), qp.syntax, pageSize, table,
-              modelName)
+              modelName, qp.auths)
             sessions.put(id, s)
             s
           }
         }
       }
     }
+
+  /** The auths a durable definition was created under (absent property
+    * = created with no server-side enforcement). */
+  private def definitionAuths(p: java.util.Properties): Option[Set[String]] =
+    Option(p.getProperty("auths"))
+      .map(_.split(',').toSet.filter(_.nonEmpty))
 
   // ---- plumbing ------------------------------------------------------
 

@@ -102,12 +102,14 @@ final class RemoteQueryService(baseUrl: String) {
 
   /** `createQuery` (RemoteQueryService.createQuery) → remote query id. */
   def createQuery(table: String, query: String, syntax: String = "JEXL",
-                  pageSize: Int = 100, orderBy: Seq[String] = Seq.empty): String = {
+                  pageSize: Int = 100, orderBy: Seq[String] = Seq.empty,
+                  user: String = ""): String = {
     val order = if (orderBy.isEmpty) ""
                 else s"&orderBy=${enc(orderBy.mkString(","))}"
+    val who = if (user.isEmpty) "" else s"&user=${enc(user)}"
     val (status, body) = http("POST",
       s"/query/create?table=${enc(table)}&query=${enc(query)}" +
-        s"&syntax=${enc(syntax)}&pageSize=$pageSize$order")
+        s"&syntax=${enc(syntax)}&pageSize=$pageSize$order$who")
     if (status != 200)
       throw new IllegalStateException(s"remote create failed ($status): $body")
     extract("queryId", body)

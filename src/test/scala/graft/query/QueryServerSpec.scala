@@ -671,4 +671,99 @@ class QueryServerSpec extends SparkSpec {
       assert(get(s"http://127.0.0.1:$port/atom/feed?category=x").statusCode() == 404)
     } finally srv.stop()
   }
+
+  test("/admin/listTables reports live bindings: names, row counts, schema") {
+    val a = (1 to 7).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    val b = (1 to 3).map(i => (i.toLong, i * 1.5)).toDF("k", "x")
+    val srv = new QueryServer(Map("alpha" -> a, "beta" -> b),
+      metricsFlush = false)
+    val port = srv.start()
+    try {
+      val resp = get(s"http://127.0.0.1:$port/admin/listTables")
+      assert(resp.statusCode() == 200, resp.body())
+      val body = resp.body()
+      // name-sorted, live row counts, per-column types
+      val alphaIdx = body.indexOf("\"alpha\"")
+      val betaIdx = body.indexOf("\"beta\"")
+      assert(alphaIdx >= 0 && betaIdx > alphaIdx, body)
+      assert(body.contains("\"rows\": 7") && body.contains("\"rows\": 3"), body)
+      assert(body.contains("\"name\": \"id\"") &&
+        body.contains("\"type\": \"bigint\""), body)
+      assert(body.contains("\"name\": \"x\"") &&
+        body.contains("\"type\": \"double\""), body)
+    } finally srv.stop()
+  }
+
+  test("/admin/listTables honors the principal registry") {
+    val df = Seq((1L, "a")).toDF("id", "v")
+    val srv = new QueryServer(Map("t" -> df),
+      users = Map("alice" -> Set("A")), metricsFlush = false)
+    val port = srv.start()
+    try {
+      assert(get(s"http://127.0.0.1:$port/admin/listTables?user=mallory")
+        .statusCode() == 401)
+      assert(get(s"http://127.0.0.1:$port/admin/listTables?user=alice")
+        .statusCode() == 200)
+    } finally srv.stop()
+  }
+
+  test("principal registry: 401/403 fail-closed, server-resolved auths, resume keeps them") {
+    val df = Seq(
+      (1L, "click", "A"), (2L, "view", "A|B"),
+      (3L, "purchase", "A&B"), (4L, "signup", "C"))
+      .toDF("event_id", "event_type", "visibility")
+    val stateDir =
+      java.nio.file.Files.createTempDirectory("graft-reg").toString
+    val users = Map("alice" -> Set("A"), "root" -> Set("A", "B", "C"))
+    def mkServer() = new QueryServer(Map("t" -> df), stateDir = stateDir,
+      users = users, metricsFlush = false)
+    val srv = mkServer()
+    val port = srv.start()
+    val enc = (v: String) => java.net.URLEncoder.encode(v, "UTF-8")
+    def ids(body: String): Seq[Long] =
+      "\"event_id\":(\\d+)".r.findAllMatchIn(body).map(_.group(1).toLong).toSeq
+    try {
+      val base = s"http://127.0.0.1:$port"
+      val q = enc("EVENT_ID > 0")
+      // unknown user fails closed at create, lookup, and mutation
+      assert(post(s"$base/query/create?table=t&query=$q&user=mallory")
+        .statusCode() == 401)
+      assert(post(s"$base/modification/submit?service=x&table=t&user=mallory")
+        .statusCode() == 401)
+      // escalation beyond the grant is refused
+      assert(post(s"$base/query/create?table=t&query=$q&user=alice&auths=A,B")
+        .statusCode() == 403)
+      // alice sees only {A}-readable rows — auths resolved SERVER-side,
+      // none asserted by the call
+      val created = post(
+        s"$base/query/create?table=t&query=$q&user=alice&orderBy=event_id")
+      assert(created.statusCode() == 200, created.body())
+      val id = "\"queryId\": \"([0-9a-f]+)\"".r
+        .findFirstMatchIn(created.body()).get.group(1)
+      assert(ids(post(s"$base/query/next?id=$id").body()) == Seq(1L, 2L))
+      // root downgrading to {B} sees only the view row (A|B)
+      val down = post(s"$base/query/create?table=t&query=$q&user=root" +
+        "&auths=B&orderBy=event_id")
+      assert(down.statusCode() == 200, down.body())
+      val dId = "\"queryId\": \"([0-9a-f]+)\"".r
+        .findFirstMatchIn(down.body()).get.group(1)
+      assert(ids(post(s"$base/query/next?id=$dId").body()) == Seq(2L))
+      // the resolved auths travel with the durable definition: a
+      // restarted server resumes alice's query STILL enforcing {A}
+      val resumeId = "\"queryId\": \"([0-9a-f]+)\"".r.findFirstMatchIn(
+        post(s"$base/query/create?table=t&query=$q&user=alice" +
+          "&orderBy=event_id&pageSize=1").body()).get.group(1)
+      assert(ids(post(s"$base/query/next?id=$resumeId").body()) == Seq(1L))
+      srv.stop()
+      val srv2 = mkServer()
+      val port2 = srv2.start()
+      try {
+        val rest = post(s"http://127.0.0.1:$port2/query/next?id=$resumeId")
+        assert(ids(rest.body()) == Seq(2L), rest.body())
+        assert(post(s"http://127.0.0.1:$port2/query/next?id=$resumeId")
+          .statusCode() == 204)
+      } finally srv2.stop()
+    } finally
+      try srv.stop() catch { case _: Exception => () }
+  }
 }
