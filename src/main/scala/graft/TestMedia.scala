@@ -24,6 +24,19 @@ object TestMedia {
     bos.toByteArray
   }
 
+  /** Deterministic patterned RGB image: rgb = f(x, y), encoded as
+    * `format` ("png"/"bmp") — the pixel-identical-across-containers
+    * fixture the pHash tests need. */
+  def image(w: Int, h: Int, format: String,
+            f: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, f(x, y) & 0xFFFFFF)
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, bos)
+    bos.toByteArray
+  }
+
   /** All-black RGB BMP (BufferedImage default) via ImageIO. */
   def bmp(w: Int, h: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(

@@ -637,4 +637,130 @@ object Multimodal {
       .filter(col("modality") === "video")
       .select(col("media_id"),
         sequence(lit(0), col("n_frames") - 1, lit(everyN)).as("frame_indices"))
+
+  // ---- perceptual-hash image dedup -----------------------------------
+
+  /** 64-bit perceptual hash of decoded pixels (pHash, the DCT form):
+    * decode → luma → integer area-average to 32×32 → 2-D DCT-II → the
+    * 8×8 low-frequency block with the DC term EXCLUDED (63
+    * coefficients), each thresholded against their lower median →
+    * sign bits 0..62 (bit 63 fixed 0). Content-identical images hash
+    * identically regardless of container format (the hash sees pixels,
+    * not bytes — a PNG and its BMP re-encode collide at hamming 0),
+    * mild noise/edits move a few bits, unrelated images sit near 32.
+    * Pure JDK decode + IEEE-double DCT: bit-deterministic, so the gate
+    * pins literal hamming values. */
+  def phash64(bytes: Array[Byte]): Option[Long] = {
+    val img =
+      try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: Exception => None }
+    img.map { im =>
+      val w = im.getWidth; val h = im.getHeight
+      val n = 32
+      val g = Array.ofDim[Double](n, n)
+      var j = 0
+      while (j < n) {
+        val y0 = j * h / n; val y1 = math.max(y0 + 1, (j + 1) * h / n)
+        var i = 0
+        while (i < n) {
+          val x0 = i * w / n; val x1 = math.max(x0 + 1, (i + 1) * w / n)
+          var sum = 0L; var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val rgb = im.getRGB(x, y)
+              // integer luma (77R + 151G + 28B) >> 8 — exact everywhere
+              sum += (77 * ((rgb >> 16) & 0xFF) + 151 * ((rgb >> 8) & 0xFF) +
+                28 * (rgb & 0xFF)) >> 8
+              x += 1
+            }
+            y += 1
+          }
+          g(j)(i) = sum.toDouble / ((y1 - y0).toLong * (x1 - x0))
+          i += 1
+        }
+        j += 1
+      }
+      // 2-D DCT-II of the 8×8 low-frequency corner (scale factors
+      // drop out of a sign-vs-median comparison)
+      val coef = new Array[Double](64)
+      var v = 0
+      while (v < 8) {
+        var u = 0
+        while (u < 8) {
+          var s = 0.0; var y = 0
+          while (y < n) {
+            var x = 0
+            while (x < n) {
+              s += g(y)(x) *
+                math.cos((2 * x + 1) * u * math.Pi / (2.0 * n)) *
+                math.cos((2 * y + 1) * v * math.Pi / (2.0 * n))
+              x += 1
+            }
+            y += 1
+          }
+          coef(v * 8 + u) = s
+          u += 1
+        }
+        v += 1
+      }
+      val ac = (1 until 64).map(coef).sorted
+      val median = ac(31) // lower median of the 63 AC coefficients
+      var hash = 0L; var k = 1
+      while (k < 64) {
+        if (coef(k) > median) hash |= 1L << (k - 1)
+        k += 1
+      }
+      hash
+    }
+  }
+
+  /** Perceptual hashes for an image corpus: (media_id, phash) — null
+    * for rows the decoder cannot read (the explicit could-not-decode
+    * contract of [[probeAll]]). Map-side, no shuffle; at lake scale
+    * this is the write-once signature column an image dedup tier keeps
+    * beside the bytes, like the text tiers' shingle store. */
+  def imagePHash(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("phash", LongType, nullable = true)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = Option(r.getAs[Array[Byte]]("content")).getOrElse(Array.empty)
+        Row(r.getAs[Long]("media_id"),
+          phash64(bytes).map(java.lang.Long.valueOf).orNull)
+      }
+    }(enc)
+  }
+
+  /** Image near-dup pairs by perceptual hash: (id_a, id_b, hamming)
+    * with hamming ≤ `maxHamming`, id_a < id_b. EXACT, not approximate:
+    * candidates come from a 16-band × 4-bit pigeonhole self-join —
+    * two hashes within hamming ≤ 15 MUST agree on at least one band —
+    * and the verify re-checks the true bit distance, so for
+    * maxHamming ≤ 15 the output equals the quadratic all-pairs scan
+    * (spec-pinned). Same banded-join scale shape as the SimHash text
+    * path: work is per-bucket, never n². */
+  def imageNearDupPairs(media: DataFrame, maxHamming: Int = 10): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"pigeonhole guarantee covers maxHamming <= 15, got $maxHamming")
+    val ph = imagePHash(media).filter(col("phash").isNotNull)
+    val banded = ph.select(col("media_id"), col("phash"),
+        posexplode(array((0 until 16).map(b =>
+          shiftright(col("phash"), b * 4).bitwiseAND(lit(0xFL))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
+        col("x.phash").as("ph_a"), col("y.phash").as("ph_b"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
 }

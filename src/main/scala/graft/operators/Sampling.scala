@@ -232,6 +232,32 @@ object Sampling {
     df.withColumn("split", assign)
   }
 
+  /** LEAKAGE-FREE split assignment — the contamination rule an
+    * eval-aware pipeline layers over [[splitAssign]]: two documents
+    * that are near-duplicates must land in the SAME split, or the copy
+    * in test leaks training text (the train-test-overlap finding of
+    * Lee et al. 2022 §6.2, applied at split time instead of after the
+    * fact). Membership becomes a pure function of the near-dup CLUSTER
+    * identity: the split hash keys on `cluster_id` (the component
+    * minimum from [[graft.operators.Dedup.clusters]]); docs with no
+    * near-dup default to their own id — which is exactly their
+    * singleton cluster id, so the clustered and unclustered rows share
+    * one keying rule. Plan: the clusters frame (bounded by near-dup
+    * PAIRS, orders smaller than the corpus) hash-joins onto the corpus
+    * ids — AQE broadcasts it when small — and the assignment itself
+    * stays the same map-side hash-range function as [[splitAssign]]. */
+  def splitAssignLeakFree(df: DataFrame, clusters: DataFrame,
+                          idCol: String,
+                          fractions: Seq[(String, Double)],
+                          salt: String = "graft"): DataFrame = {
+    val cl = clusters.select(col("doc_id").cast("long").as(idCol),
+      col("cluster_id").cast("long").as("cluster_id"))
+    val keyed = df.join(cl, Seq(idCol), "left")
+      .withColumn("cluster_id",
+        coalesce(col("cluster_id"), col(idCol).cast("long")))
+    splitAssign(keyed, "cluster_id", fractions, salt)
+  }
+
   /** Sequence packing — the step AFTER [[trainingOrder]]: lay the
     * shuffled corpus out as one token stream and cut it into fixed
     * `ctxLen` context windows, reporting for every document its stream

@@ -373,6 +373,39 @@ object PipelineQueries {
     probed.join(feats, Seq("media_id"))
   }
 
+  /** Perceptual-hash image near-dup (pHash: DCT over DECODED pixels):
+    * container re-encodes of the same pixels (png/bmp/jpg) collide at
+    * hamming 0, a low-frequency edit (regional brightness shift) sits a
+    * few bits away, unrelated textures 26+ — pairs from the EXACT
+    * 16-band pigeonhole join. Deterministic fixtures (pure-JDK codecs +
+    * IEEE-double DCT) → literal oracle rows, the multimodal_probe
+    * discipline. */
+  def multimodalPhash(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    def gray(l: Double): Int = {
+      val v = math.max(0, math.min(255, l.toInt)); (v << 16) | (v << 8) | v
+    }
+    val texA = (x: Int, y: Int) => gray(128 + 60 * math.sin(x / 3.0) *
+      math.cos(y / 5.0) + 30 * math.sin((x + 2 * y) / 7.0))
+    val texAEdit = (x: Int, y: Int) => gray((texA(x, y) & 0xFF) +
+      (if (x < 20) 35 else 0) + (if (y > 44) -25 else 0))
+    val texB = (x: Int, y: Int) => gray(128 + 60 * math.sin(y / 4.0) *
+      math.cos(x / 6.0) + 30 * math.cos((2 * x + y) / 5.0))
+    val checker = (x: Int, y: Int) =>
+      if (((x / 8) + (y / 8)) % 2 == 0) 0xFFFFFF else 0
+    val rows = Seq(
+      Row(1L, "image", graft.TestMedia.image(64, 64, "png", texA), "png"),
+      Row(2L, "image", graft.TestMedia.image(64, 64, "bmp", texA), "bmp"),
+      Row(3L, "image", graft.TestMedia.image(64, 64, "png", texAEdit), "png"),
+      Row(4L, "image", graft.TestMedia.image(64, 64, "jpg", texA), "jpg"),
+      Row(5L, "image", graft.TestMedia.image(64, 64, "png", texB), "png"),
+      Row(6L, "image", graft.TestMedia.image(64, 64, "png", checker), "png"),
+      Row(7L, "image", "not-an-image".getBytes("UTF-8"), "png"))
+    val media = s.createDataFrame(
+      s.sparkContext.parallelize(rows, 2), Multimodal.mediaSchema)
+    Multimodal.imageNearDupPairs(media, maxHamming = 10)
+  }
+
   /** PII audit + scrub. The synthetic corpus is clean by construction, so
     * the gate augments each document with deterministic PII derived from
     * its id (email, IP, phone, card — same derivation in the oracle) and
@@ -465,6 +498,19 @@ object PipelineQueries {
         salt = "sp1")
       .select("doc_id", "split")
 
+  /** Leakage-free split: near-dup cluster members share a split (the
+    * split hash keys on the cluster id), so no test document has a
+    * near-duplicate in train — contamination prevented AT split time. */
+  def corpusSplitLeakFree(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val clusters = Dedup.clusters(
+      Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.8))
+    graft.operators.Sampling.splitAssignLeakFree(
+        docs.select("doc_id"), clusters, "doc_id",
+        Seq("train" -> 0.96, "val" -> 0.02, "test" -> 0.02), salt = "sp1")
+      .select("doc_id", "cluster_id", "split")
+  }
+
   /** The composed curation pipeline a production corpus runs
     * END-TO-END: quality filter (Gopher rules) → exact dedup (min-id
     * survivor per fingerprint) → per-domain frequency cap →
@@ -552,6 +598,7 @@ object PipelineQueries {
     "corpus_dsir" -> dsirSelectGate _,
     "corpus_domain_cap" -> domainCapGate _,
     "corpus_split" -> corpusSplit _,
+    "corpus_split_leakfree" -> corpusSplitLeakFree _,
     "corpus_pipeline" -> corpusPipeline _,
     "corpus_pack" -> corpusPack _,
     "text_redact_pii" -> textRedactPii _,
@@ -586,6 +633,7 @@ object PipelineQueries {
     "ann_knn_join" -> annKnnJoin _,
     "ann_knn_cell_recall" -> annKnnCellRecall _,
     "multimodal_probe" -> multimodalProbe _,
+    "multimodal_phash" -> multimodalPhash _,
   )
 
   private val toksSql =
@@ -910,6 +958,29 @@ object PipelineQueries {
         | FROM (SELECT doc_id,
         |   CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
         |     ':sp1')), 1, 8)) AS BIGINT) % 1000000 AS b FROM documents)""".stripMargin,
+    // the cluster derivation is dedup_clusters' recursive CTE; the
+    // split hash keys on the (coalesced-to-self) cluster id
+    "corpus_split_leakfree" ->
+      s"""WITH RECURSIVE p AS (SELECT id_a, id_b FROM ($jaccardPairsSql)),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM p
+         |      UNION SELECT id_b, id_a FROM p),
+         |reach AS (
+         |  SELECT src, dst FROM e
+         |  UNION
+         |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
+         |),
+         |cl AS (SELECT src AS doc_id,
+         |    CAST(LEAST(src, MIN(dst)) AS BIGINT) AS cluster_id
+         |  FROM reach GROUP BY src),
+         |k AS (SELECT d.doc_id,
+         |    COALESCE(cl.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN cl USING (doc_id))
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN b < 960000 THEN 'train'
+         |       WHEN b < 980000 THEN 'val' ELSE 'test' END AS split
+         |FROM (SELECT doc_id, cluster_id,
+         |   CAST(concat('0x', substr(md5(concat(CAST(cluster_id AS VARCHAR),
+         |     ':sp1')), 1, 8)) AS BIGINT) % 1000000 AS b FROM k)""".stripMargin,
     // the composed pipeline: each CTE is the already-gated stage oracle
     // restricted to the previous stage's survivors — quality keep
     // (text_quality_filter's conjunctive form), min-id-per-fingerprint
@@ -1169,6 +1240,15 @@ object PipelineQueries {
       "SELECT CAST(10 AS BIGINT) AS k, true AS recall_ok",
     // literal rows: the decode results of byte-deterministic payloads
     // (audio maps rate/channels/samples onto the probe triple)
+    // probed fixture hamming distances (PhashProbeMain): re-encodes of
+    // texture A in bmp/jpg sit at 0, the regional-brightness edit at 6,
+    // texture B and the checkerboard at 26+ (cut by maxHamming=10), the
+    // junk row decodes to null and is excluded
+    "multimodal_phash" ->
+      """SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+        |   CAST(hamming AS BIGINT) AS hamming
+        | FROM (VALUES (1, 2, 0), (1, 3, 6), (1, 4, 0),
+        |   (2, 3, 6), (2, 4, 0), (3, 4, 6)) AS t(id_a, id_b, hamming)""".stripMargin,
     "multimodal_probe" ->
       """SELECT CAST(media_id AS BIGINT) AS media_id, modality, format,
         |   CAST(width AS BIGINT) AS width,

@@ -93,6 +93,33 @@ class Wave9Spec extends SparkSpec {
     assert(viaKeep.map(_._1) == Set(1L, 3L, 5L))
   }
 
+  test("splitAssignLeakFree: cluster members share a split; singletons match splitAssign") {
+    // docs 1,2,3 form one near-dup cluster; 10,11 another; 20,21 are
+    // singletons — ids chosen so plain per-doc assignment WOULD split
+    // at least one cluster (the property the operator exists to forbid)
+    val ids = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L).toDF("doc_id")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "cluster_id")
+    val frs = Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25)
+    val got = Sampling.splitAssignLeakFree(ids, clusters, "doc_id", frs,
+        salt = "lf")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byId = got.map(r => r._1 -> r._3).toMap
+    // every cluster lands whole
+    assert(Set(byId(1L), byId(2L), byId(3L)).size == 1, got.toSeq.toString)
+    assert(byId(10L) == byId(11L), got.toSeq.toString)
+    // the plain per-doc assignment DOES split cluster {1,2,3} under
+    // this salt — the guarantee is not vacuous
+    val plain = Sampling.splitAssign(ids, "doc_id", frs, salt = "lf")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(Set(plain(1L), plain(2L), plain(3L)).size > 1, plain.toString)
+    // singletons (and each cluster) key exactly like splitAssign on the
+    // cluster id = their own id for singletons
+    assert(byId(20L) == plain(20L) && byId(21L) == plain(21L))
+    // cluster_id carried: coalesced to self for singletons
+    assert(got.filter(_._1 >= 20L).forall(r => r._2 == r._1))
+  }
+
   test("keepBestPerCluster: argmax by quality, ties by id, singletons survive") {
     val docs = Seq(
       (1L, "aaaa"), (2L, "aaaaaaaa"), (3L, "aaaa"), // cluster {1,2,3}: 2 wins

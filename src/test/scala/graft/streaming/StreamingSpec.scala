@@ -444,4 +444,57 @@ class MultimodalSpec extends SparkSpec {
     val idx = plan.head().getSeq[Int](1)
     assert(idx.head == 0)
   }
+
+  private def gray(l: Double): Int = {
+    val v = math.max(0, math.min(255, l.toInt)); (v << 16) | (v << 8) | v
+  }
+  private def tex(fx: Double, fy: Double)(x: Int, y: Int): Int =
+    gray(128 + 60 * math.sin(x / fx) * math.cos(y / fy) +
+      30 * math.sin((x + 2 * y) / 7.0))
+
+  test("pHash sees pixels, not bytes: identical content across containers, edits nearby") {
+    val a = graft.TestMedia.image(64, 64, "png", tex(3.0, 5.0))
+    val aBmp = graft.TestMedia.image(64, 64, "bmp", tex(3.0, 5.0))
+    val aJpg = graft.TestMedia.image(64, 64, "jpg", tex(3.0, 5.0))
+    val other = graft.TestMedia.image(64, 64, "png", tex(6.0, 2.0))
+    val pa = Multimodal.phash64(a).get
+    assert(Multimodal.phash64(aBmp).get == pa)
+    // jpg decodes to (near-)identical pixels for this texture — the
+    // re-encode near-dup case
+    assert(java.lang.Long.bitCount(Multimodal.phash64(aJpg).get ^ pa) <= 4)
+    // a different texture clears the dedup cutoff (measured 14 here;
+    // unrelated naturals sit near 32)
+    assert(java.lang.Long.bitCount(Multimodal.phash64(other).get ^ pa) > 10)
+    assert(Multimodal.phash64("garbage".getBytes).isEmpty)
+  }
+
+  test("imageNearDupPairs: pigeonhole candidates + verify == brute-force all pairs") {
+    val fs: Seq[(Int, Int) => Int] = Seq(
+      tex(3.0, 5.0), tex(3.1, 5.0), tex(3.0, 5.2), tex(6.0, 2.0),
+      tex(2.0, 8.0), (x, y) => gray((tex(3.0, 5.0)(x, y) & 0xFF) +
+        (if (x < 20) 35 else 0)))
+    val rows = fs.zipWithIndex.map { case (f, i) =>
+      org.apache.spark.sql.Row((i + 1).toLong, "image",
+        graft.TestMedia.image(64, 64, "png", f), "png")
+    } :+ org.apache.spark.sql.Row(99L, "image",
+      "junk".getBytes("UTF-8"), "png")
+    val mediaDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Multimodal.mediaSchema)
+    for (maxH <- Seq(4, 10, 15)) {
+      val got = Multimodal.imageNearDupPairs(mediaDf, maxH)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val hashes = Multimodal.imagePHash(mediaDf).collect()
+        .filter(!_.isNullAt(1)).map(r => (r.getLong(0), r.getLong(1)))
+      val brute = (for {
+        (ia, pa) <- hashes; (ib, pb) <- hashes if ia < ib
+        d = java.lang.Long.bitCount(pa ^ pb) if d <= maxH
+      } yield (ia, ib, d.toLong)).toSet
+      assert(got == brute, s"maxH=$maxH got=$got brute=$brute")
+      assert(!got.exists(p => p._1 == 99L || p._2 == 99L))
+    }
+    // the banding guarantee stops at 15
+    intercept[IllegalArgumentException] {
+      Multimodal.imageNearDupPairs(mediaDf, 16)
+    }
+  }
 }
