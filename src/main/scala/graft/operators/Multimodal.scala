@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -747,10 +747,7 @@ object Multimodal {
     require(maxHamming >= 0 && maxHamming <= 15,
       s"pigeonhole guarantee covers maxHamming <= 15, got $maxHamming")
     val ph = imagePHash(media).filter(col("phash").isNotNull)
-    val banded = ph.select(col("media_id"), col("phash"),
-        posexplode(array((0 until 16).map(b =>
-          shiftright(col("phash"), b * 4).bitwiseAND(lit(0xFL))): _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val banded = bandsOf(ph)
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") &&
           col("x.bucket") === col("y.bucket") &&
@@ -762,5 +759,100 @@ object Multimodal {
         bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("long")
           .as("hamming"))
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** The 16 × 4-bit pigeonhole bands of a (media_id, phash) frame —
+    * derived on the fly wherever needed (a 16-fold explode of one LONG
+    * is cheaper to recompute than to store, unlike the text tier's
+    * shingle sets). */
+  private def bandsOf(ph: DataFrame): DataFrame =
+    ph.select(col("media_id"), col("phash"),
+        posexplode(array((0 until 16).map(b =>
+          shiftright(col("phash"), b * 4).bitwiseAND(lit(0xFL))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+
+  // ---- live pHash store: the image landing-zone dedup tier ----------
+  // The image-side twin of the text signature store (Dedup.
+  // seedDedupStoreBatched): arriving image batches hash once, pair
+  // against everything already registered, and register themselves —
+  // the old corpus is never re-decoded. The store is just (media_id,
+  // phash) in batch-partitioned parquet: 12 bytes a row, so a billion
+  // images is a ~12 GB table scanned per batch (and band-bucketable
+  // on write if even that scan grows too hot).
+
+  /** Seed an empty batch-partitioned pHash store (`phashes/batch=seed`)
+    * so the first micro-batch's incremental probe reads a valid (empty)
+    * store. OVERWRITE-per-batch registration makes replay exact, as in
+    * [[graft.operators.Dedup.seedDedupStoreBatched]]. */
+  def seedPhashStoreBatched(spark: SparkSession, dir: String): Unit = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("phash", LongType)))
+    spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+      .write.mode("overwrite").parquet(s"$dir/phashes/batch=seed")
+  }
+
+  /** Register a processed batch's hashes under `batch=batchId`
+    * (overwrite — a crash-replayed batch replaces its registration). */
+  def appendPhashStoreBatch(ph: DataFrame, dir: String,
+                            batchId: Long): Unit =
+    ph.select("media_id", "phash")
+      .write.mode("overwrite").parquet(s"$dir/phashes/batch=$batchId")
+
+  /** Near-dup pairs a NEW image batch forms with the stored corpus and
+    * with itself — (id_a, id_b, hamming), id_a < id_b, the
+    * [[imageNearDupPairs]] contract. The stored side anti-joins the
+    * batch's OWN ids, so a micro-batch replayed AFTER its store append
+    * recomputes identical pairs (the same crash window the text store
+    * handles). Returns the pair frame plus the batch's hash frame so a
+    * streaming caller registers exactly what it paired. */
+  def incrementalImagePairs(newMedia: DataFrame, dir: String,
+                            maxHamming: Int = 10): (DataFrame, DataFrame) = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"pigeonhole guarantee covers maxHamming <= 15, got $maxHamming")
+    val spark = newMedia.sparkSession
+    val newPh = imagePHash(newMedia).filter(col("phash").isNotNull)
+    val stored = spark.read.parquet(s"$dir/phashes")
+      .select("media_id", "phash")
+      .join(newPh.select("media_id"), Seq("media_id"), "left_anti")
+    val nb = bandsOf(newPh)
+    val cross = bandsOf(stored).as("y")
+      .join(broadcast(nb.as("x")),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.media_id") =!= col("y.media_id"))
+      .select(least(col("x.media_id"), col("y.media_id")).as("id_a"),
+        greatest(col("x.media_id"), col("y.media_id")).as("id_b"),
+        col("x.phash").as("ph_a"), col("y.phash").as("ph_b"))
+    val self = nb.as("x").join(nb.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
+        col("x.phash").as("ph_a"), col("y.phash").as("ph_b"))
+    val pairs = cross.unionByName(self).distinct()
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+    (pairs, newPh)
+  }
+
+  /** One streamed micro-batch of the image dedup tier: emit the batch's
+    * pairs (vs store + self) into `pairsDir/batch_id=N`, then register
+    * its hashes under `batch=N` — both OVERWRITE, so replay replaces.
+    * The union of per-batch emissions equals [[imageNearDupPairs]] over
+    * the whole corpus (each unordered pair lands exactly once, in its
+    * later side's batch; spec-pinned). */
+  def streamBatchImageDedup(batch: DataFrame, storeDir: String,
+                            pairsDir: String, batchId: Long,
+                            maxHamming: Int = 10): Unit = {
+    val (pairs, newPh) = incrementalImagePairs(batch, storeDir, maxHamming)
+    val out = pairs.persist()
+    out.count()
+    out.write.mode("overwrite").parquet(s"$pairsDir/batch_id=$batchId")
+    appendPhashStoreBatch(newPh, storeDir, batchId)
+    out.unpersist()
+    ()
   }
 }

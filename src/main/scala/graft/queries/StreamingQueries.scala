@@ -301,6 +301,65 @@ object StreamingQueries {
       splitSalt = "sp1")
   }
 
+  /** Deterministic image corpus for the streamed pHash tier: one
+    * 4-member near-dup family (texture A + bmp/jpg re-encodes + a
+    * regional-brightness edit), one 2-member family (texture B + its
+    * jpg), distinct singles, and an undecodable row. */
+  private[graft] def phashCorpus(s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.Row
+    def gray(l: Double): Int = {
+      val v = math.max(0, math.min(255, l.toInt)); (v << 16) | (v << 8) | v
+    }
+    def tex(fx: Double, fy: Double)(x: Int, y: Int): Int =
+      gray(128 + 60 * math.sin(x / fx) * math.cos(y / fy) +
+        30 * math.sin((x + 2 * y) / 7.0))
+    val texA = tex(3.0, 5.0) _
+    val texAEdit = (x: Int, y: Int) => gray((texA(x, y) & 0xFF) +
+      (if (x < 20) 35 else 0) + (if (y > 44) -25 else 0))
+    val texB = (x: Int, y: Int) => gray(128 + 60 * math.sin(y / 4.0) *
+      math.cos(x / 6.0) + 30 * math.cos((2 * x + y) / 5.0))
+    val checker = (x: Int, y: Int) =>
+      if (((x / 8) + (y / 8)) % 2 == 0) 0xFFFFFF else 0
+    def img(f: (Int, Int) => Int, fmt: String): Array[Byte] =
+      graft.TestMedia.image(64, 64, fmt, f)
+    val rows = Seq(
+      Row(1L, "image", img(texA, "png"), "png"),
+      Row(2L, "image", img(texA, "bmp"), "bmp"),
+      Row(3L, "image", img(texAEdit, "png"), "png"),
+      Row(4L, "image", img(texA, "jpg"), "jpg"),
+      Row(5L, "image", img(texB, "png"), "png"),
+      Row(6L, "image", img(texB, "jpg"), "jpg"),
+      Row(7L, "image", img(checker, "png"), "png"),
+      Row(8L, "image", img(tex(2.0, 8.0), "png"), "png"),
+      Row(9L, "image", img(tex(5.5, 3.5), "png"), "png"),
+      Row(10L, "image", "not-an-image".getBytes("UTF-8"), "png"))
+    s.createDataFrame(s.sparkContext.parallelize(rows, 2),
+      graft.operators.Multimodal.mediaSchema)
+  }
+
+  /** The image landing-zone dedup tier LIVE: the pHash corpus arrives
+    * as three micro-batches; each pairs against the store-so-far plus
+    * itself and registers its hashes (overwrite-per-batch both sides).
+    * The union of per-batch pair emissions must equal the one-shot
+    * [[graft.operators.Multimodal.imageNearDupPairs]] — literal-row
+    * oracle, the multimodal fixture discipline. */
+  def streamPhash(s: SparkSession, d: String): DataFrame = {
+    val base = tmp("graft-sph")
+    val V = graft.operators.Multimodal
+    phashCorpus(s).repartition(3).write.parquet(s"$base/in")
+    V.seedPhashStoreBatched(s, s"$base/store")
+    val stream = s.readStream.schema(V.mediaSchema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = try {
+      StreamingIngest.imageDedupStream(stream, s"$base/store",
+        s"$base/pairs", s"$base/ck", maxHamming = 10).start()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    q.awaitTermination()
+    s.read.parquet(s"$base/pairs").select("id_a", "id_b", "hamming")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_windowed" -> streamWindowed _,
     "stream_ingest" -> streamIngest _,
@@ -311,6 +370,7 @@ object StreamingQueries {
     "stream_neardup" -> streamNearDup _,
     "stream_ann_append" -> streamAnnAppend _,
     "stream_pipeline" -> streamPipeline _,
+    "stream_phash" -> streamPhash _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -331,6 +391,15 @@ object StreamingQueries {
     // answer must equal the batch pipeline's, so the oracle IS the
     // corpus_pipeline CTE stitch, verbatim
     "stream_pipeline" -> PipelineQueries.oracleSql("corpus_pipeline"),
+    // streamed == one-shot for the image tier: the union of per-batch
+    // pair emissions is the probed one-shot pair set over the fixture
+    // corpus (PhashPairsProbeMain): texture A's four re-encodes/edit at
+    // hamming 0/6, texture B vs its jpg at 4, singles + junk emit none
+    "stream_phash" ->
+      """SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+        |   CAST(hamming AS BIGINT) AS hamming
+        | FROM (VALUES (1, 2, 0), (1, 3, 6), (1, 4, 0), (2, 3, 6),
+        |   (2, 4, 0), (3, 4, 6), (5, 6, 4)) AS t(id_a, id_b, hamming)""".stripMargin,
     // the streamed cap ledger's final fold equals the batch domain cap
     "stream_domain_cap" ->
       """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_domain

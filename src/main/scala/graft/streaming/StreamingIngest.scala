@@ -139,6 +139,29 @@ object StreamingIngest {
         ()
       }
 
+  /** Live image-dedup tier — the pHash twin of [[nearDupStream]]: each
+    * micro-batch of images hashes ONCE (the old corpus is never
+    * re-decoded), pairs against the store-so-far plus itself, emits its
+    * pairs into `batch_id=N`, and registers its hashes under `batch=N`
+    * — both overwrite, so a crash-replayed batch replaces its output
+    * and the union of per-batch emissions equals the one-shot
+    * [[graft.operators.Multimodal.imageNearDupPairs]] over the whole
+    * corpus. Seed with [[graft.operators.Multimodal
+    * .seedPhashStoreBatched]]. */
+  def imageDedupStream(stream: DataFrame, storeDir: String,
+                       pairsDir: String, checkpointDir: String,
+                       maxHamming: Int = 10)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Multimodal.streamBatchImageDedup(batch, storeDir,
+            pairsDir, id, maxHamming)
+        ()
+      }
+
   /** Live ANN-index maintenance — the vector-side twin of
     * [[nearDupStream]] and the streaming face of
     * [[graft.operators.VectorOps.pqAppendToIndex]]'s write-once

@@ -468,6 +468,47 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.phash64("garbage".getBytes).isEmpty)
   }
 
+  test("streamed image dedup converges to the one-shot pair set; replay after append is exact") {
+    val corpus = graft.queries.StreamingQueries.phashCorpus(spark)
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("hamming"))).toSet
+    val oneShot = pairSet(Multimodal.imageNearDupPairs(corpus, 10))
+    assert(oneShot.nonEmpty)
+    for (nSplit <- Seq(2, 3)) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sph").toString
+      corpus.repartition(nSplit).write.parquet(s"$tmp/in")
+      Multimodal.seedPhashStoreBatched(spark, s"$tmp/store")
+      val stream = spark.readStream.schema(Multimodal.mediaSchema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+      StreamingIngest.imageDedupStream(stream, s"$tmp/store",
+        s"$tmp/pairs", s"$tmp/ck", maxHamming = 10)
+        .start().awaitTermination(120000)
+      assert(pairSet(spark.read.parquet(s"$tmp/pairs")
+        .select("id_a", "id_b", "hamming")) == oneShot, s"split=$nSplit")
+      // the crash window: a batch replayed AFTER its store append must
+      // recompute identical pairs (the store-side anti-join on its own
+      // ids) and replace — not duplicate — its registration
+      val f0 = new java.io.File(s"$tmp/in").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val in0 = spark.read.parquet(f0.getAbsolutePath)
+      val ph0 = Multimodal.imagePHash(in0)
+        .filter(org.apache.spark.sql.functions.col("phash").isNotNull)
+      val bid = spark.read.parquet(s"$tmp/store/phashes")
+        .join(ph0.select("media_id"), Seq("media_id"), "left_semi")
+        .select("batch").head().get(0)
+      Multimodal.streamBatchImageDedup(in0, s"$tmp/store", s"$tmp/pairs",
+        bid.toString.toLong, maxHamming = 10)
+      assert(pairSet(spark.read.parquet(s"$tmp/pairs")
+        .select("id_a", "id_b", "hamming")) == oneShot,
+        s"split=$nSplit replay")
+      val dup = spark.read.parquet(s"$tmp/store/phashes")
+        .groupBy("media_id").count()
+        .filter(org.apache.spark.sql.functions.col("count") > 1).count()
+      assert(dup == 0, s"split=$nSplit: replay duplicated store rows")
+    }
+  }
+
   test("imageNearDupPairs: pigeonhole candidates + verify == brute-force all pairs") {
     val fs: Seq[(Int, Int) => Int] = Seq(
       tex(3.0, 5.0), tex(3.1, 5.0), tex(3.0, 5.2), tex(6.0, 2.0),
