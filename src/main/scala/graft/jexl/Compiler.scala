@@ -672,10 +672,22 @@ private object Functions {
   private def quoteTerm(t: String): String =
     java.util.regex.Pattern.quote(t.toLowerCase)
 
+  /** A term that IS a single token ([a-z0-9]+ after lowercasing). Any
+    * other term can never equal a token of [[tokensOf]], so the
+    * position-list predicates are constant-false for it — and the
+    * regex forms below must NOT run on it (a quoted 'fast scan' would
+    * otherwise match ACROSS a token boundary in the normalized string,
+    * where the token-comparison semantics say no match). */
+  private def plainToken(t: String): Boolean = {
+    val l = t.toLowerCase
+    l.nonEmpty && l.forall(ch =>
+      (ch >= 'a' && ch <= 'z') || (ch >= '0' && ch <= '9'))
+  }
+
   /** Ordered-consecutive phrase over the token stream — identical
-    * semantics to the tf-table plan (Content.phrase): tokenizer-based, so
-    * 'fast_scan' matches the phrase 'fast scan' exactly as the reference's
-    * offset evaluation would.
+    * semantics to the tf-table plan (Content.phrase): each term must
+    * equal one token at consecutive positions (a term that is not a
+    * single [a-z0-9]+ token can never match — constant false).
     *
     * Consecutive token positions ⇔ the space-joined phrase occurs
     * between token boundaries of the normalized string, so the whole
@@ -684,7 +696,8 @@ private object Functions {
     * (raw text has one token per offset, so the tf-path's same-offset
     * synonym successor rule cannot fire here). */
   private def phrasePred(c: Column, terms: Seq[String]): Column =
-    normOf(c).rlike(
+    if (!terms.forall(plainToken)) lit(false) // non-token term: no match
+    else normOf(c).rlike(
       terms.map(quoteTerm).mkString("(?:^| )", " ", "(?: |$)"))
 
   /** ∃ one position per term with max−min ≤ dist (content:within,
@@ -699,7 +712,8 @@ private object Functions {
     * unbound form re-derives each list for every outer candidate). */
   private def withinPred(c: Column, dist: Int, terms: Seq[String]): Column =
     terms.map(_.toLowerCase) match {
-      case Seq(a, b) if a != b && dist >= 1 =>
+      case Seq(a, b) if a != b && dist >= 1 &&
+          plainToken(a) && plainToken(b) =>
         val gap = s"(?: [a-z0-9]+){0,${dist - 1}} "
         normOf(c).rlike(
           s"(?:^| )(?:${quoteTerm(a)}$gap${quoteTerm(b)}" +

@@ -704,7 +704,10 @@ final class QueryServer(
                   user = params.getOrElse("user", "anonymous"), query = q2,
                   syntax = s.syntax, logicName = "update",
                   timeMillis = System.currentTimeMillis()) {
-                  logic.query(df0, q2, QueryParams(syntax = s.syntax)).persist()
+                  // the session's resolved auths survive a text update —
+                  // re-planning must not shed server-side enforcement
+                  logic.query(df0, q2,
+                    QueryParams(syntax = s.syntax, auths = s.auths)).persist()
                 }
             }
             val missing = orderCols.filterNot(c =>

@@ -429,4 +429,24 @@ class CompilerSpec extends SparkSpec {
       .select("id").collect().map(_.getInt(0)).toSet
     assert(ids == Set(1))
   }
+
+  test("content terms that are not single tokens never match (no cross-boundary regex hit)") {
+    // 'alas poor' as ONE term can never equal a token — the r9 regex
+    // derivation must not let the quoted space match across the token
+    // boundary the array semantics enforce
+    val docs = Seq((1, "alas poor yorick"), (2, "alas-poor yorick"))
+      .toDF("id", "quote")
+    def ids(q: String): Set[Int] =
+      docs.filter(Compiler.compile(JexlParser.parse(q), docs, QueryModel()))
+        .select("id").collect().map(_.getInt(0)).toSet
+    assert(ids(
+      "content:phrase(QUOTE, termOffsetMap, 'alas poor', 'yorick')") ==
+      Set.empty)
+    assert(ids("content:within(QUOTE, 2, 'alas poor', 'yorick')") ==
+      Set.empty)
+    // sanity: the split form matches both (the hyphen normalizes away)
+    assert(ids(
+      "content:phrase(QUOTE, termOffsetMap, 'alas', 'poor', 'yorick')") ==
+      Set(1, 2))
+  }
 }

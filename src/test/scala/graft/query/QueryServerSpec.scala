@@ -748,6 +748,15 @@ class QueryServerSpec extends SparkSpec {
       val dId = "\"queryId\": \"([0-9a-f]+)\"".r
         .findFirstMatchIn(down.body()).get.group(1)
       assert(ids(post(s"$base/query/next?id=$dId").body()) == Seq(2L))
+      // a query-TEXT update re-plans WITHOUT shedding the session's
+      // resolved auths
+      val upd = post(s"$base/query/create?table=t&query=$q&user=alice" +
+        "&orderBy=event_id")
+      val uId = "\"queryId\": \"([0-9a-f]+)\"".r
+        .findFirstMatchIn(upd.body()).get.group(1)
+      assert(post(s"$base/query/update?id=$uId&query=" +
+        enc("EVENT_ID > 1")).statusCode() == 200)
+      assert(ids(post(s"$base/query/next?id=$uId").body()) == Seq(2L))
       // the resolved auths travel with the durable definition: a
       // restarted server resumes alice's query STILL enforcing {A}
       val resumeId = "\"queryId\": \"([0-9a-f]+)\"".r.findFirstMatchIn(
