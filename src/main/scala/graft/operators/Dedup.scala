@@ -131,7 +131,10 @@ object Dedup {
     * intermediate caches release in-op — a long-lived curation session
     * holds exactly one cached frame per call and frees it with
     * `result.unpersist()` (CacheHygieneSpec pins that nothing else
-    * stays behind). */
+    * stays behind). Call-site audit (r10): every first-party consumer
+    * (gates via Verify/Bench, probes) runs under a per-query
+    * `spark.catalog.clearCache()`, so the result cache lives exactly
+    * one query; embedding callers own the unpersist per this contract. */
   private def eagerRelease(result: DataFrame,
                            intermediates: Seq[DataFrame]): DataFrame = {
     val out = result.persist()

@@ -250,11 +250,14 @@ object Sampling {
                           idCol: String,
                           fractions: Seq[(String, Double)],
                           salt: String = "graft"): DataFrame = {
-    val cl = clusters.select(col("doc_id").cast("long").as(idCol),
-      col("cluster_id").cast("long").as("cluster_id"))
+    // Singletons coalesce to their RAW id — casting to long would
+    // collapse every non-numeric id onto one shared null cluster key
+    // (all unclustered docs landing in the same split bucket). The
+    // clusters frame's id type must match the corpus id column; a
+    // mismatch fails analysis loudly instead of mis-keying silently.
+    val cl = clusters.select(col("doc_id").as(idCol), col("cluster_id"))
     val keyed = df.join(cl, Seq(idCol), "left")
-      .withColumn("cluster_id",
-        coalesce(col("cluster_id"), col(idCol).cast("long")))
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
     splitAssign(keyed, "cluster_id", fractions, salt)
   }
 

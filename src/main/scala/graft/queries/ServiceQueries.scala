@@ -332,6 +332,39 @@ object ServiceQueries {
     } finally server.stop()
   }
 
+  /** Proxy-chain resolution (WSAuthorizationsUtil.mergePrincipals,
+    * web-services/common-util security/util/WSAuthorizationsUtil
+    * .java:23, consumed at CompositeQueryLogic.java:236): the request
+    * arrives as `user=root` THROUGH two proxying entities, and the
+    * effective grant is the chain-wide INTERSECTION {A,B,C} ∩ {A,B} ∩
+    * {A} = {A} — root's own clearance never rides past a
+    * less-cleared hop. Same row set as vis_registry: the chain
+    * minimum enforces exactly like alice querying directly. */
+  def visChain(s: SparkSession, d: String): DataFrame = {
+    val ev = EventQueries.withVisibility(Tables.events(s, d))
+    val server = new QueryServer(Map("events" -> ev),
+      users = Map("alice" -> Set("A"), "gateway" -> Set("A", "B"),
+        "root" -> Set("A", "B", "C")),
+      metricsFlush = false)
+    val port = server.start()
+    try {
+      val svc = new RemoteQueryService(s"http://127.0.0.1:$port")
+      val id = svc.createQuery("events",
+        "EVENT_TYPE == 'click' || EVENT_TYPE == 'view' || " +
+          "EVENT_TYPE == 'purchase' || EVENT_TYPE == 'signup'",
+        pageSize = 5000, orderBy = Seq("event_id"), user = "root",
+        proxiedEntities = Seq("gateway", "alice"))
+      val rows = Seq.newBuilder[String]
+      var page = svc.nextPage(id)
+      while (page.nonEmpty) { rows ++= page.get; page = svc.nextPage(id) }
+      svc.close(id)
+      import s.implicits._
+      s.read.json(s.createDataset(rows.result()))
+        .select(col("event_id").cast("long").as("event_id"),
+          col("event_type"), col("visibility"))
+    } finally server.stop()
+  }
+
   def translateId(s: SparkSession, d: String): DataFrame = {
     val server = new QueryServer(Map("events" -> Tables.events(s, d)),
       uuidTypes = Seq(
@@ -830,6 +863,7 @@ object ServiceQueries {
     "lookup_uid" -> lookupUid _,
     "translate_id" -> translateId _,
     "vis_registry" -> visRegistry _,
+    "vis_chain" -> visChain _,
     "cached_results_load" -> cachedResultsLoad _,
     "transforms_chain" -> transformsChain _,
     "decorated_fields" -> decoratedFields _,
@@ -1052,6 +1086,13 @@ object ServiceQueries {
     // the registry-resolved {A} admits exactly the rows vis_filter does:
     // click (A) and view (A|B); purchase (A&B) and signup (C) fail closed
     "vis_registry" ->
+      """SELECT event_id, event_type,
+        |   CASE event_type WHEN 'click' THEN 'A' WHEN 'view' THEN 'A|B'
+        |     WHEN 'purchase' THEN 'A&B' WHEN 'signup' THEN 'C'
+        |     ELSE '(A&B)|C' END AS visibility
+        | FROM events WHERE event_type IN ('click', 'view')""".stripMargin,
+    // the chain minimum {A} admits exactly what alice sees directly
+    "vis_chain" ->
       """SELECT event_id, event_type,
         |   CASE event_type WHEN 'click' THEN 'A' WHEN 'view' THEN 'A|B'
         |     WHEN 'purchase' THEN 'A&B' WHEN 'signup' THEN 'C'

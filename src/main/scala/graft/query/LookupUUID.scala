@@ -2,6 +2,7 @@ package graft.query
 
 import org.apache.spark.sql.DataFrame
 import graft.content.ContentStore
+import graft.jexl.PolicyException
 
 /** UUID lookup service — the reference's `/lookupUUID/{type}/{value}`
   * surface (LookupUUIDUtil.java:343-430; UUIDType.java:8-32): registered
@@ -110,6 +111,23 @@ object LookupUUID {
     * stored-document fetch. Mixed batches run the event lookup for the
     * REGISTERED terms (event terms are not a queryable field) and fetch
     * the union of its hit uids and the direct event uids. */
+  /** Visibility enforcement on the stored-content frame itself: the
+    * direct event-uid path never runs a query, so the resolved auths
+    * must gate the `d`-section rows here exactly as Accumulo's scan-time
+    * visibility gates the reference's content keys. Fail CLOSED — auths
+    * set against a content table without a visibility column refuses
+    * the fetch rather than serving unfiltered documents. */
+  private def enforced(content: DataFrame, params: QueryParams): DataFrame =
+    params.auths match {
+      case None => content
+      case Some(a) =>
+        if (!content.columns.contains(params.visibilityCol))
+          throw new PolicyException(
+            s"auths set but content table lacks visibility column " +
+              s"'${params.visibilityCol}' — refusing fail-open fetch")
+        graft.vis.Visibility.enforce(content, params.visibilityCol, a)
+    }
+
   def lookupUid(reg: Registry, terms: Seq[(String, String)],
                 tables: Map[String, DataFrame], content: DataFrame,
                 logic: ShardQueryLogic = new ShardQueryLogic(),
@@ -124,14 +142,15 @@ object LookupUUID {
     // registered lookup terms — not just the event leg
     require(uids.size + rest.size <= reg.batchLookupLimit,
       s"too many lookup terms: ${uids.size + rest.size} > ${reg.batchLookupLimit}")
+    val visContent = enforced(content, params)
     val direct =
       if (uids.isEmpty) None
-      else Some(ContentStore.decoded(ContentStore.fetchByRefs(content,
+      else Some(ContentStore.decoded(ContentStore.fetchByRefs(visContent,
         uids.map(u => ContentStore.DocRef(None, None, u)))))
     val fromEvents =
       if (rest.isEmpty) None
       else Some(contentLookup(content, lookup(reg, rest, tables, logic, params),
-        uidCol = uidCol, maxDocs = maxDocs))
+        uidCol = uidCol, maxDocs = maxDocs, params = params))
     (direct, fromEvents) match {
       case (Some(d), Some(e)) => d.unionByName(e).distinct()
       case (Some(d), None) => d
@@ -147,12 +166,13 @@ object LookupUUID {
     * paged response (`maxDocs`, default one page) — a UUID lookup's hit
     * set is a needle set by construction. */
   def contentLookup(content: DataFrame, hits: DataFrame,
-                    uidCol: String = "uid", maxDocs: Int = 1000): DataFrame = {
+                    uidCol: String = "uid", maxDocs: Int = 1000,
+                    params: QueryParams = QueryParams()): DataFrame = {
     val uids = hits.select(uidCol).distinct().limit(maxDocs + 1).collect()
     require(uids.length <= maxDocs,
       s"content lookup exceeds $maxDocs documents; page the query instead")
     val refs = uids.toSeq
       .map(r => ContentStore.DocRef(None, None, String.valueOf(r.get(0))))
-    ContentStore.decoded(ContentStore.fetchByRefs(content, refs))
+    ContentStore.decoded(ContentStore.fetchByRefs(enforced(content, params), refs))
   }
 }

@@ -311,7 +311,15 @@ final class QueryServer(
     * — the caller names a `user`, the server resolves the GRANTED set,
     * and an explicit `auths=` request may only DOWNGRADE (a requested
     * token outside the grant is 403, an unknown user 401 — fail-closed
-    * both ways). An EMPTY registry keeps the embedded-library behavior
+    * both ways). A `proxiedEntities=e1,e2` chain (the reference's
+    * proxied servers between the end user and this service) narrows the
+    * effective grant to the INTERSECTION of every chain entity's grant —
+    * WSAuthorizationsUtil.mergePrincipals (web-services/common-util
+    * security/util/WSAuthorizationsUtil.java:23) and
+    * getDowngradedAuthorizations consumed at CompositeQueryLogic
+    * .java:236: no entity in the chain may see what any other entity is
+    * not cleared for. An unknown chain entity is 401 exactly like an
+    * unknown user. An EMPTY registry keeps the embedded-library behavior
     * (the deployment did its own authn; no server-side enforcement).
     * Left = error response; Right = the auths to enforce. */
   private def resolveAuths(params: Map[String, String])
@@ -319,12 +327,19 @@ final class QueryServer(
     if (users.isEmpty) Right(None)
     else {
       val user = params.getOrElse("user", "anonymous")
-      users.get(user) match {
-        case None => Left((401, err(s"unknown user '$user'")))
-        case Some(granted) =>
+      val chain = user +: params.get("proxiedEntities")
+        .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+        .getOrElse(Seq.empty)
+      chain.find(e => !users.contains(e)) match {
+        case Some(unknown) =>
+          Left((401, err(s"unknown ${if (unknown == user) "user" else "proxied entity"} '$unknown'")))
+        case None =>
+          // chain-wide minimum: the effective grant every request in
+          // this call is enforced under
+          val granted = chain.map(users).reduce(_ intersect _)
           params.get("auths").map(_.split(',').toSet.filter(_.nonEmpty)) match {
             case Some(req) if !req.subsetOf(granted) =>
-              Left((403, err(s"user '$user' is not granted: " +
+              Left((403, err(s"chain '${chain.mkString(",")}' is not granted: " +
                 (req -- granted).toSeq.sorted.mkString(","))))
             case Some(req) => Right(Some(req))
             case None => Right(Some(granted))
@@ -414,12 +429,15 @@ final class QueryServer(
   private def lookupSession(params: Map[String, String], queryId: String,
                             query: String, syntax: String, logicName: String,
                             selectors: Option[Seq[String]])
-                           (body: => DataFrame): (Int, String) = {
+                           (body: Option[Set[String]] => DataFrame): (Int, String) = {
     // lookups honor the principal registry too (unknown caller = 401,
-    // escalation = 403) — LookupUUIDUtil consumes the resolved chain
-    resolveAuths(params) match {
+    // escalation = 403) — and the RESOLVED set flows into the lookup
+    // itself so row-level visibility enforcement applies to the served
+    // rows, not just the gate (LookupUUIDUtil runs the resolved chain's
+    // auths through the delegate logic)
+    val auths = resolveAuths(params) match {
       case Left(resp) => return resp
-      case Right(_) => ()
+      case Right(a) => a
     }
     val pageSize = params.get("pageSize").map(_.toInt)
       .getOrElse(defaultPageSize)
@@ -428,7 +446,7 @@ final class QueryServer(
       user = params.getOrElse("user", "anonymous"), query = query,
       syntax = syntax, logicName = logicName,
       timeMillis = System.currentTimeMillis(), selectors = selectors) {
-      body.persist()
+      body(auths).persist()
     }
     val orderCols = Seq(result.columns.head)
     val running = new RunningQuery(cursor, queryId, result, orderCols,
@@ -460,8 +478,9 @@ final class QueryServer(
       val rendered = LookupUUID.queryString(reg, terms)
       val queryId = java.util.UUID.randomUUID().toString.replace("-", "")
       lookupSession(params, queryId, rendered, "LUCENE", "lookupUUID",
-        selectors = None) {
-        LookupUUID.lookup(reg, terms, tableMap, logic)
+        selectors = None) { auths =>
+        LookupUUID.lookup(reg, terms, tableMap, logic,
+          QueryParams(auths = auths))
       }
     } catch {
       case e: Exception => (400, err(e.getMessage))
@@ -483,9 +502,10 @@ final class QueryServer(
       // the uids themselves are the audit selectors (the
       // SplitSelectorExtractor shape — not parseable as a query)
       lookupSession(params, queryId, raw, "UID", "lookupUID",
-        selectors = Some(uids)) {
+        selectors = Some(uids)) { auths =>
         LookupUUID.lookupUid(LookupUUID.Registry(uuidTypes),
-          Seq("event" -> uids.mkString(" ")), tableMap, contentTable)
+          Seq("event" -> uids.mkString(" ")), tableMap, contentTable,
+          params = QueryParams(auths = auths))
       }
     } catch {
       case e: Exception => (400, err(e.getMessage))
@@ -503,6 +523,12 @@ final class QueryServer(
     val ids = params.get("id").map(Seq(_)).orElse(
       params.get("ids").map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty)))
       .getOrElse(return (400, err("missing 'id' or 'ids'")))
+    // translations serve data rows — the registry gates them AND the
+    // resolved auths filter what the translation may reveal
+    val auths = resolveAuths(params) match {
+      case Left(resp) => return resp
+      case Right(a) => a
+    }
     try {
       val pageSize = params.get("pageSize").map(_.toInt)
         .getOrElse(defaultPageSize)
@@ -514,7 +540,8 @@ final class QueryServer(
         user = params.getOrElse("user", "anonymous"), query = rendered,
         syntax = "LUCENE", logicName = "translateId",
         timeMillis = System.currentTimeMillis()) {
-        LookupUUID.translate(reg, ids, tableMap, logic)
+        LookupUUID.translate(reg, ids, tableMap, logic,
+          QueryParams(auths = auths))
       }
       // one page, deterministic order, then done — no session survives;
       // the over-fetch by one row surfaces truncation explicitly (the
@@ -881,7 +908,15 @@ final class QueryServer(
         val table = params.getOrElse("table", { fail(400, err("missing 'table'")); return })
         val q = params.getOrElse("query", { fail(400, err("missing 'query'")); return })
         val df0 = tableMap.getOrElse(table, { fail(404, err(s"unknown table '$table'")); return })
-        val qp = QueryParams(syntax = params.getOrElse("syntax", "JEXL"))
+        // execute streams data — same registry gate + resolved-auths
+        // enforcement as /query/create (the reference's execute verb
+        // runs under the caller's principal exactly like create)
+        val auths = resolveAuths(params) match {
+          case Left((status, body)) => fail(status, body); return
+          case Right(a) => a
+        }
+        val qp = QueryParams(syntax = params.getOrElse("syntax", "JEXL"),
+          auths = auths)
         val queryId = java.util.UUID.randomUUID().toString.replace("-", "")
         val (effLogic, effQp) = resolveModel(params.getOrElse("model", ""), qp)
         val result = Audit.audited(auditor, auditType, queryId,
@@ -972,18 +1007,25 @@ final class QueryServer(
     val contentTable = tableMap.getOrElse("content",
       return (404, err("no content table registered on this server")))
     val raw = params.getOrElse("terms", return (400, err("missing 'terms'")))
+    // content lookups serve stored documents — registry-gated, and the
+    // resolved auths filter both the hit query AND the content fetch
+    val auths = resolveAuths(params) match {
+      case Left(resp) => return resp
+      case Right(a) => a
+    }
     try {
       val terms = parseTerms(raw)
       val reg = LookupUUID.Registry(uuidTypes)
       val rendered = LookupUUID.queryString(reg, terms)
       val queryId = java.util.UUID.randomUUID().toString.replace("-", "")
+      val qp = QueryParams(auths = auths)
       val docs = Audit.audited(auditor, auditType, queryId,
         user = params.getOrElse("user", "anonymous"), query = rendered,
         syntax = "LUCENE", logicName = "lookupContentUUID",
         timeMillis = System.currentTimeMillis()) {
         LookupUUID.contentLookup(contentTable,
-          LookupUUID.lookup(reg, terms, tableMap, logic),
-          uidCol = params.getOrElse("uidField", "uid"))
+          LookupUUID.lookup(reg, terms, tableMap, logic, qp),
+          uidCol = params.getOrElse("uidField", "uid"), params = qp)
       }
       val rows = docs.toJSON.collect() // bounded by contentLookup maxDocs
       (200, s"""{"rows": [${rows.mkString(",")}]}""")

@@ -103,13 +103,16 @@ final class RemoteQueryService(baseUrl: String) {
   /** `createQuery` (RemoteQueryService.createQuery) → remote query id. */
   def createQuery(table: String, query: String, syntax: String = "JEXL",
                   pageSize: Int = 100, orderBy: Seq[String] = Seq.empty,
-                  user: String = ""): String = {
+                  user: String = "",
+                  proxiedEntities: Seq[String] = Seq.empty): String = {
     val order = if (orderBy.isEmpty) ""
                 else s"&orderBy=${enc(orderBy.mkString(","))}"
     val who = if (user.isEmpty) "" else s"&user=${enc(user)}"
+    val chain = if (proxiedEntities.isEmpty) ""
+                else s"&proxiedEntities=${enc(proxiedEntities.mkString(","))}"
     val (status, body) = http("POST",
       s"/query/create?table=${enc(table)}&query=${enc(query)}" +
-        s"&syntax=${enc(syntax)}&pageSize=$pageSize$order$who")
+        s"&syntax=${enc(syntax)}&pageSize=$pageSize$order$who$chain")
     if (status != 200)
       throw new IllegalStateException(s"remote create failed ($status): $body")
     extract("queryId", body)

@@ -139,7 +139,7 @@ final class ShardQueryLogic(
     }
 
     if (ast != null) {
-      longGroupingRoute(ast, df, params) match {
+      longGroupingRoute(ast, df, params, opts) match {
         case Some(routed) => df = routed
         case None =>
           // nonexistent-field planner test (timedTestForNonExistentFields):
@@ -254,7 +254,8 @@ final class ShardQueryLogic(
     * exists — measured 4-8× faster at sf0.1 and shuffle-scalable: skew
     * dies with per-field selectivity, never with document width. */
   private def longGroupingRoute(ast: Node, df: DataFrame,
-                                params: QueryParams): Option[DataFrame] = ast match {
+                                params: QueryParams,
+                                opts: QueryOptions): Option[DataFrame] = ast match {
     case Node.Func("grouping", name, args)
         if Set("matchesingroup", "matchesingroupleft").contains(name.toLowerCase) &&
           !params.hitList &&
@@ -294,12 +295,19 @@ final class ShardQueryLogic(
           val uids = graft.operators.Grouping.matchesInGroupKeyed(df, conds, idents)
           val uidCol = df.columns.find(_.equalsIgnoreCase("uid")).get
           // a uid-only projection is the matching-document ID SET — the
-          // uids frame already IS that (one row per matching document);
-          // semi-joining the long frame back would re-scan it only to
-          // fan each document out to its row count and project the id
+          // uids frame already IS that (one row per matching document,
+          // the reference's document-level contract — DocumentGrouper
+          // emits documents, not fi rows); semi-joining the long frame
+          // back would re-scan it only to fan each document out to its
+          // row count and project the id. Every option that decorates or
+          // reshapes rows must route through the semi-join (the routed
+          // frame has ONLY the uid column — RECORD_ID/EVENT_DATATYPE/
+          // HIT_EXCERPT decorations would otherwise fail on it)
           if (params.returnFields.map(_.toUpperCase) == Seq("UID") &&
               params.disallowedFields.isEmpty &&
-              params.limitFieldValues.isEmpty)
+              params.limitFieldValues.isEmpty &&
+              !params.includeRecordId && !params.includeDatatypeAsField &&
+              opts.excerptFields.isEmpty)
             Some(uids.withColumnRenamed("uid", uidCol))
           else
             Some(df.join(uids.withColumnRenamed("uid", uidCol), Seq(uidCol), "left_semi"))

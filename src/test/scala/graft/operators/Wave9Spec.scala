@@ -120,6 +120,32 @@ class Wave9Spec extends SparkSpec {
     assert(got.filter(_._1 >= 20L).forall(r => r._2 == r._1))
   }
 
+  test("splitAssignLeakFree: non-numeric ids keep DISTINCT singleton keys") {
+    // a long-cast of these ids is null — the old keying collapsed every
+    // unclustered doc onto one shared null cluster key (same bucket,
+    // same split, and a cluster-key collision with each other)
+    val ids = Seq("doc-a", "doc-b", "doc-c", "doc-d", "doc-e", "doc-f",
+      "doc-g", "doc-h").toDF("doc_id")
+    val clusters = Seq(("doc-a", "doc-a"), ("doc-b", "doc-a"))
+      .toDF("doc_id", "cluster_id")
+    val frs = Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25)
+    val got = Sampling.splitAssignLeakFree(ids, clusters, "doc_id", frs,
+        salt = "lf")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val byId = got.map(r => r._1 -> r._3).toMap
+    // the cluster still lands whole
+    assert(byId("doc-a") == byId("doc-b"), got.toSeq.toString)
+    // singletons key on their OWN id — identical to plain splitAssign,
+    // and NOT all on one split (the null-collapse symptom)
+    val plain = Sampling.splitAssign(ids, "doc_id", frs, salt = "lf")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    val singles = got.filter(r => r._1 >= "doc-c")
+    assert(singles.forall(r => r._3 == plain(r._1)), got.toSeq.toString)
+    assert(singles.map(_._3).toSet.size > 1, singles.toSeq.toString)
+    // and each keeps its own id as its cluster key
+    assert(singles.forall(r => r._2 == r._1), singles.toSeq.toString)
+  }
+
   test("keepBestPerCluster: argmax by quality, ties by id, singletons survive") {
     val docs = Seq(
       (1L, "aaaa"), (2L, "aaaaaaaa"), (3L, "aaaa"), // cluster {1,2,3}: 2 wins

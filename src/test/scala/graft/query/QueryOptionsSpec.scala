@@ -190,4 +190,37 @@ class QueryOptionsSpec extends SparkSpec {
       uids("grouping:matchesInGroup(NAME, 'santino', NAME, 'fredo', -1)")
     }
   }
+
+  test("long-layout grouping route: uid-only fast path is per-DOCUMENT, " +
+      "decorations route through the semi-join instead of failing") {
+    // two matching docs; doc 1 carries THREE long rows, doc 2 two — the
+    // uid-only projection must still return one row per document (the
+    // reference's document-level contract: DocumentGrouper emits
+    // documents, not fi rows)
+    val long = Seq(
+      (1L, "RETURNFLAG", "0", "R"), (1L, "QUANTITY", "0", "48"),
+      (1L, "COLOR", "0", "red"),
+      (2L, "RETURNFLAG", "1", "R"), (2L, "QUANTITY", "1", "49"),
+      (3L, "RETURNFLAG", "0", "N"), (3L, "QUANTITY", "0", "48"))
+      .toDF("uid", "field", "group", "value")
+      .withColumn("datatype", lit("event"))
+      .withColumn("shard_date", to_date(lit("2024-01-05")))
+    val logic = new ShardQueryLogic(policy = QueryPolicy(fullTableScanEnabled = true))
+    val q = "grouping:matchesInGroup(RETURNFLAG, 'R', QUANTITY, '4[89].*')"
+    val fast = logic.query(long, q, QueryParams(returnFields = Seq("uid")))
+    assert(fast.columns.toSeq == Seq("uid"))
+    assert(fast.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    // INCLUDE_RECORD_ID / INCLUDE_DATATYPE_AS_FIELD need real columns:
+    // the guard must route them through the semi-join (previously a
+    // PolicyException on the uid-only routed frame)
+    val dec = logic.query(long, q, QueryParams(returnFields = Seq("uid"),
+      includeRecordId = true, includeDatatypeAsField = true))
+    val rows = dec.collect()
+    assert(dec.columns.contains("RECORD_ID") &&
+      dec.columns.contains("EVENT_DATATYPE"))
+    // semi-join multiplicity: every long row of the matching docs
+    assert(rows.length == 5, rows.mkString(","))
+    assert(rows.forall(r =>
+      r.getString(r.fieldIndex("RECORD_ID")).startsWith("20240105/event/")))
+  }
 }

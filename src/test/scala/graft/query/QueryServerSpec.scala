@@ -775,4 +775,145 @@ class QueryServerSpec extends SparkSpec {
     } finally
       try srv.stop() catch { case _: Exception => () }
   }
+
+  test("principal registry gates EVERY data-serving verb: execute, " +
+      "translateId, lookupUUID, lookupUID, lookupContentUUID enforce rows") {
+    // events with per-row visibility; content with per-document visibility
+    val ev = Seq(
+      (7L, "click", "A"), (8L, "view", "C"), (9L, "click", "A"))
+      .toDF("event_id", "event_type", "visibility")
+    import org.apache.spark.sql.functions.{col, when}
+    val docsDf = Seq((7L, "seven text"), (8L, "eight text"), (9L, "nine text"))
+      .toDF("doc_id", "text")
+    val content = graft.content.ContentStore.contentTable(docsDf)
+      .withColumn("visibility",
+        when(col("uid") === "8", "C").otherwise("A"))
+    val docs = docsDf.withColumn("visibility",
+      when(col("doc_id") === 8L, "C").otherwise("A"))
+    // two servers because translate probes every registered type
+    // against ONE logic: events-backed verbs here, content-backed below
+    val srv = new QueryServer(
+      tables = Map("events" -> ev),
+      uuidTypes = Seq(LookupUUID.UuidType("EVENT_ID", logic = "events")),
+      users = Map("alice" -> Set("A")), metricsFlush = false)
+    val srvC = new QueryServer(
+      tables = Map("docs" -> docs, "content" -> content),
+      uuidTypes = Seq(LookupUUID.UuidType("DOC_ID", logic = "docs")),
+      users = Map("alice" -> Set("A")), metricsFlush = false)
+    val port = srv.start()
+    val portC = srvC.start()
+    val enc = (v: String) => java.net.URLEncoder.encode(v, "UTF-8")
+    try {
+      val base = s"http://127.0.0.1:$port"
+      val baseC = s"http://127.0.0.1:$portC"
+      val q = enc("EVENT_ID > 0")
+      // /query/execute: unknown caller 401; alice's stream carries only
+      // {A}-visible rows (previously streamed unfiltered)
+      assert(post(s"$base/query/execute?table=events&query=$q&user=mallory")
+        .statusCode() == 401)
+      val exe = post(s"$base/query/execute?table=events&query=$q&user=alice")
+      assert(exe.statusCode() == 200, exe.body())
+      assert(exe.body().contains("\"event_id\":7") &&
+        exe.body().contains("\"event_id\":9") &&
+        !exe.body().contains("\"event_id\":8"), exe.body())
+      // /translateId: 401 unknown; resolved rows visibility-filtered —
+      // the C-visible id 8 does not translate for alice
+      assert(get(s"$base/translateId?id=8&user=mallory").statusCode() == 401)
+      assert(get(s"$base/translateId?id=8&user=alice").statusCode() == 204)
+      val tr = get(s"$base/translateIDs?ids=7,8&user=alice")
+      assert(tr.body().contains("\"event_id\":7") &&
+        !tr.body().contains("\"event_id\":8"), tr.body())
+      // /lookupUUID: the served rows are filtered, not just the gate
+      val lu = get(s"$base/lookupUUID?terms=EVENT_ID:8,EVENT_ID:9&user=alice" +
+        "&pageSize=10")
+      assert(lu.statusCode() == 200, lu.body())
+      assert(lu.body().contains("\"event_id\":9") &&
+        !lu.body().contains("\"event_id\":8"), lu.body())
+      // /lookupUID (direct stored-document path — no event query runs):
+      // the content fetch itself enforces visibility
+      assert(get(s"$baseC/lookupUID?uids=7,8&user=mallory").statusCode() == 401)
+      val ld = get(s"$baseC/lookupUID?uids=7,8&user=alice&pageSize=10")
+      assert(ld.statusCode() == 200, ld.body())
+      assert(ld.body().contains("seven text") &&
+        !ld.body().contains("eight text"), ld.body())
+      // /lookupContentUUID: gate + both legs (hit query AND content fetch)
+      assert(get(s"$baseC/lookupContentUUID?terms=DOC_ID:8&uidField=doc_id" +
+        "&user=mallory").statusCode() == 401)
+      val lc = get(s"$baseC/lookupContentUUID?terms=DOC_ID:7,DOC_ID:8" +
+        "&uidField=doc_id&user=alice")
+      assert(lc.statusCode() == 200, lc.body())
+      assert(lc.body().contains("seven text") &&
+        !lc.body().contains("eight text"), lc.body())
+    } finally { srv.stop(); srvC.stop() }
+  }
+
+  test("proxied-entity chain: effective auths are the chain-wide " +
+      "intersection, unknown entity 401, durable resume keeps them") {
+    val df = Seq(
+      (1L, "click", "A"), (2L, "view", "A|B"),
+      (3L, "purchase", "B"), (4L, "signup", "C"))
+      .toDF("event_id", "event_type", "visibility")
+    val stateDir =
+      java.nio.file.Files.createTempDirectory("graft-chain").toString
+    // root holds {A,B,C}; the proxying server holds {A,B}; alice {A}:
+    // the chain-wide minimum is what any chained request may see
+    // (WSAuthorizationsUtil.mergePrincipals semantics)
+    val users = Map("root" -> Set("A", "B", "C"),
+      "gateway" -> Set("A", "B"), "alice" -> Set("A"))
+    def mkServer() = new QueryServer(Map("t" -> df), stateDir = stateDir,
+      users = users, metricsFlush = false)
+    val srv = mkServer()
+    val port = srv.start()
+    val enc = (v: String) => java.net.URLEncoder.encode(v, "UTF-8")
+    def ids(body: String): Seq[Long] =
+      "\"event_id\":(\\d+)".r.findAllMatchIn(body).map(_.group(1).toLong).toSeq
+    try {
+      val base = s"http://127.0.0.1:$port"
+      val q = enc("EVENT_ID > 0")
+      // root proxied through gateway: {A,B,C} ∩ {A,B} = {A,B} → rows 1-3
+      val viaGw = post(s"$base/query/create?table=t&query=$q&user=root" +
+        "&proxiedEntities=gateway&orderBy=event_id")
+      assert(viaGw.statusCode() == 200, viaGw.body())
+      val gwId = "\"queryId\": \"([0-9a-f]+)\"".r
+        .findFirstMatchIn(viaGw.body()).get.group(1)
+      assert(ids(post(s"$base/query/next?id=$gwId").body()) == Seq(1L, 2L, 3L))
+      // root proxied through gateway AND alice: ∩ = {A} → rows 1-2
+      val viaBoth = post(s"$base/query/create?table=t&query=$q&user=root" +
+        "&proxiedEntities=gateway,alice&orderBy=event_id")
+      val bothId = "\"queryId\": \"([0-9a-f]+)\"".r
+        .findFirstMatchIn(viaBoth.body()).get.group(1)
+      assert(ids(post(s"$base/query/next?id=$bothId").body()) == Seq(1L, 2L))
+      // explicit auths= may still only DOWNGRADE vs the intersection:
+      // B is in root's and gateway's grants but not alice's → 403
+      assert(post(s"$base/query/create?table=t&query=$q&user=root" +
+        "&proxiedEntities=gateway,alice&auths=B").statusCode() == 403)
+      // an unknown chain entity fails closed like an unknown user
+      assert(post(s"$base/query/create?table=t&query=$q&user=root" +
+        "&proxiedEntities=nosuch").statusCode() == 401)
+      // chain gates the data-serving verbs uniformly
+      val exe = post(s"$base/query/execute?table=t&query=$q&user=root" +
+        "&proxiedEntities=gateway,alice")
+      assert(!exe.body().contains("\"event_id\":3") &&
+        !exe.body().contains("\"event_id\":4"), exe.body())
+      // the durable definition resumes under the INTERSECTION after a
+      // server restart, not under root's wider grant
+      val resumeId = "\"queryId\": \"([0-9a-f]+)\"".r.findFirstMatchIn(
+        post(s"$base/query/create?table=t&query=$q&user=root" +
+          "&proxiedEntities=gateway,alice&orderBy=event_id&pageSize=1")
+          .body()).get.group(1)
+      assert(ids(post(s"$base/query/next?id=$resumeId").body()) == Seq(1L))
+      srv.stop()
+      val srv2 = mkServer()
+      val port2 = srv2.start()
+      try {
+        val rest = post(s"http://127.0.0.1:$port2/query/next?id=$resumeId")
+        assert(ids(rest.body()) == Seq(2L), rest.body())
+        assert(post(s"http://127.0.0.1:$port2/query/next?id=$resumeId")
+          .statusCode() == 204)
+      } finally srv2.stop()
+    } finally {
+      try srv.stop() catch { case _: Exception => () }
+      graft.core.Fs.deleteRecursively(stateDir)
+    }
+  }
 }
