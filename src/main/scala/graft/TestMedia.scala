@@ -66,6 +66,39 @@ object TestMedia {
     bos.toByteArray
   }
 
+  /** 16-bit mono PCM audio with a caller-supplied waveform
+    * (`f(i)` ∈ [-1, 1] per sample index), encoded as `fileType`
+    * ("wav" little-endian or "aiff" big-endian — the JDK writes both).
+    * Both containers carry the SAME 16-bit samples, so a decoder that
+    * canonicalizes (afp64 does) sees identical PCM — the
+    * pixel-identical-across-containers fixture, for audio. */
+  def audio(sampleRate: Int, nSamples: Int, fileType: String,
+            f: Int => Double): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val big = fileType.toLowerCase == "aiff"
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, big)
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val v = math.max(-1.0, math.min(1.0, f(i)))
+      val s = (v * 32767).toInt
+      if (big) {
+        pcm(i * 2) = ((s >> 8) & 0xff).toByte
+        pcm(i * 2 + 1) = (s & 0xff).toByte
+      } else {
+        pcm(i * 2) = (s & 0xff).toByte
+        pcm(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+      }
+      i += 1
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new ByteArrayOutputStream()
+    val tpe = if (big) AudioFileFormat.Type.AIFF else AudioFileFormat.Type.WAVE
+    AudioSystem.write(ais, tpe, bos)
+    bos.toByteArray
+  }
+
   private def be32(v: Int): Array[Byte] =
     Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
       ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)

@@ -716,12 +716,106 @@ object Multimodal {
     }
   }
 
-  /** Perceptual hashes for an image corpus: (media_id, phash) — null
-    * for rows the decoder cannot read (the explicit could-not-decode
-    * contract of [[probeAll]]). Map-side, no shuffle; at lake scale
-    * this is the write-once signature column an image dedup tier keeps
-    * beside the bytes, like the text tiers' shingle store. */
-  def imagePHash(media: DataFrame): DataFrame = {
+  // ---- audio perceptual fingerprint ----------------------------------
+
+  /** First-channel PCM samples in [-1, 1], canonicalized to signed
+    * 16-bit first (same discipline as the feature envelope: AIFF is
+    * big-endian, AU mu-law, 8-bit WAV unsigned — raw-byte reads would
+    * fingerprint byte-swapped garbage). None when undecodable. */
+  private def decodePcm(bytes: Array[Byte]): Option[Array[Double]] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    if (bytes.isEmpty) return None
+    try {
+      val raw = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val src = raw.getFormat
+        val canonical = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          src.getSampleRate, 16, src.getChannels, src.getChannels * 2,
+          src.getSampleRate, false)
+        val in = AudioSystem.getAudioInputStream(canonical, raw)
+        try {
+          val frameBytes = canonical.getFrameSize
+          val data = in.readAllBytes()
+          val n = data.length / math.max(1, frameBytes)
+          if (n == 0) None
+          else {
+            val out = new Array[Double](n)
+            var i = 0
+            while (i < n) {
+              val off = i * frameBytes
+              out(i) = ((data(off) & 0xff) | (data(off + 1) << 8)) / 32768.0
+              i += 1
+            }
+            Some(out)
+          }
+        } finally in.close()
+      } finally raw.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** Goertzel power of one normalized frequency (cycles/sample) over a
+    * sample window — a single-bin DFT, O(window) and allocation-free. */
+  private def goertzelPower(s: Array[Double], from: Int, until: Int,
+                            freq: Double): Double = {
+    val coeff = 2.0 * math.cos(2.0 * math.Pi * freq)
+    var s1 = 0.0; var s2 = 0.0
+    var i = from
+    while (i < until) {
+      val s0 = s(i) + coeff * s1 - s2
+      s2 = s1; s1 = s0; i += 1
+    }
+    s1 * s1 + s2 * s2 - coeff * s1 * s2
+  }
+
+  /** 64-bit audio perceptual fingerprint (the energy-difference scheme
+    * of Haitsma & Kalker 2002, "A Highly Robust Audio Fingerprinting
+    * System", sized to one long): decode to canonical 16-bit PCM →
+    * 17 equal time frames × 5 log-spaced spectral bands (Goertzel at
+    * normalized frequencies 0.02/0.04/0.08/0.16/0.30 cycles per
+    * sample) → bit(n,m) = sign of the TIME-versus-BAND second
+    * difference (E(n,m)−E(n,m+1)) − (E(n−1,m)−E(n−1,m+1)) over
+    * n∈1..16, m∈0..3. Sign-of-difference coding is invariant under
+    * global gain, so container re-encodes of the same samples (WAV ↔
+    * AIFF; both canonicalize to identical 16-bit PCM) collide at
+    * hamming 0, a regional edit moves the bits of the frames it
+    * touches, unrelated audio sits near 32. Pure JDK decode +
+    * IEEE-double recurrences: bit-deterministic, so gates pin literal
+    * hamming values. None for undecodable or sub-frame-length audio. */
+  def afp64(bytes: Array[Byte]): Option[Long] =
+    decodePcm(bytes).filter(_.length >= 17).map { s =>
+      val frames = 17
+      val bands = Array(0.02, 0.04, 0.08, 0.16, 0.30)
+      val e = Array.ofDim[Double](frames, bands.length)
+      var n = 0
+      while (n < frames) {
+        val from = n * s.length / frames
+        val until = (n + 1) * s.length / frames
+        var m = 0
+        while (m < bands.length) {
+          e(n)(m) = goertzelPower(s, from, until, bands(m))
+          m += 1
+        }
+        n += 1
+      }
+      var hash = 0L
+      n = 1
+      while (n < frames) {
+        var m = 0
+        while (m < 4) {
+          val d = (e(n)(m) - e(n)(m + 1)) - (e(n - 1)(m) - e(n - 1)(m + 1))
+          if (d > 0) hash |= 1L << ((n - 1) * 4 + m)
+          m += 1
+        }
+        n += 1
+      }
+      hash
+    }
+
+  /** Shared per-row 64-bit-hash kernel: (media_id, phash), null where
+    * `hasher` cannot decode the bytes. Map-side, no shuffle. */
+  private def hashFrame(media: DataFrame,
+                        hasher: Array[Byte] => Option[Long]): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType),
       StructField("phash", LongType, nullable = true)))
@@ -730,10 +824,23 @@ object Multimodal {
       rows.map { r =>
         val bytes = Option(r.getAs[Array[Byte]]("content")).getOrElse(Array.empty)
         Row(r.getAs[Long]("media_id"),
-          phash64(bytes).map(java.lang.Long.valueOf).orNull)
+          hasher(bytes).map(java.lang.Long.valueOf).orNull)
       }
     }(enc)
   }
+
+  /** Perceptual hashes for an image corpus: (media_id, phash) — null
+    * for rows the decoder cannot read (the explicit could-not-decode
+    * contract of [[probeAll]]). Map-side, no shuffle; at lake scale
+    * this is the write-once signature column an image dedup tier keeps
+    * beside the bytes, like the text tiers' shingle store. */
+  def imagePHash(media: DataFrame): DataFrame =
+    hashFrame(media, phash64)
+
+  /** Audio fingerprints for an audio corpus: (media_id, phash), null
+    * for undecodable rows — the audio twin of [[imagePHash]]. */
+  def audioFingerprints(media: DataFrame): DataFrame =
+    hashFrame(media, afp64)
 
   /** Image near-dup pairs by perceptual hash: (id_a, id_b, hamming)
     * with hamming ≤ `maxHamming`, id_a < id_b. EXACT, not approximate:
@@ -743,10 +850,22 @@ object Multimodal {
     * maxHamming ≤ 15 the output equals the quadratic all-pairs scan
     * (spec-pinned). Same banded-join scale shape as the SimHash text
     * path: work is per-bucket, never n². */
-  def imageNearDupPairs(media: DataFrame, maxHamming: Int = 10): DataFrame = {
+  def imageNearDupPairs(media: DataFrame, maxHamming: Int = 10): DataFrame =
+    hashNearDupPairs(imagePHash(media), maxHamming)
+
+  /** Audio near-dup pairs by perceptual fingerprint — the audio twin of
+    * [[imageNearDupPairs]]: (id_a, id_b, hamming) with hamming ≤
+    * `maxHamming`, id_a < id_b, EXACT for maxHamming ≤ 15 via the same
+    * 16-band × 4-bit pigeonhole join over [[afp64]] fingerprints. */
+  def audioNearDupPairs(media: DataFrame, maxHamming: Int = 10): DataFrame =
+    hashNearDupPairs(audioFingerprints(media), maxHamming)
+
+  /** Near-dup pairs of any (media_id, phash) 64-bit hash frame — the
+    * shared banded self-join kernel behind the image and audio tiers. */
+  def hashNearDupPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
       s"pigeonhole guarantee covers maxHamming <= 15, got $maxHamming")
-    val ph = imagePHash(media).filter(col("phash").isNotNull)
+    val ph = hashes.filter(col("phash").isNotNull)
     val banded = bandsOf(ph)
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") &&
@@ -795,9 +914,11 @@ object Multimodal {
   /** Register a processed batch's hashes under `batch=batchId`
     * (overwrite — a crash-replayed batch replaces its registration). */
   def appendPhashStoreBatch(ph: DataFrame, dir: String,
-                            batchId: Long): Unit =
+                            batchId: Long): Unit = {
+    graft.core.Fs.recoverSwap(s"$dir/phashes")
     ph.select("media_id", "phash")
       .write.mode("overwrite").parquet(s"$dir/phashes/batch=$batchId")
+  }
 
   /** Near-dup pairs a NEW image batch forms with the stored corpus and
     * with itself — (id_a, id_b, hamming), id_a < id_b, the
@@ -808,10 +929,30 @@ object Multimodal {
     * streaming caller registers exactly what it paired. */
   def incrementalImagePairs(newMedia: DataFrame, dir: String,
                             maxHamming: Int = 10): (DataFrame, DataFrame) = {
+    val newPh = imagePHash(newMedia).filter(col("phash").isNotNull)
+    (incrementalHashPairs(newPh, dir, maxHamming), newPh)
+  }
+
+  /** Audio twin of [[incrementalImagePairs]]: a new audio batch's pairs
+    * vs the stored fingerprint corpus plus itself, and the batch's hash
+    * frame for registration. */
+  def incrementalAudioPairs(newMedia: DataFrame, dir: String,
+                            maxHamming: Int = 10): (DataFrame, DataFrame) = {
+    val newPh = audioFingerprints(newMedia).filter(col("phash").isNotNull)
+    (incrementalHashPairs(newPh, dir, maxHamming), newPh)
+  }
+
+  /** Store-probe kernel shared by the image and audio tiers: pairs a
+    * new batch's (media_id, phash) frame forms with the stored corpus
+    * and with itself. The stored side anti-joins the batch's own ids
+    * (post-append replay exact), and a half-swapped compaction is
+    * recovered before the read ([[graft.core.Fs.recoverSwap]]). */
+  def incrementalHashPairs(newPh: DataFrame, dir: String,
+                           maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
       s"pigeonhole guarantee covers maxHamming <= 15, got $maxHamming")
-    val spark = newMedia.sparkSession
-    val newPh = imagePHash(newMedia).filter(col("phash").isNotNull)
+    val spark = newPh.sparkSession
+    graft.core.Fs.recoverSwap(s"$dir/phashes")
     val stored = spark.read.parquet(s"$dir/phashes")
       .select("media_id", "phash")
       .join(newPh.select("media_id"), Seq("media_id"), "left_anti")
@@ -830,12 +971,11 @@ object Multimodal {
           col("x.media_id") < col("y.media_id"))
       .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
         col("x.phash").as("ph_a"), col("y.phash").as("ph_b"))
-    val pairs = cross.unionByName(self).distinct()
+    cross.unionByName(self).distinct()
       .select(col("id_a"), col("id_b"),
         bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("long")
           .as("hamming"))
       .filter(col("hamming") <= maxHamming)
-    (pairs, newPh)
   }
 
   /** One streamed micro-batch of the image dedup tier: emit the batch's
@@ -846,13 +986,56 @@ object Multimodal {
     * later side's batch; spec-pinned). */
   def streamBatchImageDedup(batch: DataFrame, storeDir: String,
                             pairsDir: String, batchId: Long,
-                            maxHamming: Int = 10): Unit = {
-    val (pairs, newPh) = incrementalImagePairs(batch, storeDir, maxHamming)
-    val out = pairs.persist()
+                            maxHamming: Int = 10): Unit =
+    streamBatchHashDedup(
+      imagePHash(batch).filter(col("phash").isNotNull),
+      storeDir, pairsDir, batchId, maxHamming)
+
+  /** Audio twin of [[streamBatchImageDedup]]: one streamed micro-batch
+    * of the audio dedup tier — pairs into `batch_id=N`, fingerprints
+    * registered under `batch=N`, both overwrite, replay exact. */
+  def streamBatchAudioDedup(batch: DataFrame, storeDir: String,
+                            pairsDir: String, batchId: Long,
+                            maxHamming: Int = 10): Unit =
+    streamBatchHashDedup(
+      audioFingerprints(batch).filter(col("phash").isNotNull),
+      storeDir, pairsDir, batchId, maxHamming)
+
+  private def streamBatchHashDedup(newPh: DataFrame, storeDir: String,
+                                   pairsDir: String, batchId: Long,
+                                   maxHamming: Int): Unit = {
+    val hashes = newPh.persist()
+    val out = incrementalHashPairs(hashes, storeDir, maxHamming).persist()
     out.count()
     out.write.mode("overwrite").parquet(s"$pairsDir/batch_id=$batchId")
-    appendPhashStoreBatch(newPh, storeDir, batchId)
+    appendPhashStoreBatch(hashes, storeDir, batchId)
     out.unpersist()
+    hashes.unpersist()
     ()
+  }
+
+  /** Offline store maintenance for the batch-partitioned hash store
+    * ([[seedPhashStoreBatched]]/[[appendPhashStoreBatch]] — image and
+    * audio tiers share the layout): every micro-batch adds a `batch=N`
+    * directory forever, so months of live batches splinter the store
+    * and each incremental probe pays per-file open overhead on the
+    * stored-hash read. Collapse to `filesPerTable` files under ONE
+    * `batch=compacted` partition (the [[graft.operators.Dedup
+    * .compactDedupStore]] discipline: flattening `batch` into a data
+    * column would break partition discovery for later appends). Row
+    * content unchanged — identical pair results, spec-pinned with a
+    * part-file-count assertion. Write-to-temp then RENAME-ONLY swap
+    * ([[graft.core.Fs.swapDir]]); readers recover a half-swapped dir
+    * via [[graft.core.Fs.recoverSwap]]. Run only while the stream is
+    * STOPPED and its checkpoint fully committed. */
+  def compactPhashStore(spark: SparkSession, dir: String,
+                        filesPerTable: Int = 1): Unit = {
+    val src = s"$dir/phashes"
+    val tmp = s"$dir/phashes.compacting"
+    graft.core.Fs.recoverSwap(src)
+    spark.read.parquet(src).drop("batch")
+      .repartition(filesPerTable)
+      .write.mode("overwrite").parquet(s"$tmp/batch=compacted")
+    graft.core.Fs.swapDir(src, tmp)
   }
 }

@@ -406,6 +406,18 @@ object PipelineQueries {
     Multimodal.imageNearDupPairs(media, maxHamming = 10)
   }
 
+  /** Audio perceptual-fingerprint near-dup ([[graft.operators
+    * .Multimodal.afp64]]: Goertzel band energies → sign-of-second-
+    * difference bits, the Haitsma-Kalker scheme): container re-encodes
+    * of the same PCM (wav ↔ aiff) collide at hamming 0, a regional
+    * amplitude edit sits a few bits away, unrelated waveforms far —
+    * pairs from the same EXACT 16-band pigeonhole join as the image
+    * tier. Deterministic fixtures (JDK codecs + IEEE-double Goertzel)
+    * → literal oracle rows, the multimodal_probe discipline. */
+  def multimodalAfp(s: SparkSession, d: String): DataFrame =
+    Multimodal.audioNearDupPairs(
+      StreamingQueries.afpCorpus(s), maxHamming = 10)
+
   /** PII audit + scrub. The synthetic corpus is clean by construction, so
     * the gate augments each document with deterministic PII derived from
     * its id (email, IP, phone, card — same derivation in the oracle) and
@@ -526,19 +538,53 @@ object PipelineQueries {
     * window form for the same reason. Two shuffles total: the
     * fingerprint window (ids + 128 bits per row — text prunes below
     * the exchange) and the domain window. */
-  def corpusPipeline(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+  /** quality → exact dedup → domain cap, shared by [[corpusPipeline]]
+    * and [[corpusPipelineLeakFree]]: one corpus scan, two window
+    * shuffles, zero joins. */
+  private def cappedStage(docs: DataFrame): DataFrame = {
     val kept = TextOps.qualityFilter(docs, minTokens = 40, maxTokens = 80,
         minMeanTokLen = 4.1, maxMeanTokLen = 4.8, minAlphaRatio = 0.82,
         minStopwordRatio = 0.05, carry = Seq("source", "text"))
       .filter(col("keep"))
     val surv = Dedup.exactKeep(kept.select("doc_id", "source", "text"))
       .select("doc_id", "source")
-    val capped = graft.operators.Sampling.domainCapOnePass(
-      surv, "source", cap = 10)
-    graft.operators.Sampling.splitAssign(capped, "doc_id",
+    graft.operators.Sampling.domainCapOnePass(surv, "source", cap = 10)
+  }
+
+  def corpusPipeline(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling.splitAssign(
+        cappedStage(Tables.documents(s, d)), "doc_id",
         Seq("train" -> 0.96, "val" -> 0.02, "test" -> 0.02), salt = "sp1")
       .select("doc_id", "source", "n_domain", "split")
+
+  /** The composed pipeline with the CONTAMINATION-SAFE ending: quality
+    * → exact dedup → domain cap → LEAK-FREE split — near-dup clusters
+    * derived from the kept rows key the split hash, so no test
+    * document has a near-duplicate in train ([[graft.operators
+    * .Sampling.splitAssignLeakFree]], Lee et al. 2022 §6.2 applied at
+    * split time, composed end-to-end). Plan: the capped stage stays
+    * the one-scan/two-window pipeline and is persisted; the pair
+    * graph re-reads only the KEPT documents' text (a semi-join of the
+    * corpus against the capped id set — capped is cap×domains rows,
+    * broadcastable), and the cluster frame (bounded by near-dup
+    * PAIRS) hash-joins back onto the capped ids — the only join in
+    * the composition. */
+  def corpusPipelineLeakFree(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val capped = cappedStage(docs).persist()
+    capped.count()
+    val keptDocs = docs.join(
+      broadcast(capped.select("doc_id")), Seq("doc_id"), "left_semi")
+    val clusters = Dedup.clusters(
+      Dedup.ngramJaccardPairs(keptDocs, n = 3, threshold = 0.8))
+    val out = graft.operators.Sampling.splitAssignLeakFree(capped, clusters,
+        "doc_id", Seq("train" -> 0.96, "val" -> 0.02, "test" -> 0.02),
+        salt = "sp1")
+      .select("doc_id", "source", "n_domain", "cluster_id", "split")
+      .persist()
+    out.count()
+    capped.unpersist()
+    out
   }
 
   /** Sequence packing: the shuffled corpus as one token stream cut into
@@ -600,6 +646,7 @@ object PipelineQueries {
     "corpus_split" -> corpusSplit _,
     "corpus_split_leakfree" -> corpusSplitLeakFree _,
     "corpus_pipeline" -> corpusPipeline _,
+    "corpus_pipeline_leakfree" -> corpusPipelineLeakFree _,
     "corpus_pack" -> corpusPack _,
     "text_redact_pii" -> textRedactPii _,
     "text_repetition" -> textRepetition _,
@@ -634,26 +681,73 @@ object PipelineQueries {
     "ann_knn_cell_recall" -> annKnnCellRecall _,
     "multimodal_probe" -> multimodalProbe _,
     "multimodal_phash" -> multimodalPhash _,
+    "multimodal_afp" -> multimodalAfp _,
   )
 
   private val toksSql =
     "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
   private val fpSql =
     "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
-  private val shinglesSql =
+  private def shinglesOf(table: String) =
     s"""(SELECT doc_id,
        |   list_distinct(list_transform(range(1, len(toks) - 1),
        |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-       | FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+       | FROM (SELECT doc_id, $toksSql AS toks FROM $table)
        | WHERE len(toks) >= 3)""".stripMargin
-  private[queries] val jaccardPairsSql =
+  /** The 3-gram Jaccard ≥ 0.8 pair set over any (doc_id, text) table —
+    * the quadratic oracle for every banded Spark pair derivation. */
+  private[queries] def jaccardPairsOver(table: String): String = {
+    val sh = shinglesOf(table)
     s"""SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |   len(list_intersect(a.sh, b.sh)) AS inter,
        |   len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
-       | FROM $shinglesSql a JOIN $shinglesSql b ON a.doc_id < b.doc_id
+       | FROM $sh a JOIN $sh b ON a.doc_id < b.doc_id
        | WHERE len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) > 0
        |   AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) >=
        |       CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) * 0.8""".stripMargin
+  }
+  private[queries] val jaccardPairsSql = jaccardPairsOver("documents")
+  private val shinglesSql = shinglesOf("documents")
+
+  /** corpus_pipeline's CTE chain through `capped` — each member the
+    * already-gated stage oracle restricted to the previous stage's
+    * survivors: quality keep (text_quality_filter's conjunctive form),
+    * min-id-per-fingerprint exact dedup, the dcap-salted domain cap.
+    * Shared verbatim by corpus_pipeline and corpus_pipeline_leakfree. */
+  private def pipelineCappedCtes: String = {
+    val stops = TextOps.EnStopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""t AS (
+       |  SELECT doc_id, text, $toksSql AS toks, length(text) AS n_chars
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, len(toks) AS n_tokens,
+       |    CASE WHEN len(toks) > 0 THEN
+       |      CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+       |      ELSE 0.0 END AS mtl,
+       |    CASE WHEN n_chars > 0 THEN
+       |      CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / CAST(n_chars AS DOUBLE)
+       |      ELSE 0.0 END AS ar,
+       |    CASE WHEN len(toks) > 0 THEN
+       |      CAST(len(list_filter(toks, x -> list_contains($stops, x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+       |      ELSE 0.0 END AS sr
+       |  FROM t),
+       |q AS (SELECT doc_id FROM m
+       |  WHERE n_tokens >= 40 AND n_tokens <= 80 AND mtl >= 4.1 AND mtl <= 4.8
+       |    AND ar >= 0.82 AND sr >= 0.05),
+       |kept AS (SELECT d.doc_id, d.text, d.source
+       |  FROM documents d JOIN q USING (doc_id)),
+       |surv AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY $fpSql),
+       |sd AS (SELECT k.doc_id, k.source FROM kept k JOIN surv USING (doc_id)),
+       |c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_domain
+       |  FROM sd GROUP BY 1),
+       |r AS (SELECT doc_id, source, row_number() OVER (
+       |    PARTITION BY source ORDER BY
+       |      CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+       |        ':dcap')), 1, 8)) AS BIGINT) % 1000000, doc_id) AS rk
+       |  FROM sd),
+       |capped AS (SELECT doc_id, source, n_domain
+       |  FROM r JOIN c USING (source) WHERE rk <= 10)""".stripMargin
+  }
 
   private val piiTextSql =
     """text || ' contact user' || CAST(doc_id AS VARCHAR) ||
@@ -985,46 +1079,43 @@ object PipelineQueries {
     // restricted to the previous stage's survivors — quality keep
     // (text_quality_filter's conjunctive form), min-id-per-fingerprint
     // exact dedup, the dcap-salted domain cap, the sp1-salted split
-    "corpus_pipeline" -> {
-      val stops = TextOps.EnStopwords.map(s => s"'$s'").mkString("[", ", ", "]")
-      s"""WITH t AS (
-         |  SELECT doc_id, text, $toksSql AS toks, length(text) AS n_chars
-         |  FROM documents),
-         |m AS (
-         |  SELECT doc_id, len(toks) AS n_tokens,
-         |    CASE WHEN len(toks) > 0 THEN
-         |      CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
-         |      ELSE 0.0 END AS mtl,
-         |    CASE WHEN n_chars > 0 THEN
-         |      CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / CAST(n_chars AS DOUBLE)
-         |      ELSE 0.0 END AS ar,
-         |    CASE WHEN len(toks) > 0 THEN
-         |      CAST(len(list_filter(toks, x -> list_contains($stops, x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
-         |      ELSE 0.0 END AS sr
-         |  FROM t),
-         |q AS (SELECT doc_id FROM m
-         |  WHERE n_tokens >= 40 AND n_tokens <= 80 AND mtl >= 4.1 AND mtl <= 4.8
-         |    AND ar >= 0.82 AND sr >= 0.05),
-         |kept AS (SELECT d.doc_id, d.text, d.source
-         |  FROM documents d JOIN q USING (doc_id)),
-         |surv AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY $fpSql),
-         |sd AS (SELECT k.doc_id, k.source FROM kept k JOIN surv USING (doc_id)),
-         |c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_domain
-         |  FROM sd GROUP BY 1),
-         |r AS (SELECT doc_id, source, row_number() OVER (
-         |    PARTITION BY source ORDER BY
-         |      CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
-         |        ':dcap')), 1, 8)) AS BIGINT) % 1000000, doc_id) AS rk
-         |  FROM sd),
-         |capped AS (SELECT doc_id, source, n_domain
-         |  FROM r JOIN c USING (source) WHERE rk <= 10)
+    "corpus_pipeline" ->
+      s"""WITH $pipelineCappedCtes
          |SELECT doc_id, source, n_domain,
          |  CASE WHEN b < 960000 THEN 'train'
          |       WHEN b < 980000 THEN 'val' ELSE 'test' END AS split
          |FROM (SELECT *, CAST(concat('0x', substr(md5(concat(
          |    CAST(doc_id AS VARCHAR), ':sp1')), 1, 8)) AS BIGINT) % 1000000 AS b
-         |  FROM capped)""".stripMargin
-    },
+         |  FROM capped)""".stripMargin,
+    // the composed pipeline through `capped` (corpus_pipeline's CTEs
+    // verbatim), then the leak-free ending: the quadratic jaccard pair
+    // graph over the KEPT documents only, dedup_clusters' recursive
+    // component-min CTE, singletons coalesced to their own id, and the
+    // sp1-salted split keyed on the CLUSTER id
+    "corpus_pipeline_leakfree" ->
+      s"""WITH RECURSIVE $pipelineCappedCtes,
+         |kd AS (SELECT d.doc_id, d.text FROM documents d
+         |       JOIN capped USING (doc_id)),
+         |p AS (SELECT id_a, id_b FROM (${jaccardPairsOver("kd")})),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM p
+         |      UNION SELECT id_b, id_a FROM p),
+         |reach AS (
+         |  SELECT src, dst FROM e
+         |  UNION
+         |  SELECT rr.src, e2.dst FROM reach rr JOIN e e2 ON rr.dst = e2.src
+         |),
+         |cl AS (SELECT src AS doc_id,
+         |    CAST(LEAST(src, MIN(dst)) AS BIGINT) AS cluster_id
+         |  FROM reach GROUP BY src),
+         |ck AS (SELECT cp.doc_id, cp.source, cp.n_domain,
+         |    COALESCE(cl.cluster_id, cp.doc_id) AS cluster_id
+         |  FROM capped cp LEFT JOIN cl USING (doc_id))
+         |SELECT doc_id, source, n_domain, cluster_id,
+         |  CASE WHEN b < 960000 THEN 'train'
+         |       WHEN b < 980000 THEN 'val' ELSE 'test' END AS split
+         |FROM (SELECT *, CAST(concat('0x', substr(md5(concat(
+         |    CAST(cluster_id AS VARCHAR), ':sp1')), 1, 8)) AS BIGINT) % 1000000 AS b
+         |  FROM ck)""".stripMargin,
     // the oracle replays the GLOBAL running sum the bucket-offset form
     // reconstructs (the bucket is monotone in the hash, ties share a
     // bucket — identical total order)
@@ -1249,6 +1340,16 @@ object PipelineQueries {
         |   CAST(hamming AS BIGINT) AS hamming
         | FROM (VALUES (1, 2, 0), (1, 3, 6), (1, 4, 0),
         |   (2, 3, 6), (2, 4, 0), (3, 4, 6)) AS t(id_a, id_b, hamming)""".stripMargin,
+    // probed fixture hamming distances (AfpProbeMain): the wav↔aiff
+    // re-encodes of chirp A and of chirp B sit at 0 (identical
+    // canonical PCM), the regional amplitude edit at 2, everything
+    // cross-family 29-38 (cut by maxHamming=10), the junk row
+    // fingerprints to null and is excluded
+    "multimodal_afp" ->
+      """SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+        |   CAST(hamming AS BIGINT) AS hamming
+        | FROM (VALUES (1, 2, 0), (1, 3, 2), (2, 3, 2), (4, 5, 0))
+        |   AS t(id_a, id_b, hamming)""".stripMargin,
     "multimodal_probe" ->
       """SELECT CAST(media_id AS BIGINT) AS media_id, modality, format,
         |   CAST(width AS BIGINT) AS width,

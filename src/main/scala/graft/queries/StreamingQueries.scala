@@ -337,6 +337,68 @@ object StreamingQueries {
       graft.operators.Multimodal.mediaSchema)
   }
 
+  /** Deterministic audio corpus for the fingerprint dedup tier: one
+    * 3-member near-dup family (an up-chirp waveform A as wav + its
+    * aiff re-encode + a regional amplitude edit), one 2-member family
+    * (down-chirp B wav + aiff), distinct singles, and an undecodable
+    * row. Chirps sweep the fingerprint's five Goertzel bands over
+    * time, so the frame×band energy surface carries real structure. */
+  private[graft] def afpCorpus(s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.Row
+    val n = 16000
+    val wA = (i: Int) =>
+      0.7 * math.sin(2 * math.Pi * i * (0.02 + 0.22 * i / n.toDouble)) +
+        0.3 * math.sin(2 * math.Pi * 0.07 * i)
+    val wAEdit = (i: Int) =>
+      if (i >= 7000 && i < 9000) wA(i) * 1.8 else wA(i)
+    val wB = (i: Int) =>
+      0.6 * math.sin(2 * math.Pi * i * (0.30 - 0.25 * i / n.toDouble)) +
+        0.4 * math.sin(2 * math.Pi * 0.04 * i)
+    val wC = (i: Int) =>
+      math.signum(math.sin(2 * math.Pi * 0.03 * i)) *
+        (0.3 + 0.5 * math.abs(math.sin(math.Pi * i / n.toDouble)))
+    val wD = (i: Int) =>
+      0.5 * math.sin(i * 0.9) * math.cos(i * 0.23) +
+        0.4 * math.sin(2 * math.Pi * 0.18 * i)
+    def au(f: Int => Double, fmt: String): Array[Byte] =
+      graft.TestMedia.audio(8000, n, fmt, f)
+    val rows = Seq(
+      Row(1L, "audio", au(wA, "wav"), "wav"),
+      Row(2L, "audio", au(wA, "aiff"), "aiff"),
+      Row(3L, "audio", au(wAEdit, "wav"), "wav"),
+      Row(4L, "audio", au(wB, "wav"), "wav"),
+      Row(5L, "audio", au(wB, "aiff"), "aiff"),
+      Row(6L, "audio", au(wC, "wav"), "wav"),
+      Row(7L, "audio", au(wD, "wav"), "wav"),
+      Row(8L, "audio", "not-audio".getBytes("UTF-8"), "wav"))
+    s.createDataFrame(s.sparkContext.parallelize(rows, 2),
+      graft.operators.Multimodal.mediaSchema)
+  }
+
+  /** The audio landing-zone dedup tier LIVE: the fingerprint corpus
+    * arrives as three micro-batches; each pairs against the
+    * store-so-far plus itself and registers its fingerprints
+    * (overwrite-per-batch both sides). The union of per-batch pair
+    * emissions must equal the one-shot [[graft.operators.Multimodal
+    * .audioNearDupPairs]] — literal-row oracle, the multimodal fixture
+    * discipline. */
+  def streamAfp(s: SparkSession, d: String): DataFrame = {
+    val base = tmp("graft-safp")
+    val V = graft.operators.Multimodal
+    afpCorpus(s).repartition(3).write.parquet(s"$base/in")
+    V.seedPhashStoreBatched(s, s"$base/store")
+    val stream = s.readStream.schema(V.mediaSchema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = try {
+      StreamingIngest.audioDedupStream(stream, s"$base/store",
+        s"$base/pairs", s"$base/ck", maxHamming = 10).start()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    q.awaitTermination()
+    s.read.parquet(s"$base/pairs").select("id_a", "id_b", "hamming")
+  }
+
   /** The image landing-zone dedup tier LIVE: the pHash corpus arrives
     * as three micro-batches; each pairs against the store-so-far plus
     * itself and registers its hashes (overwrite-per-batch both sides).
@@ -371,6 +433,7 @@ object StreamingQueries {
     "stream_ann_append" -> streamAnnAppend _,
     "stream_pipeline" -> streamPipeline _,
     "stream_phash" -> streamPhash _,
+    "stream_afp" -> streamAfp _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -400,6 +463,15 @@ object StreamingQueries {
         |   CAST(hamming AS BIGINT) AS hamming
         | FROM (VALUES (1, 2, 0), (1, 3, 6), (1, 4, 0), (2, 3, 6),
         |   (2, 4, 0), (3, 4, 6), (5, 6, 4)) AS t(id_a, id_b, hamming)""".stripMargin,
+    // streamed == one-shot for the audio tier: the union of per-batch
+    // pair emissions is the probed one-shot pair set over the fixture
+    // corpus (AfpProbeMain): chirp A's wav/aiff/edit at hamming 0/2,
+    // chirp B vs its aiff at 0, singles + junk emit none
+    "stream_afp" ->
+      """SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+        |   CAST(hamming AS BIGINT) AS hamming
+        | FROM (VALUES (1, 2, 0), (1, 3, 2), (2, 3, 2), (4, 5, 0))
+        |   AS t(id_a, id_b, hamming)""".stripMargin,
     // the streamed cap ledger's final fold equals the batch domain cap
     "stream_domain_cap" ->
       """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_domain

@@ -162,6 +162,27 @@ object StreamingIngest {
         ()
       }
 
+  /** Live audio-dedup tier — the fingerprint twin of
+    * [[imageDedupStream]]: each micro-batch of audio decodes ONCE,
+    * pairs against the store-so-far plus itself, emits pairs into
+    * `batch_id=N`, registers fingerprints under `batch=N` — both
+    * overwrite, replay exact; the union of per-batch emissions equals
+    * the one-shot [[graft.operators.Multimodal.audioNearDupPairs]].
+    * Seed with [[graft.operators.Multimodal.seedPhashStoreBatched]]. */
+  def audioDedupStream(stream: DataFrame, storeDir: String,
+                       pairsDir: String, checkpointDir: String,
+                       maxHamming: Int = 10)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Multimodal.streamBatchAudioDedup(batch, storeDir,
+            pairsDir, id, maxHamming)
+        ()
+      }
+
   /** Live ANN-index maintenance — the vector-side twin of
     * [[nearDupStream]] and the streaming face of
     * [[graft.operators.VectorOps.pqAppendToIndex]]'s write-once

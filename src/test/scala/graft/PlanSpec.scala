@@ -190,6 +190,24 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Window"), plan.take(3000))
   }
 
+  test("leak-free pipeline: the cluster frame is the only join back in") {
+    // quality → dedup → cap stays the one-scan window pipeline (pinned
+    // above for corpus_pipeline); the leak-free ending may add exactly
+    // ONE equi-join — the pair-bounded cluster frame onto the capped
+    // ids — and the capped stage is read back from its cache, never
+    // re-derived, for the split output
+    val plan = executed("corpus_pipeline_leakfree")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan.take(3000))
+    // AQE prints the pre-adaptive plan after "== Initial Plan ==" —
+    // count joins in the FINAL section only
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val joins = "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r
+      .findAllIn(finalPlan).length
+    assert(joins == 1, s"expected 1 join (clusters), got $joins\n" + plan.take(3000))
+    assert(plan.contains("InMemoryTableScan"), plan.take(3000))
+  }
+
   test("span dedup derives shingles once and reuses the persisted arrays") {
     // the k-token span arrays are the expensive interpreted subtree; both
     // consumers (df aggregate + per-doc count) must read the InMemory

@@ -538,4 +538,115 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.imageNearDupPairs(mediaDf, 16)
     }
   }
+
+  test("afp64 sees samples, not bytes: identical PCM across containers, edits nearby") {
+    val n = 16000
+    val wA = (i: Int) =>
+      0.7 * math.sin(2 * math.Pi * i * (0.02 + 0.22 * i / n.toDouble)) +
+        0.3 * math.sin(2 * math.Pi * 0.07 * i)
+    val wAEdit = (i: Int) => if (i >= 7000 && i < 9000) wA(i) * 1.8 else wA(i)
+    val wB = (i: Int) =>
+      0.6 * math.sin(2 * math.Pi * i * (0.30 - 0.25 * i / n.toDouble)) +
+        0.4 * math.sin(2 * math.Pi * 0.04 * i)
+    val fa = Multimodal.afp64(graft.TestMedia.audio(8000, n, "wav", wA)).get
+    // AIFF is big-endian — identical canonical PCM, identical fingerprint
+    assert(Multimodal.afp64(graft.TestMedia.audio(8000, n, "aiff", wA)).get == fa)
+    // global gain drops out of sign-of-difference coding entirely
+    assert(Multimodal.afp64(
+      graft.TestMedia.audio(8000, n, "wav", i => wA(i) * 0.5)).get == fa)
+    val fEdit = Multimodal.afp64(graft.TestMedia.audio(8000, n, "wav", wAEdit)).get
+    val dEdit = java.lang.Long.bitCount(fa ^ fEdit)
+    assert(dEdit >= 1 && dEdit <= 10, s"edit moved $dEdit bits")
+    val fb = Multimodal.afp64(graft.TestMedia.audio(8000, n, "wav", wB)).get
+    assert(java.lang.Long.bitCount(fa ^ fb) > 15)
+    assert(Multimodal.afp64("garbage".getBytes).isEmpty)
+  }
+
+  test("audioNearDupPairs: pigeonhole candidates + verify == brute-force all pairs") {
+    val corpus = graft.queries.StreamingQueries.afpCorpus(spark)
+    for (maxH <- Seq(4, 10)) {
+      val got = Multimodal.audioNearDupPairs(corpus, maxH)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val hashes = Multimodal.audioFingerprints(corpus).collect()
+        .filter(!_.isNullAt(1)).map(r => (r.getLong(0), r.getLong(1)))
+      val brute = (for {
+        (ia, pa) <- hashes; (ib, pb) <- hashes if ia < ib
+        d = java.lang.Long.bitCount(pa ^ pb) if d <= maxH
+      } yield (ia, ib, d.toLong)).toSet
+      assert(got == brute, s"maxH=$maxH got=$got brute=$brute")
+      assert(!got.exists(p => p._1 == 8L || p._2 == 8L)) // junk row excluded
+    }
+  }
+
+  test("streamed audio dedup converges to the one-shot pair set; replay after append is exact") {
+    val corpus = graft.queries.StreamingQueries.afpCorpus(spark)
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("hamming"))).toSet
+    val oneShot = pairSet(Multimodal.audioNearDupPairs(corpus, 10))
+    assert(oneShot.nonEmpty)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-safp").toString
+    corpus.repartition(3).write.parquet(s"$tmp/in")
+    Multimodal.seedPhashStoreBatched(spark, s"$tmp/store")
+    val stream = spark.readStream.schema(Multimodal.mediaSchema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+    StreamingIngest.audioDedupStream(stream, s"$tmp/store",
+      s"$tmp/pairs", s"$tmp/ck", maxHamming = 10)
+      .start().awaitTermination(120000)
+    assert(pairSet(spark.read.parquet(s"$tmp/pairs")
+      .select("id_a", "id_b", "hamming")) == oneShot)
+    // crash window: a batch replayed AFTER its store append recomputes
+    // identical pairs and replaces its registration
+    val f0 = new java.io.File(s"$tmp/in").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val in0 = spark.read.parquet(f0.getAbsolutePath)
+    val ph0 = Multimodal.audioFingerprints(in0)
+      .filter(org.apache.spark.sql.functions.col("phash").isNotNull)
+    val bid = spark.read.parquet(s"$tmp/store/phashes")
+      .join(ph0.select("media_id"), Seq("media_id"), "left_semi")
+      .select("batch").head().get(0)
+    Multimodal.streamBatchAudioDedup(in0, s"$tmp/store", s"$tmp/pairs",
+      bid.toString.toLong, maxHamming = 10)
+    assert(pairSet(spark.read.parquet(s"$tmp/pairs")
+      .select("id_a", "id_b", "hamming")) == oneShot, "replay")
+    val dup = spark.read.parquet(s"$tmp/store/phashes")
+      .groupBy("media_id").count()
+      .filter(org.apache.spark.sql.functions.col("count") > 1).count()
+    assert(dup == 0, "replay duplicated store rows")
+  }
+
+  test("compactPhashStore: batch splinters collapse, mid-stream compaction preserves pairs") {
+    import org.apache.spark.sql.functions.col
+    val corpus = graft.queries.StreamingQueries.phashCorpus(spark)
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("hamming"))).toSet
+    val oneShot = pairSet(Multimodal.imageNearDupPairs(corpus, 10))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cph").toString
+    Multimodal.seedPhashStoreBatched(spark, s"$tmp/store")
+    val b1 = corpus.filter(col("media_id") <= 4)
+    val b2 = corpus.filter(col("media_id") > 4)
+    Multimodal.streamBatchImageDedup(b1, s"$tmp/store", s"$tmp/pairs", 0L)
+    // offline maintenance BETWEEN batches (stream stopped): splinter
+    // dirs collapse to one batch=compacted partition, one file
+    Multimodal.compactPhashStore(spark, s"$tmp/store")
+    def subdirs: Seq[String] = new java.io.File(s"$tmp/store/phashes")
+      .listFiles().filter(_.isDirectory).map(_.getName).toSeq.sorted
+    assert(subdirs == Seq("batch=compacted"), subdirs.mkString(","))
+    val files = new java.io.File(s"$tmp/store/phashes/batch=compacted")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files == 1, s"expected 1 compacted file, got $files")
+    Multimodal.streamBatchImageDedup(b2, s"$tmp/store", s"$tmp/pairs", 1L)
+    assert(pairSet(spark.read.parquet(s"$tmp/pairs")
+      .select("id_a", "id_b", "hamming")) == oneShot)
+    // a half-swapped compaction (crash between the renames) recovers at
+    // the next read: simulate by re-creating the swap's midpoint
+    val src = java.nio.file.Paths.get(s"$tmp/store/phashes")
+    val old = java.nio.file.Paths.get(s"$tmp/store/phashes.old")
+    java.nio.file.Files.move(src, old)
+    val (pairs, _) = Multimodal.incrementalImagePairs(
+      b2.limit(0), s"$tmp/store", 10)
+    pairs.count() // recoverSwap restored the store: the read succeeds
+    assert(java.nio.file.Files.exists(src) && !java.nio.file.Files.exists(old))
+  }
 }
