@@ -13,8 +13,11 @@ import org.apache.spark.sql.functions._
   * plus all its ancestors up to the root.
   *
   * Spark shape: derive `tld_uid` (the dotted-uid root) once — a codegen'd
-  * string op — then tree retrieval is a semi-join on tld_uid
-  * (co-partitioned by uid at scale, no shuffle beyond the join key).
+  * string op — then tree retrieval is a BROADCAST semi-join of the
+  * match-bounded needle set against one corpus scan (the reference
+  * seeks index-driven tree ranges; it never co-shuffles the table
+  * either). Callers with needle sets beyond broadcast capacity pass
+  * `broadcastNeedles = false` for the shuffle semi-join.
   */
 object DocumentTree {
 
@@ -57,11 +60,23 @@ object DocumentTree {
 
   /** TLD query: docs matching `pred` select their trees; return EVERY
     * document belonging to a selected tree (TLDQueryIterator semantics:
-    * evaluate against the whole tree, return tree members). */
-  def tldQuery(docs: DataFrame, pred: Column, uidCol: String = "uid"): DataFrame = {
+    * evaluate against the whole tree, return tree members).
+    *
+    * The needle side (distinct match roots) is BROADCAST by default:
+    * like the reference's query model — where TLD retrieval seeks
+    * index-driven tree ranges, never a table co-shuffle — the match
+    * set is selectivity-bounded, and a broadcast semi-join keeps the
+    * corpus side a single scan+probe (no 2-side shuffle; measured 3.7×
+    * on the sf1 probe, SCALE.md Round-10). `broadcastNeedles = false`
+    * restores the shuffle semi-join for match sets beyond broadcast
+    * capacity (≳10⁷ roots — at that selectivity the query is a corpus
+    * rewrite, not a retrieval, and the shuffle is the right plan). */
+  def tldQuery(docs: DataFrame, pred: Column, uidCol: String = "uid",
+               broadcastNeedles: Boolean = true): DataFrame = {
     val roots = docs.filter(pred)
       .select(tldUid(col(uidCol)).as("__tld")).distinct()
-    docs.join(roots, tldUid(docs(uidCol)) === col("__tld"), "left_semi")
+    val build = if (broadcastNeedles) broadcast(roots) else roots
+    docs.join(build, tldUid(docs(uidCol)) === col("__tld"), "left_semi")
   }
 
   /** All dotted prefixes of a uid including itself:
@@ -83,11 +98,19 @@ object DocumentTree {
     * documents — broadcastable needle set, never a scan of the corpus
     * per match. */
   def parentsOfMatches(docs: DataFrame, pred: Column,
-                       uidCol: String = "uid"): DataFrame = {
+                       uidCol: String = "uid",
+                       // default differs from tldQuery/ancestorsOfMatches:
+                       // the parent-pointer needle set is match-sized (no
+                       // depth fan-out to amortize) and the sf1 probe
+                       // measured the broadcast build consistently SLOWER
+                       // than the shuffle semi-join here (2.7-4.9 s vs a
+                       // steady 1.7 s — TreeProbe10Main)
+                       broadcastNeedles: Boolean = false): DataFrame = {
     val parents = docs.filter(pred)
       .select(coalesce(parentUid(col(uidCol)), col(uidCol)).as("__parent"))
       .distinct()
-    docs.join(parents, docs(uidCol) === col("__parent"), "left_semi")
+    val build = if (broadcastNeedles) broadcast(parents) else parents
+    docs.join(build, docs(uidCol) === col("__parent"), "left_semi")
   }
 
   /** Ancestor query: return matching documents plus every ANCESTOR on
@@ -100,10 +123,14 @@ object DocumentTree {
     * and bounded) and membership becomes an equi semi-join — hash join,
     * broadcastable, exact. */
   def ancestorsOfMatches(docs: DataFrame, pred: Column,
-                         uidCol: String = "uid"): DataFrame = {
+                         uidCol: String = "uid",
+                         broadcastNeedles: Boolean = true): DataFrame = {
     val prefixes = docs.filter(pred)
       .select(explode(prefixesOf(col(uidCol))).as("__p"))
       .distinct()
-    docs.join(prefixes, docs(uidCol) === col("__p"), "left_semi")
+    // match-bounded needle set (matches × depth): broadcast by default,
+    // same envelope note as [[tldQuery]]
+    val build = if (broadcastNeedles) broadcast(prefixes) else prefixes
+    docs.join(build, docs(uidCol) === col("__p"), "left_semi")
   }
 }

@@ -24,9 +24,15 @@ object Sf1CrossoverMain {
     "qs_content_within", "tf_phrase", "tf_adjacent", "tf_within",
     "edge_build", "span_scrub")
 
+  /** Round-10 list (r9 verdict Next #1): the four sf1 residuals after
+    * this round's plan changes, plus tld_query's FIRST sf1 row. */
+  private val Round10 = Seq("tld_query", "ancestor_query", "parent_query",
+    "qs_grouping_string", "grouping_paired_agg", "edge_build")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "target/sf1")
     val names = if (args.nonEmpty) args.toSeq
+      else if (sys.env.get("SPARK_GRAFT_ROUND").contains("10")) Round10
       else if (sys.env.get("SPARK_GRAFT_ROUND").contains("9")) Round9
       else Five
     val spark = SparkSession.builder().master("local[32]")

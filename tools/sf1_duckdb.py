@@ -18,8 +18,9 @@ def main(oracle_json, sf_dir, names=None):
     con.execute("PRAGMA threads=32")
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
         name = os.path.splitext(os.path.basename(p))[0]
+        src = os.path.join(p, "*.parquet") if os.path.isdir(p) else p
         con.execute(
-            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
     for name in (names or FIVE):
         sql = oracles.get(name)
         if not sql:
