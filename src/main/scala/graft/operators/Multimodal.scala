@@ -77,7 +77,7 @@ object Multimodal {
 
     /** Container-structure parse for the formats we can walk; None for
       * the rest (no JDK codec, no pure-parse structure we support). */
-    private def videoTrack(bytes: Array[Byte], fmt: String): Option[VideoTrack] =
+    private[operators] def videoTrack(bytes: Array[Byte], fmt: String): Option[VideoTrack] =
       fmt.toLowerCase match {
         case "mp4" | "mov" | "m4v" => Mp4Probe.parse(bytes)
         case "mkv" | "webm" => EbmlProbe.parse(bytes)
@@ -716,6 +716,46 @@ object Multimodal {
     }
   }
 
+  // ---- video perceptual fingerprint ----------------------------------
+
+  /** 64-bit video perceptual fingerprint over the container's encoded
+    * per-sample byte sizes — the codec-free bitrate/motion envelope the
+    * feature extractor already derives ([[JdkDecoder]] sizeEnvelope),
+    * coded like [[afp64]]: 65 equal time windows of the sample-size
+    * sequence, bit i = mean(window i+1) > mean(window i). First
+    * differences are invariant to any constant size offset and positive
+    * scaling, so the SAME frame-size sequence carried in a different
+    * container (MP4 `stsz` ↔ Matroska block payloads ↔ AVI chunk sizes,
+    * which disagree by fixed per-sample header offsets) fingerprints
+    * identically; a re-encoded scene moves the bits of the windows it
+    * touches; unrelated videos sit near 32. Pure integer/IEEE window
+    * means over pure byte-structure parsing: bit-deterministic. None
+    * for unparseable containers or tracks with fewer samples than
+    * windows (too short for a 64-bit envelope to mean anything). */
+  def vfp64(bytes: Array[Byte], format: String): Option[Long] = {
+    val track =
+      try JdkDecoder.videoTrack(bytes, Option(format).getOrElse(""))
+      catch { case _: Exception => None }
+    track.filter(_.sampleSizes.length >= 65).map { t =>
+      val s = t.sampleSizes
+      val wins = 65
+      val sum = new Array[Double](wins)
+      val cnt = new Array[Int](wins)
+      var i = 0
+      while (i < s.length) {
+        val w = i * wins / s.length
+        sum(w) += s(i); cnt(w) += 1; i += 1
+      }
+      var hash = 0L
+      var k = 0
+      while (k < 64) {
+        if (sum(k + 1) / cnt(k + 1) > sum(k) / cnt(k)) hash |= 1L << k
+        k += 1
+      }
+      hash
+    }
+  }
+
   // ---- audio perceptual fingerprint ----------------------------------
 
   /** First-channel PCM samples in [-1, 1], canonicalized to signed
@@ -813,9 +853,10 @@ object Multimodal {
     }
 
   /** Shared per-row 64-bit-hash kernel: (media_id, phash), null where
-    * `hasher` cannot decode the bytes. Map-side, no shuffle. */
+    * `hasher(bytes, format)` cannot decode the row. Map-side, no
+    * shuffle. */
   private def hashFrame(media: DataFrame,
-                        hasher: Array[Byte] => Option[Long]): DataFrame = {
+                        hasher: (Array[Byte], String) => Option[Long]): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType),
       StructField("phash", LongType, nullable = true)))
@@ -823,8 +864,9 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.map { r =>
         val bytes = Option(r.getAs[Array[Byte]]("content")).getOrElse(Array.empty)
+        val fmt = Option(r.getAs[String]("format")).getOrElse("")
         Row(r.getAs[Long]("media_id"),
-          hasher(bytes).map(java.lang.Long.valueOf).orNull)
+          hasher(bytes, fmt).map(java.lang.Long.valueOf).orNull)
       }
     }(enc)
   }
@@ -835,12 +877,18 @@ object Multimodal {
     * this is the write-once signature column an image dedup tier keeps
     * beside the bytes, like the text tiers' shingle store. */
   def imagePHash(media: DataFrame): DataFrame =
-    hashFrame(media, phash64)
+    hashFrame(media, (b, _) => phash64(b))
 
   /** Audio fingerprints for an audio corpus: (media_id, phash), null
     * for undecodable rows — the audio twin of [[imagePHash]]. */
   def audioFingerprints(media: DataFrame): DataFrame =
-    hashFrame(media, afp64)
+    hashFrame(media, (b, _) => afp64(b))
+
+  /** Video fingerprints for a video corpus: (media_id, phash), null
+    * for unparseable rows — the video twin of [[imagePHash]], over the
+    * container's bitrate envelope ([[vfp64]]). */
+  def videoFingerprints(media: DataFrame): DataFrame =
+    hashFrame(media, (b, f) => vfp64(b, f))
 
   /** Image near-dup pairs by perceptual hash: (id_a, id_b, hamming)
     * with hamming ≤ `maxHamming`, id_a < id_b. EXACT, not approximate:
@@ -859,6 +907,11 @@ object Multimodal {
     * 16-band × 4-bit pigeonhole join over [[afp64]] fingerprints. */
   def audioNearDupPairs(media: DataFrame, maxHamming: Int = 10): DataFrame =
     hashNearDupPairs(audioFingerprints(media), maxHamming)
+
+  /** Video near-dup pairs by bitrate-envelope fingerprint — the video
+    * twin of [[imageNearDupPairs]] over [[vfp64]]. */
+  def videoNearDupPairs(media: DataFrame, maxHamming: Int = 10): DataFrame =
+    hashNearDupPairs(videoFingerprints(media), maxHamming)
 
   /** Near-dup pairs of any (media_id, phash) 64-bit hash frame — the
     * shared banded self-join kernel behind the image and audio tiers. */
@@ -942,6 +995,13 @@ object Multimodal {
     (incrementalHashPairs(newPh, dir, maxHamming), newPh)
   }
 
+  /** Video twin of [[incrementalImagePairs]]. */
+  def incrementalVideoPairs(newMedia: DataFrame, dir: String,
+                            maxHamming: Int = 10): (DataFrame, DataFrame) = {
+    val newPh = videoFingerprints(newMedia).filter(col("phash").isNotNull)
+    (incrementalHashPairs(newPh, dir, maxHamming), newPh)
+  }
+
   /** Store-probe kernel shared by the image and audio tiers: pairs a
     * new batch's (media_id, phash) frame forms with the stored corpus
     * and with itself. The stored side anti-joins the batch's own ids
@@ -999,6 +1059,14 @@ object Multimodal {
                             maxHamming: Int = 10): Unit =
     streamBatchHashDedup(
       audioFingerprints(batch).filter(col("phash").isNotNull),
+      storeDir, pairsDir, batchId, maxHamming)
+
+  /** Video twin of [[streamBatchImageDedup]]. */
+  def streamBatchVideoDedup(batch: DataFrame, storeDir: String,
+                            pairsDir: String, batchId: Long,
+                            maxHamming: Int = 10): Unit =
+    streamBatchHashDedup(
+      videoFingerprints(batch).filter(col("phash").isNotNull),
       storeDir, pairsDir, batchId, maxHamming)
 
   private def streamBatchHashDedup(newPh: DataFrame, storeDir: String,

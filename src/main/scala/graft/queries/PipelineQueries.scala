@@ -418,6 +418,17 @@ object PipelineQueries {
     Multimodal.audioNearDupPairs(
       StreamingQueries.afpCorpus(s), maxHamming = 10)
 
+  /** Video bitrate-envelope near-dup ([[graft.operators.Multimodal
+    * .vfp64]]): the same frame-size sequence carried in MP4/Matroska/
+    * AVI containers fingerprints identically (per-sample header
+    * offsets cancel under first-difference coding), a re-encoded
+    * scene sits a few bits away, unrelated videos far; too-short and
+    * unparseable rows hash null and are excluded. Literal oracle rows
+    * probed by VfpProbeMain. */
+  def multimodalVfp(s: SparkSession, d: String): DataFrame =
+    Multimodal.videoNearDupPairs(
+      StreamingQueries.vfpCorpus(s), maxHamming = 10)
+
   /** PII audit + scrub. The synthetic corpus is clean by construction, so
     * the gate augments each document with deterministic PII derived from
     * its id (email, IP, phone, card — same derivation in the oracle) and
@@ -682,6 +693,7 @@ object PipelineQueries {
     "multimodal_probe" -> multimodalProbe _,
     "multimodal_phash" -> multimodalPhash _,
     "multimodal_afp" -> multimodalAfp _,
+    "multimodal_vfp" -> multimodalVfp _,
   )
 
   private val toksSql =
@@ -1350,6 +1362,15 @@ object PipelineQueries {
         |   CAST(hamming AS BIGINT) AS hamming
         | FROM (VALUES (1, 2, 0), (1, 3, 2), (2, 3, 2), (4, 5, 0))
         |   AS t(id_a, id_b, hamming)""".stripMargin,
+    // probed fixture distances (VfpProbeMain): sequence A's mp4/mkv/avi
+    // re-containers collide at 0, the replaced-scene edit at 4, family
+    // B's mp4 vs avi at 0, cross-family 17-35 (cut by maxHamming=10);
+    // the too-short track and the junk row hash null, excluded
+    "multimodal_vfp" ->
+      """SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+        |   CAST(hamming AS BIGINT) AS hamming
+        | FROM (VALUES (1, 2, 0), (1, 3, 0), (1, 4, 4), (2, 3, 0),
+        |   (2, 4, 4), (3, 4, 4), (5, 6, 0)) AS t(id_a, id_b, hamming)""".stripMargin,
     "multimodal_probe" ->
       """SELECT CAST(media_id AS BIGINT) AS media_id, modality, format,
         |   CAST(width AS BIGINT) AS width,

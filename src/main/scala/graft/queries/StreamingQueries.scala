@@ -375,6 +375,65 @@ object StreamingQueries {
       graft.operators.Multimodal.mediaSchema)
   }
 
+  /** Deterministic video corpus for the bitrate-envelope dedup tier:
+    * one 3-member near-dup family (sample-size sequence A carried in
+    * MP4, Matroska and AVI containers — per-sample header offsets
+    * differ by a constant, which first-difference coding cancels),
+    * one re-encoded-scene edit, a 2-member family B, distinct
+    * singles, a too-short track (null hash by guard) and an
+    * unparseable row. */
+  private[graft] def vfpCorpus(s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.Row
+    // sizes kept small so the Matroska fixture fits its vint budget;
+    // only RELATIVE sizes matter to a first-difference fingerprint
+    val n = 130
+    val sA = Seq.tabulate(n)(i =>
+      if (i % 10 == 0) 150 else 20 + 6 * (i % 7))
+    // a re-encoded scene REPLACES the local size pattern (pure scaling
+    // is invisible to sign-of-difference coding by design — that's the
+    // gain-invariance property)
+    val sAEdit = sA.zipWithIndex.map { case (v, i) =>
+      if (i >= 64 && i < 72) 90 else v }
+    val sB = Seq.tabulate(n)(i => if (i % 8 == 0) 140 else 100 - (i / 2))
+    val sC = Seq.tabulate(n)(i => if (i % 5 == 0) 60 else 40)
+    val sD = Seq.tabulate(n)(i => 25 + 8 * ((i * (i + 3)) % 11))
+    val M = graft.TestMedia
+    val rows = Seq(
+      Row(1L, "video", M.mp4(320, 240, Seq(n), sA), "mp4"),
+      Row(2L, "video", M.mkv(320, 240, sA), "mkv"),
+      Row(3L, "video", M.avi(320, 240, sA), "avi"),
+      Row(4L, "video", M.mp4(320, 240, Seq(n), sAEdit), "mp4"),
+      Row(5L, "video", M.mp4(640, 360, Seq(n), sB), "mp4"),
+      Row(6L, "video", M.avi(640, 360, sB), "avi"),
+      Row(7L, "video", M.mp4(160, 120, Seq(n), sC), "mp4"),
+      Row(8L, "video", M.mkv(160, 120, sD), "mkv"),
+      Row(9L, "video", M.mp4(160, 120, Seq(10)), "mp4"), // too short
+      Row(10L, "video", "not-a-container".getBytes("UTF-8"), "mp4"))
+    s.createDataFrame(s.sparkContext.parallelize(rows, 2),
+      graft.operators.Multimodal.mediaSchema)
+  }
+
+  /** The video landing-zone dedup tier LIVE — the vfp64 twin of
+    * [[streamPhash]]/[[streamAfp]]: union of per-batch pair emissions
+    * must equal the one-shot [[graft.operators.Multimodal
+    * .videoNearDupPairs]] — literal-row oracle. */
+  def streamVfp(s: SparkSession, d: String): DataFrame = {
+    val base = tmp("graft-svfp")
+    val V = graft.operators.Multimodal
+    vfpCorpus(s).repartition(3).write.parquet(s"$base/in")
+    V.seedPhashStoreBatched(s, s"$base/store")
+    val stream = s.readStream.schema(V.mediaSchema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = try {
+      StreamingIngest.videoDedupStream(stream, s"$base/store",
+        s"$base/pairs", s"$base/ck", maxHamming = 10).start()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    q.awaitTermination()
+    s.read.parquet(s"$base/pairs").select("id_a", "id_b", "hamming")
+  }
+
   /** The audio landing-zone dedup tier LIVE: the fingerprint corpus
     * arrives as three micro-batches; each pairs against the
     * store-so-far plus itself and registers its fingerprints
@@ -434,6 +493,7 @@ object StreamingQueries {
     "stream_pipeline" -> streamPipeline _,
     "stream_phash" -> streamPhash _,
     "stream_afp" -> streamAfp _,
+    "stream_vfp" -> streamVfp _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -472,6 +532,12 @@ object StreamingQueries {
         |   CAST(hamming AS BIGINT) AS hamming
         | FROM (VALUES (1, 2, 0), (1, 3, 2), (2, 3, 2), (4, 5, 0))
         |   AS t(id_a, id_b, hamming)""".stripMargin,
+    // streamed == one-shot for the video tier (VfpProbeMain literals)
+    "stream_vfp" ->
+      """SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+        |   CAST(hamming AS BIGINT) AS hamming
+        | FROM (VALUES (1, 2, 0), (1, 3, 0), (1, 4, 4), (2, 3, 0),
+        |   (2, 4, 4), (3, 4, 4), (5, 6, 0)) AS t(id_a, id_b, hamming)""".stripMargin,
     // the streamed cap ledger's final fold equals the batch domain cap
     "stream_domain_cap" ->
       """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_domain

@@ -183,6 +183,22 @@ object StreamingIngest {
         ()
       }
 
+  /** Live video-dedup tier — the [[vfp64]] twin of [[imageDedupStream]]
+    * over the same store layout and exactly-once discipline. */
+  def videoDedupStream(stream: DataFrame, storeDir: String,
+                       pairsDir: String, checkpointDir: String,
+                       maxHamming: Int = 10)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Multimodal.streamBatchVideoDedup(batch, storeDir,
+            pairsDir, id, maxHamming)
+        ()
+      }
+
   /** Live ANN-index maintenance — the vector-side twin of
     * [[nearDupStream]] and the streaming face of
     * [[graft.operators.VectorOps.pqAppendToIndex]]'s write-once

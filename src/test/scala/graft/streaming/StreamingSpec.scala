@@ -615,6 +615,78 @@ class MultimodalSpec extends SparkSpec {
     assert(dup == 0, "replay duplicated store rows")
   }
 
+  test("vfp64 sees the size envelope, not bytes: identical sequences across containers") {
+    val n = 130
+    val sA = Seq.tabulate(n)(i => if (i % 10 == 0) 150 else 20 + 6 * (i % 7))
+    val f = Multimodal.vfp64(graft.TestMedia.mp4(320, 240, Seq(n), sA), "mp4").get
+    // Matroska and AVI carry the same sequence shifted by constant
+    // per-sample header offsets — first differences cancel the shift
+    assert(Multimodal.vfp64(graft.TestMedia.mkv(320, 240, sA), "mkv").get == f)
+    assert(Multimodal.vfp64(graft.TestMedia.avi(320, 240, sA), "avi").get == f)
+    // uniform bitrate scaling (a quality knob) drops out too
+    assert(Multimodal.vfp64(
+      graft.TestMedia.mp4(320, 240, Seq(n), sA.map(_ * 3)), "mp4").get == f)
+    // a replaced scene moves only the windows it touches
+    val sEdit = sA.zipWithIndex.map { case (v, i) => if (i >= 64 && i < 72) 90 else v }
+    val d = java.lang.Long.bitCount(f ^
+      Multimodal.vfp64(graft.TestMedia.mp4(320, 240, Seq(n), sEdit), "mp4").get)
+    assert(d >= 1 && d <= 10, s"edit moved $d bits")
+    // too-short tracks and unparseable bytes hash null
+    assert(Multimodal.vfp64(graft.TestMedia.mp4(320, 240, Seq(10)), "mp4").isEmpty)
+    assert(Multimodal.vfp64("garbage".getBytes, "mp4").isEmpty)
+  }
+
+  test("videoNearDupPairs: pigeonhole candidates + verify == brute-force all pairs") {
+    val corpus = graft.queries.StreamingQueries.vfpCorpus(spark)
+    for (maxH <- Seq(4, 10)) {
+      val got = Multimodal.videoNearDupPairs(corpus, maxH)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val hashes = Multimodal.videoFingerprints(corpus).collect()
+        .filter(!_.isNullAt(1)).map(r => (r.getLong(0), r.getLong(1)))
+      val brute = (for {
+        (ia, pa) <- hashes; (ib, pb) <- hashes if ia < ib
+        d = java.lang.Long.bitCount(pa ^ pb) if d <= maxH
+      } yield (ia, ib, d.toLong)).toSet
+      assert(got == brute, s"maxH=$maxH got=$got brute=$brute")
+      assert(!got.exists(p => p._1 >= 9L || p._2 >= 9L)) // null-hash rows excluded
+    }
+  }
+
+  test("streamed video dedup converges to the one-shot pair set; replay after append is exact") {
+    val corpus = graft.queries.StreamingQueries.vfpCorpus(spark)
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("hamming"))).toSet
+    val oneShot = pairSet(Multimodal.videoNearDupPairs(corpus, 10))
+    assert(oneShot.nonEmpty)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-svfp").toString
+    corpus.repartition(3).write.parquet(s"$tmp/in")
+    Multimodal.seedPhashStoreBatched(spark, s"$tmp/store")
+    val stream = spark.readStream.schema(Multimodal.mediaSchema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+    StreamingIngest.videoDedupStream(stream, s"$tmp/store",
+      s"$tmp/pairs", s"$tmp/ck", maxHamming = 10)
+      .start().awaitTermination(120000)
+    assert(pairSet(spark.read.parquet(s"$tmp/pairs")
+      .select("id_a", "id_b", "hamming")) == oneShot)
+    val f0 = new java.io.File(s"$tmp/in").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val in0 = spark.read.parquet(f0.getAbsolutePath)
+    val ph0 = Multimodal.videoFingerprints(in0)
+      .filter(org.apache.spark.sql.functions.col("phash").isNotNull)
+    val bid = spark.read.parquet(s"$tmp/store/phashes")
+      .join(ph0.select("media_id"), Seq("media_id"), "left_semi")
+      .select("batch").head().get(0)
+    Multimodal.streamBatchVideoDedup(in0, s"$tmp/store", s"$tmp/pairs",
+      bid.toString.toLong, maxHamming = 10)
+    assert(pairSet(spark.read.parquet(s"$tmp/pairs")
+      .select("id_a", "id_b", "hamming")) == oneShot, "replay")
+    val dup = spark.read.parquet(s"$tmp/store/phashes")
+      .groupBy("media_id").count()
+      .filter(org.apache.spark.sql.functions.col("count") > 1).count()
+    assert(dup == 0, "replay duplicated store rows")
+  }
+
   test("compactPhashStore: batch splinters collapse, mid-stream compaction preserves pairs") {
     import org.apache.spark.sql.functions.col
     val corpus = graft.queries.StreamingQueries.phashCorpus(spark)
