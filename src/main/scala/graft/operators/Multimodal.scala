@@ -183,33 +183,22 @@ object Multimodal {
       }
     }
 
-    /** RMS energy per window over the PCM samples. The source stream is
-      * first converted to canonical signed 16-bit little-endian PCM —
-      * AIFF is big-endian, AU is commonly mu-law, 8-bit WAV is unsigned;
-      * sampling the raw bytes as little-endian signed would compute
-      * envelopes of byte-swapped / mis-encoded garbage. */
-    private def audioEnvelope(bytes: Array[Byte], dim: Int): Array[Float] = {
-      val raw = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
-      try {
-        val src = raw.getFormat
-        val canonical = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
-          src.getSampleRate, 16, src.getChannels, src.getChannels * 2,
-          src.getSampleRate, false) // false = little-endian
-        val in = AudioSystem.getAudioInputStream(canonical, raw)
-        try {
-          val frameBytes = canonical.getFrameSize
-          val data = in.readAllBytes()
-          val nFrames = data.length / math.max(1, frameBytes)
-          if (nFrames == 0) return Array.fill(dim)(0f)
+    /** RMS energy per window over the PCM samples — the canonical
+      * decode itself (endianness / mu-law / 8-bit normalization) lives
+      * in the shared [[Multimodal.decodePcm]] so the feature envelope
+      * and the [[Multimodal.afp64]] fingerprint can never drift apart
+      * on decoding rules. Window math is Long to survive hour-scale
+      * sample counts. */
+    private def audioEnvelope(bytes: Array[Byte], dim: Int): Array[Float] =
+      decodePcm(bytes) match {
+        case None => Array.fill(dim)(0f)
+        case Some(s) =>
           val env = new Array[Double](dim)
           val cnt = new Array[Int](dim)
           var i = 0
-          while (i < nFrames) {
-            // first channel: 16-bit little-endian signed by construction
-            val off = i * frameBytes
-            val s = ((data(off) & 0xff) | (data(off + 1) << 8)) / 32768.0
-            val w = i * dim / nFrames
-            env(w) += s * s
+          while (i < s.length) {
+            val w = (i.toLong * dim / s.length).toInt
+            env(w) += s(i) * s(i)
             cnt(w) += 1
             i += 1
           }
@@ -217,9 +206,7 @@ object Multimodal {
             if (cnt(w) == 0) 0.0 else math.sqrt(env(w) / cnt(w))).toArray
           val peak = rms.max
           rms.map(v => if (peak == 0) 0f else (v / peak).toFloat)
-        } finally in.close()
-      } finally raw.close()
-    }
+      }
 
     /** Peak-normalized mean encoded-sample-size per window — the video
       * feature vector. Large windows = high-bitrate (complex / fast-
@@ -230,7 +217,8 @@ object Multimodal {
       val cnt = new Array[Int](dim)
       var i = 0
       while (i < sizes.length) {
-        val w = i * dim / sizes.length
+        // Long window math: i * dim wraps Int for ~33M-sample tables
+        val w = (i.toLong * dim / sizes.length).toInt
         env(w) += sizes(i)
         cnt(w) += 1
         i += 1
@@ -655,7 +643,14 @@ object Multimodal {
       try Option(javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(bytes)))
       catch { case _: Exception => None }
-    img.map { im =>
+    img.map(phashOfImage)
+  }
+
+  /** [[phash64]] over an ALREADY-DECODED image — the decode-once entry
+    * for kernels that need dimensions AND hash from one pass
+    * ([[imageProbeHash]]). */
+  private def phashOfImage(im: java.awt.image.BufferedImage): Long = {
+    {
       val w = im.getWidth; val h = im.getHeight
       val n = 32
       val g = Array.ofDim[Double](n, n)
@@ -743,7 +738,8 @@ object Multimodal {
       val cnt = new Array[Int](wins)
       var i = 0
       while (i < s.length) {
-        val w = i * wins / s.length
+        // Long window math: i * 65 wraps Int past ~33M samples
+        val w = (i.toLong * wins / s.length).toInt
         sum(w) += s(i); cnt(w) += 1; i += 1
       }
       var hash = 0L
@@ -829,8 +825,10 @@ object Multimodal {
       val e = Array.ofDim[Double](frames, bands.length)
       var n = 0
       while (n < frames) {
-        val from = n * s.length / frames
-        val until = (n + 1) * s.length / frames
+        // Long frame math: n * s.length wraps Int past ~126M samples
+        // (~48 min mono at 44.1 kHz) — the kernel must hash, not throw
+        val from = (n.toLong * s.length / frames).toInt
+        val until = ((n + 1).toLong * s.length / frames).toInt
         var m = 0
         while (m < bands.length) {
           e(n)(m) = goertzelPower(s, from, until, bands(m))
@@ -854,9 +852,13 @@ object Multimodal {
 
   /** Shared per-row 64-bit-hash kernel: (media_id, phash), null where
     * `hasher(bytes, format)` cannot decode the row. Map-side, no
-    * shuffle. */
+    * shuffle. A missing `format` column resolves to "" ONCE here, so
+    * hashers that ignore the container format (image/audio decode by
+    * content sniffing) keep accepting minimal (media_id, content)
+    * frames. */
   private def hashFrame(media: DataFrame,
                         hasher: (Array[Byte], String) => Option[Long]): DataFrame = {
+    val hasFormat = media.columns.exists(_.equalsIgnoreCase("format"))
     val outSchema = StructType(Seq(
       StructField("media_id", LongType),
       StructField("phash", LongType, nullable = true)))
@@ -864,7 +866,8 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.map { r =>
         val bytes = Option(r.getAs[Array[Byte]]("content")).getOrElse(Array.empty)
-        val fmt = Option(r.getAs[String]("format")).getOrElse("")
+        val fmt = if (hasFormat) Option(r.getAs[String]("format")).getOrElse("")
+          else ""
         Row(r.getAs[Long]("media_id"),
           hasher(bytes, fmt).map(java.lang.Long.valueOf).orNull)
       }
@@ -883,6 +886,34 @@ object Multimodal {
     * for undecodable rows — the audio twin of [[imagePHash]]. */
   def audioFingerprints(media: DataFrame): DataFrame =
     hashFrame(media, (b, _) => afp64(b))
+
+  /** ONE-decode probe + hash for an image corpus: (media_id, width,
+    * height, phash) — dimensions and the perceptual hash from a single
+    * ImageIO decode per row (image decode dominates a media pipeline's
+    * cost; a probe pass followed by a hash pass would decode the whole
+    * corpus twice). Undecodable rows → (0, 0, null). */
+  def imageProbeHash(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("phash", LongType, nullable = true)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = Option(r.getAs[Array[Byte]]("content")).getOrElse(Array.empty)
+        val img =
+          try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes)))
+          catch { case _: Exception => None }
+        img match {
+          case Some(im) => Row(r.getAs[Long]("media_id"),
+            im.getWidth, im.getHeight, java.lang.Long.valueOf(phashOfImage(im)))
+          case None => Row(r.getAs[Long]("media_id"), 0, 0, null)
+        }
+      }
+    }(enc)
+  }
 
   /** Video fingerprints for a video corpus: (media_id, phash), null
     * for unparseable rows — the video twin of [[imagePHash]], over the

@@ -430,33 +430,35 @@ object PipelineQueries {
       StreamingQueries.vfpCorpus(s), maxHamming = 10)
 
   /** The composed MEDIA curation pipeline — corpus_pipeline's shape for
-    * binary columns: decode-probe quality gate (undecodable and
-    * sub-32px rows drop) → perceptual-hash near-dup dedup (min-id
-    * survivor per pHash cluster, the exactKeep rule applied to the
-    * pair graph) → deterministic split assignment keyed on media_id.
-    * Every stage is the already-gated operator; the gate pins that the
-    * MEDIA tier composes end-to-end like the text tier does. Literal
-    * oracle: the fixture's survivor set is probed (family A keeps 1,
-    * family B keeps 5, singles stay), and the split replays the same
-    * md5 bucket rule as corpus_split. */
+    * binary columns: decode-probe quality gate (undecodable rows and
+    * rows under 32px in EITHER dimension drop) → perceptual-hash
+    * near-dup dedup (min-id survivor per pHash cluster, the exactKeep
+    * rule applied to the pair graph) → deterministic split assignment
+    * keyed on media_id. Every stage is the already-gated operator; the
+    * gate pins that the MEDIA tier composes end-to-end like the text
+    * tier does — and that it decodes each image exactly ONCE
+    * ([[graft.operators.Multimodal.imageProbeHash]] yields dims + hash
+    * from one pass; decode dominates the pipeline's cost at lake
+    * scale). Literal oracle: the fixture's survivor set is probed
+    * (family A keeps 1, family B keeps 5, singles stay), and the split
+    * replays the same md5 bucket rule as corpus_split. */
   def mediaPipeline(s: SparkSession, d: String): DataFrame = {
-    val media = StreamingQueries.phashCorpus(s)
-    val probed = Multimodal.probeAll(media)
-      .filter(col("width") >= 32 && col("n_frames") >= 1)
-      .select("media_id")
-    val kept = media.join(broadcast(probed), Seq("media_id"), "left_semi")
+    val ph = Multimodal.imageProbeHash(StreamingQueries.phashCorpus(s))
+      .filter(col("phash").isNotNull &&
+        col("width") >= 32 && col("height") >= 32)
       .persist()
-    kept.count()
-    val clusters = Dedup.clusters(Multimodal.imageNearDupPairs(kept, 10)
-      .select(col("id_a"), col("id_b")))
-    val survivors = kept.select("media_id")
+    ph.count()
+    val clusters = Dedup.clusters(
+      Multimodal.hashNearDupPairs(ph.select("media_id", "phash"), 10)
+        .select(col("id_a"), col("id_b")))
+    val survivors = ph.select("media_id")
       .join(clusters.filter(col("doc_id") =!= col("cluster_id"))
         .select(col("doc_id").as("media_id")), Seq("media_id"), "left_anti")
     val out = graft.operators.Sampling.splitAssign(survivors, "media_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "mp1")
       .select("media_id", "split").persist()
     out.count()
-    kept.unpersist()
+    ph.unpersist()
     out
   }
 
@@ -1403,9 +1405,10 @@ object PipelineQueries {
         |   CAST(hamming AS BIGINT) AS hamming
         | FROM (VALUES (1, 2, 0), (1, 3, 0), (1, 4, 4), (2, 3, 0),
         |   (2, 4, 4), (3, 4, 4), (5, 6, 0)) AS t(id_a, id_b, hamming)""".stripMargin,
-    // probed survivor set (junk row drops at the probe gate; pHash
-    // family A keeps min id 1, family B keeps 5, singles stay) + the
-    // same md5 hash-range split rule as corpus_split, salt mp1
+    // probed survivor set (the junk row drops at the decode gate, all
+    // fixture images are 64x64 so the >=32px-both-dimensions rule keeps
+    // them; pHash family A keeps min id 1, family B keeps 5, singles
+    // stay) + the same md5 hash-range split rule as corpus_split, mp1
     "media_pipeline" ->
       """SELECT media_id,
         |  CASE WHEN b < 800000 THEN 'train'

@@ -687,6 +687,26 @@ class MultimodalSpec extends SparkSpec {
     assert(dup == 0, "replay duplicated store rows")
   }
 
+  test("imageProbeHash: one decode yields dims plus the same hash as phash64") {
+    import org.apache.spark.sql.Row
+    val wide = graft.TestMedia.image(64, 8, "png", tex(3.0, 5.0)) // degenerate aspect
+    val ok = graft.TestMedia.image(64, 64, "png", tex(3.0, 5.0))
+    val rows = Seq(
+      Row(1L, "image", ok, "png"),
+      Row(2L, "image", wide, "png"),
+      Row(3L, "image", "junk".getBytes("UTF-8"), "png"))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), Multimodal.mediaSchema)
+    val got = Multimodal.imageProbeHash(df).orderBy("media_id").collect()
+    assert(got(0).getInt(1) == 64 && got(0).getInt(2) == 64 &&
+      got(0).getLong(3) == Multimodal.phash64(ok).get)
+    // a 64x8 image DECODES (hash present) — the pipeline's >=32px-both-
+    // dimensions gate is what drops it, so height must be reported
+    assert(got(1).getInt(2) == 8 &&
+      got(1).getLong(3) == Multimodal.phash64(wide).get)
+    assert(got(2).getInt(1) == 0 && got(2).isNullAt(3))
+  }
+
   test("compactPhashStore: batch splinters collapse, mid-stream compaction preserves pairs") {
     import org.apache.spark.sql.functions.col
     val corpus = graft.queries.StreamingQueries.phashCorpus(spark)
