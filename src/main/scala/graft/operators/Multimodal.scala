@@ -950,7 +950,7 @@ object Multimodal {
     require(maxHamming >= 0 && maxHamming <= 15,
       s"pigeonhole guarantee covers maxHamming <= 15, got $maxHamming")
     val ph = hashes.filter(col("phash").isNotNull)
-    val banded = bandsOf(ph)
+    val banded = bandsOf(ph, maxHamming)
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") &&
           col("x.bucket") === col("y.bucket") &&
@@ -964,15 +964,36 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** The 16 × 4-bit pigeonhole bands of a (media_id, phash) frame —
-    * derived on the fly wherever needed (a 16-fold explode of one LONG
-    * is cheaper to recompute than to store, unlike the text tier's
-    * shingle sets). */
-  private def bandsOf(ph: DataFrame): DataFrame =
+  /** RADIUS-ADAPTIVE pigeonhole bands of a (media_id, phash) frame —
+    * derived on the fly wherever needed (the explode of one LONG is
+    * cheaper to recompute than to store, unlike the text tier's
+    * shingle sets — which also means the banding can change per query
+    * radius with no store migration). Pigeonhole: hamming ≤ h pairs
+    * must agree on ≥ 1 of m bands whenever m ≥ h+1, so the WIDEST
+    * bands the radius allows are chosen — band width is what kills
+    * quadratic candidate volume on hash-uniform corpora:
+    *
+    *   h ≤ 3  → 4 bands × 16 bits (2^16 buckets; P(chance band
+    *            collision per pair) ≈ 4/65536)
+    *   h ≤ 7  → 8 bands × 8 bits (256 buckets; ≈ 8/256 — the text
+    *            SimHash structure, Dedup.simhashPairs)
+    *   h ≤ 15 → 16 bands × 4 bits (16 buckets; ≈ 16/16 — candidates
+    *            approach all-pairs on uniform hashes: correct, but a
+    *            LAST RESORT; measured in ScaleProbe10Main/SCALE.md)
+    *
+    * The gated true edits measure hamming ≤ 6 across all three
+    * modalities, so h ≤ 7 (8 × 8-bit bands) is the recommended lake-
+    * scale radius; both sides of every join derive bands with the
+    * SAME h, so candidates stay consistent. */
+  private def bandsOf(ph: DataFrame, maxHamming: Int): DataFrame = {
+    val width = if (maxHamming <= 3) 16 else if (maxHamming <= 7) 8 else 4
+    val bands = 64 / width
+    val mask = (1L << width) - 1
     ph.select(col("media_id"), col("phash"),
-        posexplode(array((0 until 16).map(b =>
-          shiftright(col("phash"), b * 4).bitwiseAND(lit(0xFL))): _*)))
+        posexplode(array((0 until bands).map(b =>
+          shiftright(col("phash"), b * width).bitwiseAND(lit(mask))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+  }
 
   // ---- live pHash store: the image landing-zone dedup tier ----------
   // The image-side twin of the text signature store (Dedup.
@@ -1047,8 +1068,8 @@ object Multimodal {
     val stored = spark.read.parquet(s"$dir/phashes")
       .select("media_id", "phash")
       .join(newPh.select("media_id"), Seq("media_id"), "left_anti")
-    val nb = bandsOf(newPh)
-    val cross = bandsOf(stored).as("y")
+    val nb = bandsOf(newPh, maxHamming)
+    val cross = bandsOf(stored, maxHamming).as("y")
       .join(broadcast(nb.as("x")),
         col("x.band") === col("y.band") &&
           col("x.bucket") === col("y.bucket") &&
