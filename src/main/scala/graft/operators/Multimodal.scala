@@ -923,19 +923,20 @@ object Multimodal {
 
   /** Image near-dup pairs by perceptual hash: (id_a, id_b, hamming)
     * with hamming ≤ `maxHamming`, id_a < id_b. EXACT, not approximate:
-    * candidates come from a 16-band × 4-bit pigeonhole self-join —
-    * two hashes within hamming ≤ 15 MUST agree on at least one band —
-    * and the verify re-checks the true bit distance, so for
-    * maxHamming ≤ 15 the output equals the quadratic all-pairs scan
-    * (spec-pinned). Same banded-join scale shape as the SimHash text
-    * path: work is per-bucket, never n². */
+    * candidates come from a RADIUS-ADAPTIVE pigeonhole self-join
+    * ([[bandsOf]]: 4×16-bit / 8×8-bit / 16×4-bit bands for radius
+    * ≤ 3 / ≤ 7 / ≤ 15 — two hashes within the radius MUST agree on at
+    * least one band) and the verify re-checks the true bit distance,
+    * so the output equals the quadratic all-pairs scan (spec-pinned
+    * per structure). Work is per-bucket; prefer radius ≤ 7 at lake
+    * scale (see bandsOf on why 16×4 approaches all-pairs). */
   def imageNearDupPairs(media: DataFrame, maxHamming: Int = 10): DataFrame =
     hashNearDupPairs(imagePHash(media), maxHamming)
 
   /** Audio near-dup pairs by perceptual fingerprint — the audio twin of
     * [[imageNearDupPairs]]: (id_a, id_b, hamming) with hamming ≤
     * `maxHamming`, id_a < id_b, EXACT for maxHamming ≤ 15 via the same
-    * 16-band × 4-bit pigeonhole join over [[afp64]] fingerprints. */
+    * radius-adaptive pigeonhole join over [[afp64]] fingerprints. */
   def audioNearDupPairs(media: DataFrame, maxHamming: Int = 10): DataFrame =
     hashNearDupPairs(audioFingerprints(media), maxHamming)
 

@@ -521,7 +521,8 @@ class MultimodalSpec extends SparkSpec {
       "junk".getBytes("UTF-8"), "png")
     val mediaDf = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 2), Multimodal.mediaSchema)
-    for (maxH <- Seq(4, 10, 15)) {
+    // 3/4/10/15 exercise all three band structures (4x16 / 8x8 / 16x4)
+    for (maxH <- Seq(3, 4, 10, 15)) {
       val got = Multimodal.imageNearDupPairs(mediaDf, maxH)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       val hashes = Multimodal.imagePHash(mediaDf).collect()
@@ -564,7 +565,7 @@ class MultimodalSpec extends SparkSpec {
 
   test("audioNearDupPairs: pigeonhole candidates + verify == brute-force all pairs") {
     val corpus = graft.queries.StreamingQueries.afpCorpus(spark)
-    for (maxH <- Seq(4, 10)) {
+    for (maxH <- Seq(3, 4, 10)) {
       val got = Multimodal.audioNearDupPairs(corpus, maxH)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       val hashes = Multimodal.audioFingerprints(corpus).collect()
@@ -638,7 +639,7 @@ class MultimodalSpec extends SparkSpec {
 
   test("videoNearDupPairs: pigeonhole candidates + verify == brute-force all pairs") {
     val corpus = graft.queries.StreamingQueries.vfpCorpus(spark)
-    for (maxH <- Seq(4, 10)) {
+    for (maxH <- Seq(3, 4, 10)) {
       val got = Multimodal.videoNearDupPairs(corpus, maxH)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       val hashes = Multimodal.videoFingerprints(corpus).collect()
