@@ -43,14 +43,49 @@ object TreeProbe10Main {
         (col("kind") === "order" && col("priority") === "1-URGENT"),
       broadcastNeedles = b).count()
 
+    // the r9-verdict-suggested alternative: BLOOM-prune the corpus
+    // side before the shuffle semi-join, so only probable needles
+    // shuffle (public df.stat.bloomFilter + a broadcast mightContain
+    // filter; the semi-join then verifies exactly)
+    def ancBloom(): Long = {
+      val docs = treeDocs()
+      val prefixes = docs.filter(col("quantity") > 49)
+        .select(explode(T.prefixesOf(col("uid"))).as("__p"))
+        .distinct().persist()
+      val bf = prefixes.stat.bloomFilter("__p", 600000L, 0.03)
+      val bfB = spark.sparkContext.broadcast(bf)
+      val mc = udf((u: String) => u != null && bfB.value.mightContainString(u))
+      val out = docs.filter(mc(col("uid")))
+        .join(prefixes, col("uid") === col("__p"), "left_semi").count()
+      prefixes.unpersist(); bfB.destroy()
+      out
+    }
+    def parBloom(): Long = {
+      val docs = treeDocs()
+      val parents = docs.filter(
+          (col("kind") === "line" && col("quantity") > 49) ||
+            (col("kind") === "order" && col("priority") === "1-URGENT"))
+        .select(coalesce(T.parentUid(col("uid")), col("uid")).as("__parent"))
+        .distinct().persist()
+      val bf = parents.stat.bloomFilter("__parent", 400000L, 0.03)
+      val bfB = spark.sparkContext.broadcast(bf)
+      val mc = udf((u: String) => u != null && bfB.value.mightContainString(u))
+      val out = docs.filter(mc(col("uid")))
+        .join(parents, col("uid") === col("__parent"), "left_semi").count()
+      parents.unpersist(); bfB.destroy()
+      out
+    }
+
     time("warm")(anc(true))
     for (r <- 1 to 3) {
       time(s"anc_bcast_$r")(anc(true))
       time(s"anc_shuffle_$r")(anc(false))
+      time(s"anc_bloom_$r")(ancBloom())
       time(s"tld_bcast_$r")(tld(true))
       time(s"tld_shuffle_$r")(tld(false))
       time(s"par_bcast_$r")(par(true))
       time(s"par_shuffle_$r")(par(false))
+      time(s"par_bloom_$r")(parBloom())
     }
     spark.stop()
   }
