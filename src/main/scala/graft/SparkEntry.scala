@@ -30,8 +30,10 @@ object SparkEntry {
     "lucene_phrase", "mods_applied", "multimodal_probe",
     "qs_content_within", "qs_excerpt", "qs_limit_hits", "span_scrub",
     "ssdeep_chained",
-    "text_analyze", "text_quality_filter", "text_tokens", "tf_adjacent",
-    "tf_excerpt", "tf_lookup", "whindex_remap")
+    "text_analyze", "text_quality_filter", "text_tokens", "text_winnow",
+    "tf_adjacent", "tf_excerpt", "tf_lookup", "whindex_remap")
+  // text_winnow joined in r10: the winnow min-per-window fold is the
+  // sole carrier of the transform+aggregate+filter+explode combo.
   // text_quality_filter joined in r9: the qualityFilter lambda-let
   // rewrite (stats bound once per row) gave it the unique
   // transform+aggregate+filter combo.

@@ -60,6 +60,73 @@ object TextOps {
   /** Deterministic document fingerprint (content hash) — exact-dedup key. */
   def fingerprint(text: Column): Column = md5(normalized(text))
 
+  // --- winnowing (local document fingerprints) -------------------------
+
+  /** Winnowed LOCAL fingerprints of a document (Schleimer, Wilkerson &
+    * Aiken 2003, "Winnowing: Local Algorithms for Document
+    * Fingerprinting" — the MOSS scheme): the ORDERED overlapping
+    * k-token gram sequence (one codegen'd boundary-lookahead regex, no
+    * token array), each gram hashed to the md5-prefix integer every
+    * oracle-replayable hash here uses, then the MINIMUM hash of every
+    * w-wide window, distinct. Guarantee: two documents sharing a token
+    * run of length ≥ w + k − 1 share at least one fingerprint, and
+    * selection is position-local (robust to edits elsewhere) — the
+    * property whole-document hashes lack and shingle SETS only
+    * approximate. Documents shorter than k tokens yield none; gram
+    * sequences shorter than w winnow to their overall minimum. */
+  def winnowFingerprints(text: Column, k: Int = 3, w: Int = 4): Column = {
+    val norm = trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+    val grams = regexp_extract_all(norm,
+      lit(s"(?=\\b((?:[a-z0-9]+ ){${k - 1}}[a-z0-9]+))"), lit(1))
+    val hashes = transform(grams,
+      g => conv(substring(md5(g), 1, 8), 16, 10).cast("long"))
+    // filter(isNotNull): a gram-less doc's single window winnows to
+    // array_min(empty) = null — "no fingerprints", not a null one
+    filter(
+      array_distinct(transform(
+        sequence(lit(1), greatest(size(hashes) - (w - 1), lit(1))),
+        i => array_min(slice(hashes, i, lit(w))))),
+      x => x.isNotNull)
+  }
+
+  /** Winnowed-fingerprint overlap pairs: (id_a, id_b, shared) for
+    * document pairs sharing ≥ `minShared` winnowed fingerprints,
+    * id_a < id_b — copied-passage detection at corpus scale. Plan:
+    * fingerprints explode (≈ 2/(w+1) of the gram count per doc) into a
+    * fingerprint-keyed self-join — work is per-bucket, never all-pairs
+    * — and the group count IS the shared-fingerprint count (per-doc
+    * fingerprints are distinct). `hotFpCap` drops fingerprints whose
+    * document frequency reaches the cap (boilerplate runs — the
+    * spanProfile hot-span discipline) BEFORE the join, killing bucket
+    * skew at lake scale; None = exact, as the oracle replays. */
+  def winnowedOverlapPairs(docs: DataFrame, k: Int = 3, w: Int = 4,
+                           minShared: Int = 2,
+                           hotFpCap: Option[Int] = None,
+                           idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame = {
+    val fps0 = graft.core.Spread(
+        docs.select(col(idCol), col(textCol)))
+      .select(col(idCol),
+        explode(winnowFingerprints(col(textCol), k, w)).as("fp"))
+      .persist()
+    val fps = hotFpCap match {
+      case Some(cap) =>
+        val hot = fps0.groupBy("fp").agg(count(lit(1)).as("df"))
+          .filter(col("df") >= cap).select("fp")
+        fps0.join(hot, Seq("fp"), "left_anti")
+      case None => fps0
+    }
+    val out = fps.as("x").join(fps.as("y"),
+        col("x.fp") === col("y.fp") && col(s"x.$idCol") < col(s"y.$idCol"))
+      .groupBy(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .persist()
+    out.count()
+    fps0.unpersist()
+    out
+  }
+
   // --- quality scoring -----------------------------------------------
 
   /** Count of alphabetic characters. */

@@ -645,6 +645,15 @@ object PipelineQueries {
         col("window_id").cast("long").as("window_id"),
         col("n_windows").cast("long").as("n_windows"))
 
+  /** MOSS-style winnowed fingerprint overlap: document pairs sharing
+    * ≥ 2 local fingerprints (k=3 grams, w=4 windows) — copied-passage
+    * detection, the position-local complement of whole-doc md5 and
+    * shingle-SET Jaccard. The md5-prefix gram hash replays exactly in
+    * DuckDB, so the oracle re-derives the same fingerprints and join. */
+  def textWinnow(s: SparkSession, d: String): DataFrame =
+    TextOps.winnowedOverlapPairs(Tables.documents(s, d),
+      k = 3, w = 4, minShared = 2)
+
   /** Quarter-bit-exact TF-IDF relevance ranking: top-20 documents for a
     * three-term query, integer scores (qlog4-quantized idf), total-order
     * tie-break — the corpus-wide form of the reference's stored-TermWeight
@@ -728,6 +737,7 @@ object PipelineQueries {
     "multimodal_afp" -> multimodalAfp _,
     "multimodal_vfp" -> multimodalVfp _,
     "media_pipeline" -> mediaPipeline _,
+    "text_winnow" -> textWinnow _,
   )
 
   private val toksSql =
@@ -1405,6 +1415,25 @@ object PipelineQueries {
         |   CAST(hamming AS BIGINT) AS hamming
         | FROM (VALUES (1, 2, 0), (1, 3, 0), (1, 4, 4), (2, 3, 0),
         |   (2, 4, 4), (3, 4, 4), (5, 6, 0)) AS t(id_a, id_b, hamming)""".stripMargin,
+    // the same winnowing derivation over DuckDB list ops: ordered
+    // 3-gram sequence, md5-prefix integer hash, min per 4-window,
+    // distinct, fingerprint-keyed self-join counting shared fps
+    "text_winnow" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g AS (SELECT doc_id, list_transform(range(1, len(toks) - 1),
+         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS grams
+         |  FROM t WHERE len(toks) >= 3),
+         |h AS (SELECT doc_id, list_transform(grams, g2 ->
+         |    CAST(concat('0x', substr(md5(g2), 1, 8)) AS BIGINT)) AS hs
+         |  FROM g),
+         |f AS (SELECT doc_id, list_distinct(list_transform(
+         |    range(1, greatest(len(hs) - 3, 1) + 1),
+         |    i -> list_min(hs[i:i+3]))) AS fps FROM h),
+         |e AS (SELECT doc_id, unnest(fps) AS fp FROM f)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |   CAST(count(*) AS BIGINT) AS shared
+         | FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         | GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
     // probed survivor set (the junk row drops at the decode gate, all
     // fixture images are 64x64 so the >=32px-both-dimensions rule keeps
     // them; pHash family A keeps min id 1, family B keeps 5, singles
