@@ -127,6 +127,84 @@ object TextOps {
     out
   }
 
+  /** Seed an empty batch-partitioned winnow-fingerprint store
+    * (`fps/batch=seed`) — the text-fingerprint twin of
+    * [[graft.operators.Multimodal.seedPhashStoreBatched]]; the same
+    * overwrite-per-batch replay discipline. */
+  def seedWinnowStoreBatched(spark: org.apache.spark.sql.SparkSession,
+                             dir: String): Unit = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("fp", LongType)))
+    spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      .write.mode("overwrite").parquet(s"$dir/fps/batch=seed")
+  }
+
+  /** Register a processed batch's (doc_id, fp) rows under `batch=N`
+    * (overwrite — a crash-replayed batch replaces its registration). */
+  def appendWinnowStoreBatch(fps: DataFrame, dir: String,
+                             batchId: Long): Unit = {
+    graft.core.Fs.recoverSwap(s"$dir/fps")
+    fps.select("doc_id", "fp")
+      .write.mode("overwrite").parquet(s"$dir/fps/batch=$batchId")
+  }
+
+  /** Overlap pairs a NEW document batch forms with the stored corpus
+    * and with itself — the [[winnowedOverlapPairs]] contract computed
+    * incrementally: the batch fingerprints ONCE, the stored corpus is
+    * never re-read as text (only its 16-byte (doc_id, fp) rows scan),
+    * and the store side anti-joins the batch's own ids so a batch
+    * replayed AFTER its append computes identical pairs. A cross-batch
+    * pair emits in the LATER document's batch with its FULL shared
+    * count (old fps from the store + new fps from the batch), so the
+    * union of per-batch emissions equals the one-shot pair set.
+    * Returns (pairs, the batch's fingerprint frame to register). */
+  def incrementalWinnowPairs(newDocs: DataFrame, dir: String,
+                             k: Int = 3, w: Int = 4, minShared: Int = 2,
+                             idCol: String = "doc_id",
+                             textCol: String = "text"): (DataFrame, DataFrame) = {
+    val spark = newDocs.sparkSession
+    graft.core.Fs.recoverSwap(s"$dir/fps")
+    // persist: the batch fingerprints ONCE — three join legs read it
+    // (caller unpersists after registering, see streamBatchWinnow)
+    val newFps = newDocs.select(col(idCol).as("doc_id"),
+        explode(winnowFingerprints(col(textCol), k, w)).as("fp"))
+      .persist()
+    val stored = spark.read.parquet(s"$dir/fps")
+      .select("doc_id", "fp")
+      .join(newFps.select("doc_id"), Seq("doc_id"), "left_anti")
+    val cross = stored.as("y").join(broadcast(newFps.as("x")),
+        col("x.fp") === col("y.fp") && col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("id_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("id_b"))
+    val self = newFps.as("x").join(newFps.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+    val pairs = cross.unionByName(self)
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+    (pairs, newFps)
+  }
+
+  /** One streamed micro-batch of the winnow tier: pairs overwrite
+    * `batch_id=N`, fingerprints register under `batch=N` — replay
+    * replaces, union of emissions equals the one-shot answer
+    * (spec-pinned). The [[graft.operators.Multimodal
+    * .streamBatchImageDedup]] discipline for text passages. */
+  def streamBatchWinnow(batch: DataFrame, storeDir: String,
+                        pairsDir: String, batchId: Long,
+                        k: Int = 3, w: Int = 4, minShared: Int = 2): Unit = {
+    val (pairs, newFps) = incrementalWinnowPairs(batch, storeDir, k, w, minShared)
+    val out = pairs.persist()
+    out.count()
+    out.write.mode("overwrite").parquet(s"$pairsDir/batch_id=$batchId")
+    appendWinnowStoreBatch(newFps, storeDir, batchId)
+    out.unpersist()
+    newFps.unpersist()
+    ()
+  }
+
   // --- quality scoring -----------------------------------------------
 
   /** Count of alphabetic characters. */

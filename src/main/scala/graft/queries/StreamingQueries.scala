@@ -434,6 +434,29 @@ object StreamingQueries {
     s.read.parquet(s"$base/pairs").select("id_a", "id_b", "hamming")
   }
 
+  /** The winnowed-fingerprint tier LIVE: the document corpus arrives
+    * as three micro-batches; each pairs against the store-so-far plus
+    * itself (EXACT shared counts — a cross-batch pair emits in the
+    * later batch with the full count) and registers its (doc_id, fp)
+    * rows. Union of per-batch emissions == the one-shot text_winnow
+    * answer, so the oracle IS text_winnow's, verbatim. */
+  def streamWinnow(s: SparkSession, d: String): DataFrame = {
+    val base = tmp("graft-swin")
+    s.read.parquet(s"$d/documents.parquet").select("doc_id", "text")
+      .repartition(3).write.parquet(s"$base/in")
+    graft.operators.TextOps.seedWinnowStoreBatched(s, s"$base/store")
+    val stream = s.readStream.schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = try {
+      StreamingIngest.winnowStream(stream, s"$base/store",
+        s"$base/pairs", s"$base/ck", k = 3, w = 4, minShared = 2).start()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    q.awaitTermination()
+    s.read.parquet(s"$base/pairs").select("id_a", "id_b", "shared")
+  }
+
   /** The audio landing-zone dedup tier LIVE: the fingerprint corpus
     * arrives as three micro-batches; each pairs against the
     * store-so-far plus itself and registers its fingerprints
@@ -494,6 +517,7 @@ object StreamingQueries {
     "stream_phash" -> streamPhash _,
     "stream_afp" -> streamAfp _,
     "stream_vfp" -> streamVfp _,
+    "stream_winnow" -> streamWinnow _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -532,6 +556,10 @@ object StreamingQueries {
         |   CAST(hamming AS BIGINT) AS hamming
         | FROM (VALUES (1, 2, 0), (1, 3, 2), (2, 3, 2), (4, 5, 0))
         |   AS t(id_a, id_b, hamming)""".stripMargin,
+    // streamed == one-shot for the winnow tier: a cross-batch pair
+    // emits in the later batch with its FULL shared count, so the
+    // union of per-batch emissions IS text_winnow's answer — same SQL
+    "stream_winnow" -> PipelineQueries.oracleSql("text_winnow"),
     // streamed == one-shot for the video tier (VfpProbeMain literals)
     "stream_vfp" ->
       """SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,

@@ -183,6 +183,27 @@ object StreamingIngest {
         ()
       }
 
+  /** Live winnowed-fingerprint tier — copied-passage detection against
+    * a growing corpus: each micro-batch of documents fingerprints ONCE
+    * ([[graft.operators.TextOps.winnowFingerprints]]), pairs against
+    * the store-so-far plus itself with exact shared counts, and
+    * registers its (doc_id, fp) rows — overwrite-per-batch both sides,
+    * union of emissions equals the one-shot
+    * [[graft.operators.TextOps.winnowedOverlapPairs]]. */
+  def winnowStream(stream: DataFrame, storeDir: String,
+                   pairsDir: String, checkpointDir: String,
+                   k: Int = 3, w: Int = 4, minShared: Int = 2)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.TextOps.streamBatchWinnow(batch, storeDir,
+            pairsDir, id, k, w, minShared)
+        ()
+      }
+
   /** Live video-dedup tier — the [[vfp64]] twin of [[imageDedupStream]]
     * over the same store layout and exactly-once discipline. */
   def videoDedupStream(stream: DataFrame, storeDir: String,

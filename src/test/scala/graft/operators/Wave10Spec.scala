@@ -34,6 +34,48 @@ class Wave10Spec extends SparkSpec {
     assert(shared == (fps(1L) & fps(2L)).size)
   }
 
+  test("streamed winnow converges to the one-shot pair set; replay after append is exact") {
+    val docs = Seq(
+      (1L, s"alpha beta gamma $run delta epsilon zeta"),
+      (2L, s"completely different opening words here $run and another tail entirely"),
+      (3L, s"a third carrier of $run inside other framing words"),
+      (4L, "unrelated text about spark catalyst optimizer plans and shuffles today"),
+      (5L, "more unrelated material concerning parquet row groups and pushdown"))
+      .toDF("doc_id", "text")
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("shared"))).toSet
+    val oneShot = pairSet(TextOps.winnowedOverlapPairs(docs, minShared = 2))
+    assert(oneShot.map(p => (p._1, p._2)) == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-swin").toString
+    docs.repartition(3).write.parquet(s"$tmp/in")
+    TextOps.seedWinnowStoreBatched(spark, s"$tmp/store")
+    val stream = spark.readStream.schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+    graft.streaming.StreamingIngest.winnowStream(stream, s"$tmp/store",
+      s"$tmp/pairs", s"$tmp/ck", minShared = 2)
+      .start().awaitTermination(120000)
+    assert(pairSet(spark.read.parquet(s"$tmp/pairs")
+      .select("id_a", "id_b", "shared")) == oneShot)
+    // crash window: a batch replayed AFTER its store append recomputes
+    // identical pairs (store side anti-joins its own ids) and replaces
+    // rather than duplicates its registration
+    val f0 = new java.io.File(s"$tmp/in").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val in0 = spark.read.parquet(f0.getAbsolutePath)
+    val bid = spark.read.parquet(s"$tmp/store/fps")
+      .join(in0.select("doc_id"), Seq("doc_id"), "left_semi")
+      .select("batch").head().get(0)
+    TextOps.streamBatchWinnow(in0, s"$tmp/store", s"$tmp/pairs",
+      bid.toString.toLong, minShared = 2)
+    assert(pairSet(spark.read.parquet(s"$tmp/pairs")
+      .select("id_a", "id_b", "shared")) == oneShot, "replay")
+    val dup = spark.read.parquet(s"$tmp/store/fps")
+      .groupBy("doc_id", "fp").count()
+      .filter(col("count") > 1).count()
+    assert(dup == 0, "replay duplicated store rows")
+  }
+
   test("hotFpCap drops boilerplate fingerprints before the join") {
     val boiler = "subscribe to our newsletter for updates every single day"
     val docs = (1L to 6L).map(i =>
