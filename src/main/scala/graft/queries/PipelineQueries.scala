@@ -765,6 +765,27 @@ object PipelineQueries {
   private[queries] val jaccardPairsSql = jaccardPairsOver("documents")
   private val shinglesSql = shinglesOf("documents")
 
+  /** text_winnow's oracle over an optional doc restriction (a pair's
+    * fingerprints depend only on its two documents, so a sliced corpus
+    * is the full answer filtered to both-ids-in-slice) — shared by the
+    * batch gate ("") and the streamed gate's corpus slice. */
+  private[queries] def winnowOracleSql(where: String): String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents $where),
+       |g AS (SELECT doc_id, list_transform(range(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS grams
+       |  FROM t WHERE len(toks) >= 3),
+       |h AS (SELECT doc_id, list_transform(grams, g2 ->
+       |    CAST(concat('0x', substr(md5(g2), 1, 8)) AS BIGINT)) AS hs
+       |  FROM g),
+       |f AS (SELECT doc_id, list_distinct(list_transform(
+       |    range(1, greatest(len(hs) - 3, 1) + 1),
+       |    i -> list_min(hs[i:i+3]))) AS fps FROM h),
+       |e AS (SELECT doc_id, unnest(fps) AS fp FROM f)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |   CAST(count(*) AS BIGINT) AS shared
+       | FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       | GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
+
   /** corpus_pipeline's CTE chain through `capped` — each member the
     * already-gated stage oracle restricted to the previous stage's
     * survivors: quality keep (text_quality_filter's conjunctive form),
@@ -1418,22 +1439,7 @@ object PipelineQueries {
     // the same winnowing derivation over DuckDB list ops: ordered
     // 3-gram sequence, md5-prefix integer hash, min per 4-window,
     // distinct, fingerprint-keyed self-join counting shared fps
-    "text_winnow" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |g AS (SELECT doc_id, list_transform(range(1, len(toks) - 1),
-         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS grams
-         |  FROM t WHERE len(toks) >= 3),
-         |h AS (SELECT doc_id, list_transform(grams, g2 ->
-         |    CAST(concat('0x', substr(md5(g2), 1, 8)) AS BIGINT)) AS hs
-         |  FROM g),
-         |f AS (SELECT doc_id, list_distinct(list_transform(
-         |    range(1, greatest(len(hs) - 3, 1) + 1),
-         |    i -> list_min(hs[i:i+3]))) AS fps FROM h),
-         |e AS (SELECT doc_id, unnest(fps) AS fp FROM f)
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |   CAST(count(*) AS BIGINT) AS shared
-         | FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
-         | GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+    "text_winnow" -> winnowOracleSql(""),
     // probed survivor set (the junk row drops at the decode gate, all
     // fixture images are 64x64 so the >=32px-both-dimensions rule keeps
     // them; pHash family A keeps min id 1, family B keeps 5, singles

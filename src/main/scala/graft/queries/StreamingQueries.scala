@@ -213,7 +213,7 @@ object StreamingQueries {
     // so the subset's pair set is exactly the full set filtered to
     // both-sides-even — same oracle, half the streamed volume.
     val streamed = s.read.parquet(s"$d/documents.parquet")
-      .select("doc_id", "text").filter(col("doc_id") % 2 === 0)
+      .select("doc_id", "text").filter(col("doc_id") % 3 === 0)
     streamed.repartition(3).write.parquet(s"$base/in")
     graft.operators.Dedup.seedDedupStoreBatched(streamed, s"$base/store", n = 3)
     val stream = s.readStream.schema("doc_id BIGINT, text STRING")
@@ -442,7 +442,13 @@ object StreamingQueries {
     * answer, so the oracle IS text_winnow's, verbatim. */
   def streamWinnow(s: SparkSession, d: String): DataFrame = {
     val base = tmp("graft-swin")
+    // a third of the corpus (the stream_neardup slicing precedent):
+    // a pair's fingerprints depend only on its two documents, so the
+    // sliced stream's answer is the full answer filtered to the slice
+    // — and the gate stays a gate, not a bench-dominating rerun of
+    // text_winnow three times over
     s.read.parquet(s"$d/documents.parquet").select("doc_id", "text")
+      .filter(col("doc_id") % 3 === 0)
       .repartition(3).write.parquet(s"$base/in")
     graft.operators.TextOps.seedWinnowStoreBatched(s, s"$base/store")
     val stream = s.readStream.schema("doc_id BIGINT, text STRING")
@@ -558,8 +564,10 @@ object StreamingQueries {
         |   AS t(id_a, id_b, hamming)""".stripMargin,
     // streamed == one-shot for the winnow tier: a cross-batch pair
     // emits in the later batch with its FULL shared count, so the
-    // union of per-batch emissions IS text_winnow's answer — same SQL
-    "stream_winnow" -> PipelineQueries.oracleSql("text_winnow"),
+    // union of per-batch emissions IS text_winnow's answer over the
+    // streamed (doc_id % 3 = 0) corpus slice
+    "stream_winnow" ->
+      PipelineQueries.winnowOracleSql("WHERE doc_id % 3 = 0"),
     // streamed == one-shot for the video tier (VfpProbeMain literals)
     "stream_vfp" ->
       """SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
