@@ -213,7 +213,7 @@ object StreamingQueries {
     // so the subset's pair set is exactly the full set filtered to
     // both-sides-even — same oracle, half the streamed volume.
     val streamed = s.read.parquet(s"$d/documents.parquet")
-      .select("doc_id", "text").filter(col("doc_id") % 3 === 0)
+      .select("doc_id", "text").filter(col("doc_id") % 2 === 0)
     streamed.repartition(3).write.parquet(s"$base/in")
     graft.operators.Dedup.seedDedupStoreBatched(streamed, s"$base/store", n = 3)
     val stream = s.readStream.schema("doc_id BIGINT, text STRING")
