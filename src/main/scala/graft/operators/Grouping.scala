@@ -45,15 +45,33 @@ object Grouping {
                           idents: Seq[Column => Column]): DataFrame =
     allMatched(long, conditions, idents).select("uid").distinct()
 
+  /** [[matchesInGroupKeyed]] plus the HIT terms: one row per matching
+    * uid with `HIT_TERM` = the distinct (FIELD, value) pairs that
+    * satisfied conditions inside FULLY-matched groups (HitListArithmetic
+    * records the matched terms; for grouping functions those are
+    * exactly the keyed join's own matching rows). Same one-scan plan —
+    * the per-group aggregate additionally collects the matching
+    * (field, value) pairs, so hit emission costs one more aggregation
+    * buffer over matching rows only, never a re-scan. */
+  def matchesInGroupHits(long: DataFrame, conditions: Seq[FieldMatch],
+                         idents: Seq[Column => Column]): DataFrame =
+    allMatched(long, conditions, idents, withHits = true)
+      .groupBy("uid")
+      .agg(array_distinct(flatten(collect_list(col("_hits"))))
+        .as("HIT_TERM"))
+
   /** grouping:getGroupsForMatchesInGroup — also return WHICH groups hit. */
   def groupsForMatches(long: DataFrame, conditions: Seq[FieldMatch]): DataFrame =
     allMatched(long, conditions, conditions.map(_ => (c: Column) => c))
       .select("uid", "group")
 
   /** Shared one-scan kernel: (uid, group-identity) pairs where all
-    * `conditions` matched under their respective identities. */
+    * `conditions` matched under their respective identities.
+    * `withHits` adds a `_hits` column — the distinct (FIELD, value)
+    * pairs that matched within the group — for [[matchesInGroupHits]]. */
   private def allMatched(long: DataFrame, conditions: Seq[FieldMatch],
-                         idents: Seq[Column => Column]): DataFrame = {
+                         idents: Seq[Column => Column],
+                         withHits: Boolean = false): DataFrame = {
     require(conditions.nonEmpty && idents.size == conditions.size)
     require(conditions.size < 63, "more than 62 grouping conditions")
     val grp = col("group").cast("string")
@@ -68,21 +86,27 @@ object Grouping {
     // pushed down and the row-to-matches step only sees matching rows
     val any = conditions.map(c =>
       col("field") === c.field && c.predicate(col("value"))).reduce(_ || _)
+    val hitTerm = struct(upper(col("field").cast("string")).as("field"),
+      col("value").cast("string").as("value"))
     val matched =
       if (conditions.map(_.field).distinct.size == conditions.size)
         // distinct condition fields → a row matches at most ONE
         // condition: the when-chain IS the match row, no explode
         long.filter(any)
-          .select(col("uid"),
-            hits.reduceRight((h, acc) => coalesce(h, acc)).as("m"))
+          .select(col("uid") +:
+            hits.reduceRight((h, acc) => coalesce(h, acc)).as("m") +:
+            (if (withHits) Seq(hitTerm.as("_h")) else Nil): _*)
       else
         long.filter(any)
-          .select(col("uid"),
-            explode(array_compact(array(hits.toIndexedSeq: _*))).as("m"))
-    matched
-      .filter(col("m.g").isNotNull)
+          .select(col("uid") +:
+            explode(array_compact(array(hits.toIndexedSeq: _*))).as("m") +:
+            (if (withHits) Seq(hitTerm.as("_h")) else Nil): _*)
+    val grouped = matched.filter(col("m.g").isNotNull)
       .groupBy(col("uid"), col("m.g").as("group"))
-      .agg(bit_or(col("m.mask")).as("_mask"))
+    (if (withHits)
+      grouped.agg(bit_or(col("m.mask")).as("_mask"),
+        array_distinct(collect_list(col("_h"))).as("_hits"))
+    else grouped.agg(bit_or(col("m.mask")).as("_mask")))
       .filter(col("_mask") === (1L << conditions.size) - 1L)
   }
 

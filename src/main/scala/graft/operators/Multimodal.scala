@@ -858,7 +858,11 @@ object Multimodal {
     * frames. */
   private def hashFrame(media: DataFrame,
                         hasher: (Array[Byte], String) => Option[Long]): DataFrame = {
-    val hasFormat = media.columns.exists(_.equalsIgnoreCase("format"))
+    // the ACTUAL matched column name rides into the row lookup: the
+    // detection is case-insensitive, so the read must use the found
+    // spelling, not the literal "format" (a frame with "Format" would
+    // pass the check and then throw per row)
+    val formatCol = media.columns.find(_.equalsIgnoreCase("format"))
     val outSchema = StructType(Seq(
       StructField("media_id", LongType),
       StructField("phash", LongType, nullable = true)))
@@ -866,8 +870,8 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.map { r =>
         val bytes = Option(r.getAs[Array[Byte]]("content")).getOrElse(Array.empty)
-        val fmt = if (hasFormat) Option(r.getAs[String]("format")).getOrElse("")
-          else ""
+        val fmt = formatCol
+          .flatMap(c => Option(r.getAs[String](c))).getOrElse("")
         Row(r.getAs[Long]("media_id"),
           hasher(bytes, fmt).map(java.lang.Long.valueOf).orNull)
       }
@@ -928,21 +932,25 @@ object Multimodal {
     * ≤ 3 / ≤ 7 / ≤ 15 — two hashes within the radius MUST agree on at
     * least one band) and the verify re-checks the true bit distance,
     * so the output equals the quadratic all-pairs scan (spec-pinned
-    * per structure). Work is per-bucket; prefer radius ≤ 7 at lake
-    * scale (see bandsOf on why 16×4 approaches all-pairs). */
-  def imageNearDupPairs(media: DataFrame, maxHamming: Int = 10): DataFrame =
+    * per structure). Work is per-bucket; the DEFAULT radius is 7 — the
+    * widest the ~linear 8×8-bit banding covers (every measured true
+    * edit across the image/audio/video fixture families is ≤ 6 bits,
+    * while ScaleProbe10Main measured the 16×4 structure a radius of
+    * 8-15 selects going near-quadratic on hash-uniform corpora). Pass
+    * a larger radius explicitly to opt into the 16×4 bands. */
+  def imageNearDupPairs(media: DataFrame, maxHamming: Int = 7): DataFrame =
     hashNearDupPairs(imagePHash(media), maxHamming)
 
   /** Audio near-dup pairs by perceptual fingerprint — the audio twin of
     * [[imageNearDupPairs]]: (id_a, id_b, hamming) with hamming ≤
     * `maxHamming`, id_a < id_b, EXACT for maxHamming ≤ 15 via the same
     * radius-adaptive pigeonhole join over [[afp64]] fingerprints. */
-  def audioNearDupPairs(media: DataFrame, maxHamming: Int = 10): DataFrame =
+  def audioNearDupPairs(media: DataFrame, maxHamming: Int = 7): DataFrame =
     hashNearDupPairs(audioFingerprints(media), maxHamming)
 
   /** Video near-dup pairs by bitrate-envelope fingerprint — the video
     * twin of [[imageNearDupPairs]] over [[vfp64]]. */
-  def videoNearDupPairs(media: DataFrame, maxHamming: Int = 10): DataFrame =
+  def videoNearDupPairs(media: DataFrame, maxHamming: Int = 7): DataFrame =
     hashNearDupPairs(videoFingerprints(media), maxHamming)
 
   /** Near-dup pairs of any (media_id, phash) 64-bit hash frame — the
@@ -1017,10 +1025,34 @@ object Multimodal {
       .write.mode("overwrite").parquet(s"$dir/phashes/batch=seed")
   }
 
+  /** The compaction horizon marker: batch ids at or below the recorded
+    * value are already durably registered (their rows live under
+    * `batch=compacted` after a [[compactPhashStore]]). Registration of
+    * such a batch id must be a NO-OP — without the marker, a micro-batch
+    * whose checkpoint commit did not survive a crash could replay after
+    * a compaction and write its rows under `batch=N` AGAIN, duplicating
+    * store rows (the rows also sit in `batch=compacted`) and inflating
+    * every later probe's pair candidates. */
+  private def markerFile(dir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(dir, "phashes.compacted_through")
+
+  /** The highest batch id a compaction has folded into the store
+    * (-1 = never compacted). */
+  def phashCompactedThrough(dir: String): Long = {
+    val f = markerFile(dir)
+    if (!java.nio.file.Files.exists(f)) -1L
+    else new String(java.nio.file.Files.readAllBytes(f),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+  }
+
   /** Register a processed batch's hashes under `batch=batchId`
-    * (overwrite — a crash-replayed batch replaces its registration). */
+    * (overwrite — a crash-replayed batch replaces its registration).
+    * A batch id at or below the compaction horizon is SKIPPED: its rows
+    * already live in `batch=compacted`, and re-registering would
+    * duplicate them (see [[markerFile]]). */
   def appendPhashStoreBatch(ph: DataFrame, dir: String,
                             batchId: Long): Unit = {
+    if (batchId <= phashCompactedThrough(dir)) return
     graft.core.Fs.recoverSwap(s"$dir/phashes")
     ph.select("media_id", "phash")
       .write.mode("overwrite").parquet(s"$dir/phashes/batch=$batchId")
@@ -1034,7 +1066,7 @@ object Multimodal {
     * handles). Returns the pair frame plus the batch's hash frame so a
     * streaming caller registers exactly what it paired. */
   def incrementalImagePairs(newMedia: DataFrame, dir: String,
-                            maxHamming: Int = 10): (DataFrame, DataFrame) = {
+                            maxHamming: Int = 7): (DataFrame, DataFrame) = {
     val newPh = imagePHash(newMedia).filter(col("phash").isNotNull)
     (incrementalHashPairs(newPh, dir, maxHamming), newPh)
   }
@@ -1043,14 +1075,14 @@ object Multimodal {
     * vs the stored fingerprint corpus plus itself, and the batch's hash
     * frame for registration. */
   def incrementalAudioPairs(newMedia: DataFrame, dir: String,
-                            maxHamming: Int = 10): (DataFrame, DataFrame) = {
+                            maxHamming: Int = 7): (DataFrame, DataFrame) = {
     val newPh = audioFingerprints(newMedia).filter(col("phash").isNotNull)
     (incrementalHashPairs(newPh, dir, maxHamming), newPh)
   }
 
   /** Video twin of [[incrementalImagePairs]]. */
   def incrementalVideoPairs(newMedia: DataFrame, dir: String,
-                            maxHamming: Int = 10): (DataFrame, DataFrame) = {
+                            maxHamming: Int = 7): (DataFrame, DataFrame) = {
     val newPh = videoFingerprints(newMedia).filter(col("phash").isNotNull)
     (incrementalHashPairs(newPh, dir, maxHamming), newPh)
   }
@@ -1099,7 +1131,7 @@ object Multimodal {
     * later side's batch; spec-pinned). */
   def streamBatchImageDedup(batch: DataFrame, storeDir: String,
                             pairsDir: String, batchId: Long,
-                            maxHamming: Int = 10): Unit =
+                            maxHamming: Int = 7): Unit =
     streamBatchHashDedup(
       imagePHash(batch).filter(col("phash").isNotNull),
       storeDir, pairsDir, batchId, maxHamming)
@@ -1109,7 +1141,7 @@ object Multimodal {
     * registered under `batch=N`, both overwrite, replay exact. */
   def streamBatchAudioDedup(batch: DataFrame, storeDir: String,
                             pairsDir: String, batchId: Long,
-                            maxHamming: Int = 10): Unit =
+                            maxHamming: Int = 7): Unit =
     streamBatchHashDedup(
       audioFingerprints(batch).filter(col("phash").isNotNull),
       storeDir, pairsDir, batchId, maxHamming)
@@ -1117,7 +1149,7 @@ object Multimodal {
   /** Video twin of [[streamBatchImageDedup]]. */
   def streamBatchVideoDedup(batch: DataFrame, storeDir: String,
                             pairsDir: String, batchId: Long,
-                            maxHamming: Int = 10): Unit =
+                            maxHamming: Int = 7): Unit =
     streamBatchHashDedup(
       videoFingerprints(batch).filter(col("phash").isNotNull),
       storeDir, pairsDir, batchId, maxHamming)
@@ -1154,9 +1186,32 @@ object Multimodal {
     val src = s"$dir/phashes"
     val tmp = s"$dir/phashes.compacting"
     graft.core.Fs.recoverSwap(src)
+    // the horizon this compaction folds in: the highest NUMERIC batch
+    // partition present (seed/compacted partitions carry no id)
+    val horizon = {
+      val d = java.nio.file.Paths.get(src)
+      import scala.jdk.CollectionConverters._
+      val stream = java.nio.file.Files.list(d)
+      val ids = try stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("batch=") =>
+          s.stripPrefix("batch=") }
+        .flatMap(v => scala.util.Try(v.toLong).toOption)
+        .toSeq
+      finally stream.close()
+      (phashCompactedThrough(dir) +: ids).max
+    }
     spark.read.parquet(src).drop("batch")
       .repartition(filesPerTable)
       .write.mode("overwrite").parquet(s"$tmp/batch=compacted")
+    // marker BEFORE the swap: in every crash window the marked batches
+    // are durably registered somewhere — under their batch=N dirs if
+    // the swap never happens, under batch=compacted after it — so a
+    // replay skipping registration never loses rows and a replay
+    // re-registering never duplicates them
+    if (horizon >= 0)
+      java.nio.file.Files.write(markerFile(dir),
+        horizon.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     graft.core.Fs.swapDir(src, tmp)
   }
 }

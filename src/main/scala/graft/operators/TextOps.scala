@@ -98,7 +98,10 @@ object TextOps {
     * fingerprints are distinct). `hotFpCap` drops fingerprints whose
     * document frequency reaches the cap (boilerplate runs — the
     * spanProfile hot-span discipline) BEFORE the join, killing bucket
-    * skew at lake scale; None = exact, as the oracle replays. */
+    * skew at lake scale; None = exact, as the oracle replays. The
+    * returned frame is PERSISTED (materialized here so the exploded
+    * fingerprint frame can drop before return) — the caller owns its
+    * unpersist once consumed. */
   def winnowedOverlapPairs(docs: DataFrame, k: Int = 3, w: Int = 4,
                            minShared: Int = 2,
                            hotFpCap: Option[Int] = None,
@@ -141,13 +144,75 @@ object TextOps {
       .write.mode("overwrite").parquet(s"$dir/fps/batch=seed")
   }
 
+  /** The winnow store's compaction horizon marker (the
+    * [[graft.operators.Multimodal.phashCompactedThrough]] discipline):
+    * batch ids at or below it are folded into `batch=compacted`, so a
+    * crash-replayed batch must SKIP re-registration or its rows would
+    * exist twice in the store. */
+  private def winnowMarkerFile(dir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(dir, "fps.compacted_through")
+
+  /** The highest batch id a [[compactWinnowStore]] has folded in
+    * (-1 = never compacted). */
+  def winnowCompactedThrough(dir: String): Long = {
+    val f = winnowMarkerFile(dir)
+    if (!java.nio.file.Files.exists(f)) -1L
+    else new String(java.nio.file.Files.readAllBytes(f),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+  }
+
   /** Register a processed batch's (doc_id, fp) rows under `batch=N`
-    * (overwrite — a crash-replayed batch replaces its registration). */
+    * (overwrite — a crash-replayed batch replaces its registration; a
+    * batch at or below the compaction horizon is a no-op, its rows
+    * already live in `batch=compacted`). */
   def appendWinnowStoreBatch(fps: DataFrame, dir: String,
                              batchId: Long): Unit = {
+    if (batchId <= winnowCompactedThrough(dir)) return
     graft.core.Fs.recoverSwap(s"$dir/fps")
     fps.select("doc_id", "fp")
       .write.mode("overwrite").parquet(s"$dir/fps/batch=$batchId")
+  }
+
+  /** Offline compaction for the batch-partitioned winnow store — the
+    * last write-once store without one (the text signature store, both
+    * ANN indexes, and the pHash store share the discipline): months of
+    * micro-batches splinter `fps/` into one directory per batch and
+    * every incremental probe pays per-file open overhead on the stored
+    * 16-byte rows. Collapse to `filesPerTable` files under ONE
+    * `batch=compacted` partition; row content unchanged — identical
+    * pair results (spec-pinned with a part-file-count assertion).
+    * Write-to-temp then RENAME-ONLY swap ([[graft.core.Fs.swapDir]]);
+    * readers recover a half-swapped dir via
+    * [[graft.core.Fs.recoverSwap]]. The horizon marker is written
+    * BEFORE the swap so every crash window keeps the marked batches
+    * durably registered exactly once (splintered dirs if the swap never
+    * lands, `batch=compacted` after it). Run only while the stream is
+    * stopped. */
+  def compactWinnowStore(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, filesPerTable: Int = 1): Unit = {
+    val src = s"$dir/fps"
+    val tmp = s"$dir/fps.compacting"
+    graft.core.Fs.recoverSwap(src)
+    val horizon = {
+      val d = java.nio.file.Paths.get(src)
+      import scala.jdk.CollectionConverters._
+      val stream = java.nio.file.Files.list(d)
+      val ids = try stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("batch=") =>
+          s.stripPrefix("batch=") }
+        .flatMap(v => scala.util.Try(v.toLong).toOption)
+        .toSeq
+      finally stream.close()
+      (winnowCompactedThrough(dir) +: ids).max
+    }
+    spark.read.parquet(src).drop("batch")
+      .repartition(filesPerTable)
+      .write.mode("overwrite").parquet(s"$tmp/batch=compacted")
+    if (horizon >= 0)
+      java.nio.file.Files.write(winnowMarkerFile(dir),
+        horizon.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    graft.core.Fs.swapDir(src, tmp)
   }
 
   /** Overlap pairs a NEW document batch forms with the stored corpus
@@ -159,11 +224,19 @@ object TextOps {
     * pair emits in the LATER document's batch with its FULL shared
     * count (old fps from the store + new fps from the batch), so the
     * union of per-batch emissions equals the one-shot pair set.
+    * `broadcastBatch` ships the batch's exploded fingerprint frame
+    * (roughly one long per document token — UNBOUNDED in micro-batch
+    * size) to every store partition; a batch too large for the
+    * broadcast ceiling passes `false` and the cross leg falls back to
+    * a shuffle join — the [[graft.operators.DocumentTree]]
+    * broadcastNeedles escape hatch, because a driver OOM is not an
+    * acceptable failure mode for an oversized batch.
     * Returns (pairs, the batch's fingerprint frame to register). */
   def incrementalWinnowPairs(newDocs: DataFrame, dir: String,
                              k: Int = 3, w: Int = 4, minShared: Int = 2,
                              idCol: String = "doc_id",
-                             textCol: String = "text"): (DataFrame, DataFrame) = {
+                             textCol: String = "text",
+                             broadcastBatch: Boolean = true): (DataFrame, DataFrame) = {
     val spark = newDocs.sparkSession
     graft.core.Fs.recoverSwap(s"$dir/fps")
     // persist: the batch fingerprints ONCE — three join legs read it
@@ -174,7 +247,9 @@ object TextOps {
     val stored = spark.read.parquet(s"$dir/fps")
       .select("doc_id", "fp")
       .join(newFps.select("doc_id"), Seq("doc_id"), "left_anti")
-    val cross = stored.as("y").join(broadcast(newFps.as("x")),
+    val batchSide =
+      if (broadcastBatch) broadcast(newFps.as("x")) else newFps.as("x")
+    val cross = stored.as("y").join(batchSide,
         col("x.fp") === col("y.fp") && col("x.doc_id") =!= col("y.doc_id"))
       .select(least(col("x.doc_id"), col("y.doc_id")).as("id_a"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("id_b"))
@@ -194,8 +269,10 @@ object TextOps {
     * .streamBatchImageDedup]] discipline for text passages. */
   def streamBatchWinnow(batch: DataFrame, storeDir: String,
                         pairsDir: String, batchId: Long,
-                        k: Int = 3, w: Int = 4, minShared: Int = 2): Unit = {
-    val (pairs, newFps) = incrementalWinnowPairs(batch, storeDir, k, w, minShared)
+                        k: Int = 3, w: Int = 4, minShared: Int = 2,
+                        broadcastBatch: Boolean = true): Unit = {
+    val (pairs, newFps) = incrementalWinnowPairs(batch, storeDir, k, w,
+      minShared, broadcastBatch = broadcastBatch)
     val out = pairs.persist()
     out.count()
     out.write.mode("overwrite").parquet(s"$pairsDir/batch_id=$batchId")

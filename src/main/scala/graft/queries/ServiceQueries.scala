@@ -322,9 +322,12 @@ object ServiceQueries {
           "EVENT_TYPE == 'purchase' || EVENT_TYPE == 'signup'",
         pageSize = 5000, orderBy = Seq("event_id"), user = "alice")
       val rows = Seq.newBuilder[String]
-      var page = svc.nextPage(id)
-      while (page.nonEmpty) { rows ++= page.get; page = svc.nextPage(id) }
-      svc.close(id)
+      // paging is principal-bound: the owner names themselves on next
+      var page = svc.nextPage(id, user = "alice")
+      while (page.nonEmpty) {
+        rows ++= page.get; page = svc.nextPage(id, user = "alice")
+      }
+      svc.close(id, user = "alice")
       import s.implicits._
       s.read.json(s.createDataset(rows.result()))
         .select(col("event_id").cast("long").as("event_id"),
@@ -355,9 +358,49 @@ object ServiceQueries {
         pageSize = 5000, orderBy = Seq("event_id"), user = "root",
         proxiedEntities = Seq("gateway", "alice"))
       val rows = Seq.newBuilder[String]
-      var page = svc.nextPage(id)
-      while (page.nonEmpty) { rows ++= page.get; page = svc.nextPage(id) }
-      svc.close(id)
+      var page = svc.nextPage(id, user = "root")
+      while (page.nonEmpty) {
+        rows ++= page.get; page = svc.nextPage(id, user = "root")
+      }
+      svc.close(id, user = "root")
+      import s.implicits._
+      s.read.json(s.createDataset(rows.result()))
+        .select(col("event_id").cast("long").as("event_id"),
+          col("event_type"), col("visibility"))
+    } finally server.stop()
+  }
+
+  /** Principal-bound OBJECT ownership (QueryExecutorBean.java:1094-1095
+    * QUERY_OWNER_MISMATCH; CachedResultsBean.java:342 owner-keyed rows):
+    * alice creates the session; bob — a REGISTERED principal holding the
+    * very same {A} grant, so row-level visibility alone would admit him —
+    * is refused on /query/next with QUERY_OWNER_MISMATCH (live-HTTP
+    * assertion), and only alice drains her pages. Same row set as
+    * vis_registry: ownership is enforcement ON TOP of the identical
+    * visibility filtering. */
+  def visOwner(s: SparkSession, d: String): DataFrame = {
+    val ev = EventQueries.withVisibility(Tables.events(s, d))
+    val server = new QueryServer(Map("events" -> ev),
+      users = Map("alice" -> Set("A"), "bob" -> Set("A")),
+      metricsFlush = false)
+    val port = server.start()
+    try {
+      val svc = new RemoteQueryService(s"http://127.0.0.1:$port")
+      val id = svc.createQuery("events",
+        "EVENT_TYPE == 'click' || EVENT_TYPE == 'view' || " +
+          "EVENT_TYPE == 'purchase' || EVENT_TYPE == 'signup'",
+        pageSize = 5000, orderBy = Seq("event_id"), user = "alice")
+      // bob cannot drain alice's session even with an equal grant —
+      // the refusal is part of the gate's contract
+      val (st, body) = svc.httpStatus("GET", s"/query/next?id=$id&user=bob")
+      require(st == 401 && body.contains("QUERY_OWNER_MISMATCH"),
+        s"expected QUERY_OWNER_MISMATCH for bob, got $st: $body")
+      val rows = Seq.newBuilder[String]
+      var page = svc.nextPage(id, user = "alice")
+      while (page.nonEmpty) {
+        rows ++= page.get; page = svc.nextPage(id, user = "alice")
+      }
+      svc.close(id, user = "alice")
       import s.implicits._
       s.read.json(s.createDataset(rows.result()))
         .select(col("event_id").cast("long").as("event_id"),
@@ -864,6 +907,7 @@ object ServiceQueries {
     "translate_id" -> translateId _,
     "vis_registry" -> visRegistry _,
     "vis_chain" -> visChain _,
+    "vis_owner" -> visOwner _,
     "cached_results_load" -> cachedResultsLoad _,
     "transforms_chain" -> transformsChain _,
     "decorated_fields" -> decoratedFields _,
@@ -1086,6 +1130,14 @@ object ServiceQueries {
     // the registry-resolved {A} admits exactly the rows vis_filter does:
     // click (A) and view (A|B); purchase (A&B) and signup (C) fail closed
     "vis_registry" ->
+      """SELECT event_id, event_type,
+        |   CASE event_type WHEN 'click' THEN 'A' WHEN 'view' THEN 'A|B'
+        |     WHEN 'purchase' THEN 'A&B' WHEN 'signup' THEN 'C'
+        |     ELSE '(A&B)|C' END AS visibility
+        | FROM events WHERE event_type IN ('click', 'view')""".stripMargin,
+    // ownership gates bob OUT (asserted live in the query); what alice
+    // pages is exactly vis_registry's {A}-visible set
+    "vis_owner" ->
       """SELECT event_id, event_type,
         |   CASE event_type WHEN 'click' THEN 'A' WHEN 'view' THEN 'A|B'
         |     WHEN 'purchase' THEN 'A&B' WHEN 'signup' THEN 'C'

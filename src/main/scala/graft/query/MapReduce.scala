@@ -58,7 +58,8 @@ final class MapReduceManager(
 
   private def writeState(id: String, jobName: String, params: String,
                          state: String, startTime: Long,
-                         error: String = ""): Unit = synchronized {
+                         error: String = "", owner: String = ""): Unit =
+      synchronized {
     // terminal states are STICKY: once a job left RUNNING, a racing
     // writer (a canceled run thread finishing its write anyway, or the
     // orphan path) must not flip it — the reference's state rows are
@@ -67,6 +68,10 @@ final class MapReduceManager(
     val p = new java.util.Properties()
     p.setProperty("jobName", jobName)
     p.setProperty("parameters", params)
+    // the submitting principal travels WITH the durable state row (the
+    // reference's MapReduceStatePersister keys rows by user id) so a
+    // restarted server still knows whose job this is
+    if (owner.nonEmpty) p.setProperty("owner", owner)
     p.setProperty("state", state)
     p.setProperty("startTime", startTime.toString)
     if (state != "RUNNING")
@@ -108,7 +113,8 @@ final class MapReduceManager(
     * required-parameter walk), then the export runs ASYNC under a Spark
     * job group named by the jobId so cancel aborts its stages. */
   def submit(jobName: String, rawParams: String,
-             userRoles: Set[String]): Either[(Int, String), String] = {
+             userRoles: Set[String],
+             owner: String = ""): Either[(Int, String), String] = {
     val cfg = configs.find(_.name == jobName).getOrElse(
       return Left((400, s"unknown job configuration '$jobName'")))
     if (cfg.requiredRoles.nonEmpty &&
@@ -124,14 +130,15 @@ final class MapReduceManager(
     if (!Formats.contains(fmt))
       return Left((400, s"format must be one of ${Formats.mkString(", ")}"))
     val jobId = java.util.UUID.randomUUID().toString.replace("-", "")
-    start(jobId, jobName, rawParams, params, fmt)
+    start(jobId, jobName, rawParams, params, fmt, owner)
     Right(jobId)
   }
 
   private def start(jobId: String, jobName: String, rawParams: String,
-                    params: Map[String, String], fmt: String): Unit = {
+                    params: Map[String, String], fmt: String,
+                    owner: String = ""): Unit = {
     writeState(jobId, jobName, rawParams, "RUNNING",
-      System.currentTimeMillis())
+      System.currentTimeMillis(), owner = owner)
     val t = new Thread(() => {
       try {
         // group ALL of this job's Spark stages under the jobId —
@@ -161,19 +168,20 @@ final class MapReduceManager(
           // write completed anyway, the job is still CANCELED
           writeState(jobId, jobName, rawParams,
             if (threads.get(jobId) != null) "SUCCEEDED" else "CANCELED",
-            startTimeOf(jobId))
+            startTimeOf(jobId), owner = owner)
         } finally sc.clearJobGroup()
       } catch {
         case _: InterruptedException =>
           writeState(jobId, jobName, rawParams, "CANCELED",
-            startTimeOf(jobId))
+            startTimeOf(jobId), owner = owner)
         case e: Exception =>
           // a cancelJobGroup surfaces as a SparkException on the action
           val canceled = threads.get(jobId) == null ||
             Option(e.getMessage).exists(_.contains("cancelled"))
           writeState(jobId, jobName, rawParams,
             if (canceled) "CANCELED" else "FAILED", startTimeOf(jobId),
-            error = Option(e.getMessage).getOrElse(e.getClass.getName))
+            error = Option(e.getMessage).getOrElse(e.getClass.getName),
+            owner = owner)
       } finally threads.remove(jobId)
     }, s"graft-bulk-$jobId")
     t.setDaemon(true) // never block JVM exit; shutdown() handles live jobs
@@ -212,6 +220,12 @@ final class MapReduceManager(
       (p.getProperty("jobName", ""), p.getProperty("state", ""), files)
     }
 
+  /** The principal recorded at submit ("" for ownerless/legacy jobs —
+    * jobs from a registry-less deployment carry no owner and stay
+    * capability-addressed). */
+  def jobOwner(jobId: String): String =
+    readState(jobId).map(_.getProperty("owner", "")).getOrElse("")
+
   def listJobIds: Seq[String] = {
     val d = java.nio.file.Paths.get(dir)
     if (!java.nio.file.Files.exists(d)) Seq.empty
@@ -248,7 +262,8 @@ final class MapReduceManager(
           // orphaned RUNNING record (thread died with a previous server)
           writeState(jobId, p.getProperty("jobName", ""),
             p.getProperty("parameters", ""), "CANCELED",
-            p.getProperty("startTime", "0").toLong)
+            p.getProperty("startTime", "0").toLong,
+            owner = p.getProperty("owner", ""))
         (true, t == null || !t.isAlive)
     }
 
@@ -266,8 +281,11 @@ final class MapReduceManager(
         val params = parseParams(p.getProperty("parameters", ""))
         val fmt = params.getOrElse("format", "parquet").toLowerCase
         val newId = java.util.UUID.randomUUID().toString.replace("-", "")
+        // the restarted job belongs to the ORIGINAL submitter — restart
+        // is already owner-gated, so the new id must not escape the gate
         start(newId, p.getProperty("jobName", ""),
-          p.getProperty("parameters", ""), params, fmt)
+          p.getProperty("parameters", ""), params, fmt,
+          owner = p.getProperty("owner", ""))
         Right(newId)
     }
 

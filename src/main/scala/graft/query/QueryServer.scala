@@ -68,6 +68,7 @@ final class QueryServer(
     mapReduceJobs: Seq[MapReduce.JobConfig] = Seq(MapReduce.BulkResults),
     atomTable: Option[DataFrame] = None,
     users: Map[String, Set[String]] = Map.empty,
+    adminUsers: Set[String] = Set.empty,
     metricsFlush: Boolean = true) {
 
   /** The served tables. `/modification/submit` REBINDS an entry to its
@@ -119,7 +120,8 @@ final class QueryServer(
                                    query: String = "", syntax: String = "JEXL",
                                    pageSize: Int = 0, table: String = "",
                                    model: String = "",
-                                   auths: Option[Set[String]] = None)
+                                   auths: Option[Set[String]] = None,
+                                   owner: String = "")
   private val sessions = new ConcurrentHashMap[String, Session]()
   /** CachedResults alias registry: lowercased view name → owning query
     * id. `/cachedresults/sql` only resolves relations registered here
@@ -347,6 +349,51 @@ final class QueryServer(
       }
     }
 
+  /** Principal-bound OBJECT ownership (QueryExecutorBean.java:1094-1095:
+    * `QUERY_OWNER_MISMATCH` on next/close/admin verbs, repeated at
+    * :1146/:1773/:1858; CachedResultsBean.java:342 keys rows by
+    * getOwnerFromPrincipal): with a principal registry configured, every
+    * session, CachedResults alias, and bulk job BELONGS to the principal
+    * that created it, and consuming verbs re-resolve the caller and
+    * refuse anyone else — row-level visibility at materialization is not
+    * enough when caller X can page rows principal Y materialized under
+    * Y's auths. `adminUsers` may act on any object (the reference's
+    * adminClose/adminCancel override). No registry, or an ownerless
+    * legacy object (created before a registry was configured), keeps the
+    * capability-addressed behavior unchanged. None = allowed; Some =
+    * the refusal response (401 unknown caller, exactly resolveAuths's
+    * fail-closed rule, or 401 QUERY_OWNER_MISMATCH). */
+  private def ownerGate(params: Map[String, String], owner: String)
+      : Option[(Int, String)] =
+    if (users.isEmpty || owner.isEmpty) None
+    else {
+      val caller = params.getOrElse("user", "anonymous")
+      if (!users.contains(caller))
+        Some((401, err(s"unknown user '$caller'")))
+      else if (caller != owner && !adminUsers.contains(caller))
+        Some((401, err(s"QUERY_OWNER_MISMATCH: $caller != $owner")))
+      else None
+    }
+
+  /** The recorded owner of `params("user")`-created objects: "" when no
+    * registry is configured, so ownerless objects never gate. */
+  private def ownerOf(params: Map[String, String]): String =
+    if (users.isEmpty) "" else params.getOrElse("user", "anonymous")
+
+  /** The owning principal of a query id — live session first, then the
+    * durable definition ("" = ownerless). */
+  private def queryOwner(id: String): String =
+    Option(sessions.get(id)).map(_.owner)
+      .orElse(readDefinitionProps(id).map(_.getProperty("owner", "")))
+      .getOrElse("")
+
+  /** The owning principal of a loaded CachedResults alias: the alias
+    * inherits its owning QUERY's principal (CachedResultsBean.java:342 —
+    * rows are keyed by owner, aliases are not cross-principal handles). */
+  private def aliasOwner(alias: String): String =
+    Option(loadedAliases.get(alias.toLowerCase)).map(queryOwner)
+      .getOrElse("")
+
   /** Shared create core: validate, audit, plan+persist, register the
     * session, persist its durable definition, record the create metric.
     * Left = the error response; Right = the new query id. */
@@ -397,7 +444,7 @@ final class QueryServer(
       val running = new RunningQuery(cursor, queryId, result, orderCols,
         pageSize, sink = pageSink)
       val sess = Session(result, orderCols, running, q, qp.syntax, pageSize,
-        table, modelName, auths)
+        table, modelName, auths, owner = ownerOf(params))
       sessions.put(queryId, sess)
       persistSession(queryId, sess)
       // the create itself is a metric event (the reference ingests a
@@ -452,7 +499,8 @@ final class QueryServer(
     val running = new RunningQuery(cursor, queryId, result, orderCols,
       pageSize, sink = pageSink)
     sessions.put(queryId,
-      Session(result, orderCols, running, query, syntax, pageSize))
+      Session(result, orderCols, running, query, syntax, pageSize,
+        owner = ownerOf(params)))
     metricsStore.record(QueryMetric(queryId, query, syntax,
       System.currentTimeMillis(), 0L, 0L,
       user = params.getOrElse("user", "anonymous"), logicName = logicName))
@@ -562,7 +610,17 @@ final class QueryServer(
     * `/list`): id, definition, and paging position per session. */
   private def list(params: Map[String, String]): (Int, String) = {
     import scala.jdk.CollectionConverters._
-    val rows = sessions.asScala.toSeq.sortBy(_._1).map { case (id, s) =>
+    // with a registry, the listing is the CALLER'S queries (the
+    // reference's persister scans a range keyed by the caller's userid,
+    // QueryExecutorBean.java:1092 comment); admins see every session
+    val caller = params.getOrElse("user", "anonymous")
+    if (users.nonEmpty && !users.contains(caller))
+      return (401, err(s"unknown user '$caller'"))
+    val mine = sessions.asScala.toSeq.filter { case (_, s) =>
+      users.isEmpty || adminUsers.contains(caller) ||
+        s.owner.isEmpty || s.owner == caller
+    }
+    val rows = mine.sortBy(_._1).map { case (id, s) =>
       s"""{"queryId": ${quote(id)}, "query": ${quote(s.query)},""" +
         s""" "syntax": ${quote(s.syntax)}, "pagesServed": ${s.running.pagesServed}}"""
     }
@@ -590,6 +648,14 @@ final class QueryServer(
         session(params) match {
           case None => (404, err("unknown queryId"))
           case Some(s) =>
+            // only the owner may copy a session (the reference's
+            // duplicate path runs the :1146 ownership check); the COPY
+            // belongs to the caller — same principal unless an admin
+            // duplicated it for themselves
+            ownerGate(params, s.owner) match {
+              case Some(resp) => return resp
+              case None => ()
+            }
             val pageSize = requestedPageSize
               .getOrElse(if (s.pageSize > 0) s.pageSize else defaultPageSize)
             val newId = java.util.UUID.randomUUID().toString.replace("-", "")
@@ -601,7 +667,9 @@ final class QueryServer(
               timeMillis = System.currentTimeMillis()) { () }
             val running = new RunningQuery(cursor, newId, s.df, s.orderCols,
               pageSize, sink = pageSink)
-            val dupSess = s.copy(running = running, pageSize = pageSize)
+            val dupSess = s.copy(running = running, pageSize = pageSize,
+              owner = if (ownerOf(params).nonEmpty) ownerOf(params)
+                      else s.owner)
             sessions.put(newId, dupSess)
             persistSession(newId, dupSess)
             // the duplicate is a query of its own: without a metric row
@@ -629,6 +697,10 @@ final class QueryServer(
     shareLock.synchronized { session(params) match {
       case None => (404, err("unknown queryId"))
       case Some(s) =>
+        ownerGate(params, s.owner) match {
+          case Some(resp) => return resp
+          case None => ()
+        }
         val id = qid(params)
         try {
           // a reset is a fresh run and RE-audits as one (the reference
@@ -698,6 +770,10 @@ final class QueryServer(
     session(params) match {
       case None => (404, err("unknown queryId"))
       case Some(s) =>
+        ownerGate(params, s.owner) match {
+          case Some(resp) => return resp
+          case None => ()
+        }
         try {
           val id = qid(params)
           val pageSize = params.get("pageSize").map(_.toInt)
@@ -761,9 +837,15 @@ final class QueryServer(
 
   /** `POST /query/cancel?id=…` — abort + release (QueryExecutorBean
     * `/{id}/cancel`; pages already served stay served). */
-  private def cancel(params: Map[String, String]): (Int, String) =
+  private def cancel(params: Map[String, String]): (Int, String) = {
+    // owner-gated (QueryExecutorBean adminCancel is the admin override)
+    ownerGate(params, queryOwner(qid(params))) match {
+      case Some(resp) => return resp
+      case None => ()
+    }
     if (teardown(qid(params))) (200, """{"canceled": true}""")
     else (404, err("unknown queryId"))
+  }
 
   /** `POST /query/define?table=T&query=Q[&syntax=…][&pageSize=N]
     * [&orderBy=…]` — the reference's `/{logicName}/define`
@@ -812,7 +894,7 @@ final class QueryServer(
         return (400, err(s"unknown orderBy column(s): ${missing.mkString(", ")}"))
       writeDefinition(queryId, table, q, qp.syntax, pageSize, orderCols,
         pagesServedBase = 0L, offsetBase = 0L, attempt = 0L,
-        model = modelName, auths = auths)
+        model = modelName, auths = auths, owner = ownerOf(params))
       metricsStore.record(QueryMetric(queryId, q, qp.syntax,
         System.currentTimeMillis(), 0L, 0L,
         user = params.getOrElse("user", "anonymous"), logicName = table))
@@ -828,6 +910,12 @@ final class QueryServer(
     // contract), so absent a live session the durable record is read
     // directly instead of through session()/resumeSession().
     val id = qid(params)
+    // the stored definition (query text, table) is the owner's —
+    // reading it is gated like the reference's listQueryByID
+    ownerGate(params, queryOwner(id)) match {
+      case Some(resp) => return resp
+      case None => ()
+    }
     Option(sessions.get(id)) match {
       case Some(s) =>
         (200, s"""{"queryId": ${quote(id)},""" +
@@ -858,6 +946,10 @@ final class QueryServer(
     // frame (definitionFrame) but registers no session and persists
     // nothing, so a defined query does not appear in /query/list after.
     val id = qid(params)
+    ownerGate(params, queryOwner(id)) match {
+      case Some(resp) => return resp
+      case None => ()
+    }
     Option(sessions.get(id)).map(s =>
         (s.df, if (s.table.nonEmpty) s.table else "unknown"))
       .orElse(readDefinitionProps(id).map(p =>
@@ -880,9 +972,14 @@ final class QueryServer(
     * if running AND delete the persisted definition (close + persister
     * remove, QueryExecutorBean.java:2616). [[teardown]] already does
     * both for this storage model. */
-  private def remove(params: Map[String, String]): (Int, String) =
+  private def remove(params: Map[String, String]): (Int, String) = {
+    ownerGate(params, queryOwner(qid(params))) match {
+      case Some(resp) => return resp
+      case None => ()
+    }
     if (teardown(qid(params))) (200, """{"removed": true}""")
     else (404, err("unknown queryId"))
+  }
 
   /** `POST /query/execute?table=T&query=Q[&syntax=…][&orderBy=…]` — the
     * reference's `/{logicName}/execute`: run the query and STREAM every
@@ -1036,6 +1133,13 @@ final class QueryServer(
 
   private def next(params: Map[String, String]): (Int, String) = {
     val s = session(params).getOrElse(return (404, err("unknown queryId")))
+    // paging is principal-bound: only the creating owner (or an admin)
+    // may drain a session (QueryExecutorBean.java:1094 next-path
+    // QUERY_OWNER_MISMATCH)
+    ownerGate(params, s.owner) match {
+      case Some(resp) => return resp
+      case None => ()
+    }
     // one job per page; "page" is the 1-based page NUMBER, matching the
     // pageNum the /query/metrics endpoint reports for the same page
     s.running.nextPageJson() match {
@@ -1064,6 +1168,10 @@ final class QueryServer(
     }
     if (params.contains("id")) {
       val s = session(params).getOrElse(return (404, err("unknown queryId")))
+      ownerGate(params, s.owner) match {
+        case Some(resp) => return resp
+        case None => ()
+      }
       (200, render(s.query, s.syntax, s.df))
     } else {
       val table = params.getOrElse("table",
@@ -1080,6 +1188,12 @@ final class QueryServer(
 
   private def metrics(params: Map[String, String]): (Int, String) = {
     val id = qid(params)
+    // a query's page history is the owner's (QueryMetricsBean serves
+    // the caller's own metrics; admins see all)
+    ownerGate(params, queryOwner(id)) match {
+      case Some(resp) => return resp
+      case None => ()
+    }
     // cheap existence checks FIRST; the ledger scan is the last resort
     // so durable history still outlives the session (a restarted server
     // or a closed query keeps its recorded pages) without every unknown
@@ -1130,8 +1244,29 @@ final class QueryServer(
   private def mrSubmit(params: Map[String, String]): (Int, String) = {
     val jobName = params.getOrElse("jobName",
       return (400, err("missing 'jobName'")))
+    // with a registry, the submitter must be a known principal (the job
+    // serves that principal's query results) and the job records them
+    // as its owner — every later job verb is owner-gated
+    resolveAuths(params) match {
+      case Left(resp) => return resp
+      case Right(_) => ()
+    }
+    // a BulkResults job exports the rows of a DEFINED query under that
+    // definition's resolved auths — shipping another principal's
+    // definition into a job the caller owns would launder its rows past
+    // the ownership gates, so the referenced query must be the caller's
+    val runtime =
+      try bulkJobs.parseParams(params.getOrElse("parameters", ""))
+      catch { case _: IllegalArgumentException => Map.empty[String, String] }
+    runtime.get("queryId").foreach { qId =>
+      ownerGate(params, queryOwner(qId)) match {
+        case Some(resp) => return resp
+        case None => ()
+      }
+    }
     bulkJobs.submit(jobName, params.getOrElse("parameters", ""),
-      params.getOrElse("roles", "").split(',').toSet.filter(_.nonEmpty)) match {
+      params.getOrElse("roles", "").split(',').toSet.filter(_.nonEmpty),
+      owner = ownerOf(params)) match {
       case Left((st, msg)) => (st, err(msg))
       case Right(id) => (200, s"""{"jobId": "$id"}""")
     }
@@ -1142,38 +1277,70 @@ final class QueryServer(
   private def mrList(params: Map[String, String]): (Int, String) =
     params.get("jobId") match {
       case None =>
-        (200, s"[${bulkJobs.listJobIds.map(quote).mkString(",")}]")
-      case Some(id) => bulkJobs.info(id) match {
-        case None => (404, err("unknown jobId"))
-        case Some((name, state, files)) =>
-          val fs = files.map { case (n, sz) =>
-            s"""{"name": ${quote(n)}, "size": $sz}""" }
-          (200, s"""{"jobName": ${quote(name)}, "state": ${quote(state)},""" +
-            s""" "resultFiles": [${fs.mkString(",")}]}""")
-      }
+        // with a registry the listing is the CALLER'S jobs (the
+        // reference's state persister scans by userid; admins see all)
+        val caller = params.getOrElse("user", "anonymous")
+        if (users.nonEmpty && !users.contains(caller))
+          return (401, err(s"unknown user '$caller'"))
+        val ids = bulkJobs.listJobIds.filter { id =>
+          users.isEmpty || adminUsers.contains(caller) || {
+            val o = bulkJobs.jobOwner(id); o.isEmpty || o == caller
+          }
+        }
+        (200, s"[${ids.map(quote).mkString(",")}]")
+      case Some(id) =>
+        ownerGate(params, bulkJobs.jobOwner(id)) match {
+          case Some(resp) => return resp
+          case None => ()
+        }
+        bulkJobs.info(id) match {
+          case None => (404, err("unknown jobId"))
+          case Some((name, state, files)) =>
+            val fs = files.map { case (n, sz) =>
+              s"""{"name": ${quote(n)}, "size": $sz}""" }
+            (200, s"""{"jobName": ${quote(name)}, "state": ${quote(state)},""" +
+              s""" "resultFiles": [${fs.mkString(",")}]}""")
+        }
     }
 
   /** `POST /mapreduce/cancel?jobId=…` — abort the job group's running
     * Spark stages (the reference kills the running application). */
-  private def mrCancel(params: Map[String, String]): (Int, String) =
+  private def mrCancel(params: Map[String, String]): (Int, String) = {
+    // owner-gated; adminUsers retain the reference's adminCancel
+    // override (MapReduceBean.java:2409 adminCancel)
+    ownerGate(params, bulkJobs.jobOwner(params.getOrElse("jobId", ""))) match {
+      case Some(resp) => return resp
+      case None => ()
+    }
     if (bulkJobs.cancel(params.getOrElse("jobId", "")))
       (200, """{"canceled": true}""")
     else (404, err("unknown jobId"))
+  }
 
   /** `POST /mapreduce/restart?jobId=…` — cancel + resubmit the same
     * definition as a NEW job id (MapReduceBean.restart:669-690). */
-  private def mrRestart(params: Map[String, String]): (Int, String) =
+  private def mrRestart(params: Map[String, String]): (Int, String) = {
+    ownerGate(params, bulkJobs.jobOwner(params.getOrElse("jobId", ""))) match {
+      case Some(resp) => return resp
+      case None => ()
+    }
     bulkJobs.restart(params.getOrElse("jobId", "")) match {
       case Left((st, msg)) => (st, err(msg))
       case Right(id) => (200, s"""{"jobId": "$id"}""")
     }
+  }
 
   /** `POST /mapreduce/remove?jobId=…` — cancel if running, drop state
     * and result files (MapReduceBean.remove:983-1010). */
-  private def mrRemove(params: Map[String, String]): (Int, String) =
+  private def mrRemove(params: Map[String, String]): (Int, String) = {
+    ownerGate(params, bulkJobs.jobOwner(params.getOrElse("jobId", ""))) match {
+      case Some(resp) => return resp
+      case None => ()
+    }
     if (bulkJobs.remove(params.getOrElse("jobId", "")))
       (200, """{"removed": true}""")
     else (404, err("unknown jobId"))
+  }
 
   /** `GET /mapreduce/getFile?jobId=…&fileName=…` — stream one result
     * file's bytes (MapReduceBean.getResultFile:753; path-confined to
@@ -1182,6 +1349,19 @@ final class QueryServer(
     override def handle(ex: HttpExchange): Unit = {
       try {
         val params = parseQuery(ex.getRequestURI.getRawQuery)
+        // result files hold rows materialized under the SUBMITTER'S
+        // auths — streaming them is owner-gated like every data verb
+        // (MapReduceBean.getResultFile serves the caller's own job)
+        ownerGate(params,
+            bulkJobs.jobOwner(params.getOrElse("jobId", ""))) match {
+          case Some((status, body)) =>
+            val b = body.getBytes(StandardCharsets.UTF_8)
+            ex.getResponseHeaders.set("Content-Type", "application/json")
+            ex.sendResponseHeaders(status, b.length)
+            ex.getResponseBody.write(b)
+            return
+          case None => ()
+        }
         bulkJobs.resultFile(params.getOrElse("jobId", ""),
           params.getOrElse("fileName", "")) match {
           case None =>
@@ -1478,6 +1658,13 @@ final class QueryServer(
     shareLock.synchronized { session(params) match {
       case None => (404, err("unknown queryId"))
       case Some(s) =>
+        // only the query's owner may export it as a view
+        // (CachedResultsBean.java:342: the CachedResults row is keyed
+        // by getOwnerFromPrincipal)
+        ownerGate(params, s.owner) match {
+          case Some(resp) => return resp
+          case None => ()
+        }
         val alias = params.getOrElse("alias", return (400, err("missing 'alias'")))
         if (!alias.matches("[A-Za-z_][A-Za-z0-9_]*"))
           return (400, err(s"invalid alias '$alias'"))
@@ -1509,10 +1696,20 @@ final class QueryServer(
     shareLock.synchronized { session(params) match {
       case None => (404, err("unknown queryId"))
       case Some(s) =>
+        ownerGate(params, s.owner) match {
+          case Some(resp) => return resp
+          case None => ()
+        }
         val alias = params.getOrElse("alias", return (400, err("missing 'alias'")))
         val owner = loadedAliases.get(alias.toLowerCase)
         if (owner == null)
           return (404, err(s"alias '$alias' is not loaded"))
+        // re-pointing steals the view from its current owning QUERY —
+        // the caller must also be that query's principal
+        ownerGate(params, queryOwner(owner)) match {
+          case Some(resp) => return resp
+          case None => ()
+        }
         val id = qid(params)
         if (owner != id && !params.get("from").contains(owner))
           return (409, err(s"alias '$alias' is owned by another query;" +
@@ -1543,6 +1740,18 @@ final class QueryServer(
       // included) is refused.
       val pending = asyncGate(referencedNames(spark, sql))
       if (pending.isDefined) return pending.get
+      // every loaded alias the statement touches is principal-bound:
+      // a caller who merely knows another principal's alias NAME must
+      // not read the rows that principal materialized under their own
+      // auths (CachedResultsBean.java:1128 QUERY_OWNER_MISMATCH on the
+      // retrieval path)
+      referencedNames(spark, sql).foreach { n =>
+        if (loadedAliases.containsKey(n))
+          ownerGate(params, aliasOwner(n)) match {
+            case Some(resp) => return resp
+            case None => ()
+          }
+      }
       guardSelect(spark, sql)
       val rows = spark.sql(sql).limit(pageSize).toJSON.collect()
       (200, s"""{"rows": [${rows.mkString(",")}]}""")
@@ -1636,6 +1845,10 @@ final class QueryServer(
       if (Option(sessions.get(id)).isEmpty &&
           !java.nio.file.Files.exists(sessionFile(id)))
         return (404, err("unknown queryId"))
+      ownerGate(params, queryOwner(id)) match {
+        case Some(resp) => return resp
+        case None => ()
+      }
       val owner = loadedAliases.putIfAbsent(alias.toLowerCase, id)
       if (owner != null && owner != id)
         return (409, err(s"alias '$alias' is bound to another query"))
@@ -1667,6 +1880,12 @@ final class QueryServer(
   private def cachedStatus(params: Map[String, String]): (Int, String) = {
     val alias = params.getOrElse("alias",
       return (400, err("missing 'alias'"))).toLowerCase
+    // even the load state is the owner's (uniform enforcement — an
+    // alias name another principal chose reveals nothing)
+    ownerGate(params, aliasOwner(alias)) match {
+      case Some(resp) => return resp
+      case None => ()
+    }
     asyncLoads.get(alias) match {
       case null =>
         if (loadedAliases.containsKey(alias))
@@ -1697,6 +1916,13 @@ final class QueryServer(
         val owner = loadedAliases.get(src.toLowerCase)
         if (owner == null)
           return (412, err(s"alias '$src' is not loaded"))
+        // deriving a view reads the source's rows — owner-gated like
+        // /cachedresults/sql (the derived view inherits the source's
+        // owning query, and with it the same principal)
+        ownerGate(params, queryOwner(owner)) match {
+          case Some(resp) => return resp
+          case None => ()
+        }
         val view = params.getOrElse("view", return (400, err("missing 'view'")))
         if (!view.matches("[A-Za-z_][A-Za-z0-9_]*"))
           return (400, err(s"invalid view '$view'"))
@@ -1738,6 +1964,13 @@ final class QueryServer(
     if (pending.isDefined) return pending.get
     if (!loadedAliases.containsKey(alias.toLowerCase))
       return (404, err(s"alias '$alias' is not loaded"))
+    // alias names are CALLER-CHOSEN strings, not unguessable handles —
+    // the row retrieval is owner-gated (CachedResultsBean getRows runs
+    // the :1393 ownership check)
+    ownerGate(params, aliasOwner(alias)) match {
+      case Some(resp) => return resp
+      case None => ()
+    }
     try {
       val rowBegin = params.get("rowBegin").map(_.toLong).getOrElse(1L)
       val rowEnd = params.get("rowEnd").map(_.toLong)
@@ -1874,9 +2107,16 @@ final class QueryServer(
       (200, s"""{"buckets": [${rows.mkString(",")}]}""")
     } catch { case e: Exception => (400, err(e.getMessage)) }
 
-  private def close(params: Map[String, String]): (Int, String) =
+  private def close(params: Map[String, String]): (Int, String) = {
+    // close is owner-gated like next (QueryExecutorBean.java:1773);
+    // adminUsers retain the reference's adminClose override
+    ownerGate(params, queryOwner(qid(params))) match {
+      case Some(resp) => return resp
+      case None => ()
+    }
     if (teardown(qid(params))) (200, """{"closed": true}""")
     else (404, err("unknown queryId"))
+  }
 
   /** Unpersist a removed session's frame ONLY when no live session
     * still shares it (`/query/duplicate` shares the persisted frame by
@@ -1925,7 +2165,7 @@ final class QueryServer(
       // resumed run would re-collide page numbers).
       writeDefinition(id, s.table, s.query, s.syntax, s.pageSize,
         s.orderCols, s.running.pagesServed, cursor.currentOffset(id),
-        s.running.attempt, s.model, s.auths)
+        s.running.attempt, s.model, s.auths, s.owner)
 
   /** The durable definition record itself — written by [[persistSession]]
     * for live sessions and by [[define]] for defined-but-not-executed
@@ -1935,7 +2175,8 @@ final class QueryServer(
                               orderCols: Seq[String], pagesServedBase: Long,
                               offsetBase: Long, attempt: Long,
                               model: String = "",
-                              auths: Option[Set[String]] = None): Unit = {
+                              auths: Option[Set[String]] = None,
+                              owner: String = ""): Unit = {
     val p = new java.util.Properties()
     p.setProperty("table", table)
     p.setProperty("query", query)
@@ -1943,6 +2184,9 @@ final class QueryServer(
     // resolved auths travel WITH the definition: a restart-resumed (or
     // duplicated/reset) session keeps its server-side enforcement
     auths.foreach(a => p.setProperty("auths", a.toSeq.sorted.mkString(",")))
+    // ... and so does the owning principal — ownership survives restart
+    // (the reference's persister keys query rows by owner)
+    if (owner.nonEmpty) p.setProperty("owner", owner)
     p.setProperty("pageSize", pageSize.toString)
     p.setProperty("orderBy", orderCols.mkString(","))
     p.setProperty("model", model)
@@ -2001,7 +2245,7 @@ final class QueryServer(
               attempt = p.getProperty("attempt", "0").toLong)
             val s = Session(result, orderCols, running,
               p.getProperty("query", ""), qp.syntax, pageSize, table,
-              modelName, qp.auths)
+              modelName, qp.auths, owner = p.getProperty("owner", ""))
             sessions.put(id, s)
             s
           }

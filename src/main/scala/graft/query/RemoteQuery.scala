@@ -135,9 +135,14 @@ final class RemoteQueryService(baseUrl: String) {
     else Some((extract("queryId", body), rowsOf(body)))
   }
 
-  /** One `next` call; None at the remote NO_CONTENT (exhausted). */
-  def nextPage(id: String): Option[Seq[String]] = {
-    val (status, body) = http("GET", s"/query/next?id=${enc(id)}")
+  /** `&user=` suffix for principal-bound verbs (empty = anonymous). */
+  private def who(user: String): String =
+    if (user.isEmpty) "" else s"&user=${enc(user)}"
+
+  /** One `next` call; None at the remote NO_CONTENT (exhausted).
+    * Ownership-gated servers require the creating `user`. */
+  def nextPage(id: String, user: String = ""): Option[Seq[String]] = {
+    val (status, body) = http("GET", s"/query/next?id=${enc(id)}${who(user)}")
     if (status == 204) None
     else if (status != 200)
       throw new IllegalStateException(s"remote next failed ($status): $body")
@@ -146,7 +151,8 @@ final class RemoteQueryService(baseUrl: String) {
 
   def plan(id: String): String = http("GET", s"/query/plan?id=${enc(id)}")._2
 
-  def close(id: String): Unit = http("POST", s"/query/close?id=${enc(id)}")
+  def close(id: String, user: String = ""): Unit =
+    http("POST", s"/query/close?id=${enc(id)}${who(user)}")
 
   /** `duplicate` (QueryExecutorBean `/{id}/duplicate`) → the NEW id. */
   def duplicate(id: String): String = {

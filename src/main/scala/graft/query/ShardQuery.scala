@@ -258,7 +258,6 @@ final class ShardQueryLogic(
                                 opts: QueryOptions): Option[DataFrame] = ast match {
     case Node.Func("grouping", name, args)
         if Set("matchesingroup", "matchesingroupleft").contains(name.toLowerCase) &&
-          !params.hitList &&
           Seq("uid", "field", "group", "value").forall(c =>
             df.columns.exists(_.equalsIgnoreCase(c))) =>
       // optional odd trailing integer = zero-based context split position
@@ -292,8 +291,28 @@ final class ShardQueryLogic(
             if (left) identFirst
             else graft.operators.Grouping.contextRight(_, 0)
           val idents = identFirst +: Seq.fill(conds.size - 1)(identRest)
-          val uids = graft.operators.Grouping.matchesInGroupKeyed(df, conds, idents)
           val uidCol = df.columns.find(_.equalsIgnoreCase("uid")).get
+          // HIT_LIST rides the SAME keyed plan: the matching (field,
+          // value) pairs of fully-matched groups are exactly the keyed
+          // join's own output, so the per-group aggregate collects them
+          // (one extra buffer over matching rows — never the wide
+          // interpreted path this route replaced, r10 Next #7)
+          if (params.hitList) {
+            val hits = graft.operators.Grouping
+              .matchesInGroupHits(df, conds, idents)
+              .withColumnRenamed("uid", uidCol)
+            // hits is one row per matching uid: the inner join is the
+            // semi-join plus the HIT_TERM decoration, no fan-out
+            if (params.returnFields.map(_.toUpperCase) == Seq("UID") &&
+                params.disallowedFields.isEmpty &&
+                params.limitFieldValues.isEmpty &&
+                !params.includeRecordId && !params.includeDatatypeAsField &&
+                opts.excerptFields.isEmpty)
+              Some(hits)
+            else
+              Some(df.join(hits, Seq(uidCol), "inner"))
+          } else {
+          val uids = graft.operators.Grouping.matchesInGroupKeyed(df, conds, idents)
           // a uid-only projection is the matching-document ID SET — the
           // uids frame already IS that (one row per matching document,
           // the reference's document-level contract — DocumentGrouper
@@ -311,6 +330,7 @@ final class ShardQueryLogic(
             Some(uids.withColumnRenamed("uid", uidCol))
           else
             Some(df.join(uids.withColumnRenamed("uid", uidCol), Seq(uidCol), "left_semi"))
+          }
         }
       }
     case _ => None

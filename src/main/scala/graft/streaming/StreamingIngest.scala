@@ -150,7 +150,7 @@ object StreamingIngest {
     * .seedPhashStoreBatched]]. */
   def imageDedupStream(stream: DataFrame, storeDir: String,
                        pairsDir: String, checkpointDir: String,
-                       maxHamming: Int = 10)
+                       maxHamming: Int = 7)
       : DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -171,7 +171,7 @@ object StreamingIngest {
     * Seed with [[graft.operators.Multimodal.seedPhashStoreBatched]]. */
   def audioDedupStream(stream: DataFrame, storeDir: String,
                        pairsDir: String, checkpointDir: String,
-                       maxHamming: Int = 10)
+                       maxHamming: Int = 7)
       : DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -208,7 +208,7 @@ object StreamingIngest {
     * over the same store layout and exactly-once discipline. */
   def videoDedupStream(stream: DataFrame, storeDir: String,
                        pairsDir: String, checkpointDir: String,
-                       maxHamming: Int = 10)
+                       maxHamming: Int = 7)
       : DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)

@@ -76,6 +76,67 @@ class Wave10Spec extends SparkSpec {
     assert(dup == 0, "replay duplicated store rows")
   }
 
+  test("compactWinnowStore: batch splinters collapse, mid-stream compaction preserves pairs, horizon blocks duplicate re-registration") {
+    val docs = Seq(
+      (1L, s"alpha beta gamma $run delta epsilon zeta"),
+      (2L, s"completely different opening words here $run and another tail entirely"),
+      (3L, s"a third carrier of $run inside other framing words"),
+      (4L, "unrelated text about spark catalyst optimizer plans and shuffles today"),
+      (5L, "more unrelated material concerning parquet row groups and pushdown"))
+      .toDF("doc_id", "text")
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("shared"))).toSet
+    val oneShot = pairSet(TextOps.winnowedOverlapPairs(docs, minShared = 2))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cwin").toString
+    TextOps.seedWinnowStoreBatched(spark, s"$tmp/store")
+    val b1 = docs.filter($"doc_id" <= 2L)
+    val b2 = docs.filter($"doc_id" > 2L)
+    TextOps.streamBatchWinnow(b1, s"$tmp/store", s"$tmp/pairs", 0L,
+      minShared = 2)
+    // offline maintenance BETWEEN batches (stream stopped): splinter
+    // dirs collapse to one batch=compacted partition, one file
+    TextOps.compactWinnowStore(spark, s"$tmp/store")
+    val subdirs = new java.io.File(s"$tmp/store/fps")
+      .listFiles().filter(_.isDirectory).map(_.getName).toSeq.sorted
+    assert(subdirs == Seq("batch=compacted"), subdirs.mkString(","))
+    val files = new java.io.File(s"$tmp/store/fps/batch=compacted")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files == 1, s"expected 1 compacted file, got $files")
+    TextOps.streamBatchWinnow(b2, s"$tmp/store", s"$tmp/pairs", 1L,
+      minShared = 2)
+    assert(pairSet(spark.read.parquet(s"$tmp/pairs")
+      .select("id_a", "id_b", "shared")) == oneShot)
+    // the compaction horizon: an uncommitted batch 0 replaying AFTER
+    // the compaction recomputes identical pairs but skips
+    // re-registration (its rows already live in batch=compacted)
+    assert(TextOps.winnowCompactedThrough(s"$tmp/store") == 0L)
+    TextOps.streamBatchWinnow(b1, s"$tmp/store", s"$tmp/pairs", 0L,
+      minShared = 2)
+    assert(pairSet(spark.read.parquet(s"$tmp/pairs")
+      .select("id_a", "id_b", "shared")) == oneShot, "replay after compact")
+    val dup = spark.read.parquet(s"$tmp/store/fps")
+      .groupBy("doc_id", "fp").count().filter(col("count") > 1).count()
+    assert(dup == 0, "replay-after-compaction duplicated store rows")
+    // half-swapped compaction (crash between renames) recovers on read
+    val src = java.nio.file.Paths.get(s"$tmp/store/fps")
+    val old = java.nio.file.Paths.get(s"$tmp/store/fps.old")
+    java.nio.file.Files.move(src, old)
+    val (pairs, _) = TextOps.incrementalWinnowPairs(b2.limit(0), s"$tmp/store")
+    pairs.count() // recoverSwap restored the store: the read succeeds
+    assert(java.nio.file.Files.exists(src) && !java.nio.file.Files.exists(old))
+    // the shuffle fallback (broadcastBatch = false) computes the same
+    // pairs — the escape hatch for batches beyond broadcast capacity
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft-cwin2").toString
+    TextOps.seedWinnowStoreBatched(spark, s"$tmp2/store")
+    TextOps.streamBatchWinnow(b1, s"$tmp2/store", s"$tmp2/pairs", 0L,
+      minShared = 2, broadcastBatch = false)
+    TextOps.streamBatchWinnow(b2, s"$tmp2/store", s"$tmp2/pairs", 1L,
+      minShared = 2, broadcastBatch = false)
+    assert(pairSet(spark.read.parquet(s"$tmp2/pairs")
+      .select("id_a", "id_b", "shared")) == oneShot, "shuffle fallback")
+  }
+
   test("hotFpCap drops boilerplate fingerprints before the join") {
     val boiler = "subscribe to our newsletter for updates every single day"
     val docs = (1L to 6L).map(i =>

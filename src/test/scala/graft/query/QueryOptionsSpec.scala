@@ -223,4 +223,35 @@ class QueryOptionsSpec extends SparkSpec {
     assert(rows.forall(r =>
       r.getString(r.fieldIndex("RECORD_ID")).startsWith("20240105/event/")))
   }
+
+  test("long-layout grouping route emits HIT_TERM: the keyed join's own matching pairs, per document") {
+    val long = Seq(
+      (1L, "RETURNFLAG", "0", "R"), (1L, "QUANTITY", "0", "48"),
+      (1L, "COLOR", "0", "red"),                              // non-hit row
+      (1L, "RETURNFLAG", "1", "R"), (1L, "QUANTITY", "1", "10"), // group 1: R matches, 10 doesn't
+      (2L, "RETURNFLAG", "1", "R"), (2L, "QUANTITY", "1", "49"),
+      (3L, "RETURNFLAG", "0", "N"), (3L, "QUANTITY", "0", "48"))
+      .toDF("uid", "field", "group", "value")
+    val logic = new ShardQueryLogic(policy = QueryPolicy(fullTableScanEnabled = true))
+    val q = "grouping:matchesInGroup(RETURNFLAG, 'R', QUANTITY, '4[89].*')"
+    // the uid-only HIT_LIST shape: one row per matching document with
+    // HIT_TERM = the (FIELD, value) pairs that matched inside FULLY
+    // matched groups — doc 1's group "1" only half-matched, so its R/10
+    // pair contributes nothing (r10 Next #7: HIT_LIST previously forced
+    // this query off the keyed route entirely)
+    val hits = logic.query(long, q,
+        QueryParams(returnFields = Seq("uid"), hitList = true))
+      .collect().map(r => r.getLong(r.fieldIndex("uid")) ->
+        r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("HIT_TERM"))
+          .map(h => (h.getString(0), h.getString(1))).toSet).toMap
+    assert(hits.keySet == Set(1L, 2L))
+    assert(hits(1L) == Set(("RETURNFLAG", "R"), ("QUANTITY", "48")),
+      hits(1L).toString)
+    assert(hits(2L) == Set(("RETURNFLAG", "R"), ("QUANTITY", "49")))
+    // the decorated (non-uid-only) shape: HIT_TERM rides every long row
+    // of the matching documents without fan-out beyond the semi-join's
+    val dec = logic.query(long, q, QueryParams(hitList = true))
+    assert(dec.columns.contains("HIT_TERM"))
+    assert(dec.collect().length == 7) // docs 1 (5 rows) + 2 (2 rows)
+  }
 }

@@ -740,36 +740,36 @@ class QueryServerSpec extends SparkSpec {
       assert(created.statusCode() == 200, created.body())
       val id = "\"queryId\": \"([0-9a-f]+)\"".r
         .findFirstMatchIn(created.body()).get.group(1)
-      assert(ids(post(s"$base/query/next?id=$id").body()) == Seq(1L, 2L))
+      assert(ids(post(s"$base/query/next?id=$id&user=alice").body()) == Seq(1L, 2L))
       // root downgrading to {B} sees only the view row (A|B)
       val down = post(s"$base/query/create?table=t&query=$q&user=root" +
         "&auths=B&orderBy=event_id")
       assert(down.statusCode() == 200, down.body())
       val dId = "\"queryId\": \"([0-9a-f]+)\"".r
         .findFirstMatchIn(down.body()).get.group(1)
-      assert(ids(post(s"$base/query/next?id=$dId").body()) == Seq(2L))
+      assert(ids(post(s"$base/query/next?id=$dId&user=root").body()) == Seq(2L))
       // a query-TEXT update re-plans WITHOUT shedding the session's
       // resolved auths
       val upd = post(s"$base/query/create?table=t&query=$q&user=alice" +
         "&orderBy=event_id")
       val uId = "\"queryId\": \"([0-9a-f]+)\"".r
         .findFirstMatchIn(upd.body()).get.group(1)
-      assert(post(s"$base/query/update?id=$uId&query=" +
+      assert(post(s"$base/query/update?id=$uId&user=alice&query=" +
         enc("EVENT_ID > 1")).statusCode() == 200)
-      assert(ids(post(s"$base/query/next?id=$uId").body()) == Seq(2L))
+      assert(ids(post(s"$base/query/next?id=$uId&user=alice").body()) == Seq(2L))
       // the resolved auths travel with the durable definition: a
       // restarted server resumes alice's query STILL enforcing {A}
       val resumeId = "\"queryId\": \"([0-9a-f]+)\"".r.findFirstMatchIn(
         post(s"$base/query/create?table=t&query=$q&user=alice" +
           "&orderBy=event_id&pageSize=1").body()).get.group(1)
-      assert(ids(post(s"$base/query/next?id=$resumeId").body()) == Seq(1L))
+      assert(ids(post(s"$base/query/next?id=$resumeId&user=alice").body()) == Seq(1L))
       srv.stop()
       val srv2 = mkServer()
       val port2 = srv2.start()
       try {
-        val rest = post(s"http://127.0.0.1:$port2/query/next?id=$resumeId")
+        val rest = post(s"http://127.0.0.1:$port2/query/next?id=$resumeId&user=alice")
         assert(ids(rest.body()) == Seq(2L), rest.body())
-        assert(post(s"http://127.0.0.1:$port2/query/next?id=$resumeId")
+        assert(post(s"http://127.0.0.1:$port2/query/next?id=$resumeId&user=alice")
           .statusCode() == 204)
       } finally srv2.stop()
     } finally
@@ -876,13 +876,13 @@ class QueryServerSpec extends SparkSpec {
       assert(viaGw.statusCode() == 200, viaGw.body())
       val gwId = "\"queryId\": \"([0-9a-f]+)\"".r
         .findFirstMatchIn(viaGw.body()).get.group(1)
-      assert(ids(post(s"$base/query/next?id=$gwId").body()) == Seq(1L, 2L, 3L))
+      assert(ids(post(s"$base/query/next?id=$gwId&user=root").body()) == Seq(1L, 2L, 3L))
       // root proxied through gateway AND alice: ∩ = {A} → rows 1-2
       val viaBoth = post(s"$base/query/create?table=t&query=$q&user=root" +
         "&proxiedEntities=gateway,alice&orderBy=event_id")
       val bothId = "\"queryId\": \"([0-9a-f]+)\"".r
         .findFirstMatchIn(viaBoth.body()).get.group(1)
-      assert(ids(post(s"$base/query/next?id=$bothId").body()) == Seq(1L, 2L))
+      assert(ids(post(s"$base/query/next?id=$bothId&user=root").body()) == Seq(1L, 2L))
       // explicit auths= may still only DOWNGRADE vs the intersection:
       // B is in root's and gateway's grants but not alice's → 403
       assert(post(s"$base/query/create?table=t&query=$q&user=root" +
@@ -901,15 +901,139 @@ class QueryServerSpec extends SparkSpec {
         post(s"$base/query/create?table=t&query=$q&user=root" +
           "&proxiedEntities=gateway,alice&orderBy=event_id&pageSize=1")
           .body()).get.group(1)
-      assert(ids(post(s"$base/query/next?id=$resumeId").body()) == Seq(1L))
+      assert(ids(post(s"$base/query/next?id=$resumeId&user=root").body()) == Seq(1L))
       srv.stop()
       val srv2 = mkServer()
       val port2 = srv2.start()
       try {
-        val rest = post(s"http://127.0.0.1:$port2/query/next?id=$resumeId")
+        val rest = post(s"http://127.0.0.1:$port2/query/next?id=$resumeId&user=root")
         assert(ids(rest.body()) == Seq(2L), rest.body())
-        assert(post(s"http://127.0.0.1:$port2/query/next?id=$resumeId")
+        assert(post(s"http://127.0.0.1:$port2/query/next?id=$resumeId&user=root")
           .statusCode() == 204)
+      } finally srv2.stop()
+    } finally {
+      try srv.stop() catch { case _: Exception => () }
+      graft.core.Fs.deleteRecursively(stateDir)
+    }
+  }
+
+  test("principal-bound object ownership: sessions, aliases, and bulk " +
+      "jobs refuse non-owners (QUERY_OWNER_MISMATCH), admins override, " +
+      "ownership survives restart") {
+    val df = Seq((1L, "click", "A"), (2L, "view", "A"), (3L, "buy", "A"))
+      .toDF("event_id", "event_type", "visibility")
+    val stateDir =
+      java.nio.file.Files.createTempDirectory("graft-owner").toString
+    // alice and bob hold the SAME grant — visibility alone would let bob
+    // read what alice materialized; ownership is the extra wall
+    val users = Map("alice" -> Set("A"), "bob" -> Set("A"),
+      "root" -> Set("A"))
+    def mkServer() = new QueryServer(Map("t" -> df), stateDir = stateDir,
+      users = users, adminUsers = Set("root"), metricsFlush = false)
+    val srv = mkServer()
+    val port = srv.start()
+    val enc = (v: String) => java.net.URLEncoder.encode(v, "UTF-8")
+    try {
+      val base = s"http://127.0.0.1:$port"
+      val q = enc("EVENT_ID > 0")
+      val created = post(s"$base/query/create?table=t&query=$q&user=alice" +
+        "&orderBy=event_id&pageSize=1")
+      val id = "\"queryId\": \"([0-9a-f]+)\"".r
+        .findFirstMatchIn(created.body()).get.group(1)
+      // bob (registered, same auths) cannot drain, inspect, mutate, or
+      // close alice's session; an unknown caller is 401 either way
+      for (verb <- Seq("next", "get", "plan", "metrics", "close", "cancel",
+          "reset", "duplicate", "update", "remove")) {
+        val r = post(s"$base/query/$verb?id=$id&user=bob")
+        assert(r.statusCode() == 401 &&
+          r.body().contains("QUERY_OWNER_MISMATCH"), s"$verb: ${r.body()}")
+      }
+      assert(post(s"$base/query/next?id=$id&user=mallory").statusCode() == 401)
+      // the owner pages normally; /query/list shows the session only to
+      // its owner (and admins), not to bob
+      assert(post(s"$base/query/next?id=$id&user=alice").statusCode() == 200)
+      assert(get(s"$base/query/list?user=alice").body().contains(id))
+      assert(!get(s"$base/query/list?user=bob").body().contains(id))
+      assert(get(s"$base/query/list?user=root").body().contains(id))
+      // CachedResults: only alice may export her query; bob cannot read
+      // rows/status through the alias NAME he can guess
+      assert(post(s"$base/cachedresults/load?id=$id&alias=own_v&user=bob")
+        .statusCode() == 401)
+      assert(post(s"$base/cachedresults/load?id=$id&alias=own_v&user=alice")
+        .statusCode() == 200)
+      for (path <- Seq(
+          s"/cachedresults/getRows?alias=own_v&user=bob",
+          s"/cachedresults/sql?sql=${enc("SELECT * FROM own_v")}&user=bob",
+          s"/cachedresults/status?alias=own_v&user=bob",
+          s"/cachedresults/create?alias=own_v&view=own_v2&user=bob")) {
+        val r = get(s"$base$path")
+        assert(r.statusCode() == 401 &&
+          r.body().contains("QUERY_OWNER_MISMATCH"), s"$path: ${r.body()}")
+      }
+      assert(get(s"$base/cachedresults/getRows?alias=own_v&user=alice")
+        .statusCode() == 200)
+      // admin override: root reads rows and may close (adminClose)
+      assert(get(s"$base/cachedresults/getRows?alias=own_v&user=root")
+        .statusCode() == 200)
+      // bulk jobs: alice defines + submits; bob is refused on every job
+      // verb including the result-file stream; root (admin) may cancel
+      val defId = "\"queryId\": \"([0-9a-f]+)\"".r.findFirstMatchIn(
+        post(s"$base/query/define?table=t&query=$q&user=alice").body())
+        .get.group(1)
+      // bob cannot ship ALICE's definition into a job he would own
+      assert(post(s"$base/mapreduce/submit?jobName=BulkResultsJob" +
+        s"&parameters=${enc(s"queryId:$defId;format:json")}" +
+        "&roles=AuthorizedUser&user=bob").statusCode() == 401)
+      val sub = post(s"$base/mapreduce/submit?jobName=BulkResultsJob" +
+        s"&parameters=${enc(s"queryId:$defId;format:json")}" +
+        "&roles=AuthorizedUser&user=alice")
+      assert(sub.statusCode() == 200, sub.body())
+      val jobId = "\"jobId\": \"([0-9a-f]+)\"".r
+        .findFirstMatchIn(sub.body()).get.group(1)
+      // wait for the export to finish so a result file exists
+      var state = ""
+      val deadline = System.currentTimeMillis() + 60000
+      while (state != "SUCCEEDED" && System.currentTimeMillis() < deadline) {
+        val info = get(s"$base/mapreduce/list?jobId=$jobId&user=alice")
+        state = "\"state\": \"(\\w+)\"".r.findFirstMatchIn(info.body())
+          .map(_.group(1)).getOrElse("")
+        if (state != "SUCCEEDED") Thread.sleep(100)
+      }
+      assert(state == "SUCCEEDED", s"job state: $state")
+      val fileName = "\"name\": \"([^\"]+)\"".r.findFirstMatchIn(
+        get(s"$base/mapreduce/list?jobId=$jobId&user=alice").body())
+        .get.group(1)
+      for (path <- Seq(
+          s"/mapreduce/list?jobId=$jobId&user=bob",
+          s"/mapreduce/getFile?jobId=$jobId&fileName=${enc(fileName)}&user=bob",
+          s"/mapreduce/cancel?jobId=$jobId&user=bob",
+          s"/mapreduce/restart?jobId=$jobId&user=bob",
+          s"/mapreduce/remove?jobId=$jobId&user=bob")) {
+        val r = get(s"$base$path")
+        assert(r.statusCode() == 401 &&
+          r.body().contains("QUERY_OWNER_MISMATCH"), s"$path: ${r.body()}")
+      }
+      assert(get(s"$base/mapreduce/getFile?jobId=$jobId" +
+        s"&fileName=${enc(fileName)}&user=alice").statusCode() == 200)
+      // job listing is per-owner
+      assert(get(s"$base/mapreduce/list?user=alice").body().contains(jobId))
+      assert(!get(s"$base/mapreduce/list?user=bob").body().contains(jobId))
+      assert(get(s"$base/mapreduce/list?user=root").body().contains(jobId))
+      // ownership SURVIVES restart: the durable definition and job state
+      // both carry the owner, so bob stays refused by the resumed server
+      srv.stop()
+      val srv2 = mkServer()
+      val port2 = srv2.start()
+      try {
+        val b2 = s"http://127.0.0.1:$port2"
+        val r = post(s"$b2/query/next?id=$id&user=bob")
+        assert(r.statusCode() == 401 &&
+          r.body().contains("QUERY_OWNER_MISMATCH"), r.body())
+        assert(post(s"$b2/query/next?id=$id&user=alice").statusCode() == 200)
+        assert(get(s"$b2/mapreduce/list?jobId=$jobId&user=bob")
+          .statusCode() == 401)
+        // admin override closes another principal's session
+        assert(post(s"$b2/query/close?id=$id&user=root").statusCode() == 200)
       } finally srv2.stop()
     } finally {
       try srv.stop() catch { case _: Exception => () }

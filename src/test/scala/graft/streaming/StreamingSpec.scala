@@ -719,7 +719,8 @@ class MultimodalSpec extends SparkSpec {
     Multimodal.seedPhashStoreBatched(spark, s"$tmp/store")
     val b1 = corpus.filter(col("media_id") <= 4)
     val b2 = corpus.filter(col("media_id") > 4)
-    Multimodal.streamBatchImageDedup(b1, s"$tmp/store", s"$tmp/pairs", 0L)
+    Multimodal.streamBatchImageDedup(b1, s"$tmp/store", s"$tmp/pairs", 0L,
+      maxHamming = 10)
     // offline maintenance BETWEEN batches (stream stopped): splinter
     // dirs collapse to one batch=compacted partition, one file
     Multimodal.compactPhashStore(spark, s"$tmp/store")
@@ -729,9 +730,23 @@ class MultimodalSpec extends SparkSpec {
     val files = new java.io.File(s"$tmp/store/phashes/batch=compacted")
       .listFiles().count(_.getName.endsWith(".parquet"))
     assert(files == 1, s"expected 1 compacted file, got $files")
-    Multimodal.streamBatchImageDedup(b2, s"$tmp/store", s"$tmp/pairs", 1L)
+    Multimodal.streamBatchImageDedup(b2, s"$tmp/store", s"$tmp/pairs", 1L,
+      maxHamming = 10)
     assert(pairSet(spark.read.parquet(s"$tmp/pairs")
       .select("id_a", "id_b", "hamming")) == oneShot)
+    // the compaction horizon marker: an UNCOMMITTED batch 0 replaying
+    // AFTER the compaction recomputes identical pairs but must NOT
+    // re-register under batch=0 — its rows already live in
+    // batch=compacted, and a second copy would inflate every later
+    // probe's candidates
+    assert(Multimodal.phashCompactedThrough(s"$tmp/store") == 0L)
+    Multimodal.streamBatchImageDedup(b1, s"$tmp/store", s"$tmp/pairs", 0L,
+      maxHamming = 10)
+    assert(pairSet(spark.read.parquet(s"$tmp/pairs")
+      .select("id_a", "id_b", "hamming")) == oneShot, "replay after compact")
+    val dup = spark.read.parquet(s"$tmp/store/phashes")
+      .groupBy("media_id").count().filter(col("count") > 1).count()
+    assert(dup == 0, "replay-after-compaction duplicated store rows")
     // a half-swapped compaction (crash between the renames) recovers at
     // the next read: simulate by re-creating the swap's midpoint
     val src = java.nio.file.Paths.get(s"$tmp/store/phashes")
