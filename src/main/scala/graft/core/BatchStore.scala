@@ -1,0 +1,121 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Shared plumbing for the write-once BATCH-PARTITIONED stores every
+  * streamed dedup tier keeps beside its corpus — text MinHash
+  * signatures ([[graft.operators.Dedup]]), winnow fingerprints
+  * ([[graft.operators.TextOps]]), and the image/audio/video perceptual
+  * hashes ([[graft.operators.Multimodal]]). The choreography is one
+  * discipline with five instantiations:
+  *
+  *  - '''seed''': an empty `batch=seed` partition so the first
+  *    micro-batch's incremental probe reads a valid (empty) store;
+  *  - '''register''': OVERWRITE a batch's rows under `batch=N` — a
+  *    crash-replayed micro-batch replaces its registration instead of
+  *    duplicating store rows (exactly-once without a transaction log);
+  *  - '''compact''': offline maintenance collapsing months of splinter
+  *    `batch=N` dirs into ONE `batch=compacted` partition of
+  *    `filesPerTable` files, behind the [[Fs.swapDir]] rename-only
+  *    crash-safe swap ([[Fs.recoverSwap]] on every read/append);
+  *  - '''horizon marker''': the highest batch id a compaction folded
+  *    in, written BEFORE the swap — a batch at or below it skips
+  *    re-registration (its rows already live in `batch=compacted`;
+  *    re-registering would duplicate them and inflate every later
+  *    probe's pair candidates). In every crash window the marked
+  *    batches stay durably registered exactly once: under their
+  *    splinter dirs if the swap never lands, under `batch=compacted`
+  *    after it.
+  *
+  * The tiers used to copy-adapt this plumbing file by file; a file-wide
+  * substitution editing the twins in parallel nearly shipped a wrong
+  * slice predicate — one module, five thin callers, removes the hazard
+  * class. `tableDir` is the partitioned table's own directory (e.g.
+  * `…/phashes`); the marker lives beside it as
+  * `tableDir + ".compacted_through"` and the compaction temp as
+  * `tableDir + ".compacting"`, both swap-safe siblings.
+  */
+object BatchStore {
+
+  private def markerFile(tableDir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(tableDir + ".compacted_through")
+
+  /** The highest batch id a [[compact]] has folded into `tableDir`
+    * (-1 = never compacted). */
+  def compactedThrough(tableDir: String): Long = {
+    val f = markerFile(tableDir)
+    if (!java.nio.file.Files.exists(f)) -1L
+    else new String(java.nio.file.Files.readAllBytes(f),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+  }
+
+  /** Seed the empty `batch=seed` partition from a zero-row frame whose
+    * SCHEMA is the store's row layout (taken from the real corpus frame
+    * so id types never conflict with later batches' footers). */
+  def seed(empty: DataFrame, tableDir: String): Unit =
+    empty.write.mode("overwrite").parquet(s"$tableDir/batch=seed")
+
+  /** Register a processed batch's rows under `batch=batchId` —
+    * overwrite, so retries and crash-replays of the same id replace
+    * rather than duplicate; a no-op at or below the compaction horizon
+    * (the rows already live in `batch=compacted`). */
+  def registerBatch(rows: DataFrame, tableDir: String,
+                    batchId: Long): Unit = {
+    if (batchId <= compactedThrough(tableDir)) return
+    Fs.recoverSwap(tableDir)
+    rows.write.mode("overwrite").parquet(s"$tableDir/batch=$batchId")
+  }
+
+  /** Offline compaction (run only while the stream is STOPPED): every
+    * partition collapses into `batch=compacted` — keeping the `batch=`
+    * k=v directory level, because flattening it into a data column
+    * would break partition discovery for later appends. Also accepts a
+    * FLAT (non-batched) table, which compacts in place without the
+    * partition level — the text signature store's offline layout. */
+  def compact(spark: SparkSession, tableDir: String,
+              filesPerTable: Int = 1): Unit = {
+    val tmp = tableDir + ".compacting"
+    Fs.recoverSwap(tableDir)
+    val rows = spark.read.parquet(tableDir)
+    val hasBatch = rows.columns.contains("batch")
+    if (hasBatch) {
+      val horizon = {
+        val d = java.nio.file.Paths.get(tableDir)
+        import scala.jdk.CollectionConverters._
+        val stream = java.nio.file.Files.list(d)
+        val ids = try stream.iterator().asScala
+          .map(_.getFileName.toString)
+          .collect { case s if s.startsWith("batch=") =>
+            s.stripPrefix("batch=") }
+          .flatMap(v => scala.util.Try(v.toLong).toOption)
+          .toSeq
+        finally stream.close()
+        (compactedThrough(tableDir) +: ids).max
+      }
+      rows.drop("batch").repartition(filesPerTable)
+        .write.mode("overwrite").parquet(s"$tmp/batch=compacted")
+      // marker BEFORE the swap — see the horizon contract above
+      if (horizon >= 0)
+        java.nio.file.Files.write(markerFile(tableDir),
+          horizon.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } else
+      rows.repartition(filesPerTable)
+        .write.mode("overwrite").parquet(tmp)
+    Fs.swapDir(tableDir, tmp)
+  }
+
+  /** One streamed micro-batch's WRITE choreography, shared by every
+    * tier: materialize the pair frame once, emit it under
+    * `pairsDir/batch_id=N` (overwrite — replay replaces), then register
+    * the batch's store rows. The caller computes `pairs` and `rows`
+    * from ONE signature pass and owns unpersisting any inputs. */
+  def emitAndRegister(pairs: DataFrame, rows: DataFrame, tableDir: String,
+                      pairsDir: String, batchId: Long): Unit = {
+    val out = pairs.persist()
+    out.count()
+    out.write.mode("overwrite").parquet(s"$pairsDir/batch_id=$batchId")
+    registerBatch(rows, tableDir, batchId)
+    out.unpersist()
+    ()
+  }
+}

@@ -597,16 +597,13 @@ object Dedup {
     * retried (band-row duplicates collapse in the candidate
     * `.distinct()`), whereas duplicated SHINGLE rows would corrupt the
     * verify join forever. Retrying the whole append is therefore safe.
-    * `subdir` ("" = flat layout, "/batch=N" = batched streaming layout)
-    * selects the write target; batched writes are overwrite-by-partition
-    * and pass their precomputed band frame when the caller already has
-    * one (the streaming path computes signatures exactly once). */
+    * Flat-layout writes only — the batched streaming layout goes
+    * through [[graft.core.BatchStore]]. */
   private def writeStoreParts(withSh: DataFrame, dir: String, numHashes: Int,
-                              bands: Int, mode: String, subdir: String = "",
-                              bandsFrame: Option[DataFrame] = None): Unit = {
-    bandsFrame.getOrElse(bandTable(withSh, numHashes, bands))
-      .write.mode(mode).parquet(s"$dir/bands$subdir")
-    withSh.write.mode(mode).parquet(s"$dir/shingles$subdir")
+                              bands: Int, mode: String): Unit = {
+    bandTable(withSh, numHashes, bands)
+      .write.mode(mode).parquet(s"$dir/bands")
+    withSh.write.mode(mode).parquet(s"$dir/shingles")
   }
 
   private def writeParams(spark: org.apache.spark.sql.SparkSession,
@@ -641,25 +638,15 @@ object Dedup {
     * compaction, and as [[graft.operators.VectorOps.pqCompactIndex]]). */
   def compactDedupStore(spark: org.apache.spark.sql.SparkSession,
                         dir: String, filesPerTable: Int = 1): Unit =
-    for (t <- Seq("bands", "shingles")) {
-      val src = s"$dir/$t"
-      val tmp = s"$dir/$t.compacting"
-      graft.core.Fs.recoverSwap(src)
-      val rows = spark.read.parquet(src)
-      // batched streaming layout ([[seedDedupStoreBatched]]): collapse
-      // every batch partition into ONE `batch=compacted` partition DIR
-      // so later [[appendDedupStoreBatch]] calls keep a consistent
-      // directory structure (flattening `batch` into a data column
-      // would mix files and k=v dirs and break partition discovery).
-      // Run only while the stream is STOPPED and its checkpoint fully
-      // committed — a batch replayed after compaction would coexist
-      // with its compacted copy.
-      val hasBatch = rows.columns.contains("batch")
-      val body = if (hasBatch) rows.drop("batch") else rows
-      val target = if (hasBatch) s"$tmp/batch=compacted" else tmp
-      body.repartition(filesPerTable).write.mode("overwrite").parquet(target)
-      graft.core.Fs.swapDir(src, tmp)
-    }
+    // batched streaming layout ([[seedDedupStoreBatched]]) collapses to
+    // ONE `batch=compacted` partition dir per table (flattening `batch`
+    // into a data column would mix files and k=v dirs and break
+    // partition discovery); the flat layout compacts in place. The
+    // BatchStore horizon marker makes a batch replayed after compaction
+    // SKIP re-registration instead of coexisting with its compacted
+    // copy — run while no append is in flight all the same.
+    for (t <- Seq("bands", "shingles"))
+      graft.core.BatchStore.compact(spark, s"$dir/$t", filesPerTable)
 
   /** Register a processed batch as part of the corpus: its signatures
     * append to the store, so the NEXT batch dedups against it too.
@@ -693,22 +680,26 @@ object Dedup {
     // int/long/string — pinning a type here would make the seed
     // partition's footer conflict with every later batch's)
     val emptySh = shingled(docs.limit(0), n)
-    writeStoreParts(emptySh, dir, numHashes, bands, "overwrite",
-      subdir = "/batch=seed")
+    graft.core.BatchStore.seed(bandTable(emptySh, numHashes, bands),
+      s"$dir/bands")
+    graft.core.BatchStore.seed(emptySh, s"$dir/shingles")
   }
 
   /** Register one micro-batch in a [[seedDedupStoreBatched]] store —
     * overwrite-by-batch-partition, so retries and crash-replays of the
-    * SAME batch id are idempotent. Same caller contract as
-    * [[appendDedupStore]] otherwise: append AFTER consuming the batch's
-    * [[incrementalNearDupPairs]]. */
+    * SAME batch id are idempotent (and a batch at or below the
+    * compaction horizon is a no-op, [[graft.core.BatchStore]]). Same
+    * caller contract as [[appendDedupStore]] otherwise: append AFTER
+    * consuming the batch's [[incrementalNearDupPairs]]. */
   def appendDedupStoreBatch(newDocs: DataFrame, dir: String,
                             batchId: Long): Unit = {
     val (n, numHashes, bands) = storeParams(newDocs.sparkSession, dir)
     val withSh = shingled(newDocs, n).persist()
-    try writeStoreParts(withSh, dir, numHashes, bands, "overwrite",
-      subdir = s"/batch=$batchId")
-    finally withSh.unpersist()
+    try {
+      graft.core.BatchStore.registerBatch(
+        bandTable(withSh, numHashes, bands), s"$dir/bands", batchId)
+      graft.core.BatchStore.registerBatch(withSh, s"$dir/shingles", batchId)
+    } finally withSh.unpersist()
   }
 
   /** One micro-batch of the LIVE near-dup pipeline
@@ -722,13 +713,14 @@ object Dedup {
   private[graft] def streamBatchNearDup(batch: DataFrame, storeDir: String,
                                         pairsDir: String, batchId: Long,
                                         threshold: Double): Unit = {
-    val (_, numHashes, bands) = storeParams(batch.sparkSession, storeDir)
     val (pairs, cached) = incrementalPairsPlan(batch, storeDir, threshold)
-    pairs.write.mode("overwrite").parquet(s"$pairsDir/batch_id=$batchId")
-    // cached = (newSh, newBands, …) — reuse the batch's signature
-    // frames for the store registration
-    writeStoreParts(cached.head, storeDir, numHashes, bands, "overwrite",
-      subdir = s"/batch=$batchId", bandsFrame = Some(cached(1)))
+    // cached = (newSh, newBands, …) — the batch's signature frames are
+    // reused for the store registration instead of re-deriving the
+    // interpreted MinHash signatures a second time
+    graft.core.BatchStore.emitAndRegister(pairs, cached(1),
+      s"$storeDir/bands", pairsDir, batchId)
+    graft.core.BatchStore.registerBatch(cached.head,
+      s"$storeDir/shingles", batchId)
     cached.foreach(_.unpersist())
   }
 

@@ -87,6 +87,17 @@ object DocumentTree {
       k => array_join(slice(segs, lit(1), k), "."))
   }
 
+  /** The tree-depth statistic the reference keeps in its metadata table
+    * (EventMetadata.java:96-110 — ingest records per-type facts the
+    * planner reads back): the maximum dotted-uid depth present in the
+    * corpus. Maintain it AT INGEST (fold the new batch's max into the
+    * stored value — max is trivially mergeable); [[parentsOfMatches]]
+    * consumes it to prune the retrieve side. One column-pruned
+    * aggregate scan when computed from scratch. */
+  def maxTreeDepth(docs: DataFrame, uidCol: String = "uid"): Int =
+    docs.select(max(size(split(col(uidCol), "\\."))).as("d"))
+      .head().getInt(0)
+
   /** Parent query: each matching document resolves to its DIRECT parent
     * (ParentQueryLogic.java:19-45 — ParentDocumentTransformer rewrites
     * the result id via TLD.parseParentPointerFromId, which drops the
@@ -96,7 +107,14 @@ object DocumentTree {
     * Spark shape: map match uids → parent pointers (codegen'd string
     * op), distinct, then an equi semi-join retrieves the parent
     * documents — broadcastable needle set, never a scan of the corpus
-    * per match. */
+    * per match. `maxTreeDepth` (the ingest-maintained metadata
+    * statistic, [[maxTreeDepth]]) prunes the retrieve side: a parent
+    * pointer has at most depth−1 dotted segments, so documents deeper
+    * than that can never be retrieved and drop BEFORE the semi-join
+    * shuffle — at depth 2 (the flat parent/child shape) the retrieve
+    * side shrinks from the whole corpus to the root documents, which
+    * is exactly the pruning the reference's planner gets from its
+    * metadata. None (or depth < 2) = no pruning, any tree shape. */
   def parentsOfMatches(docs: DataFrame, pred: Column,
                        uidCol: String = "uid",
                        // default differs from tldQuery/ancestorsOfMatches:
@@ -105,12 +123,21 @@ object DocumentTree {
                        // measured the broadcast build consistently SLOWER
                        // than the shuffle semi-join here (2.7-4.9 s vs a
                        // steady 1.7 s — TreeProbe10Main)
-                       broadcastNeedles: Boolean = false): DataFrame = {
+                       broadcastNeedles: Boolean = false,
+                       maxTreeDepth: Option[Int] = None): DataFrame = {
     val parents = docs.filter(pred)
       .select(coalesce(parentUid(col(uidCol)), col(uidCol)).as("__parent"))
       .distinct()
     val build = if (broadcastNeedles) broadcast(parents) else parents
-    docs.join(build, docs(uidCol) === col("__parent"), "left_semi")
+    val retrieve = maxTreeDepth match {
+      case Some(d) if d >= 2 =>
+        // depth-1 roots have no '.', so the common flat case is one
+        // codegen'd instr, not a split/size array materialization
+        if (d == 2) docs.filter(instr(col(uidCol), ".") === 0)
+        else docs.filter(size(split(col(uidCol), "\\.")) <= d - 1)
+      case _ => docs
+    }
+    retrieve.join(build, retrieve(uidCol) === col("__parent"), "left_semi")
   }
 
   /** Ancestor query: return matching documents plus every ANCESTOR on

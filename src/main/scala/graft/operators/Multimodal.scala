@@ -1021,42 +1021,26 @@ object Multimodal {
     val schema = StructType(Seq(
       StructField("media_id", LongType),
       StructField("phash", LongType)))
-    spark.createDataFrame(new java.util.ArrayList[Row](), schema)
-      .write.mode("overwrite").parquet(s"$dir/phashes/batch=seed")
+    graft.core.BatchStore.seed(
+      spark.createDataFrame(new java.util.ArrayList[Row](), schema),
+      s"$dir/phashes")
   }
-
-  /** The compaction horizon marker: batch ids at or below the recorded
-    * value are already durably registered (their rows live under
-    * `batch=compacted` after a [[compactPhashStore]]). Registration of
-    * such a batch id must be a NO-OP — without the marker, a micro-batch
-    * whose checkpoint commit did not survive a crash could replay after
-    * a compaction and write its rows under `batch=N` AGAIN, duplicating
-    * store rows (the rows also sit in `batch=compacted`) and inflating
-    * every later probe's pair candidates. */
-  private def markerFile(dir: String): java.nio.file.Path =
-    java.nio.file.Paths.get(dir, "phashes.compacted_through")
 
   /** The highest batch id a compaction has folded into the store
-    * (-1 = never compacted). */
-  def phashCompactedThrough(dir: String): Long = {
-    val f = markerFile(dir)
-    if (!java.nio.file.Files.exists(f)) -1L
-    else new String(java.nio.file.Files.readAllBytes(f),
-      java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-  }
+    * (-1 = never compacted) — the [[graft.core.BatchStore]] horizon:
+    * registration of a batch at or below it is a no-op, so an
+    * uncommitted micro-batch replaying after a compaction cannot
+    * duplicate its rows (they already live in `batch=compacted`). */
+  def phashCompactedThrough(dir: String): Long =
+    graft.core.BatchStore.compactedThrough(s"$dir/phashes")
 
   /** Register a processed batch's hashes under `batch=batchId`
-    * (overwrite — a crash-replayed batch replaces its registration).
-    * A batch id at or below the compaction horizon is SKIPPED: its rows
-    * already live in `batch=compacted`, and re-registering would
-    * duplicate them (see [[markerFile]]). */
+    * (overwrite — a crash-replayed batch replaces its registration; a
+    * batch at or below the compaction horizon is skipped). */
   def appendPhashStoreBatch(ph: DataFrame, dir: String,
-                            batchId: Long): Unit = {
-    if (batchId <= phashCompactedThrough(dir)) return
-    graft.core.Fs.recoverSwap(s"$dir/phashes")
-    ph.select("media_id", "phash")
-      .write.mode("overwrite").parquet(s"$dir/phashes/batch=$batchId")
-  }
+                            batchId: Long): Unit =
+    graft.core.BatchStore.registerBatch(ph.select("media_id", "phash"),
+      s"$dir/phashes", batchId)
 
   /** Near-dup pairs a NEW image batch forms with the stored corpus and
     * with itself — (id_a, id_b, hamming), id_a < id_b, the
@@ -1158,11 +1142,10 @@ object Multimodal {
                                    pairsDir: String, batchId: Long,
                                    maxHamming: Int): Unit = {
     val hashes = newPh.persist()
-    val out = incrementalHashPairs(hashes, storeDir, maxHamming).persist()
-    out.count()
-    out.write.mode("overwrite").parquet(s"$pairsDir/batch_id=$batchId")
-    appendPhashStoreBatch(hashes, storeDir, batchId)
-    out.unpersist()
+    graft.core.BatchStore.emitAndRegister(
+      incrementalHashPairs(hashes, storeDir, maxHamming),
+      hashes.select("media_id", "phash"), s"$storeDir/phashes",
+      pairsDir, batchId)
     hashes.unpersist()
     ()
   }
@@ -1182,36 +1165,6 @@ object Multimodal {
     * via [[graft.core.Fs.recoverSwap]]. Run only while the stream is
     * STOPPED and its checkpoint fully committed. */
   def compactPhashStore(spark: SparkSession, dir: String,
-                        filesPerTable: Int = 1): Unit = {
-    val src = s"$dir/phashes"
-    val tmp = s"$dir/phashes.compacting"
-    graft.core.Fs.recoverSwap(src)
-    // the horizon this compaction folds in: the highest NUMERIC batch
-    // partition present (seed/compacted partitions carry no id)
-    val horizon = {
-      val d = java.nio.file.Paths.get(src)
-      import scala.jdk.CollectionConverters._
-      val stream = java.nio.file.Files.list(d)
-      val ids = try stream.iterator().asScala
-        .map(_.getFileName.toString)
-        .collect { case s if s.startsWith("batch=") =>
-          s.stripPrefix("batch=") }
-        .flatMap(v => scala.util.Try(v.toLong).toOption)
-        .toSeq
-      finally stream.close()
-      (phashCompactedThrough(dir) +: ids).max
-    }
-    spark.read.parquet(src).drop("batch")
-      .repartition(filesPerTable)
-      .write.mode("overwrite").parquet(s"$tmp/batch=compacted")
-    // marker BEFORE the swap: in every crash window the marked batches
-    // are durably registered somewhere — under their batch=N dirs if
-    // the swap never happens, under batch=compacted after it — so a
-    // replay skipping registration never loses rows and a replay
-    // re-registering never duplicates them
-    if (horizon >= 0)
-      java.nio.file.Files.write(markerFile(dir),
-        horizon.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    graft.core.Fs.swapDir(src, tmp)
-  }
+                        filesPerTable: Int = 1): Unit =
+    graft.core.BatchStore.compact(spark, s"$dir/phashes", filesPerTable)
 }

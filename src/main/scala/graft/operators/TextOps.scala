@@ -139,81 +139,36 @@ object TextOps {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("fp", LongType)))
-    spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-      .write.mode("overwrite").parquet(s"$dir/fps/batch=seed")
+    graft.core.BatchStore.seed(
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema),
+      s"$dir/fps")
   }
-
-  /** The winnow store's compaction horizon marker (the
-    * [[graft.operators.Multimodal.phashCompactedThrough]] discipline):
-    * batch ids at or below it are folded into `batch=compacted`, so a
-    * crash-replayed batch must SKIP re-registration or its rows would
-    * exist twice in the store. */
-  private def winnowMarkerFile(dir: String): java.nio.file.Path =
-    java.nio.file.Paths.get(dir, "fps.compacted_through")
 
   /** The highest batch id a [[compactWinnowStore]] has folded in
-    * (-1 = never compacted). */
-  def winnowCompactedThrough(dir: String): Long = {
-    val f = winnowMarkerFile(dir)
-    if (!java.nio.file.Files.exists(f)) -1L
-    else new String(java.nio.file.Files.readAllBytes(f),
-      java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-  }
+    * (-1 = never compacted) — the [[graft.core.BatchStore]] horizon. */
+  def winnowCompactedThrough(dir: String): Long =
+    graft.core.BatchStore.compactedThrough(s"$dir/fps")
 
   /** Register a processed batch's (doc_id, fp) rows under `batch=N`
     * (overwrite — a crash-replayed batch replaces its registration; a
     * batch at or below the compaction horizon is a no-op, its rows
     * already live in `batch=compacted`). */
   def appendWinnowStoreBatch(fps: DataFrame, dir: String,
-                             batchId: Long): Unit = {
-    if (batchId <= winnowCompactedThrough(dir)) return
-    graft.core.Fs.recoverSwap(s"$dir/fps")
-    fps.select("doc_id", "fp")
-      .write.mode("overwrite").parquet(s"$dir/fps/batch=$batchId")
-  }
+                             batchId: Long): Unit =
+    graft.core.BatchStore.registerBatch(fps.select("doc_id", "fp"),
+      s"$dir/fps", batchId)
 
-  /** Offline compaction for the batch-partitioned winnow store — the
-    * last write-once store without one (the text signature store, both
-    * ANN indexes, and the pHash store share the discipline): months of
-    * micro-batches splinter `fps/` into one directory per batch and
-    * every incremental probe pays per-file open overhead on the stored
-    * 16-byte rows. Collapse to `filesPerTable` files under ONE
-    * `batch=compacted` partition; row content unchanged — identical
-    * pair results (spec-pinned with a part-file-count assertion).
-    * Write-to-temp then RENAME-ONLY swap ([[graft.core.Fs.swapDir]]);
-    * readers recover a half-swapped dir via
-    * [[graft.core.Fs.recoverSwap]]. The horizon marker is written
-    * BEFORE the swap so every crash window keeps the marked batches
-    * durably registered exactly once (splintered dirs if the swap never
-    * lands, `batch=compacted` after it). Run only while the stream is
-    * stopped. */
+  /** Offline compaction for the batch-partitioned winnow store —
+    * months of micro-batches splinter `fps/` into one directory per
+    * batch and every incremental probe pays per-file open overhead on
+    * the stored 16-byte rows; collapse to `batch=compacted` behind the
+    * crash-safe swap + horizon marker ([[graft.core.BatchStore
+    * .compact]]). Identical pair results, spec-pinned with a
+    * part-file-count assertion. Run only while the stream is stopped. */
   def compactWinnowStore(spark: org.apache.spark.sql.SparkSession,
-                         dir: String, filesPerTable: Int = 1): Unit = {
-    val src = s"$dir/fps"
-    val tmp = s"$dir/fps.compacting"
-    graft.core.Fs.recoverSwap(src)
-    val horizon = {
-      val d = java.nio.file.Paths.get(src)
-      import scala.jdk.CollectionConverters._
-      val stream = java.nio.file.Files.list(d)
-      val ids = try stream.iterator().asScala
-        .map(_.getFileName.toString)
-        .collect { case s if s.startsWith("batch=") =>
-          s.stripPrefix("batch=") }
-        .flatMap(v => scala.util.Try(v.toLong).toOption)
-        .toSeq
-      finally stream.close()
-      (winnowCompactedThrough(dir) +: ids).max
-    }
-    spark.read.parquet(src).drop("batch")
-      .repartition(filesPerTable)
-      .write.mode("overwrite").parquet(s"$tmp/batch=compacted")
-    if (horizon >= 0)
-      java.nio.file.Files.write(winnowMarkerFile(dir),
-        horizon.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    graft.core.Fs.swapDir(src, tmp)
-  }
+                         dir: String, filesPerTable: Int = 1): Unit =
+    graft.core.BatchStore.compact(spark, s"$dir/fps", filesPerTable)
 
   /** Overlap pairs a NEW document batch forms with the stored corpus
     * and with itself — the [[winnowedOverlapPairs]] contract computed
@@ -273,11 +228,8 @@ object TextOps {
                         broadcastBatch: Boolean = true): Unit = {
     val (pairs, newFps) = incrementalWinnowPairs(batch, storeDir, k, w,
       minShared, broadcastBatch = broadcastBatch)
-    val out = pairs.persist()
-    out.count()
-    out.write.mode("overwrite").parquet(s"$pairsDir/batch_id=$batchId")
-    appendWinnowStoreBatch(newFps, storeDir, batchId)
-    out.unpersist()
+    graft.core.BatchStore.emitAndRegister(pairs,
+      newFps.select("doc_id", "fp"), s"$storeDir/fps", pairsDir, batchId)
     newFps.unpersist()
     ()
   }

@@ -47,12 +47,20 @@ object TreeQueries {
     * top-level matches resolve to themselves (ParentQueryLogic /
     * ParentDocumentTransformer id rewrite). The predicate hits both
     * levels so the gate separates parent semantics from TLD (no
-    * children returned) and Ancestor (matching children returned). */
-  def parentQuery(s: SparkSession, d: String): DataFrame =
-    DocumentTree.parentsOfMatches(treeDocs(s, d),
+    * children returned) and Ancestor (matching children returned).
+    * The retrieve side prunes on the tree-depth statistic the ingest
+    * tier maintains in its metadata (DocumentTree.maxTreeDepth — here
+    * derived live from the corpus, the one-aggregate equivalent of
+    * reading it back): at depth 2, only root documents can be parents,
+    * so the child leg never reaches the semi-join shuffle. */
+  def parentQuery(s: SparkSession, d: String): DataFrame = {
+    val docs = treeDocs(s, d)
+    DocumentTree.parentsOfMatches(docs,
         (col("kind") === "line" && col("quantity") > 49) ||
-          (col("kind") === "order" && col("priority") === "1-URGENT"))
+          (col("kind") === "order" && col("priority") === "1-URGENT"),
+        maxTreeDepth = Some(DocumentTree.maxTreeDepth(docs)))
       .select("uid", "kind")
+  }
 
   /** Hierarchy decorations (INCLUDE_HIERARCHY_FIELDS / INCLUDE_PARENT /
     * INCLUDE_CHILD_COUNT, QueryParameters.java:59,76-77): every returned

@@ -29,9 +29,19 @@ object Sf1CrossoverMain {
   private val Round10 = Seq("tld_query", "ancestor_query", "parent_query",
     "qs_grouping_string", "grouping_paired_agg", "edge_build")
 
+  /** Round-11 list (r10 verdict Next #8): first sf1 rows for the r10
+    * gates plus the parent_query depth-prune re-measure. text_winnow's
+    * oracle is one of the quadratic DuckDB exclusions at sf1 — time the
+    * Spark side anyway (absolute cost is the scale story). The media
+    * tiers' fixture corpora don't scale with sf; their sf1 story is
+    * ScaleProbe10Main's banding measurements, not a corpus row. */
+  private val Round11 = Seq("parent_query", "text_winnow",
+    "corpus_pipeline_leakfree")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "target/sf1")
     val names = if (args.nonEmpty) args.toSeq
+      else if (sys.env.get("SPARK_GRAFT_ROUND").contains("11")) Round11
       else if (sys.env.get("SPARK_GRAFT_ROUND").contains("10")) Round10
       else if (sys.env.get("SPARK_GRAFT_ROUND").contains("9")) Round9
       else Five

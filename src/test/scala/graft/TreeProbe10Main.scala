@@ -76,6 +76,18 @@ object TreeProbe10Main {
       out
     }
 
+    // r10-verdict Next #6: the depth-statistic prune — retrieve side
+    // restricted to possible parent depths via the ingest-maintained
+    // metadata statistic (derived live here: one column-pruned agg)
+    def parDepth(b: Boolean): Long = {
+      val docs = treeDocs()
+      T.parentsOfMatches(docs,
+        (col("kind") === "line" && col("quantity") > 49) ||
+          (col("kind") === "order" && col("priority") === "1-URGENT"),
+        broadcastNeedles = b,
+        maxTreeDepth = Some(T.maxTreeDepth(docs))).count()
+    }
+
     time("warm")(anc(true))
     for (r <- 1 to 3) {
       time(s"anc_bcast_$r")(anc(true))
@@ -86,6 +98,8 @@ object TreeProbe10Main {
       time(s"par_bcast_$r")(par(true))
       time(s"par_shuffle_$r")(par(false))
       time(s"par_bloom_$r")(parBloom())
+      time(s"par_depth_$r")(parDepth(false))
+      time(s"par_depth_b_$r")(parDepth(true))
     }
     spark.stop()
   }
