@@ -195,8 +195,15 @@ object TextOps {
     val spark = newDocs.sparkSession
     graft.core.Fs.recoverSwap(s"$dir/fps")
     // persist: the batch fingerprints ONCE — three join legs read it
-    // (caller unpersists after registering, see streamBatchWinnow)
-    val newFps = newDocs.select(col(idCol).as("doc_id"),
+    // (caller unpersists after registering, see streamBatchWinnow).
+    // Spread first: a micro-batch often arrives as ONE input split
+    // (one file per trigger), and the winnow regex + per-gram md5 is
+    // the batch's CPU bill — without the barrier it runs in a single
+    // task regardless of cores (measured 3× the whole gate's cost; a
+    // real lake batch has many splits, where this is a no-op).
+    val newFps = graft.core.Spread(
+        newDocs.select(col(idCol).as("doc_id"), col(textCol)))
+      .select(col("doc_id"),
         explode(winnowFingerprints(col(textCol), k, w)).as("fp"))
       .persist()
     val stored = spark.read.parquet(s"$dir/fps")
