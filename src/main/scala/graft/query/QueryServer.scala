@@ -1580,6 +1580,13 @@ final class QueryServer(
   private def modelVerb(params: Map[String, String])(
       f: (SparkSession, String) => Either[ModelStore.ModelError, (Int, String)])
       : (Int, String) = withSpark { sp =>
+    // model management MUTATES shared planning state (every query may
+    // resolve through a stored model) — with a registry configured the
+    // caller must be a known principal, like /modification/submit
+    resolveAuths(params) match {
+      case Left(resp) => return resp
+      case Right(_) => ()
+    }
     val name = params.getOrElse("name", return (400, err("missing 'name'")))
     try f(sp, name) match {
       case Left(e) => (e.status, err(e.msg))
@@ -2009,6 +2016,12 @@ final class QueryServer(
     atomFeedSvc match {
       case None => (404, err("no atom table configured"))
       case Some(svc) =>
+        // atom documents are DATA — the registry gates the whole tier
+        // like every other data-serving verb (unknown caller 401)
+        resolveAuths(params) match {
+          case Left(resp) => return resp
+          case Right(_) => ()
+        }
         val cats = svc.categories()
         if (cats.isEmpty) (204, "")
         else (200, s"""{"categories": [${cats.map(quote).mkString(",")}]}""")
@@ -2022,6 +2035,10 @@ final class QueryServer(
     atomFeedSvc match {
       case None => (404, err("no atom table configured"))
       case Some(svc) =>
+        resolveAuths(params) match {
+          case Left(resp) => return resp
+          case Right(_) => ()
+        }
         try {
           val category = params.getOrElse("category",
             return (400, err("missing 'category'")))
@@ -2048,6 +2065,10 @@ final class QueryServer(
     atomFeedSvc match {
       case None => (404, err("no atom table configured"))
       case Some(svc) =>
+        resolveAuths(params) match {
+          case Left(resp) => return resp
+          case Right(_) => ()
+        }
         try {
           val category = params.getOrElse("category",
             return (400, err("missing 'category'")))
@@ -2092,6 +2113,17 @@ final class QueryServer(
     * query create times, each with query/page/page-result counts. */
   private def metricsSummary(params: Map[String, String]): (Int, String) =
     try {
+      // with a registry the summary is principal-scoped like the
+      // reference's `/summary/user` (the caller's own queries); admins
+      // keep `/summary/all` and may name `forUser=` to inspect one
+      // principal. Without a registry, `user=` stays the plain filter.
+      val caller = params.getOrElse("user", "anonymous")
+      val filter: Option[String] =
+        if (users.isEmpty) params.get("user")
+        else if (!users.contains(caller))
+          return (401, err(s"unknown user '$caller'"))
+        else if (adminUsers.contains(caller)) params.get("forUser")
+        else Some(caller)
       val end = params.get("end").map(_.toLong)
         .getOrElse(System.currentTimeMillis())
       val spark = sparkOf.getOrElse(return (500, err("no tables registered")))
@@ -2101,7 +2133,7 @@ final class QueryServer(
       // cannot delete the enumerated part files mid-read.
       val rows = metricsStore.readLocked {
         QueryMetrics.summaryFrom(metricsStore.metricsDF(spark),
-            metricsStore.pagesDF(spark), end, params.get("user"))
+            metricsStore.pagesDF(spark), end, filter)
           .orderBy("ord").toJSON.collect() // exactly nine bucket rows
       }
       (200, s"""{"buckets": [${rows.mkString(",")}]}""")

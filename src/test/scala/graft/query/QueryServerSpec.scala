@@ -917,6 +917,55 @@ class QueryServerSpec extends SparkSpec {
     }
   }
 
+  test("registry gates the remaining serving/mutating verbs: atom tier, " +
+      "model management, principal-scoped metrics summary") {
+    val df = Seq((1L, "click", 5.0, 100L, "p", "A")).toDF(
+      "event_id", "event_type", "value", "ts", "props", "visibility")
+      .withColumn("ts",
+        org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+    val atom = Seq(("event_type", "click", "2024-01-01", 3L))
+      .toDF("category", "value", "updated", "occurrences")
+    val srv = new QueryServer(Map("t" -> df), atomTable = Some(atom),
+      users = Map("alice" -> Set("A"), "root" -> Set("A")),
+      adminUsers = Set("root"), metricsFlush = false)
+    val port = srv.start()
+    try {
+      val base = s"http://127.0.0.1:$port"
+      // atom documents are data: unknown caller 401, known caller serves
+      assert(get(s"$base/atom/categories?user=mallory").statusCode() == 401)
+      assert(get(s"$base/atom/categories?user=alice").statusCode() == 200)
+      assert(get(s"$base/atom/feed?category=event_type&user=mallory")
+        .statusCode() == 401)
+      assert(get(s"$base/atom/entry?category=event_type&id=click&user=mallory")
+        .statusCode() == 401)
+      // model management mutates shared planning state: 401 unknown
+      assert(post(s"$base/model/import?name=m1&mappings=A:F:FORWARD" +
+        "&user=mallory").statusCode() == 401)
+      assert(post(s"$base/model/import?name=m1&mappings=A:F:FORWARD" +
+        "&user=alice").statusCode() == 200)
+      // metrics summary is principal-scoped: unknown 401; a non-admin
+      // reads their OWN summary even when naming someone else's filter;
+      // the admin reads /summary/all and may narrow via forUser
+      assert(get(s"$base/query/metrics/summary?user=mallory")
+        .statusCode() == 401)
+      val q = java.net.URLEncoder.encode("EVENT_TYPE == 'click'", "UTF-8")
+      assert(post(s"$base/query/create?table=t&query=$q&user=alice")
+        .statusCode() == 200)
+      def bucketTotal(body: String): Long =
+        "\"queryCount\": *(\\d+)".r.findAllMatchIn(body)
+          .map(_.group(1).toLong).sum
+      val own = get(s"$base/query/metrics/summary?user=alice").body()
+      assert(bucketTotal(own) > 0, own)
+      // root created nothing: the admin's forUser=root view is empty,
+      // while /summary/all (no forUser) still sees alice's query
+      val forRoot = get(s"$base/query/metrics/summary?user=root&forUser=root")
+        .body()
+      assert(bucketTotal(forRoot) == 0, forRoot)
+      assert(bucketTotal(get(s"$base/query/metrics/summary?user=root")
+        .body()) > 0)
+    } finally srv.stop()
+  }
+
   test("principal-bound object ownership: sessions, aliases, and bulk " +
       "jobs refuse non-owners (QUERY_OWNER_MISMATCH), admins override, " +
       "ownership survives restart") {
