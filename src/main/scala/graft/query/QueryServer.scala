@@ -628,9 +628,15 @@ final class QueryServer(
   }
 
   /** `GET /query/listQueryLogic` — the dispatchable logic/table names
-    * (QueryExecutorBean `/listQueryLogic`). */
-  private def listQueryLogic(params: Map[String, String]): (Int, String) =
+    * (QueryExecutorBean `/listQueryLogic`); catalog names are still
+    * registry-gated like /admin/listTables (401 unknown caller). */
+  private def listQueryLogic(params: Map[String, String]): (Int, String) = {
+    resolveAuths(params) match {
+      case Left(resp) => return resp
+      case Right(_) => ()
+    }
     (200, tableMap.keys.toSeq.sorted.map(quote).mkString("[", ",", "]"))
+  }
 
   /** `POST /query/duplicate?id=…[&pageSize=N]` — a NEW query id over the
     * same definition, paging restarted from page 1 (QueryExecutorBean
@@ -738,6 +744,10 @@ final class QueryServer(
     * cost predictions without running a single job. No predictors →
     * `hasResults=false` (NoOpQueryPredictor deployment). */
   private def predict(params: Map[String, String]): (Int, String) = {
+    resolveAuths(params) match {
+      case Left(resp) => return resp
+      case Right(_) => ()
+    }
     val table = params.getOrElse("table",
       return (400, err("missing 'table'")))
     val q = params.getOrElse("query", return (400, err("missing 'query'")))
@@ -1174,6 +1184,12 @@ final class QueryServer(
       }
       (200, render(s.query, s.syntax, s.df))
     } else {
+      // plan-without-create reveals schema + plan structure — a
+      // registry gates it like every other verb (401 unknown caller)
+      resolveAuths(params) match {
+        case Left(resp) => return resp
+        case Right(_) => ()
+      }
       val table = params.getOrElse("table",
         return (400, err("need 'id', or 'table' + 'query'")))
       val q = params.getOrElse("query", return (400, err("missing 'query'")))
