@@ -192,7 +192,11 @@ object StreamingIngest {
     * [[graft.operators.TextOps.winnowedOverlapPairs]]. */
   def winnowStream(stream: DataFrame, storeDir: String,
                    pairsDir: String, checkpointDir: String,
-                   k: Int = 3, w: Int = 4, minShared: Int = 2)
+                   k: Int = 3, w: Int = 4, minShared: Int = 2,
+                   // a deployment whose micro-batches outgrow the
+                   // broadcast ceiling opts the cross-store leg onto a
+                   // shuffle join (TextOps.incrementalWinnowPairs)
+                   broadcastBatch: Boolean = true)
       : DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -200,7 +204,7 @@ object StreamingIngest {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         if (!batch.isEmpty)
           graft.operators.TextOps.streamBatchWinnow(batch, storeDir,
-            pairsDir, id, k, w, minShared)
+            pairsDir, id, k, w, minShared, broadcastBatch)
         ()
       }
 
