@@ -163,6 +163,82 @@ final class QueryServer(
     * unpersist the frame the new session is about to share. */
   private val shareLock = new Object
 
+  // ---- durable CachedResults aliases ---------------------------------
+  // The reference's CachedResults table is DURABLE (CachedResultsBean
+  // persists result tables + their metadata in MySQL — a restarted
+  // service keeps serving loaded aliases). Here the alias→queryId map
+  // (plus a derived view's defining SQL) persists beside the session
+  // definitions; the temp VIEWS live in the Spark session, so after a
+  // restart the first data verb touching an alias re-resumes its owning
+  // query and re-registers the view lazily ([[ensureAliasView]]).
+
+  private def aliasFile: java.nio.file.Path =
+    java.nio.file.Paths.get(stateDir, "aliases.properties")
+
+  /** Persist the alias registry (call under [[shareLock]]). Only
+    * aliases whose owning query has a DURABLE definition persist — a
+    * lookup-created ephemeral session cannot resume, so its alias dies
+    * with the process like the session itself. */
+  private def persistAliases(): Unit = {
+    import scala.jdk.CollectionConverters._
+    val p = new java.util.Properties()
+    loadedAliases.asScala.foreach { case (a, q) =>
+      if (java.nio.file.Files.exists(sessionFile(q))) {
+        p.setProperty(a, q)
+        Option(aliasSql.get(a)).foreach(sql => p.setProperty(a + " sql", sql))
+      }
+    }
+    java.nio.file.Files.createDirectories(aliasFile.getParent)
+    val out = java.nio.file.Files.newOutputStream(aliasFile)
+    try p.store(out, null) finally out.close()
+  }
+
+  /** Derived-view SQL (from `/cachedresults/create`), kept so a
+    * restarted server can re-define the view. */
+  private[query] val aliasSql = new ConcurrentHashMap[String, String]()
+
+  private def loadAliases(): Unit = {
+    if (!java.nio.file.Files.exists(aliasFile)) return
+    val p = new java.util.Properties()
+    val in = java.nio.file.Files.newInputStream(aliasFile)
+    try p.load(in) finally in.close()
+    import scala.jdk.CollectionConverters._
+    p.stringPropertyNames().asScala.foreach { k =>
+      if (k.contains(" "))
+        aliasSql.put(k.takeWhile(_ != ' '), p.getProperty(k))
+      else loadedAliases.put(k, p.getProperty(k))
+    }
+  }
+  loadAliases()
+
+  /** Make a loaded alias's temp view live, re-resuming the owning
+    * session (and any source aliases a derived view reads) after a
+    * restart. No-op when the view already exists. False = the alias is
+    * not loaded or its owning query cannot resume. */
+  private def ensureAliasView(alias: String,
+                              seen: Set[String] = Set.empty): Boolean = {
+    val a = alias.toLowerCase
+    if (seen(a)) return true // re-pointed cycles cannot deadlock us
+    val q = loadedAliases.get(a)
+    if (q == null) return false
+    val sp = sparkOf.getOrElse(return false)
+    if (sp.catalog.tableExists(a)) return true
+    Option(aliasSql.get(a)) match {
+      case Some(sql) =>
+        // a derived view re-registers over its re-ensured sources
+        referencedNames(sp, sql)
+          .filter(n => loadedAliases.containsKey(n))
+          .foreach(n => ensureAliasView(n, seen + a))
+        sp.sql(sql).createOrReplaceTempView(a)
+        true
+      case None =>
+        session(Map("id" -> q)) match {
+          case Some(s) => s.df.createOrReplaceTempView(a); true
+          case None => false
+        }
+    }
+  }
+
   /** Start on `port` (0 = ephemeral); returns the bound port. */
   def start(port: Int = 0): Int = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -1092,7 +1168,9 @@ final class QueryServer(
           .foreach(_.sparkSession.catalog.dropTempView(a))
         loadedAliases.remove(a)
         asyncLoads.remove(a)
+        aliasSql.remove(a)
       }
+      if (owned.nonEmpty) persistAliases()
       Option(sessions.remove(id)) match {
         case Some(s) => release(s); cursor.close(id); dropSessionFile(id); true
         case None =>
@@ -1704,6 +1782,8 @@ final class QueryServer(
         // failed /loadAsync retried through /load must not keep
         // answering 500 on /status or the data verbs)
         asyncLoads.remove(alias.toLowerCase)
+        aliasSql.remove(alias.toLowerCase) // a re-load re-binds a plain view
+        persistAliases()
         (200, s"""{"view": ${quote(alias)}}""")
     } }
 
@@ -1739,6 +1819,8 @@ final class QueryServer(
             " pass from=<ownerId> to re-point it"))
         loadedAliases.put(alias.toLowerCase, id)
         s.df.createOrReplaceTempView(alias)
+        aliasSql.remove(alias.toLowerCase)
+        persistAliases()
         (200, s"""{"view": ${quote(alias)}}""")
     } }
 
@@ -1769,11 +1851,15 @@ final class QueryServer(
       // auths (CachedResultsBean.java:1128 QUERY_OWNER_MISMATCH on the
       // retrieval path)
       referencedNames(spark, sql).foreach { n =>
-        if (loadedAliases.containsKey(n))
+        if (loadedAliases.containsKey(n)) {
           ownerGate(params, aliasOwner(n)) match {
             case Some(resp) => return resp
             case None => ()
           }
+          // post-restart: the durable alias re-registers its view
+          // lazily from the resumed owning session
+          ensureAliasView(n)
+        }
       }
       guardSelect(spark, sql)
       val rows = spark.sql(sql).limit(pageSize).toJSON.collect()
@@ -1881,14 +1967,17 @@ final class QueryServer(
           case Some(s) =>
             s.df.createOrReplaceTempView(alias)
             asyncLoads.put(alias.toLowerCase, "LOADED")
+            shareLock.synchronized(persistAliases())
           case None =>
             loadedAliases.remove(alias.toLowerCase, id)
             asyncLoads.put(alias.toLowerCase, "ERROR:unknown queryId")
+            shareLock.synchronized(persistAliases())
         } catch {
           case e: Throwable =>
             loadedAliases.remove(alias.toLowerCase, id)
             asyncLoads.put(alias.toLowerCase,
               "ERROR:" + Option(e.getMessage).getOrElse(e.getClass.getName))
+            shareLock.synchronized(persistAliases())
         }
       }, s"graft-crload-$alias")
       t.setDaemon(true)
@@ -1969,8 +2058,16 @@ final class QueryServer(
         // those must also be past their async load
         val refPending = asyncGate(referencedNames(spark, sql))
         if (refPending.isDefined) return refPending.get
+        // the source view may itself need re-registration post-restart
+        referencedNames(spark, sql)
+          .filter(n => loadedAliases.containsKey(n))
+          .foreach(n => ensureAliasView(n))
         guardSelect(spark, sql)
         spark.sql(sql).createOrReplaceTempView(view)
+        // the derived view's defining SQL travels with the alias so a
+        // restarted server can re-define it (CachedResults durability)
+        aliasSql.put(view.toLowerCase, sql)
+        persistAliases()
         (200, s"""{"view": ${quote(view)}, "sql": ${quote(sql)}}""")
       } catch { case e: Exception => (400, err(e.getMessage)) }
     }
@@ -1994,6 +2091,8 @@ final class QueryServer(
       case Some(resp) => return resp
       case None => ()
     }
+    if (!ensureAliasView(alias))
+      return (404, err(s"alias '$alias' cannot be restored"))
     try {
       val rowBegin = params.get("rowBegin").map(_.toLong).getOrElse(1L)
       val rowEnd = params.get("rowEnd").map(_.toLong)

@@ -917,6 +917,66 @@ class QueryServerSpec extends SparkSpec {
     }
   }
 
+  test("CachedResults aliases survive a server restart: plain and derived " +
+      "views re-register lazily from the durable definitions") {
+    val df = Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0))
+      .toDF("id", "grp", "v")
+    val stateDir =
+      java.nio.file.Files.createTempDirectory("graft-cralias").toString
+    def mkServer() = new QueryServer(Map("t" -> df), stateDir = stateDir,
+      metricsFlush = false)
+    val srv = mkServer()
+    val port = srv.start()
+    val enc = (v: String) => java.net.URLEncoder.encode(v, "UTF-8")
+    try {
+      val base = s"http://127.0.0.1:$port"
+      val q = enc("ID > 0")
+      val id = "\"queryId\": \"([0-9a-f]+)\"".r.findFirstMatchIn(
+        post(s"$base/query/create?table=t&query=$q&orderBy=id").body())
+        .get.group(1)
+      assert(post(s"$base/cachedresults/load?id=$id&alias=dur_v")
+        .statusCode() == 200)
+      // a DERIVED view too — its defining SQL must survive the restart
+      assert(post(s"$base/cachedresults/create?alias=dur_v&view=dur_agg" +
+        s"&fields=${enc("grp, sum(v) AS total")}&grouping=grp")
+        .statusCode() == 200)
+      srv.stop()
+      // the reference's CachedResults live in MySQL and outlive the
+      // service; here the first data verb re-resumes the owning query
+      // and re-registers the views
+      val srv2 = mkServer()
+      val port2 = srv2.start()
+      try {
+        val b2 = s"http://127.0.0.1:$port2"
+        val rows = get(s"$b2/cachedresults/sql?sql=" +
+          enc("SELECT count(*) AS n FROM dur_v") + "&pageSize=10")
+        assert(rows.statusCode() == 200 && rows.body().contains("\"n\":3"),
+          rows.body())
+        val agg = get(s"$b2/cachedresults/sql?sql=" +
+          enc("SELECT grp, total FROM dur_agg ORDER BY grp") + "&pageSize=10")
+        assert(agg.statusCode() == 200 &&
+          agg.body().contains("\"total\":30.0") &&
+          agg.body().contains("\"total\":30.0"), agg.body())
+        assert(get(s"$b2/cachedresults/getRows?alias=dur_v&rowBegin=1&rowEnd=2")
+          .statusCode() == 200)
+        assert(get(s"$b2/cachedresults/status?alias=dur_v").statusCode() == 200)
+        // closing the owning query drops BOTH aliases durably
+        assert(post(s"$b2/query/close?id=$id").statusCode() == 200)
+      } finally srv2.stop()
+      val srv3 = mkServer()
+      val port3 = srv3.start()
+      try {
+        assert(get(s"http://127.0.0.1:$port3/cachedresults/getRows?alias=dur_v")
+          .statusCode() == 404)
+        assert(get(s"http://127.0.0.1:$port3/cachedresults/sql?sql=" +
+          enc("SELECT * FROM dur_agg")).statusCode() == 400) // unknown relation
+      } finally srv3.stop()
+    } finally {
+      try srv.stop() catch { case _: Exception => () }
+      graft.core.Fs.deleteRecursively(stateDir)
+    }
+  }
+
   test("registry gates the remaining serving/mutating verbs: atom tier, " +
       "model management, principal-scoped metrics summary") {
     val df = Seq((1L, "click", 5.0, 100L, "p", "A")).toDF(
