@@ -111,11 +111,12 @@ object BatchStore {
     * from ONE signature pass and owns unpersisting any inputs. */
   def emitAndRegister(pairs: DataFrame, rows: DataFrame, tableDir: String,
                       pairsDir: String, batchId: Long): Unit = {
-    val out = pairs.persist()
-    out.count()
-    out.write.mode("overwrite").parquet(s"$pairsDir/batch_id=$batchId")
+    // the pair frame is consumed by exactly ONE action (the parquet
+    // write), so no persist/count round-trip — those were a second full
+    // job per trigger on the hot streaming path. The caller persists
+    // the SHARED inputs (signature frames feeding both the pair plan
+    // and the registration) and owns their unpersist.
+    pairs.write.mode("overwrite").parquet(s"$pairsDir/batch_id=$batchId")
     registerBatch(rows, tableDir, batchId)
-    out.unpersist()
-    ()
   }
 }

@@ -94,9 +94,12 @@ object DocumentTree {
     * stored value — max is trivially mergeable); [[parentsOfMatches]]
     * consumes it to prune the retrieve side. One column-pruned
     * aggregate scan when computed from scratch. */
-  def maxTreeDepth(docs: DataFrame, uidCol: String = "uid"): Int =
-    docs.select(max(size(split(col(uidCol), "\\."))).as("d"))
-      .head().getInt(0)
+  def maxTreeDepth(docs: DataFrame, uidCol: String = "uid"): Int = {
+    // empty corpus (or all-null uids) → depth 1: max() yields SQL NULL,
+    // and a brand-new table must not crash the statistic derivation
+    val row = docs.select(max(size(split(col(uidCol), "\\."))).as("d")).head()
+    if (row.isNullAt(0)) 1 else row.getInt(0)
+  }
 
   /** Parent query: each matching document resolves to its DIRECT parent
     * (ParentQueryLogic.java:19-45 — ParentDocumentTransformer rewrites

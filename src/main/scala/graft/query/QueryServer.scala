@@ -204,8 +204,8 @@ final class QueryServer(
     try p.load(in) finally in.close()
     import scala.jdk.CollectionConverters._
     p.stringPropertyNames().asScala.foreach { k =>
-      if (k.contains(" "))
-        aliasSql.put(k.takeWhile(_ != ' '), p.getProperty(k))
+      if (k.contains(" "))
+        aliasSql.put(k.takeWhile(_ != ' '), p.getProperty(k))
       else loadedAliases.put(k, p.getProperty(k))
     }
   }
@@ -1843,22 +1843,26 @@ final class QueryServer(
       // the shared catalog/filesystem through this verb. Any Command
       // (DDL, SET, …) or insert node anywhere in the plan (subqueries
       // included) is refused.
-      val pending = asyncGate(referencedNames(spark, sql))
+      val refs = referencedNames(spark, sql) // one parse, reused below
+      val pending = asyncGate(refs)
       if (pending.isDefined) return pending.get
       // every loaded alias the statement touches is principal-bound:
       // a caller who merely knows another principal's alias NAME must
       // not read the rows that principal materialized under their own
       // auths (CachedResultsBean.java:1128 QUERY_OWNER_MISMATCH on the
       // retrieval path)
-      referencedNames(spark, sql).foreach { n =>
+      refs.foreach { n =>
         if (loadedAliases.containsKey(n)) {
           ownerGate(params, aliasOwner(n)) match {
             case Some(resp) => return resp
             case None => ()
           }
           // post-restart: the durable alias re-registers its view
-          // lazily from the resumed owning session
-          ensureAliasView(n)
+          // lazily from the resumed owning session; a non-restorable
+          // alias answers the same 404 contract as /getRows, not a raw
+          // TABLE_OR_VIEW_NOT_FOUND 400
+          if (!ensureAliasView(n))
+            return (404, err(s"alias '$n' cannot be restored"))
         }
       }
       guardSelect(spark, sql)
@@ -2056,12 +2060,15 @@ final class QueryServer(
         val spark = sparkOf.getOrElse(return (500, err("no tables registered")))
         // conditions may reference OTHER loaded aliases via subqueries —
         // those must also be past their async load
-        val refPending = asyncGate(referencedNames(spark, sql))
+        val refs = referencedNames(spark, sql) // one parse, reused below
+        val refPending = asyncGate(refs)
         if (refPending.isDefined) return refPending.get
-        // the source view may itself need re-registration post-restart
-        referencedNames(spark, sql)
-          .filter(n => loadedAliases.containsKey(n))
-          .foreach(n => ensureAliasView(n))
+        // source views may need re-registration post-restart; a
+        // non-restorable one answers the /getRows 404 contract
+        refs.filter(n => loadedAliases.containsKey(n)).foreach { n =>
+          if (!ensureAliasView(n))
+            return (404, err(s"alias '$n' cannot be restored"))
+        }
         guardSelect(spark, sql)
         spark.sql(sql).createOrReplaceTempView(view)
         // the derived view's defining SQL travels with the alias so a

@@ -941,6 +941,12 @@ class QueryServerSpec extends SparkSpec {
         s"&fields=${enc("grp, sum(v) AS total")}&grouping=grp")
         .statusCode() == 200)
       srv.stop()
+      // a REAL restart loses the temp views with the JVM; the spec's
+      // two servers share one SparkSession, so drop them explicitly or
+      // tableExists would short-circuit the very re-registration path
+      // under test
+      spark.catalog.dropTempView("dur_v")
+      spark.catalog.dropTempView("dur_agg")
       // the reference's CachedResults live in MySQL and outlive the
       // service; here the first data verb re-resumes the owning query
       // and re-registers the views

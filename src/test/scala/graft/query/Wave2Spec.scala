@@ -304,5 +304,16 @@ class DocumentTreeSpec extends SparkSpec {
     // corpus, so nothing returned for it — same as a reference fetch of
     // a parent pointer whose document is gone)
     assert(parents == Set("r1", "r2"))
+    // the depth-statistic prune preserves the result set exactly: at
+    // this corpus's true depth (3), parents can sit at depth ≤ 2, so
+    // nothing the un-pruned query returns is lost
+    val depth = DocumentTree.maxTreeDepth(docs)
+    assert(depth == 3)
+    val pruned = DocumentTree.parentsOfMatches(docs, col("score") > 3,
+        maxTreeDepth = Some(depth))
+      .select("uid").collect().map(_.getString(0)).toSet
+    assert(pruned == parents)
+    // an empty (or pre-first-ingest) corpus derives depth 1, not an NPE
+    assert(DocumentTree.maxTreeDepth(docs.limit(0)) == 1)
   }
 }
