@@ -79,21 +79,45 @@ object BatchStore {
     val rows = spark.read.parquet(tableDir)
     val hasBatch = rows.columns.contains("batch")
     if (hasBatch) {
-      val horizon = {
-        val d = java.nio.file.Paths.get(tableDir)
-        import scala.jdk.CollectionConverters._
-        val stream = java.nio.file.Files.list(d)
-        val ids = try stream.iterator().asScala
-          .map(_.getFileName.toString)
-          .collect { case s if s.startsWith("batch=") =>
-            s.stripPrefix("batch=") }
-          .flatMap(v => scala.util.Try(v.toLong).toOption)
-          .toSeq
-        finally stream.close()
-        (compactedThrough(tableDir) +: ids).max
-      }
-      rows.drop("batch").repartition(filesPerTable)
+      // "batch=N dir exists" is NOT "batch N fully registered": a crash
+      // mid-registerBatch leaves a partial dir, and folding its rows
+      // while advancing the horizon past N would make the checkpoint
+      // replay of N skip re-registration — the missing rows lost
+      // permanently. The per-dir commit proof is the parquet
+      // committer's _SUCCESS marker. Only proven dirs fold; the horizon
+      // stops BELOW the lowest unproven id; proven dirs above that
+      // horizon are carried over as splinter dirs (their STREAM commit
+      // may not have landed — a replay must find them re-registerable,
+      // not silently folded, or the replay's overwrite would duplicate
+      // their rows beside `batch=compacted`); unproven partial dirs are
+      // dropped — an uncommitted micro-batch replays and re-registers
+      // in full, the pre-compaction healing semantics.
+      val d = java.nio.file.Paths.get(tableDir)
+      import scala.jdk.CollectionConverters._
+      val stream = java.nio.file.Files.list(d)
+      val ids = try stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("batch=") =>
+          s.stripPrefix("batch=") }
+        .flatMap(v => scala.util.Try(v.toLong).toOption)
+        .toSeq
+      finally stream.close()
+      val committed = ids.filter(n => java.nio.file.Files.exists(
+        d.resolve(s"batch=$n").resolve("_SUCCESS")))
+      val foldMax = (compactedThrough(tableDir) +: committed).max
+      val horizon = ids.diff(committed).minOption
+        .map(m => math.min(foldMax, m - 1)).getOrElse(foldMax)
+      val carried = committed.filter(_ > horizon)
+      val excluded = ids.filter(n => n > horizon).map(_.toString)
+      val folded = if (excluded.isEmpty) rows
+        else rows.filter(!org.apache.spark.sql.functions.col("batch")
+          .cast("string").isin(excluded: _*))
+      folded.drop("batch").repartition(filesPerTable)
         .write.mode("overwrite").parquet(s"$tmp/batch=compacted")
+      carried.foreach { n =>
+        spark.read.parquet(s"$tableDir/batch=$n")
+          .write.parquet(s"$tmp/batch=$n")
+      }
       // marker BEFORE the swap — see the horizon contract above
       if (horizon >= 0)
         java.nio.file.Files.write(markerFile(tableDir),

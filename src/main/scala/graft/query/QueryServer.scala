@@ -225,10 +225,14 @@ final class QueryServer(
     if (sp.catalog.tableExists(a)) return true
     Option(aliasSql.get(a)) match {
       case Some(sql) =>
-        // a derived view re-registers over its re-ensured sources
-        referencedNames(sp, sql)
+        // a derived view re-registers over its re-ensured sources; if
+        // ANY source cannot be restored, this view cannot either —
+        // propagate false so the verb answers the documented 404
+        // "cannot be restored" instead of sp.sql's raw AnalysisException
+        val restored = referencedNames(sp, sql)
           .filter(n => loadedAliases.containsKey(n))
-          .foreach(n => ensureAliasView(n, seen + a))
+          .forall(n => ensureAliasView(n, seen + a))
+        if (!restored) return false
         sp.sql(sql).createOrReplaceTempView(a)
         true
       case None =>
@@ -447,7 +451,9 @@ final class QueryServer(
       if (!users.contains(caller))
         Some((401, err(s"unknown user '$caller'")))
       else if (caller != owner && !adminUsers.contains(caller))
-        Some((401, err(s"QUERY_OWNER_MISMATCH: $caller != $owner")))
+        // bare code, no owner name: the refusal must not disclose WHO
+        // owns the object to a non-owner probing ids/aliases
+        Some((401, err("QUERY_OWNER_MISMATCH")))
       else None
     }
 
@@ -2063,9 +2069,19 @@ final class QueryServer(
         val refs = referencedNames(spark, sql) // one parse, reused below
         val refPending = asyncGate(refs)
         if (refPending.isDefined) return refPending.get
-        // source views may need re-registration post-restart; a
-        // non-restorable one answers the /getRows 404 contract
+        // EVERY loaded alias the assembled statement touches is
+        // owner-gated, exactly as /cachedresults/sql gates its refs: a
+        // `conditions` subquery like `x IN (SELECT s FROM other_alias)`
+        // reads that alias's rows into a view the CALLER then owns —
+        // without this gate the derived view launders another
+        // principal's materialized data through /getRows. Source views
+        // may also need re-registration post-restart; a non-restorable
+        // one answers the /getRows 404 contract.
         refs.filter(n => loadedAliases.containsKey(n)).foreach { n =>
+          ownerGate(params, aliasOwner(n)) match {
+            case Some(resp) => return resp
+            case None => ()
+          }
           if (!ensureAliasView(n))
             return (404, err(s"alias '$n' cannot be restored"))
         }

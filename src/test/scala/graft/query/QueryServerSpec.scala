@@ -1090,6 +1090,27 @@ class QueryServerSpec extends SparkSpec {
       // admin override: root reads rows and may close (adminClose)
       assert(get(s"$base/cachedresults/getRows?alias=own_v&user=root")
         .statusCode() == 200)
+      // /cachedresults/create gates EVERY referenced alias, not just the
+      // source: bob derives a view over his OWN alias whose conditions
+      // subquery reads ALICE's — without the per-ref gate the derived
+      // view would launder her rows through bob-owned /getRows
+      val bobCreated = post(s"$base/query/create?table=t&query=$q&user=bob" +
+        "&orderBy=event_id&pageSize=1")
+      val bobId = "\"queryId\": \"([0-9a-f]+)\"".r
+        .findFirstMatchIn(bobCreated.body()).get.group(1)
+      assert(post(s"$base/cachedresults/load?id=$bobId&alias=bob_v&user=bob")
+        .statusCode() == 200)
+      val exfil = get(s"$base/cachedresults/create?alias=bob_v&view=bob_x" +
+        s"&conditions=${enc("event_id IN (SELECT event_id FROM own_v)")}" +
+        "&user=bob")
+      assert(exfil.statusCode() == 401 &&
+        exfil.body().contains("QUERY_OWNER_MISMATCH"), exfil.body())
+      // the same shape over bob's own aliases is fine
+      assert(get(s"$base/cachedresults/create?alias=bob_v&view=bob_y" +
+        s"&conditions=${enc("event_id IN (SELECT event_id FROM bob_v)")}" +
+        "&user=bob").statusCode() == 200)
+      // the refusal body names the code, never the owning principal
+      assert(!exfil.body().contains("alice"), exfil.body())
       // bulk jobs: alice defines + submits; bob is refused on every job
       // verb including the result-file stream; root (admin) may cancel
       val defId = "\"queryId\": \"([0-9a-f]+)\"".r.findFirstMatchIn(
