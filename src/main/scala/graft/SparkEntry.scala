@@ -27,11 +27,16 @@ object SparkEntry {
   val warmupQueries: Seq[String] = Seq(
     "corpus_dsir", "dedup_lines", "edge_query",
     "flt_compare_all", "flt_eval_functions", "ing_date_index",
+    "ing_uid_list_removed",
     "lucene_phrase", "mods_applied", "multimodal_probe",
     "qs_content_within", "qs_excerpt", "qs_limit_hits", "span_scrub",
     "ssdeep_chained",
     "text_analyze", "text_quality_filter", "text_tokens", "text_winnow",
     "tf_adjacent", "tf_excerpt", "tf_lookup", "whindex_remap")
+  // ing_uid_list_removed joined in r12: the cache-hygiene rework
+  // materializes its result in-op, so the RETURNED plan is an
+  // InMemoryRelation over the patched-index subtree — a combo
+  // (aggregate+explode+generate+collect_) no other tagged gate carries.
   // text_winnow joined in r10: the winnow min-per-window fold is the
   // sole carrier of the transform+aggregate+filter+explode combo.
   // text_quality_filter joined in r9: the qualityFilter lambda-let

@@ -62,6 +62,32 @@ object Ingest {
         min(col("shard_date")).as("first_date"),
         max(col("shard_date")).as("last_date"))
 
+  /** Per-datatype PLANNING statistics the ingest tier maintains beside
+    * the field catalog (EventMetadata.java:96-110 — the reference
+    * writes its planning statistics into the metadata table at ingest;
+    * MetadataHelper reads them back at plan time, never re-scanning the
+    * corpus): `max_tree_depth` = the deepest dotted-uid document
+    * (`root.child.grandchild` = 3), the statistic
+    * [[graft.operators.DocumentTree.parentsOfMatches]] prunes its
+    * retrieve side on. One row per datatype from ONE batch; max/sum are
+    * trivially mergeable across batches ([[mergeDatatypeStats]]). Works
+    * on any frame carrying a uid + datatype column — the long event
+    * layout or a raw document frame. */
+  def datatypeStats(df: DataFrame, uidCol: String = "uid",
+                    datatypeCol: String = "datatype"): DataFrame =
+    df.groupBy(col(datatypeCol).as("datatype"))
+      .agg(max(size(split(col(uidCol), "\\."))).cast("bigint")
+          .as("max_tree_depth"),
+        count(lit(1)).as("cnt"))
+
+  /** Fold a new batch's statistics into the stored rows: max of maxes,
+    * sum of counts — associative, so incremental ingest never re-reads
+    * old batches. */
+  def mergeDatatypeStats(stored: DataFrame, batch: DataFrame): DataFrame =
+    stored.unionByName(batch).groupBy("datatype")
+      .agg(max(col("max_tree_depth")).as("max_tree_depth"),
+        sum(col("cnt")).as("cnt"))
+
   /** Data dictionary (DataDictionaryBean.java, data-dictionary-core):
     * the per-field catalog a deployment serves over `/DataDictionary` —
     * observation counts, cardinality, and date bounds from the metadata

@@ -1,0 +1,60 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Fs
+
+/** Durable per-datatype planning statistics — the lake twin of the
+  * reference's metadata-table statistic rows (EventMetadata.java:96-110
+  * writes them at ingest; MetadataHelper serves them at plan time).
+  * The store is one tiny parquet table (a row per datatype, columns
+  * `max_tree_depth` + `cnt` from [[Ingest.datatypeStats]]); [[update]]
+  * folds a new batch in behind the [[Fs.swapDir]] rename-only swap, so
+  * a crash mid-update never loses the prior generation. At 100 TB the
+  * point of this module is what it AVOIDS: a query planner that needs
+  * the corpus's tree depth reads a 2-row parquet file instead of
+  * re-buying a full corpus aggregate per query. */
+object MetadataStats {
+
+  private def table(dir: String) = s"$dir/datatype_stats"
+
+  /** Fold one batch's [[Ingest.datatypeStats]] rows into the store
+    * (creating it on first touch). Call once per ingest batch — merge
+    * is max/sum, so replaying order doesn't matter for the depth
+    * statistic the planner reads. */
+  def update(spark: SparkSession, dir: String, batch: DataFrame): Unit = {
+    val t = table(dir)
+    Fs.recoverSwap(t)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(t)))
+      batch.repartition(1).write.mode("overwrite").parquet(t)
+    else {
+      val tmp = t + ".compacting"
+      Ingest.mergeDatatypeStats(spark.read.parquet(t), batch)
+        .repartition(1).write.mode("overwrite").parquet(tmp)
+      Fs.swapDir(t, tmp)
+    }
+  }
+
+  /** The stored statistics ([[update]]'s merged rows). */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    Fs.recoverSwap(table(dir))
+    spark.read.parquet(table(dir))
+  }
+
+  /** The planner's read-back: the corpus-wide max tree depth (across
+    * every datatype, or one datatype when named). None = no statistic
+    * stored yet — the caller decides between a backfill and the
+    * un-pruned plan; guessing here would risk a wrong prune. */
+  def maxTreeDepth(spark: SparkSession, dir: String,
+                   datatype: Option[String] = None): Option[Int] = {
+    // recover a half-swapped update BEFORE the existence probe — in the
+    // crash window the table dir is the `.old` generation
+    Fs.recoverSwap(table(dir))
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(table(dir))))
+      return None
+    val rows = datatype.fold(read(spark, dir))(dt =>
+      read(spark, dir).filter(col("datatype") === dt))
+    val r = rows.agg(max(col("max_tree_depth"))).head()
+    if (r.isNullAt(0)) None else Some(r.getLong(0).toInt)
+  }
+}

@@ -366,8 +366,18 @@ object Dedup {
         labels = next
         it += 1
       }
+      // materialize-and-release: returning a lazy view over the
+      // persisted `labels` would strand that cache (a caller's
+      // unpersist on the RETURNED frame cannot reach it) — so the
+      // result persists under its own plan (caller-owned, like every
+      // pair op) and the loop cache frees here
+      val out = labels
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+        .persist()
+      out.count()
+      labels.unpersist()
       edges.unpersist(); edgesOnce.unpersist()
-      labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      out
     }
   }
 

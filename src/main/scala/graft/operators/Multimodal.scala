@@ -937,7 +937,17 @@ object Multimodal {
     * edit across the image/audio/video fixture families is ≤ 6 bits,
     * while ScaleProbe10Main measured the 16×4 structure a radius of
     * 8-15 selects going near-quadratic on hash-uniform corpora). Pass
-    * a larger radius explicitly to opt into the 16×4 bands. */
+    * a larger radius explicitly to opt into the 16×4 bands.
+    *
+    * COMPATIBILITY BREAK (round 11): the default was 10 through round
+    * 10 — a caller that relied on it silently loses pairs at hamming
+    * 8-10 and should pass `maxHamming = 10` explicitly; an incremental
+    * store probed at the old default no longer matches new one-shot
+    * runs until its callers pin the radius. The flip is deliberate: 10
+    * selected the near-quadratic 16×4 banding as the DEPLOYMENT
+    * DEFAULT, a scale hazard on exactly the corpora this tier targets.
+    * Applies to all nine entry points (image/audio/video one-shot,
+    * incremental, and streamed). */
   def imageNearDupPairs(media: DataFrame, maxHamming: Int = 7): DataFrame =
     hashNearDupPairs(imagePHash(media), maxHamming)
 

@@ -140,7 +140,11 @@ object IngestQueries {
     val events = Tables.events(s, d)
     // one evaluation: freq, the partial index, and both date sets all
     // derive from the same melt — without the persist the melt+groupBy
-    // subtree re-executes once per consumer (4×)
+    // subtree re-executes once per consumer (4×). The RESULT is
+    // materialized (tiny: the matching events) so the melt cache can
+    // release before return — the returned frame is the one persisted
+    // thing left, caller-owned like every pipeline gate
+    // (CacheHygieneSpec).
     val long = longEvents(s, d).filter(col("field") === "user_id").persist()
     val freq = Ingest.fieldFrequency(long)
     val partialIndex = Ingest.globalIndex(
@@ -149,6 +153,9 @@ object IngestQueries {
         freq, partialIndex, field = "user_id", value = "7")
       .filter(col("user_id") === 7)
       .select("event_id", "user_id")
+      .persist()
+    out.count()
+    long.unpersist()
     out
   }
 
@@ -233,6 +240,9 @@ object IngestQueries {
     * reference's IGNORE regime, pinned in ModificationsSpec). */
   def ingUidListRemoved(s: SparkSession, d: String): DataFrame = {
     import graft.ingest.Modifications._
+    // the shared melt persists for the index + patch legs; the small
+    // patched result materializes so the melt cache releases before
+    // return (caller-owned returned persist — CacheHygieneSpec)
     val long = longEvents(s, d).filter(col("field") === "user_id").persist()
     val index = Ingest.globalIndex(long)
     val edits: Seq[FieldEdit] =
@@ -242,11 +252,15 @@ object IngestQueries {
           shardDate = java.sql.Date.valueOf("2024-01-05")),
         PutField("9000002", "event", "user_id", "42",
           shardDate = java.sql.Date.valueOf("2024-01-05")))
-    patchIndex(index, long, edits)
+    val out = patchIndex(index, long, edits)
       .filter(col("value").isin("42", "7"))
       .select(col("value"),
         date_format(col("shard_date"), "yyyy-MM-dd").as("day"),
         col("cnt"), size(col("uid_sample")).as("uid_sample_size"))
+      .persist()
+    out.count()
+    long.unpersist()
+    out
   }
 
   /** Atom feed sink (AtomDataTypeHandler.java:35-40). */
@@ -336,8 +350,32 @@ object IngestQueries {
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
   }
 
+  /** Ingest-maintained planning statistics (EventMetadata.java:96-110:
+    * statistics written into the metadata table AT INGEST, read back at
+    * plan time): two batches of one datatype — the flat order roots
+    * (depth 1), then their dotted lineitem children (depth 2) — each
+    * fold their [[Ingest.datatypeStats]] rows into the durable store;
+    * the gate returns the read-back, proving merged statistic = the
+    * whole-corpus aggregate without any corpus re-scan at read time.
+    * This is the statistic [[TreeQueries.parentQuery]] prunes on. */
+  def ingTreeDepthStat(s: SparkSession, d: String): DataFrame = {
+    val dir =
+      java.nio.file.Files.createTempDirectory("graft-dtstats").toString
+    val roots = Tables.orders(s, d).select(
+      col("o_orderkey").cast("string").as("uid"), lit("doc").as("datatype"))
+    val children = Tables.lineitem(s, d).select(
+      concat(col("l_orderkey").cast("string"), lit("."),
+        col("l_linenumber").cast("string")).as("uid"),
+      lit("doc").as("datatype"))
+    graft.ingest.MetadataStats.update(s, dir, Ingest.datatypeStats(roots))
+    graft.ingest.MetadataStats.update(s, dir, Ingest.datatypeStats(children))
+    graft.ingest.MetadataStats.read(s, dir)
+      .select("datatype", "max_tree_depth", "cnt")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "age_off" -> ageOff _,
+    "ing_tree_depth_stat" -> ingTreeDepthStat _,
     "shard_bounds" -> shardBounds _,
     "ing_json_reader" -> ingJsonReader _,
     "handlers_dispatch" -> handlersDispatch _,
@@ -373,6 +411,17 @@ object IngestQueries {
       .map { case (f, e) => meltSql(f, e) }.mkString("(", " UNION ALL ", ")")
 
   val oracleSql: Map[String, String] = Map(
+    // the merged store row must equal the whole-corpus statistic
+    "ing_tree_depth_stat" ->
+      """WITH t AS (
+        |  SELECT CAST(o_orderkey AS VARCHAR) AS uid FROM orders
+        |  UNION ALL
+        |  SELECT CAST(l_orderkey AS VARCHAR) || '.' ||
+        |         CAST(l_linenumber AS VARCHAR) FROM lineitem)
+        |SELECT 'doc' AS datatype,
+        |   MAX(CAST(len(string_split(uid, '.')) AS BIGINT)) AS max_tree_depth,
+        |   COUNT(*) AS cnt
+        | FROM t""".stripMargin,
     "age_off" ->
       """SELECT event_id, event_type,
         |   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s

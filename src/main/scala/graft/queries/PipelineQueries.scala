@@ -441,7 +441,13 @@ object PipelineQueries {
     * from one pass; decode dominates the pipeline's cost at lake
     * scale). Literal oracle: the fixture's survivor set is probed
     * (family A keeps 1, family B keeps 5, singles stay), and the split
-    * replays the same md5 bucket rule as corpus_split. */
+    * replays the same md5 bucket rule as corpus_split.
+    *
+    * The RETURNED frame is persisted (materialized once so the decode
+    * stage never re-runs) — the caller owns its unpersist once
+    * consumed, the same contract as winnowedOverlapPairs; every
+    * intermediate persist is released before return (CacheHygieneSpec
+    * pins both halves). */
   def mediaPipeline(s: SparkSession, d: String): DataFrame = {
     val ph = Multimodal.imageProbeHash(StreamingQueries.phashCorpus(s))
       .filter(col("phash").isNotNull &&
@@ -612,15 +618,24 @@ object PipelineQueries {
     * corpus against the capped id set — capped is cap×domains rows,
     * broadcastable), and the cluster frame (bounded by near-dup
     * PAIRS) hash-joins back onto the capped ids — the only join in
-    * the composition. */
+    * the composition.
+    *
+    * The RETURNED frame is persisted (materialized once so the capped
+    * stage can release before return) — the caller owns its unpersist
+    * once consumed, the same contract as winnowedOverlapPairs; every
+    * intermediate persist is released before return (CacheHygieneSpec
+    * pins both halves). */
   def corpusPipelineLeakFree(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val capped = cappedStage(docs).persist()
     capped.count()
     val keptDocs = docs.join(
       broadcast(capped.select("doc_id")), Seq("doc_id"), "left_semi")
-    val clusters = Dedup.clusters(
-      Dedup.ngramJaccardPairs(keptDocs, n = 3, threshold = 0.8))
+    val pairs = Dedup.ngramJaccardPairs(keptDocs, n = 3, threshold = 0.8)
+    val clusters = Dedup.clusters(pairs)
+    // clusters() fully materialized the pair graph, so the pair op's
+    // caller-owned cache releases here, inside the composition
+    pairs.unpersist()
     val out = graft.operators.Sampling.splitAssignLeakFree(capped, clusters,
         "doc_id", Seq("train" -> 0.96, "val" -> 0.02, "test" -> 0.02),
         salt = "sp1")
@@ -628,6 +643,7 @@ object PipelineQueries {
       .persist()
     out.count()
     capped.unpersist()
+    clusters.unpersist() // persisted only on the distributed fallback path
     out
   }
 

@@ -375,26 +375,43 @@ object ServiceQueries {
     * alice creates the session; bob — a REGISTERED principal holding the
     * very same {A} grant, so row-level visibility alone would admit him —
     * is refused on /query/next with QUERY_OWNER_MISMATCH (live-HTTP
-    * assertion), and only alice drains her pages. Same row set as
-    * vis_registry: ownership is enforcement ON TOP of the identical
-    * visibility filtering. */
+    * assertion). The gate then RESTARTS the server: ownership is durable
+    * (the owner travels with the stored definition), so the resumed
+    * server refuses bob identically and only alice drains her pages.
+    * Same row set as vis_registry: ownership is enforcement ON TOP of
+    * the identical visibility filtering. */
   def visOwner(s: SparkSession, d: String): DataFrame = {
     val ev = EventQueries.withVisibility(Tables.events(s, d))
-    val server = new QueryServer(Map("events" -> ev),
+    val stateDir =
+      java.nio.file.Files.createTempDirectory("graft-visowner").toString
+    def mkServer() = new QueryServer(Map("events" -> ev),
+      stateDir = stateDir,
       users = Map("alice" -> Set("A"), "bob" -> Set("A")),
       metricsFlush = false)
+    val server = mkServer()
     val port = server.start()
-    try {
+    val id = try {
       val svc = new RemoteQueryService(s"http://127.0.0.1:$port")
-      val id = svc.createQuery("events",
+      val qid = svc.createQuery("events",
         "EVENT_TYPE == 'click' || EVENT_TYPE == 'view' || " +
           "EVENT_TYPE == 'purchase' || EVENT_TYPE == 'signup'",
         pageSize = 5000, orderBy = Seq("event_id"), user = "alice")
       // bob cannot drain alice's session even with an equal grant —
       // the refusal is part of the gate's contract
-      val (st, body) = svc.httpStatus("GET", s"/query/next?id=$id&user=bob")
+      val (st, body) = svc.httpStatus("GET", s"/query/next?id=$qid&user=bob")
       require(st == 401 && body.contains("QUERY_OWNER_MISMATCH"),
         s"expected QUERY_OWNER_MISMATCH for bob, got $st: $body")
+      qid
+    } finally server.stop()
+    // restart: the durable definition carries the owner — bob stays
+    // refused BEFORE any page is served by the resumed server
+    val server2 = mkServer()
+    val port2 = server2.start()
+    try {
+      val svc = new RemoteQueryService(s"http://127.0.0.1:$port2")
+      val (st2, body2) = svc.httpStatus("GET", s"/query/next?id=$id&user=bob")
+      require(st2 == 401 && body2.contains("QUERY_OWNER_MISMATCH"),
+        s"expected durable QUERY_OWNER_MISMATCH post-restart, got $st2: $body2")
       val rows = Seq.newBuilder[String]
       var page = svc.nextPage(id, user = "alice")
       while (page.nonEmpty) {
@@ -405,7 +422,7 @@ object ServiceQueries {
       s.read.json(s.createDataset(rows.result()))
         .select(col("event_id").cast("long").as("event_id"),
           col("event_type"), col("visibility"))
-    } finally server.stop()
+    } finally server2.stop()
   }
 
   def translateId(s: SparkSession, d: String): DataFrame = {

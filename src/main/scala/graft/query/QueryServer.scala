@@ -197,6 +197,27 @@ final class QueryServer(
     * restarted server can re-define the view. */
   private[query] val aliasSql = new ConcurrentHashMap[String, String]()
 
+  /** Durable home of a loaded alias's MATERIALIZED rows — the
+    * reference's CachedResults persists the result TABLE itself
+    * (CachedRunningQuery.java:399: the MySQL table outlives the
+    * service), not just the definition; without the rows a restarted
+    * server re-pays the owning query on the first data verb. `/load`
+    * writes them once; [[ensureAliasView]] registers the restored view
+    * straight over them; close deletes them with the definition. The
+    * alias is pre-validated `[A-Za-z_][A-Za-z0-9_]*`, so the path is
+    * injection-safe. */
+  private def rowsDir(alias: String): java.nio.file.Path =
+    java.nio.file.Paths.get(stateDir, "cachedrows", alias.toLowerCase)
+
+  /** Materialize a loaded alias's rows (overwrite = a re-load
+    * refreshes). The `_SUCCESS` marker is the restore-side commit
+    * proof — a crash mid-write falls back to the resume path. */
+  private def persistRows(df: DataFrame, alias: String): Unit =
+    df.write.mode("overwrite").parquet(rowsDir(alias).toString)
+
+  private def dropRows(alias: String): Unit =
+    graft.core.Fs.deleteRecursively(rowsDir(alias))
+
   private def loadAliases(): Unit = {
     if (!java.nio.file.Files.exists(aliasFile)) return
     val p = new java.util.Properties()
@@ -236,7 +257,16 @@ final class QueryServer(
         sp.sql(sql).createOrReplaceTempView(a)
         true
       case None =>
-        session(Map("id" -> q)) match {
+        // durable ROWS first (CachedRunningQuery.java:399 — the stored
+        // result table outlives the service): a restart re-registers
+        // the view over the materialized parquet and never re-runs the
+        // owning query. Only a committed store counts (_SUCCESS); a
+        // crash mid-materialization falls back to the resume path.
+        val stored = rowsDir(a)
+        if (java.nio.file.Files.exists(stored.resolve("_SUCCESS"))) {
+          sp.read.parquet(stored.toString).createOrReplaceTempView(a)
+          true
+        } else session(Map("id" -> q)) match {
           case Some(s) => s.df.createOrReplaceTempView(a); true
           case None => false
         }
@@ -302,6 +332,10 @@ final class QueryServer(
     server.createContext("/atom/feed", handler(atomFeedPage))
     server.createContext("/atom/entry", handler(atomEntry))
     server.createContext("/admin/listTables", handler(adminListTables))
+    server.createContext("/user/listEffectiveAuthorizations",
+      handler(listEffectiveAuths))
+    server.createContext("/user/flushCachedCredentials",
+      handler(flushCachedCredentials))
     server.start()
     server.getAddress.getPort
   }
@@ -475,6 +509,48 @@ final class QueryServer(
   private def aliasOwner(alias: String): String =
     Option(loadedAliases.get(alias.toLowerCase)).map(queryOwner)
       .getOrElse("")
+
+  /** `GET /user/listEffectiveAuthorizations[?proxiedEntities=e1,e2]` —
+    * UserOperationsBean.java:111-115: "what authorizations will I
+    * actually get?" The resolved effective GRANT for the caller — chain-
+    * intersected when proxied entities are present — so a client can
+    * construct a valid downgrade request instead of guessing and eating
+    * 403s (ClientLoginExampleBean.java:78 calls this before querying).
+    * Reports the grant itself: a stray `auths=` downgrade param is
+    * ignored, not validated. 401 unknown caller/entity (resolveAuths's
+    * fail-closed rule); 404 when no registry is configured — an
+    * embedded-library deployment has no server-resolved grant to
+    * introspect. */
+  private def listEffectiveAuths(params: Map[String, String]): (Int, String) =
+    if (users.isEmpty) (404, err("no principal registry configured"))
+    else resolveAuths(params.removed("auths")) match {
+      case Left(resp) => resp
+      case Right(Some(granted)) =>
+        val user = params.getOrElse("user", "anonymous")
+        val chain = params.get("proxiedEntities")
+          .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+          .getOrElse(Seq.empty)
+        (200, s"""{"user": ${quote(user)},""" +
+          s""" "proxiedEntities": [${chain.map(quote).mkString(",")}],""" +
+          s""" "auths": [${granted.toSeq.sorted.map(quote).mkString(",")}]}""")
+      case Right(None) => // unreachable: users.nonEmpty resolves a grant
+        (404, err("no principal registry configured"))
+    }
+
+  /** `GET /user/flushCachedCredentials` — the reference's cache-evict
+    * sibling (UserOperationsBean flush). This registry is served live
+    * (no credential cache to evict), so the verb is the CONTRACT only:
+    * 401 for an unknown caller, 200 acknowledging the flush for a
+    * registered one — a client written against the reference keeps
+    * working. */
+  private def flushCachedCredentials(params: Map[String, String])
+      : (Int, String) =
+    if (users.isEmpty) (404, err("no principal registry configured"))
+    else {
+      val user = params.getOrElse("user", "anonymous")
+      if (!users.contains(user)) (401, err(s"unknown user '$user'"))
+      else (200, s"""{"user": ${quote(user)}, "flushed": true}""")
+    }
 
   /** Shared create core: validate, audit, plan+persist, register the
     * session, persist its durable definition, record the create metric.
@@ -1175,6 +1251,7 @@ final class QueryServer(
         loadedAliases.remove(a)
         asyncLoads.remove(a)
         aliasSql.remove(a)
+        dropRows(a) // durable teardown: the materialized rows go too
       }
       if (owned.nonEmpty) persistAliases()
       Option(sessions.remove(id)) match {
@@ -1784,6 +1861,10 @@ final class QueryServer(
         if (owner != null && owner != id)
           return (409, err(s"alias '$alias' is bound to another query"))
         s.df.createOrReplaceTempView(alias)
+        // materialize the rows durably (the reference's MySQL insert at
+        // load, CachedResultsBean.load) so a restarted server serves
+        // them WITHOUT re-running the owning query
+        persistRows(s.df, alias)
         // a synchronous load supersedes any stale async state (e.g. a
         // failed /loadAsync retried through /load must not keep
         // answering 500 on /status or the data verbs)
@@ -1825,6 +1906,9 @@ final class QueryServer(
             " pass from=<ownerId> to re-point it"))
         loadedAliases.put(alias.toLowerCase, id)
         s.df.createOrReplaceTempView(alias)
+        // the re-point replaces the durable rows too — a restart must
+        // serve the NEW query's materialization
+        persistRows(s.df, alias)
         aliasSql.remove(alias.toLowerCase)
         persistAliases()
         (200, s"""{"view": ${quote(alias)}}""")
@@ -1976,6 +2060,7 @@ final class QueryServer(
         try session(Map("id" -> id)) match {
           case Some(s) =>
             s.df.createOrReplaceTempView(alias)
+            persistRows(s.df, alias)
             asyncLoads.put(alias.toLowerCase, "LOADED")
             shareLock.synchronized(persistAliases())
           case None =>

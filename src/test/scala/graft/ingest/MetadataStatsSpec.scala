@@ -1,0 +1,58 @@
+package graft.ingest
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The ingest-maintained planning statistics (EventMetadata.java:96-110
+  * pattern): per-datatype max_tree_depth written at ingest, merged
+  * across batches with max/sum, read back at plan time — never derived
+  * by a per-query corpus scan. */
+class MetadataStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("two ingest batches merge to the whole-corpus statistic: max of depths, sum of counts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ms1").toString
+    // batch 1: flat roots; batch 2: dotted children of the SAME datatype
+    // plus a second datatype that only ever sees batch 2
+    val b1 = Seq(("r1", "doc"), ("r2", "doc")).toDF("uid", "datatype")
+    val b2 = Seq(("r1.1", "doc"), ("r1.2.1", "doc"), ("e1", "edge"))
+      .toDF("uid", "datatype")
+    MetadataStats.update(spark, dir, Ingest.datatypeStats(b1))
+    MetadataStats.update(spark, dir, Ingest.datatypeStats(b2))
+    val rows = MetadataStats.read(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(rows == Set(("doc", 3L, 4L), ("edge", 1L, 1L)))
+    // the planner's read-back: corpus-wide and per-datatype
+    assert(MetadataStats.maxTreeDepth(spark, dir) == Some(3))
+    assert(MetadataStats.maxTreeDepth(spark, dir, Some("edge")) == Some(1))
+    assert(MetadataStats.maxTreeDepth(spark, dir, Some("nope")) == None)
+  }
+
+  test("merge order does not matter and replays converge (max/sum over the union)") {
+    val a = Seq(("r1", "doc")).toDF("uid", "datatype")
+    val b = Seq(("r1.1", "doc")).toDF("uid", "datatype")
+    val ab = Ingest.mergeDatatypeStats(
+      Ingest.datatypeStats(a), Ingest.datatypeStats(b))
+    val ba = Ingest.mergeDatatypeStats(
+      Ingest.datatypeStats(b), Ingest.datatypeStats(a))
+    assert(ab.collect().toSet == ba.collect().toSet)
+    assert(ab.head().getLong(1) == 2L && ab.head().getLong(2) == 2L)
+  }
+
+  test("no statistic stored yet answers None, not a guess — the caller owns the backfill decision") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ms2").toString
+    assert(MetadataStats.maxTreeDepth(spark, dir) == None)
+  }
+
+  test("a crash between the update's renames recovers on the next read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ms3").toString
+    val b1 = Seq(("r1.1", "doc")).toDF("uid", "datatype")
+    MetadataStats.update(spark, dir, Ingest.datatypeStats(b1))
+    // simulate the half-swapped window: store moved aside, tmp gone
+    val t = java.nio.file.Paths.get(s"$dir/datatype_stats")
+    java.nio.file.Files.move(t,
+      java.nio.file.Paths.get(s"$dir/datatype_stats.old"))
+    assert(MetadataStats.maxTreeDepth(spark, dir) == Some(2))
+  }
+}

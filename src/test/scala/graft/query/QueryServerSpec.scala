@@ -917,14 +917,63 @@ class QueryServerSpec extends SparkSpec {
     }
   }
 
-  test("CachedResults aliases survive a server restart: plain and derived " +
-      "views re-register lazily from the durable definitions") {
+  test("/user/listEffectiveAuthorizations returns the resolved grant, " +
+      "chain-intersected; unknown caller 401; no registry 404; flush " +
+      "sibling acknowledges") {
+    val df = Seq((1L, "x", "A")).toDF("event_id", "event_type", "visibility")
+    val users = Map("root" -> Set("A", "B", "C"),
+      "gateway" -> Set("A", "B"), "alice" -> Set("A"))
+    val srv = new QueryServer(Map("t" -> df), users = users,
+      metricsFlush = false)
+    val port = srv.start()
+    try {
+      val base = s"http://127.0.0.1:$port"
+      // own grant, sorted for a stable client contract
+      val own = get(s"$base/user/listEffectiveAuthorizations?user=root")
+      assert(own.statusCode() == 200 &&
+        own.body().contains("\"auths\": [\"A\",\"B\",\"C\"]"), own.body())
+      // proxied chain: the effective set is the chain-wide intersection
+      val chained = get(s"$base/user/listEffectiveAuthorizations?user=root" +
+        "&proxiedEntities=gateway,alice")
+      assert(chained.statusCode() == 200 &&
+        chained.body().contains("\"auths\": [\"A\"]"), chained.body())
+      // the verb reports the GRANT: a stray auths= downgrade param is
+      // ignored, never 403'd — this is how a client learns what a VALID
+      // downgrade would be
+      val stray = get(s"$base/user/listEffectiveAuthorizations?user=alice&auths=Z")
+      assert(stray.statusCode() == 200 &&
+        stray.body().contains("\"auths\": [\"A\"]"), stray.body())
+      // unknown caller and unknown chain entity fail closed
+      assert(get(s"$base/user/listEffectiveAuthorizations?user=mallory")
+        .statusCode() == 401)
+      assert(get(s"$base/user/listEffectiveAuthorizations?user=root" +
+        "&proxiedEntities=nosuch").statusCode() == 401)
+      // flush sibling: contract-only acknowledgement, same 401 rule
+      assert(get(s"$base/user/flushCachedCredentials?user=alice")
+        .statusCode() == 200)
+      assert(get(s"$base/user/flushCachedCredentials?user=mallory")
+        .statusCode() == 401)
+    } finally srv.stop()
+    // no registry configured: there is no server-resolved grant to ask for
+    val open = new QueryServer(Map("t" -> df), metricsFlush = false)
+    val p2 = open.start()
+    try {
+      assert(get(s"http://127.0.0.1:$p2/user/listEffectiveAuthorizations")
+        .statusCode() == 404)
+      assert(get(s"http://127.0.0.1:$p2/user/flushCachedCredentials")
+        .statusCode() == 404)
+    } finally open.stop()
+  }
+
+  test("CachedResults aliases survive a server restart: the restored views " +
+      "serve the MATERIALIZED rows without re-running the owning query") {
     val df = Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0))
       .toDF("id", "grp", "v")
     val stateDir =
       java.nio.file.Files.createTempDirectory("graft-cralias").toString
-    def mkServer() = new QueryServer(Map("t" -> df), stateDir = stateDir,
-      metricsFlush = false)
+    def mkServer(frame: org.apache.spark.sql.DataFrame = df) =
+      new QueryServer(Map("t" -> frame), stateDir = stateDir,
+        metricsFlush = false)
     val srv = mkServer()
     val port = srv.start()
     val enc = (v: String) => java.net.URLEncoder.encode(v, "UTF-8")
@@ -947,10 +996,13 @@ class QueryServerSpec extends SparkSpec {
       // under test
       spark.catalog.dropTempView("dur_v")
       spark.catalog.dropTempView("dur_agg")
-      // the reference's CachedResults live in MySQL and outlive the
-      // service; here the first data verb re-resumes the owning query
-      // and re-registers the views
-      val srv2 = mkServer()
+      // the reference's CachedResults rows live in MySQL and outlive the
+      // service (CachedRunningQuery.java:399) — so the restarted server
+      // gets a POISONED source table: if any verb re-ran the owning
+      // query instead of reading the materialized rows, the results
+      // would change (or this 1-row table would betray the re-run)
+      val poisoned = Seq((100L, "z", 999.0)).toDF("id", "grp", "v")
+      val srv2 = mkServer(poisoned)
       val port2 = srv2.start()
       try {
         val b2 = s"http://127.0.0.1:$port2"
@@ -958,13 +1010,19 @@ class QueryServerSpec extends SparkSpec {
           enc("SELECT count(*) AS n FROM dur_v") + "&pageSize=10")
         assert(rows.statusCode() == 200 && rows.body().contains("\"n\":3"),
           rows.body())
+        // identical rows, not merely the same count
+        val ids = get(s"$b2/cachedresults/sql?sql=" +
+          enc("SELECT id FROM dur_v ORDER BY id") + "&pageSize=10")
+        assert("\"id\":(\\d+)".r.findAllMatchIn(ids.body())
+          .map(_.group(1)).toSeq == Seq("1", "2", "3"), ids.body())
         val agg = get(s"$b2/cachedresults/sql?sql=" +
           enc("SELECT grp, total FROM dur_agg ORDER BY grp") + "&pageSize=10")
         assert(agg.statusCode() == 200 &&
-          agg.body().contains("\"total\":30.0") &&
           agg.body().contains("\"total\":30.0"), agg.body())
-        assert(get(s"$b2/cachedresults/getRows?alias=dur_v&rowBegin=1&rowEnd=2")
-          .statusCode() == 200)
+        val page = get(s"$b2/cachedresults/getRows?alias=dur_v&rowBegin=1&rowEnd=2")
+        assert(page.statusCode() == 200 &&
+          page.body().contains("\"id\":1") &&
+          !page.body().contains("\"id\":100"), page.body())
         assert(get(s"$b2/cachedresults/status?alias=dur_v").statusCode() == 200)
         // closing the owning query drops BOTH aliases durably
         assert(post(s"$b2/query/close?id=$id").statusCode() == 200)
@@ -976,6 +1034,9 @@ class QueryServerSpec extends SparkSpec {
           .statusCode() == 404)
         assert(get(s"http://127.0.0.1:$port3/cachedresults/sql?sql=" +
           enc("SELECT * FROM dur_agg")).statusCode() == 400) // unknown relation
+        // the materialized rows are gone from disk, not just unlisted
+        assert(!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(stateDir, "cachedrows", "dur_v")))
       } finally srv3.stop()
     } finally {
       try srv.stop() catch { case _: Exception => () }
