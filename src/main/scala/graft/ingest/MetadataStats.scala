@@ -18,6 +18,15 @@ object MetadataStats {
 
   private def table(dir: String) = s"$dir/datatype_stats"
 
+  /** A store generation counts only with its `_SUCCESS` commit proof —
+    * a crash mid-first-write leaves a partial dir that must read as
+    * ABSENT (and be overwritten by the retried update), never wedge
+    * every later read with a corrupt-parquet error. Post-swap
+    * generations always carry the marker (the tmp was a completed
+    * spark write). */
+  private def committed(t: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(t, "_SUCCESS"))
+
   /** Fold one batch's [[Ingest.datatypeStats]] rows into the store
     * (creating it on first touch). Call once per ingest batch — merge
     * is max/sum, so replaying order doesn't matter for the depth
@@ -25,7 +34,7 @@ object MetadataStats {
   def update(spark: SparkSession, dir: String, batch: DataFrame): Unit = {
     val t = table(dir)
     Fs.recoverSwap(t)
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(t)))
+    if (!committed(t))
       batch.repartition(1).write.mode("overwrite").parquet(t)
     else {
       val tmp = t + ".compacting"
@@ -48,10 +57,10 @@ object MetadataStats {
   def maxTreeDepth(spark: SparkSession, dir: String,
                    datatype: Option[String] = None): Option[Int] = {
     // recover a half-swapped update BEFORE the existence probe — in the
-    // crash window the table dir is the `.old` generation
+    // crash window the table dir is the `.old` generation; an
+    // UNCOMMITTED partial dir reads as absent (the caller backfills)
     Fs.recoverSwap(table(dir))
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(table(dir))))
-      return None
+    if (!committed(table(dir))) return None
     val rows = datatype.fold(read(spark, dir))(dt =>
       read(spark, dir).filter(col("datatype") === dt))
     val r = rows.agg(max(col("max_tree_depth"))).head()

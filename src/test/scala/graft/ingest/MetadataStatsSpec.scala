@@ -55,4 +55,17 @@ class MetadataStatsSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$dir/datatype_stats.old"))
     assert(MetadataStats.maxTreeDepth(spark, dir) == Some(2))
   }
+
+  test("a crash mid-first-write reads as absent and the retried update heals it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ms4").toString
+    val b1 = Seq(("r1.1", "doc")).toDF("uid", "datatype")
+    MetadataStats.update(spark, dir, Ingest.datatypeStats(b1))
+    // strip the commit proof: the generation must count as ABSENT, not
+    // wedge later reads with a corrupt-parquet error
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/datatype_stats/_SUCCESS"))
+    assert(MetadataStats.maxTreeDepth(spark, dir) == None)
+    MetadataStats.update(spark, dir, Ingest.datatypeStats(b1))
+    assert(MetadataStats.maxTreeDepth(spark, dir) == Some(2))
+  }
 }
