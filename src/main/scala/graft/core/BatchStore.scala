@@ -102,8 +102,26 @@ object BatchStore {
         .flatMap(v => scala.util.Try(v.toLong).toOption)
         .toSeq
       finally stream.close()
-      val committed = ids.filter(n => java.nio.file.Files.exists(
-        d.resolve(s"batch=$n").resolve("_SUCCESS")))
+      // Marker-availability guard: a deployment that disables the
+      // committer's _SUCCESS files (mapreduce.fileoutputcommitter
+      // .marksuccessfuljobs=false) would make EVERY dir look unproven —
+      // and "drop the unproven partials" would silently delete every
+      // registered batch. Markers are written by THIS store's own
+      // writes (seed/register/compact share the session conf), so if no
+      // subdirectory at all carries one, the conf disabled them: fall
+      // back to the fold-everything behavior (no partial-dir
+      // protection, but never data loss).
+      val markersOn = {
+        val stream2 = java.nio.file.Files.list(d)
+        try stream2.iterator().asScala.exists(p =>
+          java.nio.file.Files.isDirectory(p) &&
+            Fs.committed(p.toString))
+        finally stream2.close()
+      }
+      val committed =
+        if (markersOn)
+          ids.filter(n => Fs.committed(d.resolve(s"batch=$n").toString))
+        else ids
       val foldMax = (compactedThrough(tableDir) +: committed).max
       val horizon = ids.diff(committed).minOption
         .map(m => math.min(foldMax, m - 1)).getOrElse(foldMax)

@@ -32,6 +32,15 @@ object Fs {
     deleteRecursively(old)
   }
 
+  /** ONE commit-proof rule for every parquet-dir store (BatchStore
+    * batches, MetadataStats generations, CachedResults row stores): a
+    * directory write counts as committed only with the committer's
+    * `_SUCCESS` marker. Keeping the probe here means a future change to
+    * the rule (committer variants, marker-disabled deployments) lands
+    * in one place. */
+  def committed(dir: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS"))
+
   /** Recovery entry for [[swapDir]], called by readers/appenders before
     * touching `src`: if a crash hit between the two renames (`src`
     * missing, `src.old` present) the old generation is restored —

@@ -18,14 +18,13 @@ object MetadataStats {
 
   private def table(dir: String) = s"$dir/datatype_stats"
 
-  /** A store generation counts only with its `_SUCCESS` commit proof —
-    * a crash mid-first-write leaves a partial dir that must read as
-    * ABSENT (and be overwritten by the retried update), never wedge
-    * every later read with a corrupt-parquet error. Post-swap
-    * generations always carry the marker (the tmp was a completed
-    * spark write). */
-  private def committed(t: String): Boolean =
-    java.nio.file.Files.exists(java.nio.file.Paths.get(t, "_SUCCESS"))
+  /** A store generation counts only with its `_SUCCESS` commit proof
+    * ([[Fs.committed]], the one shared rule) — a crash mid-first-write
+    * leaves a partial dir that must read as ABSENT (and be overwritten
+    * by the retried update), never wedge every later read with a
+    * corrupt-parquet error. Post-swap generations always carry the
+    * marker (the tmp was a completed spark write). */
+  private def committed(t: String): Boolean = Fs.committed(t)
 
   /** Fold one batch's [[Ingest.datatypeStats]] rows into the store
     * (creating it on first touch). Call once per ingest batch — merge
@@ -44,10 +43,16 @@ object MetadataStats {
     }
   }
 
-  /** The stored statistics ([[update]]'s merged rows). */
+  /** The stored statistics ([[update]]'s merged rows); an absent or
+    * uncommitted store reads as ZERO ROWS — the same absent-semantics
+    * [[maxTreeDepth]] applies, never a corrupt-parquet error. */
   def read(spark: SparkSession, dir: String): DataFrame = {
     Fs.recoverSwap(table(dir))
-    spark.read.parquet(table(dir))
+    if (committed(table(dir))) spark.read.parquet(table(dir))
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "datatype STRING, max_tree_depth BIGINT, cnt BIGINT"))
   }
 
   /** The planner's read-back: the corpus-wide max tree depth (across

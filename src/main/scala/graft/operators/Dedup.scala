@@ -305,7 +305,17 @@ object Dedup {
     * round every node takes the min label among itself and neighbors
     * (one equi-join + groupBy over the EDGE list only — the corpus
     * never enters the loop), converging in component-diameter rounds
-    * with a single driver action per round and a maxIter backstop. */
+    * with a single driver action per round and a maxIter backstop.
+    *
+    * Cache contract: the input `pairs` frame is fully consumed in BOTH
+    * paths (edge count + collect, or the persisted edge loop), so a
+    * caller holding a persisted pair frame may unpersist it as soon as
+    * this returns. The RESULT is unpersisted on the driver-bound path
+    * and persisted+counted on the distributed fallback (the label loop's
+    * cache must release in-op; returning a lazy view over it would
+    * strand a cache no caller could reach) — callers that compose the
+    * result lazily own `result.unpersist()` once their plan has
+    * consumed it, same as every pair op. */
   def clusters(pairs: DataFrame, maxIter: Int = 20,
                driverBound: Long = 1000000L): DataFrame = {
     val spark = pairs.sparkSession

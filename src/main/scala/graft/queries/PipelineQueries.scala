@@ -26,17 +26,25 @@ object PipelineQueries {
 
   /** Near-dup clustering: the jaccard pair graph collapses to connected
     * components, each labeled with its min doc id (the dedup survivor). */
-  def dedupClusters(s: SparkSession, d: String): DataFrame =
-    Dedup.clusters(
-      Dedup.ngramJaccardPairs(Tables.documents(s, d), n = 3, threshold = 0.8))
+  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs =
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), n = 3, threshold = 0.8)
+    // clusters() fully materializes the pair graph in both its paths —
+    // the pair op's caller-owned cache releases here, not on the caller
+    val out = Dedup.clusters(pairs)
+    pairs.unpersist()
+    out
+  }
 
   /** Quality-aware dedup collapse: each near-dup cluster keeps its
     * highest-alpha-count member (ties by id), singletons survive as
     * themselves — the "keep the clean copy" curation rule. */
   def dedupKeepBest(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    Dedup.keepBestPerCluster(docs,
-      Dedup.clusters(Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.8)),
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.8)
+    val cl = Dedup.clusters(pairs)
+    pairs.unpersist() // consumed by clusters() in both paths
+    Dedup.keepBestPerCluster(docs, cl,
       quality = TextOps.alphaChars(col("text")))
   }
 
@@ -465,6 +473,7 @@ object PipelineQueries {
       .select("media_id", "split").persist()
     out.count()
     ph.unpersist()
+    clusters.unpersist() // persisted only on the distributed fallback path
     out
   }
 
@@ -565,8 +574,9 @@ object PipelineQueries {
     * near-duplicate in train — contamination prevented AT split time. */
   def corpusSplitLeakFree(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val clusters = Dedup.clusters(
-      Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.8))
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.8)
+    val clusters = Dedup.clusters(pairs)
+    pairs.unpersist() // consumed by clusters() in both paths
     graft.operators.Sampling.splitAssignLeakFree(
         docs.select("doc_id"), clusters, "doc_id",
         Seq("train" -> 0.96, "val" -> 0.02, "test" -> 0.02), salt = "sp1")

@@ -44,14 +44,29 @@ object TreeQueries {
       .select("uid", "kind")
 
   /** Planning-statistic cache, keyed by corpus dir (the reference's
-    * MetadataHelper caches its metadata-table reads the same way): a
+    * MetadataHelper caches its metadata-table reads the same way — and
+    * shares the same contract: the cache serves the statistic AS OF its
+    * last refresh; a corpus MUTATED IN PLACE must refresh via
+    * [[invalidateStats]], exactly as the reference's metadata cache
+    * must be reloaded after out-of-band table edits. An ingest path
+    * that only APPENDS batches through Ingest.datatypeStats keeps the
+    * stored statistic correct by construction — max is monotone). A
     * corpus whose metadata store has no statistic yet pays the ONE-TIME
     * ingest backfill (Ingest.datatypeStats → MetadataStats.update, the
     * write the ingest tier performs per batch in a live deployment),
     * then reads it back; every later parent query in the process reads
-    * the cached value — plan-from-metadata, never plan-from-corpus-scan. */
+    * the cached value — plan-from-metadata, never plan-from-corpus-scan.
+    * A missing read-back maps to depth 1, which parentsOfMatches treats
+    * as NO PRUNE (the fail-safe side: extra rows into the semi-join,
+    * never a dropped parent). */
   private val depthStat =
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  /** Drop the cached planning statistic for `dir` (or all corpora) —
+    * call after mutating a corpus in place so the next parent query
+    * re-derives it. */
+  def invalidateStats(dir: String = ""): Unit =
+    if (dir.isEmpty) depthStat.clear() else depthStat.remove(dir)
 
   /** Parent query: child matches resolve to their parent document;
     * top-level matches resolve to themselves (ParentQueryLogic /

@@ -263,7 +263,7 @@ final class QueryServer(
         // owning query. Only a committed store counts (_SUCCESS); a
         // crash mid-materialization falls back to the resume path.
         val stored = rowsDir(a)
-        if (java.nio.file.Files.exists(stored.resolve("_SUCCESS"))) {
+        if (graft.core.Fs.committed(stored.toString)) {
           sp.read.parquet(stored.toString).createOrReplaceTempView(a)
           true
         } else session(Map("id" -> q)) match {
@@ -438,14 +438,23 @@ final class QueryServer(
     * unknown user. An EMPTY registry keeps the embedded-library behavior
     * (the deployment did its own authn; no server-side enforcement).
     * Left = error response; Right = the auths to enforce. */
+  /** ONE parse of the proxied-entity chain, shared by enforcement
+    * ([[resolveAuths]]) and introspection ([[listEffectiveAuths]]) — a
+    * drifted copy would let the verb REPORT a grant computed under a
+    * different chain than the one enforcement uses, the exact guessing
+    * mismatch the introspection verb exists to eliminate. Head = the
+    * calling user, tail = the proxied entities. */
+  private def principalChain(params: Map[String, String]): Seq[String] =
+    params.getOrElse("user", "anonymous") +: params.get("proxiedEntities")
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Seq.empty)
+
   private def resolveAuths(params: Map[String, String])
       : Either[(Int, String), Option[Set[String]]] =
     if (users.isEmpty) Right(None)
     else {
       val user = params.getOrElse("user", "anonymous")
-      val chain = user +: params.get("proxiedEntities")
-        .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
-        .getOrElse(Seq.empty)
+      val chain = principalChain(params)
       chain.find(e => !users.contains(e)) match {
         case Some(unknown) =>
           Left((401, err(s"unknown ${if (unknown == user) "user" else "proxied entity"} '$unknown'")))
@@ -526,12 +535,9 @@ final class QueryServer(
     else resolveAuths(params.removed("auths")) match {
       case Left(resp) => resp
       case Right(Some(granted)) =>
-        val user = params.getOrElse("user", "anonymous")
-        val chain = params.get("proxiedEntities")
-          .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
-          .getOrElse(Seq.empty)
-        (200, s"""{"user": ${quote(user)},""" +
-          s""" "proxiedEntities": [${chain.map(quote).mkString(",")}],""" +
+        val chain = principalChain(params)
+        (200, s"""{"user": ${quote(chain.head)},""" +
+          s""" "proxiedEntities": [${chain.tail.map(quote).mkString(",")}],""" +
           s""" "auths": [${granted.toSeq.sorted.map(quote).mkString(",")}]}""")
       case Right(None) => // unreachable: users.nonEmpty resolves a grant
         (404, err("no principal registry configured"))
@@ -1838,9 +1844,14 @@ final class QueryServer(
         .map(_ => (200, """{"deleted": true}"""))
     }
 
-  private def cachedLoad(params: Map[String, String]): (Int, String) =
-    shareLock.synchronized { session(params) match {
-      case None => (404, err("unknown queryId"))
+  private def cachedLoad(params: Map[String, String]): (Int, String) = {
+    // Phase 1 (locked): validate, CAS-reserve the alias, register the
+    // live view, persist the registry. The ROW MATERIALIZATION runs
+    // OUTSIDE the lock — it is a full Spark job writing every result
+    // row, and holding shareLock for its duration would stall every
+    // other verb (create/close/loadAsync) behind one big load.
+    val staged = shareLock.synchronized { session(params) match {
+      case None => Left((404, err("unknown queryId")))
       case Some(s) =>
         // only the query's owner may export it as a view
         // (CachedResultsBean.java:342: the CachedResults row is keyed
@@ -1861,18 +1872,34 @@ final class QueryServer(
         if (owner != null && owner != id)
           return (409, err(s"alias '$alias' is bound to another query"))
         s.df.createOrReplaceTempView(alias)
-        // materialize the rows durably (the reference's MySQL insert at
-        // load, CachedResultsBean.load) so a restarted server serves
-        // them WITHOUT re-running the owning query
-        persistRows(s.df, alias)
         // a synchronous load supersedes any stale async state (e.g. a
         // failed /loadAsync retried through /load must not keep
         // answering 500 on /status or the data verbs)
         asyncLoads.remove(alias.toLowerCase)
         aliasSql.remove(alias.toLowerCase) // a re-load re-binds a plain view
         persistAliases()
-        (200, s"""{"view": ${quote(alias)}}""")
+        Right((s.df, alias, id))
     } }
+    staged match {
+      case Left(resp) => resp
+      case Right((df, alias, id)) =>
+        // Phase 2 (unlocked): materialize the rows durably (the
+        // reference's MySQL insert at load, CachedResultsBean.load) so
+        // a restarted server serves them WITHOUT re-running the owning
+        // query. A write failure degrades durability only — the live
+        // view serves, and a restart takes the resume path (the
+        // uncommitted store reads as absent).
+        val durable =
+          try { persistRows(df, alias); true }
+          catch { case _: Exception => false }
+        // Phase 3 (locked): a close that raced the write tore the alias
+        // down — its rows must not survive as an orphan store
+        shareLock.synchronized {
+          if (loadedAliases.get(alias.toLowerCase) != id) dropRows(alias)
+        }
+        (200, s"""{"view": ${quote(alias)}, "durable": $durable}""")
+    }
+  }
 
   /** `POST /cachedresults/update?id=…&alias=A[&from=OLDID]` — the
     * reference's CachedResults `update` (CachedResultsBean update:
@@ -1882,9 +1909,13 @@ final class QueryServer(
     * cannot name the owner cannot hijack a view someone else's
     * `/cachedresults/sql` pages are flowing through. The new owner
     * takes over the alias-scoped teardown. */
-  private def cachedUpdate(params: Map[String, String]): (Int, String) =
-    shareLock.synchronized { session(params) match {
-      case None => (404, err("unknown queryId"))
+  private def cachedUpdate(params: Map[String, String]): (Int, String) = {
+    // same three-phase shape as [[cachedLoad]]: the re-point and view
+    // registration commit under the lock, the row materialization runs
+    // outside it (a multi-second Spark job must not stall the server),
+    // and a raced teardown drops the orphan store afterwards
+    val staged = shareLock.synchronized { session(params) match {
+      case None => Left((404, err("unknown queryId")))
       case Some(s) =>
         ownerGate(params, s.owner) match {
           case Some(resp) => return resp
@@ -1906,13 +1937,25 @@ final class QueryServer(
             " pass from=<ownerId> to re-point it"))
         loadedAliases.put(alias.toLowerCase, id)
         s.df.createOrReplaceTempView(alias)
-        // the re-point replaces the durable rows too — a restart must
-        // serve the NEW query's materialization
-        persistRows(s.df, alias)
         aliasSql.remove(alias.toLowerCase)
         persistAliases()
-        (200, s"""{"view": ${quote(alias)}}""")
+        Right((s.df, alias, id))
     } }
+    staged match {
+      case Left(resp) => resp
+      case Right((df, alias, id)) =>
+        // the re-point replaces the durable rows too — a restart must
+        // serve the NEW query's materialization; a failed write
+        // degrades to the resume path (uncommitted store reads absent)
+        val durable =
+          try { persistRows(df, alias); true }
+          catch { case _: Exception => false }
+        shareLock.synchronized {
+          if (loadedAliases.get(alias.toLowerCase) != id) dropRows(alias)
+        }
+        (200, s"""{"view": ${quote(alias)}, "durable": $durable}""")
+    }
+  }
 
   /** `GET /cachedresults/sql?sql=…[&pageSize=N]` — CachedResults
     * retrieval: arbitrary SELECT over the loaded view(s)
@@ -2136,6 +2179,17 @@ final class QueryServer(
         val prior = loadedAliases.putIfAbsent(view.toLowerCase, owner)
         if (prior != null && prior != owner)
           return (409, err(s"alias '$view' is bound to another query"))
+        // the reservation above must not outlive a FAILED create: every
+        // refusal below (owner gate, async gate, restore 404, guard /
+        // SQL errors) releases it — a phantom binding would squat the
+        // name (409 for everyone else), answer /status as LOADED, and a
+        // restart's persistAliases could even make it durable. Only OUR
+        // reservation releases (a re-create over an existing binding
+        // keeps it — CAS remove on the owner value).
+        def failed(resp: (Int, String)): (Int, String) = {
+          if (prior == null) loadedAliases.remove(view.toLowerCase, owner)
+          resp
+        }
         // parts may be expressions (the reference's fields list carries
         // aggregates when grouping is set) — structural safety comes
         // from guardSelect on the ASSEMBLED single statement, which
@@ -2148,30 +2202,39 @@ final class QueryServer(
           part("conditions").map(c => s" WHERE $c").getOrElse("") +
           part("grouping").map(g => s" GROUP BY $g").getOrElse("") +
           part("order").map(o => s" ORDER BY $o").getOrElse("")
-        val spark = sparkOf.getOrElse(return (500, err("no tables registered")))
+        val spark = sparkOf.getOrElse(
+          return failed((500, err("no tables registered"))))
         // conditions may reference OTHER loaded aliases via subqueries —
         // those must also be past their async load
-        val refs = referencedNames(spark, sql) // one parse, reused below
-        val refPending = asyncGate(refs)
-        if (refPending.isDefined) return refPending.get
-        // EVERY loaded alias the assembled statement touches is
-        // owner-gated, exactly as /cachedresults/sql gates its refs: a
-        // `conditions` subquery like `x IN (SELECT s FROM other_alias)`
-        // reads that alias's rows into a view the CALLER then owns —
-        // without this gate the derived view launders another
-        // principal's materialized data through /getRows. Source views
-        // may also need re-registration post-restart; a non-restorable
-        // one answers the /getRows 404 contract.
-        refs.filter(n => loadedAliases.containsKey(n)).foreach { n =>
-          ownerGate(params, aliasOwner(n)) match {
-            case Some(resp) => return resp
-            case None => ()
+        try {
+          val refs = referencedNames(spark, sql) // one parse, reused below
+          val refPending = asyncGate(refs)
+          if (refPending.isDefined) return failed(refPending.get)
+          // EVERY loaded alias the assembled statement touches is
+          // owner-gated, exactly as /cachedresults/sql gates its refs: a
+          // `conditions` subquery like `x IN (SELECT s FROM other_alias)`
+          // reads that alias's rows into a view the CALLER then owns —
+          // without this gate the derived view launders another
+          // principal's materialized data through /getRows. Source views
+          // may also need re-registration post-restart; a non-restorable
+          // one answers the /getRows 404 contract.
+          refs.filter(n => loadedAliases.containsKey(n)).foreach { n =>
+            ownerGate(params, aliasOwner(n)) match {
+              case Some(resp) => return failed(resp)
+              case None => ()
+            }
+            if (!ensureAliasView(n))
+              return failed((404, err(s"alias '$n' cannot be restored")))
           }
-          if (!ensureAliasView(n))
-            return (404, err(s"alias '$n' cannot be restored"))
+        } catch {
+          case e: Exception => return failed((400, err(e.getMessage)))
         }
-        guardSelect(spark, sql)
-        spark.sql(sql).createOrReplaceTempView(view)
+        try {
+          guardSelect(spark, sql)
+          spark.sql(sql).createOrReplaceTempView(view)
+        } catch {
+          case e: Exception => return failed((400, err(e.getMessage)))
+        }
         // the derived view's defining SQL travels with the alias so a
         // restarted server can re-define it (CachedResults durability)
         aliasSql.put(view.toLowerCase, sql)

@@ -71,6 +71,26 @@ class BatchStoreSpec extends SparkSpec {
     assert(dup == 0)
   }
 
+  test("a deployment with _SUCCESS markers disabled falls back to fold-everything — never data loss") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bs4").toString
+    val store = s"$tmp/store"
+    BatchStore.seed(rowsOf(0, 0), store)
+    BatchStore.registerBatch(rowsOf(0, 2), store, 0L)
+    BatchStore.registerBatch(rowsOf(1, 2), store, 1L)
+    // simulate mapreduce.fileoutputcommitter.marksuccessfuljobs=false:
+    // no dir anywhere carries a marker — treating every dir as
+    // "unproven partial" would silently DELETE all registered batches
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(store))
+      .iterator().asScala.toSeq
+      .filter(_.getFileName.toString == "_SUCCESS")
+      .foreach(java.nio.file.Files.delete)
+    BatchStore.compact(spark, store)
+    assert(storeIds(store) == Seq(0L, 1L, 100L, 101L),
+      "marker-disabled compaction must fold everything, not drop batches")
+    assert(BatchStore.compactedThrough(store) == 1L)
+  }
+
   test("clean stores compact exactly as before: everything folds, horizon = max id") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-bs3").toString
     val store = s"$tmp/store"

@@ -1166,6 +1166,13 @@ class QueryServerSpec extends SparkSpec {
         "&user=bob")
       assert(exfil.statusCode() == 401 &&
         exfil.body().contains("QUERY_OWNER_MISMATCH"), exfil.body())
+      // a FAILED create must not leave a phantom reservation: the
+      // refused view name answers 404 (not LOADED) and stays reusable
+      assert(get(s"$base/cachedresults/status?alias=bob_x&user=bob")
+        .statusCode() == 404)
+      assert(get(s"$base/cachedresults/create?alias=bob_v&view=bob_x" +
+        s"&conditions=${enc("event_id IN (SELECT event_id FROM bob_v)")}" +
+        "&user=bob").statusCode() == 200)
       // the same shape over bob's own aliases is fine
       assert(get(s"$base/cachedresults/create?alias=bob_v&view=bob_y" +
         s"&conditions=${enc("event_id IN (SELECT event_id FROM bob_v)")}" +
