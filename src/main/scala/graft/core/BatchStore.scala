@@ -85,13 +85,18 @@ object BatchStore {
       // replay of N skip re-registration — the missing rows lost
       // permanently. The per-dir commit proof is the parquet
       // committer's _SUCCESS marker. Only proven dirs fold; the horizon
-      // stops BELOW the lowest unproven id; proven dirs above that
-      // horizon are carried over as splinter dirs (their STREAM commit
-      // may not have landed — a replay must find them re-registerable,
-      // not silently folded, or the replay's overwrite would duplicate
-      // their rows beside `batch=compacted`); unproven partial dirs are
-      // dropped — an uncommitted micro-batch replays and re-registers
-      // in full, the pre-compaction healing semantics.
+      // stops BELOW the lowest unproven id; and EVERY dir above the
+      // horizon — proven (its STREAM commit may not have landed) or
+      // unproven (crash-partial, or a marker-conf flip stripped proof
+      // from genuinely committed batches) — is CARRIED verbatim as a
+      // splinter dir, never dropped. Carrying is the no-data-loss
+      // default under every marker state: a replayed batch overwrites
+      // its splinter in place (exactly-once), and a batch that will
+      // never replay (conf-flip survivor) keeps serving its rows,
+      // merely un-compacted until re-registered under a marker-writing
+      // conf. The carry is a RAW file copy — a partial dir may have no
+      // readable footers, and a Spark re-encode would forge a _SUCCESS
+      // the original never earned.
       val d = java.nio.file.Paths.get(tableDir)
       import scala.jdk.CollectionConverters._
       val stream = java.nio.file.Files.list(d)
@@ -104,13 +109,14 @@ object BatchStore {
       finally stream.close()
       // Marker-availability guard: a deployment that disables the
       // committer's _SUCCESS files (mapreduce.fileoutputcommitter
-      // .marksuccessfuljobs=false) would make EVERY dir look unproven —
-      // and "drop the unproven partials" would silently delete every
-      // registered batch. Markers are written by THIS store's own
-      // writes (seed/register/compact share the session conf), so if no
+      // .marksuccessfuljobs=false) makes every dir look unproven and
+      // compaction would degenerate to carrying everything forever.
+      // Markers are written by THIS store's own writes, so if no
       // subdirectory at all carries one, the conf disabled them: fall
-      // back to the fold-everything behavior (no partial-dir
-      // protection, but never data loss).
+      // back to fold-everything (no partial-dir protection — the
+      // documented tradeoff of running marker-less; never data loss).
+      // Mixed states (a conf flipped mid-life, or one crash-partial
+      // among proven dirs) keep full protection via the carry rule.
       val markersOn = {
         val stream2 = java.nio.file.Files.list(d)
         try stream2.iterator().asScala.exists(p =>
@@ -125,16 +131,15 @@ object BatchStore {
       val foldMax = (compactedThrough(tableDir) +: committed).max
       val horizon = ids.diff(committed).minOption
         .map(m => math.min(foldMax, m - 1)).getOrElse(foldMax)
-      val carried = committed.filter(_ > horizon)
-      val excluded = ids.filter(n => n > horizon).map(_.toString)
+      val carried = ids.filter(_ > horizon)
+      val excluded = carried.map(_.toString)
       val folded = if (excluded.isEmpty) rows
         else rows.filter(!org.apache.spark.sql.functions.col("batch")
           .cast("string").isin(excluded: _*))
       folded.drop("batch").repartition(filesPerTable)
         .write.mode("overwrite").parquet(s"$tmp/batch=compacted")
       carried.foreach { n =>
-        spark.read.parquet(s"$tableDir/batch=$n")
-          .write.parquet(s"$tmp/batch=$n")
+        Fs.copyRecursively(s"$tableDir/batch=$n", s"$tmp/batch=$n")
       }
       // marker BEFORE the swap — see the horizon contract above
       if (horizon >= 0)

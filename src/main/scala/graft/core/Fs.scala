@@ -32,6 +32,22 @@ object Fs {
     deleteRecursively(old)
   }
 
+  /** Raw recursive copy (bytes + structure, no re-encode): the safe way
+    * to carry a directory whose contents may be PARTIAL (a crashed
+    * write with no readable footers would fail a Spark read-rewrite,
+    * and a re-encode would forge a `_SUCCESS` the original never
+    * earned). */
+  def copyRecursively(src: String, dst: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val s = Paths.get(src)
+    Files.walk(s).iterator().asScala.foreach { p =>
+      val t = Paths.get(dst).resolve(s.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else { Files.createDirectories(t.getParent); Files.copy(p, t) }
+    }
+  }
+
   /** ONE commit-proof rule for every parquet-dir store (BatchStore
     * batches, MetadataStats generations, CachedResults row stores): a
     * directory write counts as committed only with the committer's

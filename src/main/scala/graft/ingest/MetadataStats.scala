@@ -49,10 +49,14 @@ object MetadataStats {
   def read(spark: SparkSession, dir: String): DataFrame = {
     Fs.recoverSwap(table(dir))
     if (committed(table(dir))) spark.read.parquet(table(dir))
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType.fromDDL(
-        "datatype STRING, max_tree_depth BIGINT, cnt BIGINT"))
+    else
+      // the absent-store schema derives through datatypeStats itself
+      // (zero-row input → zero-row stats), so a column added to the
+      // statistics can never drift this rarely-exercised path
+      Ingest.datatypeStats(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "uid STRING, datatype STRING")))
   }
 
   /** The planner's read-back: the corpus-wide max tree depth (across

@@ -39,13 +39,30 @@ object PipelineQueries {
   /** Quality-aware dedup collapse: each near-dup cluster keeps its
     * highest-alpha-count member (ties by id), singletons survive as
     * themselves — the "keep the clean copy" curation rule. */
+  /** Release a fallback-persisted dependency a lazily-composed result
+    * still references: on Dedup.clusters' distributed path the cluster
+    * frame returns persisted (caller-owned), and a gate returning a
+    * lazy composition over it would strand that cache forever — so the
+    * composition materializes (persist+count) and the dependency frees
+    * in-op. On the common driver-bound path the dependency is not
+    * persisted and the result passes through untouched (zero cost). */
+  private def handoff(result: DataFrame, dep: DataFrame): DataFrame =
+    if (dep.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      result
+    else {
+      val out = result.persist()
+      out.count()
+      dep.unpersist()
+      out
+    }
+
   def dedupKeepBest(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.8)
     val cl = Dedup.clusters(pairs)
     pairs.unpersist() // consumed by clusters() in both paths
-    Dedup.keepBestPerCluster(docs, cl,
-      quality = TextOps.alphaChars(col("text")))
+    handoff(Dedup.keepBestPerCluster(docs, cl,
+      quality = TextOps.alphaChars(col("text"))), cl)
   }
 
   /** BPE-ish pre-tokenizer piece counts beside the whitespace word
@@ -577,10 +594,10 @@ object PipelineQueries {
     val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.8)
     val clusters = Dedup.clusters(pairs)
     pairs.unpersist() // consumed by clusters() in both paths
-    graft.operators.Sampling.splitAssignLeakFree(
+    handoff(graft.operators.Sampling.splitAssignLeakFree(
         docs.select("doc_id"), clusters, "doc_id",
         Seq("train" -> 0.96, "val" -> 0.02, "test" -> 0.02), salt = "sp1")
-      .select("doc_id", "cluster_id", "split")
+      .select("doc_id", "cluster_id", "split"), clusters)
   }
 
   /** The composed curation pipeline a production corpus runs

@@ -218,6 +218,33 @@ final class QueryServer(
   private def dropRows(alias: String): Unit =
     graft.core.Fs.deleteRecursively(rowsDir(alias))
 
+  /** Per-alias writer lock for the rows store. The materialization runs
+    * OUTSIDE [[shareLock]] (it is a full Spark job), so two concurrent
+    * loads of the SAME alias would otherwise race their overwrite jobs
+    * on one directory — a torn mix that could still commit a _SUCCESS.
+    * Same-alias writers serialize here; different aliases stay
+    * parallel. */
+  private val rowLocks = new ConcurrentHashMap[String, Object]()
+
+  /** The unlocked write phase shared by load/update/loadAsync: under
+    * the ALIAS lock, skip the write when the binding already moved on
+    * (a close or re-point won the race — nothing of ours to clean),
+    * write, then re-check: if the binding moved WHILE we wrote, our
+    * rows are an orphan generation and drop (the next binding's own
+    * write phase is serialized behind this lock, so we can only ever
+    * drop our own write, never its). Returns durability. */
+  private def writeRowsFor(df: DataFrame, alias: String, id: String): Boolean =
+    rowLocks.computeIfAbsent(alias.toLowerCase, _ => new Object).synchronized {
+      if (loadedAliases.get(alias.toLowerCase) != id) false
+      else {
+        val ok = try { persistRows(df, alias); true }
+          catch { case _: Exception => false }
+        if (loadedAliases.get(alias.toLowerCase) != id) {
+          dropRows(alias); false
+        } else ok
+      }
+    }
+
   private def loadAliases(): Unit = {
     if (!java.nio.file.Files.exists(aliasFile)) return
     val p = new java.util.Properties()
@@ -420,6 +447,17 @@ final class QueryServer(
       }
     }
 
+  /** ONE parse of the proxied-entity chain, shared by enforcement
+    * ([[resolveAuths]]) and introspection ([[listEffectiveAuths]]) — a
+    * drifted copy would let the verb REPORT a grant computed under a
+    * different chain than the one enforcement uses, the exact guessing
+    * mismatch the introspection verb exists to eliminate. Head = the
+    * calling user, tail = the proxied entities. */
+  private def principalChain(params: Map[String, String]): Seq[String] =
+    params.getOrElse("user", "anonymous") +: params.get("proxiedEntities")
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Seq.empty)
+
   /** User→authorizations resolution (the reference's proxied-principal
     * chain: web-services/security DatawaveUser → Accumulo
     * Authorizations, consumed at LookupUUIDUtil.java:343-430): when a
@@ -438,17 +476,6 @@ final class QueryServer(
     * unknown user. An EMPTY registry keeps the embedded-library behavior
     * (the deployment did its own authn; no server-side enforcement).
     * Left = error response; Right = the auths to enforce. */
-  /** ONE parse of the proxied-entity chain, shared by enforcement
-    * ([[resolveAuths]]) and introspection ([[listEffectiveAuths]]) — a
-    * drifted copy would let the verb REPORT a grant computed under a
-    * different chain than the one enforcement uses, the exact guessing
-    * mismatch the introspection verb exists to eliminate. Head = the
-    * calling user, tail = the proxied entities. */
-  private def principalChain(params: Map[String, String]): Seq[String] =
-    params.getOrElse("user", "anonymous") +: params.get("proxiedEntities")
-      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
-      .getOrElse(Seq.empty)
-
   private def resolveAuths(params: Map[String, String])
       : Either[(Int, String), Option[Set[String]]] =
     if (users.isEmpty) Right(None)
@@ -1883,20 +1910,14 @@ final class QueryServer(
     staged match {
       case Left(resp) => resp
       case Right((df, alias, id)) =>
-        // Phase 2 (unlocked): materialize the rows durably (the
-        // reference's MySQL insert at load, CachedResultsBean.load) so
-        // a restarted server serves them WITHOUT re-running the owning
-        // query. A write failure degrades durability only — the live
+        // Phase 2 (outside shareLock, under the per-alias writer lock):
+        // materialize the rows durably (the reference's MySQL insert at
+        // load, CachedResultsBean.load) so a restarted server serves
+        // them WITHOUT re-running the owning query. A write failure or
+        // a raced close/re-point degrades durability only — the live
         // view serves, and a restart takes the resume path (the
-        // uncommitted store reads as absent).
-        val durable =
-          try { persistRows(df, alias); true }
-          catch { case _: Exception => false }
-        // Phase 3 (locked): a close that raced the write tore the alias
-        // down — its rows must not survive as an orphan store
-        shareLock.synchronized {
-          if (loadedAliases.get(alias.toLowerCase) != id) dropRows(alias)
-        }
+        // uncommitted/absent store reads as absent).
+        val durable = writeRowsFor(df, alias, id)
         (200, s"""{"view": ${quote(alias)}, "durable": $durable}""")
     }
   }
@@ -1945,14 +1966,9 @@ final class QueryServer(
       case Left(resp) => resp
       case Right((df, alias, id)) =>
         // the re-point replaces the durable rows too — a restart must
-        // serve the NEW query's materialization; a failed write
-        // degrades to the resume path (uncommitted store reads absent)
-        val durable =
-          try { persistRows(df, alias); true }
-          catch { case _: Exception => false }
-        shareLock.synchronized {
-          if (loadedAliases.get(alias.toLowerCase) != id) dropRows(alias)
-        }
+        // serve the NEW query's materialization; a failed write or a
+        // raced close/re-point degrades to the resume path
+        val durable = writeRowsFor(df, alias, id)
         (200, s"""{"view": ${quote(alias)}, "durable": $durable}""")
     }
   }
@@ -2103,7 +2119,7 @@ final class QueryServer(
         try session(Map("id" -> id)) match {
           case Some(s) =>
             s.df.createOrReplaceTempView(alias)
-            persistRows(s.df, alias)
+            writeRowsFor(s.df, alias, id) // serialized per alias
             asyncLoads.put(alias.toLowerCase, "LOADED")
             shareLock.synchronized(persistAliases())
           case None =>

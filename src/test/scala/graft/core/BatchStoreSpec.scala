@@ -19,23 +19,31 @@ class BatchStoreSpec extends SparkSpec {
   private def storeIds(dir: String): Seq[Long] =
     spark.read.parquet(dir).select("id").as[Long].collect().toSeq.sorted
 
-  test("compact skips an unproven partial batch; horizon stays below it; replay re-registers in full") {
+  test("compact never folds an unproven batch; horizon stays below it; the carried dir replays in full") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-bs1").toString
     val store = s"$tmp/store"
     BatchStore.seed(rowsOf(0, 0), store)
     BatchStore.registerBatch(rowsOf(0, 3), store, 0L)
     BatchStore.registerBatch(rowsOf(1, 3), store, 1L)
-    // crash window: batch 2's write landed some rows but never
+    // crash window: batch 2's write landed its rows but never
     // committed — no _SUCCESS marker
     BatchStore.registerBatch(rowsOf(2, 3), store, 2L)
     java.nio.file.Files.delete(
       java.nio.file.Paths.get(s"$store/batch=2/_SUCCESS"))
     BatchStore.compact(spark, store)
-    // horizon proves only batches 0-1; batch 2 must remain replayable
+    // horizon proves only batches 0-1; batch 2 is carried verbatim as a
+    // splinter dir (visible exactly as before compaction) — NOT folded
+    // (replay would then duplicate it) and NOT dropped (if its stream
+    // commit DID land, dropping would lose it permanently)
     assert(BatchStore.compactedThrough(store) == 1L)
-    assert(storeIds(store) == Seq(0L, 1L, 2L, 100L, 101L, 102L),
-      "partial batch rows must not fold into batch=compacted")
-    // the checkpoint replay of the uncommitted batch re-registers it
+    val subdirs = new java.io.File(store).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq.sorted
+    assert(subdirs == Seq("batch=2", "batch=compacted"),
+      subdirs.mkString(","))
+    assert(storeIds(store) ==
+      Seq(0L, 1L, 2L, 100L, 101L, 102L, 200L, 201L, 202L))
+    // the checkpoint replay of the uncommitted batch overwrites the
+    // carried dir in place — exactly-once
     BatchStore.registerBatch(rowsOf(2, 3), store, 2L)
     assert(storeIds(store) ==
       Seq(0L, 1L, 2L, 100L, 101L, 102L, 200L, 201L, 202L))
@@ -44,7 +52,7 @@ class BatchStoreSpec extends SparkSpec {
     assert(dup == 0, "replay duplicated store rows")
   }
 
-  test("a committed batch above an uncommitted gap is carried as a splinter dir, so its own replay overwrites instead of duplicating") {
+  test("every batch above an unproven gap is carried as a splinter dir, so replays overwrite instead of duplicating") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-bs2").toString
     val store = s"$tmp/store"
     BatchStore.seed(rowsOf(0, 0), store)
@@ -52,23 +60,44 @@ class BatchStoreSpec extends SparkSpec {
     BatchStore.registerBatch(rowsOf(1, 2), store, 1L)
     BatchStore.registerBatch(rowsOf(2, 2), store, 2L)
     // batch 1 crashed mid-write; batch 2 landed on disk but its STREAM
-    // commit may not have — it must stay individually re-registerable
+    // commit may not have — both must stay individually re-registerable
     java.nio.file.Files.delete(
       java.nio.file.Paths.get(s"$store/batch=1/_SUCCESS"))
     BatchStore.compact(spark, store)
     assert(BatchStore.compactedThrough(store) == 0L)
     val subdirs = new java.io.File(store).listFiles()
       .filter(_.isDirectory).map(_.getName).toSeq.sorted
-    assert(subdirs == Seq("batch=2", "batch=compacted"),
+    assert(subdirs == Seq("batch=1", "batch=2", "batch=compacted"),
       subdirs.mkString(","))
-    // replay both: batch 1 re-registers (was dropped), batch 2
-    // overwrites its carried splinter dir — exactly-once either way
+    // replay both: each overwrites its carried splinter dir in place
     BatchStore.registerBatch(rowsOf(1, 2), store, 1L)
     BatchStore.registerBatch(rowsOf(2, 2), store, 2L)
     assert(storeIds(store) == Seq(0L, 1L, 100L, 101L, 200L, 201L))
     val dup = spark.read.parquet(store).groupBy("id").count()
       .filter(col("count") > 1).count()
     assert(dup == 0)
+  }
+
+  test("a marker-conf flip (ON then OFF) never loses committed batches: unmarked dirs are carried, not dropped") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bs5").toString
+    val store = s"$tmp/store"
+    BatchStore.seed(rowsOf(0, 0), store) // seed carries a marker
+    BatchStore.registerBatch(rowsOf(0, 2), store, 0L)
+    BatchStore.registerBatch(rowsOf(1, 2), store, 1L)
+    // the conf flips markers OFF: later batches commit without proof
+    // (simulated by stripping the markers from 0 and 1 — the store now
+    // has marker-bearing dirs [seed] beside unmarked committed batches)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$store/batch=0/_SUCCESS"))
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$store/batch=1/_SUCCESS"))
+    BatchStore.compact(spark, store)
+    // nothing folds past the proof gap, and — critically — NOTHING is
+    // lost: both unmarked batches survive as carried splinter dirs
+    assert(storeIds(store) == Seq(0L, 1L, 100L, 101L),
+      "conf-flip batches must survive compaction")
+    assert(BatchStore.compactedThrough(store) == -1L ||
+      BatchStore.compactedThrough(store) < 0L)
   }
 
   test("a deployment with _SUCCESS markers disabled falls back to fold-everything — never data loss") {
