@@ -1234,6 +1234,14 @@ class QueryServerSpec extends SparkSpec {
         assert(r.statusCode() == 401 &&
           r.body().contains("QUERY_OWNER_MISMATCH"), r.body())
         assert(post(s"$b2/query/next?id=$id&user=alice").statusCode() == 200)
+        // the DURABLE row store serves only its owner too: the restored
+        // alias still resolves alice as owner (via the stored
+        // definition), so bob is refused before a single stored row
+        val rows = get(s"$b2/cachedresults/getRows?alias=own_v&user=bob")
+        assert(rows.statusCode() == 401 &&
+          rows.body().contains("QUERY_OWNER_MISMATCH"), rows.body())
+        assert(get(s"$b2/cachedresults/getRows?alias=own_v&user=alice")
+          .statusCode() == 200)
         assert(get(s"$b2/mapreduce/list?jobId=$jobId&user=bob")
           .statusCode() == 401)
         // admin override closes another principal's session
