@@ -76,8 +76,20 @@ object BatchStore {
               filesPerTable: Int = 1): Unit = {
     val tmp = tableDir + ".compacting"
     Fs.recoverSwap(tableDir)
-    val rows = spark.read.parquet(tableDir)
-    val hasBatch = rows.columns.contains("batch")
+    // batched-ness comes from the DIRECTORY LISTING, not a whole-store
+    // read: a schema-inferring read over the full table would
+    // footer-probe exactly the crash-partial dirs the carry logic below
+    // protects (an unreadable footer would wedge compaction entirely).
+    val d = java.nio.file.Paths.get(tableDir)
+    import scala.jdk.CollectionConverters._
+    val subdirs = {
+      val stream = java.nio.file.Files.list(d)
+      try stream.iterator().asScala
+        .filter(java.nio.file.Files.isDirectory(_))
+        .map(_.getFileName.toString).toSeq
+      finally stream.close()
+    }
+    val hasBatch = subdirs.exists(_.startsWith("batch="))
     if (hasBatch) {
       // "batch=N dir exists" is NOT "batch N fully registered": a crash
       // mid-registerBatch leaves a partial dir, and folding its rows
@@ -97,33 +109,23 @@ object BatchStore {
       // conf. The carry is a RAW file copy — a partial dir may have no
       // readable footers, and a Spark re-encode would forge a _SUCCESS
       // the original never earned.
-      val d = java.nio.file.Paths.get(tableDir)
-      import scala.jdk.CollectionConverters._
-      val stream = java.nio.file.Files.list(d)
-      val ids = try stream.iterator().asScala
-        .map(_.getFileName.toString)
+      val ids = subdirs
         .collect { case s if s.startsWith("batch=") =>
           s.stripPrefix("batch=") }
         .flatMap(v => scala.util.Try(v.toLong).toOption)
-        .toSeq
-      finally stream.close()
       // Marker-availability guard: a deployment that disables the
       // committer's _SUCCESS files (mapreduce.fileoutputcommitter
       // .marksuccessfuljobs=false) makes every dir look unproven and
       // compaction would degenerate to carrying everything forever.
-      // Markers are written by THIS store's own writes, so if no
-      // subdirectory at all carries one, the conf disabled them: fall
-      // back to fold-everything (no partial-dir protection — the
+      // The conf itself is the authority (Fs.markersEnabled) — NOT
+      // directory state: inferring "markers on" from any old marked dir
+      // would pin a store seeded under a marker-writing conf to
+      // "every new batch unproven" forever after the conf flips off.
+      // Markers off → fold everything (no partial-dir protection — the
       // documented tradeoff of running marker-less; never data loss).
-      // Mixed states (a conf flipped mid-life, or one crash-partial
-      // among proven dirs) keep full protection via the carry rule.
-      val markersOn = {
-        val stream2 = java.nio.file.Files.list(d)
-        try stream2.iterator().asScala.exists(p =>
-          java.nio.file.Files.isDirectory(p) &&
-            Fs.committed(p.toString))
-        finally stream2.close()
-      }
+      // Markers on with unmarked dirs (a past marker-less period, or a
+      // crash-partial) keeps full protection via the carry rule.
+      val markersOn = Fs.markersEnabled(spark)
       val committed =
         if (markersOn)
           ids.filter(n => Fs.committed(d.resolve(s"batch=$n").toString))
@@ -132,12 +134,23 @@ object BatchStore {
       val horizon = ids.diff(committed).minOption
         .map(m => math.min(foldMax, m - 1)).getOrElse(foldMax)
       val carried = ids.filter(_ > horizon)
-      val excluded = carried.map(_.toString)
-      val folded = if (excluded.isEmpty) rows
-        else rows.filter(!org.apache.spark.sql.functions.col("batch")
-          .cast("string").isin(excluded: _*))
-      folded.drop("batch").repartition(filesPerTable)
-        .write.mode("overwrite").parquet(s"$tmp/batch=compacted")
+      // fold from the PROVEN partition paths explicitly (batch=seed /
+      // batch=compacted / numeric ids at or below the horizon — every
+      // id <= horizon is committed by the horizon rule above): the
+      // unproven dirs are never listed, so a partial dir with no
+      // readable footer cannot fail schema inference and wedge the
+      // maintenance op.
+      val foldDirs =
+        (Seq("seed", "compacted")
+          .filter(v => subdirs.contains(s"batch=$v")).map(v => s"batch=$v") ++
+          ids.filter(_ <= horizon).map(n => s"batch=$n"))
+          .map(n => s"$tableDir/$n")
+      if (foldDirs.nonEmpty)
+        spark.read.option("basePath", tableDir).parquet(foldDirs: _*)
+          .drop("batch").repartition(filesPerTable)
+          .write.mode("overwrite").parquet(s"$tmp/batch=compacted")
+      else // nothing proven at all: the swap target still needs a dir
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmp))
       carried.foreach { n =>
         Fs.copyRecursively(s"$tableDir/batch=$n", s"$tmp/batch=$n")
       }
@@ -146,7 +159,7 @@ object BatchStore {
         java.nio.file.Files.write(markerFile(tableDir),
           horizon.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } else
-      rows.repartition(filesPerTable)
+      spark.read.parquet(tableDir).repartition(filesPerTable)
         .write.mode("overwrite").parquet(tmp)
     Fs.swapDir(tableDir, tmp)
   }

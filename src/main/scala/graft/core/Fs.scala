@@ -53,9 +53,42 @@ object Fs {
     * directory write counts as committed only with the committer's
     * `_SUCCESS` marker. Keeping the probe here means a future change to
     * the rule (committer variants, marker-disabled deployments) lands
-    * in one place. */
+    * in one place. Callers that have a SparkSession should prefer
+    * [[committedUnder]], which honors a marker-disabled committer conf. */
   def committed(dir: String): Boolean =
     java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS"))
+
+  /** Whether THIS session's parquet writes produce `_SUCCESS` markers
+    * (`mapreduce.fileoutputcommitter.marksuccessfuljobs`, default true).
+    * Read from the conf, never inferred from directory state — a store
+    * whose early batches carry markers must not pin a later
+    * markers-disabled deployment to "everything unproven" forever. */
+  def markersEnabled(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.sparkContext.hadoopConfiguration.getBoolean(
+      "mapreduce.fileoutputcommitter.marksuccessfuljobs", true)
+
+  /** [[committed]] under the session's committer conf: with markers
+    * enabled the `_SUCCESS` rule applies verbatim; a marker-disabled
+    * deployment never writes one, so requiring it would read every
+    * store as permanently absent — there the probe degrades to
+    * "directory holds at least one data file" (no partial-write
+    * protection: the documented tradeoff of running marker-less). One
+    * rule for EVERY Fs.committed consumer, so the conf cannot wedge one
+    * store while its siblings degrade gracefully. */
+  def committedUnder(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): Boolean =
+    if (markersEnabled(spark)) committed(dir)
+    else {
+      val p = java.nio.file.Paths.get(dir)
+      if (!java.nio.file.Files.isDirectory(p)) false
+      else {
+        val s = java.nio.file.Files.list(p)
+        try s.anyMatch { f =>
+          val n = f.getFileName.toString
+          !n.startsWith("_") && !n.startsWith(".")
+        } finally s.close()
+      }
+    }
 
   /** Recovery entry for [[swapDir]], called by readers/appenders before
     * touching `src`: if a crash hit between the two renames (`src`

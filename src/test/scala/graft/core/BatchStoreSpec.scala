@@ -103,21 +103,80 @@ class BatchStoreSpec extends SparkSpec {
   test("a deployment with _SUCCESS markers disabled falls back to fold-everything — never data loss") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-bs4").toString
     val store = s"$tmp/store"
+    // the REAL marker-disabled deployment: the conf is off, so writes
+    // never produce _SUCCESS — treating every dir as "unproven partial"
+    // would silently DELETE all registered batches. The probe reads the
+    // conf (Fs.markersEnabled), so the fallback engages even though no
+    // directory state hints at it.
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.setBoolean("mapreduce.fileoutputcommitter.marksuccessfuljobs", false)
+    try {
+      BatchStore.seed(rowsOf(0, 0), store)
+      BatchStore.registerBatch(rowsOf(0, 2), store, 0L)
+      BatchStore.registerBatch(rowsOf(1, 2), store, 1L)
+      assert(!graft.core.Fs.committed(s"$store/batch=1"),
+        "precondition: the disabled committer writes no markers")
+      BatchStore.compact(spark, store)
+      assert(storeIds(store) == Seq(0L, 1L, 100L, 101L),
+        "marker-disabled compaction must fold everything, not drop batches")
+      assert(BatchStore.compactedThrough(store) == 1L)
+    } finally
+      hc.setBoolean("mapreduce.fileoutputcommitter.marksuccessfuljobs", true)
+  }
+
+  test("a store seeded under markers-ON does not pin a later markers-OFF deployment to carry-everything") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bs6").toString
+    val store = s"$tmp/store"
+    // seed + batch 0 written while markers were ON (they carry proof)
+    BatchStore.seed(rowsOf(0, 0), store)
+    BatchStore.registerBatch(rowsOf(0, 2), store, 0L)
+    // the deployment then disables markers; later batches carry none
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.setBoolean("mapreduce.fileoutputcommitter.marksuccessfuljobs", false)
+    try {
+      BatchStore.registerBatch(rowsOf(1, 2), store, 1L)
+      BatchStore.registerBatch(rowsOf(2, 2), store, 2L)
+      // compaction under the OFF conf folds everything: the old marked
+      // dirs must NOT convince the probe that markers are on (which
+      // would carry batches 1-2 as splinters forever — the horizon
+      // never advancing for any post-flip batch)
+      BatchStore.compact(spark, store)
+      assert(BatchStore.compactedThrough(store) == 2L,
+        "the horizon must advance under the flipped conf")
+      val subdirs = new java.io.File(store).listFiles()
+        .filter(_.isDirectory).map(_.getName).toSeq.sorted
+      assert(subdirs == Seq("batch=compacted"), subdirs.mkString(","))
+      assert(storeIds(store) == Seq(0L, 1L, 100L, 101L, 200L, 201L))
+    } finally
+      hc.setBoolean("mapreduce.fileoutputcommitter.marksuccessfuljobs", true)
+  }
+
+  test("a crash-partial dir with an unreadable footer cannot wedge compaction — it is carried, never footer-probed") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bs7").toString
+    val store = s"$tmp/store"
     BatchStore.seed(rowsOf(0, 0), store)
     BatchStore.registerBatch(rowsOf(0, 2), store, 0L)
     BatchStore.registerBatch(rowsOf(1, 2), store, 1L)
-    // simulate mapreduce.fileoutputcommitter.marksuccessfuljobs=false:
-    // no dir anywhere carries a marker — treating every dir as
-    // "unproven partial" would silently DELETE all registered batches
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(java.nio.file.Paths.get(store))
-      .iterator().asScala.toSeq
-      .filter(_.getFileName.toString == "_SUCCESS")
-      .foreach(java.nio.file.Files.delete)
+    // a crashed registerBatch: a part file with NO valid parquet footer
+    // and no _SUCCESS — a whole-table schema-inferring read could touch
+    // it and fail; the proven-paths fold must never list it
+    val partial = java.nio.file.Paths.get(s"$store/batch=2")
+    java.nio.file.Files.createDirectories(partial)
+    java.nio.file.Files.write(partial.resolve("part-00000.snappy.parquet"),
+      "not a parquet file".getBytes)
     BatchStore.compact(spark, store)
-    assert(storeIds(store) == Seq(0L, 1L, 100L, 101L),
-      "marker-disabled compaction must fold everything, not drop batches")
     assert(BatchStore.compactedThrough(store) == 1L)
+    val subdirs = new java.io.File(store).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq.sorted
+    assert(subdirs == Seq("batch=2", "batch=compacted"),
+      subdirs.mkString(","))
+    // the carried garbage is byte-identical (raw copy, no re-encode) …
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$store/batch=2/part-00000.snappy.parquet")))
+      == "not a parquet file")
+    // … and the checkpoint replay of batch 2 overwrites it in place
+    BatchStore.registerBatch(rowsOf(2, 2), store, 2L)
+    assert(storeIds(store) == Seq(0L, 1L, 100L, 101L, 200L, 201L))
   }
 
   test("clean stores compact exactly as before: everything folds, horizon = max id") {
