@@ -47,8 +47,17 @@ object Handlers {
   /** Single-job multi-sink write (ShardedDataTypeHandler.processBulk
     * fan-out: event + fi + global index + metadata from ONE pass): the
     * long frame is persisted once, each derived projection writes from
-    * the cached scan. Returns the written paths. */
-  def writeAll(long: DataFrame, outDir: String): Seq[String] = {
+    * the cached scan. Returns the written paths.
+    *
+    * `statsDir` folds this load's [[Ingest.datatypeStats]] rows into
+    * the corpus's durable [[MetadataStats]] store from the SAME cached
+    * scan (EventMetadata.java:96-110 — statistics are an ingest
+    * output, not a query-time backfill). Keyed by `batchId` with
+    * overwrite semantics, matching the sinks: a re-run of the same
+    * load replaces its statistics instead of double-counting `cnt`. */
+  def writeAll(long: DataFrame, outDir: String,
+               statsDir: Option[String] = None,
+               batchId: Long = 0L): Seq[String] = {
     val cached = long.persist()
     try {
       val sinks: Seq[(String, DataFrame)] = Seq(
@@ -56,11 +65,14 @@ object Handlers {
         "global_index" -> Ingest.globalIndex(cached),
         "metadata" -> Ingest.metadata(cached),
         "doc_view" -> Ingest.docView(cached))
-      sinks.map { case (name, df) =>
+      val paths = sinks.map { case (name, df) =>
         val path = s"$outDir/$name"
         df.write.mode("overwrite").parquet(path)
         path
       }
+      statsDir.foreach(sd => MetadataStats.updateBatch(
+        cached.sparkSession, sd, batchId, Ingest.datatypeStats(cached)))
+      paths
     } finally { cached.unpersist() }
   }
 }

@@ -352,12 +352,17 @@ object IngestQueries {
 
   /** Ingest-maintained planning statistics (EventMetadata.java:96-110:
     * statistics written into the metadata table AT INGEST, read back at
-    * plan time): two batches of one datatype — the flat order roots
-    * (depth 1), then their dotted lineitem children (depth 2) — each
-    * fold their [[Ingest.datatypeStats]] rows into the durable store;
-    * the gate returns the read-back, proving merged statistic = the
-    * whole-corpus aggregate without any corpus re-scan at read time.
-    * This is the statistic [[TreeQueries.parentQuery]] prunes on. */
+    * plan time): two ingest batches of one datatype — the flat order
+    * roots (depth 1), then their dotted lineitem children (depth 2) —
+    * each fold their [[Ingest.datatypeStats]] rows into the durable
+    * store through the INGEST tier's per-batch path
+    * ([[graft.ingest.MetadataStats.updateBatch]]), and the children
+    * batch is then REPLAYED (the crash-after-swap window a streaming
+    * checkpoint replay produces): the overwrite-keyed registration
+    * replaces its rows, so the oracle's exact `cnt` proves replay does
+    * not double-count. The read-back is the merged statistic = the
+    * whole-corpus aggregate with no corpus re-scan at read time — the
+    * statistic [[TreeQueries.parentQuery]] prunes on. */
   def ingTreeDepthStat(s: SparkSession, d: String): DataFrame = {
     val dir =
       java.nio.file.Files.createTempDirectory("graft-dtstats").toString
@@ -367,8 +372,13 @@ object IngestQueries {
       concat(col("l_orderkey").cast("string"), lit("."),
         col("l_linenumber").cast("string")).as("uid"),
       lit("doc").as("datatype"))
-    graft.ingest.MetadataStats.update(s, dir, Ingest.datatypeStats(roots))
-    graft.ingest.MetadataStats.update(s, dir, Ingest.datatypeStats(children))
+    graft.ingest.MetadataStats.updateBatch(s, dir, 0L,
+      Ingest.datatypeStats(roots))
+    graft.ingest.MetadataStats.updateBatch(s, dir, 1L,
+      Ingest.datatypeStats(children))
+    // checkpoint replay of batch 1: must REPLACE, not double-count
+    graft.ingest.MetadataStats.updateBatch(s, dir, 1L,
+      Ingest.datatypeStats(children))
     graft.ingest.MetadataStats.read(s, dir)
       .select("datatype", "max_tree_depth", "cnt")
   }

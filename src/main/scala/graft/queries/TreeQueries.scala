@@ -62,11 +62,30 @@ object TreeQueries {
   private val depthStat =
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
+  /** Corpus dir → the [[graft.ingest.MetadataStats]] store its INGEST
+    * tier maintains ([[graft.streaming.StreamingIngest.ingestTo]]'s
+    * `statsDir` / [[graft.ingest.Handlers.writeAll]]'s). A bound corpus
+    * reads the statistic its ingest wrote — plan-from-metadata with NO
+    * backfill, the reference's MetadataHelper-over-metadata-table path.
+    * Unbound corpora (the read-only test fixtures) keep the one-time
+    * backfill below. */
+  private val boundStats =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Bind `dir`'s planning statistics to the store its ingest tier
+    * writes; drops any memoized backfill value so the next parent query
+    * reads the ingest-maintained statistic. */
+  def bindStats(dir: String, statsDir: String): Unit = {
+    boundStats.put(dir, statsDir)
+    depthStat.remove(dir)
+  }
+
   /** Drop the cached planning statistic for `dir` (or all corpora) —
     * call after mutating a corpus in place so the next parent query
-    * re-derives it. */
+    * re-derives it. An empty dir also drops every ingest-store binding. */
   def invalidateStats(dir: String = ""): Unit =
-    if (dir.isEmpty) depthStat.clear() else depthStat.remove(dir)
+    if (dir.isEmpty) { depthStat.clear(); boundStats.clear() }
+    else { depthStat.remove(dir); boundStats.remove(dir) }
 
   /** Parent query: child matches resolve to their parent document;
     * top-level matches resolve to themselves (ParentQueryLogic /
@@ -81,11 +100,20 @@ object TreeQueries {
   def parentQuery(s: SparkSession, d: String): DataFrame = {
     val docs = treeDocs(s, d)
     val depth = depthStat.computeIfAbsent(d, _ => {
-      val dir =
-        java.nio.file.Files.createTempDirectory("graft-treemeta").toString
-      graft.ingest.MetadataStats.update(s, dir,
-        graft.ingest.Ingest.datatypeStats(docs, datatypeCol = "kind"))
-      Int.box(graft.ingest.MetadataStats.maxTreeDepth(s, dir).getOrElse(1))
+      // ingest-bound corpus first: read the statistic the ingest tier
+      // wrote (no backfill job at all); only an unbound corpus pays the
+      // one-time backfill — the write a live deployment's ingest
+      // performs per batch
+      Option(boundStats.get(d))
+        .flatMap(sd => graft.ingest.MetadataStats.maxTreeDepth(s, sd))
+        .map(Int.box)
+        .getOrElse {
+          val dir =
+            java.nio.file.Files.createTempDirectory("graft-treemeta").toString
+          graft.ingest.MetadataStats.update(s, dir,
+            graft.ingest.Ingest.datatypeStats(docs, datatypeCol = "kind"))
+          Int.box(graft.ingest.MetadataStats.maxTreeDepth(s, dir).getOrElse(1))
+        }
     })
     DocumentTree.parentsOfMatches(docs,
         (col("kind") === "line" && col("quantity") > 49) ||

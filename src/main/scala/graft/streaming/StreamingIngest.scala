@@ -46,16 +46,40 @@ object StreamingIngest {
     * replaces its own output instead of appending a duplicate. A bare
     * `mode("append")` here would be at-least-once; the checkpoint dedups
     * *inputs*, never *outputs*. Readers treat `batch_id` as one more
-    * partition column on the same `spark.read.parquet(outDir)`. */
+    * partition column on the same `spark.read.parquet(outDir)`.
+    *
+    * `statsDir` makes the INGEST tier the planning-statistics producer
+    * (EventMetadata.java:96-110 — the reference writes its statistics
+    * into the metadata table AT ingest, so the planner never re-scans
+    * the corpus): each micro-batch folds its
+    * [[graft.ingest.Ingest.datatypeStats]] rows into the corpus's
+    * durable [[graft.ingest.MetadataStats]] store, keyed by the batch
+    * id — a crash-replayed batch REPLACES its stats rows (exactly-once,
+    * like the data write beside it), never double-counts. */
   def ingestTo(stream: DataFrame, outDir: String, checkpointDir: String,
-               toLong: DataFrame => DataFrame): DataStreamWriter[org.apache.spark.sql.Row] =
+               toLong: DataFrame => DataFrame,
+               statsDir: Option[String] = None): DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        toLong(batch).write.mode("overwrite")
-          .partitionBy("shard_date")
-          .parquet(s"$outDir/batch_id=$id")
+        statsDir match {
+          case None =>
+            toLong(batch).write.mode("overwrite")
+              .partitionBy("shard_date")
+              .parquet(s"$outDir/batch_id=$id")
+          case Some(sd) =>
+            // the long frame feeds TWO jobs (data write + stats fold) —
+            // persist once, release after both
+            val long = toLong(batch).persist()
+            try {
+              long.write.mode("overwrite")
+                .partitionBy("shard_date")
+                .parquet(s"$outDir/batch_id=$id")
+              graft.ingest.MetadataStats.updateBatch(batch.sparkSession,
+                sd, id, graft.ingest.Ingest.datatypeStats(long))
+            } finally long.unpersist()
+        }
       }
 
   /** Watermarked event-time windowed counts — net-new vs the reference

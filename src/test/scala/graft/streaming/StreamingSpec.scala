@@ -70,6 +70,60 @@ class StreamingSpec extends SparkSpec {
     assert(written.select("shard_date").distinct().count() == 2)
   }
 
+  test("ingest is the statistics producer: per-batch stats fold at ingest; the parent query reads them with NO backfill") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-statsprod").toString
+    val in = s"$tmp/in"; val out = s"$tmp/out"; val ck = s"$tmp/ck"
+    val stats = s"$tmp/stats"
+    new java.io.File(in).mkdirs()
+    // batch 0: flat roots (depth 1); batch 1: dotted children (depth 2)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/f1.json"),
+      """{"id":"o1","event_date":"2024-01-01","NAME":"a"}
+        |{"id":"o2","event_date":"2024-01-01","NAME":"b"}""".stripMargin)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/f2.json"),
+      """{"id":"o1.1","event_date":"2024-01-02","NAME":"c"}
+        |{"id":"o1.2","event_date":"2024-01-02","NAME":"d"}""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id STRING, event_date STRING, NAME STRING")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(in)
+    val q = StreamingIngest.ingestTo(stream, out, ck,
+      b => graft.ingest.Ingest.toLong(b, "id", "people", "event_date"),
+      statsDir = Some(stats)).start()
+    q.awaitTermination(60000)
+    // the store advanced PER BATCH under the ingest tier's own writes
+    val batchDirs = new java.io.File(s"$stats/datatype_stats_batches")
+      .listFiles().filter(_.isDirectory).map(_.getName).toSeq.sorted
+    assert(batchDirs == Seq("batch=0", "batch=1"), batchDirs.mkString(","))
+    assert(graft.ingest.MetadataStats.maxTreeDepth(spark, stats) == Some(2))
+    // cnt = long rows (2 records × 1 field per batch, 2 batches)
+    assert(graft.ingest.MetadataStats.read(spark, stats)
+      .head().getLong(2) == 4L)
+    // the plan-time consumer: a corpus BOUND to its ingest-maintained
+    // store reads the statistic back and never writes a backfill —
+    // sf0.001's tree corpus has true depth 2, the very value the
+    // ingest above recorded, so the pruned plan is the correct one
+    graft.queries.TreeQueries.bindStats(sf001, stats)
+    try {
+      def statsFiles() = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(stats))
+          .iterator().asScala.map(_.toString).toSet
+      }
+      val before = statsFiles()
+      val viaIngestStats =
+        graft.queries.TreeQueries.parentQuery(spark, sf001)
+          .collect().map(_.toString).sorted.toSeq
+      assert(statsFiles() == before,
+        "parentQuery must READ the ingest-maintained statistic, not backfill")
+      // same answer as the unbound (backfilling) path
+      graft.queries.TreeQueries.invalidateStats(sf001)
+      val viaBackfill =
+        graft.queries.TreeQueries.parentQuery(spark, sf001)
+          .collect().map(_.toString).sorted.toSeq
+      assert(viaIngestStats == viaBackfill)
+    } finally graft.queries.TreeQueries.invalidateStats(sf001)
+  }
+
   test("crashed micro-batch replays from the checkpoint exactly once") {
     // FlagMaker crash-recovery analog (and the streaming counterpart of
     // RunningQuerySpec's kill-and-resume): three single-file micro-batches;
