@@ -425,6 +425,99 @@ object ServiceQueries {
     } finally server2.stop()
   }
 
+  /** The state-expiration tier driven END-TO-END over live HTTP
+    * (QueryExpirationBean.java:39 idle-session eviction +
+    * CachedResultsExpirationBean.java:37-95 `daysToLive` cleanup of
+    * cached-result tables, the machinery that keeps a production
+    * server's durable state from growing without bound): three
+    * sessions — one idle (its durable definition's last-use an hour
+    * old), one actively paging, one holding a loaded CachedResults
+    * alias with durably materialized rows. A non-admin's sweep is
+    * refused. Sweep 1 (real clock) evicts exactly the idle session;
+    * the alias-holding one is fresh and the alias HOLDS it regardless.
+    * Sweep 2 (asOf past daysToLive) evicts the alias — its rows dir
+    * deleted from stateDir — and the now-unheld idle sessions. The
+    * server then RESTARTS over the same stateDir: the evictions are
+    * durable (the 404s repeat) and new work still serves. Observed
+    * codes/counts return as literal rows. */
+  def queryExpiration(s: SparkSession, d: String): DataFrame = {
+    val stateDir =
+      java.nio.file.Files.createTempDirectory("graft-expgate").toString
+    val orders = Tables.orders(s, d).withColumn("visibility", lit("A"))
+    def mkServer() = new QueryServer(Map("orders" -> orders),
+      stateDir = stateDir,
+      users = Map("alice" -> Set("A"), "bob" -> Set("A"),
+        "root" -> Set("A")),
+      adminUsers = Set("root"),
+      metricsFlush = false)
+    val out = Seq.newBuilder[(String, Int)]
+    def count(field: String, body: String): Int =
+      ("\"" + field + "\": (\\d+)").r.findFirstMatchIn(body).get.group(1).toInt
+    val rowsDir =
+      java.nio.file.Paths.get(stateDir, "cachedrows", "expgate_rows")
+    val server = mkServer()
+    val port = server.start()
+    val (qIdle, qLive) = try {
+      val svc = new RemoteQueryService(s"http://127.0.0.1:$port")
+      def mkQuery() = svc.createQuery("orders", "O_ORDERSTATUS == 'F'",
+        pageSize = 100, orderBy = Seq("o_orderkey"), user = "alice")
+      val qIdle = mkQuery(); val qAlias = mkQuery(); val qLive = mkQuery()
+      require(svc.httpStatus("POST",
+        s"/cachedresults/load?id=$qAlias&alias=expgate_rows&user=alice")
+        ._1 == 200, "load failed")
+      require(svc.nextPage(qLive, user = "alice").nonEmpty)
+      // the idle one's durable last-use record ages past the 15-minute
+      // default (the definition file's mtime IS that record)
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(stateDir, "sessions", s"$qIdle.properties"),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 60L * 60 * 1000))
+      out += (("sweep_non_admin",
+        svc.httpStatus("POST", "/admin/expire?user=bob")._1))
+      val s1 = svc.httpStatus("POST", "/admin/expire?user=root")._2
+      out += (("sweep1_expired_queries", count("expiredQueries", s1)))
+      out += (("sweep1_expired_aliases", count("expiredAliases", s1)))
+      out += (("idle_next_after_sweep",
+        svc.httpStatus("GET", s"/query/next?id=$qIdle&user=alice")._1))
+      out += (("live_next_after_sweep",
+        svc.httpStatus("GET", s"/query/next?id=$qLive&user=alice")._1))
+      out += (("held_getrows_after_sweep", svc.httpStatus("GET",
+        "/cachedresults/getRows?alias=expgate_rows&rowBegin=1&rowEnd=2&user=alice")._1))
+      // past daysToLive: the alias (rows dir and all) and, unheld, the
+      // remaining idle sessions
+      val asOf = System.currentTimeMillis() + 25L * 3600 * 1000
+      val s2 = svc.httpStatus("POST", s"/admin/expire?user=root&asOf=$asOf")._2
+      out += (("sweep2_expired_queries", count("expiredQueries", s2)))
+      out += (("sweep2_expired_aliases", count("expiredAliases", s2)))
+      out += (("expired_getrows", svc.httpStatus("GET",
+        "/cachedresults/getRows?alias=expgate_rows&rowBegin=1&rowEnd=2&user=alice")._1))
+      out += (("rows_dir_gone",
+        if (java.nio.file.Files.exists(rowsDir)) 0 else 1))
+      (qIdle, qLive)
+    } finally server.stop()
+    // the gate's servers share one SparkSession — drop the live view so
+    // the restart leg exercises the real fresh-catalog path
+    try s.catalog.dropTempView("expgate_rows") catch { case _: Exception => () }
+    val server2 = mkServer()
+    val port2 = server2.start()
+    try {
+      val svc = new RemoteQueryService(s"http://127.0.0.1:$port2")
+      out += (("restart_idle_next",
+        svc.httpStatus("GET", s"/query/next?id=$qIdle&user=alice")._1))
+      out += (("restart_live_next",
+        svc.httpStatus("GET", s"/query/next?id=$qLive&user=alice")._1))
+      out += (("restart_getrows", svc.httpStatus("GET",
+        "/cachedresults/getRows?alias=expgate_rows&rowBegin=1&rowEnd=2&user=alice")._1))
+      val fresh = svc.createQuery("orders", "O_ORDERSTATUS == 'F'",
+        pageSize = 100, orderBy = Seq("o_orderkey"), user = "alice")
+      out += (("restart_new_query_next",
+        svc.httpStatus("GET", s"/query/next?id=$fresh&user=alice")._1))
+      svc.close(fresh, user = "alice")
+    } finally server2.stop()
+    import s.implicits._
+    out.result().toDF("step", "code")
+  }
+
   def translateId(s: SparkSession, d: String): DataFrame = {
     val server = new QueryServer(Map("events" -> Tables.events(s, d)),
       uuidTypes = Seq(
@@ -925,6 +1018,7 @@ object ServiceQueries {
     "vis_registry" -> visRegistry _,
     "vis_chain" -> visChain _,
     "vis_owner" -> visOwner _,
+    "query_expiration" -> queryExpiration _,
     "cached_results_load" -> cachedResultsLoad _,
     "transforms_chain" -> transformsChain _,
     "decorated_fields" -> decoratedFields _,
@@ -1160,6 +1254,20 @@ object ServiceQueries {
         |     WHEN 'purchase' THEN 'A&B' WHEN 'signup' THEN 'C'
         |     ELSE '(A&B)|C' END AS visibility
         | FROM events WHERE event_type IN ('click', 'view')""".stripMargin,
+    // literal rows: the expiration tier's observed statuses — the idle
+    // session evicts (404 thereafter, durably), the TTL'd alias drops
+    // with its materialized rows dir, survivors keep serving, and the
+    // non-admin sweep attempt is refused
+    "query_expiration" ->
+      """SELECT step, CAST(code AS INT) AS code FROM (VALUES
+        |  ('sweep_non_admin', 401), ('sweep1_expired_queries', 1),
+        |  ('sweep1_expired_aliases', 0), ('idle_next_after_sweep', 404),
+        |  ('live_next_after_sweep', 200), ('held_getrows_after_sweep', 200),
+        |  ('sweep2_expired_queries', 2), ('sweep2_expired_aliases', 1),
+        |  ('expired_getrows', 404), ('rows_dir_gone', 1),
+        |  ('restart_idle_next', 404), ('restart_live_next', 404),
+        |  ('restart_getrows', 404), ('restart_new_query_next', 200))
+        |  AS t(step, code)""".stripMargin,
     // the chain minimum {A} admits exactly what alice sees directly
     "vis_chain" ->
       """SELECT event_id, event_type,

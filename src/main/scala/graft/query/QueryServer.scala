@@ -69,7 +69,21 @@ final class QueryServer(
     atomTable: Option[DataFrame] = None,
     users: Map[String, Set[String]] = Map.empty,
     adminUsers: Set[String] = Set.empty,
-    metricsFlush: Boolean = true) {
+    metricsFlush: Boolean = true,
+    /** Idle timeout for query sessions — the reference's
+      * QueryExpirationBean.java:39 evicts sessions untouched past the
+      * configured idle time (QueryExpirationConfiguration default:
+      * 15 minutes). Enforced by [[expire]], not a hot-path check. */
+    queryIdleTimeoutMillis: Long = 15L * 60 * 1000,
+    /** TTL for loaded CachedResults aliases and their materialized row
+      * stores — CachedResultsExpirationBean.java:37 +
+      * CachedResultsCleanupConfiguration.java:5 (`daysToLive = 1`).
+      * Measured from the alias's last load/update. */
+    cachedResultsTtlMillis: Long = 24L * 60 * 60 * 1000,
+    /** When set, [[start]] schedules [[expire]] on this period (the
+      * reference's timer-driven expiration beans); None = sweep only on
+      * demand via [[expire]] or `/admin/expire`. */
+    expirationSweepMillis: Option[Long] = None) {
 
   /** The served tables. `/modification/submit` REBINDS an entry to its
     * edited frame (the reference's mutation service writes through to
@@ -163,6 +177,151 @@ final class QueryServer(
     * unpersist the frame the new session is about to share. */
   private val shareLock = new Object
 
+  // ---- state expiration ----------------------------------------------
+  // The reference EXPIRES server state: QueryExpirationBean.java:39
+  // evicts idle query sessions on a timer, and CachedResultsExpiration
+  // Bean.java:37-95 drops cached-result tables past daysToLive. Without
+  // it the durable tier (definitions, cursor state, alias bindings and
+  // — since the rows became durable — full materialized row stores)
+  // accumulates until an explicit close, which production clients
+  // famously never send. Timestamps: a session's last use is its
+  // in-memory touch or, durably, its definition file's mtime (bumped by
+  // the touching verbs, so idleness survives restarts); an alias's is
+  // recorded at load/update and persisted in aliases.properties. A
+  // timestamp nothing recorded falls back to THIS server's construction
+  // time — a restart resets the clock for pre-upgrade state rather than
+  // mass-evicting it.
+
+  private val bootMillis = System.currentTimeMillis()
+  private val lastUsed = new ConcurrentHashMap[String, java.lang.Long]()
+  /** Alias → last load/update millis (persisted beside the binding). */
+  private val aliasTs = new ConcurrentHashMap[String, java.lang.Long]()
+  private var sweeper: java.util.concurrent.ScheduledExecutorService = _
+
+  /** Record a data-verb use of `id` — in memory and, best-effort, as
+    * the durable definition's mtime (so idle-eviction decisions survive
+    * a restart without a new store). */
+  private def touchSession(id: String): Unit = {
+    val now = System.currentTimeMillis()
+    lastUsed.put(id, java.lang.Long.valueOf(now))
+    try {
+      val f = sessionFile(id)
+      if (java.nio.file.Files.exists(f))
+        java.nio.file.Files.setLastModifiedTime(f,
+          java.nio.file.attribute.FileTime.fromMillis(now))
+    } catch { case _: Exception => () }
+  }
+
+  private def lastUsedOf(id: String): Long = {
+    val mem = Option(lastUsed.get(id)).map(_.longValue())
+    val f = sessionFile(id)
+    val disk =
+      try {
+        if (java.nio.file.Files.exists(f))
+          Some(java.nio.file.Files.getLastModifiedTime(f).toMillis)
+        else None
+      } catch { case _: Exception => None }
+    (mem.toSeq ++ disk.toSeq).maxOption.getOrElse(bootMillis)
+  }
+
+  private def aliasTsOf(a: String): Long =
+    Option(aliasTs.get(a.toLowerCase)).map(_.longValue()).getOrElse(bootMillis)
+
+  /** Every id with a durable definition on disk (live or not). */
+  private def durableSessionIds: Set[String] = {
+    val d = java.nio.file.Paths.get(stateDir, "sessions")
+    if (!java.nio.file.Files.isDirectory(d)) Set.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(d)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".properties"))
+        .map(_.stripSuffix(".properties")).toSet
+      finally s.close()
+    }
+  }
+
+  /** One expiration sweep as of `now` — the library entry point the
+    * timer (`expirationSweepMillis`) and `/admin/expire` both call.
+    * Two passes under the share lock, each DURABLE (the evicted state
+    * is deleted from stateDir, so a restart stays expired):
+    *
+    *  1. CachedResults TTL: every alias whose last load/update is older
+    *     than `cachedResultsTtlMillis` drops — view, binding, async
+    *     state, materialized rows (the reference's daysToLive cleanup).
+    *  2. Idle sessions: every session (live or definition-only) whose
+    *     last use is older than `queryIdleTimeoutMillis` tears down
+    *     exactly as close does — EXCEPT sessions still holding a loaded
+    *     alias. A loaded alias serves and owner-gates THROUGH its
+    *     owning query's definition; evicting the definition under it
+    *     would orphan the alias and launder it ownerless. The hold is
+    *     released when the alias itself expires (pass 1 runs first, so
+    *     one sweep past both deadlines evicts both), mirroring the
+    *     reference where the cached-results table carries its own
+    *     lifetime independent of the originating query session.
+    *
+    * Duplicate-shared frames stay safe: teardown releases a frame only
+    * when no other live session shares it. Each eviction is audited.
+    * Returns (expired sessions, expired aliases). */
+  def expire(now: Long = System.currentTimeMillis()): (Int, Int) =
+    shareLock.synchronized {
+      import scala.jdk.CollectionConverters._
+      val deadAliases = loadedAliases.keySet.asScala.toSeq
+        .filter(a => now - aliasTsOf(a) > cachedResultsTtlMillis)
+      deadAliases.foreach { a =>
+        auditor.audit(Audit.AuditRecord(a, "<expiration>",
+          s"expired cachedresults alias '$a' (ttl ${cachedResultsTtlMillis}ms)",
+          "", "expire", auditType.name, Seq.empty, now))
+        dropAlias(a)
+      }
+      if (deadAliases.nonEmpty) persistAliases()
+      val held = loadedAliases.values.asScala.toSet
+      val deadSessions =
+        (sessions.keySet.asScala.toSet ++ durableSessionIds).diff(held)
+          .toSeq.filter(id => now - lastUsedOf(id) > queryIdleTimeoutMillis)
+      deadSessions.foreach { id =>
+        auditor.audit(Audit.AuditRecord(id, "<expiration>",
+          s"expired idle query '$id' (idle ${queryIdleTimeoutMillis}ms)",
+          "", "expire", auditType.name, Seq.empty, now))
+        teardown(id)
+      }
+      (deadSessions.size, deadAliases.size)
+    }
+
+  /** `POST /admin/expire[?asOf=millis]` — run the expiration sweep on
+    * demand (the verb face of the reference's timer beans). A
+    * server-wide maintenance op: with a principal registry configured
+    * only `adminUsers` may invoke it (401 otherwise, fail-closed for
+    * unknown callers). `asOf` overrides the sweep clock — an
+    * admin-only operational hook (evict as of a future instant =
+    * forced eviction; admins can already close any object). */
+  private def adminExpire(params: Map[String, String]): (Int, String) = {
+    if (users.nonEmpty) {
+      val caller = params.getOrElse("user", "anonymous")
+      if (!users.contains(caller))
+        return (401, err(s"unknown user '$caller'"))
+      if (!adminUsers.contains(caller))
+        return (401, err("admin required"))
+    }
+    try {
+      val now = params.get("asOf").map(_.toLong)
+        .getOrElse(System.currentTimeMillis())
+      val (qs, as) = expire(now)
+      (200, s"""{"expiredQueries": $qs, "expiredAliases": $as}""")
+    } catch { case e: Exception => (400, err(e.getMessage)) }
+  }
+
+  /** Alias-scoped teardown shared by close and the expiration sweep:
+    * live view, binding, async state, timestamp, durable rows. */
+  private def dropAlias(a: String): Unit = {
+    sparkOf.foreach(_.catalog.dropTempView(a))
+    loadedAliases.remove(a)
+    asyncLoads.remove(a)
+    aliasSql.remove(a)
+    aliasTs.remove(a)
+    dropRows(a)
+  }
+
   // ---- durable CachedResults aliases ---------------------------------
   // The reference's CachedResults table is DURABLE (CachedResultsBean
   // persists result tables + their metadata in MySQL — a restarted
@@ -186,6 +345,8 @@ final class QueryServer(
       if (java.nio.file.Files.exists(sessionFile(q))) {
         p.setProperty(a, q)
         Option(aliasSql.get(a)).foreach(sql => p.setProperty(a + " sql", sql))
+        Option(aliasTs.get(a)).foreach(ts =>
+          p.setProperty(a + " ts", ts.toString))
       }
     }
     java.nio.file.Files.createDirectories(aliasFile.getParent)
@@ -211,9 +372,31 @@ final class QueryServer(
 
   /** Materialize a loaded alias's rows (overwrite = a re-load
     * refreshes). The `_SUCCESS` marker is the restore-side commit
-    * proof — a crash mid-write falls back to the resume path. */
-  private def persistRows(df: DataFrame, alias: String): Unit =
+    * proof — a crash mid-write falls back to the resume path. The store
+    * is STAMPED with the owning query id (`_OWNER_QUERY`, written after
+    * the data commit): the alias BINDING commits in phase 1 under
+    * shareLock but the rows land in phase 2 outside it, so a crash
+    * between a re-point (or a close + later re-load) and the new rows'
+    * write leaves the PREVIOUS query's committed rows on disk — without
+    * the stamp a restarted server would serve them as the new binding's
+    * result, in the close-orphan case another principal's rows under
+    * the new owner's alias. A store whose stamp is missing (crash
+    * between data commit and stamp) or names a different query restores
+    * through the resume path instead. */
+  private def persistRows(df: DataFrame, alias: String, id: String): Unit = {
     df.write.mode("overwrite").parquet(rowsDir(alias).toString)
+    java.nio.file.Files.write(rowsDir(alias).resolve("_OWNER_QUERY"),
+      id.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** The query id stamped on a committed rows store (None = unstamped —
+    * a pre-stamp store or a crash before the stamp landed). */
+  private def rowsStamp(alias: String): Option[String] = {
+    val f = rowsDir(alias).resolve("_OWNER_QUERY")
+    if (!java.nio.file.Files.exists(f)) None
+    else Some(new String(java.nio.file.Files.readAllBytes(f),
+      StandardCharsets.UTF_8).trim)
+  }
 
   private def dropRows(alias: String): Unit =
     graft.core.Fs.deleteRecursively(rowsDir(alias))
@@ -237,7 +420,7 @@ final class QueryServer(
     rowLocks.computeIfAbsent(alias.toLowerCase, _ => new Object).synchronized {
       if (loadedAliases.get(alias.toLowerCase) != id) false
       else {
-        val ok = try { persistRows(df, alias); true }
+        val ok = try { persistRows(df, alias, id); true }
           catch { case _: Exception => false }
         if (loadedAliases.get(alias.toLowerCase) != id) {
           dropRows(alias); false
@@ -252,9 +435,12 @@ final class QueryServer(
     try p.load(in) finally in.close()
     import scala.jdk.CollectionConverters._
     p.stringPropertyNames().asScala.foreach { k =>
-      if (k.contains(" "))
-        aliasSql.put(k.takeWhile(_ != ' '), p.getProperty(k))
-      else loadedAliases.put(k, p.getProperty(k))
+      if (k.endsWith(" sql"))
+        aliasSql.put(k.stripSuffix(" sql"), p.getProperty(k))
+      else if (k.endsWith(" ts"))
+        scala.util.Try(p.getProperty(k).trim.toLong).toOption.foreach(ts =>
+          aliasTs.put(k.stripSuffix(" ts"), java.lang.Long.valueOf(ts)))
+      else if (!k.contains(" ")) loadedAliases.put(k, p.getProperty(k))
     }
   }
   loadAliases()
@@ -287,10 +473,16 @@ final class QueryServer(
         // durable ROWS first (CachedRunningQuery.java:399 — the stored
         // result table outlives the service): a restart re-registers
         // the view over the materialized parquet and never re-runs the
-        // owning query. Only a committed store counts (_SUCCESS); a
-        // crash mid-materialization falls back to the resume path.
+        // owning query. Only a committed store counts (committedUnder —
+        // the _SUCCESS rule, degrading under a marker-disabled
+        // committer conf rather than never restoring), and only when
+        // its _OWNER_QUERY stamp names THIS binding's query — a crash
+        // between a re-point/re-load's binding commit and its phase-2
+        // rows write must not serve the previous generation's rows
+        // under the new binding. Anything else falls back to resume.
         val stored = rowsDir(a)
-        if (graft.core.Fs.committed(stored.toString)) {
+        if (graft.core.Fs.committedUnder(sp, stored.toString) &&
+            rowsStamp(a).contains(q)) {
           sp.read.parquet(stored.toString).createOrReplaceTempView(a)
           true
         } else session(Map("id" -> q)) match {
@@ -359,15 +551,31 @@ final class QueryServer(
     server.createContext("/atom/feed", handler(atomFeedPage))
     server.createContext("/atom/entry", handler(atomEntry))
     server.createContext("/admin/listTables", handler(adminListTables))
+    server.createContext("/admin/expire", handler(adminExpire))
     server.createContext("/user/listEffectiveAuthorizations",
       handler(listEffectiveAuths))
     server.createContext("/user/flushCachedCredentials",
       handler(flushCachedCredentials))
+    server.createContext("/accumulo/validateVisibilities",
+      handler(validateVisibilities))
     server.start()
+    // timer-driven expiration (QueryExpirationBean runs on an EJB
+    // timer; here a daemon scheduler) — opt-in via the constructor
+    expirationSweepMillis.foreach { period =>
+      sweeper = java.util.concurrent.Executors
+        .newSingleThreadScheduledExecutor(r => {
+          val t = new Thread(r, "graft-expiration"); t.setDaemon(true); t
+        })
+      sweeper.scheduleAtFixedRate(
+        () => try expire() catch { case _: Exception => () },
+        period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
+    }
     server.getAddress.getPort
   }
 
   def stop(): Unit = {
+    // the sweep timer must not fire into a stopping server
+    if (sweeper != null) sweeper.shutdownNow()
     // delay 1: lets in-flight exchange handlers finish BEFORE the
     // flush below, so a page recorded by a racing /query/next still
     // makes the durable ledger (an idle server returns immediately)
@@ -545,6 +753,31 @@ final class QueryServer(
   private def aliasOwner(alias: String): String =
     Option(loadedAliases.get(alias.toLowerCase)).map(queryOwner)
       .getOrElse("")
+
+  /** `POST /accumulo/validateVisibilities?visibilities=v1,v2,…` — the
+    * reference's visibility-expression pre-check
+    * (UpdateBean.java:49-52 `/Accumulo/ValidateVisibilities`): parse
+    * each submitted expression with the SAME parser the enforcement
+    * path uses ([[graft.vis.Visibility.parse]]) and report
+    * per-expression validity, so a client can vet a marking BEFORE
+    * writing rows that would then fail (or worse, fail-closed hide)
+    * at read time. Purely syntactic — no data access, no principal
+    * resolution; commas are not part of the visibility grammar, so the
+    * comma-separated list is unambiguous. */
+  private def validateVisibilities(params: Map[String, String])
+      : (Int, String) = {
+    val raw = params.getOrElse("visibilities",
+      return (400, err("missing 'visibilities'")))
+    val exprs = raw.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+    if (exprs.isEmpty) return (400, err("no visibility expressions given"))
+    val results = exprs.map { e =>
+      // parse may refuse by Option OR by exception — both are "invalid"
+      val valid = scala.util.Try(graft.vis.Visibility.parse(e))
+        .toOption.flatten.isDefined
+      s"""{"visibility": ${quote(e)}, "valid": $valid}"""
+    }
+    (200, s"""{"results": [${results.mkString(",")}]}""")
+  }
 
   /** `GET /user/listEffectiveAuthorizations[?proxiedEntities=e1,e2]` —
     * UserOperationsBean.java:111-115: "what authorizations will I
@@ -899,6 +1132,7 @@ final class QueryServer(
           case None => ()
         }
         val id = qid(params)
+        touchSession(id)
         try {
           // a reset is a fresh run and RE-audits as one (the reference
           // re-enters the audit path on reset, QueryExecutorBean.java:
@@ -977,6 +1211,7 @@ final class QueryServer(
         }
         try {
           val id = qid(params)
+          touchSession(id)
           val pageSize = params.get("pageSize").map(_.toInt)
             .getOrElse(if (s.pageSize > 0) s.pageSize else defaultPageSize)
           require(pageSize > 0, s"pageSize must be positive, got $pageSize")
@@ -1278,15 +1513,9 @@ final class QueryServer(
       import scala.jdk.CollectionConverters._
       val owned =
         loadedAliases.asScala.collect { case (a, q) if q == id => a }.toSeq
-      owned.foreach { a =>
-        tableMap.values.headOption
-          .foreach(_.sparkSession.catalog.dropTempView(a))
-        loadedAliases.remove(a)
-        asyncLoads.remove(a)
-        aliasSql.remove(a)
-        dropRows(a) // durable teardown: the materialized rows go too
-      }
+      owned.foreach(dropAlias) // durable: the materialized rows go too
       if (owned.nonEmpty) persistAliases()
+      lastUsed.remove(id)
       Option(sessions.remove(id)) match {
         case Some(s) => release(s); cursor.close(id); dropSessionFile(id); true
         case None =>
@@ -1344,6 +1573,7 @@ final class QueryServer(
       case Some(resp) => return resp
       case None => ()
     }
+    touchSession(qid(params)) // paging resets the idle-eviction clock
     // one job per page; "page" is the 1-based page NUMBER, matching the
     // pageNum the /query/metrics endpoint reports for the same page
     s.running.nextPageJson() match {
@@ -1904,6 +2134,10 @@ final class QueryServer(
         // answering 500 on /status or the data verbs)
         asyncLoads.remove(alias.toLowerCase)
         aliasSql.remove(alias.toLowerCase) // a re-load re-binds a plain view
+        // TTL clock: a (re-)load refreshes the alias's daysToLive
+        aliasTs.put(alias.toLowerCase,
+          java.lang.Long.valueOf(System.currentTimeMillis()))
+        touchSession(id) // exporting is a use of the owning query
         persistAliases()
         Right((s.df, alias, id))
     } }
@@ -1959,6 +2193,10 @@ final class QueryServer(
         loadedAliases.put(alias.toLowerCase, id)
         s.df.createOrReplaceTempView(alias)
         aliasSql.remove(alias.toLowerCase)
+        // the reference's lastUpdated: an update refreshes the TTL
+        aliasTs.put(alias.toLowerCase,
+          java.lang.Long.valueOf(System.currentTimeMillis()))
+        touchSession(id)
         persistAliases()
         Right((s.df, alias, id))
     } }
@@ -2114,6 +2352,8 @@ final class QueryServer(
       val owner = loadedAliases.putIfAbsent(alias.toLowerCase, id)
       if (owner != null && owner != id)
         return (409, err(s"alias '$alias' is bound to another query"))
+      aliasTs.put(alias.toLowerCase,
+        java.lang.Long.valueOf(System.currentTimeMillis()))
       asyncLoads.put(alias.toLowerCase, "LOADING")
       val t = new Thread(() => {
         try session(Map("id" -> id)) match {
@@ -2254,6 +2494,8 @@ final class QueryServer(
         // the derived view's defining SQL travels with the alias so a
         // restarted server can re-define it (CachedResults durability)
         aliasSql.put(view.toLowerCase, sql)
+        aliasTs.put(view.toLowerCase,
+          java.lang.Long.valueOf(System.currentTimeMillis()))
         persistAliases()
         (200, s"""{"view": ${quote(view)}, "sql": ${quote(sql)}}""")
       } catch { case e: Exception => (400, err(e.getMessage)) }
