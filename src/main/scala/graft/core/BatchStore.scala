@@ -82,13 +82,13 @@ object BatchStore {
     // protects (an unreadable footer would wedge compaction entirely).
     val d = java.nio.file.Paths.get(tableDir)
     import scala.jdk.CollectionConverters._
-    val subdirs = {
+    val entries = {
       val stream = java.nio.file.Files.list(d)
-      try stream.iterator().asScala
-        .filter(java.nio.file.Files.isDirectory(_))
-        .map(_.getFileName.toString).toSeq
+      try stream.iterator().asScala.map(_.getFileName.toString).toSeq
       finally stream.close()
     }
+    val subdirs = entries.filter(n =>
+      java.nio.file.Files.isDirectory(d.resolve(n)))
     val hasBatch = subdirs.exists(_.startsWith("batch="))
     if (hasBatch) {
       // "batch=N dir exists" is NOT "batch N fully registered": a crash
@@ -133,26 +133,31 @@ object BatchStore {
       val foldMax = (compactedThrough(tableDir) +: committed).max
       val horizon = ids.diff(committed).minOption
         .map(m => math.min(foldMax, m - 1)).getOrElse(foldMax)
-      val carried = ids.filter(_ > horizon)
       // fold from the PROVEN partition paths explicitly (batch=seed /
       // batch=compacted / numeric ids at or below the horizon — every
       // id <= horizon is committed by the horizon rule above): the
       // unproven dirs are never listed, so a partial dir with no
       // readable footer cannot fail schema inference and wedge the
       // maintenance op.
-      val foldDirs =
-        (Seq("seed", "compacted")
+      val foldNames =
+        Seq("seed", "compacted")
           .filter(v => subdirs.contains(s"batch=$v")).map(v => s"batch=$v") ++
-          ids.filter(_ <= horizon).map(n => s"batch=$n"))
-          .map(n => s"$tableDir/$n")
-      if (foldDirs.nonEmpty)
-        spark.read.option("basePath", tableDir).parquet(foldDirs: _*)
+          ids.filter(_ <= horizon).map(n => s"batch=$n")
+      if (foldNames.nonEmpty)
+        spark.read.option("basePath", tableDir)
+          .parquet(foldNames.map(n => s"$tableDir/$n"): _*)
           .drop("batch").repartition(filesPerTable)
           .write.mode("overwrite").parquet(s"$tmp/batch=compacted")
       else // nothing proven at all: the swap target still needs a dir
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmp))
-      carried.foreach { n =>
-        Fs.copyRecursively(s"$tableDir/batch=$n", s"$tmp/batch=$n")
+      // EVERYTHING not folded carries verbatim into the swap target —
+      // the numeric dirs above the horizon AND any entry the fold does
+      // not recognize (an operator's batch=3.bak backup, a stray file):
+      // compaction must never be the operation that deletes data it
+      // didn't fold. The numeric above-horizon dirs are a subset of
+      // this complement.
+      entries.filterNot(foldNames.toSet).foreach { n =>
+        Fs.copyRecursively(s"$tableDir/$n", s"$tmp/$n")
       }
       // marker BEFORE the swap — see the horizon contract above
       if (horizon >= 0)
@@ -162,6 +167,38 @@ object BatchStore {
       spark.read.parquet(tableDir).repartition(filesPerTable)
         .write.mode("overwrite").parquet(tmp)
     Fs.swapDir(tableDir, tmp)
+  }
+
+  /** Read the PROVEN partitions of a batch-partitioned store: `seed`/
+    * `compacted` by existence, numeric `batch=N` dirs by their
+    * registration's commit proof ([[Fs.committed]], waived when the
+    * committer conf disables markers — one rule with [[compact]] and
+    * every other `Fs.committed` consumer). Explicit paths, so an
+    * unproven crash-partial dir is never listed: it can neither fold
+    * into the result nor wedge the read with an unreadable footer.
+    * None = the store doesn't exist or has no proven partition yet.
+    * The `batch` partition column is dropped — readers see rows. */
+  def readProven(spark: SparkSession, tableDir: String): Option[DataFrame] = {
+    Fs.recoverSwap(tableDir)
+    val d = java.nio.file.Paths.get(tableDir)
+    if (!java.nio.file.Files.isDirectory(d)) return None
+    import scala.jdk.CollectionConverters._
+    val subdirs = {
+      val s = java.nio.file.Files.list(d)
+      try s.iterator().asScala.filter(java.nio.file.Files.isDirectory(_))
+        .map(_.getFileName.toString)
+        .filter(_.startsWith("batch=")).toSeq
+      finally s.close()
+    }
+    val markersOn = Fs.markersEnabled(spark)
+    val proven = subdirs.filter { n =>
+      val v = n.stripPrefix("batch=")
+      scala.util.Try(v.toLong).isFailure || !markersOn ||
+        Fs.committed(d.resolve(n).toString)
+    }
+    if (proven.isEmpty) None
+    else Some(spark.read.option("basePath", tableDir)
+      .parquet(proven.map(n => s"$tableDir/$n"): _*).drop("batch"))
   }
 
   /** One streamed micro-batch's WRITE choreography, shared by every

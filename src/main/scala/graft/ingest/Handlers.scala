@@ -49,15 +49,17 @@ object Handlers {
     * long frame is persisted once, each derived projection writes from
     * the cached scan. Returns the written paths.
     *
-    * `statsDir` folds this load's [[Ingest.datatypeStats]] rows into
-    * the corpus's durable [[MetadataStats]] store from the SAME cached
-    * scan (EventMetadata.java:96-110 — statistics are an ingest
-    * output, not a query-time backfill). Keyed by `batchId` with
-    * overwrite semantics, matching the sinks: a re-run of the same
-    * load replaces its statistics instead of double-counting `cnt`. */
+    * `stats = Some((statsDir, batchId))` folds this load's
+    * [[Ingest.datatypeStats]] rows into the corpus's durable
+    * [[MetadataStats]] store from the SAME cached scan
+    * (EventMetadata.java:96-110 — statistics are an ingest output, not
+    * a query-time backfill). The batch id travels WITH the dir so a
+    * caller cannot accidentally default it: two different loads folding
+    * into one store under the same id would silently REPLACE each
+    * other's rows (overwrite is for re-runs of the SAME load — that is
+    * what makes the fold idempotent instead of double-counting). */
   def writeAll(long: DataFrame, outDir: String,
-               statsDir: Option[String] = None,
-               batchId: Long = 0L): Seq[String] = {
+               stats: Option[(String, Long)] = None): Seq[String] = {
     val cached = long.persist()
     try {
       val sinks: Seq[(String, DataFrame)] = Seq(
@@ -70,8 +72,8 @@ object Handlers {
         df.write.mode("overwrite").parquet(path)
         path
       }
-      statsDir.foreach(sd => MetadataStats.updateBatch(
-        cached.sparkSession, sd, batchId, Ingest.datatypeStats(cached)))
+      stats.foreach { case (sd, batchId) => MetadataStats.updateBatch(
+        cached.sparkSession, sd, batchId, Ingest.datatypeStats(cached)) }
       paths
     } finally { cached.unpersist() }
   }

@@ -74,34 +74,12 @@ object MetadataStats {
   def compactBatches(spark: SparkSession, dir: String): Unit =
     BatchStore.compact(spark, batchTable(dir))
 
-  /** The committed per-batch stats rows, if any — proven dirs only
-    * (explicit paths, so a crash-partial batch dir can neither fold in
-    * nor wedge the read with a corrupt footer). */
-  private def batchRows(spark: SparkSession, dir: String): Option[DataFrame] = {
-    val t = batchTable(dir)
-    Fs.recoverSwap(t)
-    val d = java.nio.file.Paths.get(t)
-    if (!java.nio.file.Files.isDirectory(d)) return None
-    import scala.jdk.CollectionConverters._
-    val subdirs = {
-      val s = java.nio.file.Files.list(d)
-      try s.iterator().asScala.filter(java.nio.file.Files.isDirectory(_))
-        .map(_.getFileName.toString)
-        .filter(_.startsWith("batch=")).toSeq
-      finally s.close()
-    }
-    val markersOn = Fs.markersEnabled(spark)
-    val proven = subdirs.filter { n =>
-      val v = n.stripPrefix("batch=")
-      // compacted/seed partitions fold by existence; numeric batch dirs
-      // need their registration's commit proof (when markers are on)
-      scala.util.Try(v.toLong).isFailure || !markersOn ||
-        Fs.committed(d.resolve(n).toString)
-    }
-    if (proven.isEmpty) None
-    else Some(spark.read.option("basePath", t)
-      .parquet(proven.map(n => s"$t/$n"): _*).drop("batch"))
-  }
+  /** The committed per-batch stats rows, if any — the shared
+    * proven-partitions read ([[BatchStore.readProven]]): explicit
+    * paths, so a crash-partial batch dir can neither fold in nor wedge
+    * the read with a corrupt footer. */
+  private def batchRows(spark: SparkSession, dir: String): Option[DataFrame] =
+    BatchStore.readProven(spark, batchTable(dir))
 
   /** The stored statistics: the merged-table generations and the
     * per-batch rows, aggregated (max of maxes, sum of counts). An
@@ -146,9 +124,11 @@ object MetadataStats {
     * un-pruned plan; guessing here would risk a wrong prune. */
   def maxTreeDepth(spark: SparkSession, dir: String,
                    datatype: Option[String] = None): Option[Int] = {
-    if (!hasStats(spark, dir)) return None
-    val rows = datatype.fold(read(spark, dir))(dt =>
-      read(spark, dir).filter(col("datatype") === dt))
+    // read() already answers an absent/uncommitted store with zero rows
+    // (→ null max → None) — no separate existence probe, which would
+    // double every recoverSwap/commit/listing I/O on the planner path
+    val all = read(spark, dir)
+    val rows = datatype.fold(all)(dt => all.filter(col("datatype") === dt))
     val r = rows.agg(max(col("max_tree_depth"))).head()
     if (r.isNullAt(0)) None else Some(r.getLong(0).toInt)
   }

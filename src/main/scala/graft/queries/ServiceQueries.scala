@@ -455,10 +455,10 @@ object ServiceQueries {
       ("\"" + field + "\": (\\d+)").r.findFirstMatchIn(body).get.group(1).toInt
     val rowsDir =
       java.nio.file.Paths.get(stateDir, "cachedrows", "expgate_rows")
-    val server = mkServer()
-    val port = server.start()
+    val server0 = mkServer()
+    val port0 = server0.start()
     val (qIdle, qLive) = try {
-      val svc = new RemoteQueryService(s"http://127.0.0.1:$port")
+      val svc = new RemoteQueryService(s"http://127.0.0.1:$port0")
       def mkQuery() = svc.createQuery("orders", "O_ORDERSTATUS == 'F'",
         pageSize = 100, orderBy = Seq("o_orderkey"), user = "alice")
       val qIdle = mkQuery(); val qAlias = mkQuery(); val qLive = mkQuery()
@@ -466,12 +466,23 @@ object ServiceQueries {
         s"/cachedresults/load?id=$qAlias&alias=expgate_rows&user=alice")
         ._1 == 200, "load failed")
       require(svc.nextPage(qLive, user = "alice").nonEmpty)
-      // the idle one's durable last-use record ages past the 15-minute
-      // default (the definition file's mtime IS that record)
-      java.nio.file.Files.setLastModifiedTime(
-        java.nio.file.Paths.get(stateDir, "sessions", s"$qIdle.properties"),
-        java.nio.file.attribute.FileTime.fromMillis(
-          System.currentTimeMillis() - 60L * 60 * 1000))
+      (qIdle, qLive)
+    } finally server0.stop()
+    // real idleness spans a restart (the in-memory touch dies with the
+    // server): the definition file's mtime IS the durable last-use
+    // record — age the idle one past the 15-minute default
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(stateDir, "sessions", s"$qIdle.properties"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 60L * 60 * 1000))
+    // drop the shared-session temp view so the restarted servers walk
+    // the real fresh-catalog restore path
+    try s.catalog.dropTempView("expgate_rows")
+    catch { case _: Exception => () }
+    val server = mkServer()
+    val port = server.start()
+    try {
+      val svc = new RemoteQueryService(s"http://127.0.0.1:$port")
       out += (("sweep_non_admin",
         svc.httpStatus("POST", "/admin/expire?user=bob")._1))
       val s1 = svc.httpStatus("POST", "/admin/expire?user=root")._2
@@ -493,11 +504,7 @@ object ServiceQueries {
         "/cachedresults/getRows?alias=expgate_rows&rowBegin=1&rowEnd=2&user=alice")._1))
       out += (("rows_dir_gone",
         if (java.nio.file.Files.exists(rowsDir)) 0 else 1))
-      (qIdle, qLive)
     } finally server.stop()
-    // the gate's servers share one SparkSession — drop the live view so
-    // the restart leg exercises the real fresh-catalog path
-    try s.catalog.dropTempView("expgate_rows") catch { case _: Exception => () }
     val server2 = mkServer()
     val port2 = server2.start()
     try {

@@ -32,14 +32,27 @@ object StreamingQueries {
       "value DOUBLE, props STRING"
 
   /** The file stream source requires a DIRECTORY (its real-world contract:
-    * a landing zone files arrive into — the FlagMaker input dir). The test
-    * tables are single parquet files, so stage a symlink into a fresh
-    * temp dir; zero-copy. */
+    * a landing zone files arrive into — the FlagMaker input dir). Stage
+    * symlinks into a fresh temp dir; zero-copy. A table may be a single
+    * parquet FILE (the driver's sf0.x fixtures) or a Spark-written
+    * DIRECTORY of part files (the sf1 fixtures) — the file source does
+    * not recurse into a non-partition subdirectory, so a directory
+    * table stages each part file individually. */
   private def stageDir(file: String): String = {
     val dir = tmp("graft-stage")
-    java.nio.file.Files.createSymbolicLink(
-      java.nio.file.Paths.get(dir, new java.io.File(file).getName),
-      java.nio.file.Paths.get(file))
+    val src = java.nio.file.Paths.get(file)
+    val parts =
+      if (java.nio.file.Files.isDirectory(src)) {
+        import scala.jdk.CollectionConverters._
+        val s = java.nio.file.Files.list(src)
+        try s.iterator().asScala.filter(
+          _.getFileName.toString.endsWith(".parquet")).toSeq
+        finally s.close()
+      } else Seq(src)
+    parts.foreach { p =>
+      java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(dir, p.getFileName.toString), p)
+    }
     dir
   }
 

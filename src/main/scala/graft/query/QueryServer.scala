@@ -263,8 +263,8 @@ final class QueryServer(
     * Duplicate-shared frames stay safe: teardown releases a frame only
     * when no other live session shares it. Each eviction is audited.
     * Returns (expired sessions, expired aliases). */
-  def expire(now: Long = System.currentTimeMillis()): (Int, Int) =
-    shareLock.synchronized {
+  def expire(now: Long = System.currentTimeMillis()): (Int, Int) = {
+    val (nSessions, nAliases, reap) = shareLock.synchronized {
       import scala.jdk.CollectionConverters._
       val deadAliases = loadedAliases.keySet.asScala.toSeq
         .filter(a => now - aliasTsOf(a) > cachedResultsTtlMillis)
@@ -272,21 +272,26 @@ final class QueryServer(
         auditor.audit(Audit.AuditRecord(a, "<expiration>",
           s"expired cachedresults alias '$a' (ttl ${cachedResultsTtlMillis}ms)",
           "", "expire", auditType.name, Seq.empty, now))
-        dropAlias(a)
+        unbindAlias(a)
       }
       if (deadAliases.nonEmpty) persistAliases()
       val held = loadedAliases.values.asScala.toSet
       val deadSessions =
         (sessions.keySet.asScala.toSet ++ durableSessionIds).diff(held)
           .toSeq.filter(id => now - lastUsedOf(id) > queryIdleTimeoutMillis)
-      deadSessions.foreach { id =>
+      val fromSessions = deadSessions.flatMap { id =>
         auditor.audit(Audit.AuditRecord(id, "<expiration>",
           s"expired idle query '$id' (idle ${queryIdleTimeoutMillis}ms)",
           "", "expire", auditType.name, Seq.empty, now))
-        teardown(id)
+        teardown(id)._2
       }
-      (deadSessions.size, deadAliases.size)
+      (deadSessions.size, deadAliases.size, deadAliases ++ fromSessions)
     }
+    // the heavy filesystem deletes run after the lock released — the
+    // sweep must not stall every verb for their duration
+    reapRows(reap)
+    (nSessions, nAliases)
+  }
 
   /** `POST /admin/expire[?asOf=millis]` — run the expiration sweep on
     * demand (the verb face of the reference's timer beans). A
@@ -311,15 +316,29 @@ final class QueryServer(
     } catch { case e: Exception => (400, err(e.getMessage)) }
   }
 
-  /** Alias-scoped teardown shared by close and the expiration sweep:
-    * live view, binding, async state, timestamp, durable rows. */
-  private def dropAlias(a: String): Unit = {
+  /** Alias-scoped UNBIND shared by close and the expiration sweep:
+    * live view, binding, async state, timestamp — everything except
+    * the materialized rows store, whose recursive delete is filesystem
+    * work too heavy for the share lock. Callers pass the unbound names
+    * to [[reapRows]] AFTER releasing it. */
+  private def unbindAlias(a: String): Unit = {
     sparkOf.foreach(_.catalog.dropTempView(a))
     loadedAliases.remove(a)
     asyncLoads.remove(a)
     aliasSql.remove(a)
     aliasTs.remove(a)
-    dropRows(a)
+  }
+
+  /** Delete unbound aliases' rows stores OUTSIDE the share lock (a
+    * multi-GB delete must not stall every verb behind the sweep),
+    * serialized per alias against writers. If the name was RE-BOUND
+    * while we waited, the store is the new binding's business — its own
+    * phase-2 write overwrites it, and until then the owner stamp keeps
+    * the stale generation from ever restoring — so skip it. */
+  private def reapRows(aliases: Seq[String]): Unit = aliases.foreach { a =>
+    rowLocks.computeIfAbsent(a.toLowerCase, _ => new Object).synchronized {
+      if (!loadedAliases.containsKey(a.toLowerCase)) dropRows(a)
+    }
   }
 
   // ---- durable CachedResults aliases ---------------------------------
@@ -623,13 +642,13 @@ final class QueryServer(
           case Some((rows, pageNum)) =>
             (200, s"""{"queryId": "$id", "page": $pageNum,""" +
               s""" "rows": [${rows.mkString(",")}]}""")
-          case None => teardown(id); (204, "")
+          case None => reapRows(teardown(id)._2); (204, "")
         } catch {
           case e: Exception =>
             // a first-page RUNTIME failure must not strand a session
             // the caller has no id for (the error response carries no
             // queryId) — the reference closes the query on failure
-            teardown(id)
+            reapRows(teardown(id)._2)
             (500, err(e.getMessage))
         }
     }
@@ -870,6 +889,7 @@ final class QueryServer(
       val sess = Session(result, orderCols, running, q, qp.syntax, pageSize,
         table, modelName, auths, owner = ownerOf(params))
       sessions.put(queryId, sess)
+      touchSession(queryId) // birth = first use for the idle clock
       persistSession(queryId, sess)
       // the create itself is a metric event (the reference ingests a
       // BaseQueryMetric per created query); pages accrue to the same id
@@ -925,6 +945,11 @@ final class QueryServer(
     sessions.put(queryId,
       Session(result, orderCols, running, query, syntax, pageSize,
         owner = ownerOf(params)))
+    // ephemeral lookup sessions have NO definition file, so the
+    // in-memory touch is their ONLY last-use record — without it a
+    // sweep on a long-lived server would evict them at birth
+    // (lastUsedOf would fall back to the server's construction time)
+    touchSession(queryId)
     metricsStore.record(QueryMetric(queryId, query, syntax,
       System.currentTimeMillis(), 0L, 0L,
       user = params.getOrElse("user", "anonymous"), logicName = logicName))
@@ -1101,6 +1126,7 @@ final class QueryServer(
               owner = if (ownerOf(params).nonEmpty) ownerOf(params)
                       else s.owner)
             sessions.put(newId, dupSess)
+            touchSession(newId)
             persistSession(newId, dupSess)
             // the duplicate is a query of its own: without a metric row
             // its durable pages would be orphans the summary's
@@ -1279,7 +1305,9 @@ final class QueryServer(
       case Some(resp) => return resp
       case None => ()
     }
-    if (teardown(qid(params))) (200, """{"canceled": true}""")
+    val (found, owned) = teardown(qid(params))
+    reapRows(owned)
+    if (found) (200, """{"canceled": true}""")
     else (404, err("unknown queryId"))
   }
 
@@ -1413,7 +1441,9 @@ final class QueryServer(
       case Some(resp) => return resp
       case None => ()
     }
-    if (teardown(qid(params))) (200, """{"removed": true}""")
+    val (found, owned) = teardown(qid(params))
+    reapRows(owned)
+    if (found) (200, """{"removed": true}""")
     else (404, err("unknown queryId"))
   }
 
@@ -1507,21 +1537,25 @@ final class QueryServer(
     * matching the reference storage-service delete-on-close, or the
     * file leaks and a later `/query/next` silently resurrects the
     * supposedly-closed query. Aliases the query loaded via
-    * `/cachedresults/load` drop with it (alias-scoped teardown). */
-  private def teardown(id: String): Boolean =
+    * `/cachedresults/load` UNBIND with it; the returned names must be
+    * handed to [[reapRows]] once the caller is outside the share lock
+    * (the rows deletes are too heavy to hold it through). Returns
+    * (session existed, unbound aliases). */
+  private def teardown(id: String): (Boolean, Seq[String]) =
     shareLock.synchronized {
       import scala.jdk.CollectionConverters._
       val owned =
         loadedAliases.asScala.collect { case (a, q) if q == id => a }.toSeq
-      owned.foreach(dropAlias) // durable: the materialized rows go too
+      owned.foreach(unbindAlias) // durable: reapRows deletes the stores
       if (owned.nonEmpty) persistAliases()
       lastUsed.remove(id)
       Option(sessions.remove(id)) match {
-        case Some(s) => release(s); cursor.close(id); dropSessionFile(id); true
+        case Some(s) =>
+          release(s); cursor.close(id); dropSessionFile(id); (true, owned)
         case None =>
           val hadFile = java.nio.file.Files.exists(sessionFile(id))
           if (hadFile) { cursor.close(id); dropSessionFile(id) }
-          hadFile
+          (hadFile, owned)
       }
     }
 
@@ -2364,11 +2398,13 @@ final class QueryServer(
             shareLock.synchronized(persistAliases())
           case None =>
             loadedAliases.remove(alias.toLowerCase, id)
+            aliasTs.remove(alias.toLowerCase) // no binding, no TTL clock
             asyncLoads.put(alias.toLowerCase, "ERROR:unknown queryId")
             shareLock.synchronized(persistAliases())
         } catch {
           case e: Throwable =>
             loadedAliases.remove(alias.toLowerCase, id)
+            aliasTs.remove(alias.toLowerCase)
             asyncLoads.put(alias.toLowerCase,
               "ERROR:" + Option(e.getMessage).getOrElse(e.getClass.getName))
             shareLock.synchronized(persistAliases())
@@ -2690,7 +2726,9 @@ final class QueryServer(
       case Some(resp) => return resp
       case None => ()
     }
-    if (teardown(qid(params))) (200, """{"closed": true}""")
+    val (found, owned) = teardown(qid(params))
+    reapRows(owned)
+    if (found) (200, """{"closed": true}""")
     else (404, err("unknown queryId"))
   }
 
@@ -2823,6 +2861,7 @@ final class QueryServer(
               p.getProperty("query", ""), qp.syntax, pageSize, table,
               modelName, qp.auths, owner = p.getProperty("owner", ""))
             sessions.put(id, s)
+            touchSession(id) // a resume IS a use
             s
           }
         }

@@ -179,6 +179,40 @@ class BatchStoreSpec extends SparkSpec {
     assert(storeIds(store) == Seq(0L, 1L, 100L, 101L, 200L, 201L))
   }
 
+  test("compaction never deletes what it didn't fold: unrecognized entries carry verbatim") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bs8").toString
+    val store = s"$tmp/store"
+    BatchStore.seed(rowsOf(0, 0), store)
+    BatchStore.registerBatch(rowsOf(0, 2), store, 0L)
+    // an operator's manual backup and a stray file — not partitions the
+    // fold recognizes, but compaction must not be the thing that
+    // deletes them
+    Fs.copyRecursively(s"$store/batch=0", s"$store/batch=0.bak")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$store/NOTES.txt"), "ops note".getBytes)
+    BatchStore.compact(spark, store)
+    val names = new java.io.File(store).listFiles().map(_.getName).toSeq.sorted
+    assert(names == Seq("NOTES.txt", "batch=0.bak", "batch=compacted"),
+      names.mkString(","))
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$store/NOTES.txt"))) == "ops note")
+  }
+
+  test("readProven serves only committed partitions and survives a crash-partial dir") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bs9").toString
+    val store = s"$tmp/store"
+    BatchStore.seed(rowsOf(0, 0), store)
+    BatchStore.registerBatch(rowsOf(0, 2), store, 0L)
+    val partial = java.nio.file.Paths.get(s"$store/batch=1")
+    java.nio.file.Files.createDirectories(partial)
+    java.nio.file.Files.write(partial.resolve("part-00000.snappy.parquet"),
+      "garbage".getBytes)
+    val rows = BatchStore.readProven(spark, store).get
+      .select("id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(rows == Seq(0L, 1L))
+    assert(BatchStore.readProven(spark, s"$tmp/absent").isEmpty)
+  }
+
   test("clean stores compact exactly as before: everything folds, horizon = max id") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-bs3").toString
     val store = s"$tmp/store"

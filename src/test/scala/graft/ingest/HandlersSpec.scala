@@ -36,6 +36,21 @@ class HandlersSpec extends SparkSpec {
     assert(md.select("field").collect().map(_.getString(0)).toSet == Set("cat", "num"))
   }
 
+  test("writeAll folds planning statistics from the same scan; a re-run replaces, not double-counts") {
+    val dir = java.nio.file.Files.createTempDirectory("sinks2").toString
+    val stats = java.nio.file.Files.createTempDirectory("stats2").toString
+    Handlers.writeAll(long, dir, stats = Some((stats, 0L)))
+    val once = MetadataStats.read(spark, stats)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSet
+    // the re-run of the SAME load (same batch id) overwrites its sinks
+    // AND its statistics — cnt must not double
+    Handlers.writeAll(long, dir, stats = Some((stats, 0L)))
+    val twice = MetadataStats.read(spark, stats)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSet
+    assert(once == twice, s"re-run double-counted: $once vs $twice")
+    assert(once.map(_._2).sum == long.count())
+  }
+
   test("date index resolves alternate date semantics to shard dates") {
     // event stored under its EVENT date, but carries a different
     // ACTIVITY date — the ACTIVITY-bounded query must reach the EVENT

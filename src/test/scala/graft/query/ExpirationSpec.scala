@@ -44,19 +44,24 @@ class ExpirationSpec extends SparkSpec {
       stateDir = stateDir, auditor = auditor,
       users = Map("alice" -> Set("A"), "root" -> Set("A")),
       adminUsers = Set("root"), metricsFlush = false)
+    val srv0 = mk(); val port0 = srv0.start()
+    val (idIdle, idLive) = try {
+      val base = s"http://127.0.0.1:$port0"
+      val q = java.net.URLEncoder.encode("GRP == 'A'", "UTF-8")
+      val i = idOf(post(s"$base/query/create?table=people&query=$q" +
+        "&pageSize=5&orderBy=id&user=alice").body())
+      val l = idOf(post(s"$base/query/create?table=people&query=$q" +
+        "&pageSize=5&orderBy=id&user=alice").body())
+      assert(get(s"$base/query/next?id=$l&user=alice").statusCode() == 200)
+      (i, l)
+    } finally srv0.stop()
+    // real idleness spans a restart: the in-memory touch dies with the
+    // server and the definition mtime IS the durable last-use record —
+    // age the idle one past the 15-minute default
+    backdateSession(stateDir, idIdle, 60L * 60 * 1000)
     val srv = mk(); val port = srv.start()
     val (idle, live) = try {
       val base = s"http://127.0.0.1:$port"
-      val q = java.net.URLEncoder.encode("GRP == 'A'", "UTF-8")
-      val idIdle = idOf(post(s"$base/query/create?table=people&query=$q" +
-        "&pageSize=5&orderBy=id&user=alice").body())
-      val idLive = idOf(post(s"$base/query/create?table=people&query=$q" +
-        "&pageSize=5&orderBy=id&user=alice").body())
-      // the live one pages (touch); the idle one goes stale: its
-      // definition mtime — the DURABLE last-use record — ages past the
-      // 15-minute default
-      assert(get(s"$base/query/next?id=$idLive&user=alice").statusCode() == 200)
-      backdateSession(stateDir, idIdle, 60L * 60 * 1000)
       val swept = post(s"$base/admin/expire?user=root")
       assert(swept.statusCode() == 200, swept.body())
       assert(swept.body().contains("\"expiredQueries\": 1"), swept.body())
