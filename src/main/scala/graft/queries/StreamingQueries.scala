@@ -638,20 +638,33 @@ object StreamingQueries {
         |   count(*) AS cnt,
         |   CAST(LEAST(count(DISTINCT event_id), 20) AS BIGINT) AS sample_size
         | FROM events GROUP BY 1""".stripMargin,
+    // the islands break is computed over DISTINCT (user_id, ts): with
+    // tied timestamps (the sf1 fixtures replicate each event 10x at the
+    // SAME ts) a lag over the raw rows is NONDETERMINISTIC — the break
+    // lands at an arbitrary position inside the tie, splitting one true
+    // session 19/1 or 18/2 run-to-run. Tied events share one session
+    // (gap 0), which is exactly what session_window computes; the
+    // deterministic form joins each event back to its distinct-ts
+    // island before counting.
     "stream_sessions" ->
-      """WITH g AS (
+      """WITH d AS (
+        | SELECT DISTINCT user_id, ts FROM events
+        |), g AS (
         | SELECT user_id, ts,
         |   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
         |          >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
-        | FROM events
+        | FROM d
         |), sess AS (
         | SELECT user_id, ts,
         |   sum(brk) OVER (PARTITION BY user_id ORDER BY ts
         |                  ROWS UNBOUNDED PRECEDING) AS sid
         | FROM g
         |)
-        |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |SELECT e.user_id,
+        |   strftime(min(e.ts), '%Y-%m-%d %H:%M:%S') AS session_start,
         |   count(*) AS cnt
-        | FROM sess GROUP BY user_id, sid""".stripMargin,
+        | FROM events e JOIN sess s
+        |   ON e.user_id = s.user_id AND e.ts = s.ts
+        | GROUP BY e.user_id, s.sid""".stripMargin,
   )
 }
