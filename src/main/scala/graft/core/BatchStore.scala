@@ -139,9 +139,21 @@ object BatchStore {
       // unproven dirs are never listed, so a partial dir with no
       // readable footer cannot fail schema inference and wedge the
       // maintenance op.
+      // batch=seed is Spark-written INTO THE LIVE DIR (seed()), so a
+      // crash mid-seed leaves a VISIBLE partial with no _SUCCESS — it
+      // takes the same proof rule as the numeric dirs (unproven → not
+      // folded, carried verbatim by the complement rule below; the
+      // stream's restart re-seeds with mode("overwrite"), replacing the
+      // splinter in place). batch=compacted needs no proof: it is only
+      // ever written into the .compacting TEMP dir and becomes visible
+      // through the completed swap, so a partial compacted can never be
+      // listed here.
+      val seedProven = subdirs.contains("batch=seed") &&
+        (!markersOn || Fs.committed(d.resolve("batch=seed").toString))
       val foldNames =
-        Seq("seed", "compacted")
-          .filter(v => subdirs.contains(s"batch=$v")).map(v => s"batch=$v") ++
+        (if (seedProven) Seq("batch=seed") else Seq.empty) ++
+          (if (subdirs.contains("batch=compacted")) Seq("batch=compacted")
+           else Seq.empty) ++
           ids.filter(_ <= horizon).map(n => s"batch=$n")
       if (foldNames.nonEmpty)
         spark.read.option("basePath", tableDir)
@@ -169,9 +181,10 @@ object BatchStore {
     Fs.swapDir(tableDir, tmp)
   }
 
-  /** Read the PROVEN partitions of a batch-partitioned store: `seed`/
-    * `compacted` by existence, numeric `batch=N` dirs by their
-    * registration's commit proof ([[Fs.committed]], waived when the
+  /** Read the PROVEN partitions of a batch-partitioned store:
+    * `compacted` by existence (it only ever becomes visible through a
+    * completed swap), `seed` and numeric `batch=N` dirs by their
+    * write's commit proof ([[Fs.committed]], waived when the
     * committer conf disables markers — one rule with [[compact]] and
     * every other `Fs.committed` consumer). Explicit paths, so an
     * unproven crash-partial dir is never listed: it can neither fold
@@ -191,10 +204,18 @@ object BatchStore {
       finally s.close()
     }
     val markersOn = Fs.markersEnabled(spark)
-    val proven = subdirs.filter { n =>
-      val v = n.stripPrefix("batch=")
-      scala.util.Try(v.toLong).isFailure || !markersOn ||
-        Fs.committed(d.resolve(n).toString)
+    val proven = subdirs.filter {
+      // only ever visible through compact's completed swap — a partial
+      // compacted cannot be listed, so existence IS its proof
+      case "batch=compacted" => true
+      // Spark-written into the live dir (seed()): a crash mid-seed
+      // leaves a visible partial, so it takes the numeric dirs' rule
+      case n @ "batch=seed" =>
+        !markersOn || Fs.committed(d.resolve(n).toString)
+      case n =>
+        val v = n.stripPrefix("batch=")
+        scala.util.Try(v.toLong).isFailure || !markersOn ||
+          Fs.committed(d.resolve(n).toString)
     }
     if (proven.isEmpty) None
     else Some(spark.read.option("basePath", tableDir)

@@ -73,7 +73,7 @@ object Handlers {
         path
       }
       stats.foreach { case (sd, batchId) => MetadataStats.updateBatch(
-        cached.sparkSession, sd, batchId, Ingest.datatypeStats(cached)) }
+        sd, batchId, Ingest.datatypeStats(cached)) }
       paths
     } finally { cached.unpersist() }
   }

@@ -64,7 +64,7 @@ object MetadataStats {
     * every [[graft.core.BatchStore]] registration. Aggregation happens
     * at READ time ([[read]]), so no read-modify-write and no lost
     * update between concurrent batch writers. */
-  def updateBatch(spark: SparkSession, dir: String, batchId: Long,
+  def updateBatch(dir: String, batchId: Long,
                   batchStats: DataFrame): Unit =
     BatchStore.registerBatch(batchStats.repartition(1),
       batchTable(dir), batchId)
@@ -109,13 +109,6 @@ object MetadataStats {
           org.apache.spark.sql.types.StructType.fromDDL(
             "uid STRING, datatype STRING")))
     }
-  }
-
-  /** True when ANY committed statistic exists for `dir` — what a
-    * planner probes before deciding between read-back and backfill. */
-  def hasStats(spark: SparkSession, dir: String): Boolean = {
-    Fs.recoverSwap(table(dir))
-    committed(spark, table(dir)) || batchRows(spark, dir).isDefined
   }
 
   /** The planner's read-back: the corpus-wide max tree depth (across

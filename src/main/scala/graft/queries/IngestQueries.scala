@@ -372,12 +372,12 @@ object IngestQueries {
       concat(col("l_orderkey").cast("string"), lit("."),
         col("l_linenumber").cast("string")).as("uid"),
       lit("doc").as("datatype"))
-    graft.ingest.MetadataStats.updateBatch(s, dir, 0L,
+    graft.ingest.MetadataStats.updateBatch(dir, 0L,
       Ingest.datatypeStats(roots))
-    graft.ingest.MetadataStats.updateBatch(s, dir, 1L,
+    graft.ingest.MetadataStats.updateBatch(dir, 1L,
       Ingest.datatypeStats(children))
     // checkpoint replay of batch 1: must REPLACE, not double-count
-    graft.ingest.MetadataStats.updateBatch(s, dir, 1L,
+    graft.ingest.MetadataStats.updateBatch(dir, 1L,
       Ingest.datatypeStats(children))
     graft.ingest.MetadataStats.read(s, dir)
       .select("datatype", "max_tree_depth", "cnt")

@@ -198,18 +198,39 @@ final class QueryServer(
   private val aliasTs = new ConcurrentHashMap[String, java.lang.Long]()
   private var sweeper: java.util.concurrent.ScheduledExecutorService = _
 
+  /** Per-id time of the last DURABLE touch (the definition-mtime
+    * write), distinct from [[lastUsed]]: the throttle below compares
+    * against the last disk write, not the last use — comparing against
+    * the last use would starve the disk record forever on a session
+    * touched more often than the interval. */
+  private val lastDiskTouch = new ConcurrentHashMap[String, java.lang.Long]()
+
   /** Record a data-verb use of `id` — in memory and, best-effort, as
     * the durable definition's mtime (so idle-eviction decisions survive
-    * a restart without a new store). */
+    * a restart without a new store). The disk write is THROTTLED to
+    * once per min(timeout/10, 60 s): a client paging a large result
+    * drives hundreds of /next calls, and an mtime syscall per page buys
+    * nothing — the eviction clock's granularity is the idle timeout.
+    * Cost of the lag: the durable record trails the true last use by
+    * less than the interval, so after a restart a session can look up
+    * to that much MORE idle than it was and be evicted early by at
+    * most 1/10th of the timeout — an accepted bound (the reference's
+    * eviction clock is coarse too: QueryExpirationBean sweeps on a
+    * timer period). */
   private def touchSession(id: String): Unit = {
     val now = System.currentTimeMillis()
     lastUsed.put(id, java.lang.Long.valueOf(now))
-    try {
-      val f = sessionFile(id)
-      if (java.nio.file.Files.exists(f))
-        java.nio.file.Files.setLastModifiedTime(f,
-          java.nio.file.attribute.FileTime.fromMillis(now))
-    } catch { case _: Exception => () }
+    val throttle = math.min(queryIdleTimeoutMillis / 10, 60000L)
+    val prev = lastDiskTouch.get(id)
+    if (prev == null || now - prev.longValue() >= throttle) {
+      lastDiskTouch.put(id, java.lang.Long.valueOf(now))
+      try {
+        val f = sessionFile(id)
+        if (java.nio.file.Files.exists(f))
+          java.nio.file.Files.setLastModifiedTime(f,
+            java.nio.file.attribute.FileTime.fromMillis(now))
+      } catch { case _: Exception => () }
+    }
   }
 
   private def lastUsedOf(id: String): Long = {
@@ -264,8 +285,17 @@ final class QueryServer(
     * when no other live session shares it. Each eviction is audited.
     * Returns (expired sessions, expired aliases). */
   def expire(now: Long = System.currentTimeMillis()): (Int, Int) = {
+    import scala.jdk.CollectionConverters._
+    // Candidate scan OUTSIDE the lock: listing the sessions dir and
+    // stat-ing a last-use time per id is O(every session) filesystem
+    // work — largest on exactly the accumulated-state servers this
+    // tier exists for — and must not stall every verb behind it. The
+    // locked pass below re-checks each CANDIDATE (O(expired), not
+    // O(all)): a session touched between scan and lock stays.
+    val idleCandidates =
+      (sessions.keySet.asScala.toSet ++ durableSessionIds)
+        .filter(id => now - lastUsedOf(id) > queryIdleTimeoutMillis)
     val (nSessions, nAliases, reap) = shareLock.synchronized {
-      import scala.jdk.CollectionConverters._
       val deadAliases = loadedAliases.keySet.asScala.toSeq
         .filter(a => now - aliasTsOf(a) > cachedResultsTtlMillis)
       deadAliases.foreach { a =>
@@ -276,16 +306,18 @@ final class QueryServer(
       }
       if (deadAliases.nonEmpty) persistAliases()
       val held = loadedAliases.values.asScala.toSet
-      val deadSessions =
-        (sessions.keySet.asScala.toSet ++ durableSessionIds).diff(held)
-          .toSeq.filter(id => now - lastUsedOf(id) > queryIdleTimeoutMillis)
-      val fromSessions = deadSessions.flatMap { id =>
-        auditor.audit(Audit.AuditRecord(id, "<expiration>",
+      val deadSessions = idleCandidates.diff(held)
+        .toSeq.filter(id => now - lastUsedOf(id) > queryIdleTimeoutMillis)
+      // teardown first, audit only REAL evictions (a candidate closed
+      // between scan and lock tears down to a no-op and is not counted)
+      val torn = deadSessions.map(id => id -> teardown(id))
+      torn.foreach { case (id, (existed, _)) =>
+        if (existed) auditor.audit(Audit.AuditRecord(id, "<expiration>",
           s"expired idle query '$id' (idle ${queryIdleTimeoutMillis}ms)",
           "", "expire", auditType.name, Seq.empty, now))
-        teardown(id)._2
       }
-      (deadSessions.size, deadAliases.size, deadAliases ++ fromSessions)
+      (torn.count(_._2._1), deadAliases.size,
+        deadAliases ++ torn.flatMap(_._2._2))
     }
     // the heavy filesystem deletes run after the lock released — the
     // sweep must not stall every verb for their duration
@@ -1549,6 +1581,7 @@ final class QueryServer(
       owned.foreach(unbindAlias) // durable: reapRows deletes the stores
       if (owned.nonEmpty) persistAliases()
       lastUsed.remove(id)
+      lastDiskTouch.remove(id)
       Option(sessions.remove(id)) match {
         case Some(s) =>
           release(s); cursor.close(id); dropSessionFile(id); (true, owned)
@@ -2390,24 +2423,39 @@ final class QueryServer(
         java.lang.Long.valueOf(System.currentTimeMillis()))
       asyncLoads.put(alias.toLowerCase, "LOADING")
       val t = new Thread(() => {
+        // The binding can be UNBOUND under the load (an expiration
+        // sweep, a close, an admin re-point) — every leg re-checks
+        // ownership under shareLock before touching shared state, so a
+        // lost race leaves the winner's state alone: no ghost view in
+        // the shared catalog, no LOADED/ERROR status for an alias the
+        // data verbs already answer 404 for (unbindAlias dropped our
+        // LOADING marker with the binding). The view registers AFTER
+        // the materialization, inside the same ownership check — the
+        // status stays LOADING (412) until the alias actually serves.
+        def ifStillOurs(f: => Unit): Unit = shareLock.synchronized {
+          if (loadedAliases.get(alias.toLowerCase) == id) { f; persistAliases() }
+        }
         try session(Map("id" -> id)) match {
           case Some(s) =>
-            s.df.createOrReplaceTempView(alias)
             writeRowsFor(s.df, alias, id) // serialized per alias
-            asyncLoads.put(alias.toLowerCase, "LOADED")
-            shareLock.synchronized(persistAliases())
+            ifStillOurs {
+              s.df.createOrReplaceTempView(alias)
+              asyncLoads.put(alias.toLowerCase, "LOADED")
+            }
           case None =>
-            loadedAliases.remove(alias.toLowerCase, id)
-            aliasTs.remove(alias.toLowerCase) // no binding, no TTL clock
-            asyncLoads.put(alias.toLowerCase, "ERROR:unknown queryId")
-            shareLock.synchronized(persistAliases())
+            ifStillOurs {
+              loadedAliases.remove(alias.toLowerCase, id)
+              aliasTs.remove(alias.toLowerCase) // no binding, no TTL clock
+              asyncLoads.put(alias.toLowerCase, "ERROR:unknown queryId")
+            }
         } catch {
           case e: Throwable =>
-            loadedAliases.remove(alias.toLowerCase, id)
-            aliasTs.remove(alias.toLowerCase)
-            asyncLoads.put(alias.toLowerCase,
-              "ERROR:" + Option(e.getMessage).getOrElse(e.getClass.getName))
-            shareLock.synchronized(persistAliases())
+            ifStillOurs {
+              loadedAliases.remove(alias.toLowerCase, id)
+              aliasTs.remove(alias.toLowerCase)
+              asyncLoads.put(alias.toLowerCase,
+                "ERROR:" + Option(e.getMessage).getOrElse(e.getClass.getName))
+            }
         }
       }, s"graft-crload-$alias")
       t.setDaemon(true)

@@ -76,7 +76,7 @@ object StreamingIngest {
               long.write.mode("overwrite")
                 .partitionBy("shard_date")
                 .parquet(s"$outDir/batch_id=$id")
-              graft.ingest.MetadataStats.updateBatch(batch.sparkSession,
+              graft.ingest.MetadataStats.updateBatch(
                 sd, id, graft.ingest.Ingest.datatypeStats(long))
             } finally long.unpersist()
         }

@@ -229,4 +229,36 @@ class BatchStoreSpec extends SparkSpec {
     BatchStore.registerBatch(rowsOf(1, 2), store, 1L)
     assert(storeIds(store) == Seq(0L, 1L, 100L, 101L))
   }
+
+  test("a crash-partial batch=seed (Spark-written into the live dir) neither folds nor wedges compact/readProven") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bs11").toString
+    val store = s"$tmp/store"
+    // a crashed seed(): a torn part file, no _SUCCESS — unlike
+    // batch=compacted (only ever visible through a completed swap),
+    // the seed dir is Spark-written straight into the live store, so a
+    // partial IS reachable and takes the numeric dirs' proof rule
+    val partialSeed = java.nio.file.Paths.get(s"$store/batch=seed")
+    java.nio.file.Files.createDirectories(partialSeed)
+    java.nio.file.Files.write(partialSeed.resolve("part-00000.snappy.parquet"),
+      "torn seed".getBytes)
+    BatchStore.registerBatch(rowsOf(0, 2), store, 0L)
+    // the proven read never footer-probes the torn seed
+    val rows = BatchStore.readProven(spark, store).get
+      .select("id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(rows == Seq(0L, 1L))
+    // compaction folds the proven batch and carries the torn seed
+    // verbatim (raw copy — the stream's restart re-seeds over it)
+    BatchStore.compact(spark, store)
+    val names = new java.io.File(store).listFiles().map(_.getName).toSeq.sorted
+    assert(names == Seq("batch=compacted", "batch=seed"), names.mkString(","))
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$store/batch=seed/part-00000.snappy.parquet")))
+      == "torn seed")
+    // the restart's re-seed (mode overwrite) replaces the splinter and
+    // restores its proof
+    BatchStore.seed(rowsOf(0, 0), store)
+    assert(graft.core.Fs.committed(s"$store/batch=seed"))
+    assert(BatchStore.readProven(spark, store).get
+      .select("id").collect().map(_.getLong(0)).toSeq.sorted == Seq(0L, 1L))
+  }
 }

@@ -61,12 +61,12 @@ class MetadataStatsSpec extends SparkSpec {
     val b1 = Seq(("r1", "doc"), ("r2", "doc")).toDF("uid", "datatype")
     val b2 = Seq(("r1.1", "doc"), ("r1.2.1", "doc"), ("e1", "edge"))
       .toDF("uid", "datatype")
-    MetadataStats.updateBatch(spark, dir, 0L, Ingest.datatypeStats(b1))
-    MetadataStats.updateBatch(spark, dir, 1L, Ingest.datatypeStats(b2))
+    MetadataStats.updateBatch(dir, 0L, Ingest.datatypeStats(b1))
+    MetadataStats.updateBatch(dir, 1L, Ingest.datatypeStats(b2))
     // the crash window update() cannot survive: the store committed but
     // the producer's own checkpoint didn't — the batch replays
-    MetadataStats.updateBatch(spark, dir, 1L, Ingest.datatypeStats(b2))
-    MetadataStats.updateBatch(spark, dir, 1L, Ingest.datatypeStats(b2))
+    MetadataStats.updateBatch(dir, 1L, Ingest.datatypeStats(b2))
+    MetadataStats.updateBatch(dir, 1L, Ingest.datatypeStats(b2))
     val rows = MetadataStats.read(spark, dir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .toSet
@@ -80,7 +80,7 @@ class MetadataStatsSpec extends SparkSpec {
     val backfill = Seq(("r1", "doc"), ("r2", "doc")).toDF("uid", "datatype")
     val live = Seq(("r1.1", "doc")).toDF("uid", "datatype")
     MetadataStats.update(spark, dir, Ingest.datatypeStats(backfill))
-    MetadataStats.updateBatch(spark, dir, 7L, Ingest.datatypeStats(live))
+    MetadataStats.updateBatch(dir, 7L, Ingest.datatypeStats(live))
     val rows = MetadataStats.read(spark, dir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .toSet
@@ -91,7 +91,7 @@ class MetadataStatsSpec extends SparkSpec {
   test("a partial per-batch dir (crash mid-updateBatch) neither folds in nor wedges the read") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ms7").toString
     val b1 = Seq(("r1", "doc")).toDF("uid", "datatype")
-    MetadataStats.updateBatch(spark, dir, 0L, Ingest.datatypeStats(b1))
+    MetadataStats.updateBatch(dir, 0L, Ingest.datatypeStats(b1))
     // crash-partial batch 1: garbage part file, no _SUCCESS
     val partial = java.nio.file.Paths
       .get(s"$dir/datatype_stats_batches/batch=1")
@@ -114,7 +114,7 @@ class MetadataStatsSpec extends SparkSpec {
       assert(!graft.core.Fs.committed(s"$dir/datatype_stats"),
         "precondition: the disabled committer writes no markers")
       assert(MetadataStats.maxTreeDepth(spark, dir) == Some(2))
-      MetadataStats.updateBatch(spark, dir, 0L, Ingest.datatypeStats(b1))
+      MetadataStats.updateBatch(dir, 0L, Ingest.datatypeStats(b1))
       assert(MetadataStats.read(spark, dir)
         .head().getLong(2) == 2L) // legacy + batch rows both served
     } finally

@@ -243,4 +243,59 @@ class ExpirationSpec extends SparkSpec {
       assert(post(base).statusCode() == 400)
     } finally srv.stop()
   }
+
+  test("an alias expired mid-loadAsync leaves no ghost: no catalog view, no LOADED status, no rows store") {
+    val stateDir =
+      java.nio.file.Files.createTempDirectory("graft-exp6").toString
+    // one partition + a per-row sleep keeps the background
+    // materialization busy long enough for the sweep to land under it
+    val slowDf = {
+      val slow = org.apache.spark.sql.functions.udf(
+        (i: Long) => { Thread.sleep(40); i })
+      (1 to 30).map(i => (i.toLong, s"n_$i", "A", "A"))
+        .toDF("id", "name", "grp", "visibility")
+        .repartition(1)
+        .withColumn("id", slow(org.apache.spark.sql.functions.col("id")))
+    }
+    val srv = new QueryServer(Map("people" -> slowDf), stateDir = stateDir,
+      users = Map("alice" -> Set("A"), "root" -> Set("A")),
+      adminUsers = Set("root"), metricsFlush = false)
+    val port = srv.start()
+    val base = s"http://127.0.0.1:$port"
+    try {
+      val q = java.net.URLEncoder.encode("GRP == 'A'", "UTF-8")
+      val id = idOf(post(s"$base/query/create?table=people&query=$q" +
+        "&pageSize=5&orderBy=id&user=alice").body())
+      assert(post(s"$base/cachedresults/loadAsync?id=$id&alias=ghostly" +
+        "&user=alice").statusCode() == 200)
+      // the sweep evicts the LOADING alias (and its idle owner) while
+      // the background loader is still resuming/materializing
+      val far = System.currentTimeMillis() + 365L * 86400 * 1000
+      assert(post(s"$base/admin/expire?user=root&asOf=$far")
+        .statusCode() == 200)
+      // wait out the loser: the background thread must finish and
+      // leave the winner's (empty) state alone
+      import scala.jdk.CollectionConverters._
+      def loaderAlive = Thread.getAllStackTraces.keySet.asScala
+        .exists(t => t.getName == "graft-crload-ghostly" && t.isAlive)
+      val deadline = System.currentTimeMillis() + 30000
+      while (loaderAlive && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(!loaderAlive, "background loader wedged")
+      assert(get(s"$base/cachedresults/status?alias=ghostly&user=alice")
+        .statusCode() == 404)
+      assert(!spark.catalog.tableExists("ghostly"),
+        "ghost view survived in the shared catalog")
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(stateDir, "cachedrows", "ghostly")),
+        "orphan rows store survived")
+      // the name is free for a fresh bind, which serves normally
+      val id2 = idOf(post(s"$base/query/create?table=people&query=$q" +
+        "&pageSize=5&orderBy=id&user=alice").body())
+      assert(post(s"$base/cachedresults/load?id=$id2&alias=ghostly" +
+        "&user=alice").statusCode() == 200)
+      assert(get(s"$base/cachedresults/getRows?alias=ghostly&rowBegin=1" +
+        "&rowEnd=3&user=alice").statusCode() == 200)
+    } finally srv.stop()
+  }
 }
