@@ -10,8 +10,10 @@ import java.net.http.{HttpClient, HttpRequest, HttpResponse}
   * self-reviews caught real races in their seams (phantom reservations,
   * lock-held materialization, writer-lock orphans). This spec pins the
   * invariants under load: N threads × create/next/close/duplicate/
-  * load/update/create-from-alias/getRows/sql across two principals,
-  * then asserts
+  * load/loadAsync/update/create-from-alias/getRows/sql across two
+  * principals, with a SWEEPER thread racing forced expiration sweeps
+  * (far-future clock) through the storm — the unbind-vs-load,
+  * teardown-vs-next, and reap-vs-rewrite seams — then asserts
   *  - every response is one of the DOCUMENTED statuses (a 500 is an
   *    undocumented failure — a torn invariant surfacing as an
   *    exception);
@@ -49,9 +51,11 @@ class ConcurrencyStormSpec extends SparkSpec {
       adminUsers = Set("root"), metricsFlush = false)
     val port = srv.start()
     val base = s"http://127.0.0.1:$port"
-    // loadAsync is excluded (its documented contract includes 500 on a
-    // failed background load); everything else must stay in this set
+    // loadAsync's documented contract includes 500 (a failed background
+    // load surfaces through /status) — it gets the widened set; every
+    // other verb must stay in the strict one
     val allowed = Set(200, 204, 400, 401, 404, 409, 412)
+    val allowedAsync = allowed + 500
     val bad = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val aliasPool = Seq("storm_a", "storm_b", "storm_c")
     val q = enc("GRP == 'A'")
@@ -65,7 +69,7 @@ class ConcurrencyStormSpec extends SparkSpec {
             if (own.isEmpty) "no_such_id" else own(rnd.nextInt(own.size))
           def check(op: String, st: Int): Unit =
             if (!allowed(st)) bad.add(s"$op -> $st (thread $tid)")
-          for (_ <- 0 until 25) rnd.nextInt(10) match {
+          for (_ <- 0 until 25) rnd.nextInt(11) match {
             case 0 | 1 =>
               val (st, body) = http("POST",
                 s"$base/query/create?table=people&query=$q&pageSize=5" +
@@ -105,12 +109,46 @@ class ConcurrencyStormSpec extends SparkSpec {
               check("create-from", http("POST",
                 s"$base/cachedresults/create?alias=$a&view=storm_v$tid" +
                   s"&fields=grp&user=$user")._1)
+            case 10 =>
+              val a = aliasPool(rnd.nextInt(aliasPool.size))
+              val st = http("POST",
+                s"$base/cachedresults/loadAsync?id=${anyOwn()}&alias=$a" +
+                  s"&user=$user")._1
+              if (!allowedAsync(st))
+                bad.add(s"loadAsync -> $st (thread $tid)")
           }
         }, s"storm-$tid")
       }
+      // forced sweeps RACE the verb storm: every ~100 ms an admin
+      // expiration with a far-future clock evicts whatever is live,
+      // exercising the unbind-vs-load, teardown-vs-next, and
+      // reap-vs-rewrite seams the sweep tier introduced. Verbs against
+      // just-evicted state must still answer documented statuses, and
+      // every end-state invariant below must hold regardless of where
+      // the sweeps landed.
+      val sweeping = new java.util.concurrent.atomic.AtomicBoolean(true)
+      val far = System.currentTimeMillis() + 365L * 86400 * 1000
+      val sweeper = new Thread(() => {
+        while (sweeping.get()) {
+          val (st, _) = http("POST",
+            s"$base/admin/expire?user=root&asOf=$far")
+          if (st != 200) bad.add(s"mid-storm expire -> $st")
+          Thread.sleep(100)
+        }
+      }, "storm-sweeper")
       threads.foreach(_.start())
+      sweeper.start()
       threads.foreach(_.join(120000))
-      assert(threads.forall(!_.isAlive), "storm threads wedged")
+      sweeping.set(false)
+      sweeper.join(10000)
+      assert(threads.forall(!_.isAlive) && !sweeper.isAlive,
+        "storm threads wedged")
+      // drain any in-flight background loaders before the state checks
+      import scala.jdk.CollectionConverters._
+      val loaderDeadline = System.currentTimeMillis() + 30000
+      while (Thread.getAllStackTraces.keySet.asScala.exists(t =>
+          t.getName.startsWith("graft-crload-") && t.isAlive) &&
+          System.currentTimeMillis() < loaderDeadline) Thread.sleep(50)
       assert(bad.isEmpty, s"undocumented statuses: ${bad}")
       // no orphaned rows store: every dir that survived the storm is a
       // live binding the admin can read (writeRowsFor's three-phase
