@@ -99,6 +99,13 @@ object Dedup {
     val withSh = spread(docs)
       .select(col("doc_id"), hashedShingles(col("text"), n).as("sh"))
       .persist()
+    // Materialize each persisted frame BEFORE its multi-consumer join:
+    // AQE submits a join's input stages CONCURRENTLY, and on a cold
+    // cache every stage races to compute the full subtree — the shingle
+    // pass and the prefix window would otherwise evaluate 2-3× in
+    // parallel (measured on the simhash sibling: twin 1.4 s stages for
+    // one subtree). One count turns the race into cache reads.
+    withSh.count()
     val inverted = withSh
       .select(col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("shingle"))
     val dfreq = inverted.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -114,6 +121,7 @@ object Dedup {
       .filter(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
       .select("doc_id", "sz", "shingle")
       .persist()
+    prefix.count() // one evaluation before the concurrent self-join sides
     val cand = prefix.as("x").join(prefix.as("y"),
         col("x.shingle") === col("y.shingle") &&
           col("x.doc_id") < col("y.doc_id") &&
@@ -187,9 +195,16 @@ object Dedup {
     val withSp = spread(docs)
       .select(col("doc_id"), shingles(col("text"), k).as("sp"))
       .persist()
+    // one shingle pass before the concurrent consumers (df aggregate,
+    // per-doc join, profile side) race on the cold cache; the derived
+    // explode+md5 `spans` feeds two of them, so it persists too and
+    // releases with the profile's eagerRelease
+    withSp.count()
     val spans = withSp
       .select(col("doc_id"), explode(col("sp")).as("span"))
       .select(col("doc_id"), md5(col("span")).as("h"))
+      .persist()
+    spans.count()
     val shared = spans.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") < hotSpanCap)
     val perDoc = spans.join(shared, "h")
@@ -203,7 +218,7 @@ object Dedup {
           coalesce(col("n_dup_spans"), lit(0L)).cast("double")
             / col("n_spans").cast("double"))
           .otherwise(lit(0.0)).as("dup_frac"))
-    eagerRelease(profile, Seq(withSp))
+    eagerRelease(profile, Seq(withSp, spans))
   }
 
   /** Exact-substring span REMOVAL (the other half of Lee et al. —
@@ -229,6 +244,9 @@ object Dedup {
     val toks = spread(docs)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .persist()
+    // one token pass before the three concurrent consumers (window
+    // derivation, survivor posexplode, totals side) race on the cache
+    toks.count()
     // (doc_id, window start, span hash): windows come from ONE
     // overlapping-window lookahead regex on the re-joined token string
     // (the same codegen-only move as shingles()/bigrams() — the
@@ -242,6 +260,9 @@ object Dedup {
           lit(s"(?=\\b((?:[a-z0-9]+ ){${k - 1}}[a-z0-9]+))"),
           lit(1))).as(Seq("p", "w")))
       .select(col("doc_id"), col("p"), md5(col("w")).as("h"))
+      .persist()
+    wins.count() // the window regex feeds BOTH the df aggregate and the
+                 // coverage join — one evaluation, not two racing stages
     val crossDoc = wins.groupBy("h")
       .agg(min("doc_id").as("d0"), max("doc_id").as("d1"),
         count(lit(1)).as("df"))
@@ -275,6 +296,7 @@ object Dedup {
       .persist()
     out.count()
     toks.unpersist()
+    wins.unpersist()
     out
   }
 
@@ -489,6 +511,9 @@ object Dedup {
     // maintained incrementally at ingest.
     val withSh = shingled(docs, n).persist()
     val banded = bandTable(withSh, numHashes, bands).persist()
+    // one pass populates BOTH caches (banded reads through withSh)
+    // before the concurrent self-join + verify stages race on them
+    banded.count()
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -559,6 +584,13 @@ object Dedup {
         shiftright(col("sim"), b * 8).bitwiseAND(lit(0xFFL))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
       .persist()
+    // materialize the cache BEFORE the self-join: AQE submits the join's
+    // two input stages CONCURRENTLY, and on a cold cache both race to
+    // compute the full signature subtree (measured: the two sides ran
+    // 1.47 s + 1.46 s in parallel — the md5-token pass paid twice); one
+    // cheap count turns the race into two cache reads (guide §2.4: one
+    // evaluation per expensive subtree).
+    banded.count()
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -585,6 +617,7 @@ object Dedup {
     val withSh = spread(needleDocs)
       .select(col("doc_id"), hashedShingles(col("text"), n).as("sh"))
       .persist()
+    withSh.count() // one shingle pass before the verify join's two sides
     eagerRelease(verifyJaccard(cand, withSh, threshold),
       Seq(banded, cand, withSh))
   }
@@ -775,6 +808,14 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
     val cand = candCross.unionByName(candSelf).distinct().persist()
+    // ONE materializing pass for the whole new-batch cache chain (cand
+    // reads newBands reads newSh): cand feeds the verify join AND (via
+    // candIds) the stored-shingle semi-join prune, and AQE's concurrent
+    // stage submission would otherwise run the band join + signature
+    // subtree once per racing consumer on a cold cache (the same
+    // one-evaluation rule as ngramJaccardPairs, one count per op — the
+    // per-micro-batch path stays at a single extra job).
+    cand.count()
     // verify touches stored shingles for candidate PARTNERS only: one
     // full scan of the store semi-join-pruned to candidate ids (AQE
     // broadcasts the id side when small), persisted so the id_a and

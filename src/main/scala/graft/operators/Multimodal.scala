@@ -1152,6 +1152,11 @@ object Multimodal {
                                    pairsDir: String, batchId: Long,
                                    maxHamming: Int): Unit = {
     val hashes = newPh.persist()
+    // one decode+hash pass: the pair plan reads this frame from FOUR
+    // concurrent stages (store anti-join ids, broadcast band side,
+    // self-join x/y) — on a cold cache each would re-decode the batch's
+    // media (the one-evaluation rule, see Dedup.ngramJaccardPairs)
+    hashes.count()
     graft.core.BatchStore.emitAndRegister(
       incrementalHashPairs(hashes, storeDir, maxHamming),
       hashes.select("media_id", "phash"), s"$storeDir/phashes",

@@ -394,6 +394,12 @@ object Sampling {
       .groupBy(col(idCol), col("is_target"), col("b"))
       .agg(count(lit(1)).as("cnt"))
       .persist()
+    // one tokenize+bigram pass: the scoring join's two input stages (the
+    // bucketed exchange and the broadcast LM whose subtree ALSO reads
+    // bucketed) materialize concurrently under AQE — cold cache = the
+    // corpus gram pass computed twice on contended cores (the
+    // one-evaluation rule, see Dedup.ngramJaccardPairs)
+    bucketed.count()
     val lm = bucketed.groupBy("b").agg(
       sum("cnt").as("r"),
       sum(when(col("is_target"), col("cnt")).otherwise(0L)).as("t"))

@@ -112,6 +112,12 @@ object TextOps {
       .select(col(idCol),
         explode(winnowFingerprints(col(textCol), k, w)).as("fp"))
       .persist()
+    // one winnow pass: the self-join's two input stages materialize
+    // CONCURRENTLY under AQE, and on a cold cache each recomputes the
+    // regex+md5 subtree — the gate's whole CPU bill — while contending
+    // for the same cores (the one-evaluation rule, see
+    // Dedup.ngramJaccardPairs)
+    fps0.count()
     val fps = hotFpCap match {
       case Some(cap) =>
         val hot = fps0.groupBy("fp").agg(count(lit(1)).as("df"))
@@ -206,6 +212,11 @@ object TextOps {
       .select(col("doc_id"),
         explode(winnowFingerprints(col(textCol), k, w)).as("fp"))
       .persist()
+    // one winnow pass — THREE join legs read this frame (store
+    // anti-join, cross broadcast side, self-join x/y) and would race to
+    // compute the batch's CPU bill on a cold cache (see
+    // winnowedOverlapPairs)
+    newFps.count()
     val stored = spark.read.parquet(s"$dir/fps")
       .select("doc_id", "fp")
       .join(newFps.select("doc_id"), Seq("doc_id"), "left_anti")

@@ -41,18 +41,50 @@ object VectorOps {
   def embDim(emb: DataFrame, vecCol: String = "embedding"): Int =
     emb.select(max(size(col(vecCol)))).head().getInt(0)
 
+  /** Kernel twin of the `cosine(embedding, pvec)` scoring leg: one
+    * corpus scan emitting (probe_id, vec_id, sim) for every probe (self
+    * excluded), probes riding in the task closure. sim folds exactly as
+    * [[cosine]] does — dot left-to-right, then ÷ (‖a‖·‖b‖) — so every
+    * double is bit-equal to the expression form (KernelParitySpec).
+    * Probes arrive RAW (unnormalized); their norms precompute once per
+    * task, which is the same fold the expression re-ran per row. */
+  private def cosineSimsKernel(emb: DataFrame,
+                               probes: Seq[(Long, Seq[Double])]): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val ps: Array[(Long, Array[Double], Double)] = probes.map { case (p, v) =>
+      val a = v.toArray
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * a(i); i += 1 }
+      (p, a, math.sqrt(s))
+    }.toArray
+    emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, v) =>
+          var na = 0.0; var i = 0
+          while (i < v.length) { na += v(i) * v(i); i += 1 }
+          val sqna = math.sqrt(na)
+          ps.iterator.filter(_._1 != id).map { case (pid, pv, pn) =>
+            var d = 0.0; var j = 0
+            while (j < v.length) { d += v(j) * pv(j); j += 1 }
+            (pid, id, d / (sqna * pn))
+          }
+        }
+      }.toDF("probe_id", "vec_id", "sim")
+  }
+
   /** Exact top-k nearest neighbours of `probeId`'s vector by cosine.
     * Returns (vec_id, rank), rank 1..k, ties broken by vec_id.
-    * The probe vector is a broadcast literal — one driver lookup, then a
-    * single distributed scan; Spark plans TakeOrderedAndProject (no global
-    * sort). */
+    * One driver lookup fetches the probe, then a single distributed
+    * scan scores the corpus through the cosine KERNEL (the interpreted
+    * HOF form paid ~100× per row — guide §4); TakeOrderedAndProject
+    * keeps the top-k without a global sort. */
   def bruteForceTopK(emb: DataFrame, probeId: Long, k: Int): DataFrame = {
     val probe: Seq[Double] = emb.filter(col("vec_id") === probeId)
       .select(col("embedding").cast("array<double>"))
       .head().getSeq[Double](0)
-    val probeCol = typedLit(probe)
-    emb.filter(col("vec_id") =!= probeId)
-      .withColumn("sim", cosine(col("embedding"), probeCol))
+    cosineSimsKernel(emb, Seq(probeId -> probe))
       .orderBy(col("sim").desc, col("vec_id").asc)
       .limit(k)
       .select(col("vec_id"),
@@ -62,30 +94,23 @@ object VectorOps {
 
   /** Exact top-k for N probes in ONE corpus scan (the oracle side of
     * batched ANN gates, and the honest exact baseline for multi-needle
-    * search). Probes travel as DATA — one broadcast row per probe — so
-    * the per-row work is ONE constant-size cosine expression against the
-    * joined probe vector; the plan is the same at N=3 and N=1000 (the
-    * stacked-literal form this replaces fell out of codegen past a few
-    * dozen probes). Per-probe top-k via the same WindowGroupLimit shape
-    * the PQ shortlist uses. Returns (probe_id, vec_id, sim). */
+    * search). Probes travel in the scoring kernel's closure — constant
+    * plan at any batch width, one flat-loop cosine per (row, probe)
+    * (the broadcast-joined HOF-expression form this replaces paid the
+    * interpreter per pair). Per-probe top-k via the same
+    * WindowGroupLimit shape the PQ shortlist uses. Returns
+    * (probe_id, vec_id, sim). */
   def bruteForceTopKBatch(emb: DataFrame, probeIds: Seq[Long],
                           k: Int): DataFrame = {
     require(probeIds.nonEmpty, "need at least one probe")
-    val spark = emb.sparkSession
-    import spark.implicits._
     val fetched = emb.filter(col("vec_id").isin(probeIds: _*))
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](0 + 1)).toMap
     val missing = probeIds.filterNot(fetched.contains)
     require(missing.isEmpty, s"unknown probe id(s): ${missing.mkString(",")}")
-    val probesDf = spark.createDataset(probeIds.map(p => p -> fetched(p)))
-      .toDF("probe_id", "pvec")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id").asc)
-    emb.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(probesDf))
-      .filter(col("vec_id") =!= col("probe_id"))
-      .withColumn("sim", cosine(col("embedding"), col("pvec")))
+    cosineSimsKernel(emb, probeIds.map(p => p -> fetched(p)))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("probe_id"), col("vec_id"), col("sim"))
@@ -404,11 +429,7 @@ object VectorOps {
     import spark.implicits._
     val centroids = centroidsOverride.getOrElse(kmeansCentroids(emb, nCells))
     val thr = threshold
-    emb
-      .select(col("vec_id"), col("embedding").cast("array<float>").as("v"),
-        explode(ivfAssignTop(col("embedding"), centroids, nAssign)).as("cell"))
-      .select(col("cell"), col("vec_id"), col("v"))
-      .as[(Int, Long, Array[Float])]
+    assignedCells(emb, centroids, nAssign)
       .repartition(col("cell"))
       .mapPartitions { it =>
         val byCell = scala.collection.mutable.LinkedHashMap
@@ -528,11 +549,7 @@ object VectorOps {
     import spark.implicits._
     val centroids = centroidsOverride.getOrElse(kmeansCentroids(emb, nCells))
     val kk = k
-    val perCell = emb
-      .select(col("vec_id"), col("embedding").cast("array<float>").as("v"),
-        explode(ivfAssignTop(col("embedding"), centroids, nAssign)).as("cell"))
-      .select(col("cell"), col("vec_id"), col("v"))
-      .as[(Int, Long, Array[Float])]
+    val perCell = assignedCells(emb, centroids, nAssign)
       .repartition(col("cell"))
       .mapPartitions { it =>
         val byCell = scala.collection.mutable.LinkedHashMap
@@ -595,9 +612,11 @@ object VectorOps {
     val probe: Seq[Double] = emb.filter(col("vec_id") === probeId)
       .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
     val cells = ivfProbeCells(probe, centroids, nProbe)
-    emb.withColumn("cell", ivfAssign(col("embedding"), centroids))
-      .filter(col("cell").isin(cells: _*) && col("vec_id") =!= probeId)
-      .withColumn("sim", cosine(col("embedding"), typedLit(probe)))
+    cosineSimsKernel(
+        withCellKernel(emb, centroids)
+          .filter(col("cell").isin(cells: _*))
+          .select("vec_id", "embedding"),
+        Seq(probeId -> probe))
       .orderBy(col("sim").desc, col("vec_id").asc)
       .limit(k)
       .select("vec_id", "sim")
@@ -699,7 +718,7 @@ object VectorOps {
     * ~0.5M redundant ops PER VECTOR), which is why the PQ paths
     * materialize the normalized column behind a shuffle barrier first
     * ([[pqNormalized]]). */
-  private def pqNormalize(vec: Column): Column = {
+  private[operators] def pqNormalize(vec: Column): Column = {
     val norm = sqrt(aggregate(vec, lit(0.0),
       (a, x) => a + x.cast("double") * x.cast("double")))
     transform(vec,
@@ -707,13 +726,169 @@ object VectorOps {
         .otherwise(x.cast("double") / norm))
   }
 
-  /** (vec_id, nv) with nv MATERIALIZED through a round-robin shuffle —
-    * the barrier stops projection collapse from re-inlining the
-    * normalization into every downstream consumer. At scale this is the
-    * write-once normalized layout PQ deployments store anyway. */
-  private def pqNormalized(emb: DataFrame): DataFrame =
-    emb.select(col("vec_id"), pqNormalize(col("embedding")).as("nv"))
+  // ---- Kernel twins of the corpus-pass expressions -------------------
+  // The HOF expressions above/below (pqNormalize / pqEncode / ivfAssign)
+  // are the right tool on model-sized or needle-bounded frames, but on a
+  // CORPUS-WIDE pass the per-row interpreter overhead dominates the
+  // arithmetic by orders of magnitude (guide §4: keep non-codegen
+  // expressions off hot paths; measured at sf0.1: the normalize stage of
+  // one index build ran 1.8-4.2 s and the encode stage 0.6-0.7 s where
+  // the same arithmetic in a flat-loop kernel is ~10 ms). Each kernel
+  // replicates its expression twin's IEEE evaluation order EXACTLY
+  // (left-to-right folds, identical tie-breaks: encode ties -> smaller
+  // code, assign ties -> larger cell), so codes/cells/norms are
+  // bit-equal — pinned row-for-row by KernelParitySpec.
+
+  /** Kernel twin of [[pqNormalize]]: x / sqrt(Σx²), left-to-right sum,
+    * zero-norm vectors pass through. */
+  private[operators] def normalizeKernel(v: Array[Double]): Array[Double] = {
+    if (v == null) return null
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    val nrm = math.sqrt(s)
+    if (nrm == 0) v
+    else {
+      val out = new Array[Double](v.length)
+      var j = 0
+      while (j < v.length) { out(j) = v(j) / nrm; j += 1 }
+      out
+    }
+  }
+
+  /** Kernel twin of [[pqEncode]] — the same per-subspace argmin loop
+    * [[pqCodebooksFromNormed]] trains with. */
+  private[operators] def pqEncodeKernel(
+      v: Array[Double], books: Array[Array[Array[Double]]]): Array[Int] = {
+    if (v == null) return null
+    val m = books.length
+    val dsub = books(0)(0).length
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      var best = 0; var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < books(j).length) {
+        var dd = 0.0; var i = 0
+        while (i < dsub) {
+          val d = v(j * dsub + i) - books(j)(c)(i); dd += d * d; i += 1
+        }
+        if (dd < bestD) { bestD = dd; best = c } // ties -> smaller code
+        c += 1
+      }
+      out(j) = best; j += 1
+    }
+    out
+  }
+
+  /** Kernel twin of [[ivfAssign]] — the same argmax-dot loop
+    * [[kmeansCentroids]] refines with (ties -> larger cell). */
+  private[operators] def ivfAssignKernel(
+      v: Array[Double], cents: Array[Array[Double]]): Int = {
+    var best = 0; var bestS = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * cents(c)(i); i += 1 }
+      if (s >= bestS) { bestS = s; best = c } // ties -> larger cell
+      c += 1
+    }
+    best
+  }
+
+  /** Kernel twin of [[ivfAssignTop]]: the top-`nAssign` cells in
+    * (sim desc, cell desc) order — exactly
+    * `reverse(array_sort(struct(sim, cell)))`, including Spark's
+    * NaN-greatest double ordering (java.lang.Double.compare). */
+  private[operators] def ivfAssignTopKernel(
+      v: Array[Double], cents: Array[Array[Double]],
+      nAssign: Int): Array[Int] = {
+    val n = cents.length
+    val sims = new Array[Double](n)
+    var c = 0
+    while (c < n) {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * cents(c)(i); i += 1 }
+      sims(c) = s; c += 1
+    }
+    Array.tabulate(n)(identity).sortWith { (a, b) =>
+      val cmp = java.lang.Double.compare(sims(a), sims(b))
+      if (cmp != 0) cmp > 0 else a > b
+    }.take(nAssign)
+  }
+
+  /** (cell, vec_id, v) multi-probe cell assignment as a corpus-pass
+    * KERNEL — the explode([[ivfAssignTop]]) projection the cell-bucketed
+    * ops (SemDeDup pairs, cell k-NN join) shuffle on, minus the
+    * per-row HOF interpreter (guide §4). Emission order per vector is
+    * the explode order (best cell first); assignments are bit-equal to
+    * the expression (KernelParitySpec). */
+  private def assignedCells(emb: DataFrame, centroids: Seq[Seq[Double]],
+                            nAssign: Int)
+      : org.apache.spark.sql.Dataset[(Int, Long, Array[Float])] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val ca = centroids.map(_.toArray).toArray
+    emb.select(col("vec_id"), col("embedding").cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.flatMap { case (id, v) =>
+        val dv = new Array[Double](v.length)
+        var i = 0
+        while (i < v.length) { dv(i) = v(i).toDouble; i += 1 }
+        ivfAssignTopKernel(dv, ca, nAssign).iterator.map(c => (c, id, v))
+      })
+      .toDF("cell", "vec_id", "v")
+      .as[(Int, Long, Array[Float])]
+  }
+
+  /** (vec_id, embedding, cell) — single-cell [[ivfAssign]] as a
+    * corpus-pass KERNEL (the expression form stays for needle-bounded
+    * frames and the oracle-replayable tests). */
+  def withCellKernel(emb: DataFrame,
+                     centroids: Seq[Seq[Double]]): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val ca = centroids.map(_.toArray).toArray
+    emb.select(col("vec_id"), col("embedding").cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, v) =>
+        val dv = new Array[Double](v.length)
+        var i = 0
+        while (i < v.length) { dv(i) = v(i).toDouble; i += 1 }
+        (id, v, ivfAssignKernel(dv, ca))
+      }).toDF("vec_id", "embedding", "cell")
+  }
+
+  /** The stored-codes column from an already-normalized frame via the
+    * encode KERNEL — one deserialized flat-array pass, shared by the
+    * index writers and the on-the-fly ADC scan. Column layout and every
+    * code value are identical to the old `select(pqEncode(nv))`
+    * projection (KernelParitySpec). */
+  private def encodedCodes(normed: DataFrame,
+                           books: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val spark = normed.sparkSession
+    import spark.implicits._
+    val b = books.map(_.map(_.toArray).toArray).toArray
+    normed.as[(Long, Array[Double])]
+      .mapPartitions(_.map { case (id, v) => (id, pqEncodeKernel(v, b)) })
+      .toDF("vec_id", "code")
+  }
+
+  /** (vec_id, nv) with nv MATERIALIZED through a shuffle barrier — the
+    * barrier stops projection collapse from re-inlining the
+    * normalization into every downstream consumer, and (since the
+    * kernel rework) puts the normalize pass ABOVE the exchange so it
+    * runs at shuffle parallelism instead of single-file scan
+    * parallelism. At scale this is the write-once normalized layout PQ
+    * deployments store anyway. */
+  private[operators] def pqNormalized(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb.select(col("vec_id"), col("embedding").cast("array<double>"))
       .repartition(col("vec_id"))
+      .as[(Long, Array[Double])]
+      .mapPartitions(_.map { case (id, v) => (id, normalizeKernel(v)) })
+      .toDF("vec_id", "nv")
+  }
 
   /** The m-code PQ column from an ALREADY-normalized vector: per
     * subspace the argmin-L2 centroid id; struct ordering over
@@ -753,8 +928,7 @@ object VectorOps {
       zip_with(col("code"), sequence(lit(0), lit(m - 1)),
         (c, j) => lutCol(j)(c)),
       lit(0.0), (acc, x) => acc + x)
-    normed
-      .select(col("vec_id"), pqEncode(col("nv"), books).as("code"))
+    encodedCodes(normed, books)
       .filter(col("vec_id") =!= probeId)
       .select(col("vec_id"), dist.as("dist"))
       .orderBy(col("dist").asc, col("vec_id").asc)
@@ -850,8 +1024,7 @@ object VectorOps {
     * drift apart. */
   private def writePqCodes(normed: DataFrame, books: Seq[Seq[Seq[Double]]],
                            target: String, mode: String): Unit =
-    normed.select(col("vec_id"), pqEncode(col("nv"), books).as("code"))
-      .write.mode(mode).parquet(target)
+    encodedCodes(normed, books).write.mode(mode).parquet(target)
 
   def pqWriteIndex(emb: DataFrame, dir: String, m: Int = 8,
                    codeK: Int = 16, iters: Int = 2): Seq[Seq[Seq[Double]]] = {
@@ -1134,12 +1307,18 @@ object VectorOps {
   private def writeIvfPqCodes(normed: DataFrame,
                               books: Seq[Seq[Seq[Double]]],
                               centroids: Seq[Seq[Double]],
-                              target: String, mode: String): Unit =
-    normed.select(col("vec_id"),
-        ivfAssign(col("nv"), centroids).as("cell"),
-        pqEncode(col("nv"), books).as("code"))
+                              target: String, mode: String): Unit = {
+    val spark = normed.sparkSession
+    import spark.implicits._
+    val b = books.map(_.map(_.toArray).toArray).toArray
+    val cents = centroids.map(_.toArray).toArray
+    normed.as[(Long, Array[Double])]
+      .mapPartitions(_.map { case (id, v) =>
+        (id, ivfAssignKernel(v, cents), pqEncodeKernel(v, b)) })
+      .toDF("vec_id", "cell", "code")
       .repartition(col("cell"))
       .write.partitionBy("cell").mode(mode).parquet(target)
+  }
 
   def ivfPqWriteIndex(emb: DataFrame, dir: String, nCells: Int = 16,
                       m: Int = 8, codeK: Int = 16, iters: Int = 2,
