@@ -639,6 +639,14 @@ object Dedup {
     * [[writeDedupStore]]); every later append/query derives its
     * signatures from THESE, so a parameter mismatch — which would
     * silently produce near-empty candidate sets — cannot happen. */
+  /** Resolve a store's immutable signature params once (e.g. at stream
+    * start) as `Some(params)` for [[streamBatchNearDup]] — absent store
+    * → None, so a caller constructed before seeding falls back to the
+    * per-batch read. */
+  private[graft] def readStoreParams(spark: org.apache.spark.sql.SparkSession,
+                                     dir: String): Option[(Int, Int, Int)] =
+    scala.util.Try(storeParams(spark, dir)).toOption
+
   private def storeParams(spark: org.apache.spark.sql.SparkSession,
                           dir: String): (Int, Int, Int) = {
     val r = spark.read.parquet(s"$dir/params").head()
@@ -765,8 +773,11 @@ object Dedup {
     * signatures a second time. */
   private[graft] def streamBatchNearDup(batch: DataFrame, storeDir: String,
                                         pairsDir: String, batchId: Long,
-                                        threshold: Double): Unit = {
-    val (pairs, cached) = incrementalPairsPlan(batch, storeDir, threshold)
+                                        threshold: Double,
+                                        params: Option[(Int, Int, Int)] = None)
+      : Unit = {
+    val (pairs, cached) = incrementalPairsPlan(batch, storeDir, threshold,
+      params)
     // cached = (newSh, newBands, …) — the batch's signature frames are
     // reused for the store registration instead of re-deriving the
     // interpreted MinHash signatures a second time
@@ -784,13 +795,18 @@ object Dedup {
     * unpersist all of them, and [[streamBatchNearDup]] reuses the first
     * two for the store registration. */
   private[graft] def incrementalPairsPlan(newDocs: DataFrame, dir: String,
-                                          threshold: Double)
+                                          threshold: Double,
+                                          params: Option[(Int, Int, Int)] = None)
       : (DataFrame, Seq[DataFrame]) = {
     val spark = newDocs.sparkSession
     // restore a half-swapped compaction before reading either table
     graft.core.Fs.recoverSwap(s"$dir/bands")
     graft.core.Fs.recoverSwap(s"$dir/shingles")
-    val (n, numHashes, bands) = storeParams(spark, dir)
+    // params are written once at seed time and immutable for the store's
+    // life, so a long-running stream resolves them ONCE at start and
+    // passes them down — re-reading the 1-row table was one extra job
+    // per micro-batch (guide §1.2: remove work per trigger)
+    val (n, numHashes, bands) = params.getOrElse(storeParams(spark, dir))
     val newSh = shingled(newDocs, n).persist()
     val newBands = bandTable(newSh, numHashes, bands).persist()
     val oldBands = spark.read.parquet(s"$dir/bands")
@@ -807,15 +823,15 @@ object Dedup {
           col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+    // NO eager count here: the racing duplicate evaluations of the
+    // cold caches run on otherwise-idle task slots, while an extra
+    // materializing job per micro-batch is pure serial wall time —
+    // measured on the r13 bench pair: adding one count per batch cost
+    // stream_neardup +0.5 s and dedup_incremental +0.76 s (the batch
+    // ops whose subtrees DON'T saturate the cores keep the lazy shape;
+    // the corpus-wide ops with CPU-bill subtrees get the count — see
+    // ngramJaccardPairs).
     val cand = candCross.unionByName(candSelf).distinct().persist()
-    // ONE materializing pass for the whole new-batch cache chain (cand
-    // reads newBands reads newSh): cand feeds the verify join AND (via
-    // candIds) the stored-shingle semi-join prune, and AQE's concurrent
-    // stage submission would otherwise run the band join + signature
-    // subtree once per racing consumer on a cold cache (the same
-    // one-evaluation rule as ngramJaccardPairs, one count per op — the
-    // per-micro-batch path stays at a single extra job).
-    cand.count()
     // verify touches stored shingles for candidate PARTNERS only: one
     // full scan of the store semi-join-pruned to candidate ids (AQE
     // broadcasts the id side when small), persisted so the id_a and

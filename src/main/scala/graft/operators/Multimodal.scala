@@ -1152,11 +1152,10 @@ object Multimodal {
                                    pairsDir: String, batchId: Long,
                                    maxHamming: Int): Unit = {
     val hashes = newPh.persist()
-    // one decode+hash pass: the pair plan reads this frame from FOUR
-    // concurrent stages (store anti-join ids, broadcast band side,
-    // self-join x/y) — on a cold cache each would re-decode the batch's
-    // media (the one-evaluation rule, see Dedup.ngramJaccardPairs)
-    hashes.count()
+    // no eager count: the per-micro-batch extra job measured as serial
+    // wall (+0.4-0.6 s on the streamed media gates) while the racing
+    // duplicate decodes ran on idle task slots — see
+    // Dedup.incrementalPairsPlan for the measured trade
     graft.core.BatchStore.emitAndRegister(
       incrementalHashPairs(hashes, storeDir, maxHamming),
       hashes.select("media_id", "phash"), s"$storeDir/phashes",

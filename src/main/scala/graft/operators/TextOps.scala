@@ -212,11 +212,10 @@ object TextOps {
       .select(col("doc_id"),
         explode(winnowFingerprints(col(textCol), k, w)).as("fp"))
       .persist()
-    // one winnow pass — THREE join legs read this frame (store
-    // anti-join, cross broadcast side, self-join x/y) and would race to
-    // compute the batch's CPU bill on a cold cache (see
-    // winnowedOverlapPairs)
-    newFps.count()
+    // no eager count: an extra job per micro-batch measured as pure
+    // serial wall (+1.6 s on stream_winnow's 3-batch gate) while the
+    // cold-cache duplicate evaluations ran on idle task slots — see
+    // Dedup.incrementalPairsPlan for the measured trade
     val stored = spark.read.parquet(s"$dir/fps")
       .select("doc_id", "fp")
       .join(newFps.select("doc_id"), Seq("doc_id"), "left_anti")

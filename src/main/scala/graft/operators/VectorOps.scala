@@ -281,8 +281,9 @@ object VectorOps {
     * (real deployments k-means these; sampling keeps the oracle exact and
     * already tracks the data distribution, unlike hash-derived
     * directions). Driver-side: nCells · dim doubles. */
-  def ivfCentroids(emb: DataFrame, nCells: Int): Seq[Seq[Double]] = {
-    val n = emb.count()
+  def ivfCentroids(emb: DataFrame, nCells: Int,
+                   n0: Option[Long] = None): Seq[Seq[Double]] = {
+    val n = n0.getOrElse(emb.count())
     val stride = math.max(1L, n / nCells)
     emb.filter(pmod(col("vec_id"), lit(stride)) === 0)
       .orderBy("vec_id").limit(nCells)
@@ -319,8 +320,9 @@ object VectorOps {
     * train on a bounded sample, never the corpus), and the reason
     * training costs ZERO corpus passes beyond one bounded collect. */
   private def trainSample(df: DataFrame, vecExpr: Column,
-                          trainN: Int): Array[Array[Double]] = {
-    val n = df.count()
+                          trainN: Int,
+                          n0: Option[Long] = None): Array[Array[Double]] = {
+    val n = n0.getOrElse(df.count())
     val stride = math.max(1L, n / trainN)
     df.filter(pmod(col("vec_id"), lit(stride)) === 0)
       .orderBy("vec_id").limit(trainN)
@@ -342,11 +344,14 @@ object VectorOps {
     * zero-iteration sample so their oracles stay exact. */
   def kmeansCentroids(emb: DataFrame, nCells: Int,
                       iters: Int = 2, trainN: Int = 16384): Seq[Seq[Double]] = {
+    // one count serves both deterministic stride samplers (same frame,
+    // same n — the second count job was pure repetition)
+    val n = emb.count()
     var cen: Array[Array[Double]] =
-      ivfCentroids(emb, nCells).map(_.toArray).toArray
+      ivfCentroids(emb, nCells, Some(n)).map(_.toArray).toArray
     if (iters > 0) {
       val train = trainSample(emb, col("embedding").cast("array<double>"),
-        trainN)
+        trainN, Some(n))
       val dim = if (train.isEmpty) 0 else train.head.length
       for (_ <- 0 until iters) {
         val sums = Array.fill(cen.length, dim)(0.0)

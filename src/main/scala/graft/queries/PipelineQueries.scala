@@ -176,7 +176,11 @@ object PipelineQueries {
     * can't flip the hash while a real recall regression still fails. */
   private def recallRow(approx: DataFrame, exact: DataFrame,
                         k: Int, minHits: Int): DataFrame =
-    approx.join(exact, Seq("vec_id"))
+    // both sides are k rows — broadcast skips the SortMergeJoin's two
+    // exchanges+sorts the size-blind planner otherwise schedules
+    // (guide §3.1: pick the strategy deliberately when you KNOW a side
+    // is tiny)
+    approx.join(broadcast(exact), Seq("vec_id"))
       .agg(count(lit(1)).as("hits"))
       .select(lit(k.toLong).as("k"), (col("hits") >= minHits).as("recall_ok"))
 
@@ -247,7 +251,8 @@ object PipelineQueries {
       // the shortlist pairs collected eagerly above — the index files
       // are no longer referenced by the returned plan, so the temp
       // index can be dropped in the finally
-      approx.select("probe_id", "vec_id").join(exact, Seq("probe_id", "vec_id"))
+      approx.select("probe_id", "vec_id")
+        .join(broadcast(exact), Seq("probe_id", "vec_id")) // tiny sides — skip the SMJ exchanges (guide §3.1)
         .groupBy("probe_id").agg(count(lit(1)).as("hits"))
         .select(col("probe_id"), lit(10L).as("k"),
           (col("hits") >= 8).as("recall_ok"))
@@ -303,7 +308,8 @@ object PipelineQueries {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 10)
         .select("probe_id", "vec_id")
-      approx.select("probe_id", "vec_id").join(exact, Seq("probe_id", "vec_id"))
+      approx.select("probe_id", "vec_id")
+        .join(broadcast(exact), Seq("probe_id", "vec_id")) // tiny sides — skip the SMJ exchanges (guide §3.1)
         .groupBy("probe_id").agg(count(lit(1)).as("hits"))
         .select(col("probe_id"), lit(10L).as("k"),
           (col("hits") >= 9).as("recall_ok"))
@@ -327,14 +333,23 @@ object PipelineQueries {
     * emb_neardup_cell; a clustered real distribution raises it). */
   def annKnnCellRecall(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
+    // the exact join feeds BOTH the overlap join and the total count —
+    // without the persist the n²·d brute-force kernel ran twice (one
+    // evaluation, see Dedup.ngramJaccardPairs); the 1-row result
+    // materializes so the cache releases in-op
     val exact = VectorOps.knnJoinExact(emb, 10).select("vec_id", "nb_id")
+      .persist()
     val cell = VectorOps.knnJoinCell(emb, 10, nAssign = 3)
       .select("vec_id", "nb_id")
-    cell.join(exact, Seq("vec_id", "nb_id"))
+    val out = cell.join(exact, Seq("vec_id", "nb_id"))
       .agg(count(lit(1)).as("hits"))
       .crossJoin(exact.agg(count(lit(1)).as("tot")))
       .select(lit(10L).as("k"),
         (col("hits") * 10L >= col("tot") * 6L).as("recall_ok"))
+      .persist()
+    out.count()
+    exact.unpersist()
+    out
   }
 
   /** IVF-PQ WHOLE-CORPUS recall (r7 verdict item 3): the end-to-end

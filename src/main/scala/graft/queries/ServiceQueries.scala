@@ -895,8 +895,13 @@ object ServiceQueries {
     val long = graft.ingest.Ingest.toLong(
       graft.core.Spread(Tables.events(s, d)),
       uidCol = "event_id", datatype = "event", dateCol = "ts")
+    // the server runs one job per feed page / entry / categories verb
+    // against this frame — persist it so the melt+aggregate subtree
+    // evaluates once, not once per HTTP call (the result legs below are
+    // collected strings, so the cache releases before return)
+    val atom = graft.ingest.Feeds.atom(long).persist()
     val server = new QueryServer(Map("events_long" -> long),
-      atomTable = Some(graft.ingest.Feeds.atom(long)), metricsFlush = false)
+      atomTable = Some(atom), metricsFlush = false)
     val port = server.start()
     try {
       val svc = new RemoteQueryService(s"http://127.0.0.1:$port")
@@ -939,7 +944,7 @@ object ServiceQueries {
       leg("feed", entries.toSeq)
         .unionByName(leg("entry", Seq(entryBody)))
         .unionByName(catsDf)
-    } finally server.stop()
+    } finally { server.stop(); atom.unpersist() }
   }
 
   /** The bulk-export job tier under the oracle (MapReduceBean.java:

@@ -277,7 +277,7 @@ object StreamingQueries {
     val exact = V.bruteForceTopKBatch(emb, probeIds, k = 10)
       .select("probe_id", "vec_id")
     approx.select("probe_id", "vec_id")
-      .join(exact, Seq("probe_id", "vec_id"))
+      .join(broadcast(exact), Seq("probe_id", "vec_id")) // tiny sides — skip the SMJ exchanges (guide §3.1)
       .groupBy("probe_id").agg(count(lit(1)).as("hits"))
       .select(col("probe_id"), lit(10L).as("k"),
         (col("hits") >= 8).as("recall_ok"))

@@ -149,7 +149,14 @@ object StreamingIngest {
     * once. */
   def nearDupStream(stream: DataFrame, storeDir: String, pairsDir: String,
                     checkpointDir: String, threshold: Double = 0.8)
-      : DataStreamWriter[org.apache.spark.sql.Row] =
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    // signature params are immutable for the store's life — resolve
+    // them once at stream start instead of one 1-row-table job per
+    // micro-batch (they still re-resolve per batch if this closure is
+    // somehow entered before the seed; seeding first is the documented
+    // contract)
+    val params = graft.operators.Dedup.readStoreParams(
+      stream.sparkSession, storeDir)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -159,9 +166,10 @@ object StreamingIngest {
         // batch partition the next read would still list
         if (!batch.isEmpty)
           graft.operators.Dedup.streamBatchNearDup(batch, storeDir,
-            pairsDir, id, threshold)
+            pairsDir, id, threshold, params)
         ()
       }
+  }
 
   /** Live image-dedup tier — the pHash twin of [[nearDupStream]]: each
     * micro-batch of images hashes ONCE (the old corpus is never
