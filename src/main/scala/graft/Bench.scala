@@ -87,7 +87,24 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The one-line JSON contract. The stdout println alone has never
+    // reached the stream the driver parses (BENCH_r01..r13 all have
+    // parsed:null — under a forked sbt run the stdout line is lost while
+    // stderr survives), so emit the SAME line on every channel the
+    // driver might capture: stdout (the original contract), stderr
+    // (tagged, like the per-query lines above), and a file next to the
+    // build. Numbers and methodology are unchanged.
+    println(json)
+    System.out.flush()
+    System.err.println(s"[bench-json] $json")
+    System.err.flush()
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "bench_result.json")),
+      json.getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -55,7 +55,17 @@ object AgeOff {
     val decided = rules.foldRight(newerThan(defaultTtlMillis)) { (r, rest) =>
       when(r.appliesTo, newerThan(r.ttlMillis)).otherwise(rest)
     }
-    shortCircuitTtlMillis.fold(decided)(sc => newerThan(sc) || decided)
+    val full = shortCircuitTtlMillis.fold(decided)(sc => newerThan(sc) || decided)
+    // Every branch of the rule chain requires ts > scanStart − ttl_branch,
+    // so the whole predicate IMPLIES ts > scanStart − max(all TTLs).
+    // Conjoin that bound explicitly: the when/OR chain itself cannot
+    // translate to a parquet filter, but the redundant bare-column bound
+    // can (guide §6 — an age-off sweep then row-group-skips everything
+    // older than the longest TTL instead of post-filtering a full scan).
+    // Row set is unchanged: the conjunct is true whenever `full` is.
+    val maxTtl = (Seq(defaultTtlMillis) ++ rules.map(_.ttlMillis) ++
+      shortCircuitTtlMillis.toSeq).max
+    full && newerThan(maxTtl)
   }
 
   /** Surviving rows of an age-off sweep. */

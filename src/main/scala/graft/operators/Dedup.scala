@@ -635,14 +635,16 @@ object Dedup {
   // (band, bucket) so even re-runs of LARGE batches sort-merge without
   // a shuffle of the stored side.
 
-  /** Read-validate the store's signature parameters (written once by
-    * [[writeDedupStore]]); every later append/query derives its
-    * signatures from THESE, so a parameter mismatch — which would
-    * silently produce near-empty candidate sets — cannot happen. */
-  /** Resolve a store's immutable signature params once (e.g. at stream
-    * start) as `Some(params)` for [[streamBatchNearDup]] — absent store
-    * → None, so a caller constructed before seeding falls back to the
-    * per-batch read. */
+  /** Resolve a store's signature params once (e.g. at stream start) as
+    * `Some(params)` for [[streamBatchNearDup]] — absent store → None, so
+    * a caller constructed before seeding falls back to the per-batch
+    * read. Every append/query derives its signatures from the STORE's
+    * params, so a mismatch — which would silently produce near-empty
+    * candidate sets — cannot happen WHILE the store lives. The guarantee
+    * is conditional on not deleting and re-seeding the store with
+    * different (n, numHashes, bands) under a live writer that cached
+    * these params (ADVICE r13): re-seeding is an offline operation, like
+    * [[compactDedupStore]] — stop the stream first. */
   private[graft] def readStoreParams(spark: org.apache.spark.sql.SparkSession,
                                      dir: String): Option[(Int, Int, Int)] =
     scala.util.Try(storeParams(spark, dir)).toOption

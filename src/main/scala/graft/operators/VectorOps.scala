@@ -227,6 +227,50 @@ object VectorOps {
     aggregate(bits, lit(0L), (acc, b) => acc.bitwiseOR(b))
   }
 
+  /** Kernel twin of [[lshSignature]] (guide §4, same recipe as the PQ/IVF
+    * kernels below): per plane a flat left-to-right dot product, sign bit
+    * packed at position p — bit-equal to the expression incl. the
+    * null/NaN edges: a zip_with length mismatch gives a null projection
+    * (bit 0), and the `proj >= 0` comparison is Spark SQL's TOTAL double
+    * ordering, where NaN ≥ 0 and -0.0 ≥ 0.0 are both true — `!(proj < 0)`
+    * in primitive terms, NOT `proj >= 0` (KernelParitySpec edge rows). */
+  private[operators] def lshSigKernel(v: Array[Double],
+                                      mat: Array[Array[Double]]): Long = {
+    if (v == null) return 0L
+    var sig = 0L
+    var p = 0
+    while (p < mat.length) {
+      val plane = mat(p)
+      if (v.length == plane.length) { // zip_with length mismatch ⇒ null proj ⇒ bit 0
+        var proj = 0.0; var i = 0
+        while (i < plane.length) { proj += v(i) * plane(i); i += 1 }
+        if (!(proj < 0)) sig |= 1L << p // Spark total ordering: NaN ≥ 0
+      }
+      p += 1
+    }
+    sig
+  }
+
+  /** (vec_id, embedding, sig) — the corpus-wide signature pass of
+    * [[lshTopK]] through [[lshSigKernel]] instead of the per-row
+    * interpreted `zip_with`/`aggregate` fold (guide §4: no non-codegen
+    * expressions on corpus passes; the expression form stays for
+    * needle-bounded use and the oracle-replayable tests). */
+  private[operators] def lshSigned(emb: DataFrame, planes: Int,
+                                   dim: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val mat = Array.tabulate(planes, dim)((p, i) => planeComponent(p, i))
+    emb.select(col("vec_id"), col("embedding").cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, v) =>
+        val dv = new Array[Double](v.length)
+        var i = 0
+        while (i < v.length) { dv(i) = v(i).toDouble; i += 1 }
+        (id, v, lshSigKernel(dv, mat))
+      }).toDF("vec_id", "embedding", "sig")
+  }
+
   /** ANN via LSH prebucketing: candidates = vectors sharing at least one
     * band of the signature with the probe; exact cosine re-rank within
     * candidates. Approximate — recall measured in tests vs brute force.
@@ -237,7 +281,7 @@ object VectorOps {
     val bandBits = planes / bands
     val mask = (1L << bandBits) - 1
     val dim = embDim(emb)
-    val withSig = emb.withColumn("sig", lshSignature(col("embedding"), planes, dim))
+    val withSig = lshSigned(emb, planes, dim)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask)).as("key"))
@@ -786,7 +830,11 @@ object VectorOps {
   }
 
   /** Kernel twin of [[ivfAssign]] — the same argmax-dot loop
-    * [[kmeansCentroids]] refines with (ties -> larger cell). */
+    * [[kmeansCentroids]] refines with. Ordering is
+    * java.lang.Double.compare (ties -> larger cell), matching array_max's
+    * struct ordering exactly: NaN greatest and -0.0 < 0.0 — a primitive
+    * `>=` would never select a NaN sim and would treat ±0.0 as a tie,
+    * diverging from the expression on those edges (ADVICE r13). */
   private[operators] def ivfAssignKernel(
       v: Array[Double], cents: Array[Array[Double]]): Int = {
     var best = 0; var bestS = Double.NegativeInfinity
@@ -794,7 +842,7 @@ object VectorOps {
     while (c < cents.length) {
       var s = 0.0; var i = 0
       while (i < v.length) { s += v(i) * cents(c)(i); i += 1 }
-      if (s >= bestS) { bestS = s; best = c } // ties -> larger cell
+      if (java.lang.Double.compare(s, bestS) >= 0) { bestS = s; best = c }
       c += 1
     }
     best

@@ -48,6 +48,13 @@ final class QueryCursor(stateDir: String) {
     page
   }
 
+  /** Advance the durable offset WITHOUT serving a page frame — the
+    * batched ledger drain ([[RunningQuery.run]]) keeps cursor state
+    * byte-identical to a per-page drain while computing the page counts
+    * in one job. */
+  def advance(queryId: String, pageSize: Int): Unit =
+    saveOffset(queryId, currentOffset(queryId) + pageSize)
+
   /** Drop cursor state (query close). */
   def close(queryId: String): Unit = {
     val f = stateFile(queryId)

@@ -248,8 +248,37 @@ final class RunningQuery(
     rows
   }
 
-  /** Drive to completion (or short-circuit), returning pages served. */
+  /** Drive to completion (or short-circuit), returning pages served.
+    *
+    * Without timeout semantics this runs ONE counting job instead of a
+    * sorted offset/limit job per page (the r13 verdict's service-tier
+    * item; guide §1.2 — query_pages spent 57 driver-sequenced jobs on a
+    * 5-page ledger): a page's `count()` over sort+offset+limit is exactly
+    * `min(pageSize, remaining)` — the order decides WHICH rows are on a
+    * page, never HOW MANY — so the per-page metric rows, statuses,
+    * pagesServed and the durable cursor offsets (including the final
+    * exhaustion probe's advance) are identical to the per-page drain,
+    * pinned by RunningQuerySpec. A finite pageTimeoutMillis falls back to
+    * the per-page drain: a mid-run short-circuit can only be observed by
+    * timing real page jobs. */
   def run(maxPages: Int = Int.MaxValue): Long = {
+    if (pageTimeoutMillis != Long.MaxValue) return runPerPage(maxPages)
+    val t0 = System.currentTimeMillis()
+    var remaining = math.max(0L, df.count() - cursor.currentOffset(queryId))
+    var served = 0L
+    var continue = true
+    while (continue && served < maxPages) {
+      val rows = math.min(pageSize.toLong, remaining)
+      cursor.advance(queryId, pageSize) // same durable state as cursor.next
+      remaining -= rows
+      if (record(rows, t0) == 0) continue = false else served += 1
+    }
+    served
+  }
+
+  /** The per-page drain (one sorted offset/limit job per page) — the
+    * timeout path, and the reference behavior [[run]] is pinned against. */
+  private[query] def runPerPage(maxPages: Int = Int.MaxValue): Long = {
     var served = 0L
     var continue = true
     while (continue && served < maxPages) {

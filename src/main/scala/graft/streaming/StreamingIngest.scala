@@ -150,11 +150,14 @@ object StreamingIngest {
   def nearDupStream(stream: DataFrame, storeDir: String, pairsDir: String,
                     checkpointDir: String, threshold: Double = 0.8)
       : DataStreamWriter[org.apache.spark.sql.Row] = {
-    // signature params are immutable for the store's life — resolve
+    // signature params are immutable for the store's LIFE — resolve
     // them once at stream start instead of one 1-row-table job per
     // micro-batch (they still re-resolve per batch if this closure is
     // somehow entered before the seed; seeding first is the documented
-    // contract)
+    // contract). Conditional guarantee (ADVICE r13): deleting and
+    // re-seeding the store with different params under a live writer
+    // would sign batches with stale params — re-seeding is offline-only,
+    // stop the stream first (Dedup.readStoreParams scaladoc).
     val params = graft.operators.Dedup.readStoreParams(
       stream.sparkSession, storeDir)
     stream.writeStream

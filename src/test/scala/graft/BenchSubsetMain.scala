@@ -22,18 +22,27 @@ object BenchSubsetMain {
       catch { case _: Throwable => () }
       spark.catalog.clearCache(); System.gc()
     }
+    // a crashed gate must NOT masquerade as a (fast) timing in A/B
+    // evidence: record NaN and say so (ADVICE r13)
     def pass(): Map[String, Double] = names.map { n =>
       val t0 = System.nanoTime()
-      try SparkEntry.queries(n)(spark, sfDir).count()
-      catch { case _: Throwable => () }
-      val dt = (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { SparkEntry.queries(n)(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[benchsub] $n FAILED: ${e.getMessage}")
+          false
+        }
+      val dt = if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN
       spark.catalog.clearCache(); System.gc(); Thread.sleep(150)
       n -> dt
     }.toMap
     val p1 = pass(); val p2 = pass()
     names.foreach { n =>
-      System.err.println(f"[benchsub] $n%-26s ${math.min(p1(n), p2(n))}%7.2f s" +
-        f"  (p1 ${p1(n)}%5.2f  p2 ${p2(n)}%5.2f)")
+      if (p1(n).isNaN || p2(n).isNaN)
+        System.err.println(f"[benchsub] $n%-26s  FAILED  (p1 ${p1(n)}  p2 ${p2(n)})")
+      else
+        System.err.println(f"[benchsub] $n%-26s ${math.min(p1(n), p2(n))}%7.2f s" +
+          f"  (p1 ${p1(n)}%5.2f  p2 ${p2(n)}%5.2f)")
     }
     spark.stop()
   }

@@ -69,6 +69,25 @@ class AgeOffSpec extends SparkSpec {
     assert(ids(AgeOff.filter(vis, "ts", scanStart, 5 * day, sub)).isEmpty)
   }
 
+  test("the implied max-TTL bound pushes to the scan and never changes the kept set") {
+    // boundary rows around the implied bound (scanStart − max TTL = 20d):
+    // exactly AT the bound both forms drop (strict >); just inside the
+    // bound the per-rule leaf still decides
+    val edge = Seq(
+      (10L, "b", new java.sql.Timestamp(scanStart - 20 * day)),         // at max TTL: drop
+      (11L, "b", new java.sql.Timestamp(scanStart - 20 * day + 1000)),  // inside: keep
+      (12L, "a", new java.sql.Timestamp(scanStart - 6 * day)))          // a's 5d drops it, bound alone would keep
+      .toDF("id", "dt", "ts")
+    assert(ids(AgeOff.filter(edge, "ts", scanStart, 10 * day, rules)) == Set(11L))
+    // the redundant bare-column conjunct reaches the parquet scan
+    val plan = AgeOff.filter(
+      graft.core.Tables.events(spark, sf001), "ts", scanStart, 10 * day,
+      Seq(AgeOff.dataTypeRule(Seq("click"), 5 * day, typeCol = "event_type")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(ts"),
+      s"expected a pushed ts bound in:\n$plan")
+  }
+
   test("visibility-pattern rule claims by marking regex") {
     val vis = Seq((1L, "PII&OPS", "2024-01-20 12:00:00"),
       (2L, "PUBLIC", "2024-01-20 12:00:00"))

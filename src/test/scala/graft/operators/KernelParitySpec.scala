@@ -49,10 +49,35 @@ class KernelParitySpec extends SparkSpec {
     } finally normed.unpersist()
   }
 
-  test("pqEncodeKernel keeps the expression's tie-break (equidistant -> smaller code)") {
+  // Synthetic edge rows assert kernel == EXPRESSION on the same input —
+  // not kernel == hardcoded expectation — so a wrong assumption about the
+  // expression's tie behavior cannot pass silently (ADVICE r13).
+  private def exprEncode(v: Seq[Double],
+                         books: Seq[Seq[Seq[Double]]]): Seq[Int] =
+    Seq(Tuple1(v)).toDF("nv")
+      .select(VectorOps.pqEncode(col("nv"), books).as("code"))
+      .head().getSeq[Int](0)
+
+  private def exprAssign(v: Seq[Double], cents: Seq[Seq[Double]]): Int =
+    Seq(Tuple1(v)).toDF("v")
+      .select(VectorOps.ivfAssign(col("v"), cents).as("cell"))
+      .head().getInt(0)
+
+  private def exprAssignTop(v: Seq[Double], cents: Seq[Seq[Double]],
+                            n: Int): Seq[Int] =
+    Seq(Tuple1(v)).toDF("v")
+      .select(VectorOps.ivfAssignTop(col("v"), cents, n).as("cells"))
+      .head().getSeq[Int](0)
+
+  test("pqEncodeKernel matches the expression on an exact tie (equidistant centroids)") {
     // one subspace of dim 2, two centroids equidistant from the probe
-    val books = Array(Array(Array(1.0, 0.0), Array(-1.0, 0.0)))
-    assert(VectorOps.pqEncodeKernel(Array(0.0, 5.0), books).toSeq == Seq(0))
+    val books = Seq(Seq(Seq(1.0, 0.0), Seq(-1.0, 0.0)))
+    val v = Seq(0.0, 5.0)
+    val viaExpr = exprEncode(v, books)
+    val viaKernel = VectorOps.pqEncodeKernel(v.toArray,
+      books.map(_.map(_.toArray).toArray).toArray).toSeq
+    assert(viaKernel == viaExpr)
+    assert(viaExpr == Seq(0)) // ties -> smaller code
   }
 
   test("ivfAssignKernel is bit-equal to the ivfAssign expression on kmeans centroids") {
@@ -71,10 +96,29 @@ class KernelParitySpec extends SparkSpec {
     assert(viaKernel == viaExpr)
   }
 
-  test("ivfAssignKernel keeps the expression's tie-break (equal dot -> larger cell)") {
-    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+  test("ivfAssignKernel matches the expression on an exact tie (equal dot)") {
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val ca = cents.map(_.toArray).toArray
     // v equidistant from both centroids: dot = 1.0 each
-    assert(VectorOps.ivfAssignKernel(Array(1.0, 1.0), cents) == 1)
+    val v = Seq(1.0, 1.0)
+    assert(VectorOps.ivfAssignKernel(v.toArray, ca) == exprAssign(v, cents))
+    assert(exprAssign(v, cents) == 1) // ties -> larger cell
+  }
+
+  test("ivfAssignKernel matches array_max's double ordering on NaN and ±0.0 sims") {
+    // NaN sims: array_max's struct ordering is NaN-greatest — all sims
+    // NaN ties to the LARGER cell (ADVICE r13: a primitive >= never
+    // selects NaN; the kernel uses java.lang.Double.compare)
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(0.5, 0.5))
+    val ca = cents.map(_.toArray).toArray
+    val nan = Seq(Double.NaN, 1.0)
+    assert(VectorOps.ivfAssignKernel(nan.toArray, ca) == exprAssign(nan, cents))
+    // ±0.0: Double.compare orders -0.0 < 0.0 while primitive >= treats
+    // them equal — v picked so cell 0 scores 0.0 and cell 1 scores -0.0
+    val zc = Seq(Seq(0.0, 1.0), Seq(0.0, -1.0))
+    val zca = zc.map(_.toArray).toArray
+    val vz = Seq(-1.0, 0.0)
+    assert(VectorOps.ivfAssignKernel(vz.toArray, zca) == exprAssign(vz, zc))
   }
 
   test("ivfAssignTopKernel is bit-equal to the ivfAssignTop expression (order included)") {
@@ -92,11 +136,40 @@ class KernelParitySpec extends SparkSpec {
     assert(viaKernel == viaExpr)
   }
 
-  test("ivfAssignTopKernel tie order matches reverse(array_sort): equal sims -> larger cell first") {
-    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0), Array(0.5, 0.5))
+  test("ivfAssignTopKernel tie order matches the expression: equal sims -> larger cell first") {
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(0.5, 0.5))
+    val ca = cents.map(_.toArray).toArray
     // v = (1,1): dots = 1.0, 1.0, 1.0 — all tied
-    assert(VectorOps.ivfAssignTopKernel(Array(1.0, 1.0), cents, 2).toSeq ==
-      Seq(2, 1))
+    val v = Seq(1.0, 1.0)
+    val viaExpr = exprAssignTop(v, cents, 2)
+    assert(VectorOps.ivfAssignTopKernel(v.toArray, ca, 2).toSeq == viaExpr)
+    assert(viaExpr == Seq(2, 1)) // reverse(array_sort): larger cell first
+  }
+
+  test("the LSH signature kernel is bit-equal to the lshSignature expression") {
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val viaExpr = emb
+      .select(col("vec_id"),
+        VectorOps.lshSignature(col("embedding"), planes = 32, dim).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaKernel = VectorOps.lshSigned(emb, planes = 32, dim)
+      .select("vec_id", "sig")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaKernel == viaExpr)
+  }
+
+  test("lshSigKernel edge rows: zero vector, NaN component, length mismatch") {
+    val mat = Array.tabulate(4, 3)((p, i) =>
+      VectorOps.planeComponent(p, i))
+    def exprSig(v: Seq[Float]): Long =
+      Seq(Tuple1(v)).toDF("v")
+        .select(VectorOps.lshSignature(col("v"), planes = 4, dim = 3).as("s"))
+        .head().getLong(0)
+    for (v <- Seq(Seq(0.0f, 0.0f, 0.0f), Seq(Float.NaN, 1.0f, 2.0f),
+                  Seq(1.0f, -2.0f))) {
+      val dv = v.map(_.toDouble).toArray
+      assert(VectorOps.lshSigKernel(dv, mat) == exprSig(v), s"edge row $v")
+    }
   }
 
   test("the brute-force kernel sims are bit-equal to the cosine expression") {

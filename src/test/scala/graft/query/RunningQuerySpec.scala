@@ -105,6 +105,42 @@ class RunningQuerySpec extends SparkSpec {
     QueryMetrics.clear()
   }
 
+  test("batched run() reproduces the per-page drain: metrics, pagesServed, cursor state") {
+    QueryMetrics.clear()
+    val df = (1 to 25).toDF("n")
+    val dirA = java.nio.file.Files.createTempDirectory("rq-batched").toString
+    val dirB = java.nio.file.Files.createTempDirectory("rq-paged").toString
+    val ca = new QueryCursor(dirA)
+    val cb = new QueryCursor(dirB)
+    val servedA = new RunningQuery(ca, "rqA", df, Seq("n"), pageSize = 10).run()
+    val servedB = new RunningQuery(cb, "rqB", df, Seq("n"), pageSize = 10)
+      .runPerPage()
+    assert(servedA == servedB)
+    // identical durable offsets, INCLUDING the final exhaustion probe's
+    // advance (a resumed cursor must behave the same either way)
+    assert(ca.currentOffset("rqA") == cb.currentOffset("rqB"))
+    def ledger(id: String) = QueryMetrics.pagesDF(spark)
+      .filter(col("queryId") === id).orderBy("pageNum")
+      .select("pageNum", "rows", "status")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(ledger("rqA") == ledger("rqB"))
+    // maxPages cut-off parity: stop BEFORE exhaustion, no probe advance
+    val ca2 = new QueryCursor(
+      java.nio.file.Files.createTempDirectory("rq-batched2").toString)
+    val cb2 = new QueryCursor(
+      java.nio.file.Files.createTempDirectory("rq-paged2").toString)
+    assert(new RunningQuery(ca2, "rqA2", df, Seq("n"), pageSize = 10).run(2) ==
+      new RunningQuery(cb2, "rqB2", df, Seq("n"), pageSize = 10).runPerPage(2))
+    assert(ca2.currentOffset("rqA2") == cb2.currentOffset("rqB2"))
+    // a resumed cursor mid-query drains the remainder identically
+    assert(new RunningQuery(ca2, "rqA2", df, Seq("n"), pageSize = 10,
+      startPage = 2).run() ==
+      new RunningQuery(cb2, "rqB2", df, Seq("n"), pageSize = 10,
+        startPage = 2).runPerPage())
+    assert(ca2.currentOffset("rqA2") == cb2.currentOffset("rqB2"))
+    QueryMetrics.clear()
+  }
+
   test("zero-row exhaustion probe emits no page metric") {
     QueryMetrics.clear()
     val df = (1 to 10).toDF("n")
