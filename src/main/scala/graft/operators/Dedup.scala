@@ -820,7 +820,14 @@ object Dedup {
           col("x.doc_id") =!= col("y.doc_id"))
       .select(least(col("x.doc_id"), col("y.doc_id")).as("id_a"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("id_b"))
-    val candSelf = newBands.as("x").join(newBands.as("y"),
+    // the batch's own band table is broadcast-bounded BY DEFINITION (a
+    // micro-batch is small — it already broadcasts in candCross above);
+    // the size-blind planner otherwise schedules a SortMergeJoin with
+    // two exchanges+sorts for the self-join, and under AQE every
+    // materialized exchange is one more driver-sequenced job per
+    // trigger (guide §3.1 + §1.2; measured 81 jobs / 3 batches on
+    // stream_neardup before this wave)
+    val candSelf = newBands.as("x").join(broadcast(newBands.as("y")),
         col("x.band") === col("y.band") &&
           col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -838,23 +845,32 @@ object Dedup {
     // full scan of the store semi-join-pruned to candidate ids (AQE
     // broadcasts the id side when small), persisted so the id_a and
     // id_b branches of the verify join share the single pruned pass
+    // no .distinct(): a LEFT SEMI join's result is insensitive to
+    // duplicate build-side keys, so the dedup exchange was one pure
+    // extra shuffle (and one AQE job) per trigger; the exploded frame
+    // stays bounded by the batch's candidate pairs
     val candIds = cand
       .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
-      .distinct()
     // the anti-join vs the batch's own ids makes the op idempotent
     // under crash-replay AFTER a store append (the batched streaming
     // layout): a doc whose shingles are already stored must not appear
     // twice in the verify side. The select pins the shingle columns so
     // a batch-partitioned store (extra `batch` partition column) unions
     // cleanly with the fresh side.
-    val newIds = newSh.select("doc_id").distinct()
+    // no .distinct() here either: newSh is one row per doc already and a
+    // LEFT ANTI join is insensitive to duplicate build-side keys
+    val newIds = newSh.select("doc_id")
     val allSh = spark.read.parquet(s"$dir/shingles")
       .select(newSh.columns.map(col).toIndexedSeq: _*)
-      .join(candIds, Seq("doc_id"), "left_semi")
+      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
       .join(broadcast(newIds), Seq("doc_id"), "left_anti")
       .unionByName(newSh)
       .persist()
-    (verifyJaccard(cand, allSh, threshold), Seq(newSh, newBands, cand, allSh))
+    // cand is bounded by the batch's candidate pairs — broadcast it into
+    // the verify join (two SMJ exchange+sort pairs otherwise); the
+    // corpus-wide callers of verifyJaccard keep their unhinted shape
+    (verifyJaccard(broadcast(cand), allSh, threshold),
+      Seq(newSh, newBands, cand, allSh))
   }
 
   /** Near-dup pairs a NEW batch forms with the stored corpus and with

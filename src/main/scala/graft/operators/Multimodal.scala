@@ -1092,9 +1092,14 @@ object Multimodal {
       s"pigeonhole guarantee covers maxHamming <= 15, got $maxHamming")
     val spark = newPh.sparkSession
     graft.core.Fs.recoverSwap(s"$dir/phashes")
+    // the batch side is broadcast-bounded by definition (it already
+    // broadcasts in the cross join below); hint the anti-join and the
+    // self-join too — the size-blind planner otherwise schedules
+    // SortMergeJoins whose exchanges are one AQE job each per trigger
+    // (guide §3.1 + §1.2, same wave as Dedup.incrementalPairsPlan)
     val stored = spark.read.parquet(s"$dir/phashes")
       .select("media_id", "phash")
-      .join(newPh.select("media_id"), Seq("media_id"), "left_anti")
+      .join(broadcast(newPh.select("media_id")), Seq("media_id"), "left_anti")
     val nb = bandsOf(newPh, maxHamming)
     val cross = bandsOf(stored, maxHamming).as("y")
       .join(broadcast(nb.as("x")),
@@ -1104,7 +1109,7 @@ object Multimodal {
       .select(least(col("x.media_id"), col("y.media_id")).as("id_a"),
         greatest(col("x.media_id"), col("y.media_id")).as("id_b"),
         col("x.phash").as("ph_a"), col("y.phash").as("ph_b"))
-    val self = nb.as("x").join(nb.as("y"),
+    val self = nb.as("x").join(broadcast(nb.as("y")),
         col("x.band") === col("y.band") &&
           col("x.bucket") === col("y.bucket") &&
           col("x.media_id") < col("y.media_id"))

@@ -216,16 +216,25 @@ object TextOps {
     // serial wall (+1.6 s on stream_winnow's 3-batch gate) while the
     // cold-cache duplicate evaluations ran on idle task slots — see
     // Dedup.incrementalPairsPlan for the measured trade
+    // under broadcastBatch the anti-join and self-join sides are hinted
+    // too — the batch side is broadcast-bounded by definition, and the
+    // size-blind planner otherwise schedules SortMergeJoins whose
+    // exchanges cost one AQE job each per trigger (guide §3.1 + §1.2,
+    // same wave as Dedup.incrementalPairsPlan)
     val stored = spark.read.parquet(s"$dir/fps")
       .select("doc_id", "fp")
-      .join(newFps.select("doc_id"), Seq("doc_id"), "left_anti")
+      .join(
+        if (broadcastBatch) broadcast(newFps.select("doc_id"))
+        else newFps.select("doc_id"),
+        Seq("doc_id"), "left_anti")
     val batchSide =
       if (broadcastBatch) broadcast(newFps.as("x")) else newFps.as("x")
     val cross = stored.as("y").join(batchSide,
         col("x.fp") === col("y.fp") && col("x.doc_id") =!= col("y.doc_id"))
       .select(least(col("x.doc_id"), col("y.doc_id")).as("id_a"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("id_b"))
-    val self = newFps.as("x").join(newFps.as("y"),
+    val self = newFps.as("x").join(
+        if (broadcastBatch) broadcast(newFps.as("y")) else newFps.as("y"),
         col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
     val pairs = cross.unionByName(self)
