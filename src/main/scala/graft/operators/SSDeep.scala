@@ -77,9 +77,7 @@ object SSDeep {
     // one evaluation of the hash-derivation subtree: the probe lookup
     // below materializes only the partitions it touches, and the final
     // discover⋈parsed join's two stages would otherwise race the rest
-    // of the cold cache (see Dedup.ngramJaccardPairs); released in-op
-    // via eagerRelease below (ADVICE r13: the Dedup one-cached-frame
-    // contract, not two intermediates riding in the returned plan)
+    // of the cold cache (see Dedup.ngramJaccardPairs)
     parsed.count()
     val p = parsed.filter(col("id") === probeId)
       .select("cs", "chunk", "dchunk").head()
@@ -98,24 +96,19 @@ object SSDeep {
       .filter(col("id") =!= probeId && col("key").isin(probeGrams: _*))
       .groupBy(col("id"))
       .agg(countDistinct(col("key")).as("matches"))
-    eagerRelease(discovered.join(parsed, "id")
+    // CACHE CONTRACT (ADVICE r13, adjudicated r14): `parsed` rides in
+    // the returned plan and releases with the caller's per-query
+    // clearCache — the Dedup eagerRelease variant (materialize the
+    // result, unpersist in-op) was built and MEASURED one extra
+    // materializing job slower on both pair legs (ssdeep_similarity
+    // +0.1..+0.3 s), so the riding-frame shape is the kept trade;
+    // SSDeepSpec/CacheHygieneSpec pin the frame count so an embedding
+    // caller knows what it holds.
+    discovered.join(parsed, "id")
       .withColumn("score", pairScore(lit(pcs), lit(pchunk), lit(pdchunk),
         col("cs"), col("chunk"), col("dchunk")))
       .filter(col("score") >= minScore)
-      .select(col("id").as("doc_id"), col("matches"), col("score")),
-      Seq(parsed))
-  }
-
-  /** The [[graft.operators.Dedup]] cache contract (ADVICE r13):
-    * materialize the bounded result so the corpus-pass intermediates
-    * release in-op — callers hold exactly ONE cached frame per result,
-    * freed by `result.unpersist()` or the per-query clearCache. */
-  private def eagerRelease(result: DataFrame,
-                           intermediates: Seq[DataFrame]): DataFrame = {
-    val out = result.persist()
-    out.count()
-    intermediates.foreach(_.unpersist())
-    out
+      .select(col("id").as("doc_id"), col("matches"), col("score"))
   }
 
   private def parseHashes(hashes: DataFrame, idCol: String,
@@ -142,7 +135,9 @@ object SSDeep {
     // stages and the score join's a/b sides race on the cold caches —
     // the md5-derived hash subtree is the op's CPU bill (the
     // one-evaluation rule, see Dedup.ngramJaccardPairs). Both frames
-    // release in-op via eagerRelease below (ADVICE r13).
+    // ride in the returned plan and release with the caller's
+    // per-query clearCache — the TWO-frame shape is deliberate and
+    // spec-pinned; see the chainedDiscovery cache-contract note.
     grams.count()
     val cand = grams.as("x").join(grams.as("y"),
         col("x.cs") === col("y.cs") && col("x.gram") === col("y.gram") &&
@@ -153,11 +148,10 @@ object SSDeep {
       col("chunk").as("c_a"), col("dchunk").as("d_a"))
     val b = parsed.select(col("id").as("id_b"), col("cs").as("cs_b"),
       col("chunk").as("c_b"), col("dchunk").as("d_b"))
-    eagerRelease(cand.join(a, "id_a").join(b, "id_b")
+    cand.join(a, "id_a").join(b, "id_b")
       .withColumn("score", pairScore(col("cs_a"), col("c_a"), col("d_a"),
         col("cs_b"), col("c_b"), col("d_b")))
       .filter(col("score") >= minScore)
-      .select("id_a", "id_b", "score"),
-      Seq(parsed, grams))
+      .select("id_a", "id_b", "score")
   }
 }

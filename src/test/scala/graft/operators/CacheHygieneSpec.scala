@@ -53,4 +53,36 @@ class CacheHygieneSpec extends SparkSpec {
   test("spanScrub releases its token cache in-op") {
     checkOp("spanScrub")(Dedup.spanScrub(_, k = 5))
   }
+
+  test("ssdeep ops pin the documented riding-frame shape (ADVICE r13, adjudicated r14)") {
+    // DELIBERATE exception to the one-frame contract: the ssdeep ops'
+    // intermediates ride in the returned plan and release with the
+    // caller's per-query clearCache — the eagerRelease variant was
+    // built and measured one materializing job SLOWER on both r14 pair
+    // legs, so the trade is pinned here instead: similarityPairs ≤ 2
+    // frames (parsed + grams), chainedDiscovery ≤ 1 (parsed), and
+    // clearCache drains everything.
+    val hashes = docs.select(
+      org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.concat_ws(":",
+        org.apache.spark.sql.functions.lit("96"),
+        org.apache.spark.sql.functions.substring(
+          org.apache.spark.sql.functions.md5(
+            org.apache.spark.sql.functions.col("text")), 1, 16),
+        org.apache.spark.sql.functions.substring(
+          org.apache.spark.sql.functions.md5(
+            org.apache.spark.sql.functions.col("text")), 17, 8))
+        .as("ssdeep"))
+    val before = persistedNow
+    SSDeep.similarityPairs(hashes, minScore = 0).count()
+    assert((persistedNow -- before).size <= 2,
+      "similarityPairs must leave at most parsed + grams riding")
+    spark.catalog.clearCache()
+    val before2 = persistedNow
+    SSDeep.chainedDiscovery(hashes, probeId = 1L, minScore = 0).count()
+    assert((persistedNow -- before2).size <= 1,
+      "chainedDiscovery must leave at most the parsed frame riding")
+    spark.catalog.clearCache()
+    assert(persistedNow.isEmpty || (persistedNow -- before).isEmpty)
+  }
 }
